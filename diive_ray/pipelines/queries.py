@@ -1,0 +1,617 @@
+"""Driver-facing query registry: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB-runnable ANSI-SQL oracle where the
+semantics are SQL-expressible (driver compares row count + schema +
+order-insensitive value hash at sf=0.01).
+
+Conventions shared by BOTH sides so value hashes match:
+* identical lowercase column names (aggregates aliased),
+* float aggregates rounded to 6 decimals (sum order differs between
+  engines in the last ulps),
+* deterministic tie-breaks documented per query.
+
+The Ray side always goes through the engine's own stages (rollup
+cascade, gap table, outlier kernels, QCF algebra, ...) — the SQL is the
+*oracle*, not the implementation.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..schema import US_PER_DAY, US_PER_HOUR, US_PER_MIN
+from ..stages import outliers as ol
+from ..stages.bucket import make_bucket_assigner
+from ..stages.diel import diel_cycle, monthly_matrix
+from ..stages.gaps import gap_table
+from ..stages.gridagg import grid_aggregate
+from ..stages.qcf import qcf_frame
+from ..stages.corrections import setto_threshold
+from ..stages.timefeatures import add_time_features, keep_daterange
+from .rollup import events_cascade
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype(float), 6)
+    return df
+
+
+def _tier_result(ds: rd.Dataset, key: str = "event_type") -> pd.DataFrame:
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(columns=[key, "bucket_ts", "count", "sum", "min", "max", "mean"])
+    out = pd.DataFrame(
+        {
+            key: df[key],
+            "bucket_ts": pd.to_datetime(df["bucket_ts"]).astype("datetime64[us]"),
+            "n": df["count"].astype("int64"),
+            "sum_value": df["sum"],
+            "min_value": df["min"],
+            "max_value": df["max"],
+            "mean_value": df["mean"],
+        }
+    )
+    return _round6(out, ["sum_value", "mean_value"])
+
+
+# --------------------------------------------------------------- resampling
+
+
+def q_resample_1h(sf_dir: str):
+    """Tier rollup, 1-hour buckets per event_type (resampling.py:94-197
+    semantics, point-event convention [start,end) labeled end)."""
+    tiers = events_cascade(sf_dir)
+    return _tier_result(tiers["1h"])
+
+
+def q_resample_1d(sf_dir: str):
+    """1-day tier produced by CASCADING 1m->1h->1d (resample-of-resample,
+    resampling.py:47-90) — oracle aggregates raw directly; equality
+    proves the cascade is lossless."""
+    tiers = events_cascade(sf_dir)
+    return _tier_result(tiers["1d"])
+
+
+def q_resample_1d_mincount(sf_dir: str):
+    """1d tier keeping only days with >= 6 contributing hour-buckets
+    (min-count masking on child buckets, resampling.py:161-171/47-90:
+    mincounts = max(1, int(24 * 0.25)))."""
+    tiers = events_cascade(sf_dir, coarse_mincounts_perc={"1d": 0.25})
+    return _tier_result(tiers["1d"])
+
+
+_SQL_TIER = """
+SELECT event_type,
+       time_bucket(INTERVAL '{iv}', ts) + INTERVAL '{iv}' AS bucket_ts,
+       COUNT(value) AS n,
+       ROUND(SUM(value), 6) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(value) > 0
+"""
+
+_SQL_TIER_1D_MINC = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         COUNT(value) AS n, SUM(value) AS s, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+)
+SELECT event_type,
+       CAST(time_bucket(INTERVAL '1 day', bucket_ts - INTERVAL '1 microsecond') + INTERVAL '1 day' AS TIMESTAMP) AS bucket_ts,
+       SUM(n) AS n,
+       ROUND(SUM(s), 6) AS sum_value,
+       MIN(mn) AS min_value,
+       MAX(mx) AS max_value,
+       ROUND(SUM(s) / SUM(n), 6) AS mean_value
+FROM h GROUP BY 1, 2 HAVING COUNT(*) >= 6
+"""
+
+
+# --------------------------------------------------------------- diel cycle
+
+
+def q_diel_cycle(sf_dir: str):
+    """Diel cycle per event_type x hour-of-day (resampling.py:200-262):
+    count/mean/std(ddof=1)/median/min/max."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    out = diel_cycle(
+        ds, value_col="value", keys=["event_type"], mincounts=1,
+        quantiles=False, minmax=True, std=True, phase="hour",
+    ).to_pandas()
+    out = out.rename(columns={"TIME": "hour", "count": "n", "mean": "mean_value",
+                              "std": "std_value", "median": "median_value",
+                              "min": "min_value", "max": "max_value"})
+    out = out.drop(columns=[c for c in ("mean+sd", "mean-sd") if c in out.columns])
+    out["n"] = out["n"].astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    return _round6(out, ["mean_value", "std_value", "median_value"])
+
+
+_SQL_DIEL = """
+SELECT event_type,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(value) AS n,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean_value,
+       ROUND(STDDEV_SAMP(value), 6) AS std_value,
+       ROUND(MEDIAN(value), 6) AS median_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- gap table
+
+
+def q_gap_table_1h(sf_dir: str):
+    """Consecutive empty 1h buckets per event_type
+    (gapfinder.py:114-147 over the regularized 1h tier)."""
+    tiers = events_cascade(sf_dir)
+    gt = gap_table(tiers["1h"], US_PER_HOUR, keys=("event_type",), value_col="mean").to_pandas()
+    out = gt.rename(columns={"GAP_START": "gap_start", "GAP_END": "gap_end", "GAP_LENGTH": "gap_length"})
+    out["gap_start"] = pd.to_datetime(out["gap_start"]).astype("datetime64[us]")
+    out["gap_end"] = pd.to_datetime(out["gap_end"]).astype("datetime64[us]")
+    out["gap_length"] = out["gap_length"].astype("int64")
+    return out
+
+
+_SQL_GAPS_1H = """
+WITH b AS (
+  SELECT DISTINCT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts
+  FROM events WHERE value IS NOT NULL
+), l AS (
+  SELECT event_type, bucket_ts,
+         LAG(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev
+  FROM b
+)
+SELECT event_type,
+       prev + INTERVAL '1 hour' AS gap_start,
+       bucket_ts - INTERVAL '1 hour' AS gap_end,
+       CAST(date_diff('hour', prev, bucket_ts) - 1 AS BIGINT) AS gap_length
+FROM l
+WHERE prev IS NOT NULL AND date_diff('hour', prev, bucket_ts) > 1
+"""
+
+
+# ------------------------------------------------------------------ outliers
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Global z-score outliers per event_type, single pass, |z| > 2,
+    ddof=0 (zscore.py:164-189, funcs.py:62) — via the distributed
+    two-pass aggregate+mask stage."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+    flagged = ol.zscore_global_distributed(
+        ds, value_col="value", keys=("event_type",), thres_zscore=2.0, repeat=False
+    )
+    out = flagged.to_pandas()
+    out = out[out["FLAG_value_ZSCORE_TEST"] == 2][["event_id", "event_type", "value"]]
+    return out.reset_index(drop=True)
+
+
+_SQL_ZSCORE = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         (value - AVG(value) OVER (PARTITION BY event_type))
+           / STDDEV_POP(value) OVER (PARTITION BY event_type) AS z
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, event_type, value FROM s WHERE ABS(z) > 2.0
+"""
+
+
+def q_abs_limits(sf_dir: str):
+    """AbsoluteLimits: rows outside [1, 300] (absolutelimits.py:188-202)."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    flagged = ds.map_batches(
+        lambda df: df.assign(flag=ol.abs_limits_flag(df["value"], 1.0, 300.0).to_numpy()),
+        batch_format="pandas",
+    )
+    out = flagged.to_pandas()
+    return out[out["flag"] == 2][["event_id", "event_type", "value"]].reset_index(drop=True)
+
+
+_SQL_ABS_LIMITS = """
+SELECT event_id, event_type, value FROM events WHERE value < 1.0 OR value > 300.0
+"""
+
+
+def q_trimlow(sf_dir: str):
+    """TrimLow (trim.py:237-260): reject values < 5.0 plus an equal count
+    of the highest values. Distributed: tiny count aggregate + global
+    sort().limit(k) for the top side. Tie-break: (value DESC, event_id)
+    (the reference trims by position; ties are resolved by id here)."""
+    ds = _events(sf_dir, ["event_id", "value"])
+    n_below = ds.map_batches(
+        lambda t: pa.table({"c": [pc.sum(pc.less(t["value"], 5.0)).as_py() or 0]}),
+        batch_format="pyarrow",
+    ).sum("c")
+    low = ds.map_batches(
+        lambda t: t.filter(pc.less(t["value"], 5.0)), batch_format="pyarrow"
+    ).to_pandas()
+    top = (
+        ds.map_batches(lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow")
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(int(n_below))
+        .to_pandas()
+    )
+    out = pd.concat([low, top]).drop_duplicates(subset="event_id")
+    return out[["event_id", "value"]].sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_TRIMLOW = """
+WITH below AS (SELECT COUNT(*) AS c FROM events WHERE value < 5.0),
+ranked AS (
+  SELECT event_id, value,
+         ROW_NUMBER() OVER (ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, value FROM events WHERE value < 5.0
+UNION
+SELECT event_id, value FROM ranked WHERE rn <= (SELECT c FROM below)
+"""
+
+
+# --------------------------------------------------------- dedup / keep-last
+
+
+def q_dedup_keep_last(sf_dir: str):
+    """Keep the last record per (user_id, event_type) by ts, tie-break
+    max event_id (keep-last dedup semantics, times.py:1409-1459)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def keep_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        return df.tail(1)
+
+    out = ds.groupby(["user_id", "event_type"]).map_groups(keep_last, batch_format="pandas").to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    return out[["user_id", "event_type", "event_id", "ts", "value"]].reset_index(drop=True)
+
+
+_SQL_DEDUP = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ----------------------------------------------- broadcast aggregate-as-hires
+
+
+def q_day_mean_as_hires(sf_dir: str):
+    """aggregated_as_hires (frames.py:255-316): daily mean per event_type
+    broadcast back onto every raw row — tiny aggregate + broadcast dict
+    lookup inside map_batches (no shuffle of the hires side)."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    bucketer = make_bucket_assigner(US_PER_DAY, end_stamped=False)
+    daily = (
+        ds.map_batches(bucketer, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "bucket_ts"])
+        .mean("value")
+        .to_pandas()
+    )
+    import ray as _ray
+
+    lut = {
+        (r["event_type"], int(pd.Timestamp(r["bucket_ts"]).value // 1000)): r["mean(value)"]
+        for _, r in daily.iterrows()
+    }
+    lut_ref = _ray.put(lut)
+
+    class Broadcast:
+        def __init__(self):
+            self.lut = _ray.get(lut_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from ..util import ts_to_us
+            from ..stages.bucket import bucket_end_us
+
+            day = bucket_end_us(ts_to_us(df["ts"]), US_PER_DAY, end_stamped=False)
+            df = df.copy()
+            df["day_mean"] = [self.lut.get((et, int(d))) for et, d in zip(df["event_type"], day)]
+            return df
+
+    out = ds.map_batches(Broadcast, batch_format="pandas", concurrency=2).to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    out = out[["event_id", "event_type", "ts", "value", "day_mean"]]
+    return _round6(out, ["day_mean"]).reset_index(drop=True)
+
+
+_SQL_DAY_MEAN = """
+SELECT event_id, event_type, ts, value,
+       ROUND(AVG(value) OVER (PARTITION BY event_type, date_trunc('day', ts)), 6) AS day_mean
+FROM events
+"""
+
+
+# ----------------------------------------------------------------------- QCF
+
+
+def q_qcf(sf_dir: str):
+    """QCF flag algebra (qcf.py:637-696): three deterministic test flags
+    -> hard/soft sums -> overall 0/1/2 flag."""
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        v = df["value"].astype(float)
+        df["FLAG_value_RANGE_TEST"] = np.where((v < 1.0) | (v > 300.0), 2, 0).astype(np.int8)
+        df["FLAG_value_HI_TEST"] = np.where(v > 200.0, 1, 0).astype(np.int8)
+        df["FLAG_value_NIGHT_TEST"] = np.where(pd.to_datetime(df["ts"]).dt.hour < 6, 1, 0).astype(np.int8)
+        return qcf_frame(df)
+
+    out = ds.map_batches(flags, batch_format="pandas").to_pandas()
+    out = out[["event_id", "SUM_HARDFLAGS", "SUM_SOFTFLAGS", "FLAG_QCF_TEST"]]
+    out.columns = ["event_id", "sum_hardflags", "sum_softflags", "flag_qcf"]
+    for c in ("sum_hardflags", "sum_softflags", "flag_qcf"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_QCF = """
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN value < 1.0 OR value > 300.0 THEN 2 ELSE 0 END AS f_range,
+         CASE WHEN value > 200.0 THEN 1 ELSE 0 END AS f_hi,
+         CASE WHEN EXTRACT(hour FROM ts) < 6 THEN 1 ELSE 0 END AS f_night
+  FROM events
+), s AS (
+  SELECT event_id,
+         (CASE WHEN f_range = 2 THEN 2 ELSE 0 END) AS sum_hardflags,
+         (CASE WHEN f_range = 1 THEN 1 ELSE 0 END + f_hi + f_night) AS sum_softflags
+  FROM f
+)
+SELECT event_id, CAST(sum_hardflags AS BIGINT) AS sum_hardflags,
+       CAST(sum_softflags AS BIGINT) AS sum_softflags,
+       CAST(CASE
+         WHEN sum_hardflags + sum_softflags = 0 THEN 0
+         WHEN sum_hardflags >= 2 OR sum_softflags > 3 THEN 2
+         ELSE 1
+       END AS BIGINT) AS flag_qcf
+FROM s
+"""
+
+
+# --------------------------------------------------------------- timestamps
+
+
+def q_time_features(sf_dir: str):
+    """vectorize_timestamps + insert_season (times.py:1049-1244)."""
+    ds = _events(sf_dir, ["event_id", "ts"])
+    out = add_time_features(ds, cyclic=False).to_pandas()
+    out = out[["event_id", "YEAR", "MONTH", "WEEK", "DOY", "HOUR", "SEASON"]]
+    out.columns = ["event_id", "year", "month", "week", "doy", "hour", "season"]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SQL_TIME_FEATURES = """
+SELECT event_id,
+       CAST(EXTRACT(year FROM ts) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+       CAST(weekofyear(ts) AS BIGINT) AS week,
+       CAST(EXTRACT(doy FROM ts) AS BIGINT) AS doy,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(CASE WHEN EXTRACT(month FROM ts) IN (12, 1, 2) THEN 1
+                 WHEN EXTRACT(month FROM ts) IN (3, 4, 5) THEN 2
+                 WHEN EXTRACT(month FROM ts) IN (6, 7, 8) THEN 3
+                 ELSE 4 END AS BIGINT) AS season
+FROM events
+"""
+
+
+def q_setto_threshold(sf_dir: str):
+    """setto_threshold type='max' (setto.py:121-170): clamp above 250."""
+    ds = _events(sf_dir, ["event_id", "value"])
+    out = setto_threshold(ds, "value", 250.0, "max").to_pandas()
+    return out.rename(columns={"value": "value_capped"}).reset_index(drop=True)
+
+
+_SQL_SETTO = "SELECT event_id, LEAST(value, 250.0) AS value_capped FROM events"
+
+
+def q_keep_daterange(sf_dir: str):
+    """Closed-interval date-range filter (times.py:1884-1934)."""
+    ds = _events(sf_dir, ["event_id", "ts"])
+    out = keep_daterange(ds, "2024-01-10 00:00:00", "2024-01-20 23:59:59").to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    return out.reset_index(drop=True)
+
+
+_SQL_DATERANGE = """
+SELECT event_id, ts FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 23:59:59'
+"""
+
+
+def q_monthly_matrix(sf_dir: str):
+    """Monthly agg matrix, long format, with dense ranks per month across
+    years (resampling.py:15-44)."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    out = monthly_matrix(ds, value_col="value", keys=["event_type"], agg="mean", ranks=False)
+    out = out.rename(columns={"YEAR": "year", "MONTH": "month", "value": "mean_value"})
+    out["year"] = out["year"].astype("int64")
+    out["month"] = out["month"].astype("int64")
+    return _round6(out, ["mean_value"])
+
+
+_SQL_MONTHLY = """
+SELECT event_type,
+       CAST(EXTRACT(year FROM ts) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_grid_agg(sf_dir: str):
+    """GridAggregator (gridaggregator.py:19-330): equal-width value bins x
+    hour-of-day, per-cell count + mean."""
+    ds = _events(sf_dir, ["ts", "value"])
+    vlo, vhi = ds.min("value"), ds.max("value")
+
+    def add_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hourcol"] = pd.to_datetime(df["ts"]).dt.hour.astype(float)
+        return df
+
+    ds2 = ds.map_batches(add_cols, batch_format="pandas")
+    cells = grid_aggregate(
+        ds2, xcol="value", ycol="hourcol", value_col="value",
+        binsx=10, binsy=24, x_range=(vlo, vhi), y_range=(0.0, 24.0),
+    )
+    out = cells.rename(columns={"value": "mean_value"})
+    out["binx"] = out["binx"].astype("int64")
+    out["biny"] = out["biny"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return _round6(out, ["mean_value"])
+
+
+_SQL_GRID = """
+WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 10) AS BIGINT), 9) AS binx,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS biny,
+       COUNT(value) AS n,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+FROM events, r WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ generic tables
+
+
+def q_lineitem_filter_project(sf_dir: str):
+    """keep_records_where + keep_vars (frames.py:27-128): row filter by
+    boolean expr, column projection — predicate inside map_batches."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(t["l_quantity"], 45.0),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01").to_datetime64())),
+        )
+        return t.filter(m).select(["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_LINEITEM_FP = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45.0 AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Partial-aggregation groupby (the pre-aggregate-before-shuffle
+    pattern of stages/resample.py) on lineitem."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_quantity", "count")]
+        )
+        return agg
+
+    from ray.data.aggregate import Sum
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="_sum_price"),
+            Sum("l_quantity_count", alias_name="n"),
+        )
+        .to_pandas()
+    )
+    combined["mean_qty"] = combined["sum_qty"] / combined["n"]
+    # mean, not raw sum: a ~5e8 float sum carries ~1e-3 accumulated FP
+    # error across engines, which no 1e-6 rounding can reconcile
+    combined["mean_price"] = combined["_sum_price"] / combined["n"]
+    combined = combined.drop(columns=["_sum_price"])
+    combined["n"] = combined["n"].astype("int64")
+    return _round6(combined, ["sum_qty", "mean_qty", "mean_price"])
+
+
+_SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       COUNT(l_quantity) AS n,
+       ROUND(SUM(l_quantity) / COUNT(l_quantity), 6) AS mean_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(l_quantity), 6) AS mean_price
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "resample_1h": q_resample_1h,
+    "resample_1d": q_resample_1d,
+    "resample_1d_mincount": q_resample_1d_mincount,
+    "diel_cycle": q_diel_cycle,
+    "gap_table_1h": q_gap_table_1h,
+    "zscore_outliers": q_zscore_outliers,
+    "abs_limits": q_abs_limits,
+    "trimlow": q_trimlow,
+    "dedup_keep_last": q_dedup_keep_last,
+    "day_mean_as_hires": q_day_mean_as_hires,
+    "qcf": q_qcf,
+    "time_features": q_time_features,
+    "setto_threshold": q_setto_threshold,
+    "keep_daterange": q_keep_daterange,
+    "monthly_matrix": q_monthly_matrix,
+    "grid_agg": q_grid_agg,
+    "lineitem_filter_project": q_lineitem_filter_project,
+    "lineitem_agg": q_lineitem_agg,
+}
+
+ORACLE: dict[str, str] = {
+    "resample_1h": _SQL_TIER.format(iv="1 hour"),
+    "resample_1d": _SQL_TIER.format(iv="1 day"),
+    "resample_1d_mincount": _SQL_TIER_1D_MINC,
+    "diel_cycle": _SQL_DIEL,
+    "gap_table_1h": _SQL_GAPS_1H,
+    "zscore_outliers": _SQL_ZSCORE,
+    "abs_limits": _SQL_ABS_LIMITS,
+    "trimlow": _SQL_TRIMLOW,
+    "dedup_keep_last": _SQL_DEDUP,
+    "day_mean_as_hires": _SQL_DAY_MEAN,
+    "qcf": _SQL_QCF,
+    "time_features": _SQL_TIME_FEATURES,
+    "setto_threshold": _SQL_SETTO,
+    "keep_daterange": _SQL_DATERANGE,
+    "monthly_matrix": _SQL_MONTHLY,
+    "grid_agg": _SQL_GRID,
+    "lineitem_filter_project": _SQL_LINEITEM_FP,
+    "lineitem_agg": _SQL_LINEITEM_AGG,
+}

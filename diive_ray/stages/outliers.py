@@ -1,0 +1,380 @@
+"""Outlier-detection flags over time series — reference-parity kernels +
+Ray Data wrappers.
+
+Flag convention (diive/core/base/flagbase.py:112-120): per-record integer
+flag, 0 = ok, 2 = hard reject; the *filtered* series is derived by
+masking flag==2 to null (flagbase.py:122-129). Every iterative detector
+repeats until an iteration finds 0 new outliers (flagbase.py:155-187 —
+rejected values are removed from the working series between iterations;
+the overall flag is 2 iff rejected in any iteration).
+
+Kernels (exact reference semantics, pinned by tests vs seeded fixtures):
+
+* ``zscore_flag`` — global z-score, mean/std with ddof=0
+  (diive/core/funcs/funcs.py:54-67), reject |z| > thres (default 4)
+  (diive/preprocessing/outlier_detection/zscore.py:164-189).
+* ``zscore_rolling_flag`` — centered rolling mean/std, window default
+  len/20 computed on the first iteration's non-null count, min_periods=3
+  (zscore.py:315-348).
+* ``zscore_increments_flag`` — z-score each of {|dprev|+|dnext|,
+  |dprev|, |dnext|} (diive/core/dfun/stats.py:526-538); outlier only if
+  all three flag (sum==6) (incremental.py:103-158).
+* ``hampel_flag`` — optional double-differencing d=(x_t-x_{t-1})-
+  (x_{t+1}-x_t) fillna(0), rolling median +- n_sigma*k*MAD (window 624
+  centered, min_periods=1, k=1.4826, MAD+1e-6) (hampel.py:199-243).
+* ``localsd_flag`` — rolling median +- n_sd * SD (rolling or whole-
+  series-constant SD), min_periods=3; strict inequalities: values
+  exactly on the limit are neither ok nor rejected (localsd.py:244-262).
+* ``abs_limits_flag`` — reject outside [min, max], single pass
+  (absolutelimits.py:188-202).
+* ``trimlow_flag`` — reject values < lower_limit plus an equal COUNT of
+  the highest values (positional, stable sort; ties at the boundary
+  resolved by position) (trim.py:237-260).
+* ``missing_flag`` — 2 where null (diive/preprocessing/qaqc/flags.py:54-110).
+* ``manual_removal_flag`` — explicit timestamps / closed ranges
+  (manualremoval.py:42-160).
+
+Ray wrappers: ``flag_outliers`` runs a kernel per ordered key group
+(``groupby(keys).map_groups`` — the reference's own scope is one whole
+series in memory, so per-source groups reproduce it exactly; the
+parallelism axis is the key count). ``zscore_global_distributed`` is the
+scalable two-pass variant for the plain global z-score: per-batch
+partial (count, sum, sumsq) -> tiny combine -> broadcast mask, a driver
+loop per iteration (SURVEY.md §2.3: aggregate->flag rounds).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+FLAG_DTYPE = np.int8
+
+
+# ------------------------------------------------------------- core helpers
+
+
+def _iterate(
+    s: pd.Series,
+    flagtest: Callable[[pd.Series, int], pd.Index],
+    repeat: bool = True,
+    max_iter: int = 100,
+) -> pd.Series:
+    """flagbase.repeat loop (flagbase.py:155-187): run ``flagtest`` on the
+    current filtered series, remove rejected, until none found. Returns
+    int8 flag over s.index: 2 = rejected in any iteration, else 0."""
+    filtered = s.copy()
+    flag = pd.Series(0, index=s.index, dtype=FLAG_DTYPE)
+    for iteration in range(1, max_iter + 1):
+        rejected = flagtest(filtered, iteration)
+        if len(rejected) == 0:
+            break
+        flag.loc[rejected] = 2
+        filtered.loc[rejected] = np.nan
+        if not repeat:
+            break
+    return flag
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def zscore_flag(s: pd.Series, thres_zscore: float = 4, repeat: bool = True) -> pd.Series:
+    """Global z-score (zscore.py:164-189); mean/std ddof=0 (funcs.py:62)."""
+
+    def test(filtered: pd.Series, _i: int) -> pd.Index:
+        st = filtered.dropna()
+        if len(st) == 0:
+            return st.index
+        mean = st.mean()
+        std = st.std(ddof=0)
+        z = np.abs((st - mean) / std)
+        return z[z > thres_zscore].index
+
+    return _iterate(s, test, repeat)
+
+
+def zscore_rolling_flag(
+    s: pd.Series, thres_zscore: float = 4, winsize: int | None = None, repeat: bool = True
+) -> pd.Series:
+    """Rolling z-score (zscore.py:315-348). The default window len/20 is
+    computed once, from the first iteration's non-null count
+    (zscore.py:321-322 mutates self.winsize)."""
+    state = {"win": winsize}
+
+    def test(filtered: pd.Series, _i: int) -> pd.Index:
+        st = filtered.dropna()
+        if len(st) == 0:
+            return st.index
+        if not state["win"]:
+            state["win"] = int(len(st) / 20)
+        rmean = st.rolling(window=state["win"], center=True, min_periods=3).mean()
+        rsd = st.rolling(window=state["win"], center=True, min_periods=3).std()
+        rz = np.abs((st - rmean) / rsd)
+        return rz[rz > thres_zscore].index
+
+    return _iterate(s, test, repeat)
+
+
+def zscore_increments_flag(s: pd.Series, thres_zscore: float = 4, repeat: bool = True) -> pd.Series:
+    """zScoreIncrements (incremental.py:103-158): inner zScore runs with
+    repeat=False on each diff series; rejected iff all three flags == 2
+    (sum == 6). Note the diffs are computed on the *uncompressed* series
+    (nulls kept, incremental.py:106)."""
+
+    def test(filtered: pd.Series, _i: int) -> pd.Index:
+        shifted_prev = filtered.shift(1)
+        diff_to_prev_abs = (filtered - shifted_prev).abs()
+        shifted_next = filtered.shift(-1)
+        diff_to_next_abs = (filtered - shifted_next).abs()
+        doublediff_abs = diff_to_prev_abs + diff_to_next_abs
+
+        flag_sum = None
+        for diff in (doublediff_abs, diff_to_prev_abs, diff_to_next_abs):
+            f = zscore_flag(diff, thres_zscore=thres_zscore, repeat=False).astype(float)
+            f[diff.isna()] = np.nan
+            flag_sum = f if flag_sum is None else flag_sum.add(f)
+        return flag_sum[flag_sum == 6].index
+
+    return _iterate(s, test, repeat)
+
+
+def hampel_flag(
+    s: pd.Series,
+    window_length: int = 48 * 13,
+    n_sigma: float = 5.5,
+    k: float = 1.4826,
+    use_differencing: bool = True,
+    repeat: bool = True,
+) -> pd.Series:
+    """Hampel filter, global mode (hampel.py:199-243)."""
+
+    def test(filtered: pd.Series, _i: int) -> pd.Index:
+        st = filtered.dropna()
+        if len(st) == 0:
+            return st.index
+        if use_differencing:
+            s_to_test = st.diff() - st.diff().shift(-1)
+            s_to_test = s_to_test.fillna(0)
+        else:
+            s_to_test = st
+        rolling_median = s_to_test.rolling(window=window_length, center=True, min_periods=1).median()
+        deviations = np.abs(s_to_test - rolling_median)
+        rolling_mad = deviations.rolling(window=window_length, center=True, min_periods=1).median() + 1e-6
+        limit = k * rolling_mad * n_sigma
+        upper = rolling_median + limit
+        lower = rolling_median - limit
+        is_outlier = (s_to_test > upper) | (s_to_test < lower)
+        return is_outlier[is_outlier].index
+
+    return _iterate(s, test, repeat)
+
+
+def localsd_flag(
+    s: pd.Series,
+    n_sd: float = 7,
+    winsize: int | None = None,
+    constant_sd: bool = False,
+    repeat: bool = True,
+) -> pd.Series:
+    """LocalSD (localsd.py:244-262). Strict inequalities: a value exactly
+    on the limit is neither ok nor rejected -> stays unflagged (0 here,
+    consistent with flagbase's 2-sum overall flag)."""
+    state = {"win": winsize}
+
+    def test(filtered: pd.Series, _i: int) -> pd.Index:
+        st = filtered.dropna()
+        if len(st) == 0:
+            return st.index
+        if not state["win"]:
+            state["win"] = int(len(st) / 20)
+        rmedian = st.rolling(window=state["win"], center=True, min_periods=3).median()
+        if constant_sd:
+            sd = st.std()  # pandas default ddof=1 (localsd.py:246)
+        else:
+            sd = st.rolling(window=state["win"], center=True, min_periods=3).std()
+        upper = rmedian + sd * n_sd
+        lower = rmedian - sd * n_sd
+        rejected = (st > upper) | (st < lower)
+        return rejected[rejected].index
+
+    return _iterate(s, test, repeat)
+
+
+def abs_limits_flag(s: pd.Series, minval: float, maxval: float) -> pd.Series:
+    """AbsoluteLimits, global single pass (absolutelimits.py:188-202)."""
+    flag = pd.Series(0, index=s.index, dtype=FLAG_DTYPE)
+    rejected = (s < minval) | (s > maxval)
+    flag[rejected] = 2
+    return flag
+
+
+def trimlow_flag(s: pd.Series, lower_limit: float) -> pd.Series:
+    """TrimLow, whole-series subset (trim.py:237-260): reject values below
+    lower_limit plus an equal count of the highest values, positional."""
+    st = s.dropna()
+    flag = pd.Series(0, index=s.index, dtype=FLAG_DTYPE)
+    s_sorted = st.sort_values(ascending=False, kind="stable")
+    n_below = int((s_sorted < lower_limit).sum())
+    if n_below == 0:
+        return flag
+    low_idx = st.index[st < lower_limit]
+    high_idx = s_sorted.iloc[0:n_below].index
+    flag.loc[low_idx.union(high_idx)] = 2
+    return flag
+
+
+def missing_flag(s: pd.Series) -> pd.Series:
+    """flag=2 where value is missing (diive/preprocessing/qaqc/flags.py:54-110)."""
+    flag = pd.Series(0, index=s.index, dtype=FLAG_DTYPE)
+    flag[s.isna()] = 2
+    return flag
+
+
+def manual_removal_flag(
+    s: pd.Series,
+    ts_col_values: pd.Series,
+    remove: list,
+) -> pd.Series:
+    """ManualRemoval (manualremoval.py:42-160): ``remove`` holds single
+    timestamps and/or (start, end) closed ranges over the row timestamps."""
+    ts = pd.to_datetime(ts_col_values)
+    mask = np.zeros(len(s), dtype=bool)
+    for item in remove:
+        if isinstance(item, (tuple, list)) and len(item) == 2:
+            lo, hi = pd.Timestamp(item[0]), pd.Timestamp(item[1])
+            mask |= ((ts >= lo) & (ts <= hi)).to_numpy()
+        else:
+            mask |= (ts == pd.Timestamp(item)).to_numpy()
+    flag = pd.Series(0, index=s.index, dtype=FLAG_DTYPE)
+    flag[mask] = 2
+    return flag
+
+
+KERNELS = {
+    "zscore": zscore_flag,
+    "zscore_rolling": zscore_rolling_flag,
+    "zscore_increments": zscore_increments_flag,
+    "hampel": hampel_flag,
+    "localsd": localsd_flag,
+    "abs_limits": abs_limits_flag,
+    "trimlow": trimlow_flag,
+    "missing": missing_flag,
+}
+
+
+# -------------------------------------------------------------- Ray wrappers
+
+
+def flag_outliers(
+    ds: ray.data.Dataset,
+    method: str,
+    *,
+    value_col: str,
+    keys: Iterable[str] = ("source",),
+    ts_col: str = "ts",
+    flag_col: str | None = None,
+    mask_values: bool = False,
+    **kernel_kwargs,
+) -> ray.data.Dataset:
+    """Append flag column ``FLAG_{value_col}_{METHOD}_TEST``
+    (naming per flagbase.py:136-148) computed per ordered key group.
+    ``mask_values=True`` additionally nulls value_col where flag==2
+    (the stepwise ``addflag`` behavior,
+    stepwiseoutlierdetection.py:416-424)."""
+    kernel = KERNELS[method]
+    keys = list(keys)
+    flag_col = flag_col or f"FLAG_{value_col}_{method.upper()}_TEST"
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        flag = kernel(df[value_col].astype(float), **kernel_kwargs)
+        df[flag_col] = flag.to_numpy()
+        if mask_values:
+            df.loc[df[flag_col] == 2, value_col] = np.nan
+        return df
+
+    return ds.groupby(keys).map_groups(gfn, batch_format="pandas")
+
+
+def zscore_global_distributed(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    keys: Iterable[str] = ("source",),
+    thres_zscore: float = 4,
+    repeat: bool = True,
+    max_iter: int = 100,
+    flag_col: str | None = None,
+) -> ray.data.Dataset:
+    """Scalable global z-score: no key group ever materializes in one
+    task. Driver loop of (tiny per-key aggregate of count/sum/sumsq over
+    rows not yet rejected -> broadcast thresholds -> vectorized batch
+    mask). Matches ``zscore_flag`` exactly (same ddof=0 moments; pinned
+    by tests) while streaming arbitrary key sizes.
+    """
+    keys = list(keys)
+    flag_col = flag_col or f"FLAG_{value_col}_ZSCORE_TEST"
+
+    def init_flag(batch: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(batch.num_rows, dtype=FLAG_DTYPE))
+        if flag_col in batch.column_names:
+            batch = batch.drop_columns([flag_col])
+        return batch.append_column(flag_col, z)
+
+    current = ds.map_batches(init_flag, batch_format="pyarrow", zero_copy_batch=True)
+
+    for _ in range(max_iter):
+        # pass 1: per-key moments over still-accepted, non-null rows
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            df = batch.select(keys + [value_col, flag_col]).to_pandas()
+            ok = (df[flag_col] != 2) & df[value_col].notna()
+            d = df[ok]
+            v = d[value_col].astype(float)
+            g = d.assign(_v=v, _v2=v * v).groupby(keys)
+            out = g.agg(n=("_v", "count"), s=("_v", "sum"), s2=("_v2", "sum")).reset_index()
+            return out
+
+        moments = (
+            current.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys)
+            .sum(["n", "s", "s2"])
+            .to_pandas()
+        )
+        if len(moments) == 0:
+            break
+        moments["mean"] = moments["sum(s)"] / moments["sum(n)"]
+        moments["var"] = moments["sum(s2)"] / moments["sum(n)"] - moments["mean"] ** 2
+        moments["std"] = np.sqrt(np.maximum(moments["var"], 0.0))
+        stats = {
+            (tuple(r[k] for k in keys) if len(keys) > 1 else r[keys[0]]): (r["mean"], r["std"])
+            for _, r in moments.iterrows()
+        }
+
+        # pass 2: flag rows beyond the threshold
+        def mask(batch: pa.Table, stats=stats) -> pa.Table:
+            df = batch.to_pandas()
+            kv = df[keys[0]] if len(keys) == 1 else list(zip(*[df[k] for k in keys]))
+            mean = np.array([stats.get(k, (np.nan, np.nan))[0] for k in kv])
+            std = np.array([stats.get(k, (np.nan, np.nan))[1] for k in kv])
+            v = df[value_col].astype(float).to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = np.abs((v - mean) / std)
+            newly = (df[flag_col].to_numpy() != 2) & ~np.isnan(v) & (z > thres_zscore)
+            df.loc[newly, flag_col] = 2
+            df["_newly"] = newly.astype(np.int8)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        # materialize to pin this round's flags (the driver loop would
+        # otherwise re-execute the whole lazy plan every iteration)
+        current = current.map_batches(mask, batch_format="pyarrow").materialize()
+        n_new = current.sum("_newly")
+        current = current.drop_columns(["_newly"])
+        if not repeat or not n_new:
+            break
+    return current
