@@ -1,0 +1,242 @@
+"""Vectorized text-analysis kernels for the documents pipeline.
+
+These are the per-batch functions used by the large-scale training-data
+stages (dedup, quality filtering, language ID, fingerprinting). The
+reference has no text processing — these are engine additions required
+by the 100 TB training-data mission (driver brief) — but they follow the
+reference's *flag/score column* convention (parallel derived columns,
+cf. diive/core/base/flagbase.py:87-94) and its deterministic seeded-test
+strategy (SURVEY.md §5).
+
+Design rules:
+* every kernel is batch-vectorized (pyarrow.compute regex kernels or
+  numpy over dictionary-encoded words) — no per-row Python in hot paths
+  except bounded per-doc numpy reductions,
+* every hash is an explicit, seeded, portable function (no builtin
+  ``hash``), so results are reproducible across processes and match the
+  DuckDB oracle SQL where one exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token regex: letter runs | digit runs | single non-space symbol
+# (same class expression used in the DuckDB oracle).
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+DIGIT_RE = r"[0-9]"
+WS_SPLIT_RE = r"\s+"
+
+# Tiny embedded stopword profiles for the n-gram/stopword language
+# heuristic (public common-word lists; heuristic only — a real deploy
+# would swap in fastText & friends behind the same stage signature).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "nicht"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"),
+}
+
+FP_MOD = 2**31 - 1  # Mersenne prime modulus of the polynomial fingerprint
+FP_BASE = 31
+
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def word_counts(texts: pa.Array) -> pa.Array:
+    """Whitespace token count per doc (int64), Arrow-kernel vectorized."""
+    trimmed = pc.utf8_trim_whitespace(texts)
+    n_ws = pc.count_substring_regex(trimmed, WS_SPLIT_RE)
+    nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+    return pc.if_else(nonempty, pc.add(n_ws, 1), pa.scalar(0, pa.int32())).cast(pa.int64())
+
+
+def bpe_token_counts(texts: pa.Array) -> pa.Array:
+    """BPE-ish token count per doc (regex token classes, int64)."""
+    return pc.count_substring_regex(texts, BPE_TOKEN_RE).cast(pa.int64())
+
+
+def regex_match_counts(texts: pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(texts, pattern).cast(pa.int64())
+
+
+def stopword_hit_counts(texts: pa.Array, words: tuple[str, ...]) -> pa.Array:
+    """Count of whole-word stopword hits (case-insensitive)."""
+    pat = r"\b(?i:(?:" + "|".join(words) + r"))\b"
+    return pc.count_substring_regex(texts, pat).cast(pa.int64())
+
+
+def quality_features(texts: pa.Array) -> dict[str, np.ndarray]:
+    """Length / punctuation / digit / stopword ratios + mean word length
+    (the classic Gopher/C4-style quality heuristics, computed with Arrow
+    regex kernels)."""
+    n_chars = pc.utf8_length(texts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_words = word_counts(texts).to_numpy(zero_copy_only=False)
+    n_punct = regex_match_counts(texts, PUNCT_RE).to_numpy(zero_copy_only=False)
+    n_digit = regex_match_counts(texts, DIGIT_RE).to_numpy(zero_copy_only=False)
+    n_stop = stopword_hit_counts(texts, STOPWORDS["en"]).to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_word_len = np.where(n_words > 0, (n_chars - (n_words - 1).clip(min=0)) / np.maximum(n_words, 1), 0.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+        digit_ratio = np.where(n_chars > 0, n_digit / np.maximum(n_chars, 1), 0.0)
+        stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stopword_ratio": stop_ratio,
+    }
+
+
+def quality_score(feat: dict[str, np.ndarray]) -> np.ndarray:
+    """Deterministic 0..1 quality score from the feature dict: product of
+    clamped sub-scores (word count in [5, 10000], mean word len in
+    [2, 12], punct ratio <= 0.2, stopword ratio >= 0.01)."""
+    s_len = np.clip(feat["n_words"] / 5.0, 0.0, 1.0) * np.clip((10_000 - feat["n_words"]) / 5_000.0, 0.0, 1.0)
+    s_wl = ((feat["mean_word_len"] >= 2.0) & (feat["mean_word_len"] <= 12.0)).astype(np.float64)
+    s_punct = np.clip((0.2 - feat["punct_ratio"]) / 0.2, 0.0, 1.0)
+    s_stop = np.clip(feat["stopword_ratio"] / 0.01, 0.0, 1.0)
+    return s_len * s_wl * s_punct * s_stop
+
+
+def langid_scores(texts: pa.Array) -> dict[str, np.ndarray]:
+    """Per-language stopword-hit ratio (hits / words)."""
+    n_words = np.maximum(word_counts(texts).to_numpy(zero_copy_only=False), 1)
+    return {
+        lang: stopword_hit_counts(texts, words).to_numpy(zero_copy_only=False) / n_words
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def langid_best(texts: pa.Array, min_ratio: float = 0.05) -> tuple[np.ndarray, np.ndarray]:
+    """(lang, score): argmax language by stopword ratio; 'und' when the
+    best ratio < min_ratio. Ties resolved by fixed language order."""
+    scores = langid_scores(texts)
+    langs = list(scores.keys())
+    mat = np.stack([scores[l] for l in langs])  # [lang, doc]
+    best_idx = np.argmax(mat, axis=0)  # first max wins -> fixed order tie-break
+    best_score = mat[best_idx, np.arange(mat.shape[1])]
+    lang_arr = np.array(langs, dtype=object)[best_idx]
+    lang_arr = np.where(best_score >= min_ratio, lang_arr, "und")
+    return lang_arr, best_score
+
+
+# ------------------------------------------------------------ fingerprints
+
+
+def polynomial_fingerprint(texts: list[str] | np.ndarray) -> np.ndarray:
+    """Rolling polynomial hash of the full text: h = sum(codepoint_i *
+    BASE^(n-1-i)) mod (2^31-1). Horner-equivalent, computed vectorized
+    per doc via precomputed powers over Unicode CODE POINTS, exactly
+    matching the DuckDB oracle ``list_reduce(list_prepend(0,
+    list_transform(string_split(text, ''), c -> ascii(c))),
+    (h, c) -> (h*31 + c) % 2147483647)`` (ascii() = code point)."""
+    arrs = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) for t in texts]
+    maxlen = max((len(a) for a in arrs), default=0)
+    pows = np.ones(maxlen, dtype=np.int64)
+    for i in range(1, maxlen):
+        pows[i] = (pows[i - 1] * FP_BASE) % FP_MOD
+    out = np.zeros(len(arrs), dtype=np.int64)
+    for i, a in enumerate(arrs):
+        n = len(a)
+        if n == 0:
+            continue
+        # mod each term first (term < 2^21 * 2^31 = 2^52), then the sum
+        # of n terms each < 2^31 stays in int64 for any realistic n
+        out[i] = int(np.sum((a * pows[:n][::-1]) % FP_MOD) % FP_MOD)
+    return out
+
+
+def _fnv1a_bytes(data: bytes) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for b in data:
+            h = (h ^ np.uint64(b)) * prime
+    return h
+
+
+def word_hashes(words: np.ndarray, seed: int = 0) -> np.ndarray:
+    """uint64 hash per word, via dictionary-encoding: FNV-1a runs once
+    per *distinct* word, then scatters — the vectorization strategy for
+    shingle hashing at scale."""
+    uniq, inv = np.unique(words, return_inverse=True)
+    with np.errstate(over="ignore"):
+        uh = np.array(
+            [_fnv1a_bytes(w.encode("utf-8")) ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF) for w in uniq],
+            dtype=np.uint64,
+        )
+    return uh[inv]
+
+
+def shingle_hashes(text: str, k: int = 3, seed: int = 0) -> np.ndarray:
+    """Distinct uint64 hashes of the k-word shingles of ``text``.
+    Shingle hash = mixed combination of the k word hashes (vectorized
+    over all shingles at once). Docs with fewer than k words have an
+    EMPTY shingle set (matching the SQL oracle's
+    ``list_transform(range(len(w)-k+1), ...)`` semantics)."""
+    words = np.array(text.split(), dtype=object)
+    if len(words) < k:
+        return np.array([], dtype=np.uint64)
+    wh = word_hashes(words, seed)
+    n = len(wh) - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        mult = np.uint64(0xC2B2AE3D27D4EB4F)
+        for j in range(k):
+            end = j + n
+            acc = (acc * mult) ^ wh[j:end]
+        acc ^= acc >> np.uint64(33)
+        acc = acc * np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(33)
+    return np.unique(acc)
+
+
+def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """num_perm (a, b) pairs for the multiply-shift permutation family
+    sig_i(s) = (a_i * s + b_i) mod 2^64 with a_i odd (a bijection on
+    uint64, the standard practical min-wise-independent family)."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    a = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle-hash set:
+    sig_i = min over s of (a_i * s + b_i) mod 2^64 — one vectorized
+    outer product per doc (num_perm x |shingles|, both small)."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        perm = a[:, None] * shingles[None, :] + b[:, None]
+    return perm.min(axis=1)
+
+
+def simhash64(shingles: np.ndarray) -> np.uint64:
+    """64-bit SimHash of a shingle-hash set (unweighted): sign of the
+    per-bit sum of +-1 votes."""
+    if len(shingles) == 0:
+        return np.uint64(0)
+    bits = np.unpackbits(shingles.view(np.uint8).reshape(len(shingles), 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0) * 2 - len(shingles)  # [64] in int
+    out = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.uint64 | np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
+    union = len(sh_a) + len(sh_b) - inter
+    return inter / union if union else 0.0

@@ -1,0 +1,436 @@
+"""Driver-facing queries over the ``documents`` / ``embeddings`` tables:
+the training-data pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing). Registered alongside the time-series
+registry in pipelines/queries.py.
+
+Oracle-parity conventions (same as queries.py): identical column names,
+float outputs rounded to 6 decimals, deterministic tie-breaks. Where an
+operator is probabilistic-by-design (SimHash buckets, MinHash LSH
+recall), the exact-verification step makes the *output* deterministic
+and — for MinHash with r=2/b=64 at threshold 0.5 (miss probability
+<= (1-J^2)^64 <= 1e-8 per pair) — equal to the exact-Jaccard SQL
+oracle on this corpus (recall pinned by tests)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import text as tx
+from ..stages import dedup as dd
+from ..stages import multimodal as mm
+from ..stages import similarity as sim
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _embs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype(float), 6)
+    return df
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def q_doc_token_count(sf_dir: str):
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (functions/text.py kernels, Arrow count_substring_regex)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ws": tx.word_counts(t["text"]),
+            "n_bpe": tx.bpe_token_counts(t["text"]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring: length/punct/digit/stopword ratios + composite
+    0..1 score (Gopher/C4-style heuristics)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        feat = tx.quality_features(t["text"])
+        score = tx.quality_score(feat)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_calc": pa.array(feat["n_chars"], pa.int64()),
+            "n_words": pa.array(feat["n_words"], pa.int64()),
+            "mean_word_len": pa.array(np.round(feat["mean_word_len"], 6)),
+            "punct_ratio": pa.array(np.round(feat["punct_ratio"], 6)),
+            "digit_ratio": pa.array(np.round(feat["digit_ratio"], 6)),
+            "stopword_ratio": pa.array(np.round(feat["stopword_ratio"], 6)),
+            "quality": pa.array(np.round(score, 6)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(text, '\b(?i:(?:the|a|of|and|to|in|is|that|it|for))\b')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_calc, n_words,
+         CASE WHEN n_words > 0
+              THEN (n_chars_calc - greatest(n_words - 1, 0)) * 1.0 / greatest(n_words, 1)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars_calc > 0 THEN n_punct * 1.0 / greatest(n_chars_calc, 1) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars_calc > 0 THEN n_digit * 1.0 / greatest(n_chars_calc, 1) ELSE 0.0 END AS digit_ratio,
+         CASE WHEN n_words > 0 THEN n_stop * 1.0 / greatest(n_words, 1) ELSE 0.0 END AS stopword_ratio
+  FROM f
+)
+SELECT doc_id, n_chars_calc, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(
+         (least(n_words / 5.0, 1.0) * least(greatest((10000 - n_words) / 5000.0, 0.0), 1.0))
+         * (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         * least(greatest((0.2 - punct_ratio) / 0.2, 0.0), 1.0)
+         * least(stopword_ratio / 0.01, 1.0), 6) AS quality
+FROM r
+"""
+
+
+def q_doc_langid(sf_dir: str):
+    """Language ID by stopword-profile ratio (argmax over en/es/de/fr,
+    first-max tie-break, 'und' below 0.05). An n-gram profile model
+    would slot into the same stage signature."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        lang, score = tx.langid_best(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": pa.array(lang.tolist(), pa.string()),
+            "lang_score": pa.array(np.round(score, 6)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_STOP_SQL = {
+    "en": "the|a|of|and|to|in|is|that|it|for",
+    "es": "el|la|de|y|que|en|un|una|es|por",
+    "de": "der|die|das|und|zu|den|von|ist|mit|nicht",
+    "fr": "le|la|de|et|les|des|un|une|est|que",
+}
+
+_SQL_LANGID = r"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS nw,
+         len(regexp_extract_all(text, '\b(?i:(?:__EN__))\b')) AS h_en,
+         len(regexp_extract_all(text, '\b(?i:(?:__ES__))\b')) AS h_es,
+         len(regexp_extract_all(text, '\b(?i:(?:__DE__))\b')) AS h_de,
+         len(regexp_extract_all(text, '\b(?i:(?:__FR__))\b')) AS h_fr
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         h_en * 1.0 / nw AS r_en, h_es * 1.0 / nw AS r_es,
+         h_de * 1.0 / nw AS r_de, h_fr * 1.0 / nw AS r_fr
+  FROM f
+), p AS (
+  SELECT doc_id,
+         CASE WHEN r_en >= r_es AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+              WHEN r_es >= r_de AND r_es >= r_fr THEN 'es'
+              WHEN r_de >= r_fr THEN 'de'
+              ELSE 'fr' END AS best_lang,
+         greatest(r_en, r_es, r_de, r_fr) AS best
+  FROM r
+)
+SELECT doc_id,
+       CASE WHEN best >= 0.05 THEN best_lang ELSE 'und' END AS lang_pred,
+       ROUND(best, 6) AS lang_score
+FROM p
+""".replace("__EN__", _STOP_SQL["en"]).replace("__ES__", _STOP_SQL["es"]).replace(
+    "__DE__", _STOP_SQL["de"]
+).replace("__FR__", _STOP_SQL["fr"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Document fingerprinting: rolling polynomial hash over code points
+    mod 2^31-1 (functions/text.py:polynomial_fingerprint)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fp = tx.polynomial_fingerprint(t["text"].to_pylist())
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fp, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+         (h, c) -> (h * 31 + c) % 2147483647
+       ) AS fp
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition on content digest, keep min doc_id
+    per identical text (stages/dedup.py:exact_dedup)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    out = dd.exact_dedup(ds).to_pandas()
+    return (
+        out[["doc_id", "source", "text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_EXACT_DEDUP = """
+SELECT doc_id, source, text FROM (
+  SELECT doc_id, source, text,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_doc_minhash_dups(sf_dir: str):
+    """MinHash+LSH near-dup pairs at Jaccard >= 0.5 over word-3-gram
+    shingles, exact-verified (stages/dedup.py:minhash_dup_pairs). The
+    oracle computes the exact all-pairs Jaccard — equality proves LSH
+    recall 1.0 on this corpus (b=64, r=2: miss prob <= 1e-8/pair)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = dd.minhash_dup_pairs(ds, threshold=0.5)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return _round6(out, ["jaccard"]).reset_index(drop=True)
+
+
+_SQL_MINHASH = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM w WHERE len(w) >= 3
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
+"""
+
+
+def q_doc_jaccard_blocked(sf_dir: str):
+    """Blocked exact n-gram Jaccard dedup (within-lang blocking; the
+    deterministic non-probabilistic path,
+    stages/dedup.py:ngram_jaccard_pairs_blocked)."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    out = dd.ngram_jaccard_pairs_blocked(ds, block_keys=("lang",), threshold=0.5)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return _round6(out, ["jaccard"]).reset_index(drop=True)
+
+
+_SQL_JACCARD_BLOCKED = r"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM w WHERE len(w) >= 3
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) * 1.0
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+)
+SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
+"""
+
+
+def q_doc_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (64-bit signature, 4x16-bit band buckets,
+    Hamming <= 3). Probabilistic-by-design signature — no SQL
+    equivalent; the driver records a rows-only check, and LSH/planted
+    recall is pinned by tests/test_dedup.py."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = dd.simhash_dup_pairs(ds, max_hamming=3)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# -------------------------------------------------------------- similarity
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors vec_id < 10 (broadcast
+    query matrix, one matmul per batch; stages/similarity.py). Ranks on
+    ROUND(sim, 6) with vec_id tie-break (engine-stable ordering)."""
+    ds = _embs(sf_dir)
+    qdf = ds.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    got = sim.knn_brute_force(ds, Q, k=8, query_ids=qdf["vec_id"].to_numpy())
+    got["cos_sim"] = np.round(got["cos_sim"], 6)
+    got = got.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True], kind="stable")
+    got["rank"] = got.groupby("query_id").cumcount() + 1
+    got = got[got["rank"] <= 5]
+    got["query_id"] = got["query_id"].astype("int64")
+    got["vec_id"] = got["vec_id"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got[["query_id", "rank", "vec_id", "cos_sim"]].reset_index(drop=True)
+
+
+_SQL_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """All vector pairs with cosine >= 0.45: exact block-pairwise path
+    (each batch vs the ray.put-broadcast normalized matrix — at corpus
+    scale the right side shards into column blocks, same contract).
+    Threshold chosen off any pair's margin (no pair within 1e-4)."""
+    import ray as _ray
+
+    ds = _embs(sf_dir)
+    full = ds.to_pandas().sort_values("vec_id")
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = full["vec_id"].to_numpy()
+    m_ref = _ray.put((M, ids))
+
+    class Pairs:
+        def __init__(self):
+            self.M, self.ids = _ray.get(m_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = sim._normalize(sim._batch_matrix(t, "embedding"))
+            xid = t["vec_id"].to_numpy(zero_copy_only=False)
+            s = x @ self.M.T
+            ii, jj = np.nonzero(s >= 0.45)
+            keep = xid[ii] < self.ids[jj]
+            return pa.table({
+                "id_a": pa.array(xid[ii[keep]], pa.int64()),
+                "id_b": pa.array(self.ids[jj[keep]], pa.int64()),
+                "cos_sim": pa.array(np.round(s[ii[keep], jj[keep]], 6)),
+            })
+
+    out = ds.map_batches(Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: binary payload column + actor-pool decode
+    stage (stages/multimodal.py, deterministic stub decode). The oracle
+    recomputes the fake header/checksum from the source text."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    with_payload = mm.attach_payload_from_text(ds)
+    out = mm.decode_features(with_payload, strict=False).to_pandas()
+    out = out[["doc_id", "media_bytes", "width", "height", "byte_sum"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_MEDIA = """
+SELECT doc_id,
+       octet_length(encode(text)) AS media_bytes,
+       ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1)) AS width,
+       ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1)) AS height,
+       list_reduce(
+         list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+         (a, b) -> (a + b) % 2147483647
+       ) AS byte_sum
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+DOC_QUERIES: dict[str, Any] = {
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_minhash_dups": q_doc_minhash_dups,
+    "doc_jaccard_blocked": q_doc_jaccard_blocked,
+    "doc_simhash_dups": q_doc_simhash_dups,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_decode": q_media_decode,
+}
+
+DOC_ORACLE: dict[str, str] = {
+    "doc_token_count": _SQL_TOKEN_COUNT,
+    "doc_quality": _SQL_QUALITY,
+    "doc_langid": _SQL_LANGID,
+    "doc_fingerprint": _SQL_FINGERPRINT,
+    "doc_exact_dedup": _SQL_EXACT_DEDUP,
+    "doc_minhash_dups": _SQL_MINHASH,
+    "doc_jaccard_blocked": _SQL_JACCARD_BLOCKED,
+    # doc_simhash_dups: probabilistic signature — rows-only check
+    "embedding_topk": _SQL_TOPK,
+    "embedding_near_dup": _SQL_NEAR_DUP,
+    "media_decode": _SQL_MEDIA,
+}

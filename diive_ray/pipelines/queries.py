@@ -574,6 +574,8 @@ FROM lineitem GROUP BY 1, 2
 
 # ------------------------------------------------------------------ registry
 
+from .docqueries import DOC_ORACLE, DOC_QUERIES
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
@@ -593,6 +595,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "grid_agg": q_grid_agg,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
+    **DOC_QUERIES,
 }
 
 ORACLE: dict[str, str] = {
@@ -614,4 +617,5 @@ ORACLE: dict[str, str] = {
     "grid_agg": _SQL_GRID,
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
+    **DOC_ORACLE,
 }

@@ -1,0 +1,244 @@
+"""Similarity search over an embedding column (list<float>).
+
+Engine additions for the training-data mission (no reference
+counterpart). Three stages:
+
+* ``knn_brute_force`` — exact cosine top-k: the (small) query matrix is
+  normalized once, ``ray.put`` once, and read back inside each actor's
+  ``__init__`` (broadcast, never re-shipped per batch); each batch does
+  one numpy matmul [batch x d] @ [d x q] and emits its per-query
+  partial top-k; the driver merges partials (k x q rows total). No
+  shuffle — a single map_batches pass over the corpus.
+* ``knn_lsh`` — the scale path: random-hyperplane signatures bucket the
+  corpus; only batch rows whose bucket matches a query bucket (within
+  ``max_hamming``) are scored. Same output contract, approximate
+  recall; the plane matrix is seeded + broadcast like the queries.
+* ``embedding_near_dup_pairs`` — all pairs with cosine >= threshold via
+  hyperplane-bucket candidate groups + exact verification within the
+  group (the embedding analogue of MinHash-LSH dedup). Assumes near-dup
+  pairs are rare at dedup-grade thresholds (candidate groups small).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(arr[0])
+    return flat.reshape(len(arr), d)
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, rank, vec_id,
+    cos_sim) with rank 1..k, ties broken by (sim desc, vec_id asc)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ids = np.arange(len(qn)) if query_ids is None else np.asarray(query_ids)
+    q_ref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # broadcast: fetched once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(t, emb_col))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            sims = x @ self.q.T  # [n, q]
+            kk = min(k + (1 if exclude_self else 0), sims.shape[0])
+            out_q, out_id, out_sim = [], [], []
+            # per-query partial top-k from this batch only
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # [kk, q]
+            for qi in range(sims.shape[1]):
+                rows = part[:, qi]
+                out_q.extend([qi] * len(rows))
+                out_id.extend(ids[rows].tolist())
+                out_sim.extend(sims[rows, qi].tolist())
+            return pa.table({
+                "qi": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id),
+                "sim": pa.array(out_sim, pa.float64()),
+            })
+
+    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    rows = []
+    for qi, grp in parts.groupby("qi"):
+        qid = q_ids[qi]
+        cand = list(zip(-grp["sim"].to_numpy(), grp[id_col].to_numpy()))
+        if exclude_self:
+            cand = [c for c in cand if c[1] != qid]
+        best = heapq.nsmallest(k, cand)  # (-sim, id): ties -> smaller id first
+        for rank, (negsim, vid) in enumerate(best, 1):
+            rows.append((qid, rank, vid, -negsim))
+    return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "cos_sim"])
+
+
+def hyperplane_signatures(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit signature (uint64) of x against <=64 hyperplanes."""
+    bits = (x @ planes.T) > 0  # [n, p]
+    out = np.zeros(len(x), dtype=np.uint64)
+    for i in range(planes.shape[0]):
+        out |= bits[:, i].astype(np.uint64) << np.uint64(i)
+    return out
+
+
+def make_planes(d: int, n_planes: int = 16, seed: int = 11) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, d))
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 11,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: score only rows whose hyperplane bucket
+    is within ``max_hamming`` bits of the query's bucket. Same schema as
+    knn_brute_force; recall < 1 by construction (scale path — the
+    scored fraction shrinks ~2^-n_planes per added plane)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ids = np.arange(len(qn)) if query_ids is None else np.asarray(query_ids)
+    planes = make_planes(qn.shape[1], n_planes, seed)
+    q_sigs = hyperplane_signatures(qn, planes)
+    q_ref = ray.put((qn, planes, q_sigs))
+
+    from ..functions.text import hamming64
+
+    class Score:
+        def __init__(self):
+            self.q, self.planes, self.q_sigs = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(t, emb_col))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            sigs = hyperplane_signatures(x, self.planes)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(self.q)):
+                ham = hamming64(sigs, self.q_sigs[qi])
+                cand = np.flatnonzero(ham <= max_hamming)
+                if len(cand) == 0:
+                    continue
+                sims = x[cand] @ self.q[qi]
+                kk = min(k + 1, len(cand))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([qi] * len(top))
+                out_id.extend(ids[cand[top]].tolist())
+                out_sim.extend(sims[top].tolist())
+            return pa.table({
+                "qi": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id),
+                "sim": pa.array(out_sim, pa.float64()),
+            })
+
+    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    rows = []
+    for qi, grp in parts.groupby("qi"):
+        qid = q_ids[qi]
+        cand = list(zip(-grp["sim"].to_numpy(), grp[id_col].to_numpy()))
+        if exclude_self:
+            cand = [c for c in cand if c[1] != qid]
+        for rank, (negsim, vid) in enumerate(heapq.nsmallest(k, cand), 1):
+            rows.append((qid, rank, vid, -negsim))
+    return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "cos_sim"])
+
+
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold): hyperplane
+    buckets as candidate groups, exact pairwise cosine inside each
+    group. Coarse buckets (8 planes) keep recall high at dedup-grade
+    thresholds; a vector pair at cos >= 0.9 collides in the full bucket
+    with p = (1 - acos(0.9)/pi)^8 ~ 0.33, so three seeded rounds are
+    OR-combined for recall ~0.7 -> documented approximate contract; use
+    ngram/exact paths when exactness is required."""
+    rounds = [make_planes_dim_safe(ds, emb_col, n_planes, seed + r) for r in range(3)]
+
+    all_pairs: dict[tuple, float] = {}
+    for planes in rounds:
+        p_ref = ray.put(planes)
+
+        class Sig:
+            def __init__(self):
+                self.planes = ray.get(p_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                x = _normalize(_batch_matrix(t, emb_col))
+                sigs = hyperplane_signatures(x, self.planes).view(np.int64)
+                return pa.table({
+                    "bucket": pa.array(sigs, pa.int64()),
+                    id_col: t[id_col],
+                    emb_col: t[emb_col],
+                })
+
+        def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+            x = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in df[emb_col]]))
+            sims = x @ x.T
+            ids = df[id_col].to_numpy()
+            ii, jj = np.triu_indices(len(ids), 1)
+            hit = sims[ii, jj] >= threshold
+            return pd.DataFrame({
+                "id_a": ids[ii[hit]],
+                "id_b": ids[jj[hit]],
+                "cos_sim": sims[ii[hit], jj[hit]],
+            })
+
+        got = (
+            ds.map_batches(Sig, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+            .groupby("bucket")
+            .map_groups(pairs_of_group, batch_format="pandas")
+            .to_pandas()
+        )
+        for _, r in got.iterrows():
+            all_pairs[(r["id_a"], r["id_b"])] = r["cos_sim"]
+
+    if not all_pairs:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+    out = pd.DataFrame(
+        [(a, b, s) for (a, b), s in all_pairs.items()], columns=["id_a", "id_b", "cos_sim"]
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def make_planes_dim_safe(ds: ray.data.Dataset, emb_col: str, n_planes: int, seed: int) -> np.ndarray:
+    d = len(ds.take(1)[0][emb_col])
+    return make_planes(d, n_planes, seed)

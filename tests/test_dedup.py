@@ -1,0 +1,108 @@
+"""Dedup stages over a planted-duplicate corpus: exact, MinHash LSH
+recall, SimHash, blocked Jaccard, union-find keep rule."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from diive_ray.functions import text as tx
+from diive_ray.stages import dedup as dd
+
+WORDS = np.array(
+    "the quick brown fox jumps over lazy dog data table query scan row batch value key merge".split()
+)
+
+
+def _mk_text(rng, n):
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """60 base docs + planted dups: 3 exact copies, 4 near-dups (1-2
+    word edits of a base doc), all deterministic."""
+    rng = np.random.Generator(np.random.Philox(key=123))
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "lang": "en" if i % 2 == 0 else "es", "text": _mk_text(rng, 40)})
+    # exact dups of docs 0..2
+    for j, src in enumerate((0, 1, 2)):
+        rows.append({"doc_id": 100 + j, "lang": rows[src]["lang"], "text": rows[src]["text"]})
+    # near dups of docs 3..6: change one word in the middle
+    for j, src in enumerate((3, 4, 5, 6)):
+        w = rows[src]["text"].split()
+        w[20] = "REPLACED"
+        rows.append({"doc_id": 200 + j, "lang": rows[src]["lang"], "text": " ".join(w)})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def ds(corpus, ray_session):
+    return rd.from_pandas(corpus).repartition(4)
+
+
+def _exact_jaccard_pairs(corpus, threshold):
+    sh = {r.doc_id: tx.shingle_hashes(r.text) for r in corpus.itertuples()}
+    ids = sorted(sh)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = tx.exact_jaccard(sh[a], sh[b])
+            if j >= threshold:
+                out.append((a, b, j))
+    return out
+
+
+def test_exact_dedup_keeps_min_id(ds, corpus):
+    kept = dd.exact_dedup(ds).to_pandas()
+    assert len(kept) == len(corpus) - 3
+    assert not set(kept["doc_id"]) & {100, 101, 102}
+    assert {0, 1, 2} <= set(kept["doc_id"])
+
+
+def test_minhash_matches_bruteforce_oracle(ds, corpus):
+    got = dd.minhash_dup_pairs(ds, threshold=0.5)
+    exp = _exact_jaccard_pairs(corpus, 0.5)
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == {(a, b) for a, b, _ in exp}
+    # jaccard values exact vs oracle
+    exp_map = {(a, b): j for a, b, j in exp}
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] - exp_map[(r["id_a"], r["id_b"])]) < 1e-12
+    # planted exact + near dups all found
+    found = got_pairs
+    assert {(0, 100), (1, 101), (2, 102)} <= found
+    assert {(3, 200), (4, 201), (5, 202), (6, 203)} <= found
+
+
+def test_simhash_finds_exact_dups(ds):
+    got = dd.simhash_dup_pairs(ds, max_hamming=3)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs
+    for _, r in got[got["hamming"] == 0].iterrows():
+        assert (r["id_a"], r["id_b"]) in {(0, 100), (1, 101), (2, 102)} or r["hamming"] == 0
+
+
+def test_blocked_jaccard_blocks_by_lang(ds, corpus):
+    got = dd.ngram_jaccard_pairs_blocked(ds, block_keys=("lang",), threshold=0.5)
+    lang = dict(zip(corpus["doc_id"], corpus["lang"]))
+    exp = [(a, b) for a, b, _ in _exact_jaccard_pairs(corpus, 0.5) if lang[a] == lang[b]]
+    assert set(zip(got["id_a"], got["id_b"])) == set(exp)
+
+
+def test_union_find_representatives(corpus):
+    pairs = [(0, 100), (1, 101), (100, 101)]
+    rep = dd.union_find_keep(pairs, corpus["doc_id"])
+    assert rep[100] == 0 and rep[0] == 0
+    assert rep[101] == 0 and rep[1] == 0  # transitively merged
+    assert rep[5] == 5
+
+
+def test_shingle_semantics_match_sql_contract():
+    # < k words -> empty set (matches SQL list_transform(range(len-2)))
+    assert len(tx.shingle_hashes("one two")) == 0
+    a = tx.shingle_hashes("a b c d")
+    assert len(a) == 2
+    # jaccard identical text == 1
+    assert tx.exact_jaccard(a, tx.shingle_hashes("a b c d")) == 1.0

@@ -1,0 +1,68 @@
+"""Similarity-search stages: brute-force top-k vs numpy oracle, LSH
+recall on planted clusters, embedding near-dup pairs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from diive_ray.stages import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    """200 random unit-ish vectors + 5 planted near-dup pairs (cos>0.99)."""
+    rng = np.random.Generator(np.random.Philox(key=77))
+    X = rng.standard_normal((200, 32))
+    for i in range(5):
+        X[150 + i] = X[i] + rng.standard_normal(32) * 0.02  # near-copy of i
+    ids = np.arange(200)
+    return ids, X
+
+
+@pytest.fixture(scope="module")
+def ds(vectors, ray_session):
+    ids, X = vectors
+    df = pd.DataFrame({"vec_id": ids, "embedding": [row.astype(np.float32).tolist() for row in X]})
+    return rd.from_pandas(df).repartition(4)
+
+
+def _oracle_topk(X, ids, Q, qids, k):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Xn.T
+    out = {}
+    for qi, qid in enumerate(qids):
+        order = sorted(range(len(ids)), key=lambda j: (-S[qi, j], ids[j]))
+        out[qid] = [ids[j] for j in order if ids[j] != qid][:k]
+    return out
+
+
+def test_knn_brute_force_matches_oracle(ds, vectors):
+    ids, X = vectors
+    # use float32-rounded vectors as oracle input (the dataset stores f32)
+    X32 = X.astype(np.float32).astype(np.float64)
+    Q = X32[:4]
+    got = sim.knn_brute_force(ds, Q, k=5, query_ids=ids[:4])
+    exp = _oracle_topk(X32, ids, Q, ids[:4], 5)
+    for qid in ids[:4]:
+        g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == exp[qid], f"query {qid}: {g} != {exp[qid]}"
+
+
+def test_knn_lsh_finds_planted_near_dups(ds, vectors):
+    ids, X = vectors
+    X32 = X.astype(np.float32).astype(np.float64)
+    Q = X32[:5]  # queries are the docs whose near-copies are planted at 150+i
+    got = sim.knn_lsh(ds, Q, k=3, query_ids=ids[:5], n_planes=12, max_hamming=3)
+    for i in range(5):
+        g = got[got["query_id"] == i]
+        # the planted near-copy must be found at rank 1 (cos > 0.99 -> same bucket whp)
+        assert not g.empty and g.sort_values("rank")["vec_id"].iloc[0] == 150 + i
+
+
+def test_embedding_near_dup_pairs_finds_planted(ds):
+    got = sim.embedding_near_dup_pairs(ds, threshold=0.95, n_planes=8)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert {(i, 150 + i) for i in range(5)} <= pairs
+    assert (got["cos_sim"] >= 0.95).all()
