@@ -42,22 +42,27 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def run_tokens_rollup(fixture_path: str) -> dict:
-    """Headline: keep-last dedup -> 1m (mincount) -> gapfill -> 1h -> 1d
-    over the north-rule tokens corpus; consumes every tier. Returns
-    rolled-up point counts (column-pruned read: tokens never loaded)."""
-    from diive_ray.pipelines.rollup import tokens_cascade
+    """Headline: keep-last dedup -> 1m (mincount) -> 1h -> 1d in ONE
+    fused pass (single hash exchange on (source, 1d-bucket)), then
+    gap-fill the materialized 1m tier. Column-pruned read: tokens never
+    loaded."""
+    import ray.data
 
-    tiers = tokens_cascade(
-        fixture_path, mincounts_perc=0.1, gapfill=True,
+    from diive_ray.pipelines.rollup import tokens_cascade_fused
+    from diive_ray.schema import TIERS
+    from diive_ray.stages.gaps import gapfill_rollup
+
+    fused = tokens_cascade_fused(fixture_path, mincounts_perc=0.1).materialize()
+    counts = {
+        tier: fused.filter(expr=f"tier == '{tier}'").count() for tier in ("1m", "1h", "1d")
+    }
+    t1m = fused.filter(expr="tier == '1m'").drop_columns(["tier", "n_child"])
+    filled = gapfill_rollup(
+        t1m, TIERS["1m"], keys=("source",), value_col="mean",
         interp_limit=5, rmed_window=60,
     )
-    counts = {}
-    raw_points = 0
-    for name in ("1m", "1m_filled", "1h", "1d"):
-        n = tiers[name].count()
-        counts[name] = n
-        raw_points += n
-    return {"tier_rows": counts, "rolled_points": raw_points}
+    counts["1m_filled"] = filled.count()
+    return {"tier_rows": counts, "rolled_points": sum(counts.values())}
 
 
 def run_tokens_ingest(fixture_path: str) -> dict:

@@ -22,3 +22,27 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_data_context() -> None:
+    """Engine-wide Ray Data defaults (no ray.init here — the driver owns
+    the session; DataContext is plan-level config).
+
+    HASH_SHUFFLE is required by the exchange layer
+    (stages/exchange.py): ``repartition(n, keys=...)`` — the engine's
+    only wide exchange — raises under the default sort strategy. All
+    high-cardinality group work goes through vectorized per-block
+    combines instead of ``groupby().aggregate()`` (measured 28x faster
+    on this container; rationale in stages/exchange.py)."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Bound the per-exchange aggregator actor pool: a multi-exchange
+    # plan (dedup + 3 cascade tiers) would otherwise spawn
+    # 64 actors x 4 ops on one node and OOM. Each aggregator handles
+    # many partitions; 8 is plenty on <=32 local CPUs.
+    ctx.max_hash_shuffle_aggregators = 8
+
+
+_configure_data_context()

@@ -35,7 +35,13 @@ from ..stages.gridagg import grid_aggregate
 from ..stages.qcf import qcf_frame
 from ..stages.corrections import setto_threshold
 from ..stages.timefeatures import add_time_features, keep_daterange
-from .rollup import events_cascade
+from .rollup import events_cascade, events_cascade_fused
+
+
+def _fused_tier(sf_dir: str, tier: str, **kw) -> "rd.Dataset":
+    """One tier from the single-exchange fused cascade (rollup.py)."""
+    fused = events_cascade_fused(sf_dir, **kw)
+    return fused.filter(expr=f"tier == '{tier}'").drop_columns(["tier", "n_child"])
 
 
 def _events(sf_dir: str, columns=None) -> rd.Dataset:
@@ -71,25 +77,23 @@ def _tier_result(ds: rd.Dataset, key: str = "event_type") -> pd.DataFrame:
 
 def q_resample_1h(sf_dir: str):
     """Tier rollup, 1-hour buckets per event_type (resampling.py:94-197
-    semantics, point-event convention [start,end) labeled end)."""
-    tiers = events_cascade(sf_dir)
-    return _tier_result(tiers["1h"])
+    semantics, point-event convention [start,end) labeled end) — via the
+    single-exchange fused cascade (rollup.py:cascade_fused)."""
+    return _tier_result(_fused_tier(sf_dir, "1h"))
 
 
 def q_resample_1d(sf_dir: str):
     """1-day tier produced by CASCADING 1m->1h->1d (resample-of-resample,
     resampling.py:47-90) — oracle aggregates raw directly; equality
     proves the cascade is lossless."""
-    tiers = events_cascade(sf_dir)
-    return _tier_result(tiers["1d"])
+    return _tier_result(_fused_tier(sf_dir, "1d"))
 
 
 def q_resample_1d_mincount(sf_dir: str):
     """1d tier keeping only days with >= 6 contributing hour-buckets
     (min-count masking on child buckets, resampling.py:161-171/47-90:
     mincounts = max(1, int(24 * 0.25)))."""
-    tiers = events_cascade(sf_dir, coarse_mincounts_perc={"1d": 0.25})
-    return _tier_result(tiers["1d"])
+    return _tier_result(_fused_tier(sf_dir, "1d", coarse_mincounts_perc={"1d": 0.25}))
 
 
 _SQL_TIER = """
@@ -162,8 +166,11 @@ FROM events GROUP BY 1, 2
 def q_gap_table_1h(sf_dir: str):
     """Consecutive empty 1h buckets per event_type
     (gapfinder.py:114-147 over the regularized 1h tier)."""
-    tiers = events_cascade(sf_dir)
-    gt = gap_table(tiers["1h"], US_PER_HOUR, keys=("event_type",), value_col="mean").to_pandas()
+    t1h = _fused_tier(sf_dir, "1h")
+    gt = gap_table(t1h, US_PER_HOUR, keys=("event_type",), value_col="mean").to_pandas()
+    if gt.empty:
+        # all groups gapless -> Ray loses the (empty) schema; rebuild it
+        gt = pd.DataFrame(columns=["event_type", "GAP_START", "GAP_END", "GAP_LENGTH"])
     out = gt.rename(columns={"GAP_START": "gap_start", "GAP_END": "gap_end", "GAP_LENGTH": "gap_length"})
     out["gap_start"] = pd.to_datetime(out["gap_start"]).astype("datetime64[us]")
     out["gap_end"] = pd.to_datetime(out["gap_end"]).astype("datetime64[us]")
@@ -269,6 +276,164 @@ SELECT event_id, value FROM ranked WHERE rn <= (SELECT c FROM below)
 """
 
 
+# ---------------------------------------------------------------- gap-fill
+
+
+def q_gapfill_linear_1h(sf_dir: str):
+    """Linear interpolation with gap-length limit over the regularized 1h
+    tier (interpolate.py:154-164 semantics: fill only runs <= limit,
+    longer gaps stay null; stages/gaps.py:gapfill_rollup with the
+    rolling-median pass disabled). fill_method: 0 observed, 1 linear."""
+    from ..stages.gaps import gapfill_rollup
+
+    filled = gapfill_rollup(
+        _fused_tier(sf_dir, "1h"), US_PER_HOUR, keys=("event_type",), value_col="mean",
+        interp_limit=2, rmed_window=None,
+    ).to_pandas()
+    out = pd.DataFrame({
+        "event_type": filled["event_type"],
+        "bucket_ts": pd.to_datetime(filled["bucket_ts"]).astype("datetime64[us]"),
+        "value_filled": filled["mean_filled"],
+        "fill_method": filled["fill_method"],
+    })
+    return _round6(out, ["value_filled"]).reset_index(drop=True)
+
+
+_SQL_GAPFILL_1H = """
+WITH t AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS v
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), span AS (
+  SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM t GROUP BY 1
+), grid AS (
+  SELECT s.event_type, g.ts AS bucket_ts
+  FROM span s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS ts) g
+), j AS (
+  SELECT g.event_type, g.bucket_ts, t.v,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.bucket_ts) AS pos
+  FROM grid g LEFT JOIN t ON t.event_type = g.event_type AND t.bucket_ts = g.bucket_ts
+), w AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+  FROM j
+)
+SELECT event_type, bucket_ts,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND (np - pp - 1) <= 2
+           THEN pv + (nv - pv) * (pos - pp) / (np - pp)
+         ELSE NULL END, 6) AS value_filled,
+       CASE WHEN v IS NOT NULL THEN 0.0
+            WHEN pv IS NOT NULL AND nv IS NOT NULL AND (np - pp - 1) <= 2 THEN 1.0
+            ELSE NULL END AS fill_method
+FROM w
+"""
+
+
+# ---------------------------------------------------------- hampel / rolling
+
+
+def q_hampel_noniter(sf_dir: str):
+    """Hampel filter, single pass (no convergence loop), window 49
+    centered, min_periods=1, double-differencing on (hampel.py:199-243)
+    per event_type over non-null values ordered (ts, event_id)."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()].sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        flag = ol.hampel_flag(df["value"].astype(float), window_length=49, n_sigma=5.5,
+                              use_differencing=True, repeat=False)
+        df["flag"] = flag.to_numpy()
+        return df[df["flag"] == 2][["event_id", "event_type", "value"]]
+
+    from ..stages.exchange import grouped_block_map
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["event_id", "event_type", "value"])
+        out["event_id"] = out["event_id"].astype("int64")
+        out["value"] = out["value"].astype(float)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_HAMPEL = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM events WHERE value IS NOT NULL
+), d AS (
+  SELECT *,
+    COALESCE(
+      (value - lag(value) OVER w) - (lead(value) OVER w - value), 0.0) AS dd
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY pos)
+), m AS (
+  SELECT *,
+    CAST(median(dd) OVER (PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) AS rmed
+  FROM d
+), dev AS (
+  SELECT *, ABS(dd - rmed) AS adev FROM m
+), mad AS (
+  SELECT *,
+    CAST(median(adev) OVER (PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) + 1e-6 AS rmad
+  FROM dev
+)
+SELECT event_id, event_type, value FROM mad
+WHERE dd > rmed + (1.4826 * rmad) * 5.5 OR dd < rmed - (1.4826 * rmad) * 5.5
+ORDER BY event_id
+"""
+
+
+def q_zscore_rolling(sf_dir: str):
+    """Rolling z-score outliers, |z| > 3, iterated to convergence
+    (zscore.py:247-348). Iterative rolling semantics are not
+    SQL-expressible -> rows-only driver check; kernel parity is pinned
+    by tests/test_outliers.py against the reference formulas."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    flagged = ol.flag_outliers(
+        ds, "zscore_rolling", value_col="value", keys=("event_type",),
+        ts_col="ts", thres_zscore=3.0,
+    ).to_pandas()
+    out = flagged[flagged["FLAG_value_ZSCORE_ROLLING_TEST"] == 2][["event_id", "event_type", "value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_localsd(sf_dir: str):
+    """LocalSD outliers (rolling median +- n_sd * rolling SD), iterated
+    (localsd.py:46-312) — rows-only driver check (iterative)."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    flagged = ol.flag_outliers(
+        ds, "localsd", value_col="value", keys=("event_type",),
+        ts_col="ts", n_sd=4.0,
+    ).to_pandas()
+    out = flagged[flagged["FLAG_value_LOCALSD_TEST"] == 2][["event_id", "event_type", "value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_zscore_increments(sf_dir: str):
+    """zScoreIncrements (double-diff z-scores, all-three rule, iterated;
+    incremental.py:35-158) — rows-only driver check (iterative)."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    flagged = ol.flag_outliers(
+        ds, "zscore_increments", value_col="value", keys=("event_type",),
+        ts_col="ts", thres_zscore=3.0,
+    ).to_pandas()
+    out = flagged[flagged["FLAG_value_ZSCORE_INCREMENTS_TEST"] == 2][["event_id", "event_type", "value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------- dedup / keep-last
 
 
@@ -277,11 +442,16 @@ def q_dedup_keep_last(sf_dir: str):
     max event_id (keep-last dedup semantics, times.py:1409-1459)."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
 
-    def keep_last(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="stable")
-        return df.tail(1)
+    def keep_last_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="stable")
+        return df.drop_duplicates(subset=["user_id", "event_type"], keep="last")
 
-    out = ds.groupby(["user_id", "event_type"]).map_groups(keep_last, batch_format="pandas").to_pandas()
+    from ..stages.exchange import block_map
+
+    out = block_map(
+        ds, ["user_id", "event_type"], keep_last_block,
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
     out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
     return out[["user_id", "event_type", "event_id", "ts", "value"]].reset_index(drop=True)
 
@@ -305,12 +475,23 @@ def q_day_mean_as_hires(sf_dir: str):
     lookup inside map_batches (no shuffle of the hires side)."""
     ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
     bucketer = make_bucket_assigner(US_PER_DAY, end_stamped=False)
-    daily = (
-        ds.map_batches(bucketer, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["event_type", "bucket_ts"])
-        .mean("value")
-        .to_pandas()
+    from ..stages.exchange import driver_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "bucket_ts"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    daily = driver_combine(
+        ds.map_batches(bucketer, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+            ["event_type", "bucket_ts", "value"]
+        ),
+        partial,
+        lambda df: df.groupby(["event_type", "bucket_ts"], as_index=False)[
+            ["value_sum", "value_count"]
+        ].sum(),
     )
+    daily["mean(value)"] = daily["value_sum"] / daily["value_count"]
     import ray as _ray
 
     lut = {
@@ -541,18 +722,18 @@ def q_lineitem_agg(sf_dir: str):
         )
         return agg
 
-    from ray.data.aggregate import Sum
+    from ..stages.exchange import driver_combine
 
-    combined = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity_sum", alias_name="sum_qty"),
-            Sum("l_extendedprice_sum", alias_name="_sum_price"),
-            Sum("l_quantity_count", alias_name="n"),
-        )
-        .to_pandas()
-    )
+    combined = driver_combine(
+        ds, partial,
+        lambda df: df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["l_quantity_sum", "l_extendedprice_sum", "l_quantity_count"]
+        ].sum(),
+    ).rename(columns={
+        "l_quantity_sum": "sum_qty",
+        "l_extendedprice_sum": "_sum_price",
+        "l_quantity_count": "n",
+    })
     combined["mean_qty"] = combined["sum_qty"] / combined["n"]
     # mean, not raw sum: a ~5e8 float sum carries ~1e-3 accumulated FP
     # error across engines, which no 1e-6 rounding can reconcile
@@ -583,6 +764,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "diel_cycle": q_diel_cycle,
     "gap_table_1h": q_gap_table_1h,
     "zscore_outliers": q_zscore_outliers,
+    "gapfill_linear_1h": q_gapfill_linear_1h,
+    "hampel_noniter": q_hampel_noniter,
+    "zscore_rolling": q_zscore_rolling,
+    "localsd": q_localsd,
+    "zscore_increments": q_zscore_increments,
     "abs_limits": q_abs_limits,
     "trimlow": q_trimlow,
     "dedup_keep_last": q_dedup_keep_last,
@@ -605,6 +791,9 @@ ORACLE: dict[str, str] = {
     "diel_cycle": _SQL_DIEL,
     "gap_table_1h": _SQL_GAPS_1H,
     "zscore_outliers": _SQL_ZSCORE,
+    "gapfill_linear_1h": _SQL_GAPFILL_1H,
+    "hampel_noniter": _SQL_HAMPEL,
+    # zscore_rolling / localsd / zscore_increments: iterative -> rows-only
     "abs_limits": _SQL_ABS_LIMITS,
     "trimlow": _SQL_TRIMLOW,
     "dedup_keep_last": _SQL_DEDUP,

@@ -141,6 +141,153 @@ def write_tiers(
     return paths
 
 
+def cascade_fused(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    keys: Iterable[str] = ("source",),
+    ts_col: str = "ts",
+    end_stamped: bool = True,
+    mincounts_perc: float = 0.0,
+    coarse_mincounts_perc: "float | dict" = 0.0,
+    raw_width_us: int | None = US_PER_SEC,
+    dedup: bool = False,
+    order_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Single-exchange cascade.
+
+    THE scale design for the tier ladder: hash-partition ONCE on
+    (keys, 1d-bucket) — the coarsest tier's key — then every stage runs
+    vectorized inside the block with no further data movement:
+
+      * exact keep-last dedup (1m/1h/1d buckets never cross a 1d
+        bucket, and neither do timestamp duplicates),
+      * 1m aggregate of raw rows, 1h from 1m partials, 1d from 1h —
+        each one pandas groupby within the block,
+      * all three min-count masks (fixed-grid rule when raw_width_us is
+        given, else per-key observed-maxcount is NOT supported here —
+        callers needing it use the generic rollup_cascade).
+
+    One exchange, one pass, all tiers: output has a ``tier`` column
+    ('1m'|'1h'|'1d') over ROLLUP_SCHEMA (+ n_child for coarse tiers).
+    Equality with the multi-exchange ``rollup_cascade`` is pinned by
+    tests/test_rollup.py::test_fused_cascade_equals_generic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.bucket import bucket_end_us
+    from ..stages.exchange import block_map
+    from ..stages.resample import mincounts_30min_rule, mincounts_daily_rule
+    from ..util import ts_to_us
+
+    keys = list(keys)
+    out_cols = ["tier"] + keys + ["bucket_ts", "count", "sum", "min", "max", "mean", "n_child"]
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if dedup:
+            df = df.sort_values(keys + [ts_col, order_col], kind="stable")
+            df = df.drop_duplicates(subset=keys + [ts_col], keep="last")
+        us = ts_to_us(df[ts_col])
+        return df.assign(_day=bucket_end_us(us, TIERS["1d"], end_stamped=end_stamped))
+
+    if mincounts_perc > 0:
+        if raw_width_us is None:
+            raise ValueError("fused cascade needs raw_width_us for the first-tier min-count")
+        minc_1m = mincounts_30min_rule(TIERS["1m"] // raw_width_us, mincounts_perc)
+    else:
+        minc_1m = 1
+
+    def coarse_minc(tier: str, maxchild: int) -> int:
+        perc = (
+            coarse_mincounts_perc.get(tier, 0.0)
+            if isinstance(coarse_mincounts_perc, dict)
+            else coarse_mincounts_perc
+        )
+        return mincounts_daily_rule(maxchild, perc) if perc > 0 else 1
+
+    minc_1h, minc_1d = coarse_minc("1h", 60), coarse_minc("1d", 24)
+
+    def block_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=out_cols)
+        if dedup:
+            df = df.sort_values(keys + [ts_col, order_col], kind="stable")
+            df = df.drop_duplicates(subset=keys + [ts_col], keep="last")
+        us = ts_to_us(df[ts_col])
+
+        base = {k: df[k].to_numpy() for k in keys}
+        base["b"] = bucket_end_us(us, TIERS["1m"], end_stamped=end_stamped)
+        base["v"] = df[value_col].astype(float).to_numpy()
+        t1m = (
+            pd.DataFrame(base)
+            .groupby(keys + ["b"], as_index=False, sort=False)
+            .agg(count=("v", "count"), sum=("v", "sum"), min=("v", "min"), max=("v", "max"))
+        )
+        t1m = t1m[t1m["count"] >= max(1, minc_1m)]
+
+        def coarser(t: pd.DataFrame, width: int, minc: int) -> pd.DataFrame:
+            g = (
+                t.assign(b2=bucket_end_us(t["b"].to_numpy(), width, end_stamped=True))
+                .groupby(keys + ["b2"], as_index=False, sort=False)
+                .agg(count=("count", "sum"), sum=("sum", "sum"), min=("min", "min"),
+                     max=("max", "max"), n_child=("b", "count"))
+                .rename(columns={"b2": "b"})
+            )
+            return g[g["n_child"] >= minc]
+
+        t1h = coarser(t1m, TIERS["1h"], minc_1h)
+        t1d = coarser(t1h.drop(columns=["n_child"]), TIERS["1d"], minc_1d)
+
+        frames = []
+        for tier, t in (("1m", t1m), ("1h", t1h), ("1d", t1d)):
+            f = t.copy()
+            f.insert(0, "tier", tier)
+            if "n_child" not in f.columns:
+                f["n_child"] = np.nan
+            frames.append(f)
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket_ts"] = pd.to_datetime(out.pop("b"), unit="us")
+        out["mean"] = out["sum"] / out["count"]
+        return out[out_cols]
+
+    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    return block_map(pre_ds, keys + ["_day"], block_fn, batch_format="pandas", zero_copy_batch=False)
+
+
+def tokens_cascade_fused(
+    path: str,
+    *,
+    mincounts_perc: float = 0.0,
+    coarse_mincounts_perc: "float | dict" = 0.0,
+    dedup: bool = True,
+    order_col: str = "doc_id",
+    raw_width_us: int = US_PER_SEC,
+) -> ray.data.Dataset:
+    """Fused cascade over the north-rule tokens corpus (column-pruned
+    read — tokens never loaded)."""
+    ds = ray.data.read_parquet(path, columns=["doc_id", "source", "ts", "n_tok"])
+    return cascade_fused(
+        ds, value_col="n_tok", keys=("source",), ts_col="ts", end_stamped=True,
+        mincounts_perc=mincounts_perc, coarse_mincounts_perc=coarse_mincounts_perc,
+        raw_width_us=raw_width_us, dedup=dedup, order_col=order_col,
+    )
+
+
+def events_cascade_fused(
+    sf_dir: str, *, coarse_mincounts_perc: "float | dict" = 0.0
+) -> ray.data.Dataset:
+    """Fused cascade over the events table (point events, no min-count
+    on the first tier)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    return cascade_fused(
+        ds, value_col="value", keys=("event_type",), ts_col="ts", end_stamped=False,
+        coarse_mincounts_perc=coarse_mincounts_perc, raw_width_us=None,
+    )
+
+
 def tokens_cascade(path: str, **kw) -> dict[str, ray.data.Dataset]:
     """Cascade over the north-rule tokens corpus: column-pruned read
     (never loads the heavy ``tokens`` arrays), keep-last dedup, 1-second

@@ -74,15 +74,21 @@ def dedup_keep_last(
         df["_coarse"] = us // coarse_us
         return df
 
-    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+    def block_fn(df: pd.DataFrame) -> pd.DataFrame:
+        # hash exchange co-located all rows of a (keys, coarse-bucket)
+        # group in this block; one vectorized drop_duplicates finishes
         out = _dedup_batch_pd(df, subset, order_col)
         return out.drop(columns=["_coarse"])
 
+    from ..stages.exchange import block_map
+
     coarse_keys = keys + ["_coarse"]
-    return (
-        pre.map_batches(add_coarse, batch_format="pandas", batch_size=batch_size)
-        .groupby(coarse_keys)
-        .map_groups(group_fn, batch_format="pandas")
+    return block_map(
+        pre.map_batches(add_coarse, batch_format="pandas", batch_size=batch_size),
+        coarse_keys,
+        block_fn,
+        batch_format="pandas",
+        zero_copy_batch=False,
     )
 
 

@@ -114,4 +114,6 @@ def offset_to_max(
     def gfn(df: pd.DataFrame) -> pd.DataFrame:
         return offset_to_max_frame(df.sort_values(ts_col, kind="stable"), col, cap, ts_col)
 
-    return ds.groupby(keys).map_groups(gfn, batch_format="pandas")
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn)

@@ -72,15 +72,17 @@ def exact_dedup(
     stable ``id_col``)."""
     with_digest = add_text_digest(ds, text_col)
 
-    def keep_one(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        return df.head(1) if keep == "min" else df.tail(1)
+    def keep_block(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a digest are in this block (hash exchange): one
+        # vectorized sort + drop_duplicates keeps min/max id per digest
+        df = df.sort_values([ "digest", id_col], kind="stable")
+        return df.drop_duplicates(subset=["digest"], keep="first" if keep == "min" else "last")
 
-    return (
-        with_digest.groupby("digest")
-        .map_groups(keep_one, batch_format="pandas")
-        .drop_columns(["digest"])
-    )
+    from .exchange import block_map
+
+    return block_map(
+        with_digest, ["digest"], keep_block, batch_format="pandas", zero_copy_batch=False
+    ).drop_columns(["digest"])
 
 
 # ------------------------------------------------------------ MinHash/LSH
@@ -155,12 +157,11 @@ def lsh_candidate_pairs(
                 right.append(ids[j])
         return pd.DataFrame({"id_a": left, "id_b": right})
 
-    pairs = (
-        sig_ds.map_batches(emit, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .to_pandas()
-    )
+    from .exchange import grouped_block_map
+
+    pairs = grouped_block_map(
+        sig_ds.map_batches(emit, batch_format="pyarrow"), ["band", "band_hash"], pairs_of_group
+    ).to_pandas()
     if pairs.empty:
         return []
     return sorted(set(zip(pairs["id_a"], pairs["id_b"])))
@@ -317,12 +318,11 @@ def simhash_dup_pairs(
                 rows.append((ids[i], ids[i + 1 + off], int(d[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = (
-        sig.map_batches(emit, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .to_pandas()
-    )
+    from .exchange import grouped_block_map
+
+    pairs = grouped_block_map(
+        sig.map_batches(emit, batch_format="pyarrow"), ["band", "key"], pairs_of_group
+    ).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     return (
@@ -362,7 +362,9 @@ def ngram_jaccard_pairs_blocked(
                     rows.append((df[id_col].iloc[i], df[id_col].iloc[j], jac))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
-    out = ds.groupby(block_keys).map_groups(gfn, batch_format="pandas").to_pandas()
+    from .exchange import grouped_block_map
+
+    out = grouped_block_map(ds, block_keys, gfn).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -80,9 +80,9 @@ def diel_cycle(
                     out[c] = np.nan
         return out
 
-    return ds.map_batches(add_phase, batch_format="pandas").groupby(gkeys).map_groups(
-        agg_group, batch_format="pandas"
-    )
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds.map_batches(add_phase, batch_format="pandas"), gkeys, agg_group)
 
 
 def monthly_matrix(
@@ -114,12 +114,11 @@ def monthly_matrix(
         row[value_col] = getattr(v, agg)()
         return pd.DataFrame([row])
 
-    long = (
-        ds.map_batches(add_ym, batch_format="pandas")
-        .groupby(gkeys)
-        .map_groups(agg_group, batch_format="pandas")
-        .to_pandas()
-    )
+    from .exchange import grouped_block_map
+
+    long = grouped_block_map(
+        ds.map_batches(add_ym, batch_format="pandas"), gkeys, agg_group
+    ).to_pandas()
     if ranks:
         long[value_col] = long.groupby(keys + ["MONTH"])[value_col].rank(
             method="dense", ascending=False

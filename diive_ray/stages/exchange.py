@@ -1,0 +1,116 @@
+"""The engine's exchange layer: explicit hash-partitioned shuffles with
+vectorized per-block combines.
+
+Why this exists (measured on this container, Ray 2.49, 32 CPUs):
+``Dataset.groupby().aggregate()`` and ``.map_groups()`` pay per-group
+Python accumulator costs — a 17k-group aggregate over 80k rows took
+42-100 s, and 1.5M groups over 2M rows took 341 s. The same result via
+*(vectorized pyarrow partial) -> repartition(keys=...) (hash exchange)
+-> (vectorized per-block final)* runs in ~12 s for the 1.5M-group case
+(28x) because no Python ever touches an individual group.
+
+The engine therefore standardizes on three primitives:
+
+* ``keyed_blocks(ds, keys)`` — hash-partition rows so every row of a
+  key lands in exactly one block (``repartition(n, keys=...)``;
+  requires the HASH_SHUFFLE strategy enabled in diive_ray.__init__).
+* ``block_map(ds, keys, fn)`` — keyed_blocks + ``map_batches(fn,
+  batch_size=None)``: ``fn`` sees each whole block (= all rows of its
+  keys) and does vectorized pandas/pyarrow group work inside.
+* ``driver_combine(ds, partial_fn, ...)`` — for aggregates whose
+  *output* is tiny (per-key moments, spans, maxcounts): vectorized
+  per-batch partials, collected and combined on the driver with pandas.
+  No shuffle at all; the collected size is bounded by
+  (#batches x #keys-per-batch), which the caller asserts is small.
+
+Partition-count default: 2 x available CPUs (enough parallelism for
+the final combine without flooding the hash-shuffle aggregator pool).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+import ray
+import ray.data
+
+
+def default_partitions(lo: int = 8, hi: int = 32) -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(lo, min(hi, cpus))
+
+
+def keyed_blocks(
+    ds: ray.data.Dataset, keys: Iterable[str], num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Hash-partition so all rows of a key share one block."""
+    n = num_partitions or default_partitions()
+    return ds.repartition(n, keys=list(keys))
+
+
+def block_map(
+    ds: ray.data.Dataset,
+    keys: Iterable[str],
+    fn: Callable,
+    *,
+    batch_format: str = "pyarrow",
+    num_partitions: int | None = None,
+    zero_copy_batch: bool = True,
+) -> ray.data.Dataset:
+    """fn(whole_block) -> block, with key co-location guaranteed."""
+    return keyed_blocks(ds, keys, num_partitions).map_batches(
+        fn, batch_format=batch_format, batch_size=None, zero_copy_batch=zero_copy_batch
+    )
+
+
+def grouped_block_map(
+    ds: ray.data.Dataset,
+    keys: Iterable[str],
+    group_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Drop-in replacement for ``groupby(keys).map_groups(group_fn)``:
+    one hash exchange, then a per-block pandas groupby-apply (pandas'
+    per-group overhead is ~us, vs Ray's ~ms)."""
+    keys = list(keys)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def empty_out() -> pd.DataFrame:
+            try:
+                out = group_fn(df.iloc[0:0])
+                if out is not None:
+                    return out.iloc[0:0]
+            except Exception:
+                pass
+            return df.iloc[0:0]
+
+        if df.empty:
+            return empty_out()
+        outs = [group_fn(g) for _, g in df.groupby(keys, sort=False, dropna=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return empty_out()
+        return pd.concat(outs, ignore_index=True)
+
+    return block_map(
+        ds, keys, fn, batch_format="pandas", num_partitions=num_partitions, zero_copy_batch=False
+    )
+
+
+def driver_combine(
+    ds: ray.data.Dataset,
+    partial_fn: Callable,
+    combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    batch_format: str = "pyarrow",
+) -> pd.DataFrame:
+    """Tiny-result aggregate: per-batch vectorized partials -> driver
+    pandas combine. Collected volume = partial rows per batch x batches
+    (caller guarantees small, e.g. one row per key per batch)."""
+    parts = ds.map_batches(partial_fn, batch_format=batch_format).to_pandas()
+    return combine_fn(parts)

@@ -140,16 +140,28 @@ def _fill_frame(
 def key_spans(
     ds: ray.data.Dataset, keys: list[str], bucket_col: str = "bucket_ts"
 ) -> dict:
-    """Per-key (min_us, max_us) of the bucket column — a tiny aggregate,
-    broadcast to chunked stages so every chunk knows the global grid."""
-    pdf = ds.groupby(keys).min(bucket_col).to_pandas()
-    pdf2 = ds.groupby(keys).max(bucket_col).to_pandas()
-    m = pdf.merge(pdf2, on=keys)
-    lo_col, hi_col = f"min({bucket_col})", f"max({bucket_col})"
+    """Per-key (min_us, max_us) of the bucket column — per-batch partials
+    combined on the driver (no shuffle; one row per key per batch)."""
+    from .exchange import driver_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(df[bucket_col])
+        return (
+            df.assign(_us=us)
+            .groupby(keys, as_index=False)["_us"]
+            .agg(lo="min", hi="max")
+        )
+
+    m = driver_combine(
+        ds,
+        partial,
+        lambda df: df.groupby(keys, as_index=False).agg(lo=("lo", "min"), hi=("hi", "max")),
+        batch_format="pandas",
+    )
     out = {}
     for _, r in m.iterrows():
         k = r[keys[0]] if len(keys) == 1 else tuple(r[kk] for kk in keys)
-        out[k] = (int(pd.Timestamp(r[lo_col]).value // 1000), int(pd.Timestamp(r[hi_col]).value // 1000))
+        out[k] = (int(r["lo"]), int(r["hi"]))
     return out
 
 
@@ -187,7 +199,9 @@ def gap_table(
             out = out[out["GAP_LENGTH"] >= min_length]
         return out
 
-    return ds.groupby(keys).map_groups(gfn, batch_format="pandas")
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn)
 
 
 def gapfill_rollup(
@@ -219,6 +233,8 @@ def gapfill_rollup(
     """
     keys = list(keys)
 
+    from .exchange import grouped_block_map
+
     if chunk_span_buckets is None:
         def gfn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.sort_values(bucket_col, kind="stable")
@@ -228,7 +244,7 @@ def gapfill_rollup(
                 reg[k] = key_vals[k]
             return _fill_frame(reg, value_col, interp_limit, rmed_window, rmed_min_periods)
 
-        return ds.groupby(keys).map_groups(gfn, batch_format="pandas")
+        return grouped_block_map(ds, keys, gfn)
 
     # Halo must cover the full fill reach: the rolling median at an owned
     # position reads linear-filled values up to window//2 away, and those
@@ -271,4 +287,4 @@ def gapfill_rollup(
         return out[(us >= emit_lo) & (us <= emit_hi)]
 
     with_chunks = ds.map_batches(emit_chunks, batch_format="pandas")
-    return with_chunks.groupby(keys + ["_chunk"]).map_groups(gfn, batch_format="pandas")
+    return grouped_block_map(with_chunks, keys + ["_chunk"], gfn)

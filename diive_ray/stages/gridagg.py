@@ -72,12 +72,11 @@ def grid_aggregate(
         }
         return pd.DataFrame([row])
 
-    cells = (
-        ds.map_batches(binner, batch_format="pandas")
-        .groupby(["binx", "biny"])
-        .map_groups(agg_group, batch_format="pandas")
-        .to_pandas()
-    )
+    from .exchange import grouped_block_map
+
+    cells = grouped_block_map(
+        ds.map_batches(binner, batch_format="pandas"), ["binx", "biny"], agg_group
+    ).to_pandas()
     if mincounts > 1:
         cells.loc[cells["n"] < mincounts, value_col] = np.nan
     return cells.sort_values(["binx", "biny"]).reset_index(drop=True)

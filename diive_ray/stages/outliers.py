@@ -299,7 +299,9 @@ def flag_outliers(
             df.loc[df[flag_col] == 2, value_col] = np.nan
         return df
 
-    return ds.groupby(keys).map_groups(gfn, batch_format="pandas")
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn)
 
 
 def zscore_global_distributed(
@@ -340,13 +342,14 @@ def zscore_global_distributed(
             out = g.agg(n=("_v", "count"), s=("_v", "sum"), s2=("_v2", "sum")).reset_index()
             return out
 
-        moments = (
-            current.map_batches(partial, batch_format="pyarrow")
-            .groupby(keys)
-            .sum(["n", "s", "s2"])
-            .to_pandas()
+        from .exchange import driver_combine
+
+        moments = driver_combine(
+            current, partial,
+            lambda df: df.groupby(keys, as_index=False)[["n", "s", "s2"]].sum(),
         )
-        if len(moments) == 0:
+        moments = moments.rename(columns={"n": "sum(n)", "s": "sum(s)", "s2": "sum(s2)"})
+        if len(moments) == 0 or moments["sum(n)"].sum() == 0:
             break
         moments["mean"] = moments["sum(s)"] / moments["sum(n)"]
         moments["var"] = moments["sum(s2)"] / moments["sum(n)"] - moments["mean"] ** 2

@@ -37,7 +37,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 from .bucket import assign_bucket
 
@@ -190,34 +189,54 @@ def rollup(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     gkeys = list(keys) + ["bucket_ts"]
-    aggs = [
-        Sum("count", alias_name="count"),
-        Sum("sum", alias_name="sum"),
-        Min("min", alias_name="min"),
-        Max("max", alias_name="max"),
-    ]
-    if from_rollup:
-        aggs.append(Sum("n_child", alias_name="n_child"))
-    combined = partials.groupby(gkeys).aggregate(*aggs)
-    return combined.map_batches(
-        lambda b: finalize_rollup(b, mincounts=mincounts),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+
+    def combine(block: pa.Table) -> pa.Table:
+        # all partials of a key are co-located in this block (hash
+        # exchange); one vectorized pyarrow group_by finishes them
+        if block.num_rows == 0:
+            return finalize_rollup(block, mincounts=mincounts)
+        spec = [("count", "sum"), ("sum", "sum"), ("min", "min"), ("max", "max")]
+        if from_rollup:
+            spec.append(("n_child", "sum"))
+        agg = block.group_by(gkeys).aggregate(spec)
+        cols = {k: agg[k] for k in gkeys}
+        cols["count"] = agg["count_sum"].cast(pa.int64())
+        cols["sum"] = agg["sum_sum"]
+        cols["min"] = agg["min_min"]
+        cols["max"] = agg["max_max"]
+        if from_rollup:
+            cols["n_child"] = agg["n_child_sum"].cast(pa.int64())
+        return finalize_rollup(pa.table(cols), mincounts=mincounts)
+
+    from .exchange import block_map
+
+    return block_map(partials, gkeys, combine)
 
 
 def observed_maxcount(rollup_ds: ray.data.Dataset, keys: Iterable[str] = ()) -> "int | dict":
     """Fullest-bucket count (resample_to_daily_agg semantics,
     resampling.py:85). With ``keys``, returns {key_tuple: maxcount}.
     The result is tiny (one row per key) — safe to materialize."""
+    from .exchange import driver_combine
+
     keys = list(keys)
     if not keys:
-        row = rollup_ds.max("count")
-        return int(row)
-    out = rollup_ds.groupby(keys).max("count").to_pandas()
+        return driver_combine(
+            rollup_ds,
+            lambda t: pa.table({"m": [pc.max(t["count"]).as_py() or 0]}),
+            lambda df: df,
+        )["m"].max()
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate([("count", "max")])
+
+    out = driver_combine(
+        rollup_ds, partial,
+        lambda df: df.groupby(keys, as_index=False)["count_max"].max(),
+    )
     if len(keys) == 1:
-        return {r[keys[0]]: int(r["max(count)"]) for _, r in out.iterrows()}
-    return {tuple(r[k] for k in keys): int(r["max(count)"]) for _, r in out.iterrows()}
+        return {r[keys[0]]: int(r["count_max"]) for _, r in out.iterrows()}
+    return {tuple(r[k] for k in keys): int(r["count_max"]) for _, r in out.iterrows()}
 
 
 def apply_mincount_mask(

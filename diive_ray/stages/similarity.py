@@ -222,12 +222,13 @@ def embedding_near_dup_pairs(
                 "cos_sim": sims[ii[hit], jj[hit]],
             })
 
-        got = (
-            ds.map_batches(Sig, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
-            .groupby("bucket")
-            .map_groups(pairs_of_group, batch_format="pandas")
-            .to_pandas()
-        )
+        from .exchange import grouped_block_map
+
+        got = grouped_block_map(
+            ds.map_batches(Sig, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+            ["bucket"],
+            pairs_of_group,
+        ).to_pandas()
         for _, r in got.iterrows():
             all_pairs[(r["id_a"], r["id_b"])] = r["cos_sim"]
 

@@ -119,3 +119,34 @@ def test_rollup_permutation_invariant(tiny_fixture_path):
         end_stamped=True, dedup=True, dedup_exact=True,
     )["1m"].to_pandas()
     _assert_tier_equal(base, got)
+
+
+def test_fused_cascade_equals_generic(ray_session, tiny_fixture_path):
+    """The single-exchange fused cascade must emit exactly the tiers the
+    generic multi-exchange cascade produces (same dedup, same min-count
+    rules)."""
+    import pandas as pd
+
+    from diive_ray.pipelines.rollup import tokens_cascade, tokens_cascade_fused
+
+    fused = tokens_cascade_fused(
+        tiny_fixture_path, mincounts_perc=0.9, coarse_mincounts_perc={"1h": 0.25}
+    ).to_pandas()
+    generic = tokens_cascade(
+        tiny_fixture_path, mincounts_perc=0.9, coarse_mincounts_perc={"1h": 0.25}
+    )
+    for tier in ("1m", "1h", "1d"):
+        f = (
+            fused[fused["tier"] == tier]
+            .drop(columns=["tier", "n_child"])
+            .sort_values(["source", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        g = generic[tier].to_pandas()
+        g = g.drop(columns=[c for c in ("n_child",) if c in g.columns])
+        g = g.sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        g["bucket_ts"] = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]")
+        f["bucket_ts"] = pd.to_datetime(f["bucket_ts"]).astype("datetime64[us]")
+        f["count"] = f["count"].astype("int64")
+        g["count"] = g["count"].astype("int64")
+        pd.testing.assert_frame_equal(f, g[f.columns.tolist()], check_dtype=False)
