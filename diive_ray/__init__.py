@@ -40,9 +40,16 @@ def _configure_data_context() -> None:
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # Bound the per-exchange aggregator actor pool: a multi-exchange
     # plan (dedup + 3 cascade tiers) would otherwise spawn
-    # 64 actors x 4 ops on one node and OOM. Each aggregator handles
-    # many partitions; 8 is plenty on <=32 local CPUs.
-    ctx.max_hash_shuffle_aggregators = 8
+    # 64 actors x 4 ops on one node and OOM. Scale the cap with the
+    # session's CPUs (half, in [4, 16]) so one exchange neither starves
+    # a 32-CPU run nor floods a 4-CPU test session.
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    ctx.max_hash_shuffle_aggregators = max(4, min(16, cpus // 2))
 
 
 _configure_data_context()

@@ -91,6 +91,10 @@ SCALES = {
     "tiny": FixtureSpec("tiny", 3_600),
     "small": FixtureSpec("small", 86_400),
     "bench": FixtureSpec("bench", 4 * 86_400),
+    # scaling-evidence corpora, generated without tokens (the rollup /
+    # screening paths never read them): ~5.5M and ~22M rows
+    "scale32": FixtureSpec("scale32", 32 * 86_400),
+    "scale128": FixtureSpec("scale128", 128 * 86_400),
 }
 
 
@@ -164,6 +168,51 @@ def tokens_for(source: str, idx: np.ndarray, n_tok: np.ndarray, base_seed: int =
     j = np.arange(total, dtype=np.uint64) - np.repeat(offsets[:-1], n_tok64).astype(np.uint64) + np.uint64(1)
     flat = ((seeds + j * np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int32)
     return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), pa.array(flat)).cast(pa.list_(pa.int32()))
+
+
+def verify_tokens_batch(t: "pa.Table", base_seed: int = 42) -> "pa.Table":
+    """Per-row token-array EQUALITY verification (the north-rule
+    invariant): regenerate every expected token from (doc_id, n_tok)
+    via the corpus formula and compare against the stored arrays.
+    Vectorized; ~10 uint64 ops per token. Returns one partial row:
+    (rows, tokens, rows_ok)."""
+    import pyarrow.compute as pc
+
+    doc_ids = t["doc_id"].to_pylist()
+    srcs = np.array([d.split("-", 1)[0] for d in doc_ids])
+    idx = np.array([int(d.split("-")[1]) for d in doc_ids], dtype=np.int64)
+    n_tok = np.asarray(t["n_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
+
+    # length check
+    lens = pc.list_value_length(t["tokens"]).cast(pa.int32()).to_numpy(zero_copy_only=False)
+    ok = lens.astype(np.int64) == n_tok
+
+    # regenerate expected flat tokens grouped by source (seed differs)
+    offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    seeds = np.empty(len(n_tok), dtype=np.uint64)
+    for s in np.unique(srcs):
+        m = srcs == s
+        seeds[m] = doc_seed(s, idx[m], base_seed)
+    flat_seeds = np.repeat(seeds, n_tok)
+    j = (np.arange(int(offsets[-1]), dtype=np.uint64)
+         - np.repeat(offsets[:-1], n_tok).astype(np.uint64) + np.uint64(1))
+    with np.errstate(over="ignore"):
+        expected = ((flat_seeds + j * np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int32)
+
+    # stored flat values, zero-copy per chunk
+    col = t["tokens"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    stored = np.concatenate([c.flatten().to_numpy(zero_copy_only=False) for c in chunks]) if chunks else np.empty(0, np.int32)
+    eq = stored == expected
+    # per-row all-equal via segmented check
+    mismatch_rows = np.unique(np.searchsorted(offsets[1:], np.flatnonzero(~eq), side="right"))
+    ok[mismatch_rows] = False
+    return pa.table({
+        "rows": pa.array([t.num_rows], pa.int64()),
+        "tokens": pa.array([int(offsets[-1])], pa.int64()),
+        "rows_ok": pa.array([int(ok.sum())], pa.int64()),
+    })
 
 
 def _sparse_keep_mask(source: str, idx: np.ndarray, base_seed: int) -> np.ndarray:

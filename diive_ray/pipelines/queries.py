@@ -276,6 +276,74 @@ SELECT event_id, value FROM ranked WHERE rn <= (SELECT c FROM below)
 """
 
 
+# ---------------------------------------------------------------- screening
+
+
+def q_screening_chain(sf_dir: str):
+    """The §3.1 meteoscreening lifecycle end-to-end
+    (pipelines/screening.py): cap at 280 -> missing flag -> absolute
+    limits [5, 270] -> single-pass z-score (|z| > 2.5) on the
+    progressively cleaned series -> QCF -> 1h rollup of the
+    QCF-filtered values."""
+    from ..schema import US_PER_HOUR
+    from .screening import ScreeningSpec, screen
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    spec = ScreeningSpec(
+        value_col="value",
+        keys=("event_type",),
+        cap_max=280.0,
+        tests=[
+            ("missing", {}),
+            ("abs_limits", {"minval": 5.0, "maxval": 270.0}),
+            ("zscore", {"thres_zscore": 2.5, "repeat": False}),
+        ],
+        resample_width_us=US_PER_HOUR,
+        end_stamped=False,
+    )
+    out = screen(ds, spec).to_pandas()
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "bucket_ts": pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]"),
+        "n": out["count"].astype("int64"),
+        "mean_value": out["mean"],
+        "min_value": out["min"],
+        "max_value": out["max"],
+    })
+    return _round6(res, ["mean_value"]).reset_index(drop=True)
+
+
+_SQL_SCREENING = """
+WITH c AS (
+  SELECT event_type, ts, LEAST(value, 280.0) AS v FROM events
+), f1 AS (
+  SELECT *, CASE WHEN v IS NULL THEN 2 ELSE 0 END AS f_missing,
+         CASE WHEN v < 5.0 OR v > 270.0 THEN 2 ELSE 0 END AS f_abs
+  FROM c
+), w AS (
+  SELECT *, CASE WHEN f_missing = 0 AND f_abs = 0 THEN v END AS v1 FROM f1
+), z AS (
+  SELECT *, AVG(v1) OVER (PARTITION BY event_type) AS mu,
+         STDDEV_POP(v1) OVER (PARTITION BY event_type) AS sd
+  FROM w
+), f2 AS (
+  SELECT *, CASE WHEN v1 IS NOT NULL AND ABS((v1 - mu) / sd) > 2.5 THEN 2 ELSE 0 END AS f_z
+  FROM z
+), filt AS (
+  SELECT event_type, ts,
+         CASE WHEN f_missing = 0 AND f_abs = 0 AND f_z = 0 THEN v END AS fv
+  FROM f2
+)
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+       COUNT(fv) AS n,
+       ROUND(SUM(fv) / COUNT(fv), 6) AS mean_value,
+       MIN(fv) AS min_value,
+       MAX(fv) AS max_value
+FROM filt GROUP BY 1, 2 HAVING COUNT(fv) > 0
+"""
+
+
 # ---------------------------------------------------------------- gap-fill
 
 
@@ -681,6 +749,160 @@ GROUP BY 1, 2
 """
 
 
+# ----------------------------------------------------------- stats / features
+
+
+def q_sstats(sf_dir: str):
+    """Per-key descriptive stats incl. exact linear-interpolation
+    quantiles (stats.py:12-510 sstats family; stages/features.py)."""
+    from ..stages.features import sstats
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    out = sstats(ds, value_col="value", keys=("event_type",), quantiles=(0.25, 0.5, 0.75))
+    out["n"] = out["n"].astype("int64")
+    return _round6(out, ["mean", "std", "q25", "q50", "q75"]).reset_index(drop=True)
+
+
+_SQL_SSTATS = """
+SELECT event_type,
+       COUNT(value) AS n,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean,
+       ROUND(STDDEV_SAMP(value), 6) AS std,
+       MIN(value) AS min,
+       MAX(value) AS max,
+       ROUND(quantile_cont(value, 0.25), 6) AS q25,
+       ROUND(quantile_cont(value, 0.50), 6) AS q50,
+       ROUND(quantile_cont(value, 0.75), 6) AS q75
+FROM events GROUP BY 1
+"""
+
+
+def q_histogram(sf_dir: str):
+    """Equal-width 20-bin value histogram (driver-combined partials,
+    stages/features.py:histogram; floor-binning rule shared with SQL)."""
+    from ..stages.features import histogram
+
+    ds = _events(sf_dir, ["value"])
+    out = histogram(ds, value_col="value", bins=20)
+    out["bin"] = out["bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return _round6(out, ["lo", "hi"]).reset_index(drop=True)
+
+
+_SQL_HISTOGRAM = """
+WITH r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+b AS (
+  SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 20) AS BIGINT), 19) AS bin
+  FROM events, r WHERE value IS NOT NULL
+), g AS (SELECT generate_series AS bin FROM generate_series(0, 19))
+SELECT g.bin, COUNT(b.bin) AS n,
+       ROUND(r.lo + (r.hi - r.lo) * g.bin / 20, 6) AS lo,
+       ROUND(r.lo + (r.hi - r.lo) * (g.bin + 1) / 20, 6) AS hi
+FROM g CROSS JOIN r LEFT JOIN b ON b.bin = g.bin
+GROUP BY g.bin, r.lo, r.hi
+"""
+
+
+def q_feature_engineer(sf_dir: str):
+    """FeatureEngineer stages over the per-event_type ordered series
+    (feature_engineer.py:42-805): lags +-1/+-2, trailing rolling
+    mean/std/median (window 4, min_periods=1), first difference."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.features import engineer_features_frame
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        out = engineer_features_frame(
+            df, "value", lags=(-2, -1, 1, 2), windows=(4,), diffs=True,
+            ema_spans=(), timestamp_features=False,
+        )
+        return out
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    out = out.drop(columns=["ts"])
+    out = out.rename(columns={
+        "value+1": "lead1", "value+2": "lead2", "value-1": "lag1", "value-2": "lag2",
+        "value_rmedian4": "rmed4", "value_rmean4": "rmean4", "value_rstd4": "rstd4",
+        "value_diff": "diff1",
+    })
+    for c in ("lead1", "lead2", "lag1", "lag2", "rmed4", "rmean4", "rstd4", "diff1"):
+        out[c] = out[c].astype(float)
+    return _round6(out, ["rmean4", "rstd4", "rmed4"]).sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_FEATURES = """
+SELECT event_id, event_type, value,
+       lead(value, 1) OVER w AS lead1,
+       lead(value, 2) OVER w AS lead2,
+       lag(value, 1) OVER w AS lag1,
+       lag(value, 2) OVER w AS lag2,
+       ROUND(CAST(median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rmed4,
+       ROUND(AVG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rmean4,
+       ROUND(STDDEV_SAMP(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rstd4,
+       value - lag(value, 1) OVER w AS diff1
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
+def q_ridge_gapfill(sf_dir: str):
+    """Model gap-fill (RandomForestTS translation, stages/mlfill.py):
+    per-key ridge fit on harmonic time features -> broadcast coefs ->
+    actor-pool predict over the 1h tier's missing buckets. Closed-form
+    but model-based -> rows-only driver check; recovery quality pinned
+    by tests/test_features_mlfill.py."""
+    from ..stages.gaps import regularize_frame
+    from ..stages.mlfill import ridge_fill
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def regularize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        reg["event_type"] = key
+        return reg[["event_type", "bucket_ts", "mean"]]
+
+    dense = grouped_block_map(t1h, ["event_type"], regularize)
+    out = ridge_fill(dense, value_col="mean", keys=("event_type",)).to_pandas()
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    out["mean_mlfilled_is_model"] = out["mean_mlfilled_is_model"].astype("int64")
+    return _round6(out, ["mean", "mean_mlfilled"]).sort_values(
+        ["event_type", "bucket_ts"]
+    ).reset_index(drop=True)
+
+
+def q_event_flag(sf_dir: str):
+    """Interval events -> 0/1 flag (event.py:70-202): broadcast merged
+    intervals + vectorized searchsorted stab per batch."""
+    from ..stages.features import event_to_flag
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+    events = pd.DataFrame({
+        "start": [pd.Timestamp("2024-01-05"), pd.Timestamp("2024-01-12 06:00")],
+        "end": [pd.Timestamp("2024-01-07"), pd.Timestamp("2024-01-13 18:00")],
+    })
+    out = event_to_flag(ds, events).to_pandas()
+    out = out[["event_id", "FLAG_EVENT"]].rename(columns={"FLAG_EVENT": "flag_event"})
+    out["flag_event"] = out["flag_event"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EVENT_FLAG = """
+SELECT event_id,
+       CAST(CASE WHEN (ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-07')
+              OR (ts >= TIMESTAMP '2024-01-12 06:00:00' AND ts <= TIMESTAMP '2024-01-13 18:00:00')
+            THEN 1 ELSE 0 END AS BIGINT) AS flag_event
+FROM events
+"""
+
+
 # ------------------------------------------------------------ generic tables
 
 
@@ -764,6 +986,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "diel_cycle": q_diel_cycle,
     "gap_table_1h": q_gap_table_1h,
     "zscore_outliers": q_zscore_outliers,
+    "screening_chain": q_screening_chain,
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "hampel_noniter": q_hampel_noniter,
     "zscore_rolling": q_zscore_rolling,
@@ -779,6 +1002,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "keep_daterange": q_keep_daterange,
     "monthly_matrix": q_monthly_matrix,
     "grid_agg": q_grid_agg,
+    "sstats": q_sstats,
+    "histogram": q_histogram,
+    "feature_engineer": q_feature_engineer,
+    "ridge_gapfill": q_ridge_gapfill,
+    "event_flag": q_event_flag,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     **DOC_QUERIES,
@@ -791,6 +1019,7 @@ ORACLE: dict[str, str] = {
     "diel_cycle": _SQL_DIEL,
     "gap_table_1h": _SQL_GAPS_1H,
     "zscore_outliers": _SQL_ZSCORE,
+    "screening_chain": _SQL_SCREENING,
     "gapfill_linear_1h": _SQL_GAPFILL_1H,
     "hampel_noniter": _SQL_HAMPEL,
     # zscore_rolling / localsd / zscore_increments: iterative -> rows-only
@@ -804,6 +1033,11 @@ ORACLE: dict[str, str] = {
     "keep_daterange": _SQL_DATERANGE,
     "monthly_matrix": _SQL_MONTHLY,
     "grid_agg": _SQL_GRID,
+    "sstats": _SQL_SSTATS,
+    "histogram": _SQL_HISTOGRAM,
+    "feature_engineer": _SQL_FEATURES,
+    # ridge_gapfill: model-based -> rows-only
+    "event_flag": _SQL_EVENT_FLAG,
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     **DOC_ORACLE,

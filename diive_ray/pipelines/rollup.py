@@ -182,7 +182,6 @@ def cascade_fused(
     from ..util import ts_to_us
 
     keys = list(keys)
-    out_cols = ["tier"] + keys + ["bucket_ts", "count", "sum", "min", "max", "mean", "n_child"]
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         if dedup:
@@ -190,6 +189,46 @@ def cascade_fused(
             df = df.drop_duplicates(subset=keys + [ts_col], keep="last")
         us = ts_to_us(df[ts_col])
         return df.assign(_day=bucket_end_us(us, TIERS["1d"], end_stamped=end_stamped))
+
+    def block_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _fused_block_fn_pandas(
+            df, value_col=value_col, keys=keys, ts_col=ts_col,
+            end_stamped=end_stamped, dedup=dedup, order_col=order_col,
+            mincounts_perc=mincounts_perc,
+            coarse_mincounts_perc=coarse_mincounts_perc,
+            raw_width_us=raw_width_us,
+        )
+
+    pre_ds = ds.map_batches(pre, batch_format="pandas")
+    return block_map(pre_ds, keys + ["_day"], block_fn, batch_format="pandas", zero_copy_batch=False)
+
+
+def _fused_block_fn_pandas(
+    df,
+    *,
+    value_col: str,
+    keys: list,
+    ts_col: str,
+    end_stamped: bool,
+    dedup: bool,
+    order_col: str,
+    mincounts_perc: float,
+    coarse_mincounts_perc,
+    raw_width_us: int | None,
+):
+    """The tier ladder over one co-located frame (all rows of each
+    (keys, 1d-bucket) present) — shared by cascade_fused (post-exchange
+    block) and tokens_cascade_partitioned (per file group)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.bucket import bucket_end_us
+    from ..stages.resample import mincounts_30min_rule, mincounts_daily_rule
+    from ..util import ts_to_us
+
+    out_cols = ["tier"] + keys + ["bucket_ts", "count", "sum", "min", "max", "mean", "n_child"]
+    if df.empty:
+        return pd.DataFrame(columns=out_cols)
 
     if mincounts_perc > 0:
         if raw_width_us is None:
@@ -208,51 +247,45 @@ def cascade_fused(
 
     minc_1h, minc_1d = coarse_minc("1h", 60), coarse_minc("1d", 24)
 
-    def block_fn(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(columns=out_cols)
-        if dedup:
-            df = df.sort_values(keys + [ts_col, order_col], kind="stable")
-            df = df.drop_duplicates(subset=keys + [ts_col], keep="last")
-        us = ts_to_us(df[ts_col])
+    if dedup:
+        df = df.sort_values(keys + [ts_col, order_col], kind="stable")
+        df = df.drop_duplicates(subset=keys + [ts_col], keep="last")
+    us = ts_to_us(df[ts_col])
 
-        base = {k: df[k].to_numpy() for k in keys}
-        base["b"] = bucket_end_us(us, TIERS["1m"], end_stamped=end_stamped)
-        base["v"] = df[value_col].astype(float).to_numpy()
-        t1m = (
-            pd.DataFrame(base)
-            .groupby(keys + ["b"], as_index=False, sort=False)
-            .agg(count=("v", "count"), sum=("v", "sum"), min=("v", "min"), max=("v", "max"))
+    base = {k: df[k].to_numpy() for k in keys}
+    base["b"] = bucket_end_us(us, TIERS["1m"], end_stamped=end_stamped)
+    base["v"] = df[value_col].astype(float).to_numpy()
+    t1m = (
+        pd.DataFrame(base)
+        .groupby(keys + ["b"], as_index=False, sort=False)
+        .agg(count=("v", "count"), sum=("v", "sum"), min=("v", "min"), max=("v", "max"))
+    )
+    t1m = t1m[t1m["count"] >= max(1, minc_1m)]
+
+    def coarser(t: pd.DataFrame, width: int, minc: int) -> pd.DataFrame:
+        g = (
+            t.assign(b2=bucket_end_us(t["b"].to_numpy(), width, end_stamped=True))
+            .groupby(keys + ["b2"], as_index=False, sort=False)
+            .agg(count=("count", "sum"), sum=("sum", "sum"), min=("min", "min"),
+                 max=("max", "max"), n_child=("b", "count"))
+            .rename(columns={"b2": "b"})
         )
-        t1m = t1m[t1m["count"] >= max(1, minc_1m)]
+        return g[g["n_child"] >= minc]
 
-        def coarser(t: pd.DataFrame, width: int, minc: int) -> pd.DataFrame:
-            g = (
-                t.assign(b2=bucket_end_us(t["b"].to_numpy(), width, end_stamped=True))
-                .groupby(keys + ["b2"], as_index=False, sort=False)
-                .agg(count=("count", "sum"), sum=("sum", "sum"), min=("min", "min"),
-                     max=("max", "max"), n_child=("b", "count"))
-                .rename(columns={"b2": "b"})
-            )
-            return g[g["n_child"] >= minc]
+    t1h = coarser(t1m, TIERS["1h"], minc_1h)
+    t1d = coarser(t1h.drop(columns=["n_child"]), TIERS["1d"], minc_1d)
 
-        t1h = coarser(t1m, TIERS["1h"], minc_1h)
-        t1d = coarser(t1h.drop(columns=["n_child"]), TIERS["1d"], minc_1d)
-
-        frames = []
-        for tier, t in (("1m", t1m), ("1h", t1h), ("1d", t1d)):
-            f = t.copy()
-            f.insert(0, "tier", tier)
-            if "n_child" not in f.columns:
-                f["n_child"] = np.nan
-            frames.append(f)
-        out = pd.concat(frames, ignore_index=True)
-        out["bucket_ts"] = pd.to_datetime(out.pop("b"), unit="us")
-        out["mean"] = out["sum"] / out["count"]
-        return out[out_cols]
-
-    pre_ds = ds.map_batches(pre, batch_format="pandas")
-    return block_map(pre_ds, keys + ["_day"], block_fn, batch_format="pandas", zero_copy_batch=False)
+    frames = []
+    for tier, t in (("1m", t1m), ("1h", t1h), ("1d", t1d)):
+        f = t.copy()
+        f.insert(0, "tier", tier)
+        if "n_child" not in f.columns:
+            f["n_child"] = np.nan
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out["bucket_ts"] = pd.to_datetime(out.pop("b"), unit="us")
+    out["mean"] = out["sum"] / out["count"]
+    return out[out_cols]
 
 
 def tokens_cascade_fused(
@@ -286,6 +319,147 @@ def events_cascade_fused(
         ds, value_col="value", keys=("event_type",), ts_col="ts", end_stamped=False,
         coarse_mincounts_perc=coarse_mincounts_perc, raw_width_us=None,
     )
+
+
+def tokens_cascade_partitioned(
+    path: str,
+    *,
+    mincounts_perc: float = 0.0,
+    coarse_mincounts_perc: "float | dict" = 0.0,
+    dedup: bool = True,
+    order_col: str = "doc_id",
+    raw_width_us: int = US_PER_SEC,
+) -> ray.data.Dataset:
+    """SHUFFLE-FREE cascade for partition-aligned lake layouts.
+
+    When the input layout already guarantees (source, day) locality —
+    one directory per source, one file per aligned time chunk, as any
+    partitioned 100-TB lake write produces (and as our own
+    ``write_tiers``/fixture layout does) — the exchange in
+    ``cascade_fused`` is redundant: the driver groups files by
+    (source, day) from the path structure, and one Ray task per group
+    reads its own files and emits all three tiers. Zero bytes move
+    between workers; scaling is limited only by group count.
+
+    Falls back conceptually to ``cascade_fused`` for non-aligned
+    inputs (callers choose; equality of the two paths is pinned by
+    tests/test_rollup.py::test_partitioned_cascade_equals_fused).
+    """
+    import glob as _glob
+    import re as _re
+
+    import pandas as pd
+
+    day_seconds = TIERS["1d"] // US_PER_SEC
+    groups: dict[tuple[str, int], list[str]] = {}
+    for f in sorted(_glob.glob(os.path.join(path, "src-*", "*.parquet"))):
+        src = os.path.basename(os.path.dirname(f)).removeprefix("src-")
+        m = _re.search(r"chunk-(\d+)\.parquet$", f)
+        if m is None:
+            raise ValueError(f"non-aligned file name: {f} — use cascade_fused")
+        lo = int(m.group(1))
+        groups.setdefault((src, lo // day_seconds), []).append(f)
+
+    items = [{"files": fs} for _, fs in sorted(groups.items())]
+
+    def process(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        frames = []
+        for files in batch["files"]:
+            tbl = pa.concat_tables([
+                pq.read_table(f, columns=["doc_id", "source", "ts", "n_tok"]) for f in files
+            ])
+            frames.append(_fused_block_fn_pandas(
+                tbl.to_pandas(), value_col="n_tok", keys=["source"], ts_col="ts",
+                end_stamped=True, dedup=dedup, order_col=order_col,
+                mincounts_perc=mincounts_perc,
+                coarse_mincounts_perc=coarse_mincounts_perc,
+                raw_width_us=raw_width_us,
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    return ray.data.from_items(items).map_batches(
+        process, batch_format="pandas", batch_size=1
+    )
+
+
+def screen_rollup_compress_partitioned(
+    path: str,
+    *,
+    hampel_window: int = 624,
+    hampel_n_sigma: float = 5.5,
+    mincounts_perc: float = 0.1,
+    gorilla: bool = True,
+) -> ray.data.Dataset:
+    """The flagship north-star pipeline, shuffle-free partitioned form:
+    per (source, day) file group — keep-last dedup -> Hampel outlier
+    screening (reference defaults: window 48*13=624, sigma 5.5,
+    double-differencing, iterate-to-convergence; hampel.py:63,
+    run_chain.py:85-100) -> masked tier ladder 1m/1h/1d with min-count
+    -> Gorilla delta-of-delta + XOR compression of the screened raw
+    series (state/gorilla.py). Emits tier rows plus one ``tier='gor'``
+    row per group carrying (count=points, sum=packed_bytes).
+
+    Compute-dominated per group (rolling medians + bit packing), so
+    throughput scales with cores — this is the scaling-evidence job
+    (BASELINE.md)."""
+    import glob as _glob
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.outliers import hampel_flag
+    from ..state import gorilla as _g
+    from ..util import ts_to_us
+
+    day_seconds = TIERS["1d"] // US_PER_SEC
+    groups: dict[tuple[str, int], list[str]] = {}
+    for f in sorted(_glob.glob(os.path.join(path, "src-*", "*.parquet"))):
+        src = os.path.basename(os.path.dirname(f)).removeprefix("src-")
+        m = _re.search(r"chunk-(\d+)\.parquet$", f)
+        lo = int(m.group(1))
+        groups.setdefault((src, lo // day_seconds), []).append(f)
+    items = [{"files": fs} for _, fs in sorted(groups.items())]
+
+    def process(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = []
+        for files in batch["files"]:
+            tbl = pa.concat_tables([
+                pq.read_table(f, columns=["doc_id", "source", "ts", "n_tok"]) for f in files
+            ])
+            df = tbl.to_pandas().sort_values(["source", "ts", "doc_id"], kind="stable")
+            df = df.drop_duplicates(subset=["source", "ts"], keep="last").reset_index(drop=True)
+            flag = hampel_flag(
+                df["n_tok"].astype(float), window_length=hampel_window,
+                n_sigma=hampel_n_sigma, use_differencing=True, repeat=True,
+            )
+            df.loc[flag.to_numpy() == 2, "n_tok"] = np.nan
+            tiers = _fused_block_fn_pandas(
+                df, value_col="n_tok", keys=["source"], ts_col="ts",
+                end_stamped=True, dedup=False, order_col="doc_id",
+                mincounts_perc=mincounts_perc, coarse_mincounts_perc=0.0,
+                raw_width_us=US_PER_SEC,
+            )
+            out.append(tiers)
+            if gorilla:
+                obs = df[df["n_tok"].notna()]
+                ts_blob = _g.encode_timestamps(ts_to_us(obs["ts"]))
+                val_blob = _g.encode_values(obs["n_tok"].to_numpy(dtype=np.float64))
+                out.append(pd.DataFrame([{
+                    "tier": "gor", "source": df["source"].iloc[0],
+                    "bucket_ts": pd.to_datetime(ts_to_us(df["ts"]).max(), unit="us"),
+                    "count": len(obs), "sum": float(len(ts_blob) + len(val_blob)),
+                    "min": np.nan, "max": np.nan, "mean": np.nan, "n_child": np.nan,
+                }]))
+        return pd.concat(out, ignore_index=True)
+
+    return ray.data.from_items(items).map_batches(process, batch_format="pandas", batch_size=1)
 
 
 def tokens_cascade(path: str, **kw) -> dict[str, ray.data.Dataset]:

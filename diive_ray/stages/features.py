@@ -1,0 +1,192 @@
+"""Feature engineering + interval-event flags.
+
+* ``engineer_features`` — the reference's FeatureEngineer stages
+  (diive/core/ml/feature_engineer.py:42-805; stage list at
+  feature_engineer.py:7-15): lagged copies, rolling mean/median/std,
+  first differences, EMA, timestamp features. Ordered per-key work ->
+  grouped block stage (halo requirements bounded by max lag/window).
+  STL decomposition is out of scope (statsmodels not in container).
+* ``event_to_flag`` — interval events -> 0/1 flag over rows
+  (diive/events/event.py:70-202): the small event table is broadcast
+  (ray.put once, read in each actor's __init__) and each batch does a
+  vectorized searchsorted interval stab — no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..util import ts_to_us
+
+
+def engineer_features_frame(
+    df: pd.DataFrame,
+    value_col: str,
+    *,
+    lags: Iterable[int] = (-2, -1, 1, 2),
+    windows: Iterable[int] = (4, 12, 48),
+    diffs: bool = True,
+    ema_spans: Iterable[int] = (12,),
+    ts_col: str = "ts",
+    timestamp_features: bool = True,
+) -> pd.DataFrame:
+    """One ordered key frame -> frame + feature columns (reference
+    naming: .+1/.-1 lag suffixes, feature_engineer.py lag stage;
+    rolling median/std windows 4/12/48 are the L4.1 defaults,
+    run_chain.py:124-127)."""
+    s = df[value_col].astype(float)
+    for lag in lags:
+        df[f"{value_col}{'+' if lag > 0 else ''}{lag}"] = s.shift(-lag)
+    for w in windows:
+        r = s.rolling(window=w, min_periods=1)
+        df[f"{value_col}_rmedian{w}"] = r.median()
+        df[f"{value_col}_rmean{w}"] = r.mean()
+        df[f"{value_col}_rstd{w}"] = r.std()
+    if diffs:
+        df[f"{value_col}_diff"] = s.diff()
+    for span in ema_spans:
+        df[f"{value_col}_ema{span}"] = s.ewm(span=span, adjust=False).mean()
+    if timestamp_features:
+        ts = pd.to_datetime(df[ts_col])
+        df["YEAR"] = ts.dt.year.astype(np.int32)
+        df["DOY"] = ts.dt.dayofyear.astype(np.int32)
+        df["HOUR"] = ts.dt.hour.astype(np.int32)
+    return df
+
+
+def engineer_features(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    keys: Iterable[str] = ("source",),
+    ts_col: str = "ts",
+    **kw,
+) -> ray.data.Dataset:
+    keys = list(keys)
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        return engineer_features_frame(df, value_col, ts_col=ts_col, **kw)
+
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn)
+
+
+def event_to_flag(
+    ds: ray.data.Dataset,
+    events: pd.DataFrame,
+    *,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    flag_col: str = "FLAG_EVENT",
+) -> ray.data.Dataset:
+    """0/1 flag for rows inside any [start, end] event interval
+    (event.py:164-202). Intervals are merged + broadcast once; each
+    batch stabs with one searchsorted (vectorized, no shuffle)."""
+    iv = events[[start_col, end_col]].copy()
+    iv[start_col] = pd.to_datetime(iv[start_col]).astype("datetime64[us]").astype("int64")
+    iv[end_col] = pd.to_datetime(iv[end_col]).astype("datetime64[us]").astype("int64")
+    iv = iv.sort_values(start_col)
+    # merge overlaps so one searchsorted decides membership
+    merged: list[list[int]] = []
+    for s, e in iv.itertuples(index=False):
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    starts = np.array([m[0] for m in merged], dtype=np.int64)
+    ends = np.array([m[1] for m in merged], dtype=np.int64)
+    ref = ray.put((starts, ends))
+
+    class Stab:
+        def __init__(self):
+            self.starts, self.ends = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            us = ts_to_us(df[ts_col])
+            idx = np.searchsorted(self.starts, us, side="right") - 1
+            inside = (idx >= 0) & (us <= self.ends[np.clip(idx, 0, None)])
+            df = df.copy()
+            df[flag_col] = inside.astype(np.int8)
+            return df
+
+    return ds.map_batches(Stab, batch_format="pandas", concurrency=(1, 4))
+
+
+def sstats(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    keys: Iterable[str] = (),
+    quantiles: Iterable[float] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+) -> pd.DataFrame:
+    """Descriptive stats per key (diive/core/dfun/stats.py:12-510
+    ``sstats`` family): count/mean/std/min/max + exact linear-
+    interpolation quantiles, computed per co-located key block."""
+    keys = list(keys) or ["_all"]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        if "_all" in keys and "_all" not in df.columns:
+            df = df.assign(_all=0)
+        return df
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].astype(float)
+        row = {k: df[k].iloc[0] for k in keys}
+        row.update({
+            "n": int(v.count()), "mean": v.mean(), "std": v.std(),
+            "min": v.min(), "max": v.max(),
+        })
+        for q in quantiles:
+            row[f"q{int(q * 100):02d}"] = v.quantile(q)
+        return pd.DataFrame([row])
+
+    from .exchange import grouped_block_map
+
+    out = grouped_block_map(ds.map_batches(prep, batch_format="pandas"), keys, gfn).to_pandas()
+    if "_all" in out.columns:
+        out = out.drop(columns=["_all"])
+    return out.reset_index(drop=True)
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    bins: int = 20,
+    v_range: tuple[float, float] | None = None,
+) -> pd.DataFrame:
+    """Equal-width histogram (diive/analysis Histogram): per-batch
+    vectorized floor-binning partials summed on the driver. Bin rule:
+    ``min(floor((v - lo) / (hi - lo) * bins), bins - 1)`` over
+    [lo, hi] — deterministic and exactly reproducible in SQL (the
+    np.histogram edge convention differs only in float edge rounding)."""
+    from .exchange import driver_combine
+
+    if v_range is None:
+        lo, hi = ds.min(value_col), ds.max(value_col)
+    else:
+        lo, hi = v_range
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].astype(float).dropna().to_numpy()
+        v = v[(v >= lo) & (v <= hi)]
+        b = np.minimum(np.floor((v - lo) / (hi - lo) * bins), bins - 1).astype(np.int64)
+        c = np.bincount(b, minlength=bins)
+        return pd.DataFrame({"bin": np.arange(bins), "n": c})
+
+    out = driver_combine(
+        ds, partial, lambda df: df.groupby("bin", as_index=False)["n"].sum(),
+        batch_format="pandas",
+    )
+    out["lo"] = edges[out["bin"]]
+    out["hi"] = edges[out["bin"] + 1]
+    return out.sort_values("bin").reset_index(drop=True)

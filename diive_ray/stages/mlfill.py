@@ -1,0 +1,149 @@
+"""Model-based gap-filling — the RandomForestTS/XGBoostTS translation
+(diive/gapfilling/randomforest_ts.py:163, xgboost_ts.py, longterm.py).
+
+The reference trains a sklearn/xgboost regressor on timestamp +
+engineered features and predicts the gaps. Neither library ships in
+this container, so the regressor is a closed-form **ridge regression**
+(numpy normal equations) behind the same stage contract — swap
+``fit_ridge``/``RidgePredictor`` for any model object without touching
+the Ray wiring:
+
+* ``train_per_key`` — per-key fit inside a grouped block stage (the
+  reference's per-year model of longterm.py:42-50 maps to per-key
+  here); coefficient table is tiny and collected to the driver.
+* ``ridge_fill`` — the trained coefficients are ``ray.put`` once and
+  read back in each predict actor's ``__init__`` (the model-in-actor
+  pattern for stateful stages); prediction is one matmul per batch.
+
+Features: diurnal + annual harmonics of the bucket timestamp
+(sin/cos of hour-of-day and day-of-year) + intercept — the timestamp
+feature family of FeatureEngineer (feature_engineer.py, timestamp
+stage) that stays computable at gap rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..util import ts_to_us
+
+FEATURE_NAMES = ("sin_h", "cos_h", "sin_doy", "cos_doy")
+
+
+def time_features(ts_us: np.ndarray) -> np.ndarray:
+    """[n, 4] harmonic features from END-labeled bucket stamps."""
+    sec_of_day = (ts_us // 1_000_000) % 86_400
+    day_of_year = (ts_us // 1_000_000 // 86_400) % 365.25
+    h = 2 * np.pi * sec_of_day / 86_400.0
+    d = 2 * np.pi * day_of_year / 365.25
+    return np.column_stack([np.sin(h), np.cos(h), np.sin(d), np.cos(d)])
+
+
+def fit_ridge(X: np.ndarray, y: np.ndarray, l2: float = 1e-6) -> np.ndarray:
+    """Closed-form ridge with intercept: returns [d+1] coef (last =
+    intercept). Deterministic (no iterative solver)."""
+    Xi = np.column_stack([X, np.ones(len(X))])
+    A = Xi.T @ Xi + l2 * np.eye(Xi.shape[1])
+    b = Xi.T @ y
+    return np.linalg.solve(A, b)
+
+
+def train_per_key(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str = "mean",
+    keys: Iterable[str] = ("source",),
+    bucket_col: str = "bucket_ts",
+    l2: float = 1e-6,
+) -> pd.DataFrame:
+    """Fit one ridge model per key on its observed tier rows. Returns
+    the (tiny) coefficient table: keys + c0..c3 + intercept + n_train."""
+    keys = list(keys)
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        obs = df[df[value_col].notna()]
+        row = {k: df[k].iloc[0] for k in keys}
+        if len(obs) < 8:
+            for i, _ in enumerate(FEATURE_NAMES):
+                row[f"c{i}"] = 0.0
+            row["intercept"] = float(obs[value_col].mean()) if len(obs) else 0.0
+            row["n_train"] = len(obs)
+            return pd.DataFrame([row])
+        X = time_features(ts_to_us(obs[bucket_col]))
+        coef = fit_ridge(X, obs[value_col].astype(float).to_numpy(), l2)
+        for i, _ in enumerate(FEATURE_NAMES):
+            row[f"c{i}"] = coef[i]
+        row["intercept"] = coef[-1]
+        row["n_train"] = len(obs)
+        return pd.DataFrame([row])
+
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn).to_pandas()
+
+
+class RidgePredictor:
+    """Actor-pool predict stage: coefficients fetched once per actor."""
+
+    def __init__(self, coef_ref, keys, value_col, bucket_col, out_col):
+        table = ray.get(coef_ref)
+        self.keys = keys
+        self.value_col = value_col
+        self.bucket_col = bucket_col
+        self.out_col = out_col
+        self.models = {}
+        for _, r in table.iterrows():
+            k = r[keys[0]] if len(keys) == 1 else tuple(r[kk] for kk in keys)
+            self.models[k] = (
+                np.array([r[f"c{i}"] for i in range(len(FEATURE_NAMES))]),
+                float(r["intercept"]),
+            )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        us = ts_to_us(df[self.bucket_col])
+        X = time_features(us)
+        kvals = (
+            df[self.keys[0]]
+            if len(self.keys) == 1
+            else list(zip(*[df[k] for k in self.keys]))
+        )
+        pred = np.full(len(df), np.nan)
+        for i, k in enumerate(kvals):
+            m = self.models.get(k)
+            if m is not None:
+                pred[i] = X[i] @ m[0] + m[1]
+        v = df[self.value_col].astype(float)
+        df[self.out_col] = v.where(v.notna(), pred)
+        df[f"{self.out_col}_is_model"] = (v.isna() & ~np.isnan(pred)).astype(np.int8)
+        return df
+
+
+def ridge_fill(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str = "mean",
+    keys: Iterable[str] = ("source",),
+    bucket_col: str = "bucket_ts",
+    out_col: str | None = None,
+    l2: float = 1e-6,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Train per key -> broadcast coefficients -> actor-pool predict.
+    Observed values are never modified (gap-fill contract,
+    tests/test_gapfilling.py:186-214 in the reference)."""
+    keys = list(keys)
+    out_col = out_col or f"{value_col}_mlfilled"
+    coefs = train_per_key(ds, value_col=value_col, keys=keys, bucket_col=bucket_col, l2=l2)
+    coef_ref = ray.put(coefs)
+    return ds.map_batches(
+        RidgePredictor,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_args=(coef_ref, keys, value_col, bucket_col, out_col),
+    )

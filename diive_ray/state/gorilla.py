@@ -22,20 +22,31 @@ import numpy as np
 
 
 class _BitWriter:
-    __slots__ = ("acc", "nbits")
+    """MSB-first bit packer; flushes whole bytes eagerly so the int
+    accumulator stays below 8 bits + max field width (O(1) per write —
+    an unbounded accumulator turns encoding O(n^2) in Python)."""
+
+    __slots__ = ("out", "acc", "nbits")
 
     def __init__(self):
+        self.out = bytearray()
         self.acc = 0
         self.nbits = 0
 
     def write(self, value: int, width: int):
-        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
-        self.nbits += width
+        acc = (self.acc << width) | (value & ((1 << width) - 1))
+        nbits = self.nbits + width
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def bytes(self) -> bytes:
-        pad = (-self.nbits) % 8
-        total = self.nbits + pad
-        return ((self.acc << pad) & ((1 << total) - 1)).to_bytes(total // 8, "big") if total else b""
+        if self.nbits:
+            return bytes(self.out) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
+        return bytes(self.out)
 
 
 class _BitReader:

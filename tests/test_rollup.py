@@ -150,3 +150,19 @@ def test_fused_cascade_equals_generic(ray_session, tiny_fixture_path):
         f["count"] = f["count"].astype("int64")
         g["count"] = g["count"].astype("int64")
         pd.testing.assert_frame_equal(f, g[f.columns.tolist()], check_dtype=False)
+
+
+def test_partitioned_cascade_equals_fused(ray_session, tiny_fixture_path):
+    """Shuffle-free partition-aligned path == exchange path."""
+    import pandas as pd
+
+    from diive_ray.pipelines.rollup import tokens_cascade_fused, tokens_cascade_partitioned
+
+    a = tokens_cascade_fused(tiny_fixture_path, mincounts_perc=0.9).to_pandas()
+    b = tokens_cascade_partitioned(tiny_fixture_path, mincounts_perc=0.9).to_pandas()
+    key = ["tier", "source", "bucket_ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    a["bucket_ts"] = pd.to_datetime(a["bucket_ts"]).astype("datetime64[us]")
+    b["bucket_ts"] = pd.to_datetime(b["bucket_ts"]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
