@@ -903,6 +903,182 @@ FROM events
 """
 
 
+def q_freq_detect(sf_dir: str):
+    """DetectFrequency voting (times.py:348-482) over the regular 1h
+    tier: per-key delta mode, agreement, confidence ladder
+    (1.0 / 0.95 / 0.7 / null)."""
+    from ..stages.freq import detect_frequency_exact
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = detect_frequency_exact(t1h, keys=("event_type",), ts_col="bucket_ts")
+    out["freq_us"] = out["freq_us"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_FREQ = """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_diff('microsecond',
+           lag(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts),
+           bucket_ts) AS BIGINT) AS delta
+  FROM (
+    SELECT DISTINCT event_type,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts
+    FROM events WHERE value IS NOT NULL
+  )
+), f AS (
+  SELECT event_type, delta, COUNT(*) AS n FROM d
+  WHERE delta IS NOT NULL AND delta > 0 GROUP BY 1, 2
+), t AS (
+  SELECT *, SUM(n) OVER (PARTITION BY event_type) AS total,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, delta) AS rn
+  FROM f
+)
+SELECT event_type, delta AS freq_us,
+       ROUND(n * 1.0 / total, 6) AS agreement,
+       CASE WHEN n = total THEN 1.0
+            WHEN n * 1.0 / total >= 0.9 THEN 0.95
+            WHEN n * 1.0 / total > 0.5 THEN 0.7
+            ELSE NULL END AS confidence
+FROM t WHERE rn = 1
+"""
+
+
+def q_gap_stats_1h(sf_dir: str):
+    """GapStats (gapfinder.py:361-560): monthly gap count / missing
+    buckets / longest run over the 1h tier's gap table."""
+    from ..stages.gaps import gap_stats
+
+    t1h = _fused_tier(sf_dir, "1h")
+    gt = gap_table(t1h, US_PER_HOUR, keys=("event_type",), value_col="mean").to_pandas()
+    if gt.empty:
+        gt = pd.DataFrame(columns=["event_type", "GAP_START", "GAP_END", "GAP_LENGTH"])
+    out = gap_stats(gt, keys=("event_type",))
+    for c in ("year", "month", "n_gaps", "missing", "longest"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "year", "month"]).reset_index(drop=True)
+
+
+_SQL_GAP_STATS = """
+WITH b AS (
+  SELECT DISTINCT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts
+  FROM events WHERE value IS NOT NULL
+), l AS (
+  SELECT event_type, bucket_ts,
+         LAG(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev
+  FROM b
+), gaps AS (
+  SELECT event_type, prev + INTERVAL '1 hour' AS gap_start,
+         CAST(date_diff('hour', prev, bucket_ts) - 1 AS BIGINT) AS len
+  FROM l WHERE prev IS NOT NULL AND date_diff('hour', prev, bucket_ts) > 1
+)
+SELECT event_type,
+       CAST(EXTRACT(year FROM gap_start) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM gap_start) AS BIGINT) AS month,
+       COUNT(*) AS n_gaps, SUM(len) AS missing, MAX(len) AS longest
+FROM gaps GROUP BY 1, 2, 3
+"""
+
+
+def q_monthly_ranks(sf_dir: str):
+    """Monthly matrix with dense ranks per month across years
+    (resampling.py:37-42), ranks over ROUND(mean, 6) for engine-stable
+    tie-breaks."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    long = monthly_matrix(ds, value_col="value", keys=["event_type"], agg="mean", ranks=False)
+    long = long.rename(columns={"YEAR": "year", "MONTH": "month"})
+    long["value"] = np.round(long["value"].astype(float), 6)
+    long["rank"] = (
+        long.groupby(["event_type", "month"])["value"]
+        .rank(method="dense", ascending=False)
+        .astype("int64")
+    )
+    long["year"] = long["year"].astype("int64")
+    long["month"] = long["month"].astype("int64")
+    return long[["event_type", "year", "month", "rank"]].reset_index(drop=True)
+
+
+_SQL_MONTHLY_RANKS = """
+WITH m AS (
+  SELECT event_type,
+         CAST(EXTRACT(year FROM ts) AS BIGINT) AS year,
+         CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+         ROUND(SUM(value) / COUNT(value), 6) AS v
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, year, month,
+       CAST(DENSE_RANK() OVER (PARTITION BY event_type, month ORDER BY v DESC) AS BIGINT) AS rank
+FROM m
+"""
+
+
+def q_daynight_flag(sf_dir: str):
+    """DaytimeNighttimeFlag from potential radiation
+    (temporal.py:19-111, radiation.py:15-99 — simplified solar model,
+    lat 47 / lon 8.5, threshold 20 W m^-2)."""
+    from ..functions.solar import daytime_flag, potential_radiation
+    from ..util import ts_to_us
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(df["ts"])
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "swin_pot": np.round(potential_radiation(us, 47.0, 8.5), 6),
+            "flag_daytime": daytime_flag(us, 47.0, 8.5).astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_SQL_DAYNIGHT = """
+WITH s AS (
+  SELECT event_id,
+         epoch(ts) AS sec,
+         radians(-23.44) * cos(2 * pi() * (((epoch(ts) / 86400.0) % 365.25) + 10.0) / 365.25) AS decl,
+         radians(15.0 * ((((epoch(ts) % 86400) / 3600.0) + 8.5 / 15.0) - 12.0)) AS hour_angle
+  FROM events
+), e AS (
+  SELECT event_id,
+         1367.0 * GREATEST(
+           sin(radians(47.0)) * sin(decl) + cos(radians(47.0)) * cos(decl) * cos(hour_angle),
+           0.0) AS pot
+  FROM s
+)
+SELECT event_id, ROUND(pot, 6) AS swin_pot,
+       CAST(CASE WHEN pot > 20.0 THEN 1 ELSE 0 END AS BIGINT) AS flag_daytime
+FROM e
+"""
+
+
+def q_lof_outliers(sf_dir: str):
+    """LocalOutlierFactor outliers (lof.py:42-300; from-scratch numpy
+    LOF, 1-D sorted-neighbor specialization) — model-based, rows-only
+    driver check; kernel pinned vs brute-force LOF in
+    tests/test_outliers_extra.py."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    flagged = ol.flag_outliers(
+        ds, "lof", value_col="value", keys=("event_type",), ts_col="ts",
+        n_neighbors=20, contamination=0.02,
+    ).to_pandas()
+    out = flagged[flagged["FLAG_value_LOF_TEST"] == 2][["event_id", "event_type", "value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_bootstrap_ci(sf_dir: str):
+    """Seeded bootstrap CI of the mean per event_type
+    (ustar_bootstrap.py:156-280 pattern) — resampling-based, rows-only
+    driver check; determinism pinned by tests."""
+    from ..stages.features import bootstrap_stats
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    out = bootstrap_stats(ds, value_col="value", keys=("event_type",), n_boot=200)
+    out["n"] = out["n"].astype("int64")
+    return _round6(out, ["p2_5", "p50_0", "p97_5"]).sort_values("event_type").reset_index(drop=True)
+
+
 # ------------------------------------------------------------ generic tables
 
 
@@ -1007,6 +1183,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "feature_engineer": q_feature_engineer,
     "ridge_gapfill": q_ridge_gapfill,
     "event_flag": q_event_flag,
+    "freq_detect": q_freq_detect,
+    "gap_stats_1h": q_gap_stats_1h,
+    "monthly_ranks": q_monthly_ranks,
+    "daynight_flag": q_daynight_flag,
+    "lof_outliers": q_lof_outliers,
+    "bootstrap_ci": q_bootstrap_ci,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     **DOC_QUERIES,
@@ -1038,6 +1220,11 @@ ORACLE: dict[str, str] = {
     "feature_engineer": _SQL_FEATURES,
     # ridge_gapfill: model-based -> rows-only
     "event_flag": _SQL_EVENT_FLAG,
+    "freq_detect": _SQL_FREQ,
+    "gap_stats_1h": _SQL_GAP_STATS,
+    "monthly_ranks": _SQL_MONTHLY_RANKS,
+    "daynight_flag": _SQL_DAYNIGHT,
+    # lof_outliers / bootstrap_ci: model/resampling-based -> rows-only
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     **DOC_ORACLE,

@@ -156,6 +156,55 @@ def sstats(
     return out.reset_index(drop=True)
 
 
+def bootstrap_stats(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    keys: Iterable[str] = (),
+    n_boot: int = 100,
+    seed: int = 17,
+    percentiles: Iterable[float] = (2.5, 50.0, 97.5),
+) -> pd.DataFrame:
+    """Bootstrap CI of the mean per key (UstarBootstrapThresholds
+    pattern, ustar_bootstrap.py:156-280: joblib bootstrap draws -> here
+    seeded per-group numpy resampling inside one grouped block stage).
+    Deterministic given ``seed`` (Philox keyed by seed x group hash)."""
+    keys = list(keys) or ["_all"]
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        if "_all" in keys and "_all" not in df.columns:
+            df = df.assign(_all=0)
+        return df
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        # sort: shuffle arrival order is nondeterministic, and seeded
+        # index draws must address a deterministic arrangement
+        v = np.sort(df[value_col].dropna().to_numpy(dtype=float))
+        row = {k: df[k].iloc[0] for k in keys}
+        if len(v) == 0:
+            for p in percentiles:
+                row[f"p{str(p).replace('.', '_')}"] = np.nan
+            return pd.DataFrame([row])
+        import zlib
+
+        gh = zlib.crc32("|".join(sorted(str(row[k]) for k in keys)).encode())
+        rng = np.random.Generator(np.random.Philox(key=[seed, gh]))
+        means = np.empty(n_boot)
+        for b in range(n_boot):
+            means[b] = v[rng.integers(0, len(v), len(v))].mean()
+        for p in percentiles:
+            row[f"p{str(p).replace('.', '_')}"] = np.percentile(means, p)
+        row["n"] = len(v)
+        return pd.DataFrame([row])
+
+    from .exchange import grouped_block_map
+
+    out = grouped_block_map(ds.map_batches(prep, batch_format="pandas"), keys, gfn).to_pandas()
+    if "_all" in out.columns:
+        out = out.drop(columns=["_all"])
+    return out.reset_index(drop=True)
+
+
 def histogram(
     ds: ray.data.Dataset,
     *,

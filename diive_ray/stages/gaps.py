@@ -204,6 +204,33 @@ def gap_table(
     return grouped_block_map(ds, keys, gfn)
 
 
+def gap_stats(
+    gap_tbl: pd.DataFrame,
+    *,
+    keys: Iterable[str] = ("source",),
+    long_gap_length: int | None = None,
+) -> pd.DataFrame:
+    """Monthly gap coverage from a gap table (GapStats,
+    gapfinder.py:361-560): per (keys, year, month of GAP_START) the gap
+    count, total missing buckets, and longest run; plus the long-gap
+    listing when ``long_gap_length`` is given. Driver-side — the gap
+    table is already tiny relative to the corpus."""
+    keys = list(keys)
+    if gap_tbl.empty:
+        return pd.DataFrame(columns=keys + ["year", "month", "n_gaps", "missing", "longest"])
+    t = gap_tbl.copy()
+    start = pd.to_datetime(t["GAP_START"])
+    t["year"] = start.dt.year.astype(np.int64)
+    t["month"] = start.dt.month.astype(np.int64)
+    out = (
+        t.groupby(keys + ["year", "month"], as_index=False)
+        .agg(n_gaps=("GAP_LENGTH", "count"), missing=("GAP_LENGTH", "sum"), longest=("GAP_LENGTH", "max"))
+    )
+    if long_gap_length is not None:
+        out.attrs["long_gaps"] = t[t["GAP_LENGTH"] >= long_gap_length]
+    return out
+
+
 def gapfill_rollup(
     ds: ray.data.Dataset,
     width_us: int,

@@ -256,6 +256,66 @@ def manual_removal_flag(
     return flag
 
 
+def lof_flag(
+    s: pd.Series,
+    n_neighbors: int | None = None,
+    contamination: float | str = "auto",
+    repeat: bool = False,
+) -> pd.Series:
+    """LocalOutlierFactor on the 1-D value vector
+    (diive/preprocessing/outlier_detection/lof.py:42-300; sklearn is not
+    in this container, so this is a from-scratch numpy LOF with the
+    classic definition: k-distance -> reachability -> lrd -> LOF ratio).
+    1-D specialization: neighbors come from the sorted order (the k
+    nearest values of x are among its 2k sorted neighbors), so the
+    whole computation is O(n k) instead of O(n^2).
+
+    n_neighbors defaults to len/200 (stepwiseoutlierdetection.py:357);
+    threshold: contamination='auto' rejects LOF > 1.5 (the sklearn
+    offset_ default), a float rejects the top ``contamination``
+    fraction by LOF score."""
+
+    def test(filtered: pd.Series, _i: int) -> pd.Index:
+        st = filtered.dropna()
+        n = len(st)
+        if n < 4:
+            return st.index[:0]
+        k = n_neighbors or max(2, int(n / 200))
+        k = min(k, n - 1)
+        x = st.to_numpy(dtype=float)
+        order = np.argsort(x, kind="stable")
+        xs = x[order]
+        # distances to the 2k sorted neighbors per point -> k nearest
+        idx = np.arange(n)
+        # 2k+1 DISTINCT sorted candidates per point: window shifted (not
+        # clipped) at the edges, so edge points never double-count a
+        # neighbor
+        start = np.clip(idx - k, 0, max(n - (2 * k + 1), 0))
+        cand = start[:, None] + np.arange(2 * k + 1)[None, :]
+        cand = np.minimum(cand, n - 1)
+        d = np.abs(xs[cand] - xs[:, None])
+        d[cand == idx[:, None]] = np.inf  # self
+        part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        rows = np.repeat(idx, k)
+        nbr = cand[rows, part.ravel()].reshape(n, k)
+        nd = d[rows, part.ravel()].reshape(n, k)
+        kdist = nd.max(axis=1)
+        reach = np.maximum(nd, kdist[nbr])  # reach-dist(p, o) = max(kdist(o), d(p,o))
+        lrd = 1.0 / (reach.mean(axis=1) + 1e-12)
+        lof = (lrd[nbr].mean(axis=1)) / lrd
+        if contamination == "auto":
+            bad_sorted = lof > 1.5
+        else:
+            nbad = int(np.ceil(float(contamination) * n))
+            thr = np.partition(lof, n - nbad)[n - nbad] if nbad else np.inf
+            bad_sorted = lof >= thr
+        bad_orig = np.zeros(n, dtype=bool)
+        bad_orig[order] = bad_sorted
+        return st.index[bad_orig]
+
+    return _iterate(s, test, repeat)
+
+
 KERNELS = {
     "zscore": zscore_flag,
     "zscore_rolling": zscore_rolling_flag,
@@ -265,6 +325,7 @@ KERNELS = {
     "abs_limits": abs_limits_flag,
     "trimlow": trimlow_flag,
     "missing": missing_flag,
+    "lof": lof_flag,
 }
 
 
