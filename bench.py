@@ -132,10 +132,14 @@ SF_QUERY_SET = [
     "diel_cycle",
     "gap_table_1h",
     "zscore_outliers",
+    "screening_chain",
     "dedup_keep_last",
     "day_mean_as_hires",
     "qcf",
     "lineitem_agg",
+    "doc_minhash_dups",
+    "doc_quality",
+    "embedding_topk",
 ]
 
 

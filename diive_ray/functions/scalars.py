@@ -1,0 +1,90 @@
+"""Scalar/column functions: EddyPro-style digit flags, column-name
+sanitation, numeric coercion, thermodynamic derived variables.
+
+References:
+* digit-encoded quality flags — diive/preprocessing/qaqc/eddyproflags.py
+  :31-506 parses multi-digit flag integers into per-test 0/1/2 flags
+  via integer math (also diive/io/binary/extract.py); here a vectorized
+  base-10 digit extractor.
+* duplicate column-name dedup (``_1``/``_2`` suffixes) —
+  diive/core/io/filereader.py:156-231 ColumnNamesSanitizer.
+* numeric coercion — diive/core/dfun/frames.py:361-373.
+* VPD from air temperature + relative humidity —
+  diive/variables/thermodynamic.py:93-133 (Magnus saturation vapor
+  pressure over water, hPa -> kPa deficit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def extract_digit(flags: np.ndarray, position: int, n_digits: int) -> np.ndarray:
+    """Digit at ``position`` (0 = leftmost) of an ``n_digits``-wide
+    flag integer, vectorized: e.g. extract_digit(812, 0, 3) == 8."""
+    f = np.asarray(flags, dtype=np.int64)
+    div = 10 ** (n_digits - 1 - position)
+    return (f // div) % 10
+
+
+def eddypro_ssitc_flags(batch: pa.Table, flag_col: str, n_digits: int) -> pa.Table:
+    """Explode an n-digit flag integer column into FLAG_D{i}_TEST int8
+    columns (eddyproflags.py pattern)."""
+    f = batch[flag_col].to_numpy(zero_copy_only=False)
+    for i in range(n_digits):
+        d = extract_digit(f, i, n_digits).astype(np.int8)
+        batch = batch.append_column(f"FLAG_D{i}_TEST", pa.array(d))
+    return batch
+
+
+def sanitize_column_names(names: list[str]) -> list[str]:
+    """Dedup duplicate names with _1/_2 suffixes (filereader.py:197-231)."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n not in seen:
+            seen[n] = 0
+            out.append(n)
+        else:
+            seen[n] += 1
+            candidate = f"{n}_{seen[n]}"
+            while candidate in seen:
+                seen[n] += 1
+                candidate = f"{n}_{seen[n]}"
+            seen[candidate] = 0
+            out.append(candidate)
+    return out
+
+
+def convert_to_numeric(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Coerce string columns to float64, unparseable -> null
+    (frames.py:361-373 convert_data_to_numeric)."""
+    cols = columns or [
+        n for n, t in zip(batch.column_names, batch.schema.types) if pa.types.is_string(t)
+    ]
+    for name in cols:
+        arr = batch[name]
+        try:
+            casted = pc.cast(arr, pa.float64())
+        except pa.ArrowInvalid:
+            vals = pd.to_numeric(pd.Series(arr.to_pylist()), errors="coerce")
+            casted = pa.array(vals, pa.float64())
+        batch = batch.set_column(batch.column_names.index(name), name, casted)
+    return batch
+
+
+def saturation_vapor_pressure_kpa(ta_c: np.ndarray) -> np.ndarray:
+    """Magnus formula over water, kPa (thermodynamic.py:19-60)."""
+    return 0.61078 * np.exp(17.27 * ta_c / (ta_c + 237.3))
+
+
+def calc_vpd_from_ta_rh(ta_c: np.ndarray, rh_pct: np.ndarray) -> np.ndarray:
+    """Vapor-pressure deficit, kPa (thermodynamic.py:93-133):
+    VPD = es(TA) * (1 - RH/100), negative clipped to 0."""
+    vpd = saturation_vapor_pressure_kpa(np.asarray(ta_c, float)) * (
+        1.0 - np.asarray(rh_pct, float) / 100.0
+    )
+    return np.maximum(vpd, 0.0)

@@ -1079,6 +1079,62 @@ def q_bootstrap_ci(sf_dir: str):
     return _round6(out, ["p2_5", "p50_0", "p97_5"]).sort_values("event_type").reset_index(drop=True)
 
 
+def q_eddypro_flags(sf_dir: str):
+    """Digit-encoded quality-flag extraction (eddyproflags.py:31-506 /
+    io/binary/extract.py): derive a 3-digit flag int from value and
+    explode it into per-digit flags via integer math."""
+    from ..functions.scalars import eddypro_ssitc_flags
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        flag = (np.floor(np.nan_to_num(v, nan=0.0)).astype(np.int64)) % 1000
+        t2 = pa.table({"event_id": t["event_id"], "flag": pa.array(flag, pa.int64())})
+        return eddypro_ssitc_flags(t2, "flag", 3)
+
+    out = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    for c in ("flag", "FLAG_D0_TEST", "FLAG_D1_TEST", "FLAG_D2_TEST"):
+        out[c.lower()] = out.pop(c).astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EDDYPRO = """
+WITH f AS (
+  SELECT event_id, CAST(FLOOR(COALESCE(value, 0.0)) AS BIGINT) % 1000 AS flag
+  FROM events
+)
+SELECT event_id, flag,
+       (flag // 100) % 10 AS flag_d0_test,
+       (flag // 10) % 10 AS flag_d1_test,
+       flag % 10 AS flag_d2_test
+FROM f
+"""
+
+
+def q_embedding_knn_lsh(sf_dir: str):
+    """Approximate kNN via random-hyperplane LSH buckets
+    (stages/similarity.py:knn_lsh — the scale path). Probabilistic by
+    design (deterministic given the seeded planes) -> rows-only driver
+    check; recall on planted near-dups pinned by
+    tests/test_similarity.py."""
+    from ..stages.similarity import knn_lsh
+
+    ds = _embs(sf_dir)
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    got = knn_lsh(ds, Q, k=5, query_ids=qdf["vec_id"].to_numpy(), n_planes=10, max_hamming=3)
+    got["cos_sim"] = np.round(got["cos_sim"], 6)
+    got["query_id"] = got["query_id"].astype("int64")
+    got["vec_id"] = got["vec_id"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _embs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
 # ------------------------------------------------------------ generic tables
 
 
@@ -1189,6 +1245,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "daynight_flag": q_daynight_flag,
     "lof_outliers": q_lof_outliers,
     "bootstrap_ci": q_bootstrap_ci,
+    "eddypro_flags": q_eddypro_flags,
+    "embedding_knn_lsh": q_embedding_knn_lsh,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     **DOC_QUERIES,
@@ -1225,6 +1283,8 @@ ORACLE: dict[str, str] = {
     "monthly_ranks": _SQL_MONTHLY_RANKS,
     "daynight_flag": _SQL_DAYNIGHT,
     # lof_outliers / bootstrap_ci: model/resampling-based -> rows-only
+    "eddypro_flags": _SQL_EDDYPRO,
+    # embedding_knn_lsh: probabilistic LSH -> rows-only
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     **DOC_ORACLE,

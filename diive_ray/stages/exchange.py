@@ -102,6 +102,62 @@ def grouped_block_map(
     )
 
 
+def salted_aggregate(
+    ds: ray.data.Dataset,
+    keys: Iterable[str],
+    partial_fn: Callable,
+    combine_fn: Callable,
+    *,
+    salt: int = 8,
+    salt_from: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Two-stage aggregation for SKEWED keys (north-rule clause: salted
+    keys for hot sources): stage 1 exchanges on (keys + _salt) — a hot
+    key spreads over ``salt`` partitions — and combines per block;
+    stage 2 exchanges the (salt x keys)-sized partials on the bare keys
+    and combines again. Only valid for algebraic aggregates (the
+    partial/combine pair must be associative).
+
+    ``salt_from``: column whose stable hash provides the salt (e.g.
+    ``doc_id``); default is a row-position salt (round-robin within
+    batch), which balances perfectly but is arrival-order dependent —
+    fine for algebraic combines.
+
+    partial_fn(df, gkeys) -> partial rows grouped by gkeys;
+    combine_fn(df, keys) -> final rows grouped by keys.
+    """
+    import zlib
+
+    import numpy as np
+
+    keys = list(keys)
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        if salt_from is not None:
+            s = np.array([zlib.crc32(str(v).encode()) % salt for v in df[salt_from]], dtype=np.int64)
+        else:
+            s = np.arange(len(df), dtype=np.int64) % salt
+        return df.assign(_salt=s)
+
+    stage1 = block_map(
+        ds.map_batches(add_salt, batch_format="pandas"),
+        keys + ["_salt"],
+        lambda df: partial_fn(df, keys + ["_salt"]),
+        batch_format="pandas",
+        num_partitions=num_partitions,
+        zero_copy_batch=False,
+    )
+    return block_map(
+        stage1,
+        keys,
+        lambda df: combine_fn(df.drop(columns=["_salt"], errors="ignore"), keys),
+        batch_format="pandas",
+        num_partitions=num_partitions,
+        zero_copy_batch=False,
+    )
+
+
 def driver_combine(
     ds: ray.data.Dataset,
     partial_fn: Callable,
