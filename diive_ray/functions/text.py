@@ -224,7 +224,9 @@ def simhash64(shingles: np.ndarray) -> np.uint64:
     if len(shingles) == 0:
         return np.uint64(0)
     bits = np.unpackbits(shingles.view(np.uint8).reshape(len(shingles), 8), axis=1, bitorder="little")
-    votes = bits.sum(axis=0) * 2 - len(shingles)  # [64] in int
+    # signed accumulation: uint8 sums promote unsigned and would wrap
+    # negative vote totals around to huge positives
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(shingles)  # [64]
     out = np.uint64(0)
     for i in np.flatnonzero(votes > 0):
         out |= np.uint64(1) << np.uint64(i)
