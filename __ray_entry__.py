@@ -18,12 +18,13 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the raw->1m->1h->1d
-    rollup cascade (diive_ray/pipelines/rollup.py) over the events
-    table, returning the gap-filled 1m tier joined cascade result."""
-    from diive_ray.pipelines.rollup import events_cascade
+    rollup cascade over the events table via the single-exchange fused
+    plan (diive_ray/pipelines/rollup.py:cascade_fused), returning the
+    1h tier."""
+    from diive_ray.pipelines.rollup import events_cascade_fused
 
-    tiers = events_cascade("/root/testdata/sf0.001", gapfill=False)
-    return tiers["1h"]
+    fused = events_cascade_fused("/root/testdata/sf0.001")
+    return fused.filter(expr="tier == '1h'").drop_columns(["tier", "n_child"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -170,12 +170,18 @@ def tokens_for(source: str, idx: np.ndarray, n_tok: np.ndarray, base_seed: int =
     return pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), pa.array(flat)).cast(pa.list_(pa.int32()))
 
 
-def verify_tokens_batch(t: "pa.Table", base_seed: int = 42) -> "pa.Table":
+def verify_tokens_batch(t: "pa.Table", base_seed: int = 42, full: bool = False) -> "pa.Table":
     """Per-row token-array EQUALITY verification (the north-rule
-    invariant): regenerate every expected token from (doc_id, n_tok)
-    via the corpus formula and compare against the stored arrays.
-    Vectorized; ~10 uint64 ops per token. Returns one partial row:
-    (rows, tokens, rows_ok)."""
+    invariant). Default fast path exploits the corpus formula
+    ``tok[j] = (seed + (j+1)*KNUTH) % VOCAB``: an array equals its
+    expected value iff (a) its first element equals ``(seed + KNUTH) %
+    VOCAB`` and (b) every successive difference is ``KNUTH % VOCAB``
+    (mod VOCAB) — an exact proof at ~3 integer ops/token with no
+    modular arithmetic on the data path. ``full=True`` regenerates and
+    compares every token instead (~10 uint64 ops/token); both paths
+    flag exactly the same corruptions (pinned by tests).
+
+    Returns one partial row: (rows, tokens, rows_ok)."""
     import pyarrow.compute as pc
 
     doc_ids = t["doc_id"].to_pylist()
@@ -183,30 +189,47 @@ def verify_tokens_batch(t: "pa.Table", base_seed: int = 42) -> "pa.Table":
     idx = np.array([int(d.split("-")[1]) for d in doc_ids], dtype=np.int64)
     n_tok = np.asarray(t["n_tok"].to_numpy(zero_copy_only=False), dtype=np.int64)
 
-    # length check
-    lens = pc.list_value_length(t["tokens"]).cast(pa.int32()).to_numpy(zero_copy_only=False)
-    ok = lens.astype(np.int64) == n_tok
+    # length check; all positional work below uses the ACTUAL list
+    # layout (lens), so one wrong-length row cannot misalign the rest
+    lens = pc.list_value_length(t["tokens"]).cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+    ok = lens == n_tok
 
-    # regenerate expected flat tokens grouped by source (seed differs)
-    offsets = np.zeros(len(n_tok) + 1, dtype=np.int64)
-    np.cumsum(n_tok, out=offsets[1:])
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
     seeds = np.empty(len(n_tok), dtype=np.uint64)
     for s in np.unique(srcs):
         m = srcs == s
         seeds[m] = doc_seed(s, idx[m], base_seed)
-    flat_seeds = np.repeat(seeds, n_tok)
-    j = (np.arange(int(offsets[-1]), dtype=np.uint64)
-         - np.repeat(offsets[:-1], n_tok).astype(np.uint64) + np.uint64(1))
-    with np.errstate(over="ignore"):
-        expected = ((flat_seeds + j * np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int32)
 
     # stored flat values, zero-copy per chunk
     col = t["tokens"]
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    stored = np.concatenate([c.flatten().to_numpy(zero_copy_only=False) for c in chunks]) if chunks else np.empty(0, np.int32)
-    eq = stored == expected
-    # per-row all-equal via segmented check
-    mismatch_rows = np.unique(np.searchsorted(offsets[1:], np.flatnonzero(~eq), side="right"))
+    stored = (
+        np.concatenate([c.flatten().to_numpy(zero_copy_only=False) for c in chunks])
+        if chunks else np.empty(0, np.int32)
+    )
+
+    if full:
+        flat_seeds = np.repeat(seeds, lens)
+        j = (np.arange(int(offsets[-1]), dtype=np.uint64)
+             - np.repeat(offsets[:-1], lens).astype(np.uint64) + np.uint64(1))
+        with np.errstate(over="ignore"):
+            expected = ((flat_seeds + j * np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int32)
+        bad = stored != expected
+    else:
+        with np.errstate(over="ignore"):
+            first_exp = ((seeds + np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int32)
+        stride = np.int32(KNUTH % VOCAB)
+        starts = offsets[:-1][lens > 0]
+        bad = np.zeros(len(stored), dtype=bool)
+        bad[starts] = stored[starts] != first_exp[lens > 0]
+        d = np.diff(stored.astype(np.int32))
+        d_bad = (d != stride) & (d != stride - np.int32(VOCAB))
+        # positions crossing a doc boundary are not stride-constrained
+        d_bad[starts[1:] - 1] = False
+        bad[1:] |= d_bad
+
+    mismatch_rows = np.unique(np.searchsorted(offsets[1:], np.flatnonzero(bad), side="right"))
     ok[mismatch_rows] = False
     return pa.table({
         "rows": pa.array([t.num_rows], pa.int64()),
