@@ -1079,6 +1079,61 @@ def q_bootstrap_ci(sf_dir: str):
     return _round6(out, ["p2_5", "p50_0", "p97_5"]).sort_values("event_type").reset_index(drop=True)
 
 
+def q_daily_correlation(sf_dir: str):
+    """daily_correlation (diive/analysis namespace): Pearson r between
+    consecutive-day daily means per event_type — daily aggregate via
+    the exchange, per-key corr in one co-located block."""
+    from ..stages.exchange import driver_combine, grouped_block_map
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    bucketer = make_bucket_assigner(US_PER_DAY, end_stamped=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "bucket_ts"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    daily = driver_combine(
+        ds.map_batches(bucketer, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["event_type", "bucket_ts", "value"]),
+        partial,
+        lambda df: df.groupby(["event_type", "bucket_ts"], as_index=False)[
+            ["value_sum", "value_count"]
+        ].sum(),
+    )
+    daily["v"] = daily["value_sum"] / daily["value_count"]
+    rows = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("bucket_ts")
+        v = g["v"].to_numpy()
+        if len(v) < 3:
+            rows.append((et, np.nan, len(v) - 1))
+            continue
+        a, b = v[1:], v[:-1]
+        r = np.corrcoef(a, b)[0, 1]
+        rows.append((et, round(float(r), 6), len(v) - 1))
+    out = pd.DataFrame(rows, columns=["event_type", "lag1_corr", "n_pairs"])
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_DAILY_CORR = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(value) / COUNT(value) AS v
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, v,
+         lag(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+  FROM d
+)
+SELECT event_type,
+       ROUND(corr(v, pv), 6) AS lag1_corr,
+       CAST(COUNT(pv) AS BIGINT) AS n_pairs
+FROM l GROUP BY 1
+"""
+
+
 def q_eddypro_flags(sf_dir: str):
     """Digit-encoded quality-flag extraction (eddyproflags.py:31-506 /
     io/binary/extract.py): derive a 3-digit flag int from value and
@@ -1247,6 +1302,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bootstrap_ci": q_bootstrap_ci,
     "eddypro_flags": q_eddypro_flags,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "daily_correlation": q_daily_correlation,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     **DOC_QUERIES,
@@ -1285,6 +1341,7 @@ ORACLE: dict[str, str] = {
     # lof_outliers / bootstrap_ci: model/resampling-based -> rows-only
     "eddypro_flags": _SQL_EDDYPRO,
     # embedding_knn_lsh: probabilistic LSH -> rows-only
+    "daily_correlation": _SQL_DAILY_CORR,
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     **DOC_ORACLE,

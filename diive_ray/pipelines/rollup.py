@@ -130,13 +130,18 @@ def write_tiers(
     *,
     partition_key: str = "source",
 ) -> dict[str, str]:
-    """Write each tier as partitioned Parquet under ``out_dir/tier=NAME``
-    (one directory per tier, files per block; resumable layout — a rerun
-    can skip tiers whose directory already exists)."""
+    """Write each tier as hive-partitioned Parquet under
+    ``out_dir/tier=NAME/<partition_key>=.../`` (resumable layout — a
+    rerun can skip tiers whose directory already exists; per-key
+    subdirectories let a consumer prune by source)."""
     paths = {}
     for name, ds in tiers.items():
         path = os.path.join(out_dir, f"tier={name}")
-        ds.write_parquet(path)
+        cols = [c for (c, _) in zip(ds.schema().names, ds.schema().types)]
+        if partition_key and partition_key in cols:
+            ds.write_parquet(path, partition_cols=[partition_key])
+        else:
+            ds.write_parquet(path)
         paths[name] = path
     return paths
 
