@@ -197,6 +197,45 @@ def shingle_hashes(text: str, k: int = 3, seed: int = 0) -> np.ndarray:
     return np.unique(acc)
 
 
+def batch_shingle_hashes(texts: list[str], k: int = 3, seed: int = 0) -> list[np.ndarray]:
+    """Shingle-hash sets for a whole batch at once: one global
+    dictionary-encode over every word in the batch (FNV runs once per
+    DISTINCT word in the batch, not per word per doc), then the
+    vectorized k-gram mix per doc. Identical output to
+    ``[shingle_hashes(t, k, seed) for t in texts]`` (test-pinned)."""
+    words_per_doc = [t.split() for t in texts]
+    all_words = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+    if len(all_words) == 0:
+        return [np.array([], dtype=np.uint64) for _ in texts]
+    uniq, inv = np.unique(all_words, return_inverse=True)
+    with np.errstate(over="ignore"):
+        uh = np.array(
+            [_fnv1a_bytes(w.encode("utf-8")) ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF) for w in uniq],
+            dtype=np.uint64,
+        )
+    flat = uh[inv]
+    out = []
+    pos = 0
+    mult = np.uint64(0xC2B2AE3D27D4EB4F)
+    for ws in words_per_doc:
+        n_w = len(ws)
+        wh = flat[pos : pos + n_w]
+        pos += n_w
+        if n_w < k:
+            out.append(np.array([], dtype=np.uint64))
+            continue
+        n = n_w - k + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc * mult) ^ wh[j : j + n]
+            acc ^= acc >> np.uint64(33)
+            acc = acc * np.uint64(0xFF51AFD7ED558CCD)
+            acc ^= acc >> np.uint64(33)
+        out.append(np.unique(acc))
+    return out
+
+
 def minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """num_perm (a, b) pairs for the multiply-shift permutation family
     sig_i(s) = (a_i * s + b_i) mod 2^64 with a_i odd (a bijection on

@@ -1079,6 +1079,104 @@ def q_bootstrap_ci(sf_dir: str):
     return _round6(out, ["p2_5", "p50_0", "p97_5"]).sort_values("event_type").reset_index(drop=True)
 
 
+def q_similarity_fill_1h(sf_dir: str):
+    """MDS-style similarity gap-fill (similarity.py:145-350 cascade,
+    single stage here): fill each missing 1h bucket with the mean of
+    observed buckets within ±3 days whose hour-of-day is within ±1 h
+    (cyclic) — the mean-diurnal-cycle method — min 2 donors."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+    from ..stages.similarity_fill import FillStage, similarity_fill_frame
+    from ..util import ts_to_us
+
+    t1h = _fused_tier(sf_dir, "1h")
+    stage = FillStage(
+        features=(("hod", 1.0, 24.0),), window_us=3 * US_PER_DAY, min_donors=2, code=1,
+    )
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        reg["event_type"] = key
+        reg["hod"] = (ts_to_us(reg["bucket_ts"]) // US_PER_HOUR) % 24
+        reg = similarity_fill_frame(
+            reg[["event_type", "bucket_ts", "hod", "mean"]], "mean", [stage],
+            ts_col="bucket_ts",
+        )
+        return reg
+
+    out = grouped_block_map(t1h, ["event_type"], gfn).to_pandas()
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "bucket_ts": pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]"),
+        "value_filled": np.round(out["mean_simfilled"].astype(float), 6),
+        "fill_flag": out["mean_simfilled_flag"],
+    })
+    return res.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_SIMFILL = """
+WITH t AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS v
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), span AS (
+  SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM t GROUP BY 1
+), grid AS (
+  SELECT s.event_type, g.ts AS bucket_ts
+  FROM span s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS ts) g
+), j AS (
+  SELECT g.event_type, g.bucket_ts, t.v
+  FROM grid g LEFT JOIN t ON t.event_type = g.event_type AND t.bucket_ts = g.bucket_ts
+)
+SELECT a.event_type, a.bucket_ts,
+       CASE WHEN a.v IS NOT NULL THEN ROUND(a.v, 6)
+            ELSE (
+              SELECT CASE WHEN COUNT(b.v) >= 2 THEN ROUND(AVG(b.v), 6) END
+              FROM j b
+              WHERE b.event_type = a.event_type AND b.v IS NOT NULL
+                AND abs(date_diff('microsecond', a.bucket_ts, b.bucket_ts)) <= 259200000000
+                AND LEAST(
+                      abs(EXTRACT(hour FROM a.bucket_ts) - EXTRACT(hour FROM b.bucket_ts)),
+                      24 - abs(EXTRACT(hour FROM a.bucket_ts) - EXTRACT(hour FROM b.bucket_ts))
+                    ) <= 1
+            ) END AS value_filled,
+       CASE WHEN a.v IS NOT NULL THEN 0.0
+            ELSE (
+              SELECT CASE WHEN COUNT(b.v) >= 2 THEN 1.0 END
+              FROM j b
+              WHERE b.event_type = a.event_type AND b.v IS NOT NULL
+                AND abs(date_diff('microsecond', a.bucket_ts, b.bucket_ts)) <= 259200000000
+                AND LEAST(
+                      abs(EXTRACT(hour FROM a.bucket_ts) - EXTRACT(hour FROM b.bucket_ts)),
+                      24 - abs(EXTRACT(hour FROM a.bucket_ts) - EXTRACT(hour FROM b.bucket_ts))
+                    ) <= 1
+            ) END AS fill_flag
+FROM j a
+"""
+
+
+def q_harmonic_decompose(sf_dir: str):
+    """Seasonal-trend decomposition (STL stand-in, stages/decompose.py):
+    2-harmonic diurnal fit per event_type over the 1h tier. Closed-form
+    least squares -> model-based, rows-only driver check; recovery
+    pinned by tests/test_decompose_simfill.py."""
+    from ..stages.decompose import harmonic_decompose
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = harmonic_decompose(
+        t1h, value_col="mean", keys=("event_type",), ts_col="bucket_ts",
+        period_us=US_PER_DAY, n_harmonics=2, trend_window=0,
+    ).to_pandas()
+    out = out[["event_type", "bucket_ts", "mean", "mean_trend", "mean_seasonal", "mean_resid"]]
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    return _round6(out, ["mean", "mean_trend", "mean_seasonal", "mean_resid"]).sort_values(
+        ["event_type", "bucket_ts"]
+    ).reset_index(drop=True)
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -1303,6 +1401,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "eddypro_flags": q_eddypro_flags,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "daily_correlation": q_daily_correlation,
+    "similarity_fill_1h": q_similarity_fill_1h,
+    "harmonic_decompose": q_harmonic_decompose,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     **DOC_QUERIES,
@@ -1342,6 +1442,8 @@ ORACLE: dict[str, str] = {
     "eddypro_flags": _SQL_EDDYPRO,
     # embedding_knn_lsh: probabilistic LSH -> rows-only
     "daily_correlation": _SQL_DAILY_CORR,
+    "similarity_fill_1h": _SQL_SIMFILL,
+    # harmonic_decompose: model-based least squares -> rows-only
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     **DOC_ORACLE,

@@ -106,10 +106,8 @@ def signature_dataset(
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col]
-        sigs = [
-            tx.minhash_signature(tx.shingle_hashes(s, shingle_k, seed), a, b).view(np.int64)
-            for s in t[text_col].to_pylist()
-        ]
+        shingle_sets = tx.batch_shingle_hashes(t[text_col].to_pylist(), shingle_k, seed)
+        sigs = [tx.minhash_signature(sh, a, b).view(np.int64) for sh in shingle_sets]
         return pa.table({id_col: ids, "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -267,9 +265,9 @@ def simhash_dataset(
     seed: int = 7,
 ) -> ray.data.Dataset:
     def fn(t: pa.Table) -> pa.Table:
+        shingle_sets = tx.batch_shingle_hashes(t[text_col].to_pylist(), shingle_k, seed)
         sigs = [
-            np.int64(np.uint64(tx.simhash64(tx.shingle_hashes(s, shingle_k, seed))).view(np.int64))
-            for s in t[text_col].to_pylist()
+            np.int64(np.uint64(tx.simhash64(sh)).view(np.int64)) for sh in shingle_sets
         ]
         return pa.table({id_col: t[id_col], "simhash": pa.array(sigs, pa.int64())})
 
