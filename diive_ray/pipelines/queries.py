@@ -681,6 +681,47 @@ def q_setto_threshold(sf_dir: str):
 _SQL_SETTO = "SELECT event_id, LEAST(value, 250.0) AS value_capped FROM events"
 
 
+def q_setto_value_range(sf_dir: str):
+    """setto_value (setto.py:80-120): set records inside a closed date
+    range to a constant."""
+    from ..stages.corrections import setto_value
+
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+    out = setto_value(
+        ds, "value", [("2024-01-05 00:00:00", "2024-01-06 23:59:59")], 42.0
+    ).to_pandas()
+    out = out[["event_id", "value"]].rename(columns={"value": "value_set"})
+    return _round6(out, ["value_set"]).sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_SETTO_VALUE = """
+SELECT event_id,
+       ROUND(CASE WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
+                   AND ts <= TIMESTAMP '2024-01-06 23:59:59'
+             THEN 42.0 ELSE value END, 6) AS value_set
+FROM events
+"""
+
+
+def q_set_exact_missing(sf_dir: str):
+    """set_exact_values_to_missing (setto.py:20-79): flag-value floats
+    -> null (here: the integer-valued readings, a common error code
+    pattern)."""
+    from ..stages.corrections import set_exact_values_to_missing
+
+    ds = _events(sf_dir, ["event_id", "value"])
+    out = set_exact_values_to_missing(ds, "value", [100.0, 200.0]).to_pandas()
+    out = out[["event_id", "value"]].rename(columns={"value": "value_clean"})
+    return _round6(out, ["value_clean"]).sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_SET_EXACT = """
+SELECT event_id,
+       ROUND(CASE WHEN value IN (100.0, 200.0) THEN NULL ELSE value END, 6) AS value_clean
+FROM events
+"""
+
+
 def q_keep_daterange(sf_dir: str):
     """Closed-interval date-range filter (times.py:1884-1934)."""
     ds = _events(sf_dir, ["event_id", "ts"])
@@ -1384,6 +1425,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "qcf": q_qcf,
     "time_features": q_time_features,
     "setto_threshold": q_setto_threshold,
+    "setto_value_range": q_setto_value_range,
+    "set_exact_missing": q_set_exact_missing,
     "keep_daterange": q_keep_daterange,
     "monthly_matrix": q_monthly_matrix,
     "grid_agg": q_grid_agg,
@@ -1426,6 +1469,8 @@ ORACLE: dict[str, str] = {
     "qcf": _SQL_QCF,
     "time_features": _SQL_TIME_FEATURES,
     "setto_threshold": _SQL_SETTO,
+    "setto_value_range": _SQL_SETTO_VALUE,
+    "set_exact_missing": _SQL_SET_EXACT,
     "keep_daterange": _SQL_DATERANGE,
     "monthly_matrix": _SQL_MONTHLY,
     "grid_agg": _SQL_GRID,
