@@ -160,6 +160,98 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_diel_cycle_monthly(sf_dir: str):
+    """Diel cycle per event_type x month x hour (resampling.py:200-262
+    each_month=True): count/mean/median."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    out = diel_cycle(
+        ds, value_col="value", keys=["event_type"], each_month=True, mincounts=1,
+        quantiles=False, minmax=False, std=False, phase="hour",
+    ).to_pandas()
+    out = out.rename(columns={"TIME": "hour", "MONTH": "month", "count": "n",
+                              "mean": "mean_value", "median": "median_value"})
+    out["n"] = out["n"].astype("int64")
+    out["hour"] = out["hour"].astype("int64")
+    out["month"] = out["month"].astype("int64")
+    return _round6(out, ["mean_value", "median_value"]).reset_index(drop=True)
+
+
+_SQL_DIEL_MONTHLY = """
+SELECT event_type,
+       CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(value) AS n,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean_value,
+       ROUND(MEDIAN(value), 6) AS median_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_zscore_daynight(sf_dir: str):
+    """Day/night-split z-score (zscore.py day/night variant: mean/std
+    computed per daytime subset; |z| > 2.5, single pass, ddof=0) —
+    daytime from the potential-radiation flag (functions/solar.py)."""
+    from ..functions.solar import daytime_flag
+    from ..stages.exchange import driver_combine
+    from ..util import ts_to_us
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def add_flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_day"] = daytime_flag(ts_to_us(df["ts"]), 47.0, 8.5).astype(np.int64)
+        return df
+
+    flagged = ds.map_batches(add_flag, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["value"].notna()]
+        v = d["value"].astype(float)
+        return (
+            d.assign(_v=v, _v2=v * v)
+            .groupby(["event_type", "is_day"], as_index=False)
+            .agg(n=("_v", "count"), s=("_v", "sum"), s2=("_v2", "sum"))
+        )
+
+    mom = driver_combine(
+        flagged, partial,
+        lambda df: df.groupby(["event_type", "is_day"], as_index=False)[["n", "s", "s2"]].sum(),
+        batch_format="pandas",
+    )
+    mom["mean"] = mom["s"] / mom["n"]
+    mom["std"] = np.sqrt(np.maximum(mom["s2"] / mom["n"] - mom["mean"] ** 2, 0.0))
+    lut = {(r["event_type"], r["is_day"]): (r["mean"], r["std"]) for _, r in mom.iterrows()}
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        ms = np.array([lut.get((et, d), (np.nan, np.nan)) for et, d in zip(df["event_type"], df["is_day"])])
+        v = df["value"].astype(float).to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.abs((v - ms[:, 0]) / ms[:, 1])
+        out = df[(~np.isnan(v)) & (z > 2.5)]
+        return out[["event_id", "event_type", "is_day", "value"]]
+
+    out = flagged.map_batches(mask, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_ZSCORE_DAYNIGHT = """
+WITH f AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN 1367.0 * GREATEST(
+           sin(radians(47.0)) * sin(radians(-23.44) * cos(2 * pi() * (((epoch(ts) / 86400.0) % 365.25) + 10.0) / 365.25))
+           + cos(radians(47.0)) * cos(radians(-23.44) * cos(2 * pi() * (((epoch(ts) / 86400.0) % 365.25) + 10.0) / 365.25))
+             * cos(radians(15.0 * ((((epoch(ts) % 86400) / 3600.0) + 8.5 / 15.0) - 12.0))),
+           0.0) > 20.0 THEN 1 ELSE 0 END AS is_day
+  FROM events
+), z AS (
+  SELECT *, AVG(value) OVER w AS mu, STDDEV_POP(value) OVER w AS sd
+  FROM f WINDOW w AS (PARTITION BY event_type, is_day)
+)
+SELECT event_id, event_type, CAST(is_day AS BIGINT) AS is_day, value
+FROM z WHERE value IS NOT NULL AND ABS((value - mu) / sd) > 2.5
+"""
+
+
 # ---------------------------------------------------------------- gap table
 
 
@@ -1410,6 +1502,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "resample_1d": q_resample_1d,
     "resample_1d_mincount": q_resample_1d_mincount,
     "diel_cycle": q_diel_cycle,
+    "diel_cycle_monthly": q_diel_cycle_monthly,
+    "zscore_daynight": q_zscore_daynight,
     "gap_table_1h": q_gap_table_1h,
     "zscore_outliers": q_zscore_outliers,
     "screening_chain": q_screening_chain,
@@ -1456,6 +1550,8 @@ ORACLE: dict[str, str] = {
     "resample_1d": _SQL_TIER.format(iv="1 day"),
     "resample_1d_mincount": _SQL_TIER_1D_MINC,
     "diel_cycle": _SQL_DIEL,
+    "diel_cycle_monthly": _SQL_DIEL_MONTHLY,
+    "zscore_daynight": _SQL_ZSCORE_DAYNIGHT,
     "gap_table_1h": _SQL_GAPS_1H,
     "zscore_outliers": _SQL_ZSCORE,
     "screening_chain": _SQL_SCREENING,
