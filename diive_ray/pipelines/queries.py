@@ -1493,6 +1493,59 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+# ----------------------------------------------------- tokens-corpus surface
+
+
+def q_tokens_rollup_tiny(sf_dir: str):
+    """The north-rule tokens pipeline over the deterministic tiny
+    corpus (BASELINE.json input_hint schema; fixtures.py — ``sf_dir``
+    unused, the corpus is self-generated): keep-last dedup -> fused
+    1m/1h/1d ladder with min-count. Fixture-based -> rows-only driver
+    check; tier values are pinned against the pandas oracle in
+    tests/test_rollup.py."""
+    from ..fixtures import ensure_fixture
+    from .rollup import tokens_cascade_fused
+
+    path = ensure_fixture("tiny")
+    out = tokens_cascade_fused(path, mincounts_perc=0.9).to_pandas()
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    out["count"] = out["count"].astype("int64")
+    return _round6(out, ["sum", "mean"]).sort_values(
+        ["tier", "source", "bucket_ts"]
+    ).reset_index(drop=True)
+
+
+def q_tokens_verify_tiny(sf_dir: str):
+    """Per-row token-array equality over the tiny corpus
+    (fixtures.verify_tokens_batch, the north-rule invariant): one row
+    per source with (rows, tokens, rows_ok); rows_ok == rows proves
+    every stored array equals its regenerable expectation."""
+    from ..fixtures import ensure_fixture, verify_tokens_batch
+
+    path = ensure_fixture("tiny")
+    ds = rd.read_parquet(path)
+
+    def verify_by_source(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            t = pa.Table.from_pandas(g, preserve_index=False)
+            r = verify_tokens_batch(t)
+            rows.append((src, r["rows"][0].as_py(), r["tokens"][0].as_py(), r["rows_ok"][0].as_py()))
+        return pd.DataFrame(rows, columns=["source", "rows", "tokens", "rows_ok"])
+
+    from ..stages.exchange import driver_combine
+
+    out = driver_combine(
+        ds, verify_by_source,
+        lambda df: df.groupby("source", as_index=False)[["rows", "tokens", "rows_ok"]].sum(),
+        batch_format="pandas",
+    )
+    for c in ("rows", "tokens", "rows_ok"):
+        out[c] = out[c].astype("int64")
+    assert (out["rows_ok"] == out["rows"]).all(), "token-array equality violated"
+    return out.sort_values("source").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 from .docqueries import DOC_ORACLE, DOC_QUERIES
@@ -1542,6 +1595,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "harmonic_decompose": q_harmonic_decompose,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
+    "tokens_rollup_tiny": q_tokens_rollup_tiny,
+    "tokens_verify_tiny": q_tokens_verify_tiny,
     **DOC_QUERIES,
 }
 
