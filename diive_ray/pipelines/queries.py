@@ -1493,6 +1493,59 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def q_optimum_range(sf_dir: str):
+    """FindOptimumRange (optimumrange.py:19-474): the 4-bin-wide
+    hour-of-day window (24 equal-width bins over fractional hour) whose
+    mean value is highest."""
+    from ..stages.gridagg import find_optimum_range
+
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def add_x(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"])
+        df = df.copy()
+        df["hodf"] = t.dt.hour.astype(float) + t.dt.minute.astype(float) / 60.0
+        return df
+
+    ds2 = ds.map_batches(add_x, batch_format="pandas")
+    lo, hi = ds2.min("hodf"), ds2.max("hodf")
+    res = find_optimum_range(
+        ds2, xcol="hodf", ycol="value", n_bins=24, win=4, mode="max", x_range=(lo, hi)
+    )
+    out = pd.DataFrame([res])
+    out["bin_lo"] = out["bin_lo"].astype("int64")
+    out["bin_hi"] = out["bin_hi"].astype("int64")
+    return _round6(out, ["x_lo", "x_hi", "y_opt"])
+
+
+_SQL_OPTIMUM = """
+WITH x AS (
+  SELECT EXTRACT(hour FROM ts) + EXTRACT(minute FROM ts) / 60.0 AS hodf, value
+  FROM events WHERE value IS NOT NULL
+), r AS (SELECT MIN(hodf) AS lo, MAX(hodf) AS hi FROM x),
+b AS (
+  SELECT LEAST(CAST(FLOOR((hodf - lo) / (hi - lo) * 24) AS BIGINT), 23) AS bin, value
+  FROM x, r
+), m AS (
+  SELECT g.bin, COALESCE(SUM(b.value), 0.0) AS s, COUNT(b.value) AS n
+  FROM (SELECT unnest(generate_series(0, 23)) AS bin) g
+  LEFT JOIN b ON b.bin = g.bin GROUP BY g.bin
+), w AS (
+  SELECT bin AS start,
+         SUM(s) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS ws,
+         SUM(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM m
+)
+SELECT CAST(start AS BIGINT) AS bin_lo,
+       CAST(start + 3 AS BIGINT) AS bin_hi,
+       ROUND((SELECT lo FROM r) + start * ((SELECT hi FROM r) - (SELECT lo FROM r)) / 24, 6) AS x_lo,
+       ROUND((SELECT lo FROM r) + (start + 4) * ((SELECT hi FROM r) - (SELECT lo FROM r)) / 24, 6) AS x_hi,
+       ROUND(ws / wn, 6) AS y_opt
+FROM w WHERE start <= 20 AND wn > 0
+ORDER BY ws / wn DESC, start LIMIT 1
+"""
+
+
 # ----------------------------------------------------- tokens-corpus surface
 
 
@@ -1597,6 +1650,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_agg": q_lineitem_agg,
     "tokens_rollup_tiny": q_tokens_rollup_tiny,
     "tokens_verify_tiny": q_tokens_verify_tiny,
+    "optimum_range": q_optimum_range,
     **DOC_QUERIES,
 }
 
@@ -1642,5 +1696,6 @@ ORACLE: dict[str, str] = {
     # harmonic_decompose: model-based least squares -> rows-only
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
+    "optimum_range": _SQL_OPTIMUM,
     **DOC_ORACLE,
 }

@@ -31,6 +31,63 @@ def assign_bins(v: np.ndarray, lo: float, hi: float, n: int) -> np.ndarray:
     return out
 
 
+def find_optimum_range(
+    ds: ray.data.Dataset,
+    *,
+    xcol: str,
+    ycol: str,
+    n_bins: int = 20,
+    win: int = 5,
+    mode: str = "max",
+    x_range: tuple[float, float] | None = None,
+) -> dict:
+    """FindOptimumRange (diive/analysis/optimumrange.py:19-474): bin X
+    equal-width, mean Y per bin, slide a ``win``-bin window over the
+    bin means and return the window where the window-mean of Y is
+    optimal (max/min). Per-batch vectorized partials -> driver combine
+    (bin count is tiny). Returns {bin_lo, bin_hi, x_lo, x_hi, y_opt}."""
+    from .exchange import driver_combine
+
+    if x_range is None:
+        lo, hi = ds.min(xcol), ds.max(xcol)
+    else:
+        lo, hi = x_range
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[xcol].astype(float).to_numpy()
+        y = df[ycol].astype(float).to_numpy()
+        m = ~np.isnan(x) & ~np.isnan(y) & (x >= lo) & (x <= hi)
+        b = np.minimum(np.floor((x[m] - lo) / (hi - lo) * n_bins), n_bins - 1).astype(np.int64)
+        return pd.DataFrame({"bin": b, "s": y[m], "n": 1}).groupby("bin", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+
+    agg = driver_combine(
+        ds, partial, lambda df: df.groupby("bin", as_index=False)[["s", "n"]].sum(),
+        batch_format="pandas",
+    ).set_index("bin").reindex(range(n_bins))
+    s = agg["s"].fillna(0.0).to_numpy()
+    n = agg["n"].fillna(0).to_numpy()
+    best, best_val = None, None
+    for start in range(0, n_bins - win + 1):
+        ns = n[start : start + win].sum()
+        if ns == 0:
+            continue
+        v = s[start : start + win].sum() / ns
+        if best is None or (v > best_val if mode == "max" else v < best_val):
+            best, best_val = start, v
+    if best is None:
+        return {"bin_lo": -1, "bin_hi": -1, "x_lo": np.nan, "x_hi": np.nan, "y_opt": np.nan}
+    width = (hi - lo) / n_bins
+    return {
+        "bin_lo": best,
+        "bin_hi": best + win - 1,
+        "x_lo": lo + best * width,
+        "x_hi": lo + (best + win) * width,
+        "y_opt": best_val,
+    }
+
+
 def grid_aggregate(
     ds: ray.data.Dataset,
     *,
