@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..schema import US_PER_DAY, US_PER_HOUR, US_PER_MIN
+from ..schema import US_PER_DAY, US_PER_HOUR
 from ..stages import outliers as ol
 from ..stages.bucket import make_bucket_assigner
 from ..stages.diel import diel_cycle, monthly_matrix
@@ -35,7 +35,7 @@ from ..stages.gridagg import grid_aggregate
 from ..stages.qcf import qcf_frame
 from ..stages.corrections import setto_threshold
 from ..stages.timefeatures import add_time_features, keep_daterange
-from .rollup import events_cascade, events_cascade_fused
+from .rollup import events_cascade_fused
 
 
 def _fused_tier(sf_dir: str, tier: str, **kw) -> "rd.Dataset":

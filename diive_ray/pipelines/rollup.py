@@ -31,7 +31,7 @@ from typing import Iterable
 import pyarrow.compute as pc
 import ray.data
 
-from ..schema import TIERS, US_PER_MIN, US_PER_SEC
+from ..schema import TIERS, US_PER_SEC
 from ..sources.sanitize import dedup_keep_last
 from ..stages.gaps import gapfill_rollup
 from ..stages.resample import (

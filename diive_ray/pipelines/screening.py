@@ -18,7 +18,6 @@ before the next test sees the data).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Iterable
 
 import numpy as np
 import pandas as pd

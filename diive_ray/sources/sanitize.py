@@ -24,9 +24,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
-import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray.data
 
 from ..schema import US_PER_HOUR

@@ -50,7 +50,6 @@ from typing import Callable, Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 FLAG_DTYPE = np.int8
