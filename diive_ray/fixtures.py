@@ -338,21 +338,36 @@ def ensure_fixture(
     if os.path.exists(done_marker):
         return out
     os.makedirs(out, exist_ok=True)
+    jobs = []
     for src in spec.sources:
         src_dir = os.path.join(out, f"src-{src.source}")
         os.makedirs(src_dir, exist_ok=True)
         for lo in range(0, src.n_seconds, chunk_seconds):
             hi = min(lo + chunk_seconds, src.n_seconds)
             path = os.path.join(src_dir, f"chunk-{lo:010d}.parquet")
-            if os.path.exists(path):
-                continue
-            tbl = gen_chunk(
-                src.source, src.t0_us, lo, hi,
-                base_seed=base_seed, defects=spec.defects, with_tokens=with_tokens,
-            )
-            tmp = path + ".tmp"
-            pq.write_table(tbl, tmp, compression="zstd")
-            os.replace(tmp, path)
+            if not os.path.exists(path):
+                jobs.append((src.source, src.t0_us, lo, hi, path,
+                             base_seed, spec.defects, with_tokens))
+    if jobs:
+        # chunk generation is independent -> process pool (each chunk is
+        # a pure function of its args; idempotent tmp+rename writes)
+        import multiprocessing as mp
+
+        workers = min(8, max(1, (os.cpu_count() or 8) // 4), len(jobs))
+        if workers > 1:
+            with mp.get_context("spawn").Pool(workers) as pool:
+                pool.map(_gen_chunk_job, jobs)
+        else:
+            for j in jobs:
+                _gen_chunk_job(j)
     with open(done_marker, "w") as f:
         f.write("ok\n")
     return out
+
+
+def _gen_chunk_job(args) -> None:
+    source, t0_us, lo, hi, path, base_seed, defects, with_tokens = args
+    tbl = gen_chunk(source, t0_us, lo, hi, base_seed=base_seed, defects=defects, with_tokens=with_tokens)
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, path)
