@@ -257,6 +257,65 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return perm.min(axis=1)
 
 
+def batch_minhash_signatures(
+    shingle_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray,
+    max_chunk_elems: int = 8_000_000,
+) -> np.ndarray:
+    """MinHash signatures for a whole batch at once: concatenate every
+    doc's shingle hashes, one (total_shingles x num_perm) multiply-shift
+    pass, then ``np.minimum.reduceat`` per doc — no per-doc Python in
+    the permutation loop. Chunked so the temporary stays under
+    ``max_chunk_elems`` (x8 bytes). Identical output to
+    ``[minhash_signature(s, a, b) for s in shingle_sets]`` (test-pinned).
+    """
+    num_perm = len(a)
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty) == 0:
+        return out
+    max_sh = max(1, max_chunk_elems // num_perm)
+    start = 0
+    while start < len(nonempty):
+        end = start
+        tot = 0
+        while end < len(nonempty) and (tot == 0 or tot + lens[nonempty[end]] <= max_sh):
+            tot += lens[nonempty[end]]
+            end += 1
+        idx = nonempty[start:end]
+        vals = np.concatenate([shingle_sets[i] for i in idx])
+        with np.errstate(over="ignore"):
+            perm = vals[:, None] * a[None, :] + b[None, :]
+        offs = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lens[idx][:-1], out=offs[1:])
+        out[idx] = np.minimum.reduceat(perm, offs, axis=0)
+        start = end
+    return out
+
+
+def batch_simhash64(shingle_sets: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per doc, batched: unpack bits of every shingle
+    hash in the batch once, ``np.add.reduceat`` the votes per doc, pack
+    the signs. Identical to ``[simhash64(s) for s in shingle_sets]``
+    (empty set -> 0)."""
+    n = len(shingle_sets)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty) == 0:
+        return out
+    vals = np.concatenate([shingle_sets[i] for i in nonempty])
+    bits = np.unpackbits(vals.view(np.uint8).reshape(len(vals), 8), axis=1, bitorder="little")
+    offs = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offs[1:])
+    votes = np.add.reduceat(bits.astype(np.int64), offs, axis=0) * 2 - lens[nonempty][:, None]
+    sig_bits = (votes > 0).astype(np.uint64)
+    packed = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed
+    return out
+
+
 def simhash64(shingles: np.ndarray) -> np.uint64:
     """64-bit SimHash of a shingle-hash set (unweighted): sign of the
     per-bit sum of +-1 votes."""

@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions import text as tx
+from ..util import round6
 from ..stages import dedup as dd
 from ..stages import multimodal as mm
 from ..stages import similarity as sim
@@ -37,7 +38,7 @@ def _embs(sf_dir: str, columns=None) -> rd.Dataset:
 
 def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
     for c in cols:
-        df[c] = np.round(df[c].astype(float), 6)
+        df[c] = round6(df[c].astype(float))
     return df
 
 
@@ -80,11 +81,11 @@ def q_doc_quality(sf_dir: str):
             "doc_id": t["doc_id"],
             "n_chars_calc": pa.array(feat["n_chars"], pa.int64()),
             "n_words": pa.array(feat["n_words"], pa.int64()),
-            "mean_word_len": pa.array(np.round(feat["mean_word_len"], 6)),
-            "punct_ratio": pa.array(np.round(feat["punct_ratio"], 6)),
-            "digit_ratio": pa.array(np.round(feat["digit_ratio"], 6)),
-            "stopword_ratio": pa.array(np.round(feat["stopword_ratio"], 6)),
-            "quality": pa.array(np.round(score, 6)),
+            "mean_word_len": pa.array(round6(feat["mean_word_len"])),
+            "punct_ratio": pa.array(round6(feat["punct_ratio"])),
+            "digit_ratio": pa.array(round6(feat["digit_ratio"])),
+            "stopword_ratio": pa.array(round6(feat["stopword_ratio"])),
+            "quality": pa.array(round6(score)),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -135,7 +136,7 @@ def q_doc_langid(sf_dir: str):
         return pa.table({
             "doc_id": t["doc_id"],
             "lang_pred": pa.array(lang.tolist(), pa.string()),
-            "lang_score": pa.array(np.round(score, 6)),
+            "lang_score": pa.array(round6(score)),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -308,7 +309,7 @@ def q_embedding_topk(sf_dir: str):
     qdf = ds.filter(expr="vec_id < 10").to_pandas().sort_values("vec_id")
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     got = sim.knn_brute_force(ds, Q, k=8, query_ids=qdf["vec_id"].to_numpy())
-    got["cos_sim"] = np.round(got["cos_sim"], 6)
+    got["cos_sim"] = round6(got["cos_sim"])
     got = got.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True], kind="stable")
     got["rank"] = got.groupby("query_id").cumcount() + 1
     got = got[got["rank"] <= 5]
@@ -361,7 +362,7 @@ def q_embedding_near_dup(sf_dir: str):
             return pa.table({
                 "id_a": pa.array(xid[ii[keep]], pa.int64()),
                 "id_b": pa.array(self.ids[jj[keep]], pa.int64()),
-                "cos_sim": pa.array(np.round(s[ii[keep], jj[keep]], 6)),
+                "cos_sim": pa.array(round6(s[ii[keep], jj[keep]])),
             })
 
     out = ds.map_batches(Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..schema import US_PER_DAY, US_PER_HOUR
+from ..util import round6, stable_round6
 from ..stages import outliers as ol
 from ..stages.bucket import make_bucket_assigner
 from ..stages.diel import diel_cycle, monthly_matrix
@@ -50,7 +51,7 @@ def _events(sf_dir: str, columns=None) -> rd.Dataset:
 
 def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     for c in cols:
-        df[c] = np.round(df[c].astype(float), 6)
+        df[c] = round6(df[c].astype(float))
     return df
 
 
@@ -118,7 +119,7 @@ WITH h AS (
 )
 SELECT event_type,
        CAST(time_bucket(INTERVAL '1 day', bucket_ts - INTERVAL '1 microsecond') + INTERVAL '1 day' AS TIMESTAMP) AS bucket_ts,
-       SUM(n) AS n,
+       CAST(SUM(n) AS BIGINT) AS n,
        ROUND(SUM(s), 6) AS sum_value,
        MIN(mn) AS min_value,
        MAX(mx) AS max_value,
@@ -1109,7 +1110,7 @@ WITH b AS (
 SELECT event_type,
        CAST(EXTRACT(year FROM gap_start) AS BIGINT) AS year,
        CAST(EXTRACT(month FROM gap_start) AS BIGINT) AS month,
-       COUNT(*) AS n_gaps, SUM(len) AS missing, MAX(len) AS longest
+       COUNT(*) AS n_gaps, CAST(SUM(len) AS BIGINT) AS missing, MAX(len) AS longest
 FROM gaps GROUP BY 1, 2, 3
 """
 
@@ -1121,7 +1122,7 @@ def q_monthly_ranks(sf_dir: str):
     ds = _events(sf_dir, ["event_type", "ts", "value"])
     long = monthly_matrix(ds, value_col="value", keys=["event_type"], agg="mean", ranks=False)
     long = long.rename(columns={"YEAR": "year", "MONTH": "month"})
-    long["value"] = np.round(long["value"].astype(float), 6)
+    long["value"] = round6(long["value"].astype(float))
     long["rank"] = (
         long.groupby(["event_type", "month"])["value"]
         .rank(method="dense", ascending=False)
@@ -1159,7 +1160,7 @@ def q_daynight_flag(sf_dir: str):
         us = ts_to_us(df["ts"])
         return pd.DataFrame({
             "event_id": df["event_id"],
-            "swin_pot": np.round(potential_radiation(us, 47.0, 8.5), 6),
+            "swin_pot": round6(potential_radiation(us, 47.0, 8.5)),
             "flag_daytime": daytime_flag(us, 47.0, 8.5).astype("int64"),
         })
 
@@ -1243,7 +1244,7 @@ def q_similarity_fill_1h(sf_dir: str):
     res = pd.DataFrame({
         "event_type": out["event_type"],
         "bucket_ts": pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]"),
-        "value_filled": np.round(out["mean_simfilled"].astype(float), 6),
+        "value_filled": stable_round6(out["mean_simfilled"].astype(float)),
         "fill_flag": out["mean_simfilled_flag"],
     })
     return res.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
@@ -1265,9 +1266,9 @@ WITH t AS (
   FROM grid g LEFT JOIN t ON t.event_type = g.event_type AND t.bucket_ts = g.bucket_ts
 )
 SELECT a.event_type, a.bucket_ts,
-       CASE WHEN a.v IS NOT NULL THEN ROUND(a.v, 6)
+       CASE WHEN a.v IS NOT NULL THEN ROUND(ROUND(a.v, 9), 6)
             ELSE (
-              SELECT CASE WHEN COUNT(b.v) >= 2 THEN ROUND(AVG(b.v), 6) END
+              SELECT CASE WHEN COUNT(b.v) >= 2 THEN ROUND(ROUND(AVG(b.v), 9), 6) END
               FROM j b
               WHERE b.event_type = a.event_type AND b.v IS NOT NULL
                 AND abs(date_diff('microsecond', a.bucket_ts, b.bucket_ts)) <= 259200000000
@@ -1410,7 +1411,7 @@ def q_embedding_knn_lsh(sf_dir: str):
     qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
     got = knn_lsh(ds, Q, k=5, query_ids=qdf["vec_id"].to_numpy(), n_planes=10, max_hamming=3)
-    got["cos_sim"] = np.round(got["cos_sim"], 6)
+    got["cos_sim"] = round6(got["cos_sim"])
     got["query_id"] = got["query_id"].astype("int64")
     got["vec_id"] = got["vec_id"].astype("int64")
     got["rank"] = got["rank"].astype("int64")

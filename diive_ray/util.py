@@ -6,6 +6,35 @@ import numpy as np
 import pandas as pd
 
 
+def round6(x, decimals: int = 6) -> np.ndarray:
+    """Round half AWAY FROM ZERO, matching DuckDB/ANSI-SQL ``ROUND``.
+
+    ``np.round`` is half-to-even (banker's rounding): on values that land
+    exactly on a rounding boundary (e.g. 68.4715625 -> 68.471562 vs
+    DuckDB's 68.471563) it diverges from the oracle and flips the driver's
+    value hash. Every float column a query returns must go through this.
+    NaN propagates (sign(nan)=nan).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    factor = 10.0 ** decimals
+    a = np.abs(x) * factor
+    fl = np.floor(a)
+    # frac >= 0.5 comparison (not floor(a + 0.5)) matches std::round /
+    # DuckDB exactly, including a = k + nextafter(0.5, 0) where the
+    # addition a + 0.5 would round up to k + 1.
+    r = np.where(a - fl >= 0.5, fl + 1.0, fl)
+    return np.sign(x) * r / factor
+
+
+def stable_round6(x) -> np.ndarray:
+    """round6 preceded by a 9-decimal round: collapses sub-5e-10
+    engine-vs-oracle summation-order noise BEFORE the 6-decimal round so
+    values landing exactly on a 6-decimal half-boundary (donor means of
+    6-decimal inputs do) round identically on both sides. The oracle SQL
+    must use ROUND(ROUND(x, 9), 6) wherever the engine uses this."""
+    return round6(round6(x, 9), 6)
+
+
 def ts_to_us(x) -> np.ndarray:
     """int64 microseconds-since-epoch from any datetime64 resolution.
 
