@@ -265,9 +265,11 @@ def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str) -> dict:
     for lo, hi in ((2, 8), (8, 32)):
         if lo in results and hi in results:
             pairs.setdefault(f"{lo}->{hi}", (lo, hi))
+    pair_label = f"{cpus_lo}->{cpus_hi}"
     return {
-        "metric": "scaling efficiency, rolled-up points/s (and tokens/s ingest), fresh ray sessions",
+        "metric": f"scaling efficiency ({pair_label} CPUs), rolled-up points/s (and tokens/s ingest), fresh ray sessions",
         "value": eff(thr, cpus_lo, cpus_hi),
+        "pair": pair_label,
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "num_cpus": cpus_hi,
@@ -289,8 +291,10 @@ def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str) -> dict:
             }
             for name, (lo, hi) in pairs.items()
         },
-        "scaling_efficiency_points": eff(thr, cpus_lo, cpus_hi),
-        "scaling_efficiency_tokens_ingest": eff(tok, cpus_lo, cpus_hi),
+        # field names carry the measured pair so a consumer reading only
+        # this JSON sees which CPU pair the headline efficiency is for
+        f"scaling_efficiency_points_{cpus_lo}to{cpus_hi}": eff(thr, cpus_lo, cpus_hi),
+        f"scaling_efficiency_tokens_ingest_{cpus_lo}to{cpus_hi}": eff(tok, cpus_lo, cpus_hi),
         "cpu_factor": cpus_hi / cpus_lo,
         "note": "single-node CPU scaling is bandwidth-capped on this VM (pure-compute spin scales 27.3x/32 while every memory-touching kernel saturates at 2.5-7x regardless of worker count); multi-node N->4N adds DRAM per node — see BASELINE.md",
     }

@@ -90,6 +90,67 @@ def _step_map_batches(ds, *, fn, **kw):
     return ds.map_batches(fn, **kw)
 
 
+def _step_daynight_flag(ds, *, ts_col="ts", lat=47.0, lon=8.5, out_col="is_day"):
+    """L3.2 prerequisite: potential-radiation day/night flag
+    (run_chain.py L3.2 separate_daytime_nighttime)."""
+    import numpy as np
+
+    from ..functions.solar import daytime_flag
+    from ..util import ts_to_us
+
+    def fn(df):
+        df = df.copy()
+        df[out_col] = daytime_flag(ts_to_us(df[ts_col]), lat, lon).astype(np.int64)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _step_storage_correction(ds, *, flux_col="value", storage_col="storage", out_col="flux_corr", set_storage_to_zero=False):
+    """L3.1 storage correction (run_chain.py:406-411): corrected flux =
+    flux + storage term (or flux unchanged when storage is zeroed)."""
+    def fn(df):
+        df = df.copy()
+        if set_storage_to_zero:
+            df[out_col] = df[flux_col].astype(float)
+        else:
+            df[out_col] = df[flux_col].astype(float) + df[storage_col].astype(float)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _step_qcf_combine(ds, *, flag_cols, out_col="FLAG_QCF"):
+    """Combine test flags to the overall QCF flag: 2 (hard reject) if
+    any listed flag is 2, else 0 (qcf.py flag algebra, hard flags)."""
+    import numpy as np
+
+    flag_cols = list(flag_cols)
+
+    def fn(df):
+        df = df.copy()
+        bad = np.zeros(len(df), dtype=bool)
+        for c in flag_cols:
+            bad |= df[c].to_numpy() == 2
+        df[out_col] = np.where(bad, 2, 0).astype(np.int64)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _step_ustar_filter(ds, *, ustar_col="ustar", threshold=0.3, is_day_col="is_day", qcf_col="FLAG_QCF"):
+    """L3.3 constant-USTAR scenario (run_chain.py:438-447): reject
+    nighttime records with ustar below the threshold, and drop every
+    QCF-rejected record — the accepted set feeds L4.1 / the rollup."""
+    def fn(df):
+        keep = ~((df[is_day_col].to_numpy() == 0) & (df[ustar_col].to_numpy() < threshold))
+        if qcf_col in df.columns:
+            keep &= df[qcf_col].to_numpy() != 2
+        return df[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 STEP_REGISTRY: dict[str, Callable] = {
     "setto_threshold": _step_setto_threshold,
     "setto_value": _step_setto_value,
@@ -99,6 +160,10 @@ STEP_REGISTRY: dict[str, Callable] = {
     "gapfill": _step_gapfill,
     "features": _step_features,
     "map_batches": _step_map_batches,  # escape hatch: any fn(batch)->batch
+    "daynight_flag": _step_daynight_flag,
+    "storage_correction": _step_storage_correction,
+    "qcf_combine": _step_qcf_combine,
+    "ustar_filter": _step_ustar_filter,
 }
 
 

@@ -336,36 +336,15 @@ SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """All vector pairs with cosine >= 0.45: exact block-pairwise path
-    (each batch vs the ray.put-broadcast normalized matrix — at corpus
-    scale the right side shards into column blocks, same contract).
-    Threshold chosen off any pair's margin (no pair within 1e-4)."""
-    import ray as _ray
-
+    """All vector pairs with cosine >= 0.45 via the EXACT sharded
+    block-pairwise self-join (stages/similarity.py:
+    embedding_all_pairs_exact — deterministic id-hash shards, one
+    matmul per shard-pair block, every unordered pair scored exactly
+    once, no driver-side corpus materialization). Threshold chosen off
+    any pair's margin (no pair within 1e-4)."""
     ds = _embs(sf_dir)
-    full = ds.to_pandas().sort_values("vec_id")
-    M = np.asarray([np.asarray(v, dtype=np.float64) for v in full["embedding"]])
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ids = full["vec_id"].to_numpy()
-    m_ref = _ray.put((M, ids))
-
-    class Pairs:
-        def __init__(self):
-            self.M, self.ids = _ray.get(m_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            x = sim._normalize(sim._batch_matrix(t, "embedding"))
-            xid = t["vec_id"].to_numpy(zero_copy_only=False)
-            s = x @ self.M.T
-            ii, jj = np.nonzero(s >= 0.45)
-            keep = xid[ii] < self.ids[jj]
-            return pa.table({
-                "id_a": pa.array(xid[ii[keep]], pa.int64()),
-                "id_b": pa.array(self.ids[jj[keep]], pa.int64()),
-                "cos_sim": pa.array(round6(s[ii[keep], jj[keep]])),
-            })
-
-    out = ds.map_batches(Pairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    out = sim.embedding_all_pairs_exact(ds, threshold=0.45, n_shards=8).to_pandas()
+    out["cos_sim"] = round6(out["cos_sim"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -221,17 +221,24 @@ def q_zscore_daynight(sf_dir: str):
     )
     mom["mean"] = mom["s"] / mom["n"]
     mom["std"] = np.sqrt(np.maximum(mom["s2"] / mom["n"] - mom["mean"] ** 2, 0.0))
-    lut = {(r["event_type"], r["is_day"]): (r["mean"], r["std"]) for _, r in mom.iterrows()}
+    import ray as _ray
 
-    def mask(df: pd.DataFrame) -> pd.DataFrame:
-        ms = np.array([lut.get((et, d), (np.nan, np.nan)) for et, d in zip(df["event_type"], df["is_day"])])
-        v = df["value"].astype(float).to_numpy()
-        with np.errstate(invalid="ignore", divide="ignore"):
-            z = np.abs((v - ms[:, 0]) / ms[:, 1])
-        out = df[(~np.isnan(v)) & (z > 2.5)]
-        return out[["event_id", "event_type", "is_day", "value"]]
+    st_ref = _ray.put(mom[["event_type", "is_day", "mean", "std"]])
 
-    out = flagged.map_batches(mask, batch_format="pandas").to_pandas()
+    class Mask:
+        def __init__(self):
+            self.stats = _ray.get(st_ref)  # broadcast once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized merge (no per-row dict lookups)
+            m = df.merge(self.stats, on=["event_type", "is_day"], how="left")
+            v = m["value"].astype(float).to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = np.abs((v - m["mean"].to_numpy()) / m["std"].to_numpy())
+            out = m[(~np.isnan(v)) & (z > 2.5)]
+            return out[["event_id", "event_type", "is_day", "value"]]
+
+    out = flagged.map_batches(Mask, batch_format="pandas", concurrency=(1, 8)).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -655,24 +662,24 @@ def q_day_mean_as_hires(sf_dir: str):
     daily["mean(value)"] = daily["value_sum"] / daily["value_count"]
     import ray as _ray
 
-    lut = {
-        (r["event_type"], int(pd.Timestamp(r["bucket_ts"]).value // 1000)): r["mean(value)"]
-        for _, r in daily.iterrows()
-    }
-    lut_ref = _ray.put(lut)
+    from ..util import ts_to_us as _tsus
+
+    daily["day_us"] = _tsus(pd.to_datetime(daily["bucket_ts"]))
+    lut_ref = _ray.put(daily[["event_type", "day_us", "mean(value)"]].rename(columns={"mean(value)": "day_mean"}))
 
     class Broadcast:
         def __init__(self):
-            self.lut = _ray.get(lut_ref)
+            self.daily = _ray.get(lut_ref)  # broadcast once per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             from ..util import ts_to_us
             from ..stages.bucket import bucket_end_us
 
-            day = bucket_end_us(ts_to_us(df["ts"]), US_PER_DAY, end_stamped=False)
             df = df.copy()
-            df["day_mean"] = [self.lut.get((et, int(d))) for et, d in zip(df["event_type"], day)]
-            return df
+            df["day_us"] = bucket_end_us(ts_to_us(df["ts"]), US_PER_DAY, end_stamped=False)
+            # vectorized merge (no per-row dict lookups)
+            m = df.merge(self.daily, on=["event_type", "day_us"], how="left")
+            return m.drop(columns=["day_us"])
 
     out = ds.map_batches(Broadcast, batch_format="pandas", concurrency=2).to_pandas()
     out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
@@ -1292,6 +1299,234 @@ FROM j a
 """
 
 
+def q_flux_chain(sf_dir: str):
+    """Flux processing chain L2 -> L4 end-to-end on the Chain API
+    (reference run_chain.py:51-530): L2 missing + absolute-limit flags
+    -> L3.1 storage correction (deterministic synthesized storage term)
+    -> L3.2 Hampel day/night separate (window 49, sigma 5.5,
+    non-iterated variant for SQL parity; run_chain's L3.2 is
+    unconditional) -> QCF combine -> L3.3 constant-USTAR nighttime
+    filter -> hourly rollup of accepted corrected flux."""
+    from .chain import Chain, Step
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic stand-ins for the storage term and USTAR columns
+        # (integer-exact so the oracle reproduces them bit-for-bit)
+        df = df.copy()
+        eid = df["event_id"].to_numpy()
+        v = df["value"].astype(float)
+        df["storage"] = ((eid % 7) - 3) * 0.1
+        df["ustar"] = ((eid * 13) % 100) / 100.0
+        df["FLAG_MISSING"] = np.where(v.isna(), 2, 0).astype(np.int64)
+        df["FLAG_ABSLIM"] = np.where((v < 0) | (v > 450), 2, 0).astype(np.int64)
+        return df
+
+    chain = Chain([
+        Step("map_batches", fn=synth, batch_format="pandas"),
+        Step("daynight_flag"),
+        Step("storage_correction", flux_col="value", storage_col="storage", out_col="flux_corr"),
+        Step("flag_outliers", method="hampel", value_col="flux_corr",
+             keys=("event_type", "is_day"), ts_col=["ts", "event_id"],
+             window_length=49, n_sigma=5.5, repeat=False),
+        Step("qcf_combine", flag_cols=("FLAG_MISSING", "FLAG_ABSLIM", "FLAG_flux_corr_HAMPEL_TEST")),
+        Step("ustar_filter", ustar_col="ustar", threshold=0.3),
+        Step("rollup", width_us=US_PER_HOUR, value_col="flux_corr", keys=("event_type",)),
+    ])
+    out = chain.run(ds).to_pandas()
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "bucket_ts": pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]"),
+        "n": out["count"].astype("int64"),
+        "mean_flux": stable_round6(out["mean"].astype(float)),
+    })
+    return res.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_FLUX_CHAIN = """
+WITH f AS (
+  SELECT event_id, event_type, ts, value,
+         CASE WHEN 1367.0 * GREATEST(
+           sin(radians(47.0)) * sin(radians(-23.44) * cos(2 * pi() * (((epoch(ts) / 86400.0) % 365.25) + 10.0) / 365.25))
+           + cos(radians(47.0)) * cos(radians(-23.44) * cos(2 * pi() * (((epoch(ts) / 86400.0) % 365.25) + 10.0) / 365.25))
+             * cos(radians(15.0 * ((((epoch(ts) % 86400) / 3600.0) + 8.5 / 15.0) - 12.0))),
+           0.0) > 20.0 THEN 1 ELSE 0 END AS is_day,
+         ((event_id % 7) - 3) * 0.1 AS storage,
+         ((event_id * 13) % 100) / 100.0 AS ustar
+  FROM events
+), c AS (
+  SELECT *, value + storage AS flux_corr,
+         CASE WHEN value IS NULL THEN 2 ELSE 0 END AS flag_missing,
+         CASE WHEN value < 0 OR value > 450 THEN 2 ELSE 0 END AS flag_abslim
+  FROM f
+), s AS (
+  SELECT event_id, event_type, is_day, flux_corr,
+         ROW_NUMBER() OVER (PARTITION BY event_type, is_day ORDER BY ts, event_id) AS pos
+  FROM c WHERE flux_corr IS NOT NULL
+), d AS (
+  SELECT *,
+    COALESCE(
+      (flux_corr - lag(flux_corr) OVER w) - (lead(flux_corr) OVER w - flux_corr), 0.0) AS dd
+  FROM s WINDOW w AS (PARTITION BY event_type, is_day ORDER BY pos)
+), m AS (
+  SELECT *,
+    CAST(median(dd) OVER (PARTITION BY event_type, is_day ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) AS rmed
+  FROM d
+), dev AS (
+  SELECT *, ABS(dd - rmed) AS adev FROM m
+), mad AS (
+  SELECT *,
+    CAST(median(adev) OVER (PARTITION BY event_type, is_day ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) + 1e-6 AS rmad
+  FROM dev
+), h AS (
+  SELECT event_id,
+         CASE WHEN dd > rmed + (1.4826 * rmad) * 5.5
+                OR dd < rmed - (1.4826 * rmad) * 5.5 THEN 2 ELSE 0 END AS flag_hampel
+  FROM mad
+), acc AS (
+  SELECT c.*, COALESCE(h.flag_hampel, 0) AS flag_hampel
+  FROM c LEFT JOIN h USING (event_id)
+)
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+       CAST(COUNT(flux_corr) AS BIGINT) AS n,
+       ROUND(ROUND(SUM(flux_corr) / COUNT(flux_corr), 9), 6) AS mean_flux
+FROM acc
+WHERE flag_missing <> 2 AND flag_abslim <> 2 AND flag_hampel <> 2
+  AND NOT (is_day = 0 AND ustar < 0.3)
+GROUP BY 1, 2
+HAVING COUNT(flux_corr) >= 1
+"""
+
+
+_MDS_PASSES = [
+    # the head of the reference's 6-loop ladder (stages/mds.py:
+    # oneflux_ladder), every loop represented: ALL 14,28 | SWIN 14 |
+    # MDC 1,3,5 | ALL 42 | SWIN 28 | MDC 7,14
+    (1, 14), (1, 28), (2, 14), (3, 1), (3, 3), (3, 5), (1, 42), (2, 28), (3, 7), (3, 14),
+]
+
+
+def q_mds_fill(sf_dir: str):
+    """Full MDS cascade gap-fill (reference
+    diive/gapfilling/similarity.py:26-42,145-350 semantics; engine
+    kernel stages/mds.py): hourly series per event_type, synthesized
+    integer-exact SWIN/TA/VPD drivers (deterministic functions of hour
+    and grid position so the DuckDB oracle reproduces them bit-exactly),
+    expanding-window passes with ONEFlux tolerances, granular
+    method*1000+window flags and collapsed quality."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+    from ..stages.mds import Pass, mds_cascade, mds_quality
+    from ..util import ts_to_us
+
+    t1h = _fused_tier(sf_dir, "1h")
+    passes = [Pass(m, tw) for m, tw in _MDS_PASSES]
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        n = len(reg)
+        pos = np.arange(n, dtype=np.int64)
+        hr = (ts_to_us(reg["bucket_ts"]) // US_PER_HOUR) % 24
+        ta = ((hr * 7) % 24) - 10 + (pos % 5)
+        swin = np.where((hr >= 6) & (hr <= 17), 50 * (12 - np.abs(hr - 12)), 0)
+        vpd = np.abs(((pos * 3) % 17) - 8)
+        out = mds_cascade(
+            reg["mean"].to_numpy(dtype=np.float64),
+            swin=swin.astype(np.float64), ta=ta.astype(np.float64),
+            vpd=vpd.astype(np.float64), hr=hr.astype(np.float64),
+            nperday=24, passes=passes, min_donors=2,
+        )
+        return pd.DataFrame({
+            "event_type": key,
+            "bucket_ts": reg["bucket_ts"],
+            "value_filled": out["filled"],
+            "fill_flag": out["flag"],
+            "fill_quality": out["quality"],
+            "n_donors": out["n_donors"],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], gfn).to_pandas()
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "bucket_ts": pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]"),
+        "value_filled": stable_round6(out["value_filled"].astype(float)),
+        "fill_flag": out["fill_flag"].astype("int64"),
+        "fill_quality": out["fill_quality"].astype("int64"),
+        "n_donors": out["n_donors"].astype("int64"),
+    })
+    return res.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+def _mds_sql() -> str:
+    """Generate the MDS cascade oracle: one self-join CTE per pass with
+    the exact tolerance predicates, COALESCEd in ladder order."""
+    from ..stages.mds import mds_quality
+
+    ctes, sel_val, sel_flag, sel_q, sel_nd = [], [], [], [], []
+    for k, (m, tw) in enumerate(_MDS_PASSES):
+        h = max(1, tw * 24 // 2)
+        if m == 3:
+            cond = "ABS(b.hr - a.hr) < 1.1"
+        else:
+            cond = "ABS(b.swin - a.swin) < LEAST(GREATEST(a.swin, 20.0), 50.0)"
+            if m == 1:
+                cond += " AND ABS(b.ta - a.ta) < 2.5 AND ABS(b.vpd - a.vpd) < 5.0"
+        ctes.append(
+            f"p{k} AS (SELECT a.event_type, a.pos, AVG(b.v) AS m, COUNT(*) AS c"
+            f" FROM g a JOIN g b ON b.event_type = a.event_type"
+            f" AND b.pos BETWEEN a.pos - {h} AND a.pos + {h - 1}"
+            f" AND b.v IS NOT NULL AND {cond}"
+            f" WHERE a.v IS NULL GROUP BY 1, 2 HAVING COUNT(*) >= 2)"
+        )
+        q = int(mds_quality(np.array(m), np.array(tw)))
+        flag = m * 1000 + int(round(tw))
+        sel_val.append(f"p{k}.m")
+        sel_flag.append(f"WHEN p{k}.m IS NOT NULL THEN {flag}")
+        sel_q.append(f"WHEN p{k}.m IS NOT NULL THEN {q}")
+        sel_nd.append(f"WHEN p{k}.m IS NOT NULL THEN p{k}.c")
+    joins = "".join(
+        f" LEFT JOIN p{k} ON p{k}.event_type = g.event_type AND p{k}.pos = g.pos"
+        for k in range(len(_MDS_PASSES))
+    )
+    return f"""
+WITH t AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS v
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), span AS (
+  SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM t GROUP BY 1
+), grid AS (
+  SELECT s.event_type, gg.ts AS bucket_ts
+  FROM span s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi, INTERVAL '1 hour')) AS ts) gg
+), base AS (
+  SELECT grid.event_type, grid.bucket_ts, t.v,
+         ROW_NUMBER() OVER (PARTITION BY grid.event_type ORDER BY grid.bucket_ts) - 1 AS pos,
+         EXTRACT(hour FROM grid.bucket_ts)::BIGINT AS hr
+  FROM grid LEFT JOIN t ON t.event_type = grid.event_type AND t.bucket_ts = grid.bucket_ts
+), g AS (
+  SELECT *,
+         ((hr * 7) % 24) - 10 + (pos % 5) AS ta,
+         CASE WHEN hr BETWEEN 6 AND 17 THEN 50 * (12 - ABS(hr - 12)) ELSE 0 END AS swin,
+         ABS(((pos * 3) % 17) - 8) AS vpd
+  FROM base
+), {", ".join(ctes)}
+SELECT g.event_type, g.bucket_ts,
+       CASE WHEN g.v IS NOT NULL THEN ROUND(ROUND(g.v, 9), 6)
+            ELSE ROUND(ROUND(COALESCE({", ".join(sel_val)}), 9), 6) END AS value_filled,
+       CAST(CASE WHEN g.v IS NOT NULL THEN 0 {" ".join(sel_flag)} ELSE 0 END AS BIGINT) AS fill_flag,
+       CAST(CASE WHEN g.v IS NOT NULL THEN 0 {" ".join(sel_q)} ELSE 0 END AS BIGINT) AS fill_quality,
+       CAST(CASE WHEN g.v IS NOT NULL THEN 0 {" ".join(sel_nd)} ELSE 0 END AS BIGINT) AS n_donors
+FROM g{joins}
+"""
+
+
 def q_harmonic_decompose(sf_dir: str):
     """Seasonal-trend decomposition (STL stand-in, stages/decompose.py):
     2-harmonic diurnal fit per event_type over the 1h tier. Closed-form
@@ -1646,6 +1881,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "daily_correlation": q_daily_correlation,
     "similarity_fill_1h": q_similarity_fill_1h,
+    "mds_fill": q_mds_fill,
+    "flux_chain": q_flux_chain,
     "harmonic_decompose": q_harmonic_decompose,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
@@ -1694,6 +1931,8 @@ ORACLE: dict[str, str] = {
     # embedding_knn_lsh: probabilistic LSH -> rows-only
     "daily_correlation": _SQL_DAILY_CORR,
     "similarity_fill_1h": _SQL_SIMFILL,
+    "mds_fill": _mds_sql(),
+    "flux_chain": _SQL_FLUX_CHAIN,
     # harmonic_decompose: model-based least squares -> rows-only
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,

@@ -8,18 +8,20 @@ hash-partition + per-group-first pattern).
 
 Scale design (the partitioning assumptions each stage relies on):
 
-* ``exact_dedup`` — digest computed per batch (vectorized polynomial
-  fingerprint x 2 seeds -> 62-bit key), then hash-shuffle
-  ``groupby(digest)`` + per-group keep-min-id. One all-to-all on a
-  16-byte key per doc, never on the text payload.
+* ``exact_dedup`` — 128-bit BLAKE2b digest per doc; default mode
+  hash-shuffles ONLY the (digest, id) projection (24 bytes/doc, never
+  the text payload), resolves per-group losers, broadcasts the loser
+  id set, and filters the corpus in place; ``mode="shuffle"`` keeps
+  the payload-exchange variant for dup-heavy corpora.
 * ``minhash_lsh_*`` — per-batch vectorized shingle->minhash signatures;
   band buckets emitted as (band, band_hash, doc_id) rows (b x n small
-  rows); ``groupby(band, band_hash)`` yields candidate groups; exact
-  Jaccard verification joins shingle sets back ONLY for candidate docs
-  (broadcast candidate-id set; shingles recomputed per batch — cheaper
-  than shuffling shingle sets for the whole corpus). Candidate volume
-  is assumed << corpus (true for dedup-grade thresholds); verified
-  pairs and the union-find over them are driver-side (tiny).
+  rows); ``groupby(band, band_hash)`` yields candidate groups with a
+  bucket-size cap (logged drops); candidate pairs stay a Dataset;
+  exact-Jaccard verification attaches each side's shingle set through
+  two keyed union-join exchanges (shingles computed for candidate docs
+  only) and scores per block — nothing pair-shaped ever materializes
+  on the driver. Component resolution is per-partition iterative
+  min-label propagation (``connected_components``).
 * ``simhash_*`` — 64-bit signature per doc; candidates = equal 16-bit
   band (4 bands => Hamming distance <= 3 is always caught).
 * ``ngram_jaccard_pairs_blocked`` — exact pairwise Jaccard *within
@@ -45,16 +47,23 @@ from ..functions import text as tx
 
 
 def add_text_digest(ds: ray.data.Dataset, text_col: str = "text", out_col: str = "digest") -> ray.data.Dataset:
-    """Append a 62-bit content digest (two independent 31-bit polynomial
-    fingerprints) — collision probability ~n^2/2^62, and exact-equality
-    groups are re-checked by the keep rule anyway."""
+    """Append a 128-bit BLAKE2b content digest as two int64 columns
+    (``{out_col}_hi``, ``{out_col}_lo``). Collision probability
+    ~n^2/2^129 — cryptographically negligible even at trillions of
+    docs, so digest equality IS text equality for dedup purposes (no
+    byte re-check needed; the earlier 62-bit correlated-polynomial
+    digest was not safe at corpus scale)."""
+    import hashlib
 
     def fn(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
-        h1 = tx.polynomial_fingerprint(texts)
-        h2 = tx.polynomial_fingerprint([s[::-1] for s in texts])
-        digest = (h1.astype(np.int64) << 31) | h2.astype(np.int64)
-        return t.append_column(out_col, pa.array(digest, pa.int64()))
+        raw = b"".join(
+            hashlib.blake2b(s.encode("utf-8", "surrogatepass"), digest_size=16).digest()
+            for s in texts
+        )
+        both = np.frombuffer(raw, dtype=np.int64).reshape(len(texts), 2) if texts else np.empty((0, 2), np.int64)
+        t = t.append_column(f"{out_col}_hi", pa.array(both[:, 0], pa.int64()))
+        return t.append_column(f"{out_col}_lo", pa.array(both[:, 1], pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -65,24 +74,70 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: str = "min",
+    mode: str = "broadcast",
 ) -> ray.data.Dataset:
-    """Exact dedup: hash-partition on content digest, keep the min (or
-    max) id per group — the distributed form of keep-first/keep-last
-    (times.py:1409-1459 keeps last by position; here position is the
-    stable ``id_col``)."""
-    with_digest = add_text_digest(ds, text_col)
+    """Exact dedup: keep the min (or max) id per identical text — the
+    distributed form of keep-first/keep-last (the reference's only
+    dedup, diive/core/times/times.py:1409-1459, keeps last by position;
+    here position is the stable ``id_col``).
 
-    def keep_block(df: pd.DataFrame) -> pd.DataFrame:
-        # all rows of a digest are in this block (hash exchange): one
-        # vectorized sort + drop_duplicates keeps min/max id per digest
-        df = df.sort_values([ "digest", id_col], kind="stable")
-        return df.drop_duplicates(subset=["digest"], keep="first" if keep == "min" else "last")
+    ``mode="broadcast"`` (default, the 100-TB path): the text payload
+    NEVER moves. A (digest_hi, digest_lo, id) projection — 24 bytes/doc
+    — is hash-exchanged on the digest; each block resolves its groups
+    and emits only the LOSER ids (every id except the kept one). The
+    loser set (bounded by the duplicate count, not the corpus) is
+    broadcast via ray.put and the original dataset is filtered in a
+    single map_batches pass with a vectorized sorted-array membership
+    test.
+
+    ``mode="shuffle"``: hash-exchange the full rows on the digest and
+    keep min/max per block — for dup-heavy corpora where the loser set
+    itself would be too large to broadcast (then winners << corpus and
+    the payload exchange is the cheaper side)."""
+    import ray as _ray
 
     from .exchange import block_map
 
-    return block_map(
-        with_digest, ["digest"], keep_block, batch_format="pandas", zero_copy_batch=False
-    ).drop_columns(["digest"])
+    with_digest = add_text_digest(ds, text_col)
+    dkeys = ["digest_hi", "digest_lo"]
+
+    if mode == "shuffle":
+        def keep_block(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(dkeys + [id_col], kind="stable")
+            return df.drop_duplicates(subset=dkeys, keep="first" if keep == "min" else "last")
+
+        return block_map(
+            with_digest, dkeys, keep_block, batch_format="pandas", zero_copy_batch=False
+        ).drop_columns(dkeys)
+
+    # broadcast mode: shuffle only the 24-byte key projection
+    key_ds = with_digest.select_columns(dkeys + [id_col])
+
+    def losers_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(dkeys + [id_col], kind="stable")
+        lose = df.duplicated(subset=dkeys, keep="first" if keep == "min" else "last")
+        return df.loc[lose, [id_col]]
+
+    loser_df = block_map(
+        key_ds, dkeys, losers_block, batch_format="pandas", zero_copy_batch=False
+    ).to_pandas()
+    # a dup-free corpus yields an empty (schema-less) collect
+    losers = loser_df[id_col].to_numpy() if len(loser_df) else np.array([], dtype=np.int64)
+    losers.sort()
+    lose_ref = _ray.put(losers)
+
+    class DropLosers:
+        def __init__(self):
+            self.losers = _ray.get(lose_ref)  # broadcast once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.losers, ids)
+            pos = np.minimum(pos, max(len(self.losers) - 1, 0))
+            is_loser = (self.losers[pos] == ids) if len(self.losers) else np.zeros(len(ids), bool)
+            return t.filter(pa.array(~is_loser))
+
+    return ds.map_batches(DropLosers, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
 
 # ------------------------------------------------------------ MinHash/LSH
@@ -107,8 +162,10 @@ def signature_dataset(
     def fn(t: pa.Table) -> pa.Table:
         ids = t[id_col]
         shingle_sets = tx.batch_shingle_hashes(t[text_col].to_pylist(), shingle_k, seed)
-        sigs = [tx.minhash_signature(sh, a, b).view(np.int64) for sh in shingle_sets]
-        return pa.table({id_col: ids, "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))})
+        sigs = tx.batch_minhash_signatures(shingle_sets, a, b).view(np.int64)  # [n, num_perm]
+        offsets = np.arange(0, (len(shingle_sets) + 1) * num_perm, num_perm, dtype=np.int32)
+        sig_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(sigs.reshape(-1), pa.int64()))
+        return pa.table({id_col: ids, "sig": sig_arr})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -119,99 +176,214 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
-) -> list[tuple]:
-    """Candidate id pairs from banded LSH: emit (band, band_hash, id)
-    rows, groupby band bucket, pair up within buckets. Returns the
-    deduplicated driver-side pair list (assumed small; see module doc)."""
+    max_bucket: int = 2000,
+) -> ray.data.Dataset:
+    """Candidate id pairs from banded LSH, fully distributed: emit
+    (band, band_hash, id) rows with one vectorized band-hash mix per
+    batch, hash-exchange on the bucket key, pair up within buckets, and
+    dedup the (id_a, id_b) pairs with a second keyed exchange. Returns
+    a Dataset — nothing pair-shaped ever lands on the driver.
+
+    ``max_bucket`` caps the O(g^2) pair fan-out of a hot band bucket
+    (boilerplate-heavy corpora): buckets above the cap are SKIPPED and
+    logged (a bucket that large means the band hash carries no
+    discriminating power; its members overwhelmingly co-occur in other,
+    smaller buckets)."""
     r = num_perm // bands
 
     def emit(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        sigs = t["sig"].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, sig in enumerate(sigs):
-            s = np.asarray(sig, dtype=np.int64).view(np.uint64).reshape(bands, r)
-            with np.errstate(over="ignore"):
-                bh = np.zeros(bands, dtype=np.uint64)
-                for j in range(r):
-                    bh = bh * np.uint64(0x9E3779B97F4A7C15) + s[:, j]
-            out_band.extend(range(bands))
-            out_hash.extend(bh.view(np.int64).tolist())
-            out_id.extend([ids[i]] * bands)
+        n = len(t)
+        if n == 0:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                id_col: pa.array([], t[id_col].type),
+            })
+        flat = t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        m = flat.astype(np.int64).view(np.uint64).reshape(n, bands, r)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, bands), dtype=np.uint64)
+            for j in range(r):
+                bh = bh * np.uint64(0x9E3779B97F4A7C15) + m[:, :, j]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            id_col: pa.array(out_id),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64), pa.int64()),
+            id_col: pa.array(np.repeat(ids, bands), t[id_col].type),
         })
 
     def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                left.append(ids[i])
-                right.append(ids[j])
-        return pd.DataFrame({"id_a": left, "id_b": right})
+        g = len(df)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=df[id_col].dtype),
+                              "id_b": pd.Series([], dtype=df[id_col].dtype)})
+        if g < 2:
+            return empty
+        if g > max_bucket:
+            import logging
 
-    from .exchange import grouped_block_map
+            logging.getLogger(__name__).warning(
+                "lsh_candidate_pairs: dropping band bucket of size %d (> max_bucket=%d)",
+                g, max_bucket,
+            )
+            return empty
+        ids = np.sort(df[id_col].to_numpy())
+        ii, jj = np.triu_indices(g, 1)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+
+    from .exchange import block_map, grouped_block_map
 
     pairs = grouped_block_map(
         sig_ds.map_batches(emit, batch_format="pyarrow"), ["band", "band_hash"], pairs_of_group
-    ).to_pandas()
-    if pairs.empty:
-        return []
-    return sorted(set(zip(pairs["id_a"], pairs["id_b"])))
+    )
+    return block_map(
+        pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+
+def candidate_shingle_sets(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """(key, sh) shingle-hash sets for exactly the doc ids appearing in
+    ``pairs`` — via a keyed union semi-join (marker rows from the pairs
+    + doc rows, one hash exchange on the id), so neither an id set nor
+    a shingle dict ever materializes on the driver. Only candidate
+    docs' text moves in the exchange."""
+
+    def marker_emit(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])
+        return pa.table({
+            "key": ids,
+            text_col: pa.nulls(len(ids), pa.string()),
+            "side": pa.array(np.zeros(len(ids), dtype=np.int8), pa.int8()),
+        })
+
+    def doc_emit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t[id_col],
+            text_col: t[text_col],
+            "side": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+        })
+
+    unioned = pairs.map_batches(marker_emit, batch_format="pyarrow").union(
+        ds.map_batches(doc_emit, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def block_fn(df: pd.DataFrame) -> pa.Table:
+        want = set(df.loc[df["side"] == 0, "key"])
+        d = df[(df["side"] == 1) & df["key"].isin(want)]
+        sets = tx.batch_shingle_hashes(d[text_col].tolist(), shingle_k, seed)
+        return pa.table({
+            "key": pa.array(d["key"].to_numpy(dtype=np.int64), pa.int64()),
+            "sh": pa.array([s.view(np.int64) for s in sets], pa.list_(pa.int64())),
+        })
+
+    from .exchange import block_map
+
+    return block_map(unioned, ["key"], block_fn, batch_format="pandas", zero_copy_batch=False)
 
 
 def verify_pairs_exact_jaccard(
     ds: ray.data.Dataset,
-    pairs: list[tuple],
+    pairs: ray.data.Dataset,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     seed: int = 7,
     threshold: float = 0.5,
-) -> pd.DataFrame:
-    """Exact-Jaccard verification of candidate pairs: shingle sets are
-    recomputed per batch for candidate docs only (broadcast id set) and
-    collected (bounded by candidate volume), then each pair is scored.
-    Returns (id_a, id_b, jaccard) for pairs >= threshold."""
-    if not pairs:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    import ray as _ray
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, fully distributed:
+    shingle sets for candidate docs only (keyed semi-join), then each
+    side's set is attached through a keyed union-join exchange (pairs
+    hash-partitioned by id_a, then by id_b) and scored per block.
+    Returns a Dataset of (id_a, id_b, jaccard) with jaccard >= threshold."""
+    from .exchange import block_map
 
-    involved = set()
-    for a_, b_ in pairs:
-        involved.add(a_)
-        involved.add(b_)
-    inv_ref = _ray.put(involved)
+    # Materialize the two bounded intermediates (candidate pairs and
+    # candidate shingle sets): both are consumed twice below, and
+    # splitting the topology keeps at most 2 hash-shuffle operators in
+    # any one streaming graph — chaining all 5 starves the shuffle
+    # aggregator actor pools of CPUs on small clusters (observed
+    # deadlock at 4 CPUs). Both datasets are bounded by candidate
+    # volume, not corpus size, and spill to the object store if large.
+    pairs = pairs.materialize()
+    shingles = candidate_shingle_sets(
+        ds, pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed
+    ).materialize()
 
-    class CollectShingles:
-        def __init__(self):
-            self.involved = _ray.get(inv_ref)
+    def pair_emit_a(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "key": t["id_a"],
+            "other": t["id_b"],
+            "sh": pa.nulls(n, pa.list_(pa.int64())),
+            "side": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_pylist()
-            texts = t[text_col].to_pylist()
-            keep_ids, blobs = [], []
-            for i, d in enumerate(ids):
-                if d in self.involved:
-                    keep_ids.append(d)
-                    blobs.append(tx.shingle_hashes(texts[i], shingle_k, seed).view(np.int64).tolist())
-            return pa.table({id_col: pa.array(keep_ids, t[id_col].type), "sh": pa.array(blobs, pa.list_(pa.int64()))})
+    def shingle_emit(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "key": t["key"],
+            "other": pa.nulls(n, t["key"].type),
+            "sh": t["sh"],
+            "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+        })
 
-    got = ds.map_batches(CollectShingles, batch_format="pyarrow", concurrency=2).to_pandas()
-    sh = {r[id_col]: np.asarray(r["sh"], dtype=np.int64).view(np.uint64) for _, r in got.iterrows()}
-    rows = []
-    for a_, b_ in pairs:
-        if a_ in sh and b_ in sh:
-            j = tx.exact_jaccard(sh[a_], sh[b_])
-            if j >= threshold:
-                rows.append((a_, b_, j))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    def attach_a(df: pd.DataFrame) -> pa.Table:
+        # integer doc ids are a documented contract of the distributed
+        # verification tier (explicit int64 casts keep empty blocks'
+        # schemas consistent across the exchange)
+        p = df[df["side"] == 0][["key", "other"]]
+        s = df[df["side"] == 1][["key", "sh"]]
+        j = p.merge(s, on="key", how="left")
+        # re-key on id_b for the second exchange
+        return pa.table({
+            "key": pa.array(j["other"].to_numpy(dtype=np.int64, na_value=-1), pa.int64()),
+            "other": pa.array(j["key"].to_numpy(dtype=np.int64, na_value=-1), pa.int64()),
+            "sh": pa.array(
+                [x if isinstance(x, (list, np.ndarray)) else [] for x in j["sh"]],
+                pa.list_(pa.int64()),
+            ),
+            "side": pa.array(np.zeros(len(j), dtype=np.int8), pa.int8()),
+        })
+
+    joined_a = block_map(
+        pairs.map_batches(pair_emit_a, batch_format="pyarrow").union(
+            shingles.map_batches(shingle_emit, batch_format="pyarrow")
+        ),
+        ["key"], attach_a, batch_format="pandas", zero_copy_batch=False,
+    ).materialize()
+
+    def score_block(df: pd.DataFrame) -> pa.Table:
+        p = df[df["side"] == 0]
+        s = df[df["side"] == 1][["key", "sh"]].rename(columns={"sh": "sh_b"})
+        j = p.merge(s, on="key", how="left")
+        out_a, out_b, out_j = [], [], []
+        for id_b, id_a, sh_a, sh_b in zip(j["key"], j["other"], j["sh"], j["sh_b"]):
+            a = np.asarray(sh_a if sh_a is not None else [], dtype=np.int64).view(np.uint64)
+            b = np.asarray(sh_b if sh_b is not None else [], dtype=np.int64).view(np.uint64)
+            jac = tx.exact_jaccard(a, b)
+            if jac >= threshold:
+                out_a.append(id_a)
+                out_b.append(id_b)
+                out_j.append(jac)
+        return pa.table({
+            "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
+            "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
+            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+        })
+
+    return block_map(
+        joined_a.union(shingles.map_batches(shingle_emit, batch_format="pyarrow")),
+        ["key"], score_block, batch_format="pandas", zero_copy_batch=False,
+    )
 
 
 def minhash_dup_pairs(
@@ -224,14 +396,20 @@ def minhash_dup_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
     seed: int = 7,
+    max_bucket: int = 2000,
 ) -> pd.DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded buckets
-    -> candidate pairs -> exact-Jaccard verification >= threshold."""
+    -> candidate pair Dataset -> distributed exact-Jaccard verification
+    >= threshold. Only the final verified pairs (the answer) are
+    collected."""
     sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
-    cands = lsh_candidate_pairs(sig, id_col=id_col, num_perm=num_perm, bands=bands)
-    return verify_pairs_exact_jaccard(
+    cands = lsh_candidate_pairs(sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket)
+    out = verify_pairs_exact_jaccard(
         ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
-    )
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def union_find_keep(pairs: Iterable[tuple], all_ids: Iterable) -> dict:
@@ -248,9 +426,165 @@ def union_find_keep(pairs: Iterable[tuple], all_ids: Iterable) -> dict:
     for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            # native ordering (sorted handles int ids correctly; the
+            # previous str() comparison broke e.g. {9, 10} -> rep 10)
+            lo, hi = sorted((ra, rb))
             parent[hi] = lo
     return {i: find(i) for i in all_ids}
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    *,
+    max_rounds: int = 50,
+) -> ray.data.Dataset:
+    """Distributed connected components over a (id_a, id_b) edge
+    Dataset via iterative min-label propagation — the scale replacement
+    for driver-side union-find when the edge count is unbounded
+    (dup-heavy corpora). Returns (node, label) with label = min id of
+    the node's component.
+
+    Each round: every node sends its current label along its edges
+    (one keyed exchange on the receiving endpoint), each node takes the
+    min of its own and incoming labels, and a tiny driver_combine
+    counts changed labels. Converges in O(component diameter) rounds —
+    near-dup components are short-diameter star/clique shapes, so a
+    handful of rounds in practice (``max_rounds`` is a safety bound).
+    Data (edges + labels) stays distributed throughout."""
+    from .exchange import block_map
+
+    # symmetric edge list: (src, dst) both directions, kept distributed
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks().cast(pa.int64())
+        b = t["id_b"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "dst": pa.concat_arrays([a, b]),
+            "src": pa.concat_arrays([b, a]),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    # initial labels: every endpoint labels itself
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["dst"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"node": u, "label": u})
+
+    labels = block_map(
+        edges, ["dst"], init_labels, batch_format="pandas", zero_copy_batch=False
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # 1) attach each src node's label to its outgoing edges: union
+        #    (edges keyed by src) with (labels keyed by node)
+        def edge_emit(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["src"], "dst": t["dst"],
+                "label": pa.nulls(len(t), pa.int64()),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8), pa.int8()),
+            })
+
+        def label_emit(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t["node"], "dst": pa.nulls(len(t), pa.int64()),
+                "label": t["label"],
+                "side": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            })
+
+        def send(df: pd.DataFrame) -> pa.Table:
+            e = df[df["side"] == 0][["key", "dst"]]
+            l = df[df["side"] == 1][["key", "label"]]
+            j = e.merge(l, on="key", how="left")
+            return pa.table({
+                "node": pa.array(j["dst"].to_numpy(dtype=np.int64), pa.int64()),
+                "label": pa.array(j["label"].to_numpy(dtype=np.int64, na_value=np.iinfo(np.int64).max), pa.int64()),
+                "side": pa.array(np.zeros(len(j), dtype=np.int8), pa.int8()),
+            })
+
+        incoming = block_map(
+            edges.map_batches(edge_emit, batch_format="pyarrow").union(
+                labels.map_batches(label_emit, batch_format="pyarrow")
+            ),
+            ["key"], send, batch_format="pandas", zero_copy_batch=False,
+        )
+
+        # 2) new label = min(own, incoming) per node
+        def own_emit(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"], "label": t["label"],
+                "side": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            })
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            new = df.groupby("node", sort=False)["label"].min().reset_index()
+            old = df[df["side"] == 1][["node", "label"]].rename(columns={"label": "old"})
+            out = new.merge(old, on="node", how="left")
+            out["changed"] = (out["label"] != out["old"]).astype(np.int8)
+            return out[["node", "label", "changed"]]
+
+        new_labels = block_map(
+            incoming.union(labels.map_batches(own_emit, batch_format="pyarrow")),
+            ["node"], combine, batch_format="pandas", zero_copy_batch=False,
+        ).materialize()
+
+        n_changed = int(
+            new_labels.map_batches(
+                lambda df: pd.DataFrame({"c": [int(df["changed"].sum())]}),
+                batch_format="pandas",
+            ).to_pandas()["c"].sum()
+        )
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    seed: int = 7,
+    max_bucket: int = 2000,
+) -> ray.data.Dataset:
+    """End-to-end near-dup DEDUP at scale: MinHash+LSH candidate pairs
+    -> distributed exact-Jaccard verification -> distributed connected
+    components -> keep only component representatives (min id). The
+    non-representative id set is broadcast (bounded by the dup count,
+    the same trade as exact_dedup's broadcast mode) and the corpus is
+    filtered in one map_batches pass — the text payload never shuffles."""
+    import ray as _ray
+
+    sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+    cands = lsh_candidate_pairs(sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket)
+    verified = verify_pairs_exact_jaccard(
+        ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
+    )
+    labels = connected_components(verified)
+
+    def losers_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["node"] != df["label"], ["node"]]
+
+    loser_df = labels.map_batches(losers_block, batch_format="pandas").to_pandas()
+    losers = loser_df["node"].to_numpy(dtype=np.int64) if len(loser_df) else np.array([], dtype=np.int64)
+    losers.sort()
+    lose_ref = _ray.put(losers)
+
+    class DropLosers:
+        def __init__(self):
+            self.losers = _ray.get(lose_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            if not len(self.losers):
+                return t
+            pos = np.minimum(np.searchsorted(self.losers, ids), len(self.losers) - 1)
+            return t.filter(pa.array(~(self.losers[pos] == ids)))
+
+    return ds.map_batches(DropLosers, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
 
 # --------------------------------------------------------------- SimHash

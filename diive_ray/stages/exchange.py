@@ -52,6 +52,68 @@ def keyed_blocks(
     return ds.repartition(n, keys=list(keys))
 
 
+@ray.remote(num_cpus=0)
+class _KeyDisjointnessChecker:
+    """Debug-mode guard for block_map's correctness contract.
+
+    block_map relies on ``repartition(n, keys=...)`` producing exactly
+    one block per output partition and ``map_batches(batch_size=None)``
+    receiving it whole. If Ray Data ever split a large/hot partition
+    into multiple blocks (e.g. target_max_block_size at scales beyond
+    the tested ones), every consumer (keep-last dedup, fused cascade,
+    grouped_block_map) would silently emit duplicate per-group rows.
+    This actor records, per distinct key hash, which batch first saw it
+    and raises in the mapping task if a second batch sees the same key.
+    """
+
+    def __init__(self):
+        self.owner: dict = {}
+
+    def check(self, batch_id: str, key_hashes: list) -> list:
+        bad = []
+        for h in key_hashes:
+            prev = self.owner.setdefault(h, batch_id)
+            if prev != batch_id:
+                bad.append(h)
+        return bad
+
+
+def _validation_enabled() -> bool:
+    import os
+
+    return os.environ.get("DIIVE_RAY_VALIDATE_EXCHANGE", "") not in ("", "0")
+
+
+def _with_disjointness_check(fn: Callable, keys: list, batch_format: str) -> Callable:
+    """Wrap fn so each batch registers its distinct key-hash set with a
+    shared checker actor and fails loudly if any key appears in two
+    batches (debug mode only: DIIVE_RAY_VALIDATE_EXCHANGE=1)."""
+    import uuid
+
+    import numpy as np
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    checker = _KeyDisjointnessChecker.remote()
+
+    def wrapped(batch):
+        if isinstance(batch, pd.DataFrame):
+            kdf = batch[keys]
+        else:
+            kdf = batch.select(keys).to_pandas()
+        hashes = pd.util.hash_pandas_object(kdf, index=False).to_numpy(dtype=np.uint64)
+        distinct = np.unique(hashes).tolist()
+        bad = ray.get(checker.check.remote(uuid.uuid4().hex, distinct))
+        if bad:
+            raise RuntimeError(
+                f"block_map invariant violated: {len(bad)} key(s) of {keys} "
+                "appear in more than one batch after the keyed exchange "
+                "(a partition was split into multiple blocks)"
+            )
+        return fn(batch)
+
+    return wrapped
+
+
 def block_map(
     ds: ray.data.Dataset,
     keys: Iterable[str],
@@ -61,7 +123,16 @@ def block_map(
     num_partitions: int | None = None,
     zero_copy_batch: bool = True,
 ) -> ray.data.Dataset:
-    """fn(whole_block) -> block, with key co-location guaranteed."""
+    """fn(whole_block) -> block, with key co-location guaranteed.
+
+    Contract: ``repartition(n, keys=...)`` hash-partitions rows so that
+    all rows of a key land in ONE output partition, and
+    ``map_batches(batch_size=None)`` maps each whole block. Set
+    DIIVE_RAY_VALIDATE_EXCHANGE=1 to assert (per run, via a shared
+    checker actor) that no key is ever seen by two batches."""
+    keys = list(keys)
+    if _validation_enabled():
+        fn = _with_disjointness_check(fn, keys, batch_format)
     return keyed_blocks(ds, keys, num_partitions).map_batches(
         fn, batch_format=batch_format, batch_size=None, zero_copy_batch=zero_copy_batch
     )

@@ -108,20 +108,151 @@ class RidgePredictor:
         df = df.copy()
         us = ts_to_us(df[self.bucket_col])
         X = time_features(us)
-        kvals = (
-            df[self.keys[0]]
-            if len(self.keys) == 1
-            else list(zip(*[df[k] for k in self.keys]))
-        )
         pred = np.full(len(df), np.nan)
-        for i, k in enumerate(kvals):
+        # vectorized per model: one matmul per key's row group (no
+        # per-row Python)
+        kframe = df[self.keys].reset_index(drop=True)
+        for k, rows in kframe.groupby(self.keys, sort=False).groups.items():
             m = self.models.get(k)
             if m is not None:
-                pred[i] = X[i] @ m[0] + m[1]
+                rows = np.asarray(rows)
+                pred[rows] = X[rows] @ m[0] + m[1]
         v = df[self.value_col].astype(float)
         df[self.out_col] = v.where(v.notna(), pred)
         df[f"{self.out_col}_is_model"] = (v.isna() & ~np.isnan(pred)).astype(np.int8)
         return df
+
+
+TREE_FEATURES = ("sec_of_day", "day_of_year", "sin_h", "cos_h", "sin_doy", "cos_doy")
+
+
+def tree_time_features(ts_us: np.ndarray) -> np.ndarray:
+    """[n, 6] feature matrix for tree models: raw second-of-day and
+    day-of-year (trees split on raw cyclic position directly, no
+    harmonic basis needed) plus the ridge harmonics for smoothness."""
+    sec_of_day = ((ts_us // 1_000_000) % 86_400).astype(np.float64)
+    day_of_year = ((ts_us // 1_000_000 // 86_400) % 365.25).astype(np.float64)
+    h = 2 * np.pi * sec_of_day / 86_400.0
+    d = 2 * np.pi * day_of_year / 365.25
+    return np.column_stack([sec_of_day, day_of_year, np.sin(h), np.cos(h), np.sin(d), np.cos(d)])
+
+
+def train_trees_per_key(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str = "mean",
+    keys: Iterable[str] = ("source",),
+    bucket_col: str = "bucket_ts",
+    model: str = "forest",
+    seed: int = 42,
+    **model_kw,
+) -> pd.DataFrame:
+    """Fit one tree-ensemble per key (the reference's per-year model of
+    longterm.py:42-50 maps to per-key here; model classes re-derived in
+    stages/trees.py). The fitted flat-array trees are pickled into a
+    bytes column — a few KB per key — and collected to the driver for
+    broadcast."""
+    import pickle
+    import zlib
+
+    from . import trees as tr
+
+    keys = list(keys)
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        obs = df[df[value_col].notna()]
+        row = {k: df[k].iloc[0] for k in keys}
+        key_seed = seed ^ zlib.crc32("|".join(str(row[k]) for k in keys).encode())
+        if len(obs) < 16:
+            blob = pickle.dumps(("const", float(obs[value_col].mean()) if len(obs) else 0.0))
+        else:
+            X = tree_time_features(ts_to_us(obs[bucket_col]))
+            y = obs[value_col].astype(float).to_numpy()
+            if model == "gbm":
+                m = tr.fit_gbm(X, y, seed=key_seed, **model_kw)
+                blob = pickle.dumps(("gbm", m))
+            else:
+                m = tr.fit_forest(X, y, seed=key_seed, **model_kw)
+                blob = pickle.dumps(("forest", m))
+        row["model"] = blob
+        row["n_train"] = len(obs)
+        return pd.DataFrame([row])
+
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn).to_pandas()
+
+
+class TreePredictor:
+    """Actor-pool predict stage: models unpickled once per actor in
+    __init__, prediction is a vectorized tree descent per key group."""
+
+    def __init__(self, model_ref, keys, value_col, bucket_col, out_col):
+        import pickle
+
+        table = ray.get(model_ref)
+        self.keys = keys
+        self.value_col = value_col
+        self.bucket_col = bucket_col
+        self.out_col = out_col
+        self.models = {}
+        for _, r in table.iterrows():
+            k = r[keys[0]] if len(keys) == 1 else tuple(r[kk] for kk in keys)
+            self.models[k] = pickle.loads(r["model"])
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from . import trees as tr
+
+        df = df.copy()
+        X = tree_time_features(ts_to_us(df[self.bucket_col]))
+        pred = np.full(len(df), np.nan)
+        kframe = df[self.keys].reset_index(drop=True)
+        for k, rows in kframe.groupby(self.keys, sort=False).groups.items():
+            m = self.models.get(k)
+            if m is None:
+                continue
+            rows = np.asarray(rows)
+            kind, payload = m
+            if kind == "const":
+                pred[rows] = payload
+            elif kind == "gbm":
+                pred[rows] = tr.predict_gbm(payload, X[rows])
+            else:
+                pred[rows] = tr.predict_forest(payload, X[rows])
+        v = df[self.value_col].astype(float)
+        df[self.out_col] = v.where(v.notna(), pred)
+        df[f"{self.out_col}_is_model"] = (v.isna() & ~np.isnan(pred)).astype(np.int8)
+        return df
+
+
+def tree_fill(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str = "mean",
+    keys: Iterable[str] = ("source",),
+    bucket_col: str = "bucket_ts",
+    out_col: str | None = None,
+    model: str = "forest",
+    seed: int = 42,
+    concurrency=(1, 8),
+    **model_kw,
+) -> ray.data.Dataset:
+    """RandomForestTS/XGBoostTS-shaped gap-fill on the from-scratch
+    ensembles (randomforest_ts.py:163 contract: observed values never
+    modified; prediction only at gaps)."""
+    keys = list(keys)
+    out_col = out_col or f"{value_col}_treefilled"
+    models = train_trees_per_key(
+        ds, value_col=value_col, keys=keys, bucket_col=bucket_col,
+        model=model, seed=seed, **model_kw,
+    )
+    model_ref = ray.put(models)
+    return ds.map_batches(
+        TreePredictor,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_args=(model_ref, keys, value_col, bucket_col, out_col),
+    )
 
 
 def ridge_fill(

@@ -284,16 +284,23 @@ def lof_flag(
         x = st.to_numpy(dtype=float)
         order = np.argsort(x, kind="stable")
         xs = x[order]
-        # distances to the 2k sorted neighbors per point -> k nearest
         idx = np.arange(n)
-        # 2k+1 DISTINCT sorted candidates per point: window shifted (not
-        # clipped) at the edges, so edge points never double-count a
-        # neighbor
-        start = np.clip(idx - k, 0, max(n - (2 * k + 1), 0))
-        cand = start[:, None] + np.arange(2 * k + 1)[None, :]
-        cand = np.minimum(cand, n - 1)
-        d = np.abs(xs[cand] - xs[:, None])
-        d[cand == idx[:, None]] = np.inf  # self
+        if n < 2 * k + 1:
+            # group too small for a distinct sorted window: exact full
+            # pairwise distances (n is tiny here, O(n^2) is cheap) so no
+            # neighbor is ever double-counted
+            cand = np.broadcast_to(idx, (n, n)).copy()
+            d = np.abs(xs[None, :] - xs[:, None])
+            np.fill_diagonal(d, np.inf)  # self
+        else:
+            # distances to the 2k sorted neighbors per point -> k nearest
+            # 2k+1 DISTINCT sorted candidates per point: window shifted
+            # (not clipped) at the edges, so edge points never
+            # double-count a neighbor
+            start = np.clip(idx - k, 0, n - (2 * k + 1))
+            cand = start[:, None] + np.arange(2 * k + 1)[None, :]
+            d = np.abs(xs[cand] - xs[:, None])
+            d[cand == idx[:, None]] = np.inf  # self
         part = np.argpartition(d, k - 1, axis=1)[:, :k]
         rows = np.repeat(idx, k)
         nbr = cand[rows, part.ravel()].reshape(n, k)

@@ -174,6 +174,87 @@ def knn_lsh(
     return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "cos_sim"])
 
 
+def embedding_all_pairs_exact(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_shards: int = 8,
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine >= threshold, fully distributed: the
+    block-pairwise self-join. Rows are deterministically sharded by
+    id hash into ``n_shards`` groups; each row is replicated once per
+    shard-pair block it participates in (n_shards copies/row), one hash
+    exchange co-locates every (shard_i, shard_j) block, and each block
+    runs a single [na x d] @ [d x nb] matmul. Every unordered pair is
+    scored in exactly one block, so the result is exact with no driver
+    materialization. Shuffle volume is n_shards x corpus; choosing
+    n_shards ~ sqrt(n_rows x row_bytes / target_block_bytes) gives the
+    classic O(n^1.5) exact all-pairs cost — the right side is never
+    broadcast whole (contrast knn's small-query broadcast)."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (ids % n_shards).astype(np.int32)
+        emb = t[emb_col].combine_chunks()
+        tt = np.arange(n_shards, dtype=np.int32)
+        s_rep = np.repeat(shard, n_shards)              # row's own shard
+        t_rep = np.tile(tt, n)                          # partner shard
+        pk_a = np.minimum(s_rep, t_rep)
+        pk_b = np.maximum(s_rep, t_rep)
+        side = (s_rep > t_rep).astype(np.int8)
+        idx = np.repeat(np.arange(n), n_shards)
+        return pa.table({
+            "pk_a": pa.array(pk_a, pa.int32()),
+            "pk_b": pa.array(pk_b, pa.int32()),
+            "side": pa.array(side, pa.int8()),
+            id_col: pa.array(ids[idx], pa.int64()),
+            emb_col: emb.take(pa.array(idx, pa.int64())),
+        })
+
+    def score_group(df: pd.DataFrame) -> pd.DataFrame:
+        # one (pk_a, pk_b) shard-pair group per call (grouped_block_map)
+        if not len(df):
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "cos_sim": pd.Series([], dtype=np.float64),
+            })
+        same_shard = df["pk_a"].iat[0] == df["pk_b"].iat[0]
+        if same_shard:
+            A = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in df[emb_col]]))
+            ids_a = df[id_col].to_numpy(dtype=np.int64)
+            sims = A @ A.T
+            ii, jj = np.triu_indices(len(ids_a), 1)
+            hit = sims[ii, jj] >= threshold
+            ia, ib, sv = ids_a[ii[hit]], ids_a[jj[hit]], sims[ii[hit], jj[hit]]
+        else:
+            a = df[df["side"] == 0]
+            b = df[df["side"] == 1]
+            if not len(a) or not len(b):
+                ia = ib = np.array([], dtype=np.int64)
+                sv = np.array([], dtype=np.float64)
+            else:
+                A = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in a[emb_col]]))
+                B = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in b[emb_col]]))
+                sims = A @ B.T
+                ii, jj = np.nonzero(sims >= threshold)
+                ida = a[id_col].to_numpy(dtype=np.int64)[ii]
+                idb = b[id_col].to_numpy(dtype=np.int64)[jj]
+                ia, ib = np.minimum(ida, idb), np.maximum(ida, idb)
+                sv = sims[ii, jj]
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": sv})
+
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        ["pk_a", "pk_b"], score_group,
+    )
+
+
 def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     *,

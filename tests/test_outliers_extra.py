@@ -91,3 +91,16 @@ def test_bootstrap_deterministic(ray_session):
     )
     row = a.set_index("k").loc["a"]
     assert row["p2_5"] < row["p50_0"] < row["p97_5"]
+
+
+def test_lof_small_group_matches_bruteforce():
+    """n < 2k+1 fallback: full pairwise distances, no repeated-neighbor
+    double counting (the round-1 clipped-window bug)."""
+    rng = np.random.Generator(np.random.Philox(key=23))
+    for n in (5, 8, 12, 25, 40):
+        x = np.concatenate([rng.standard_normal(n - 1), [9.0]])
+        s = pd.Series(x)
+        k = min(20, n - 1)
+        flag = lof_flag(s, n_neighbors=k, contamination="auto", repeat=False)
+        expected = _brute_lof(x, k) > 1.5
+        assert ((flag == 2).to_numpy() == expected).all(), f"n={n}"

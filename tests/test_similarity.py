@@ -66,3 +66,23 @@ def test_embedding_near_dup_pairs_finds_planted(ds):
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert {(i, 150 + i) for i in range(5)} <= pairs
     assert (got["cos_sim"] >= 0.95).all()
+
+
+def test_embedding_all_pairs_exact_matches_bruteforce(ds, vectors):
+    """Sharded block-pairwise self-join == full-matrix oracle at the
+    same threshold (every unordered pair scored exactly once)."""
+    ids, X = vectors
+    X32 = X.astype(np.float32).astype(np.float64)
+    Xn = X32 / np.linalg.norm(X32, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    ii, jj = np.triu_indices(len(ids), 1)
+    hit = S[ii, jj] >= 0.45
+    exp = {(int(ids[a]), int(ids[b])): S[a, b] for a, b in zip(ii[hit], jj[hit])}
+
+    got = sim.embedding_all_pairs_exact(ds, threshold=0.45, n_shards=5).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): r.cos_sim for r in got.itertuples()}
+    assert set(got_pairs) == set(exp)
+    for p, v in exp.items():
+        assert abs(got_pairs[p] - v) < 1e-9
+    # no duplicate pairs across shard blocks
+    assert len(got) == len(got.drop_duplicates(subset=["id_a", "id_b"]))
