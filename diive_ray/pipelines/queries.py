@@ -1546,6 +1546,93 @@ def q_harmonic_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_stl_decompose(sf_dir: str):
+    """True STL-lite decomposition (loess cycle-subseries smoothing,
+    stages/decompose.py:stl_decompose — the upgrade over the harmonic
+    stand-in; reference SeasonalTrendDecompositionSTL): diurnal period
+    24 over the 1h tier per event_type. Iterative loess -> model-based,
+    rows-only driver check; recovery pinned by
+    tests/test_decompose_simfill.py."""
+    from ..stages.decompose import stl_decompose
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = stl_decompose(
+        t1h, value_col="mean", keys=("event_type",), ts_col="bucket_ts",
+        period=24, seasonal_window=11,
+    ).to_pandas()
+    out = out[["event_type", "bucket_ts", "mean", "mean_trend", "mean_seasonal", "mean_resid"]]
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    return _round6(out, ["mean", "mean_trend", "mean_seasonal", "mean_resid"]).sort_values(
+        ["event_type", "bucket_ts"]
+    ).reset_index(drop=True)
+
+
+def q_granger(sf_dir: str):
+    """GrangerCausality (reference diive/analysis/granger.py:16-136;
+    from-scratch OLS F-test, stages/granger.py): does the hourly mean of
+    'click' events Granger-cause the hourly mean of 'view' events (and
+    vice versa), lags 1..5. Statistical test -> rows-only driver check;
+    the F p-value machinery is pinned against closed forms in
+    tests/test_granger_trees.py."""
+    from ..stages.granger import granger_causality
+    from ..stages.gaps import regularize_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    types = sorted(t1h["event_type"].unique())[:2]
+    a = t1h[t1h["event_type"] == types[0]].sort_values("bucket_ts")
+    b = t1h[t1h["event_type"] == types[1]].sort_values("bucket_ts")
+    a = regularize_frame(a, US_PER_HOUR, "bucket_ts")
+    b = regularize_frame(b, US_PER_HOUR, "bucket_ts")
+    joined = pd.merge(
+        a[["bucket_ts", "mean"]].rename(columns={"mean": "x"}),
+        b[["bucket_ts", "mean"]].rename(columns={"mean": "y"}),
+        on="bucket_ts", how="inner",
+    )
+    rows = []
+    for direction, (xc, yc) in {"x->y": ("x", "y"), "y->x": ("y", "x")}.items():
+        res = granger_causality(joined[xc], joined[yc], max_lag=5)
+        res.insert(0, "direction", direction)
+        rows.append(res)
+    out = pd.concat(rows, ignore_index=True)
+    out["lag"] = out["lag"].astype("int64")
+    out["df1"] = out["df1"].astype("int64")
+    out["df2"] = out["df2"].astype("int64")
+    return _round6(out, ["f_stat", "p_value"])
+
+
+def q_tree_gapfill(sf_dir: str):
+    """Tree-ensemble gap-fill (RandomForestTS re-derivation on the
+    from-scratch forest, stages/trees.py + mlfill.py:tree_fill):
+    per-key forest fit on time features -> broadcast models ->
+    actor-pool predict over the 1h tier's missing buckets. Seeded and
+    deterministic but model-based -> rows-only driver check; recovery
+    quality (beats ridge on nonlinear diurnal signal) pinned by
+    tests/test_granger_trees.py."""
+    from ..stages.gaps import regularize_frame
+    from ..stages.mlfill import tree_fill
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def regularize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        reg["event_type"] = key
+        return reg[["event_type", "bucket_ts", "mean"]]
+
+    dense = grouped_block_map(t1h, ["event_type"], regularize)
+    out = tree_fill(
+        dense, value_col="mean", keys=("event_type",),
+        model="forest", n_trees=10, max_depth=6, seed=42,
+    ).to_pandas()
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    out["mean_treefilled_is_model"] = out["mean_treefilled_is_model"].astype("int64")
+    return _round6(out, ["mean", "mean_treefilled"]).sort_values(
+        ["event_type", "bucket_ts"]
+    ).reset_index(drop=True)
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -1884,6 +1971,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mds_fill": q_mds_fill,
     "flux_chain": q_flux_chain,
     "harmonic_decompose": q_harmonic_decompose,
+    "stl_decompose": q_stl_decompose,
+    "granger": q_granger,
+    "tree_gapfill": q_tree_gapfill,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     "tokens_rollup_tiny": q_tokens_rollup_tiny,

@@ -326,6 +326,65 @@ def events_cascade_fused(
     )
 
 
+def file_group_dataset(path: str, day_seconds: int) -> ray.data.Dataset:
+    """Distributed (source, day) file-group discovery for the
+    partition-aligned cascades — replaces the former driver-side glob
+    (at 100 TB that is millions of paths on the driver).
+
+    * If ``_manifest.parquet`` (columns path/source/chunk_lo) exists at
+      the root — our own write pipelines and any sane lake writer emit
+      one — it is read directly: no listing at all.
+    * Otherwise the driver lists ONLY the per-source directories
+      (bounded by the source count); per-directory file listing fans
+      out as Ray tasks; group assembly is one exchange on path strings.
+    Returns a Dataset of {source, day, files: list[str]} rows.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    man = os.path.join(path, "_manifest.parquet")
+    if os.path.exists(man):
+        files_ds = ray.data.read_parquet(man)
+    else:
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("src-"))
+
+        def list_dir(row: dict) -> list[dict]:
+            import glob as _glob
+
+            out = []
+            for f in sorted(_glob.glob(os.path.join(path, row["dir"], "*.parquet"))):
+                m = _re.search(r"chunk-(\d+)\.parquet$", f)
+                if m is None:
+                    raise ValueError(f"non-aligned file name: {f} — use cascade_fused")
+                out.append({
+                    "path": f,
+                    "source": row["dir"].removeprefix("src-"),
+                    "chunk_lo": int(m.group(1)),
+                })
+            return out
+
+        files_ds = ray.data.from_items([{"dir": d} for d in dirs]).flat_map(list_dir)
+
+    def add_day(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(day=df["chunk_lo"] // day_seconds)
+
+    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("path")
+        return pd.DataFrame({
+            "source": [df["source"].iloc[0]],
+            "day": [df["day"].iloc[0]],
+            "files": [df["path"].tolist()],
+        })
+
+    from ..stages.exchange import grouped_block_map
+
+    return grouped_block_map(
+        files_ds.map_batches(add_day, batch_format="pandas"), ["source", "day"], group_fn
+    )
+
+
+
 def tokens_cascade_partitioned(
     path: str,
     *,
@@ -350,22 +409,10 @@ def tokens_cascade_partitioned(
     inputs (callers choose; equality of the two paths is pinned by
     tests/test_rollup.py::test_partitioned_cascade_equals_fused).
     """
-    import glob as _glob
-    import re as _re
-
     import pandas as pd
 
     day_seconds = TIERS["1d"] // US_PER_SEC
-    groups: dict[tuple[str, int], list[str]] = {}
-    for f in sorted(_glob.glob(os.path.join(path, "src-*", "*.parquet"))):
-        src = os.path.basename(os.path.dirname(f)).removeprefix("src-")
-        m = _re.search(r"chunk-(\d+)\.parquet$", f)
-        if m is None:
-            raise ValueError(f"non-aligned file name: {f} — use cascade_fused")
-        lo = int(m.group(1))
-        groups.setdefault((src, lo // day_seconds), []).append(f)
-
-    items = [{"files": fs} for _, fs in sorted(groups.items())]
+    groups_ds = file_group_dataset(path, day_seconds)
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -385,9 +432,7 @@ def tokens_cascade_partitioned(
             ))
         return pd.concat(frames, ignore_index=True)
 
-    return ray.data.from_items(items).map_batches(
-        process, batch_format="pandas", batch_size=1
-    )
+    return groups_ds.map_batches(process, batch_format="pandas", batch_size=1)
 
 
 def screen_rollup_compress_partitioned(
@@ -410,9 +455,6 @@ def screen_rollup_compress_partitioned(
     Compute-dominated per group (rolling medians + bit packing), so
     throughput scales with cores — this is the scaling-evidence job
     (BASELINE.md)."""
-    import glob as _glob
-    import re as _re
-
     import numpy as np
     import pandas as pd
 
@@ -421,13 +463,7 @@ def screen_rollup_compress_partitioned(
     from ..util import ts_to_us
 
     day_seconds = TIERS["1d"] // US_PER_SEC
-    groups: dict[tuple[str, int], list[str]] = {}
-    for f in sorted(_glob.glob(os.path.join(path, "src-*", "*.parquet"))):
-        src = os.path.basename(os.path.dirname(f)).removeprefix("src-")
-        m = _re.search(r"chunk-(\d+)\.parquet$", f)
-        lo = int(m.group(1))
-        groups.setdefault((src, lo // day_seconds), []).append(f)
-    items = [{"files": fs} for _, fs in sorted(groups.items())]
+    groups_ds = file_group_dataset(path, day_seconds)
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -464,7 +500,7 @@ def screen_rollup_compress_partitioned(
                 }]))
         return pd.concat(out, ignore_index=True)
 
-    return ray.data.from_items(items).map_batches(process, batch_format="pandas", batch_size=1)
+    return groups_ds.map_batches(process, batch_format="pandas", batch_size=1)
 
 
 def tokens_cascade(path: str, **kw) -> dict[str, ray.data.Dataset]:

@@ -28,6 +28,120 @@ import ray.data
 from ..util import ts_to_us
 
 
+def loess_smooth(y: np.ndarray, window: int, degree: int = 1) -> np.ndarray:
+    """LOESS (locally weighted linear regression, tricube weights) over
+    an evenly spaced series; NaNs are skipped as observations but every
+    position gets a smoothed value (Cleveland 1979 — the smoother STL
+    is built from). O(n * window), vectorized per point."""
+    n = len(y)
+    window = max(3, min(window | 1, n if n % 2 else n - 1))  # odd, <= n
+    half = window // 2
+    out = np.full(n, np.nan)
+    pos = np.arange(n, dtype=np.float64)
+    obs = np.isfinite(y)
+    for i in range(n):
+        lo = max(0, min(i - half, n - window))
+        hi = lo + window
+        sel = slice(lo, hi)
+        m = obs[sel]
+        if m.sum() < degree + 1:
+            continue
+        xs = pos[sel][m] - i
+        ys = y[sel][m]
+        dmax = max(np.abs(xs).max(), 1.0)
+        w = (1.0 - np.minimum(np.abs(xs) / dmax, 1.0) ** 3) ** 3
+        w = np.maximum(w, 1e-6)
+        if degree == 0:
+            out[i] = np.average(ys, weights=w)
+        else:
+            sw = w.sum()
+            sx = (w * xs).sum()
+            sxx = (w * xs * xs).sum()
+            sy = (w * ys).sum()
+            sxy = (w * xs * ys).sum()
+            det = sw * sxx - sx * sx
+            out[i] = (sxx * sy - sx * sxy) / det if abs(det) > 1e-12 else sy / sw
+    return out
+
+
+def stl_decompose_frame(
+    df: pd.DataFrame,
+    value_col: str,
+    *,
+    period: int,
+    seasonal_window: int = 7,
+    trend_window: int | None = None,
+    n_inner: int = 2,
+) -> pd.DataFrame:
+    """STL-lite seasonal-trend decomposition (the loess upgrade over
+    the harmonic stand-in; reference uses statsmodels STL in
+    SeasonalTrendDecompositionSTL / feature_engineer.py stage 6).
+
+    Classic STL inner loop (Cleveland et al. 1990, re-derived):
+      1. detrend: y - trend
+      2. cycle-subseries smoothing: loess over each phase's subseries
+         (seasonal_window points of the same phase)
+      3. seasonal = smoothed subseries re-interleaved, de-meaned by a
+         loess low-pass so seasonal sums to ~0 locally
+      4. trend = loess(y - seasonal, trend_window)
+    repeated n_inner times. Deterministic (no randomness).
+
+    Input must be ONE series sorted on its regular grid. Appends
+    trend/seasonal/resid columns.
+    """
+    y = df[value_col].astype(float).to_numpy()
+    n = len(y)
+    if trend_window is None:
+        # STL default-ish: smallest odd >= 1.5*period/(1-1.5/seasonal_window)
+        trend_window = int(np.ceil(1.5 * period / (1 - 1.5 / max(seasonal_window, 3))))
+        trend_window += 1 - trend_window % 2
+    trend = np.zeros(n)
+    seasonal = np.zeros(n)
+    for _ in range(max(1, n_inner)):
+        detr = y - trend
+        # 2) per-phase loess over each cycle-subseries
+        for ph in range(period):
+            idx = np.arange(ph, n, period)
+            sub = detr[idx]
+            seasonal[idx] = loess_smooth(sub, seasonal_window, degree=1)
+        # 3) low-pass the seasonal and remove it (centers the seasonal)
+        lp = loess_smooth(seasonal, trend_window, degree=1)
+        seasonal = seasonal - lp
+        # 4) trend from the deseasonalized series
+        trend = loess_smooth(y - seasonal, trend_window, degree=1)
+    out = df.copy()
+    out[f"{value_col}_trend"] = trend
+    out[f"{value_col}_seasonal"] = seasonal
+    out[f"{value_col}_resid"] = y - trend - seasonal
+    return out
+
+
+def stl_decompose(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    keys: Iterable[str] = ("event_type",),
+    ts_col: str = "bucket_ts",
+    period: int = 24,
+    seasonal_window: int = 7,
+    trend_window: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key STL-lite decomposition (grouped block stage; same
+    partitioning contract as harmonic_decompose)."""
+    keys = list(keys)
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        return stl_decompose_frame(
+            df, value_col, period=period,
+            seasonal_window=seasonal_window, trend_window=trend_window,
+        )
+
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(ds, keys, gfn)
+
+
 def harmonic_decompose_frame(
     df: pd.DataFrame,
     value_col: str,

@@ -177,12 +177,16 @@ def lsh_candidate_pairs(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     max_bucket: int = 2000,
+    dedup_pairs: bool = True,
 ) -> ray.data.Dataset:
     """Candidate id pairs from banded LSH, fully distributed: emit
     (band, band_hash, id) rows with one vectorized band-hash mix per
     batch, hash-exchange on the bucket key, pair up within buckets, and
-    dedup the (id_a, id_b) pairs with a second keyed exchange. Returns
-    a Dataset — nothing pair-shaped ever lands on the driver.
+    (``dedup_pairs=True``) dedup the (id_a, id_b) pairs with a second
+    keyed exchange. Returns a Dataset — nothing pair-shaped ever lands
+    on the driver. Callers that dedup downstream anyway (the verify
+    tier does, in its id_a exchange) pass ``dedup_pairs=False`` to
+    skip the extra shuffle.
 
     ``max_bucket`` caps the O(g^2) pair fan-out of a hot band bucket
     (boilerplate-heavy corpora): buckets above the cap are SKIPPED and
@@ -235,6 +239,8 @@ def lsh_candidate_pairs(
     pairs = grouped_block_map(
         sig_ds.map_batches(emit, batch_format="pyarrow"), ["band", "band_hash"], pairs_of_group
     )
+    if not dedup_pairs:
+        return pairs
     return block_map(
         pairs, ["id_a", "id_b"], lambda df: df.drop_duplicates(),
         batch_format="pandas", zero_copy_batch=False,
@@ -251,42 +257,51 @@ def candidate_shingle_sets(
     seed: int = 7,
 ) -> ray.data.Dataset:
     """(key, sh) shingle-hash sets for exactly the doc ids appearing in
-    ``pairs`` — via a keyed union semi-join (marker rows from the pairs
-    + doc rows, one hash exchange on the id), so neither an id set nor
-    a shingle dict ever materializes on the driver. Only candidate
-    docs' text moves in the exchange."""
+    ``pairs`` — broadcast semi-join: the DISTINCT involved id array
+    (8 bytes/candidate, bounded by candidate volume — orders of
+    magnitude below the corpus at dedup-grade thresholds) is collected,
+    sorted, ray.put once, and each corpus batch filters itself with a
+    vectorized searchsorted membership test and shingles only its
+    candidates. The text payload never enters an exchange; the only
+    pair-shaped driver state is the flat id array (contrast round 1's
+    driver dict of full shingle SETS and pair lists)."""
+    import ray as _ray
 
-    def marker_emit(t: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays([t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])
-        return pa.table({
-            "key": ids,
-            text_col: pa.nulls(len(ids), pa.string()),
-            "side": pa.array(np.zeros(len(ids), dtype=np.int8), pa.int8()),
-        })
+    def id_emit(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            t["id_a"].combine_chunks().cast(pa.int64()),
+            t["id_b"].combine_chunks().cast(pa.int64()),
+        ])
+        return pa.table({"key": ids})
 
-    def doc_emit(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": t[id_col],
-            text_col: t[text_col],
-            "side": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
-        })
-
-    unioned = pairs.map_batches(marker_emit, batch_format="pyarrow").union(
-        ds.map_batches(doc_emit, batch_format="pyarrow", zero_copy_batch=True)
+    id_df = pairs.map_batches(id_emit, batch_format="pyarrow").to_pandas()
+    involved = (
+        np.unique(id_df["key"].to_numpy(dtype=np.int64))
+        if len(id_df) else np.array([], dtype=np.int64)
     )
+    inv_ref = _ray.put(involved)
 
-    def block_fn(df: pd.DataFrame) -> pa.Table:
-        want = set(df.loc[df["side"] == 0, "key"])
-        d = df[(df["side"] == 1) & df["key"].isin(want)]
-        sets = tx.batch_shingle_hashes(d[text_col].tolist(), shingle_k, seed)
-        return pa.table({
-            "key": pa.array(d["key"].to_numpy(dtype=np.int64), pa.int64()),
-            "sh": pa.array([s.view(np.int64) for s in sets], pa.list_(pa.int64())),
-        })
+    class ShingleCandidates:
+        def __init__(self):
+            self.involved = _ray.get(inv_ref)  # broadcast once per actor
 
-    from .exchange import block_map
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(self.involved):
+                pos = np.minimum(np.searchsorted(self.involved, ids), len(self.involved) - 1)
+                keep = self.involved[pos] == ids
+            else:
+                keep = np.zeros(len(ids), dtype=bool)
+            sub = t.filter(pa.array(keep))
+            sets = tx.batch_shingle_hashes(sub[text_col].to_pylist(), shingle_k, seed)
+            return pa.table({
+                "key": sub[id_col].combine_chunks().cast(pa.int64()),
+                "sh": pa.array([s.view(np.int64) for s in sets], pa.list_(pa.int64())),
+            })
 
-    return block_map(unioned, ["key"], block_fn, batch_format="pandas", zero_copy_batch=False)
+    return ds.map_batches(
+        ShingleCandidates, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
 
 
 def verify_pairs_exact_jaccard(
@@ -309,7 +324,7 @@ def verify_pairs_exact_jaccard(
     # Materialize the two bounded intermediates (candidate pairs and
     # candidate shingle sets): both are consumed twice below, and
     # splitting the topology keeps at most 2 hash-shuffle operators in
-    # any one streaming graph — chaining all 5 starves the shuffle
+    # any one streaming graph — chaining more starves the shuffle
     # aggregator actor pools of CPUs on small clusters (observed
     # deadlock at 4 CPUs). Both datasets are bounded by candidate
     # volume, not corpus size, and spill to the object store if large.
@@ -339,8 +354,10 @@ def verify_pairs_exact_jaccard(
     def attach_a(df: pd.DataFrame) -> pa.Table:
         # integer doc ids are a documented contract of the distributed
         # verification tier (explicit int64 casts keep empty blocks'
-        # schemas consistent across the exchange)
-        p = df[df["side"] == 0][["key", "other"]]
+        # schemas consistent across the exchange). All pairs sharing
+        # id_a are co-located here, so cross-band duplicate pairs are
+        # dropped in-block — no separate dedup exchange needed.
+        p = df[df["side"] == 0][["key", "other"]].drop_duplicates()
         s = df[df["side"] == 1][["key", "sh"]]
         j = p.merge(s, on="key", how="left")
         # re-key on id_b for the second exchange
@@ -359,7 +376,7 @@ def verify_pairs_exact_jaccard(
             shingles.map_batches(shingle_emit, batch_format="pyarrow")
         ),
         ["key"], attach_a, batch_format="pandas", zero_copy_batch=False,
-    ).materialize()
+    )
 
     def score_block(df: pd.DataFrame) -> pa.Table:
         p = df[df["side"] == 0]
@@ -403,7 +420,10 @@ def minhash_dup_pairs(
     >= threshold. Only the final verified pairs (the answer) are
     collected."""
     sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
-    cands = lsh_candidate_pairs(sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket)
+    cands = lsh_candidate_pairs(
+        sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket,
+        dedup_pairs=False,  # the verify tier's id_a exchange dedups in-block
+    )
     out = verify_pairs_exact_jaccard(
         ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
     ).to_pandas()
@@ -559,7 +579,10 @@ def minhash_dedup(
     import ray as _ray
 
     sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
-    cands = lsh_candidate_pairs(sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket)
+    cands = lsh_candidate_pairs(
+        sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket,
+        dedup_pairs=False,  # the verify tier's id_a exchange dedups in-block
+    )
     verified = verify_pairs_exact_jaccard(
         ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
     )
@@ -600,9 +623,7 @@ def simhash_dataset(
 ) -> ray.data.Dataset:
     def fn(t: pa.Table) -> pa.Table:
         shingle_sets = tx.batch_shingle_hashes(t[text_col].to_pylist(), shingle_k, seed)
-        sigs = [
-            np.int64(np.uint64(tx.simhash64(sh)).view(np.int64)) for sh in shingle_sets
-        ]
+        sigs = tx.batch_simhash64(shingle_sets).view(np.int64)  # one batched kernel
         return pa.table({id_col: t[id_col], "simhash": pa.array(sigs, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

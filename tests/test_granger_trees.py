@@ -1,0 +1,138 @@
+"""Round-2 analysis tail: from-scratch tree ensembles (CART / forest /
+GBM) vs closed-form behavior, Granger causality F-test vs closed-form
+F survival values, STL-lite component recovery."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diive_ray.stages import trees as tr
+from diive_ray.stages.granger import betainc_reg, f_sf, granger_causality
+
+
+# ------------------------------------------------------------------ trees
+
+
+def test_tree_fits_step_function_exactly():
+    X = np.linspace(0, 1, 200).reshape(-1, 1)
+    y = (X[:, 0] > 0.5).astype(float) * 3.0
+    t = tr.fit_tree(X, y, max_depth=2, min_leaf=2)
+    pred = tr.predict_tree(t, X)
+    assert np.abs(pred - y).max() < 1e-12
+
+
+def test_tree_respects_min_leaf_and_depth():
+    rng = np.random.Generator(np.random.Philox(key=5))
+    X = rng.standard_normal((300, 3))
+    y = rng.standard_normal(300)
+    t = tr.fit_tree(X, y, max_depth=3, min_leaf=20)
+    # max 2^3 leaves; every leaf mean came from >= 20 samples is implied
+    n_leaves = int((t[:, 0] < 0).sum())
+    assert n_leaves <= 8
+
+
+def test_forest_beats_ridge_on_nonlinear_diurnal():
+    """The reference's use case: sharply nonlinear diurnal flux shape.
+    A harmonic ridge cannot express a square-wave diurnal cycle; the
+    forest can."""
+    from diive_ray.stages.mlfill import fit_ridge, time_features, tree_time_features
+
+    hours = np.arange(24 * 60)  # 60 days hourly
+    ts_us = hours * 3_600_000_000
+    hod = hours % 24
+    truth = np.where((hod >= 8) & (hod <= 16), 10.0, -2.0)  # square wave
+    rng = np.random.Generator(np.random.Philox(key=9))
+    y = truth + rng.standard_normal(len(hours)) * 0.1
+
+    train = np.ones(len(y), bool)
+    train[::7] = False  # held-out "gaps"
+
+    Xr = time_features(ts_us)
+    coef = fit_ridge(Xr[train], y[train])
+    ridge_pred = np.column_stack([Xr[~train], np.ones((~train).sum())]) @ coef
+
+    Xt = tree_time_features(ts_us)
+    forest = tr.fit_forest(Xt[train], y[train], n_trees=10, max_depth=6, seed=3)
+    tree_pred = tr.predict_forest(forest, Xt[~train])
+
+    mse_ridge = np.mean((ridge_pred - truth[~train]) ** 2)
+    mse_tree = np.mean((tree_pred - truth[~train]) ** 2)
+    assert mse_tree < mse_ridge / 4, (mse_tree, mse_ridge)
+
+
+def test_gbm_reduces_training_error_monotonically():
+    rng = np.random.Generator(np.random.Philox(key=11))
+    X = rng.standard_normal((300, 2))
+    y = X[:, 0] ** 2 + np.sin(3 * X[:, 1])
+    m5 = tr.fit_gbm(X, y, n_estimators=5, max_depth=3, seed=1)
+    m50 = tr.fit_gbm(X, y, n_estimators=50, max_depth=3, seed=1)
+    e5 = np.mean((tr.predict_gbm(m5, X) - y) ** 2)
+    e50 = np.mean((tr.predict_gbm(m50, X) - y) ** 2)
+    assert e50 < e5
+
+
+def test_forest_deterministic_given_seed():
+    rng = np.random.Generator(np.random.Philox(key=13))
+    X = rng.standard_normal((100, 2))
+    y = rng.standard_normal(100)
+    a = tr.fit_forest(X, y, n_trees=3, seed=7)
+    b = tr.fit_forest(X, y, n_trees=3, seed=7)
+    for ta, tb in zip(a, b):
+        assert np.array_equal(ta, tb)
+
+
+# ----------------------------------------------------------------- granger
+
+
+def test_betainc_against_closed_forms():
+    # I_x(a, 1) = x^a ; I_x(1, b) = 1 - (1-x)^b
+    for a, x in [(2.0, 0.3), (5.0, 0.7), (0.5, 0.2)]:
+        assert abs(betainc_reg(a, 1.0, x) - x ** a) < 1e-12
+    for b, x in [(2.0, 0.3), (4.0, 0.6)]:
+        assert abs(betainc_reg(1.0, b, x) - (1 - (1 - x) ** b)) < 1e-12
+
+
+def test_f_sf_closed_form_d1_2():
+    # P(F(2, d2) > f) = (d2 / (d2 + 2 f))^(d2/2) exactly
+    for f, d2 in [(1.0, 10), (3.5, 7), (0.2, 30)]:
+        exact = (d2 / (d2 + 2 * f)) ** (d2 / 2)
+        assert abs(f_sf(f, 2, d2) - exact) < 1e-10
+
+
+def test_granger_detects_planted_causality():
+    rng = np.random.Generator(np.random.Philox(key=17))
+    n = 500
+    x = rng.standard_normal(n)
+    y = np.zeros(n)
+    for t in range(1, n):
+        y[t] = 0.4 * y[t - 1] + 0.8 * x[t - 1] + rng.standard_normal() * 0.3
+    fwd = granger_causality(x, y, max_lag=3)
+    rev = granger_causality(y, x, max_lag=3)
+    assert (fwd["p_value"] < 1e-6).all()
+    assert rev["p_value"].iloc[0] > 0.01  # no reverse causality at lag 1
+
+
+# --------------------------------------------------------------------- STL
+
+
+def test_stl_recovers_trend_and_seasonal():
+    from diive_ray.stages.decompose import stl_decompose_frame
+
+    n = 24 * 30
+    t = np.arange(n)
+    trend_true = 0.01 * t
+    seasonal_true = 3.0 * np.sin(2 * np.pi * (t % 24) / 24)
+    rng = np.random.Generator(np.random.Philox(key=19))
+    y = trend_true + seasonal_true + rng.standard_normal(n) * 0.2
+    df = pd.DataFrame({"v": y})
+    out = stl_decompose_frame(df, "v", period=24, seasonal_window=11)
+    mid = slice(48, n - 48)  # judge away from edge effects
+    resid_rms = np.sqrt(np.nanmean(out["v_resid"].to_numpy()[mid] ** 2))
+    assert resid_rms < 0.5
+    # seasonal component correlates strongly with the truth
+    s = out["v_seasonal"].to_numpy()[mid]
+    c = np.corrcoef(s, seasonal_true[mid])[0, 1]
+    assert c > 0.98
+    # trend tracks the linear ramp
+    tr_err = np.nanmax(np.abs(out["v_trend"].to_numpy()[mid] - trend_true[mid]))
+    assert tr_err < 0.6
