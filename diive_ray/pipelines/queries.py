@@ -70,7 +70,13 @@ def _tier_result(ds: rd.Dataset, key: str = "event_type") -> pd.DataFrame:
             "mean_value": df["mean"],
         }
     )
-    return _round6(out, ["sum_value", "mean_value"])
+    # stable (9-then-6) rounding: tier means are sums-of-partials whose
+    # last-ulp summation order differs from the oracle's; a mean landing
+    # exactly on a 6-decimal half-boundary (observed: 56.4009375) flips
+    # the driver hash under plain round6
+    out["sum_value"] = stable_round6(out["sum_value"].astype(float))
+    out["mean_value"] = stable_round6(out["mean_value"].astype(float))
+    return out
 
 
 # --------------------------------------------------------------- resampling
@@ -101,10 +107,10 @@ _SQL_TIER = """
 SELECT event_type,
        time_bucket(INTERVAL '{iv}', ts) + INTERVAL '{iv}' AS bucket_ts,
        COUNT(value) AS n,
-       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(ROUND(SUM(value), 9), 6) AS sum_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value,
-       ROUND(SUM(value) / COUNT(value), 6) AS mean_value
+       ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS mean_value
 FROM events
 GROUP BY 1, 2
 HAVING COUNT(value) > 0
@@ -120,10 +126,10 @@ WITH h AS (
 SELECT event_type,
        CAST(time_bucket(INTERVAL '1 day', bucket_ts - INTERVAL '1 microsecond') + INTERVAL '1 day' AS TIMESTAMP) AS bucket_ts,
        CAST(SUM(n) AS BIGINT) AS n,
-       ROUND(SUM(s), 6) AS sum_value,
+       ROUND(ROUND(SUM(s), 9), 6) AS sum_value,
        MIN(mn) AS min_value,
        MAX(mx) AS max_value,
-       ROUND(SUM(s) / SUM(n), 6) AS mean_value
+       ROUND(ROUND(SUM(s) / SUM(n), 9), 6) AS mean_value
 FROM h GROUP BY 1, 2 HAVING COUNT(*) >= 6
 """
 

@@ -123,6 +123,38 @@ class RidgePredictor:
         return df
 
 
+def train_test_split(
+    ds: ray.data.Dataset,
+    *,
+    test_size: float = 0.25,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Deterministic seeded hash split (the reference's per-model
+    test_size=0.25 split, longterm.py:37 / ml/common.py): each row goes
+    to test iff a salted CRC of its id lands below test_size. Stable
+    across runs, cluster sizes, and partitionings (row-content-keyed,
+    not position-keyed), no shuffle — two filtered passes over the
+    same lazy dataset."""
+    import zlib
+
+    import pyarrow as pa
+
+    bound = int(test_size * (1 << 32))
+
+    def hash_bucket(t: pa.Table, want_test: bool) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [zlib.crc32(f"{seed}|{v}".encode()) for v in ids], dtype=np.uint64
+        )
+        is_test = h < bound
+        return t.filter(pa.array(is_test if want_test else ~is_test))
+
+    train = ds.map_batches(lambda t: hash_bucket(t, False), batch_format="pyarrow", zero_copy_batch=True)
+    test = ds.map_batches(lambda t: hash_bucket(t, True), batch_format="pyarrow", zero_copy_batch=True)
+    return train, test
+
+
 TREE_FEATURES = ("sec_of_day", "day_of_year", "sin_h", "cos_h", "sin_doy", "cos_doy")
 
 

@@ -136,3 +136,23 @@ def test_stl_recovers_trend_and_seasonal():
     # trend tracks the linear ramp
     tr_err = np.nanmax(np.abs(out["v_trend"].to_numpy()[mid] - trend_true[mid]))
     assert tr_err < 0.6
+
+
+def test_train_test_split_deterministic_and_disjoint(ray_session):
+    import ray.data as rd
+
+    from diive_ray.stages.mlfill import train_test_split
+
+    df = pd.DataFrame({"doc_id": np.arange(2000), "v": np.arange(2000) * 2.0})
+    ds = rd.from_pandas(df).repartition(4)
+    tr1, te1 = train_test_split(ds, test_size=0.25, seed=7)
+    tr2, te2 = train_test_split(ds, test_size=0.25, seed=7)
+    a, b = set(tr1.to_pandas()["doc_id"]), set(te1.to_pandas()["doc_id"])
+    assert not (a & b) and len(a) + len(b) == 2000
+    # deterministic across invocations
+    assert set(te2.to_pandas()["doc_id"]) == b
+    # roughly the requested fraction
+    assert 0.2 < len(b) / 2000 < 0.3
+    # different seed -> different split
+    _, te3 = train_test_split(ds, test_size=0.25, seed=8)
+    assert set(te3.to_pandas()["doc_id"]) != b
