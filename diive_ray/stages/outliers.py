@@ -143,6 +143,57 @@ def zscore_increments_flag(s: pd.Series, thres_zscore: float = 4, repeat: bool =
     return _iterate(s, test, repeat)
 
 
+def rolling_median_centered(x: np.ndarray, window: int, chunk_rows: int = 4096) -> np.ndarray:
+    """Exact replacement for
+    ``pd.Series(x).rolling(window, center=True, min_periods=1).median()``
+    on a NaN-free array, built on chunked ``np.partition`` over
+    ``sliding_window_view`` windows.
+
+    Why: pandas' skiplist rolling median is pointer-chasing and
+    memory-latency-bound — the worst-scaling kernel in the flagship
+    screening pipeline (2.5x ceiling on this VM, ROUND_NOTES). A
+    partition over a contiguous [chunk, window] view is branch-light,
+    cache-resident, and scales with cores. O(n*w) vs O(n log w) in
+    theory, C-vectorized in practice.
+
+    pandas centered-window contract (verified empirically on distinct
+    values, even and odd windows): output i covers positions
+    [i - w//2, i + (w-1)//2] clipped to the series — even windows put
+    the extra point on the LEFT; truncated edge windows use all
+    available points (min_periods=1). Even-count medians are the mean
+    of the two middle order statistics.
+    """
+    n = len(x)
+    left = window // 2
+    right = (window - 1) // 2
+    out = np.empty(n, dtype=np.float64)
+    full_lo = left                 # first index with a full window
+    full_hi = n - right            # one past the last full-window index
+    if full_hi > full_lo and n >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(x, window)
+        k2 = window // 2
+        ks = (k2 - 1, k2) if window % 2 == 0 else (k2, k2)
+        for lo in range(0, full_hi - full_lo, chunk_rows):
+            hi = min(lo + chunk_rows, full_hi - full_lo)
+            part = np.partition(sw[lo:hi], ks, axis=1)
+            out[full_lo + lo: full_lo + hi] = 0.5 * (part[:, ks[0]] + part[:, ks[1]])
+    else:
+        full_lo, full_hi = 0, 0
+    # truncated edge windows (at most window-1 on each side): per-row
+    # partition over the clipped range
+    for i in list(range(0, min(full_lo, n))) + list(range(max(full_hi, 0), n)):
+        lo, hi = max(0, i - left), min(n, i + right + 1)
+        seg = x[lo:hi]
+        m = len(seg)
+        k2 = m // 2
+        if m % 2 == 0:
+            part = np.partition(seg, (k2 - 1, k2))
+            out[i] = 0.5 * (part[k2 - 1] + part[k2])
+        else:
+            out[i] = np.partition(seg, k2)[k2]
+    return out
+
+
 def hampel_flag(
     s: pd.Series,
     window_length: int = 48 * 13,
@@ -151,7 +202,10 @@ def hampel_flag(
     use_differencing: bool = True,
     repeat: bool = True,
 ) -> pd.Series:
-    """Hampel filter, global mode (hampel.py:199-243)."""
+    """Hampel filter, global mode (hampel.py:199-243). The two rolling
+    medians run on the cache-friendly partition kernel
+    (rolling_median_centered) — exact pandas semantics, better core
+    scaling."""
 
     def test(filtered: pd.Series, _i: int) -> pd.Index:
         st = filtered.dropna()
@@ -162,14 +216,15 @@ def hampel_flag(
             s_to_test = s_to_test.fillna(0)
         else:
             s_to_test = st
-        rolling_median = s_to_test.rolling(window=window_length, center=True, min_periods=1).median()
-        deviations = np.abs(s_to_test - rolling_median)
-        rolling_mad = deviations.rolling(window=window_length, center=True, min_periods=1).median() + 1e-6
+        vals = s_to_test.to_numpy(dtype=np.float64)
+        rolling_median = rolling_median_centered(vals, window_length)
+        deviations = np.abs(vals - rolling_median)
+        rolling_mad = rolling_median_centered(deviations, window_length) + 1e-6
         limit = k * rolling_mad * n_sigma
         upper = rolling_median + limit
         lower = rolling_median - limit
-        is_outlier = (s_to_test > upper) | (s_to_test < lower)
-        return is_outlier[is_outlier].index
+        is_outlier = (vals > upper) | (vals < lower)
+        return st.index[is_outlier]
 
     return _iterate(s, test, repeat)
 

@@ -104,3 +104,18 @@ def test_lof_small_group_matches_bruteforce():
         flag = lof_flag(s, n_neighbors=k, contamination="auto", repeat=False)
         expected = _brute_lof(x, k) > 1.5
         assert ((flag == 2).to_numpy() == expected).all(), f"n={n}"
+
+
+def test_rolling_median_centered_matches_pandas():
+    """The partition kernel must be bit-identical to pandas'
+    rolling(center=True, min_periods=1).median() for odd/even windows,
+    short series, and all edge windows."""
+    from diive_ray.stages.outliers import rolling_median_centered
+
+    rng = np.random.Generator(np.random.Philox(key=31))
+    for n in (1, 2, 5, 48, 1000):
+        x = rng.standard_normal(n)
+        for w in (1, 2, 3, 4, 5, 48, 49, 624):
+            exp = pd.Series(x).rolling(window=w, center=True, min_periods=1).median().to_numpy()
+            got = rolling_median_centered(x, w)
+            assert np.array_equal(got, exp), (n, w)
