@@ -1552,6 +1552,45 @@ def q_harmonic_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_timestamp_shifts(sf_dir: str):
+    """detect_timestamp_shifts (reference
+    diive/preprocessing/qaqc/detect_timestamp_shifts.py:116-186 FFT
+    phase method; engine stages/shifts.py): per event_type, synthesize
+    a clear-sky measured-radiation series as potential radiation
+    clock-shifted by a deterministic per-type offset, then recover the
+    daily shift from the k=1 Fourier phase difference. Model-based
+    (FFT phase) -> rows-only driver check; planted-shift recovery is
+    pinned by tests/test_granger_trees.py."""
+    import zlib
+
+    from ..functions.solar import potential_radiation
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+    from ..stages.shifts import fft_phase_shift_frame
+    from ..util import ts_to_us
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        us = ts_to_us(reg["bucket_ts"])
+        shift_min = (zlib.crc32(str(key).encode()) % 5 - 2) * 30  # -60..+60
+        reg["pot"] = potential_radiation(us, 47.0, 8.5)
+        reg["meas"] = potential_radiation(us + shift_min * 60_000_000, 47.0, 8.5)
+        out = fft_phase_shift_frame(reg, meas_col="meas", pot_col="pot", ts_col="bucket_ts")
+        out.insert(0, "event_type", key)
+        out["planted_minutes"] = shift_min
+        return out
+
+    out = grouped_block_map(t1h, ["event_type"], gfn).to_pandas()
+    out["date"] = pd.to_datetime(out["date"]).astype("datetime64[us]")
+    out = _round6(out, ["shift_minutes", "amplitude_meas", "clearness"])
+    out["planted_minutes"] = out["planted_minutes"].astype("int64")
+    return out.sort_values(["event_type", "date"]).reset_index(drop=True)
+
+
 def q_stl_decompose(sf_dir: str):
     """True STL-lite decomposition (loess cycle-subseries smoothing,
     stages/decompose.py:stl_decompose — the upgrade over the harmonic
@@ -1978,6 +2017,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "flux_chain": q_flux_chain,
     "harmonic_decompose": q_harmonic_decompose,
     "stl_decompose": q_stl_decompose,
+    "timestamp_shifts": q_timestamp_shifts,
     "granger": q_granger,
     "tree_gapfill": q_tree_gapfill,
     "lineitem_filter_project": q_lineitem_filter_project,

@@ -149,12 +149,14 @@ def rolling_median_centered(x: np.ndarray, window: int, chunk_rows: int = 4096) 
     on a NaN-free array, built on chunked ``np.partition`` over
     ``sliding_window_view`` windows.
 
-    Why: pandas' skiplist rolling median is pointer-chasing and
-    memory-latency-bound — the worst-scaling kernel in the flagship
-    screening pipeline (2.5x ceiling on this VM, ROUND_NOTES). A
-    partition over a contiguous [chunk, window] view is branch-light,
-    cache-resident, and scales with cores. O(n*w) vs O(n log w) in
-    theory, C-vectorized in practice.
+    MEASURED VERDICT (this VM, n=86400): pandas' O(n log w) skiplist
+    beats this O(n*w) kernel at every window tried — 0.08 s vs 2.3 s at
+    w=624, 0.036 s vs 0.071 s at w=49 — so ``hampel_flag`` stays on
+    pandas. Kept (with its bit-exactness test) as the documented
+    negative result for the ROUND_NOTES "cache-friendly rolling median"
+    candidate: the total-work inflation of per-window partitions
+    dwarfs any cache-locality win; a real improvement needs an
+    O(n log w) structure in compiled code, which this container lacks.
 
     pandas centered-window contract (verified empirically on distinct
     values, even and odd windows): output i covers positions
@@ -202,10 +204,10 @@ def hampel_flag(
     use_differencing: bool = True,
     repeat: bool = True,
 ) -> pd.Series:
-    """Hampel filter, global mode (hampel.py:199-243). The two rolling
-    medians run on the cache-friendly partition kernel
-    (rolling_median_centered) — exact pandas semantics, better core
-    scaling."""
+    """Hampel filter, global mode (hampel.py:199-243). Rolling medians
+    stay on pandas' O(n log w) skiplist — measured 30x faster than the
+    partition kernel at the flagship window (see
+    rolling_median_centered's verdict)."""
 
     def test(filtered: pd.Series, _i: int) -> pd.Index:
         st = filtered.dropna()
@@ -216,15 +218,14 @@ def hampel_flag(
             s_to_test = s_to_test.fillna(0)
         else:
             s_to_test = st
-        vals = s_to_test.to_numpy(dtype=np.float64)
-        rolling_median = rolling_median_centered(vals, window_length)
-        deviations = np.abs(vals - rolling_median)
-        rolling_mad = rolling_median_centered(deviations, window_length) + 1e-6
+        rolling_median = s_to_test.rolling(window=window_length, center=True, min_periods=1).median()
+        deviations = np.abs(s_to_test - rolling_median)
+        rolling_mad = deviations.rolling(window=window_length, center=True, min_periods=1).median() + 1e-6
         limit = k * rolling_mad * n_sigma
         upper = rolling_median + limit
         lower = rolling_median - limit
-        is_outlier = (vals > upper) | (vals < lower)
-        return st.index[is_outlier]
+        is_outlier = (s_to_test > upper) | (s_to_test < lower)
+        return is_outlier[is_outlier].index
 
     return _iterate(s, test, repeat)
 

@@ -156,3 +156,31 @@ def test_train_test_split_deterministic_and_disjoint(ray_session):
     # different seed -> different split
     _, te3 = train_test_split(ds, test_size=0.25, seed=8)
     assert set(te3.to_pandas()["doc_id"]) != b
+
+
+def test_fft_phase_shift_recovers_planted_clock_error():
+    """A measured signal that is the potential-radiation curve shifted
+    by a known clock error must yield that shift (sub-sample precision
+    from the k=1 Fourier phase), reference method
+    detect_timestamp_shifts.py:116-186."""
+    from diive_ray.functions.solar import potential_radiation
+    from diive_ray.stages.shifts import (
+        crosscorr_shift_frame, fft_phase_shift_frame, noon_shift_frame,
+    )
+
+    us = (np.arange(24 * 20, dtype=np.int64) * 3_600_000_000) + 86_400_000_000 * 180
+    ts = pd.to_datetime(us, unit="us")
+    pot = potential_radiation(us, 47.0, 8.5)
+    for planted in (-60, 0, 45):
+        meas = potential_radiation(us + planted * 60_000_000, 47.0, 8.5)
+        df = pd.DataFrame({"bucket_ts": ts, "meas": meas, "pot": pot})
+        out = fft_phase_shift_frame(df, meas_col="meas", pot_col="pot")
+        med = np.nanmedian(out["shift_minutes"])
+        assert abs(med - planted) < 5, (planted, med)
+        cc = crosscorr_shift_frame(df, meas_col="meas", pot_col="pot")
+        assert abs(cc["shift_minutes"].iloc[0] - planted) <= 2, planted
+    # noon_shift: coarse (sample-resolution) peak comparison
+    meas = potential_radiation(us + 120 * 60_000_000, 47.0, 8.5)
+    df = pd.DataFrame({"bucket_ts": ts, "meas": meas, "pot": pot})
+    nn = noon_shift_frame(df, meas_col="meas", pot_col="pot")
+    assert abs(np.nanmedian(nn["shift_minutes"]) - 120) <= 60
