@@ -336,6 +336,8 @@ def ensure_fixture(
     out = os.path.join(root, f"{spec.name}-seed{base_seed}" + ("" if with_tokens else "-notok"))
     done_marker = os.path.join(out, "_DONE")
     if os.path.exists(done_marker):
+        if not os.path.exists(os.path.join(out, "_manifest.parquet")):
+            _write_manifest(out)  # corpora cached before manifests existed
         return out
     os.makedirs(out, exist_ok=True)
     jobs = []
@@ -360,9 +362,37 @@ def ensure_fixture(
         else:
             for j in jobs:
                 _gen_chunk_job(j)
+    _write_manifest(out)
     with open(done_marker, "w") as f:
         f.write("ok\n")
     return out
+
+
+def _write_manifest(out: str) -> None:
+    """Write ``_manifest.parquet`` (path, source, chunk_lo) at the
+    corpus root — the lake-writer artifact that lets
+    ``rollup.file_group_dataset`` skip directory listing entirely
+    (any sane 100-TB lake write emits one; here it is a post-hoc
+    listing of the layout we just wrote)."""
+    import glob as _glob
+    import re as _re
+
+    rows = {"path": [], "source": [], "chunk_lo": []}
+    for f in sorted(_glob.glob(os.path.join(out, "src-*", "*.parquet"))):
+        m = _re.search(r"chunk-(\d+)\.parquet$", f)
+        if m is None:
+            continue
+        rows["path"].append(f)
+        rows["source"].append(os.path.basename(os.path.dirname(f)).removeprefix("src-"))
+        rows["chunk_lo"].append(int(m.group(1)))
+    tbl = pa.table({
+        "path": pa.array(rows["path"], pa.string()),
+        "source": pa.array(rows["source"], pa.string()),
+        "chunk_lo": pa.array(rows["chunk_lo"], pa.int64()),
+    })
+    tmp = os.path.join(out, "_manifest.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(out, "_manifest.parquet"))
 
 
 def _gen_chunk_job(args) -> None:

@@ -345,7 +345,22 @@ def file_group_dataset(path: str, day_seconds: int) -> ray.data.Dataset:
 
     man = os.path.join(path, "_manifest.parquet")
     if os.path.exists(man):
-        files_ds = ray.data.read_parquet(man)
+        # manifest = metadata, not data: grouping a few million rows in
+        # pandas on the driver is ~100 ms — no exchange topology needed
+        # (the round-1 objection was driver FILESYSTEM globbing, which
+        # the manifest eliminates). The distributed-listing path below
+        # remains for manifest-less layouts.
+        import pyarrow.parquet as _pq
+
+        mdf = _pq.read_table(man, columns=["path", "source", "chunk_lo"]).to_pandas()
+        mdf["day"] = mdf["chunk_lo"] // day_seconds
+        mdf = mdf.sort_values("path")
+        grouped = mdf.groupby(["source", "day"], sort=True)["path"].apply(list).reset_index()
+        items = [
+            {"source": r["source"], "day": int(r["day"]), "files": list(r["path"])}
+            for _, r in grouped.iterrows()
+        ]
+        return ray.data.from_items(items)
     else:
         dirs = sorted(d for d in os.listdir(path) if d.startswith("src-"))
 

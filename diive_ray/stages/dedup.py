@@ -321,17 +321,18 @@ def verify_pairs_exact_jaccard(
     Returns a Dataset of (id_a, id_b, jaccard) with jaccard >= threshold."""
     from .exchange import block_map
 
-    # Materialize the two bounded intermediates (candidate pairs and
-    # candidate shingle sets): both are consumed twice below, and
-    # splitting the topology keeps at most 2 hash-shuffle operators in
-    # any one streaming graph — chaining more starves the shuffle
-    # aggregator actor pools of CPUs on small clusters (observed
-    # deadlock at 4 CPUs). Both datasets are bounded by candidate
-    # volume, not corpus size, and spill to the object store if large.
+    # Materialize the candidate pairs (consumed three times below: id
+    # collect + both union-join exchanges) so the banding shuffle runs
+    # once; ALSO keeps every executed subgraph at <= 2 hash-shuffle
+    # operators — chaining more starves the shuffle aggregator actor
+    # pools of CPUs on small clusters (observed deadlock at 4 CPUs).
+    # The shingle dataset stays lazy: its two consumers re-run the
+    # (shuffle-free) corpus scan, which is cheaper than another
+    # materialization barrier (~4 s fixed topology cost at any scale).
     pairs = pairs.materialize()
     shingles = candidate_shingle_sets(
         ds, pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed
-    ).materialize()
+    )
 
     def pair_emit_a(t: pa.Table) -> pa.Table:
         n = len(t)

@@ -21,8 +21,6 @@ counterpart). Three stages:
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -85,16 +83,7 @@ def knn_brute_force(
             })
 
     parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
-    rows = []
-    for qi, grp in parts.groupby("qi"):
-        qid = q_ids[qi]
-        cand = list(zip(-grp["sim"].to_numpy(), grp[id_col].to_numpy()))
-        if exclude_self:
-            cand = [c for c in cand if c[1] != qid]
-        best = heapq.nsmallest(k, cand)  # (-sim, id): ties -> smaller id first
-        for rank, (negsim, vid) in enumerate(best, 1):
-            rows.append((qid, rank, vid, -negsim))
-    return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "cos_sim"])
+    return _merge_topk(parts, q_ids, k, id_col, exclude_self)
 
 
 def hyperplane_signatures(x: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -163,15 +152,23 @@ def knn_lsh(
             })
 
     parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
-    rows = []
-    for qi, grp in parts.groupby("qi"):
-        qid = q_ids[qi]
-        cand = list(zip(-grp["sim"].to_numpy(), grp[id_col].to_numpy()))
-        if exclude_self:
-            cand = [c for c in cand if c[1] != qid]
-        for rank, (negsim, vid) in enumerate(heapq.nsmallest(k, cand), 1):
-            rows.append((qid, rank, vid, -negsim))
-    return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "cos_sim"])
+    return _merge_topk(parts, q_ids, k, id_col, exclude_self)
+
+
+def _merge_topk(parts: pd.DataFrame, q_ids: np.ndarray, k: int, id_col: str, exclude_self: bool) -> pd.DataFrame:
+    """Vectorized driver merge of per-batch partial top-k rows
+    (k x q x batches rows total): one global sort + per-query head(k).
+    Tie order matches the former heap merge: sim desc, id asc."""
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "cos_sim"])
+    parts = parts.assign(query_id=q_ids[parts["qi"].to_numpy()])
+    if exclude_self:
+        parts = parts[parts[id_col].to_numpy() != parts["query_id"].to_numpy()]
+    parts = parts.sort_values(["query_id", "sim", id_col], ascending=[True, False, True], kind="stable")
+    top = parts.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    top = top.rename(columns={"sim": "cos_sim"})
+    return top[["query_id", "rank", id_col, "cos_sim"]].reset_index(drop=True)
 
 
 def embedding_all_pairs_exact(
@@ -229,7 +226,11 @@ def embedding_all_pairs_exact(
             sims = A @ A.T
             ii, jj = np.triu_indices(len(ids_a), 1)
             hit = sims[ii, jj] >= threshold
-            ia, ib, sv = ids_a[ii[hit]], ids_a[jj[hit]], sims[ii[hit], jj[hit]]
+            # triu is positional; block row order is arrival-dependent,
+            # so order each pair by id explicitly
+            ra, rb = ids_a[ii[hit]], ids_a[jj[hit]]
+            ia, ib = np.minimum(ra, rb), np.maximum(ra, rb)
+            sv = sims[ii[hit], jj[hit]]
         else:
             a = df[df["side"] == 0]
             b = df[df["side"] == 1]
