@@ -257,6 +257,50 @@ SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
 """
 
 
+def q_doc_minhash_dedup(sf_dir: str):
+    """End-to-end near-dup DEDUP (stages/dedup.py:minhash_dedup):
+    MinHash+LSH candidates -> distributed exact-Jaccard verify ->
+    distributed connected components (min-label propagation) -> keep
+    component representatives. The oracle recomputes the same thing in
+    SQL: exact all-pairs Jaccard >= 0.5 edges, transitive closure via a
+    recursive CTE, keep doc_id == min reachable id."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = dd.minhash_dedup(ds, threshold=0.5).to_pandas()
+    return (
+        out[["doc_id"]]
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_MINHASH_DEDUP = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+  FROM w WHERE len(w) >= 3
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL
+  SELECT id_b, id_a FROM p
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+), rep AS (
+  SELECT node, MIN(label) AS label FROM reach GROUP BY node
+)
+SELECT node AS doc_id FROM rep WHERE node = label
+"""
+
+
 def q_doc_jaccard_blocked(sf_dir: str):
     """Blocked exact n-gram Jaccard dedup (within-lang blocking; the
     deterministic non-probabilistic path,
@@ -394,6 +438,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_minhash_dups": q_doc_minhash_dups,
+    "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_jaccard_blocked": q_doc_jaccard_blocked,
     "doc_simhash_dups": q_doc_simhash_dups,
     "embedding_topk": q_embedding_topk,
@@ -408,6 +453,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_fingerprint": _SQL_FINGERPRINT,
     "doc_exact_dedup": _SQL_EXACT_DEDUP,
     "doc_minhash_dups": _SQL_MINHASH,
+    "doc_minhash_dedup": _SQL_MINHASH_DEDUP,
     "doc_jaccard_blocked": _SQL_JACCARD_BLOCKED,
     # doc_simhash_dups: probabilistic signature — rows-only check
     "embedding_topk": _SQL_TOPK,

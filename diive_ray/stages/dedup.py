@@ -570,13 +570,16 @@ def minhash_dedup(
     shingle_k: int = 3,
     seed: int = 7,
     max_bucket: int = 2000,
+    max_driver_edges: int = 5_000_000,
 ) -> ray.data.Dataset:
     """End-to-end near-dup DEDUP at scale: MinHash+LSH candidate pairs
-    -> distributed exact-Jaccard verification -> distributed connected
-    components -> keep only component representatives (min id). The
-    non-representative id set is broadcast (bounded by the dup count,
-    the same trade as exact_dedup's broadcast mode) and the corpus is
-    filtered in one map_batches pass — the text payload never shuffles."""
+    -> distributed exact-Jaccard verification -> connected components
+    (driver union-find below ``max_driver_edges`` verified edges,
+    distributed min-label propagation above) -> keep only component
+    representatives (min id). The non-representative id set is
+    broadcast (bounded by the dup count, the same trade as
+    exact_dedup's broadcast mode) and the corpus is filtered in one
+    map_batches pass — the text payload never shuffles."""
     import ray as _ray
 
     sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
@@ -586,15 +589,29 @@ def minhash_dedup(
     )
     verified = verify_pairs_exact_jaccard(
         ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
-    )
-    labels = connected_components(verified)
+    ).materialize()
 
-    def losers_block(df: pd.DataFrame) -> pd.DataFrame:
-        return df.loc[df["node"] != df["label"], ["node"]]
+    # component resolution: verified near-dup edges are usually FAR
+    # fewer than docs (dedup-grade thresholds), so below a generous
+    # bound the driver union-find is both exact and topology-free;
+    # dup-heavy corpora above the bound go through the distributed
+    # min-label propagation (identical labels, test-pinned)
+    n_edges = verified.count()
+    if n_edges <= max_driver_edges:
+        edges = verified.select_columns(["id_a", "id_b"]).to_pandas()
+        pairs_list = list(zip(edges["id_a"].tolist(), edges["id_b"].tolist()))
+        nodes = sorted({n for e in pairs_list for n in e})
+        rep = union_find_keep(pairs_list, nodes)
+        losers = np.array(sorted(n for n, r in rep.items() if n != r), dtype=np.int64)
+    else:
+        labels = connected_components(verified)
 
-    loser_df = labels.map_batches(losers_block, batch_format="pandas").to_pandas()
-    losers = loser_df["node"].to_numpy(dtype=np.int64) if len(loser_df) else np.array([], dtype=np.int64)
-    losers.sort()
+        def losers_block(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["node"] != df["label"], ["node"]]
+
+        loser_df = labels.map_batches(losers_block, batch_format="pandas").to_pandas()
+        losers = loser_df["node"].to_numpy(dtype=np.int64) if len(loser_df) else np.array([], dtype=np.int64)
+        losers.sort()
     lose_ref = _ray.put(losers)
 
     class DropLosers:
