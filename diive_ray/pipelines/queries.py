@@ -1785,6 +1785,26 @@ def q_embedding_knn_lsh(sf_dir: str):
     return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_embedding_knn_ivf(sf_dir: str):
+    """Approximate kNN via an IVF coarse quantizer (from-scratch seeded
+    k-means, stages/similarity.py:knn_ivf — the inverted-file scale
+    path: per query only n_probe centroid cells are scored).
+    Deterministic given the seed but model-based -> rows-only driver
+    check; recall + exactness-at-full-probe pinned by
+    tests/test_similarity.py."""
+    from ..stages.similarity import knn_ivf
+
+    ds = _embs(sf_dir)
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    got = knn_ivf(ds, Q, k=5, query_ids=qdf["vec_id"].to_numpy(), n_centroids=16, n_probe=6)
+    got["cos_sim"] = round6(got["cos_sim"])
+    got["query_id"] = got["query_id"].astype("int64")
+    got["vec_id"] = got["vec_id"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _embs(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
@@ -2011,6 +2031,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "bootstrap_ci": q_bootstrap_ci,
     "eddypro_flags": q_eddypro_flags,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
     "daily_correlation": q_daily_correlation,
     "similarity_fill_1h": q_similarity_fill_1h,
     "mds_fill": q_mds_fill,

@@ -155,6 +155,98 @@ def knn_lsh(
     return _merge_topk(parts, q_ids, k, id_col, exclude_self)
 
 
+def kmeans_fit(
+    X: np.ndarray, n_centroids: int, *, n_iter: int = 10, seed: int = 23
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on (normalized) vectors — the IVF coarse
+    quantizer. Deterministic: k-means++-style seeding from a Philox
+    stream, fixed iteration count. Returns [n_centroids, d]."""
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    n = len(X)
+    k = min(n_centroids, n)
+    # k-means++ seeding
+    centroids = [X[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((X[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(X[rng.choice(n, p=p)])
+    C = np.asarray(centroids)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine assignment (unit vectors)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+    return C
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 23,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """IVF approximate cosine top-k — the inverted-file scale path
+    (coarse k-means quantizer; per query only the ``n_probe`` nearest
+    centroid cells are scored). The quantizer is fit on a driver-side
+    sample (``ds.limit(train_sample)``), centroids + queries are
+    broadcast once via ray.put, and each batch scores only its rows
+    whose cell is probed by some query — same output contract as
+    knn_brute_force, recall < 1 by construction (grows with n_probe;
+    n_probe = n_centroids recovers exact)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ids = np.arange(len(qn)) if query_ids is None else np.asarray(query_ids)
+
+    sample = ds.limit(train_sample).to_pandas()
+    Xs = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in sample[emb_col]]))
+    C = kmeans_fit(Xs, n_centroids, seed=seed)
+    n_probe = min(n_probe, len(C))
+    # per query: the probed cell set
+    q_cells = np.argsort(-(qn @ C.T), axis=1)[:, :n_probe]  # [q, n_probe]
+    ref = ray.put((qn, C, q_cells))
+
+    class Score:
+        def __init__(self):
+            self.q, self.C, self.q_cells = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(t, emb_col))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            cell = np.argmax(x @ self.C.T, axis=1)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(self.q)):
+                cand = np.flatnonzero(np.isin(cell, self.q_cells[qi]))
+                if not len(cand):
+                    continue
+                sims = x[cand] @ self.q[qi]
+                kk = min(k + 1, len(cand))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.extend([qi] * len(top))
+                out_id.extend(ids[cand[top]].tolist())
+                out_sim.extend(sims[top].tolist())
+            return pa.table({
+                "qi": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id),
+                "sim": pa.array(out_sim, pa.float64()),
+            })
+
+    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    return _merge_topk(parts, q_ids, k, id_col, exclude_self)
+
+
 def _merge_topk(parts: pd.DataFrame, q_ids: np.ndarray, k: int, id_col: str, exclude_self: bool) -> pd.DataFrame:
     """Vectorized driver merge of per-batch partial top-k rows
     (k x q x batches rows total): one global sort + per-query head(k).

@@ -86,3 +86,30 @@ def test_embedding_all_pairs_exact_matches_bruteforce(ds, vectors):
         assert abs(got_pairs[p] - v) < 1e-9
     # no duplicate pairs across shard blocks
     assert len(got) == len(got.drop_duplicates(subset=["id_a", "id_b"]))
+
+
+def test_knn_ivf_finds_planted_near_dups(ds, vectors):
+    """IVF probe path: the planted near-copies (cos > 0.99) land in the
+    same coarse cell as their source, so rank-1 recall holds even with
+    few probes."""
+    ids, X = vectors
+    X32 = X.astype(np.float32).astype(np.float64)
+    Q = X32[:5]
+    got = sim.knn_ivf(ds, Q, k=3, query_ids=ids[:5], n_centroids=8, n_probe=3)
+    found = 0
+    for i in range(5):
+        g = got[got["query_id"] == i].sort_values("rank")
+        if len(g) and g["vec_id"].iloc[0] == 150 + i:
+            found += 1
+    assert found >= 4  # allow one cell-boundary miss
+
+def test_knn_ivf_full_probe_is_exact(ds, vectors):
+    ids, X = vectors
+    X32 = X.astype(np.float32).astype(np.float64)
+    Q = X32[:3]
+    exact = sim.knn_brute_force(ds, Q, k=5, query_ids=ids[:3])
+    full = sim.knn_ivf(ds, Q, k=5, query_ids=ids[:3], n_centroids=4, n_probe=4)
+    for qid in ids[:3]:
+        a = exact[exact["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        b = full[full["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert a == b, qid
