@@ -29,10 +29,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
-    See diive_ray/pipelines/queries.py."""
-    from diive_ray.pipelines.queries import QUERIES
+    See diive_ray/pipelines/queries.py. Oracle-bearing queries are
+    listed FIRST (rows-only entries last) so a driver that bounds the
+    number of recorded rows still exercises every exact-checkable
+    operator."""
+    from diive_ray.pipelines.queries import ORACLE, QUERIES
 
-    return dict(QUERIES)
+    ordered = {k: v for k, v in QUERIES.items() if k in ORACLE}
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
