@@ -1591,6 +1591,44 @@ def q_timestamp_shifts(sf_dir: str):
     return out.sort_values(["event_type", "date"]).reset_index(drop=True)
 
 
+def q_percentiles101(sf_dir: str):
+    """percentiles101 (reference diive/analysis/quantiles.py:20-52):
+    the 0..100 percentile ladder per event_type, linear interpolation
+    (pandas/numpy quantile == DuckDB quantile_cont). Per-key grouped
+    computation; at corpus scale the percentile ladder would come from
+    a mergeable sketch (t-digest) — documented scale path."""
+    from ..stages.exchange import grouped_block_map
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].astype(float).dropna().to_numpy()
+        pct = np.arange(101, dtype=np.int64)
+        vals = np.quantile(v, pct / 100.0) if len(v) else np.full(101, np.nan)
+        return pd.DataFrame({
+            "event_type": df["event_type"].iloc[0],
+            "percentile": pct,
+            "value": vals,
+        })
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    out["percentile"] = out["percentile"].astype("int64")
+    out["value"] = stable_round6(out["value"].astype(float))
+    return out.sort_values(["event_type", "percentile"]).reset_index(drop=True)
+
+
+_SQL_PCT101 = """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, [{pcts}]) AS qs
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT event_type,
+       UNNEST(range(0, 101)) AS percentile,
+       ROUND(ROUND(UNNEST(qs), 9), 6) AS value
+FROM q
+""".format(pcts=", ".join(str(i / 100.0) for i in range(101)))
+
+
 def q_stl_decompose(sf_dir: str):
     """True STL-lite decomposition (loess cycle-subseries smoothing,
     stages/decompose.py:stl_decompose — the upgrade over the harmonic
@@ -2019,6 +2057,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "monthly_matrix": q_monthly_matrix,
     "grid_agg": q_grid_agg,
     "sstats": q_sstats,
+    "percentiles101": q_percentiles101,
     "histogram": q_histogram,
     "feature_engineer": q_feature_engineer,
     "ridge_gapfill": q_ridge_gapfill,
@@ -2075,6 +2114,7 @@ ORACLE: dict[str, str] = {
     "monthly_matrix": _SQL_MONTHLY,
     "grid_agg": _SQL_GRID,
     "sstats": _SQL_SSTATS,
+    "percentiles101": _SQL_PCT101,
     "histogram": _SQL_HISTOGRAM,
     "feature_engineer": _SQL_FEATURES,
     # ridge_gapfill: model-based -> rows-only
