@@ -114,3 +114,91 @@ def decode_features(
         concurrency=concurrency,
         fn_constructor_kwargs={"strict": strict},
     )
+
+
+class ResizeStub:
+    """Actor-pool resize stage (PIL.Image.resize slot). The
+    deterministic stand-in keeps every ``stride``-th payload byte — the
+    payload column stays binary (a resize RETAINS the media, unlike the
+    decode stage which drops it) and metadata is updated: fake dims
+    halve per stride doubling, ``media_bytes`` reflects the new
+    payload. Real plumbing: state in ``__init__``, small batches,
+    zero-copy input."""
+
+    def __init__(self, stride: int = 2, strict: bool = False):
+        self.stride = int(stride)
+        self.strict = strict
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "image resampling library not available; plug PIL/cv2 here"
+            )
+        out = []
+        for buf in t["payload"].to_pylist():
+            out.append(bytes(np.frombuffer(buf, dtype=np.uint8)[:: self.stride].tobytes()))
+        payload = pa.array(out, pa.binary())
+        t = t.drop_columns(["payload", "media_bytes"])
+        return (
+            t.append_column("payload", payload)
+            .append_column("media_bytes", pa.compute.binary_length(payload).cast(pa.int64()))
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset, *, stride: int = 2, strict: bool = False,
+    batch_size: int = 64, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResizeStub, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride, "strict": strict},
+    )
+
+
+class FrameSampleStub:
+    """Actor-pool video frame-sampling stage (libav slot): treats the
+    payload as a sequence of fixed-size fake frames and emits ONE ROW
+    PER SAMPLED FRAME (the flat-map fan-out layout a real video
+    pipeline needs — row count grows, payload per row shrinks).
+    Output: (id columns passthrough, frame_idx, frame_bytes)."""
+
+    def __init__(self, frame_size: int = 16, every: int = 4, strict: bool = False, id_cols=("doc_id",)):
+        self.frame_size = int(frame_size)
+        self.every = int(every)
+        self.strict = strict
+        self.id_cols = list(id_cols)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("video demuxer not available; plug av.open here")
+        ids = {c: t[c].to_pylist() for c in self.id_cols}
+        out_ids = {c: [] for c in self.id_cols}
+        out_idx, out_frames = [], []
+        for row, buf in enumerate(t["payload"].to_pylist()):
+            n_frames = max(0, len(buf) // self.frame_size)
+            for fi in range(0, n_frames, self.every):
+                for c in self.id_cols:
+                    out_ids[c].append(ids[c][row])
+                out_idx.append(fi)
+                out_frames.append(buf[fi * self.frame_size:(fi + 1) * self.frame_size])
+        cols = {c: pa.array(out_ids[c]) for c in self.id_cols}
+        cols["frame_idx"] = pa.array(out_idx, pa.int64())
+        cols["frame_bytes"] = pa.array(out_frames, pa.binary())
+        return pa.table(cols)
+
+
+def sample_frames(
+    ds: ray.data.Dataset, *, frame_size: int = 16, every: int = 4,
+    strict: bool = False, id_cols=("doc_id",), batch_size: int = 32, concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Frame sampling with the small-batch actor-pool contract (frame
+    fan-out multiplies rows; batch_size bounds the output blow-up)."""
+    return ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={
+            "frame_size": frame_size, "every": every,
+            "strict": strict, "id_cols": id_cols,
+        },
+    )
