@@ -608,6 +608,126 @@ def q_zscore_increments(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _flagged_events_noniter(sf_dir: str, kernel, **kw) -> pd.DataFrame:
+    """Shared single-pass (repeat=False) flag query body: per event_type,
+    order (ts, event_id), run ``kernel`` once, return flagged rows.
+    Mirrors q_hampel_noniter's deterministic-ordering pattern."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    drop_null = kw.pop("_drop_null", True)
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        if drop_null:
+            df = df[df["value"].notna()]
+        df = df.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        flag = kernel(df["value"].astype(float), repeat=False, **kw)
+        df["flag"] = flag.to_numpy()
+        return df[df["flag"] == 2][["event_id", "event_type", "value"]]
+
+    from ..stages.exchange import grouped_block_map
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(columns=["event_id", "event_type", "value"])
+        out["event_id"] = out["event_id"].astype("int64")
+        out["value"] = out["value"].astype(float)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_zscore_rolling_noniter(sf_dir: str):
+    """Rolling z-score, single pass (zscore.py:315-348 with repeat=False):
+    centered window 49 mean/std (ddof=1, min_periods=3) over non-null
+    values ordered (ts, event_id) per event_type; |z| > 3 -> flagged.
+    Exact SQL-window oracle (the iterated variant stays rows-only)."""
+    return _flagged_events_noniter(
+        sf_dir, ol.zscore_rolling_flag, thres_zscore=3.0, winsize=49)
+
+
+_SQL_ZSCORE_ROLLING_NI = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+    AVG(value) OVER w AS rmean,
+    STDDEV_SAMP(value) OVER w AS rsd,
+    COUNT(*) OVER w AS cnt
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY pos
+                      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)
+)
+SELECT event_id, event_type, value FROM r
+WHERE cnt >= 3 AND rsd > 0 AND ABS(value - rmean) / rsd > 3.0
+ORDER BY event_id
+"""
+
+
+def q_localsd_noniter(sf_dir: str):
+    """LocalSD, single pass (localsd.py:244-262 with repeat=False):
+    rolling median +- n_sd * rolling SD, centered window 49,
+    min_periods=3, strict inequalities. Exact SQL-window oracle."""
+    return _flagged_events_noniter(
+        sf_dir, ol.localsd_flag, n_sd=2.5, winsize=49)
+
+
+_SQL_LOCALSD_NI = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+    CAST(median(value) OVER w AS DOUBLE) AS rmed,
+    STDDEV_SAMP(value) OVER w AS rsd,
+    COUNT(*) OVER w AS cnt
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY pos
+                      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING)
+)
+SELECT event_id, event_type, value FROM r
+WHERE cnt >= 3 AND (value > rmed + rsd * 2.5 OR value < rmed - rsd * 2.5)
+ORDER BY event_id
+"""
+
+
+def q_zscore_increments_noniter(sf_dir: str):
+    """zScoreIncrements, single pass (incremental.py:103-158 with
+    repeat=False): prev/next/double diffs on the UNCOMPRESSED series
+    (nulls kept in place), inner global z-score (ddof=0) per diff
+    series, rejected iff all three |z| > 3. Exact SQL oracle."""
+    return _flagged_events_noniter(
+        sf_dir, ol.zscore_increments_flag, thres_zscore=3.0,
+        _drop_null=False)
+
+
+_SQL_ZSCORE_INCR_NI = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM events
+), d AS (
+  SELECT *,
+    ABS(value - lag(value) OVER w) AS dp,
+    ABS(value - lead(value) OVER w) AS dn
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY pos)
+), dd AS (
+  SELECT *, dp + dn AS d2 FROM d
+), st AS (
+  SELECT event_type,
+    AVG(dp) AS mdp, STDDEV_POP(dp) AS sdp,
+    AVG(dn) AS mdn, STDDEV_POP(dn) AS sdn,
+    AVG(d2) AS md2, STDDEV_POP(d2) AS sd2
+  FROM dd GROUP BY event_type
+)
+SELECT event_id, event_type, value
+FROM dd JOIN st USING (event_type)
+WHERE dp IS NOT NULL AND dn IS NOT NULL AND d2 IS NOT NULL
+  AND sdp > 0 AND sdn > 0 AND sd2 > 0
+  AND ABS((dp - mdp) / sdp) > 3.0
+  AND ABS((dn - mdn) / sdn) > 3.0
+  AND ABS((d2 - md2) / sd2) > 3.0
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------- dedup / keep-last
 
 
@@ -2042,8 +2162,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "hampel_noniter": q_hampel_noniter,
     "zscore_rolling": q_zscore_rolling,
+    "zscore_rolling_noniter": q_zscore_rolling_noniter,
     "localsd": q_localsd,
+    "localsd_noniter": q_localsd_noniter,
     "zscore_increments": q_zscore_increments,
+    "zscore_increments_noniter": q_zscore_increments_noniter,
     "abs_limits": q_abs_limits,
     "trimlow": q_trimlow,
     "dedup_keep_last": q_dedup_keep_last,
@@ -2100,7 +2223,11 @@ ORACLE: dict[str, str] = {
     "screening_chain": _SQL_SCREENING,
     "gapfill_linear_1h": _SQL_GAPFILL_1H,
     "hampel_noniter": _SQL_HAMPEL,
-    # zscore_rolling / localsd / zscore_increments: iterative -> rows-only
+    # zscore_rolling / localsd / zscore_increments: iterative -> rows-only;
+    # their single-pass variants carry exact SQL-window oracles:
+    "zscore_rolling_noniter": _SQL_ZSCORE_ROLLING_NI,
+    "localsd_noniter": _SQL_LOCALSD_NI,
+    "zscore_increments_noniter": _SQL_ZSCORE_INCR_NI,
     "abs_limits": _SQL_ABS_LIMITS,
     "trimlow": _SQL_TRIMLOW,
     "dedup_keep_last": _SQL_DEDUP,
