@@ -2145,6 +2145,86 @@ def q_tokens_verify_tiny(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_asof_join_hourly(sf_dir: str):
+    """Distributed ASOF join (stages/joins.py:asof_join): attach to each
+    raw event the latest COMPLETED hourly mean of its event_type —
+    right side = the engine's own 1h rollup tier (END-labelled
+    bucket_ts, so an event only matches hours that closed at or before
+    its timestamp). One keyed exchange + per-block pd.merge_asof.
+    Reference anchor: diive's point-in-time donor lookups
+    (diive/gapfilling/similarity.py window searches)."""
+    from ..stages.joins import asof_join
+
+    left = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+    def prep_right(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["bucket_ts"]).astype("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "ts": ts,
+                "ref_ts": ts,
+                "ref_mean": stable_round6(df["mean"].astype(float)),
+            }
+        )
+
+    right = _fused_tier(sf_dir, "1h").map_batches(prep_right, batch_format="pandas")
+    out = asof_join(left, right, key="event_type", on="ts").to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    out["ref_ts"] = pd.to_datetime(out["ref_ts"]).astype("datetime64[us]")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_ASOF_HOURLY = """
+WITH hourly AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS ref_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS ref_mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+)
+SELECT l.event_id, l.ts, l.event_type, l.value, r.ref_ts, r.ref_mean
+FROM events l ASOF LEFT JOIN hourly r
+  ON l.event_type = r.event_type AND l.ts >= r.ref_ts
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Log sessionization (stages/joins.py:session_stats): per-user
+    sessions split at >6 h inactivity; one keyed exchange, vectorized
+    per-block diff/cumsum labeling + same-block session rollup.
+    Deterministic under (user_id, ts) ties: tied rows share a session
+    (gap 0) whatever their order."""
+    from ..stages.joins import session_stats
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    out = session_stats(ds, key="user_id", ts="ts", timeout_us=6 * US_PER_HOUR).to_pandas()
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+_SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts) - MIN(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .docqueries import DOC_ORACLE, DOC_QUERIES
@@ -2208,6 +2288,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tokens_rollup_tiny": q_tokens_rollup_tiny,
     "tokens_verify_tiny": q_tokens_verify_tiny,
     "optimum_range": q_optimum_range,
+    "asof_join_hourly": q_asof_join_hourly,
+    "sessionize": q_sessionize,
     **DOC_QUERIES,
 }
 
@@ -2261,5 +2343,7 @@ ORACLE: dict[str, str] = {
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     "optimum_range": _SQL_OPTIMUM,
+    "asof_join_hourly": _SQL_ASOF_HOURLY,
+    "sessionize": _SQL_SESSIONIZE,
     **DOC_ORACLE,
 }

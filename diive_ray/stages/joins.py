@@ -1,0 +1,228 @@
+"""Distributed ordered joins: ASOF join and sessionization.
+
+Neither exists in Ray Data's Dataset API; both are classic time-series
+operators (the reference's windowed lookups — e.g. the MDS gap-fill's
+"closest earlier record" searches, diive gapfilling/similarity.py — are
+point-in-time joins in disguise). Both are built on the engine's
+exchange layer (stages/exchange.py): ONE hash exchange on the join key
+co-locates every row of a key in a single block, then the per-block
+work is fully vectorized pandas (`merge_asof` / diff+cumsum).
+
+Scale notes (100 TB):
+* one all-to-all on the key per call — no driver materialization, no
+  per-row Python;
+* a hot key's entire history lands in one block: same partitioning
+  contract as the rest of the engine (block_map). For monotone
+  time-partitioned layouts, pre-bucketing by (key, coarse time bucket)
+  with a one-bucket halo on the right side bounds block size; callers
+  with that layout should bucket upstream and pass the bucketed key.
+* ASOF determinism: ties on (key, on) in the RIGHT side make the
+  matched row engine-dependent — callers must deduplicate the right
+  side (aggregates are naturally unique per (key, bucket)).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..util import ts_to_us
+from .exchange import block_map
+
+
+def _append_missing(t: pa.Table, fields: list[pa.Field]) -> pa.Table:
+    for f in fields:
+        t = t.append_column(f.name, pa.nulls(len(t), f.type))
+    return t
+
+
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow.Schema. Datasets whose last stage was
+    a pandas map_batches report a PandasBlockSchema (numpy dtypes);
+    convert field-by-field (object -> string: the engine's only object
+    columns are strings)."""
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if t == np.dtype("O"):
+            fields.append(pa.field(n, pa.string()))
+        else:
+            fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+    return pa.schema(fields)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key: str,
+    on: str,
+    direction: str = "backward",
+    tolerance: "pd.Timedelta | None" = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Point-in-time join: for each left row, attach the most recent
+    right row of the same ``key`` with ``right.on <= left.on``
+    (direction="backward"; "forward" symmetric), optionally within
+    ``tolerance``.
+
+    ``right`` must carry columns ``[key, on] + value_cols`` where the
+    value columns are disjoint from left's; the output is left's schema
+    plus the value columns (null where no match). Right must be unique
+    per (key, on) for deterministic results.
+
+    Plan: tag side -> align schemas (typed nulls) -> union -> ONE hash
+    exchange on ``key`` -> per-block sort + ``pd.merge_asof(by=key)``.
+    """
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    left_cols = list(lschema.names)
+    value_cols = [c for c in rschema.names if c not in (key, on)]
+    clash = set(value_cols) & set(left_cols)
+    if clash:
+        raise ValueError(f"right value columns clash with left schema: {sorted(clash)}")
+    if key not in left_cols or on not in left_cols:
+        raise ValueError(f"left must carry key={key!r} and on={on!r}")
+    order = left_cols + value_cols
+
+    miss_left = [rschema.field(c) for c in value_cols]
+    miss_right = [lschema.field(c) for c in left_cols if c not in (key, on) and c not in value_cols]
+
+    def tag(side: int, missing: list[pa.Field]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = _append_missing(t, missing)
+            t = t.append_column("_side", pa.array(np.full(len(t), side, dtype=np.uint8)))
+            return t.select(order + ["_side"])
+
+        return fn
+
+    unioned = left.map_batches(tag(0, miss_left), batch_format="pyarrow").union(
+        right.map_batches(tag(1, miss_right), batch_format="pyarrow")
+    )
+
+    # left int/bool columns pass through the union as typed nulls on
+    # right-side rows, so the block's pandas conversion promotes them to
+    # float/object; restore the native dtype where no nulls remain
+    # (matching what a direct to_pandas of the left would have yielded).
+    restore = {}
+    for f in lschema:
+        if pa.types.is_integer(f.type):
+            restore[f.name] = np.dtype(f.type.to_pandas_dtype())
+        elif pa.types.is_boolean(f.type):
+            restore[f.name] = np.dtype(bool)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0].drop(columns=value_cols + ["_side"])
+        r = df[df["_side"] == 1][[key, on] + value_cols]
+        l = l.sort_values(on, kind="mergesort", ignore_index=True)
+        r = r.sort_values(on, kind="mergesort", ignore_index=True)
+        for c, dt in restore.items():
+            if not l[c].isna().any():
+                l[c] = l[c].astype(dt)
+        if l.empty:
+            return l.assign(**{c: r[c].iloc[0:0].reindex(range(0)) for c in value_cols})
+        return pd.merge_asof(
+            l, r, on=on, by=key, direction=direction, tolerance=tolerance
+        )
+
+    return block_map(
+        unioned,
+        [key],
+        combine,
+        batch_format="pandas",
+        num_partitions=num_partitions,
+        zero_copy_batch=False,
+    )
+
+
+def sessionize_frame(
+    df: pd.DataFrame, *, key: str, ts: str, timeout_us: int
+) -> pd.DataFrame:
+    """Vectorized per-block session labeling (all rows of a key must be
+    in this frame — guaranteed downstream of the keyed exchange).
+    Appends int64 ``session_id`` (1-based per key): a new session starts
+    whenever the gap to the key's previous record exceeds timeout_us.
+    Ties on (key, ts) share a session regardless of order (gap 0)."""
+    if df.empty:
+        return df.assign(session_id=np.array([], dtype=np.int64))
+    df = df.sort_values([key, ts], kind="mergesort", ignore_index=True)
+    tsv = ts_to_us(df[ts])
+    new_key = df[key].ne(df[key].shift(1)).to_numpy()
+    gap = np.diff(tsv, prepend=tsv[:1])
+    new_sess = new_key | (gap > timeout_us)
+    sid = np.cumsum(new_sess)
+    first_idx = np.flatnonzero(new_key)
+    counts = np.diff(np.append(first_idx, len(df)))
+    base = np.repeat(sid[first_idx], counts)
+    return df.assign(session_id=(sid - base + 1).astype(np.int64))
+
+
+def sessionize(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    ts: str,
+    timeout_us: int,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Streaming-log sessionization: ONE hash exchange on ``key``, then
+    per-block vectorized gap/cumsum labeling (sessions cannot span
+    blocks because the exchange co-locates each key)."""
+    return block_map(
+        ds,
+        [key],
+        lambda df: sessionize_frame(df, key=key, ts=ts, timeout_us=timeout_us),
+        batch_format="pandas",
+        num_partitions=num_partitions,
+        zero_copy_batch=False,
+    )
+
+
+def session_stats(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    ts: str,
+    timeout_us: int,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-session aggregate (start/end/n_events/duration) in the SAME
+    exchange as the labeling — the session rows are already co-located,
+    so the rollup is a per-block pandas groupby, no second shuffle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        lab = sessionize_frame(df, key=key, ts=ts, timeout_us=timeout_us)
+        if lab.empty:
+            return pd.DataFrame(
+                {
+                    key: lab[key] if key in lab else pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="datetime64[us]"),
+                    "session_end": pd.Series([], dtype="datetime64[us]"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "duration_s": pd.Series([], dtype="int64"),
+                }
+            )
+        g = lab.groupby([key, "session_id"], sort=False)[ts]
+        out = g.agg(session_start="min", session_end="max", n_events="size").reset_index()
+        dur = ts_to_us(out["session_end"]) - ts_to_us(out["session_start"])
+        out["duration_s"] = (dur // 1_000_000).astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["session_start"] = pd.to_datetime(out["session_start"]).astype("datetime64[us]")
+        out["session_end"] = pd.to_datetime(out["session_end"]).astype("datetime64[us]")
+        return out
+
+    return block_map(
+        ds,
+        [key],
+        fn,
+        batch_format="pandas",
+        num_partitions=num_partitions,
+        zero_copy_batch=False,
+    )

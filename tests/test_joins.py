@@ -1,0 +1,122 @@
+"""Distributed ASOF join + sessionization (stages/joins.py) vs
+single-frame pandas oracles, including one-sided keys, tolerance,
+forward direction, dtype restoration and timeout edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from diive_ray.stages.joins import asof_join, session_stats, sessionize, sessionize_frame
+
+US = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def sides():
+    """Left: 400 irregular points over 6 keys (2 keys missing on the
+    right); right: sparse reference rows per key, unique (key, ts)."""
+    rng = np.random.Generator(np.random.Philox(key=7))
+    n = 400
+    base = pd.Timestamp("2024-03-01")
+    left = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": rng.choice(list("abcdef"), size=n),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86_400 * 10, size=n), unit="s"),
+            "x": rng.normal(size=n),
+        }
+    )
+    left["ts"] = left["ts"].astype("datetime64[us]")
+    rr = []
+    for k in "abcd":  # e, f absent on the right
+        for h in range(0, 240, int(rng.integers(3, 9))):
+            rr.append((k, base + pd.Timedelta(hours=h), float(h)))
+    right = pd.DataFrame(rr, columns=["k", "ts", "ref"]).drop_duplicates(["k", "ts"])
+    right["ts"] = right["ts"].astype("datetime64[us]")
+    return left, right
+
+
+def _oracle(left, right, direction="backward", tolerance=None):
+    l = left.sort_values("ts", kind="mergesort", ignore_index=True)
+    r = right.sort_values("ts", kind="mergesort", ignore_index=True)
+    out = pd.merge_asof(l, r, on="ts", by="k", direction=direction, tolerance=tolerance)
+    return out.sort_values("rid", ignore_index=True)
+
+
+def _run(left, right, **kw):
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), key="k", on="ts", **kw
+    ).to_pandas()
+    return out.sort_values("rid", ignore_index=True)
+
+
+def test_asof_backward_matches_pandas(sides):
+    left, right = sides
+    got, exp = _run(left, right), _oracle(left, right)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+    assert got["rid"].dtype == np.int64  # restored through the union
+    # keys with no right side must survive with null ref
+    assert got.loc[got["k"].isin(["e", "f"]), "ref"].isna().all()
+
+
+def test_asof_forward_and_tolerance(sides):
+    left, right = sides
+    tol = pd.Timedelta(hours=2)
+    for direction in ("forward", "backward"):
+        got = _run(left, right, direction=direction, tolerance=tol)
+        exp = _oracle(left, right, direction=direction, tolerance=tol)
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_asof_rejects_clashing_value_columns(sides):
+    left, right = sides
+    bad = right.rename(columns={"ref": "x"})
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(rd.from_pandas(left), rd.from_pandas(bad), key="k", on="ts")
+
+
+def test_sessionize_frame_boundaries():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 01:00",
+         "2024-01-01 02:00", "2024-01-01 02:59", "2024-01-01 04:00"]
+    ).astype("datetime64[us]")
+    df = pd.DataFrame({"k": ["a"] * 6, "ts": ts})
+    # timeout exactly 30 min: gap == timeout stays, gap > timeout splits
+    out = sessionize_frame(df, key="k", ts="ts", timeout_us=30 * 60 * US)
+    assert out["session_id"].tolist() == [1, 1, 1, 2, 3, 4]
+    # ties share a session regardless of order
+    df2 = pd.DataFrame({"k": ["a", "a"], "ts": [ts[0], ts[0]]})
+    out2 = sessionize_frame(df2, key="k", ts="ts", timeout_us=1)
+    assert out2["session_id"].tolist() == [1, 1]
+
+
+def test_session_stats_vs_pandas(sides):
+    left, _ = sides
+    timeout_us = 4 * 3600 * US
+    got = (
+        session_stats(rd.from_pandas(left), key="k", ts="ts", timeout_us=timeout_us)
+        .to_pandas()
+        .sort_values(["k", "session_id"], ignore_index=True)
+    )
+    lab = sessionize_frame(left, key="k", ts="ts", timeout_us=timeout_us)
+    exp = (
+        lab.groupby(["k", "session_id"], sort=False)["ts"]
+        .agg(session_start="min", session_end="max", n_events="size")
+        .reset_index()
+        .sort_values(["k", "session_id"], ignore_index=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert (got["session_start"].to_numpy() == exp["session_start"].to_numpy()).all()
+    assert (got["session_end"].to_numpy() == exp["session_end"].to_numpy()).all()
+    dur = (got["session_end"] - got["session_start"]).dt.total_seconds().astype(np.int64)
+    assert got["duration_s"].tolist() == dur.tolist()
+    # distributed labeling agrees with the single-frame kernel
+    got_rows = (
+        sessionize(rd.from_pandas(left), key="k", ts="ts", timeout_us=timeout_us)
+        .to_pandas()
+        .sort_values(["k", "ts", "rid"], ignore_index=True)
+    )
+    exp_rows = lab.sort_values(["k", "ts", "rid"], ignore_index=True)
+    assert got_rows["session_id"].tolist() == exp_rows["session_id"].tolist()
