@@ -1334,6 +1334,78 @@ def q_lof_outliers(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_lof_scores(sf_dir: str):
+    """LOF scores (not flags) per event over non-null values grouped by
+    event_type, k=20 — exact-checkable variant of q_lof_outliers: the
+    kernel's k-NN tie-break is deterministic (smallest sorted position
+    wins, outliers.py:_lof_scores_sorted), so a DuckDB self-join oracle
+    (ORDER BY dist, spos) reproduces the exact neighbor sets. Scores
+    via stable_round6; oracle parity holds while the largest
+    duplicate-value class stays below k (sf0.01: classes of 2-3).
+    Deterministic 1-in-5 subsample (event_id % 5 == 0) keeps the
+    oracle's O(n^2)-pair self-join inside the driver budget."""
+    def keep_1in5(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        rem = pc.subtract(eid, pc.multiply(pc.divide(eid, 5), 5))
+        return t.filter(pc.equal(rem, 0))
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"]).map_batches(
+        keep_1in5, batch_format="pyarrow"
+    )
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()].sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        if len(df) < 21:
+            return None  # below k+1 rows LOF-vs-SQL parity is n<2k+1 full-pairwise; no such group at sf>=0.001
+        sc = ol.lof_scores(df["value"].astype(float).to_numpy(), k=20)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "event_type": df["event_type"],
+                "lof": stable_round6(sc),
+            }
+        )
+
+    from ..stages.exchange import grouped_block_map
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_LOF_SCORES = """
+WITH pts AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, ts, event_id) AS spos
+  FROM events WHERE value IS NOT NULL AND event_id % 5 = 0
+),
+d AS (
+  SELECT a.event_type, a.event_id AS pid, b.event_id AS oid, b.spos AS os,
+         ABS(a.value - b.value) AS dist
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.event_id <> b.event_id
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, pid ORDER BY dist, os) AS rn
+  FROM d
+),
+nn AS (SELECT event_type, pid, oid, dist FROM rk WHERE rn <= 20),
+kd AS (SELECT event_type, pid, MAX(dist) AS kdist FROM nn GROUP BY 1, 2),
+reach AS (
+  SELECT nn.event_type, nn.pid, nn.oid, GREATEST(nn.dist, ko.kdist) AS r
+  FROM nn JOIN kd ko ON ko.event_type = nn.event_type AND ko.pid = nn.oid
+),
+lrd AS (SELECT event_type, pid, 1.0 / (AVG(r) + 1e-12) AS lrd FROM reach GROUP BY 1, 2),
+lofs AS (
+  SELECT nn.event_type, nn.pid, AVG(lo.lrd) / MAX(lp.lrd) AS lof
+  FROM nn
+  JOIN lrd lo ON lo.event_type = nn.event_type AND lo.pid = nn.oid
+  JOIN lrd lp ON lp.event_type = nn.event_type AND lp.pid = nn.pid
+  GROUP BY 1, 2
+)
+SELECT pid AS event_id, event_type, ROUND(ROUND(lof, 9), 6) AS lof FROM lofs
+"""
+
+
 def q_bootstrap_ci(sf_dir: str):
     """Seeded bootstrap CI of the mean per event_type
     (ustar_bootstrap.py:156-280 pattern) — resampling-based, rows-only
@@ -2290,6 +2362,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "optimum_range": q_optimum_range,
     "asof_join_hourly": q_asof_join_hourly,
     "sessionize": q_sessionize,
+    "lof_scores": q_lof_scores,
     **DOC_QUERIES,
 }
 
@@ -2345,5 +2418,6 @@ ORACLE: dict[str, str] = {
     "optimum_range": _SQL_OPTIMUM,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
+    "lof_scores": _SQL_LOF_SCORES,
     **DOC_ORACLE,
 }

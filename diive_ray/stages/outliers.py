@@ -311,6 +311,58 @@ def manual_removal_flag(
     return flag
 
 
+def _lof_scores_sorted(x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """LOF scores over 1-D ``x``: returns (lof in SORTED-value order,
+    the stable sort order). k-NN by |value distance| with a
+    DETERMINISTIC tie-break — among equal distances the neighbor with
+    the smaller sorted position wins (stable argsort over the
+    position-increasing candidate window) — so an independent oracle
+    (SQL: ORDER BY dist, sorted_pos) reproduces the exact neighbor
+    sets. Caveat: with a duplicate-value class wider than the 2k+1
+    candidate window, window-external tied candidates are unreachable;
+    callers needing oracle parity should keep k above the largest
+    duplicate class size."""
+    n = len(x)
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    idx = np.arange(n)
+    if n < 2 * k + 1:
+        # group too small for a distinct sorted window: exact full
+        # pairwise distances (n is tiny here, O(n^2) is cheap) so no
+        # neighbor is ever double-counted
+        cand = np.broadcast_to(idx, (n, n)).copy()
+        d = np.abs(xs[None, :] - xs[:, None])
+        np.fill_diagonal(d, np.inf)  # self
+    else:
+        # distances to the 2k sorted neighbors per point -> k nearest
+        # 2k+1 DISTINCT sorted candidates per point: window shifted
+        # (not clipped) at the edges, so edge points never
+        # double-count a neighbor
+        start = np.clip(idx - k, 0, n - (2 * k + 1))
+        cand = start[:, None] + np.arange(2 * k + 1)[None, :]
+        d = np.abs(xs[cand] - xs[:, None])
+        d[cand == idx[:, None]] = np.inf  # self
+    # stable sort: candidate columns are position-increasing, so ties on
+    # distance resolve to the smallest sorted position — deterministic
+    part = np.argsort(d, axis=1, kind="stable")[:, :k]
+    rows = np.repeat(idx, k)
+    nbr = cand[rows, part.ravel()].reshape(n, k)
+    nd = d[rows, part.ravel()].reshape(n, k)
+    kdist = nd.max(axis=1)
+    reach = np.maximum(nd, kdist[nbr])  # reach-dist(p, o) = max(kdist(o), d(p,o))
+    lrd = 1.0 / (reach.mean(axis=1) + 1e-12)
+    lof = (lrd[nbr].mean(axis=1)) / lrd
+    return lof, order
+
+
+def lof_scores(x: np.ndarray, k: int) -> np.ndarray:
+    """LOF score per element of ``x`` (input order)."""
+    lof_sorted, order = _lof_scores_sorted(np.asarray(x, dtype=float), k)
+    out = np.empty(len(x), dtype=float)
+    out[order] = lof_sorted
+    return out
+
+
 def lof_flag(
     s: pd.Series,
     n_neighbors: int | None = None,
@@ -337,34 +389,8 @@ def lof_flag(
             return st.index[:0]
         k = n_neighbors or max(2, int(n / 200))
         k = min(k, n - 1)
-        x = st.to_numpy(dtype=float)
-        order = np.argsort(x, kind="stable")
-        xs = x[order]
-        idx = np.arange(n)
-        if n < 2 * k + 1:
-            # group too small for a distinct sorted window: exact full
-            # pairwise distances (n is tiny here, O(n^2) is cheap) so no
-            # neighbor is ever double-counted
-            cand = np.broadcast_to(idx, (n, n)).copy()
-            d = np.abs(xs[None, :] - xs[:, None])
-            np.fill_diagonal(d, np.inf)  # self
-        else:
-            # distances to the 2k sorted neighbors per point -> k nearest
-            # 2k+1 DISTINCT sorted candidates per point: window shifted
-            # (not clipped) at the edges, so edge points never
-            # double-count a neighbor
-            start = np.clip(idx - k, 0, n - (2 * k + 1))
-            cand = start[:, None] + np.arange(2 * k + 1)[None, :]
-            d = np.abs(xs[cand] - xs[:, None])
-            d[cand == idx[:, None]] = np.inf  # self
-        part = np.argpartition(d, k - 1, axis=1)[:, :k]
-        rows = np.repeat(idx, k)
-        nbr = cand[rows, part.ravel()].reshape(n, k)
-        nd = d[rows, part.ravel()].reshape(n, k)
-        kdist = nd.max(axis=1)
-        reach = np.maximum(nd, kdist[nbr])  # reach-dist(p, o) = max(kdist(o), d(p,o))
-        lrd = 1.0 / (reach.mean(axis=1) + 1e-12)
-        lof = (lrd[nbr].mean(axis=1)) / lrd
+        lof, order = _lof_scores_sorted(st.to_numpy(dtype=float), k)
+        bad_sorted = np.zeros(n, dtype=bool)
         if contamination == "auto":
             bad_sorted = lof > 1.5
         else:
