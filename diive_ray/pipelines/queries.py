@@ -2035,6 +2035,47 @@ def q_embedding_knn_ivf(sf_dir: str):
     return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_embedding_knn_ivf_exact(sf_dir: str):
+    """IVF kNN at FULL probe (n_probe == n_centroids): every cell is
+    scored, so the inverted-file path must return exactly the
+    brute-force cosine top-k — an exact-checkable pin of the IVF
+    machinery (same ranking contract as embedding_topk: rank on
+    ROUND(sim, 6) with vec_id tie-break)."""
+    from ..stages.similarity import knn_ivf
+
+    ds = _embs(sf_dir)
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    got = knn_ivf(
+        ds, Q, k=8, query_ids=qdf["vec_id"].to_numpy(), n_centroids=16, n_probe=16
+    )
+    got["cos_sim"] = round6(got["cos_sim"])
+    got = got.sort_values(
+        ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True], kind="stable"
+    )
+    got["rank"] = got.groupby("query_id").cumcount() + 1
+    got = got[got["rank"] <= 5]
+    for c in ("query_id", "vec_id", "rank"):
+        got[c] = got[c].astype("int64")
+    return got[["query_id", "rank", "vec_id", "cos_sim"]].reset_index(drop=True)
+
+
+_SQL_KNN_IVF_EXACT = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+"""
+
+
 def _embs(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
@@ -2363,6 +2404,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "asof_join_hourly": q_asof_join_hourly,
     "sessionize": q_sessionize,
     "lof_scores": q_lof_scores,
+    "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
     **DOC_QUERIES,
 }
 
@@ -2419,5 +2461,6 @@ ORACLE: dict[str, str] = {
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
     "lof_scores": _SQL_LOF_SCORES,
+    "embedding_knn_ivf_exact": _SQL_KNN_IVF_EXACT,
     **DOC_ORACLE,
 }
