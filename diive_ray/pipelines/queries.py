@@ -1842,6 +1842,86 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_granger_lag1_f(sf_dir: str):
+    """Exact-checkable Granger slice: lag-1 F-statistic between the
+    hourly 'click' and 'error' mean series (both directions), with the
+    closed-form covariance algebra shared verbatim by the SQL oracle
+    (stages/granger.py:granger_lag1_f). Inputs are 6dp-rounded hourly
+    means so both sides regress over bit-identical series; the pair
+    series is the inner join on hours where BOTH types have data
+    (equivalent to the reference's pairwise dropna before lagging,
+    granger.py:113-116)."""
+    from ..stages.granger import granger_lag1_f
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    a = t1h[t1h["event_type"] == "click"][["bucket_ts", "m"]].rename(columns={"m": "x"})
+    b = t1h[t1h["event_type"] == "error"][["bucket_ts", "m"]].rename(columns={"m": "y"})
+    j = pd.merge(a, b, on="bucket_ts", how="inner").sort_values("bucket_ts")
+    rows = []
+    for direction, (xv, yv) in {
+        "x->y": (j["x"].to_numpy(), j["y"].to_numpy()),
+        "y->x": (j["y"].to_numpy(), j["x"].to_numpy()),
+    }.items():
+        f, df2, n = granger_lag1_f(xv, yv)
+        rows.append((direction, n, df2, f))
+    out = pd.DataFrame(rows, columns=["direction", "n", "df2", "f_stat"])
+    out["n"] = out["n"].astype("int64")
+    out["df2"] = out["df2"].astype("int64")
+    out["f_stat"] = stable_round6(out["f_stat"].astype(float))
+    return out.sort_values("direction").reset_index(drop=True)
+
+
+_SQL_GRANGER_LAG1 = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+xy AS (
+  SELECT a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b USING (bts)
+  WHERE a.event_type = 'click' AND b.event_type = 'error'
+),
+lagd AS (
+  SELECT x, y, LAG(x) OVER w AS xl, LAG(y) OVER w AS yl
+  FROM xy WINDOW w AS (ORDER BY bts)
+),
+d AS (SELECT * FROM lagd WHERE xl IS NOT NULL),
+sums AS (
+  SELECT 'x->y' AS direction, COUNT(*)::DOUBLE AS n,
+         covar_pop(y, y) * COUNT(*) AS syy,
+         covar_pop(yl, yl) * COUNT(*) AS saa,
+         covar_pop(xl, xl) * COUNT(*) AS sbb,
+         covar_pop(y, yl) * COUNT(*) AS sya,
+         covar_pop(y, xl) * COUNT(*) AS syb,
+         covar_pop(yl, xl) * COUNT(*) AS sab
+  FROM d
+  UNION ALL
+  SELECT 'y->x', COUNT(*)::DOUBLE,
+         covar_pop(x, x) * COUNT(*),
+         covar_pop(xl, xl) * COUNT(*),
+         covar_pop(yl, yl) * COUNT(*),
+         covar_pop(x, xl) * COUNT(*),
+         covar_pop(x, yl) * COUNT(*),
+         covar_pop(xl, yl) * COUNT(*)
+  FROM d
+),
+calc AS (
+  SELECT direction, n,
+         syy - sya * sya / saa AS rss_r,
+         syy - ((sya * sbb - syb * sab) * sya + (syb * saa - sya * sab) * syb)
+               / (saa * sbb - sab * sab) AS rss_u
+  FROM sums
+)
+SELECT direction,
+       CAST(n AS BIGINT) AS n,
+       CAST(n - 3 AS BIGINT) AS df2,
+       ROUND(ROUND((rss_r - rss_u) / (rss_u / (n - 3)), 9), 6) AS f_stat
+FROM calc
+"""
+
+
 def q_granger(sf_dir: str):
     """GrangerCausality (reference diive/analysis/granger.py:16-136;
     from-scratch OLS F-test, stages/granger.py): does the hourly mean of
@@ -2405,6 +2485,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sessionize": q_sessionize,
     "lof_scores": q_lof_scores,
     "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
+    "granger_lag1_f": q_granger_lag1_f,
     **DOC_QUERIES,
 }
 
@@ -2462,5 +2543,6 @@ ORACLE: dict[str, str] = {
     "sessionize": _SQL_SESSIONIZE,
     "lof_scores": _SQL_LOF_SCORES,
     "embedding_knn_ivf_exact": _SQL_KNN_IVF_EXACT,
+    "granger_lag1_f": _SQL_GRANGER_LAG1,
     **DOC_ORACLE,
 }

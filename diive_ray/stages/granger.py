@@ -102,6 +102,35 @@ def _ols_rss(X: np.ndarray, y: np.ndarray) -> float:
     return float(resid @ resid)
 
 
+def granger_lag1_f(x: np.ndarray, y: np.ndarray) -> tuple[float, int, int]:
+    """Lag-1 Granger F-statistic (does x Granger-cause y?) via the
+    closed-form covariance algebra — the SAME formulas an independent
+    SQL oracle can evaluate with covar_pop sums (restricted RSS from
+    simple regression on y_{t-1}; unrestricted from the 2-regressor
+    normal equations), so engine and oracle agree to summation-order
+    ulps rather than lstsq-vs-algebra differences.
+    Returns (f_stat, df2, n)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    yv, yl, xl = y[1:], y[:-1], x[:-1]
+    n = len(yv)
+    cy = yv - yv.mean()
+    ca = yl - yl.mean()
+    cb = xl - xl.mean()
+    syy = float(cy @ cy)
+    saa = float(ca @ ca)
+    sbb = float(cb @ cb)
+    sya = float(cy @ ca)
+    syb = float(cy @ cb)
+    sab = float(ca @ cb)
+    rss_r = syy - sya * sya / saa
+    det = saa * sbb - sab * sab
+    rss_u = syy - ((sya * sbb - syb * sab) * sya + (syb * saa - sya * sab) * syb) / det
+    df2 = n - 3
+    f = (rss_r - rss_u) / (rss_u / df2)
+    return f, df2, n
+
+
 def granger_causality(
     x: pd.Series | np.ndarray,
     y: pd.Series | np.ndarray,
