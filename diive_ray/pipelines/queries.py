@@ -1842,6 +1842,66 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_harmonic_k1_fit(sf_dir: str):
+    """Exact-checkable harmonic slice: per event_type, the k=1 diurnal
+    harmonic fit (y ~ b0 + bs*sin + bc*cos over a 24h period) of the
+    6dp-rounded hourly means, via closed-form normal equations shared
+    verbatim with the SQL oracle (stages/decompose.py:harmonic_k1_fit).
+    Complements the rows-only harmonic_decompose/stl_decompose."""
+    from ..stages.decompose import harmonic_k1_fit
+    from ..util import ts_to_us as _tsus
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for et, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        b0, bs, bc = harmonic_k1_fit(_tsus(pd.to_datetime(g["bucket_ts"])), g["m"].to_numpy())
+        rows.append((et, len(g), b0, bs, bc))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "b0", "bs", "bc"])
+    out["n"] = out["n"].astype("int64")
+    for c in ("b0", "bs", "bc"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
+_SQL_HARMONIC_K1 = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+ph AS (
+  SELECT event_type, m,
+         sin(2 * pi() * ((epoch(bts)::BIGINT % 86400) / 86400.0)) AS s,
+         cos(2 * pi() * ((epoch(bts)::BIGINT % 86400) / 86400.0)) AS c
+  FROM hourly
+),
+sums AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         AVG(m) AS my, AVG(s) AS ms, AVG(c) AS mc,
+         covar_pop(m, s) * COUNT(*) AS sys_,
+         covar_pop(m, c) * COUNT(*) AS syc,
+         covar_pop(s, s) * COUNT(*) AS sss,
+         covar_pop(c, c) * COUNT(*) AS scc,
+         covar_pop(s, c) * COUNT(*) AS ssc
+  FROM ph GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n, my, ms, mc,
+         (sys_ * scc - syc * ssc) / (sss * scc - ssc * ssc) AS bs,
+         (syc * sss - sys_ * ssc) / (sss * scc - ssc * ssc) AS bc
+  FROM sums
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(my - bs * ms - bc * mc, 9), 6) AS b0,
+       ROUND(ROUND(bs, 9), 6) AS bs,
+       ROUND(ROUND(bc, 9), 6) AS bc
+FROM calc ORDER BY event_type
+"""
+
+
 def q_granger_lag1_f(sf_dir: str):
     """Exact-checkable Granger slice: lag-1 F-statistic between the
     hourly 'click' and 'error' mean series (both directions), with the
@@ -2486,6 +2546,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lof_scores": q_lof_scores,
     "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
     "granger_lag1_f": q_granger_lag1_f,
+    "harmonic_k1_fit": q_harmonic_k1_fit,
     **DOC_QUERIES,
 }
 
@@ -2544,5 +2605,6 @@ ORACLE: dict[str, str] = {
     "lof_scores": _SQL_LOF_SCORES,
     "embedding_knn_ivf_exact": _SQL_KNN_IVF_EXACT,
     "granger_lag1_f": _SQL_GRANGER_LAG1,
+    "harmonic_k1_fit": _SQL_HARMONIC_K1,
     **DOC_ORACLE,
 }

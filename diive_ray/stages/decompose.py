@@ -142,6 +142,26 @@ def stl_decompose(
     return grouped_block_map(ds, keys, gfn)
 
 
+def harmonic_k1_fit(ts_us: np.ndarray, y: np.ndarray, period_s: int = 86_400) -> tuple[float, float, float]:
+    """Single-harmonic (k=1) least-squares fit y ~ b0 + bs*sin + bc*cos
+    of the given period, via the closed-form centered 2-regressor
+    normal equations — the SAME covariance algebra an independent SQL
+    oracle evaluates with covar_pop sums, so engine and oracle agree to
+    summation-order ulps. Returns (b0, bs, bc)."""
+    t = np.asarray(ts_us, dtype=np.int64) // 1_000_000
+    phase = 2.0 * np.pi * ((t % period_s) / float(period_s))
+    s, c = np.sin(phase), np.cos(phase)
+    y = np.asarray(y, dtype=np.float64)
+    cy, cs, cc = y - y.mean(), s - s.mean(), c - c.mean()
+    sys_, syc = float(cy @ cs), float(cy @ cc)
+    sss, scc, ssc = float(cs @ cs), float(cc @ cc), float(cs @ cc)
+    det = sss * scc - ssc * ssc
+    bs = (sys_ * scc - syc * ssc) / det
+    bc = (syc * sss - sys_ * ssc) / det
+    b0 = y.mean() - bs * s.mean() - bc * c.mean()
+    return b0, bs, bc
+
+
 def harmonic_decompose_frame(
     df: pd.DataFrame,
     value_col: str,

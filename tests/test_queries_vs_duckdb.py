@@ -71,4 +71,8 @@ def test_query_matches_oracle(name, con, ray_session):
                 err_msg=f"{name}.{c}", equal_nan=True,
             )
         else:
-            assert (g.to_numpy() == e.to_numpy()).all(), f"{name}.{c} differs"
+            # NaT == NaT is False under numpy equality: compare null
+            # masks separately, values on the non-null rows
+            gn, en = g.isna().to_numpy(), e.isna().to_numpy()
+            assert (gn == en).all(), f"{name}.{c} null masks differ"
+            assert (g.to_numpy()[~gn] == e.to_numpy()[~en]).all(), f"{name}.{c} differs"
