@@ -1842,6 +1842,65 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_wind_rotation(sf_dir: str):
+    """Wind double rotation (reference diive/flux/hires/windrotation.py,
+    Wilczak 2001; stages/wind.py): per (event_type, 1h) averaging
+    window, yaw/pitch angles from the window's mean wind applied
+    sample-wise. Wind components synthesized deterministically from the
+    events table (u = value, v = value*cos(user_id),
+    w = value*sin(user_id)/10) identically on both sides."""
+    from ..stages.wind import wind_double_rotation
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "user_id", "value"])
+    bucketer = make_bucket_assigner(US_PER_HOUR, end_stamped=True)
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(dtype=np.float64)
+        df = df.assign(
+            u=df["value"],
+            v=df["value"] * np.cos(uid),
+            w=df["value"] * np.sin(uid) / 10.0,
+        )
+        return df.drop(columns=["user_id"])
+
+    prepared = ds.map_batches(bucketer, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        synth, batch_format="pandas"
+    )
+    out = wind_double_rotation(prepared, keys=["event_type", "bucket_ts"]).to_pandas()
+    res = out[["event_id", "event_type"]].copy()
+    for c in ("u2", "v2", "w2", "theta", "phi"):
+        res[c] = stable_round6(out[c].astype(float))
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_WIND_ROT = """
+WITH s AS (
+  SELECT event_id, event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         value AS u,
+         value * cos(user_id) AS v,
+         value * sin(user_id) / 10 AS w
+  FROM events
+),
+m AS (
+  SELECT event_type, bts, AVG(u) AS um, AVG(v) AS vm, AVG(w) AS wm
+  FROM s GROUP BY 1, 2
+),
+ang AS (
+  SELECT event_type, bts, atan2(vm, um) AS theta,
+         atan2(wm, um * cos(atan2(vm, um)) + vm * sin(atan2(vm, um))) AS phi
+  FROM m
+)
+SELECT s.event_id, s.event_type,
+       ROUND(ROUND((s.u * cos(theta) + s.v * sin(theta)) * cos(phi) + s.w * sin(phi), 9), 6) AS u2,
+       ROUND(ROUND(-s.u * sin(theta) + s.v * cos(theta), 9), 6) AS v2,
+       ROUND(ROUND(-(s.u * cos(theta) + s.v * sin(theta)) * sin(phi) + s.w * cos(phi), 9), 6) AS w2,
+       ROUND(ROUND(theta, 9), 6) AS theta,
+       ROUND(ROUND(phi, 9), 6) AS phi
+FROM s JOIN ang USING (event_type, bts)
+"""
+
+
 def q_harmonic_k1_fit(sf_dir: str):
     """Exact-checkable harmonic slice: per event_type, the k=1 diurnal
     harmonic fit (y ~ b0 + bs*sin + bc*cos over a 24h period) of the
@@ -2547,6 +2606,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
     "granger_lag1_f": q_granger_lag1_f,
     "harmonic_k1_fit": q_harmonic_k1_fit,
+    "wind_rotation": q_wind_rotation,
     **DOC_QUERIES,
 }
 
@@ -2606,5 +2666,6 @@ ORACLE: dict[str, str] = {
     "embedding_knn_ivf_exact": _SQL_KNN_IVF_EXACT,
     "granger_lag1_f": _SQL_GRANGER_LAG1,
     "harmonic_k1_fit": _SQL_HARMONIC_K1,
+    "wind_rotation": _SQL_WIND_ROT,
     **DOC_ORACLE,
 }

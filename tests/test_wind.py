@@ -1,0 +1,54 @@
+"""Wind double rotation (stages/wind.py) — Wilczak 2001 invariants and
+frame-kernel vs distributed equality."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from diive_ray.stages.wind import wind_double_rotation, wind_double_rotation_frame
+
+
+def _mk(rng, site, n, bias):
+    return pd.DataFrame(
+        {
+            "site": site,
+            "win": np.repeat(np.arange(n // 50), 50)[:n],
+            "u": rng.normal(3.0, 1.0, n),
+            "v": rng.normal(bias, 0.8, n),
+            "w": rng.normal(0.3, 0.2, n),
+        }
+    )
+
+
+def test_rotation_zeroes_mean_crosswind_and_vertical():
+    rng = np.random.Generator(np.random.Philox(key=11))
+    df = _mk(rng, "a", 500, 1.2)
+    for _, g in df.groupby("win"):
+        out = wind_double_rotation_frame(g)
+        assert abs(out["v2"].mean()) < 1e-12  # yaw rotation zeroes mean v
+        assert abs(out["w2"].mean()) < 1e-12  # pitch rotation zeroes mean w
+        # rotation preserves per-sample wind speed
+        s_in = (g[["u", "v", "w"]] ** 2).sum(axis=1)
+        s_out = (out[["u2", "v2", "w2"]] ** 2).sum(axis=1)
+        np.testing.assert_allclose(s_out.to_numpy(), s_in.to_numpy(), rtol=1e-12)
+
+
+def test_distributed_matches_frame_kernel():
+    rng = np.random.Generator(np.random.Philox(key=12))
+    df = pd.concat(
+        [_mk(rng, "a", 300, 0.5), _mk(rng, "b", 300, -2.0)], ignore_index=True
+    )
+    got = (
+        wind_double_rotation(rd.from_pandas(df), keys=["site", "win"])
+        .to_pandas()
+        .sort_values(["site", "win", "u"], ignore_index=True)
+    )
+    exp = (
+        pd.concat(
+            [wind_double_rotation_frame(g) for _, g in df.groupby(["site", "win"])],
+            ignore_index=True,
+        )
+        .sort_values(["site", "win", "u"], ignore_index=True)
+    )
+    for c in ("u2", "v2", "w2", "theta", "phi"):
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(), rtol=0, atol=1e-12)
