@@ -1842,6 +1842,61 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_xcorr_lag_scan(sf_dir: str):
+    """Exact-checkable slice of the timestamp-shift detector
+    (stages/shifts.py:crosscorr_shift_frame — its candidate-lag
+    correlation scan, minus the 1-min interpolation): Pearson
+    correlation of the compacted hourly 'click' vs 'error' mean series
+    at integer-hour lags -6..6 (x_t paired with y_{t+lag}). Returns the
+    full 13-row ladder (no argmax: ladder values are rounding-robust,
+    the argmax would be a knife-edge tie)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    a = t1h[t1h["event_type"] == "click"][["bucket_ts", "m"]].rename(columns={"m": "x"})
+    b = t1h[t1h["event_type"] == "error"][["bucket_ts", "m"]].rename(columns={"m": "y"})
+    j = pd.merge(a, b, on="bucket_ts", how="inner").sort_values("bucket_ts")
+    x, y = j["x"].to_numpy(), j["y"].to_numpy()
+    rows = []
+    for lag in range(-6, 7):
+        if lag >= 0:
+            xa, yb = x[: len(x) - lag] if lag else x, y[lag:]
+        else:
+            xa, yb = x[-lag:], y[:lag]
+        ca, cb = xa - xa.mean(), yb - yb.mean()
+        r = float(ca @ cb) / np.sqrt(float(ca @ ca) * float(cb @ cb))
+        rows.append((lag, len(xa), r))
+    out = pd.DataFrame(rows, columns=["lag", "n", "r"])
+    out["lag"] = out["lag"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["r"] = stable_round6(out["r"].astype(float))
+    return out.reset_index(drop=True)
+
+
+_SQL_XCORR_SCAN = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+xy AS (
+  SELECT a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b USING (bts)
+  WHERE a.event_type = 'click' AND b.event_type = 'error'
+),
+o AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY bts) AS rn FROM xy),
+lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+pairs AS (
+  SELECT l.lag, a.x AS xa, b.y AS yb
+  FROM lags l
+  JOIN o a ON TRUE
+  JOIN o b ON b.rn = a.rn + l.lag
+)
+SELECT lag::BIGINT AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ROUND(corr(xa, yb), 9), 6) AS r
+FROM pairs GROUP BY lag ORDER BY lag
+"""
+
+
 def q_wind_rotation(sf_dir: str):
     """Wind double rotation (reference diive/flux/hires/windrotation.py,
     Wilczak 2001; stages/wind.py): per (event_type, 1h) averaging
@@ -2607,6 +2662,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "granger_lag1_f": q_granger_lag1_f,
     "harmonic_k1_fit": q_harmonic_k1_fit,
     "wind_rotation": q_wind_rotation,
+    "xcorr_lag_scan": q_xcorr_lag_scan,
     **DOC_QUERIES,
 }
 
@@ -2667,5 +2723,6 @@ ORACLE: dict[str, str] = {
     "granger_lag1_f": _SQL_GRANGER_LAG1,
     "harmonic_k1_fit": _SQL_HARMONIC_K1,
     "wind_rotation": _SQL_WIND_ROT,
+    "xcorr_lag_scan": _SQL_XCORR_SCAN,
     **DOC_ORACLE,
 }
