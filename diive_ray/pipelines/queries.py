@@ -1842,6 +1842,68 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_max_covariance(sf_dir: str):
+    """MaxCovariance lag search (reference diive/flux/hires/lag.py:24-300,
+    the detect_and_remove_tlag core; stages/lag.py): per event_type,
+    the lagged variable is the segment's own value lagged by 7 records
+    (planted lag, synthesized identically in SQL via LAG(value, 7)), so
+    the |cov| peak must land at shift=+7. Returns the full ladder for
+    shifts -20..20 with the max-|cov| flag; the scipy-style auto-peak
+    validation is engine-only (pytest-pinned, not SQL-expressible)."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.lag import max_covariance_frame
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def gfn(g: pd.DataFrame) -> pd.DataFrame:
+        # lagged synthesized AFTER the exchange: needs the whole ordered
+        # segment (mirrors SQL LAG(value, 7) OVER the segment window)
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g = g.assign(lagged=g["value"].shift(7))
+        out = max_covariance_frame(
+            g, ref_col="value", lagged_col="lagged", winsize_from=-20, winsize_to=20
+        )
+        out.insert(0, "event_type", g["event_type"].iloc[0])
+        return out
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    out = out.drop(columns=["flag_peak_auto"])
+    for c in ("cov", "cov_abs"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["shift"] = out["shift"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["flag_peak_max_cov_abs"] = out["flag_peak_max_cov_abs"].astype(bool)
+    return out.sort_values(["event_type", "shift"]).reset_index(drop=True)
+
+
+_SQL_MAX_COV = """
+WITH s AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         LAG(value, 7) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lagged
+  FROM events
+),
+shifts AS (SELECT unnest(generate_series(-20, 20)) AS shift),
+pairs AS (
+  SELECT a.event_type, sh.shift, a.value AS ref, b.lagged AS lv
+  FROM shifts sh
+  JOIN s a ON TRUE
+  JOIN s b ON b.event_type = a.event_type AND b.rn = a.rn + sh.shift
+),
+cov AS (
+  SELECT event_type, shift,
+         CAST(COUNT(*) FILTER (WHERE ref IS NOT NULL AND lv IS NOT NULL) AS BIGINT) AS n,
+         covar_samp(ref, lv) AS c
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, shift::BIGINT AS shift, n,
+       ROUND(ROUND(c, 9), 6) AS cov,
+       ROUND(ROUND(ABS(c), 9), 6) AS cov_abs,
+       ABS(c) = MAX(ABS(c)) OVER (PARTITION BY event_type) AS flag_peak_max_cov_abs
+FROM cov
+"""
+
+
 def q_xcorr_lag_scan(sf_dir: str):
     """Exact-checkable slice of the timestamp-shift detector
     (stages/shifts.py:crosscorr_shift_frame — its candidate-lag
@@ -2663,6 +2725,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "harmonic_k1_fit": q_harmonic_k1_fit,
     "wind_rotation": q_wind_rotation,
     "xcorr_lag_scan": q_xcorr_lag_scan,
+    "max_covariance": q_max_covariance,
     **DOC_QUERIES,
 }
 
@@ -2724,5 +2787,6 @@ ORACLE: dict[str, str] = {
     "harmonic_k1_fit": _SQL_HARMONIC_K1,
     "wind_rotation": _SQL_WIND_ROT,
     "xcorr_lag_scan": _SQL_XCORR_SCAN,
+    "max_covariance": _SQL_MAX_COV,
     **DOC_ORACLE,
 }
