@@ -1842,6 +1842,135 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_stratified_analysis(sf_dir: str):
+    """StratifiedAnalysis / decoupling (reference
+    diive/analysis/decoupling.py:24-210; stages/stratified.py): rows
+    stratified into 8 global quantile bins of z = value (exact
+    distributed ntile via 3-pass histogram refinement — no whole-column
+    driver materialization), each stratum binned into 4 quantile bins
+    of x = hour-of-day, y = value*cos(user_id) aggregated per cell with
+    median + P16/P84 error bars. Bin rule is SQL ntile ORDER BY (val,
+    event_id), duplicate-safe."""
+    from ..stages.stratified import stratified_analysis
+    from ..util import ts_to_us as _tsus
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "user_id", "value"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()]
+        hours = (_tsus(df["ts"]) // US_PER_HOUR) % 24
+        uid = df["user_id"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "z": df["value"],
+                "x": hours.astype(np.float64),
+                "y": df["value"].to_numpy() * np.cos(uid),
+            }
+        )
+
+    out = stratified_analysis(
+        ds.map_batches(synth, batch_format="pandas"),
+        z="z", x="x", y="y", id_col="event_id", n_bins_z=8, n_bins_x=4,
+    ).to_pandas()
+    for c in ("x_agg", "y_agg", "x_p16", "x_p84", "y_p16", "y_p84"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["z_bin"] = out["z_bin"].astype("int64")
+    out["x_bin"] = out["x_bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["z_bin", "x_bin"]).reset_index(drop=True)
+
+
+_SQL_STRATIFIED = """
+WITH pts AS (
+  SELECT event_id, value AS z,
+         hour(ts) AS xh,
+         value * cos(user_id) AS y
+  FROM events WHERE value IS NOT NULL
+),
+zb AS (
+  SELECT *, ntile(8) OVER (ORDER BY z, event_id) AS z_bin FROM pts
+),
+xb AS (
+  SELECT *, ntile(4) OVER (PARTITION BY z_bin ORDER BY xh, event_id) AS x_bin FROM zb
+)
+SELECT z_bin::BIGINT AS z_bin, x_bin::BIGINT AS x_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ROUND(median(xh::DOUBLE), 9), 6) AS x_agg,
+       ROUND(ROUND(median(y), 9), 6) AS y_agg,
+       ROUND(ROUND(quantile_cont(xh::DOUBLE, 0.16), 9), 6) AS x_p16,
+       ROUND(ROUND(quantile_cont(xh::DOUBLE, 0.84), 9), 6) AS x_p84,
+       ROUND(ROUND(quantile_cont(y, 0.16), 9), 6) AS y_p16,
+       ROUND(ROUND(quantile_cont(y, 0.84), 9), 6) AS y_p84
+FROM xb GROUP BY 1, 2
+"""
+
+
+def q_compound_extremes(sf_dir: str):
+    """CompoundExtremes (reference diive/analysis/compoundextremes.py,
+    Wang et al. compound dry-hot pattern; stages/extremes.py): daily
+    'click' vs 'error' means as the two drivers, record-standardized
+    z-scores (ddof=1), var1 extreme high / var2 extreme low at |z|>=1,
+    periods classified none/var1/var2/compound. Daily aggregation comes
+    from the engine's own 1d cascade tier; inputs rounded 6dp on both
+    sides so the z-scores agree to summation-order ulps."""
+    from ..stages.extremes import compound_extremes_frame
+
+    t1d = _fused_tier(sf_dir, "1d").to_pandas()
+    t1d["m"] = stable_round6(t1d["mean"].astype(float))
+    a = t1d[t1d["event_type"] == "click"][["bucket_ts", "m"]].rename(columns={"m": "v1"})
+    b = t1d[t1d["event_type"] == "error"][["bucket_ts", "m"]].rename(columns={"m": "v2"})
+    j = pd.merge(a, b, on="bucket_ts", how="inner").sort_values("bucket_ts")
+    out = compound_extremes_frame(
+        j, period_col="bucket_ts", v1="v1", v2="v2", agg="daily",
+        var1_extreme="high", var2_extreme="low", threshold=1.0,
+        standardize_by="record",
+    )
+    res = pd.DataFrame(
+        {
+            "day_ts": pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]"),
+            "v1": out["v1"],
+            "v2": out["v2"],
+            "z1": stable_round6(out["z1"].astype(float)),
+            "z2": stable_round6(out["z2"].astype(float)),
+            "var1_extreme": out["var1_extreme"].astype(bool),
+            "var2_extreme": out["var2_extreme"].astype(bool),
+            "category": out["category"].astype(str),
+        }
+    )
+    return res.sort_values("day_ts").reset_index(drop=True)
+
+
+_SQL_COMPOUND_EXTREMES = """
+WITH d AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+xy AS (
+  SELECT a.bts, a.m AS v1, b.m AS v2
+  FROM d a JOIN d b USING (bts)
+  WHERE a.event_type = 'click' AND b.event_type = 'error'
+),
+z AS (
+  SELECT bts, v1, v2,
+         (v1 - AVG(v1) OVER ()) / STDDEV_SAMP(v1) OVER () AS z1,
+         (v2 - AVG(v2) OVER ()) / STDDEV_SAMP(v2) OVER () AS z2
+  FROM xy
+)
+SELECT bts AS day_ts, v1, v2,
+       ROUND(ROUND(z1, 9), 6) AS z1,
+       ROUND(ROUND(z2, 9), 6) AS z2,
+       z1 >= 1.0 AS var1_extreme,
+       z2 <= -1.0 AS var2_extreme,
+       CASE WHEN z1 >= 1.0 AND z2 <= -1.0 THEN 'compound'
+            WHEN z1 >= 1.0 THEN 'var1'
+            WHEN z2 <= -1.0 THEN 'var2'
+            ELSE 'none' END AS category
+FROM z
+"""
+
+
 def q_max_covariance(sf_dir: str):
     """MaxCovariance lag search (reference diive/flux/hires/lag.py:24-300,
     the detect_and_remove_tlag core; stages/lag.py): per event_type,
@@ -2726,6 +2855,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wind_rotation": q_wind_rotation,
     "xcorr_lag_scan": q_xcorr_lag_scan,
     "max_covariance": q_max_covariance,
+    "compound_extremes": q_compound_extremes,
+    "stratified_analysis": q_stratified_analysis,
     **DOC_QUERIES,
 }
 
@@ -2788,5 +2919,7 @@ ORACLE: dict[str, str] = {
     "wind_rotation": _SQL_WIND_ROT,
     "xcorr_lag_scan": _SQL_XCORR_SCAN,
     "max_covariance": _SQL_MAX_COV,
+    "compound_extremes": _SQL_COMPOUND_EXTREMES,
+    "stratified_analysis": _SQL_STRATIFIED,
     **DOC_ORACLE,
 }

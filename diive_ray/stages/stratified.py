@@ -1,0 +1,211 @@
+"""Stratified binning analysis + exact distributed ntile.
+
+Reference: diive/analysis/decoupling.py (StratifiedAnalysis): stratify
+rows into quantile bins of z, bin each stratum by quantiles of x, and
+aggregate y per (z-bin, x-bin) cell with counts and 16th/84th
+percentile error bars.
+
+The reference uses pandas ``qcut`` on an in-memory frame. Distributed,
+the z-stratification needs GLOBAL rank boundaries; this module
+implements them exactly with bounded driver memory:
+
+``exact_ntile_boundaries`` — 3 streaming passes, no whole-column
+materialization:
+  1. global (count, min, max) of the key column (tiny partials);
+  2. a fixed-width value histogram per batch (2^17 bins, combined on
+     the driver) -> for each target rank, the bin that contains it;
+  3. collect ONLY the rows falling in those boundary bins (expected
+     n / 2^17 rows per bin; a cap guards degenerate distributions) and
+     resolve the exact (value, id) order statistic with id tie-break.
+
+The resulting boundaries reproduce SQL ``ntile(q) OVER (ORDER BY value,
+id)`` exactly: deterministic under duplicate values (id tie-break),
+first (n % q) buckets one element larger. Rows are then assigned
+vectorized (q-1 lexicographic comparisons) and the per-stratum x-binning
+runs INSIDE the z-bin exchange (whole stratum per block -> exact
+in-block ntile + quantile aggregates, no further shuffle).
+
+Degenerate-distribution cap: if one histogram bin holds a huge
+duplicate class, pass 3 would collect it all; ``collect_cap`` bounds
+that and raises with guidance (at 100 TB: pre-dedup the key or accept
+approximate edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .exchange import driver_combine, grouped_block_map
+
+N_HIST_BINS = 1 << 17
+
+
+def _ntile_cut_ranks(n: int, q: int) -> np.ndarray:
+    """0-based start ranks of buckets 1..q-1 under SQL ntile semantics
+    (first n%q buckets hold floor(n/q)+1 rows)."""
+    size, rem = divmod(n, q)
+    sizes = np.array([size + 1] * rem + [size] * (q - rem), dtype=np.int64)
+    return np.cumsum(sizes)[:-1]
+
+
+def _bin_of(z: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Histogram bin index in [0, N_HIST_BINS-1]; identical math in the
+    counting and the collection pass."""
+    if hi <= lo:
+        return np.zeros(len(z), dtype=np.int64)
+    idx = ((z - lo) / (hi - lo) * N_HIST_BINS).astype(np.int64)
+    return np.clip(idx, 0, N_HIST_BINS - 1)
+
+
+def exact_ntile_boundaries(
+    ds: rd.Dataset,
+    value_col: str,
+    id_col: str,
+    q: int,
+    *,
+    collect_cap: int = 2_000_000,
+) -> list[tuple[float, int]]:
+    """Exact (value, id) order statistics at the ntile(q) bucket starts."""
+
+    def p_stats(t):
+        import pyarrow.compute as pc
+
+        col = t[value_col]
+        ok = pc.is_valid(col)
+        col = col.filter(ok)
+        if len(col) == 0:
+            return pd.DataFrame({"n": [0], "lo": [np.inf], "hi": [-np.inf]})
+        return pd.DataFrame(
+            {"n": [len(col)], "lo": [pc.min(col).as_py()], "hi": [pc.max(col).as_py()]}
+        )
+
+    stats = driver_combine(
+        ds, p_stats,
+        lambda df: pd.DataFrame(
+            {"n": [df["n"].sum()], "lo": [df["lo"].min()], "hi": [df["hi"].max()]}
+        ),
+    )
+    n, lo, hi = int(stats["n"][0]), float(stats["lo"][0]), float(stats["hi"][0])
+    if n == 0:
+        return []
+    cuts = _ntile_cut_ranks(n, q)
+
+    def p_hist(t):
+        z = np.asarray(t[value_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        z = z[np.isfinite(z)]
+        # sparse partial: only non-empty bins leave the task (a dense
+        # 2^17 vector per batch would swamp the driver at scale)
+        bins, counts = np.unique(_bin_of(z, lo, hi), return_counts=True)
+        return pd.DataFrame({"bin": bins.astype(np.int64), "c": counts.astype(np.int64)})
+
+    hist = driver_combine(
+        ds, p_hist, lambda df: df.groupby("bin", as_index=False)["c"].sum()
+    ).sort_values("bin")
+    counts = np.zeros(N_HIST_BINS, dtype=np.int64)
+    counts[hist["bin"].to_numpy()] = hist["c"].to_numpy()
+    cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # the bin containing each cut rank + the remaining rank inside it
+    bin_of_cut = np.searchsorted(np.cumsum(counts), cuts, side="right")
+    want_bins = np.unique(bin_of_cut)
+    expected = int(counts[want_bins].sum())
+    if expected > collect_cap:
+        raise RuntimeError(
+            f"exact_ntile_boundaries: boundary bins hold {expected} rows "
+            f"(> cap {collect_cap}) — a duplicate class dominates the key; "
+            "pre-aggregate duplicates or use approximate edges"
+        )
+    want_sorted = np.sort(want_bins)
+
+    def p_collect(t):
+        z = np.asarray(t[value_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        okm = np.isfinite(z)
+        z, ids = z[okm], ids[okm]
+        b = _bin_of(z, lo, hi)
+        keep = np.isin(b, want_sorted)
+        return pd.DataFrame({"bin": b[keep], "v": z[keep], "id": ids[keep]})
+
+    window = driver_combine(ds, p_collect, lambda df: df)
+    out: list[tuple[float, int]] = []
+    for cut, b in zip(cuts, bin_of_cut):
+        rows = window[window["bin"] == b].sort_values(["v", "id"], kind="mergesort")
+        k = int(cut - cum_before[b])
+        r = rows.iloc[k]
+        out.append((float(r["v"]), r["id"]))
+    return out
+
+
+def assign_ntile(
+    z: np.ndarray, ids: np.ndarray, boundaries: list[tuple[float, int]]
+) -> np.ndarray:
+    """1-based bucket per row: 1 + #{boundaries <= (z, id) lexicographic}
+    — reproduces ntile(q) OVER (ORDER BY z, id)."""
+    bucket = np.ones(len(z), dtype=np.int64)
+    for bv, bid in boundaries:
+        bucket += (z > bv) | ((z == bv) & (ids >= bid))
+    return bucket
+
+
+def ntile_in_block(x: np.ndarray, ids: np.ndarray, q: int) -> np.ndarray:
+    """Exact in-memory ntile(q) by (x, id) order, 1-based."""
+    n = len(x)
+    order = np.lexsort((ids, x))
+    cuts = _ntile_cut_ranks(n, q)
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[order] = np.arange(n)
+    return 1 + np.searchsorted(cuts, ranks, side="right").astype(np.int64)
+
+
+def stratified_analysis(
+    ds: rd.Dataset,
+    *,
+    z: str,
+    x: str,
+    y: str,
+    id_col: str,
+    n_bins_z: int = 8,
+    n_bins_x: int = 4,
+    agg: str = "median",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed StratifiedAnalysis (decoupling.py:24-210 semantics,
+    ntile bin rule): exact global z-bins via exact_ntile_boundaries,
+    ONE exchange on z_bin, then per-stratum x-ntile + quantile
+    aggregates inside the block. Returns one row per (z_bin, x_bin)
+    with agg/count and P16/P84 of x and y."""
+    import ray
+
+    bounds = exact_ntile_boundaries(ds, z, id_col, n_bins_z)
+    bref = ray.put(bounds)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bref)
+        return df.assign(
+            z_bin=assign_ntile(
+                df[z].to_numpy(dtype=np.float64), df[id_col].to_numpy(), b
+            )
+        )
+
+    def per_stratum(g: pd.DataFrame) -> pd.DataFrame:
+        xb = ntile_in_block(g[x].to_numpy(dtype=np.float64), g[id_col].to_numpy(), n_bins_x)
+        g = g.assign(x_bin=xb)
+        gr = g.groupby("x_bin", sort=True)
+        out = pd.DataFrame(
+            {
+                "z_bin": g["z_bin"].iloc[0],
+                "x_bin": gr.size().index.to_numpy(dtype=np.int64),
+                "n": gr.size().to_numpy(dtype=np.int64),
+                f"{x}_agg": gr[x].agg(agg).to_numpy(),
+                f"{y}_agg": gr[y].agg(agg).to_numpy(),
+                f"{x}_p16": gr[x].quantile(0.16).to_numpy(),
+                f"{x}_p84": gr[x].quantile(0.84).to_numpy(),
+                f"{y}_p16": gr[y].quantile(0.16).to_numpy(),
+                f"{y}_p84": gr[y].quantile(0.84).to_numpy(),
+            }
+        )
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return grouped_block_map(tagged, ["z_bin"], per_stratum, num_partitions=num_partitions)
