@@ -1842,6 +1842,106 @@ def q_stl_decompose(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_profile(sf_dir: str):
+    """Dataset profiling (reference diive/analysis/profile.py:
+    profile_dataframe; stages/profile.py): per-column COUNT/MISSING/
+    N_GAPS/N_UNIQUE/N_ZEROS/CONSTANT/MEAN/SD/MIN/MEDIAN/MAX over the
+    events columns (value, user_id), row order (ts, event_id). All
+    pieces streaming: moment partials, one (variable,value) exchange
+    for exact distinct counts, bucket-stitched NaN-run counting, exact
+    distributed median selection."""
+    from ..stages.profile import profile_columns
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    out = profile_columns(
+        ds, ["value", "user_id"], order_cols=["ts", "event_id"], id_col="event_id"
+    )
+    for c in ("missing_perc", "mean", "sd", "min", "median", "max"):
+        out[c] = stable_round6(out[c].astype(float))
+    for c in ("count", "missing", "n_gaps", "n_unique", "n_zeros"):
+        out[c] = out[c].astype("int64")
+    out["constant"] = out["constant"].astype(bool)
+    return out.sort_values("variable").reset_index(drop=True)
+
+
+_SQL_PROFILE_ONE = """
+SELECT '{col}' AS variable,
+       CAST(COUNT(v) AS BIGINT) AS count,
+       CAST(COUNT(*) - COUNT(v) AS BIGINT) AS missing,
+       ROUND(ROUND(100.0 * (COUNT(*) - COUNT(v)) / COUNT(*), 9), 6) AS missing_perc,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT v, rn, LAG(v) OVER (ORDER BY rn) AS pv FROM (
+            SELECT {col} AS v, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn FROM events)
+        ) WHERE v IS NULL AND (pv IS NOT NULL OR rn = 1)) AS n_gaps,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zeros,
+       COUNT(DISTINCT v) <= 1 AS constant,
+       ROUND(ROUND(AVG(v), 9), 6) AS mean,
+       ROUND(ROUND(STDDEV_SAMP(v), 9), 6) AS sd,
+       ROUND(ROUND(MIN(v)::DOUBLE, 9), 6) AS min,
+       ROUND(ROUND(quantile_cont(v::DOUBLE, 0.5), 9), 6) AS median,
+       ROUND(ROUND(MAX(v)::DOUBLE, 9), 6) AS max
+FROM (SELECT {col} AS v FROM events)
+"""
+
+_SQL_PROFILE = (
+    _SQL_PROFILE_ONE.format(col="user_id")
+    + " UNION ALL "
+    + _SQL_PROFILE_ONE.format(col="value")
+    + " ORDER BY variable"
+)
+
+
+def q_time_since(sf_dir: str):
+    """TimeSince counter (reference diive/variables/temporal.py:139-349;
+    stages/timefeatures.py:time_since_frame): per event_type ordered by
+    (ts, event_id), records since the value was last inside
+    [30, per-type max] (include_lim=True; NaN counts as outside so gaps
+    never reset). SQL oracle = gaps-and-islands run numbering."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.timefeatures import time_since_frame
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def gfn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        flag, since = time_since_frame(g["value"].to_numpy(), lower_lim=30.0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "flag_outside": flag,
+                "timesince": since,
+            }
+        )
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    out["flag_outside"] = out["flag_outside"].astype("int64")
+    out["timesince"] = out["timesince"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_TIME_SINCE = """
+WITH f AS (
+  SELECT event_id, event_type,
+         CASE WHEN value IS NULL
+                OR NOT (value >= 30.0
+                        AND value <= MAX(value) OVER (PARTITION BY event_type))
+              THEN 1 ELSE 0 END AS flag_outside,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+),
+g AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY event_type, flag_outside ORDER BY rn) AS grp
+  FROM f
+)
+SELECT event_id, event_type,
+       CAST(flag_outside AS BIGINT) AS flag_outside,
+       CAST(flag_outside * ROW_NUMBER() OVER (PARTITION BY event_type, flag_outside, grp ORDER BY rn) AS BIGINT) AS timesince
+FROM g
+"""
+
+
 def q_stratified_analysis(sf_dir: str):
     """StratifiedAnalysis / decoupling (reference
     diive/analysis/decoupling.py:24-210; stages/stratified.py): rows
@@ -2857,6 +2957,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "max_covariance": q_max_covariance,
     "compound_extremes": q_compound_extremes,
     "stratified_analysis": q_stratified_analysis,
+    "time_since": q_time_since,
+    "profile": q_profile,
     **DOC_QUERIES,
 }
 
@@ -2921,5 +3023,7 @@ ORACLE: dict[str, str] = {
     "max_covariance": _SQL_MAX_COV,
     "compound_extremes": _SQL_COMPOUND_EXTREMES,
     "stratified_analysis": _SQL_STRATIFIED,
+    "time_since": _SQL_TIME_SINCE,
+    "profile": _SQL_PROFILE,
     **DOC_ORACLE,
 }

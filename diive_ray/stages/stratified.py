@@ -59,15 +59,18 @@ def _bin_of(z: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return np.clip(idx, 0, N_HIST_BINS - 1)
 
 
-def exact_ntile_boundaries(
+def exact_rank_values(
     ds: rd.Dataset,
     value_col: str,
     id_col: str,
-    q: int,
+    ranks_fn,
     *,
     collect_cap: int = 2_000_000,
-) -> list[tuple[float, int]]:
-    """Exact (value, id) order statistics at the ntile(q) bucket starts."""
+) -> tuple[int, list[tuple[float, int]]]:
+    """Exact (value, id) order statistics at arbitrary 0-based ranks
+    (``ranks_fn(n) -> int array``) over the non-null values ordered by
+    (value, id). 3 streaming passes, bounded driver memory (see module
+    docstring). Returns (n_non_null, [(value, id), ...])."""
 
     def p_stats(t):
         import pyarrow.compute as pc
@@ -89,8 +92,10 @@ def exact_ntile_boundaries(
     )
     n, lo, hi = int(stats["n"][0]), float(stats["lo"][0]), float(stats["hi"][0])
     if n == 0:
-        return []
-    cuts = _ntile_cut_ranks(n, q)
+        return 0, []
+    cuts = np.asarray(ranks_fn(n), dtype=np.int64)
+    if len(cuts) == 0:
+        return n, []
 
     def p_hist(t):
         z = np.asarray(t[value_col].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -134,6 +139,136 @@ def exact_ntile_boundaries(
         k = int(cut - cum_before[b])
         r = rows.iloc[k]
         out.append((float(r["v"]), r["id"]))
+    return n, out
+
+
+def exact_ntile_boundaries(
+    ds: rd.Dataset,
+    value_col: str,
+    id_col: str,
+    q: int,
+    *,
+    collect_cap: int = 2_000_000,
+) -> list[tuple[float, int]]:
+    """Exact (value, id) order statistics at the ntile(q) bucket starts."""
+    _, out = exact_rank_values(
+        ds, value_col, id_col, lambda n: _ntile_cut_ranks(n, q), collect_cap=collect_cap
+    )
+    return out
+
+
+def exact_median(
+    ds: rd.Dataset, value_col: str, id_col: str, *, collect_cap: int = 2_000_000
+) -> float:
+    """Exact distributed median with linear interpolation (matches
+    pandas quantile(0.5) / SQL quantile_cont(0.5)): the mean of the two
+    middle order statistics for even n."""
+    n, vals = exact_rank_values(
+        ds, value_col, id_col,
+        lambda n: np.unique([(n - 1) // 2, n // 2]),
+        collect_cap=collect_cap,
+    )
+    if n == 0:
+        return float("nan")
+    vs = [v for v, _ in vals]
+    return float((vs[0] + vs[-1]) / 2.0)
+
+
+def exact_medians(
+    ds: rd.Dataset, cols: list[str], id_col: str, *, collect_cap: int = 2_000_000
+) -> dict[str, float]:
+    """Multi-column exact_median sharing the 3 streaming passes across
+    all columns (each extra Ray topology costs seconds of fixed
+    overhead on small inputs; at scale it is an extra full scan)."""
+
+    def p_stats(t):
+        rows = []
+        for c in cols:
+            z = np.asarray(t[c].to_numpy(zero_copy_only=False), dtype=np.float64)
+            z = z[np.isfinite(z)]
+            rows.append(
+                {
+                    "c": c,
+                    "n": len(z),
+                    "lo": float(z.min()) if len(z) else np.inf,
+                    "hi": float(z.max()) if len(z) else -np.inf,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    stats = driver_combine(
+        ds, p_stats,
+        lambda df: df.groupby("c", as_index=False).agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+        ),
+    ).set_index("c")
+    meta = {
+        c: (int(stats.loc[c, "n"]), float(stats.loc[c, "lo"]), float(stats.loc[c, "hi"]))
+        for c in cols
+    }
+    ranks = {
+        c: np.unique([(n - 1) // 2, n // 2]) for c, (n, _, _) in meta.items() if n > 0
+    }
+
+    def p_hist(t):
+        frames = []
+        for c in cols:
+            if c not in ranks:
+                continue
+            _, lo, hi = meta[c]
+            z = np.asarray(t[c].to_numpy(zero_copy_only=False), dtype=np.float64)
+            z = z[np.isfinite(z)]
+            bins, counts = np.unique(_bin_of(z, lo, hi), return_counts=True)
+            frames.append(pd.DataFrame({"c": c, "bin": bins, "cn": counts}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"c": [], "bin": [], "cn": []}
+        )
+
+    hist = driver_combine(
+        ds, p_hist, lambda df: df.groupby(["c", "bin"], as_index=False)["cn"].sum()
+    )
+    want: dict[str, np.ndarray] = {}
+    cuts_info: dict[str, tuple] = {}
+    for c in ranks:
+        h = hist[hist["c"] == c].sort_values("bin")
+        counts = np.zeros(N_HIST_BINS, dtype=np.int64)
+        counts[h["bin"].to_numpy(dtype=np.int64)] = h["cn"].to_numpy(dtype=np.int64)
+        cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        boc = np.searchsorted(np.cumsum(counts), ranks[c], side="right")
+        want[c] = np.unique(boc)
+        cuts_info[c] = (cum_before, boc)
+        if int(counts[want[c]].sum()) > collect_cap:
+            raise RuntimeError(f"exact_medians: boundary bins over cap for {c}")
+
+    def p_collect(t):
+        frames = []
+        for c in want:
+            _, lo, hi = meta[c]
+            z = np.asarray(t[c].to_numpy(zero_copy_only=False), dtype=np.float64)
+            ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+            okm = np.isfinite(z)
+            z, ids = z[okm], ids[okm]
+            b = _bin_of(z, lo, hi)
+            keep = np.isin(b, want[c])
+            frames.append(pd.DataFrame({"c": c, "bin": b[keep], "v": z[keep], "id": ids[keep]}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"c": [], "bin": [], "v": [], "id": []}
+        )
+
+    window = driver_combine(ds, p_collect, lambda df: df)
+    out: dict[str, float] = {}
+    for c in cols:
+        if c not in ranks:
+            out[c] = float("nan")
+            continue
+        cum_before, boc = cuts_info[c]
+        vs = []
+        for cut, b in zip(ranks[c], boc):
+            rows = window[(window["c"] == c) & (window["bin"] == b)].sort_values(
+                ["v", "id"], kind="mergesort"
+            )
+            vs.append(float(rows.iloc[int(cut - cum_before[b])]["v"]))
+        out[c] = float((vs[0] + vs[-1]) / 2.0)
     return out
 
 

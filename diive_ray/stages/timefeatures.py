@@ -79,3 +79,38 @@ def keep_daterange(ds: ray.data.Dataset, start, end, ts_col: str = "ts") -> ray.
         return batch.filter(m)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def time_since_frame(
+    values: np.ndarray,
+    *,
+    upper_lim: float | None = None,
+    lower_lim: float | None = None,
+    include_lim: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """TimeSince counter (reference diive/variables/temporal.py:139-349):
+    flag=1 where the value is OUTSIDE [lower_lim, upper_lim] (bounds
+    default to the series min/max; NaN counts as outside so gaps never
+    reset the counter), then count consecutive flag=1 records, resetting
+    to 0 at each inside-range record. Returns (flag, timesince), both
+    int64, vectorized run-length counting (no Python loop)."""
+    v = np.asarray(values, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    up = np.nanmax(v) if upper_lim is None else upper_lim
+    lo = np.nanmin(v) if lower_lim is None else lower_lim
+    with np.errstate(invalid="ignore"):
+        if include_lim:
+            inside = (v <= up) & (v >= lo)
+        else:
+            inside = (v < up) & (v > lo)
+    flag = (~inside | np.isnan(v)).astype(np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = flag[1:] != flag[:-1]
+    starts = np.flatnonzero(change)
+    idx = np.arange(n)
+    base = np.repeat(starts, np.diff(np.append(starts, n)))
+    timesince = flag * (idx - base + 1)
+    return flag, timesince.astype(np.int64)
