@@ -2885,6 +2885,7 @@ FROM s GROUP BY 1, 2
 
 # ------------------------------------------------------------------ registry
 
+from .alequeries import ALE_ORACLE, ALE_QUERIES
 from .docqueries import DOC_ORACLE, DOC_QUERIES
 
 QUERIES: dict[str, Callable[[str], Any]] = {
@@ -2959,6 +2960,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_analysis": q_stratified_analysis,
     "time_since": q_time_since,
     "profile": q_profile,
+    **ALE_QUERIES,
     **DOC_QUERIES,
 }
 
@@ -3025,5 +3027,6 @@ ORACLE: dict[str, str] = {
     "stratified_analysis": _SQL_STRATIFIED,
     "time_since": _SQL_TIME_SINCE,
     "profile": _SQL_PROFILE,
+    **ALE_ORACLE,
     **DOC_ORACLE,
 }
