@@ -239,12 +239,141 @@ ORDER BY edge_idx
 """
 
 
+# ------------------------------------------------------------------ 2D ALE
+
+# Literal grids for the oracle-pinned 2D query: x = value (4 bins),
+# y = hour-of-day (4 bins). 16 cells, 25 output edge points.
+ALE2_XE = [0.0, 50.0, 150.0, 300.0, 600.0]
+ALE2_YE = [0.0, 6.0, 12.0, 18.0, 24.0]
+
+
+def poly2_predict(_payload, X: np.ndarray) -> np.ndarray:
+    """Closed-form model with a third feature z that survives in the
+    second difference (0.5 + 0.05*z per unit area), so the surface is
+    genuinely data-dependent; the SQL oracle spells out the identical
+    expression."""
+    x, h, z = X[:, 0], X[:, 1], X[:, 2]
+    return 2.0 * x + 0.1 * h * h + 0.5 * x * h + 0.05 * x * h * z
+
+
+def q_ale2d_fixed_grid(sf_dir: str) -> pd.DataFrame:
+    """Second-order ALE surface (ale.py:258-322) over the events table:
+    (x=value, y=hour, z=user bucket), literal grids, closed-form model.
+    Exercises the four-corner batch kernel, sparse cell partials, double
+    cumsum + pad + double centering end-to-end vs an exact SQL oracle."""
+    import ray.data as rd
+
+    from ..stages.ale import ale_2d
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(df["ts"])
+        return pd.DataFrame(
+            {
+                "x": df["value"].astype(float),
+                "h": ((us // US_PER_HOUR) % 24).astype(np.float64),
+                "z": (df["user_id"].to_numpy(dtype=np.int64) % 8).astype(
+                    np.float64
+                ),
+            }
+        )
+
+    feat = ds.map_batches(featurize, batch_format="pandas")
+    out = ale_2d(
+        feat,
+        ray.put(None),
+        poly2_predict,
+        ["x", "h", "z"],
+        "x",
+        "h",
+        x_edges=np.array(ALE2_XE),
+        y_edges=np.array(ALE2_YE),
+    )
+    out["ale2"] = stable_round6(out["ale2"].astype(float))
+    out["x_edge_idx"] = out["x_edge_idx"].astype("int64")
+    out["y_edge_idx"] = out["y_edge_idx"].astype("int64")
+    return out.sort_values(["y_edge_idx", "x_edge_idx"]).reset_index(drop=True)
+
+
+def _ale2d_fixed_sql() -> str:
+    xe, ye = ALE2_XE, ALE2_YE
+    nx, ny = len(xe) - 1, len(ye) - 1
+    casex = " ".join(f"WHEN x <= {xe[k]!r} THEN {k}" for k in range(1, nx))
+    casey = " ".join(f"WHEN h <= {ye[k]!r} THEN {k}" for k in range(1, ny))
+    xcells = ", ".join(f"({k}, {xe[k - 1]!r}, {xe[k]!r})" for k in range(1, nx + 1))
+    ycells = ", ".join(f"({k}, {ye[k - 1]!r}, {ye[k]!r})" for k in range(1, ny + 1))
+    xpos = ", ".join(f"({i}, {v!r})" for i, v in enumerate(xe))
+    ypos = ", ".join(f"({i}, {v!r})" for i, v in enumerate(ye))
+    # f(x,h,z) with the feature pinned to the cell corner; only terms
+    # containing BOTH x and h survive the second difference but the
+    # oracle evaluates the full expression exactly like the kernel does.
+    f = "(2.0*{x} + 0.1*{y}*{y} + 0.5*{x}*{y} + 0.05*{x}*{y}*b.z)"
+    corner = (
+        f.format(x="cx.xhi", y="cy.yhi")
+        + " - " + f.format(x="cx.xlo", y="cy.yhi")
+        + " - " + f.format(x="cx.xhi", y="cy.ylo")
+        + " + " + f.format(x="cx.xlo", y="cy.ylo")
+    )
+    return f"""
+WITH feat AS (
+  SELECT value AS x,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS h,
+         CAST(user_id % 8 AS DOUBLE) AS z
+  FROM events WHERE value IS NOT NULL
+),
+binned AS (
+  SELECT CASE {casex} ELSE {nx} END AS i,
+         CASE {casey} ELSE {ny} END AS j, z
+  FROM feat
+),
+xcells(i0, xlo, xhi) AS (VALUES {xcells}),
+ycells(j0, ylo, yhi) AS (VALUES {ycells}),
+delta AS (
+  SELECT cx.i0 AS i, cy.j0 AS j,
+         COALESCE(AVG({corner}), 0.0) AS d
+  FROM xcells cx CROSS JOIN ycells cy
+  LEFT JOIN binned b ON b.i = cx.i0 AND b.j = cy.j0
+  GROUP BY cx.i0, cy.j0
+),
+grid AS (
+  SELECT xp.idx AS i, yp.idx AS j
+  FROM (SELECT UNNEST(range({nx + 1})) AS idx) xp,
+       (SELECT UNNEST(range({ny + 1})) AS idx) yp
+),
+acc AS (
+  SELECT g.i, g.j, COALESCE(SUM(d.d), 0.0) AS au
+  FROM grid g LEFT JOIN delta d ON d.i <= g.i AND d.j <= g.j
+  GROUP BY g.i, g.j
+),
+rowm AS (SELECT j, AVG(au) AS rm FROM acc GROUP BY j),
+colm AS (SELECT i, AVG(au) AS cm FROM acc GROUP BY i),
+gm AS (SELECT AVG(au) AS g FROM acc),
+xpos(idx, x_edge) AS (VALUES {xpos}),
+ypos(idx, y_edge) AS (VALUES {ypos})
+SELECT CAST(a.i AS BIGINT) AS x_edge_idx,
+       CAST(a.j AS BIGINT) AS y_edge_idx,
+       xp.x_edge, yp.y_edge,
+       ROUND(ROUND(a.au - r.rm - c.cm + (SELECT g FROM gm), 9), 6) AS ale2
+FROM acc a
+JOIN rowm r ON r.j = a.j
+JOIN colm c ON c.i = a.i
+JOIN xpos xp ON xp.idx = a.i
+JOIN ypos yp ON yp.idx = a.j
+ORDER BY y_edge_idx, x_edge_idx
+"""
+
+
 ALE_QUERIES = {
     "ale_fixed_grid": q_ale_fixed_grid,
+    "ale2d_fixed_grid": q_ale2d_fixed_grid,
     "driver_importance": q_driver_importance,
     "ale_response": q_ale_response,
 }
 
 ALE_ORACLE = {
     "ale_fixed_grid": _ale_fixed_sql(),
+    "ale2d_fixed_grid": _ale2d_fixed_sql(),
 }

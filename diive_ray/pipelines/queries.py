@@ -948,6 +948,164 @@ FROM events
 """
 
 
+def q_vpd(sf_dir: str):
+    """VPD from TA/RH (thermodynamic.py:93-133 Magnus form). TA/RH are
+    deterministic derivations of the events columns (TA = value/10-5 in
+    degC, RH = 40 + event_id%60 in %) so the oracle can spell out the
+    identical closed-form expression."""
+    from ..functions.scalars import calc_vpd_from_ta_rh
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()]
+        ta = df["value"].to_numpy(dtype=np.float64) / 10.0 - 5.0
+        rh = (df["event_id"].to_numpy(dtype=np.int64) % 60 + 40).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "ta": round6(pd.Series(ta)),
+                "rh": rh,
+                "vpd": stable_round6(pd.Series(calc_vpd_from_ta_rh(ta, rh))),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_VPD = """
+SELECT event_id,
+       ROUND(value / 10.0 - 5.0, 6) AS ta,
+       CAST(40 + event_id % 60 AS DOUBLE) AS rh,
+       ROUND(ROUND(GREATEST(
+         0.61078 * EXP(17.27 * (value / 10.0 - 5.0) / ((value / 10.0 - 5.0) + 237.3))
+         * (1.0 - (40 + event_id % 60) / 100.0), 0.0), 9), 6) AS vpd
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+
+def q_rh_offset(sf_dir: str):
+    """remove_relativehumidity_offset (offsetcorrection.py:130-199):
+    daily mean exceedance above the 100% cap subtracted per (key, day),
+    result clamped at the cap. RH is synthesized as 101 + event_id%10 so
+    every (key, day) group has exceedances (no cross-day interpolation
+    leg — that path is pytest-pinned) and all arithmetic is
+    integer-exact on both sides."""
+    from ..stages.corrections import offset_to_max
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rh"] = (df["event_id"].to_numpy(dtype=np.int64) % 10 + 101).astype(
+            np.float64
+        )
+        return df
+
+    corrected = offset_to_max(
+        ds.map_batches(synth, batch_format="pandas"),
+        "rh", 100.0, keys=("event_type",),
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "event_id": corrected["event_id"].astype("int64"),
+            "rh_corr": stable_round6(corrected["rh"].astype(float)),
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_RH_OFFSET = """
+WITH r AS (
+  SELECT event_id, event_type, ts,
+         CAST(event_id % 10 + 101 AS DOUBLE) AS rh
+  FROM events
+),
+d AS (
+  SELECT event_id, rh,
+         AVG(rh) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS dm
+  FROM r
+)
+SELECT event_id,
+       ROUND(ROUND(LEAST(rh - (dm - 100.0), 100.0), 9), 6) AS rh_corr
+FROM d ORDER BY event_id
+"""
+
+
+_MANUAL_REMOVE = [
+    ("2024-01-03 00:00:00", "2024-01-04 23:59:59"),
+    ("2024-02-10 12:00:00", "2024-02-11 11:59:59"),
+]
+
+
+def q_manual_removal(sf_dir: str):
+    """ManualRemoval (manualremoval.py:42-160): hard flag 2 inside the
+    configured closed timestamp ranges."""
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        flag = ol.manual_removal_flag(df["value"], df["ts"], _MANUAL_REMOVE)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "flag_manual": flag.astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_MANUAL = """
+SELECT event_id,
+       CAST(CASE WHEN (ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts <= TIMESTAMP '2024-01-04 23:59:59')
+                   OR (ts >= TIMESTAMP '2024-02-10 12:00:00' AND ts <= TIMESTAMP '2024-02-11 11:59:59')
+            THEN 2 ELSE 0 END AS BIGINT) AS flag_manual
+FROM events ORDER BY event_id
+"""
+
+
+def q_csv_ingest(sf_dir: str):
+    """ReadFileType/DataFileReader end-to-end (filereader.py:336-620):
+    a deterministic slice of events is round-tripped through CSV (NA
+    markers for nulls) and re-ingested via the config-driven CSV source
+    (name sanitation, timestamp parse, numeric coercion). Floats
+    round-trip bit-exactly through repr, so the oracle is the same
+    slice straight off the parquet view."""
+    import tempfile
+
+    from ..sources.csvsource import CsvSpec, read_timeseries_csv
+
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[(df["event_id"] % 17 == 0) & df["value"].notna()]
+
+    slice_df = (
+        ds.map_batches(keep, batch_format="pandas").to_pandas().sort_values("event_id")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"diive_ray_csv_ingest_{tag}.csv")
+    slice_df.to_csv(path, index=False, na_rep="NA")
+
+    spec = CsvSpec(ts_col="ts", numeric_cols=("value",), na_values=("", "NA"))
+    out = read_timeseries_csv([path], spec).to_pandas()
+    out = out[["event_id", "ts", "value"]]
+    out["event_id"] = out["event_id"].astype("int64")
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    out["value"] = out["value"].astype(float)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_CSV_INGEST = """
+SELECT event_id, ts, value FROM events
+WHERE event_id % 17 = 0 AND value IS NOT NULL
+ORDER BY event_id
+"""
+
+
 def q_keep_daterange(sf_dir: str):
     """Closed-interval date-range filter (times.py:1884-1934)."""
     ds = _events(sf_dir, ["event_id", "ts"])
@@ -2960,6 +3118,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "stratified_analysis": q_stratified_analysis,
     "time_since": q_time_since,
     "profile": q_profile,
+    "vpd": q_vpd,
+    "rh_offset": q_rh_offset,
+    "manual_removal": q_manual_removal,
+    "csv_ingest": q_csv_ingest,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -3027,6 +3189,10 @@ ORACLE: dict[str, str] = {
     "stratified_analysis": _SQL_STRATIFIED,
     "time_since": _SQL_TIME_SINCE,
     "profile": _SQL_PROFILE,
+    "vpd": _SQL_VPD,
+    "rh_offset": _SQL_RH_OFFSET,
+    "manual_removal": _SQL_MANUAL,
+    "csv_ingest": _SQL_CSV_INGEST,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

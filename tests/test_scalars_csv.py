@@ -84,3 +84,35 @@ def test_salted_aggregate_equals_plain(ray_session):
     exp = exp.sort_values("k").reset_index(drop=True)
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
     np.testing.assert_allclose(got["mean"], exp["mean"], rtol=1e-12)
+
+
+def test_offset_to_max_interpolation_leg():
+    """offsetcorrection.py:130-199 semantics on a group where the middle
+    day has NO exceedance: its offset comes from linear interpolation
+    between the neighbor days' offsets (positional, matching the
+    reference's interpolate-then-broadcast), ends ffill/bfill."""
+    from diive_ray.stages.corrections import offset_to_max_frame
+
+    ts = pd.date_range("2024-01-01", periods=6, freq="12h")
+    # day1: rh 104/102 -> daily exceedance mean 103, offset 3
+    # day2: 90/95 (no exceedance) -> interpolated offset
+    # day3: 106/102 -> mean 104, offset 4
+    df = pd.DataFrame({"ts": ts, "rh": [104.0, 102.0, 90.0, 95.0, 106.0, 102.0]})
+    out = offset_to_max_frame(df, "rh", 100.0)
+    # day1 rows: minus offset 3, clamped at 100
+    assert out["rh"].tolist()[0] == 100.0 and out["rh"].tolist()[1] == 99.0
+    # day2 offsets interpolate positionally between 3 (row1) and 4 (row4):
+    # rows 2,3 get 3 + 1/3, 3 + 2/3
+    np.testing.assert_allclose(out["rh"].iloc[2], 90.0 - (3 + 1 / 3))
+    np.testing.assert_allclose(out["rh"].iloc[3], 95.0 - (3 + 2 / 3))
+    # day3: minus 4, clamped
+    assert out["rh"].tolist()[4] == 100.0 and out["rh"].tolist()[5] == 98.0
+
+
+def test_offset_to_max_no_exceedance_noop():
+    from diive_ray.stages.corrections import offset_to_max_frame
+
+    ts = pd.date_range("2024-01-01", periods=4, freq="6h")
+    df = pd.DataFrame({"ts": ts, "rh": [90.0, 95.0, 80.0, 99.0]})
+    out = offset_to_max_frame(df, "rh", 100.0)
+    assert out["rh"].tolist() == [90.0, 95.0, 80.0, 99.0]
