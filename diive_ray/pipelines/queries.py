@@ -3041,6 +3041,128 @@ FROM s GROUP BY 1, 2
 """
 
 
+# ----------------------------------------------------- range join / windows
+
+
+_RJ_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _rj_intervals() -> pd.DataFrame:
+    """Literal per-type maintenance windows inside the fixture's January
+    span: 3 windows per event_type, 2 days long, disjoint per key."""
+    rows = []
+    for i, t in enumerate(_RJ_TYPES):
+        for w in range(3):
+            start = pd.Timestamp("2024-01-03") + pd.Timedelta(days=i + 8 * w)
+            rows.append(
+                {
+                    "event_type": t,
+                    "start": start,
+                    "end": start + pd.Timedelta(days=2),
+                    "window_id": i * 10 + w,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def q_range_join(sf_dir: str):
+    """Broadcast interval join (stages/joins.py:range_join): events
+    matched to per-type half-open [start, end) windows, rolled up per
+    window. The interval table is broadcast once; matching is
+    searchsorted per batch (disjoint intervals) — no shuffle."""
+    from ..stages.joins import range_join
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    joined = range_join(
+        ds, _rj_intervals(), key="event_type", ts_col="ts", closed="left"
+    )
+    df = joined.to_pandas()
+    df = df[df["value"].notna()]
+    g = df.groupby(["event_type", "window_id"], sort=True)
+    out = g.agg(n=("value", "size"), mean_value=("value", "mean")).reset_index()
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["mean_value"] = stable_round6(out["mean_value"].astype(float))
+    return out.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+
+
+def _rj_sql() -> str:
+    vals = []
+    for i, t in enumerate(_RJ_TYPES):
+        for w in range(3):
+            start = pd.Timestamp("2024-01-03") + pd.Timedelta(days=i + 8 * w)
+            end = start + pd.Timedelta(days=2)
+            vals.append(
+                f"('{t}', TIMESTAMP '{start}', TIMESTAMP '{end}', {i * 10 + w})"
+            )
+    return f"""
+WITH iv(etype, s, e, window_id) AS (VALUES {", ".join(vals)})
+SELECT ev.event_type, CAST(iv.window_id AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ROUND(AVG(ev.value), 9), 6) AS mean_value
+FROM events ev JOIN iv ON ev.event_type = iv.etype
+                      AND ev.ts >= iv.s AND ev.ts < iv.e
+WHERE ev.value IS NOT NULL
+GROUP BY ev.event_type, iv.window_id
+ORDER BY ev.event_type, window_id
+"""
+
+
+def q_sliding_window(sf_dir: str):
+    """Trailing 3h window per event_type, hopping hourly
+    (stages/windows.py): replicate-to-window partials, ONE exchange,
+    own-slide anchoring — exact vs a SQL RANGE-frame oracle."""
+    from ..stages.windows import sliding_window_agg
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    out = sliding_window_agg(
+        ds,
+        keys=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        window_us=3 * US_PER_HOUR,
+        slide_us=US_PER_HOUR,
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "window_end": pd.to_datetime(out["window_end"]).astype("datetime64[us]"),
+            "n": out["n"].astype("int64"),
+            "mean_value": stable_round6(out["mean"].astype(float)),
+            "min_value": round6(out["min"].astype(float)),
+            "max_value": round6(out["max"].astype(float)),
+        }
+    )
+    return res.sort_values(["event_type", "window_end"]).reset_index(drop=True)
+
+
+_SQL_SLIDING_WINDOW = """
+WITH b AS (
+  SELECT event_type,
+         make_timestamp(((epoch_us(ts) + 3599999999) // 3600000000) * 3600000000) AS e,
+         value
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_type, e, COUNT(*) AS n, SUM(value) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM b GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, e AS window_end,
+         SUM(n) OVER fr AS n, SUM(s) OVER fr AS s,
+         MIN(mn) OVER fr AS mn, MAX(mx) OVER fr AS mx
+  FROM h
+  WINDOW fr AS (PARTITION BY event_type ORDER BY e
+                RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, window_end, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(s / n, 9), 6) AS mean_value,
+       ROUND(mn, 6) AS min_value, ROUND(mx, 6) AS max_value
+FROM w ORDER BY event_type, window_end
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -3122,6 +3244,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rh_offset": q_rh_offset,
     "manual_removal": q_manual_removal,
     "csv_ingest": q_csv_ingest,
+    "range_join": q_range_join,
+    "sliding_window": q_sliding_window,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -3193,6 +3317,8 @@ ORACLE: dict[str, str] = {
     "rh_offset": _SQL_RH_OFFSET,
     "manual_removal": _SQL_MANUAL,
     "csv_ingest": _SQL_CSV_INGEST,
+    "range_join": _rj_sql(),
+    "sliding_window": _SQL_SLIDING_WINDOW,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

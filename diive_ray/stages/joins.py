@@ -27,6 +27,7 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
+import ray
 import pyarrow as pa
 import ray.data as rd
 
@@ -226,3 +227,101 @@ def session_stats(
         num_partitions=num_partitions,
         zero_copy_batch=False,
     )
+
+
+# ------------------------------------------------------------- range join
+
+
+def _build_interval_index(
+    intervals: pd.DataFrame, key: str, start_col: str, end_col: str
+) -> dict:
+    """Per-key interval arrays (start_us, end_us, positional row ids),
+    sorted by start, plus a flag for the overlap-free fast path."""
+    idx: dict = {}
+    iv = intervals.reset_index(drop=True)
+    for k, grp in iv.groupby(key, sort=False):
+        order = np.argsort(ts_to_us(grp[start_col]), kind="stable")
+        starts = ts_to_us(grp[start_col])[order]
+        ends = ts_to_us(grp[end_col])[order]
+        rows = grp.index.to_numpy()[order]
+        disjoint = bool(np.all(starts[1:] >= ends[:-1])) if len(starts) > 1 else True
+        idx[k] = (starts, ends, rows, disjoint)
+    return idx
+
+
+def range_join(
+    ds: rd.Dataset,
+    intervals: pd.DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    closed: str = "left",
+) -> rd.Dataset:
+    """Broadcast interval join: attach matching interval rows to each
+    point row with the same ``key`` and ``start <= ts < end``
+    (closed="left"; closed="both" makes the end inclusive). Inner join:
+    non-matching points are dropped; overlapping intervals fan out one
+    output row per match.
+
+    This is the small-side pattern of the reference's event-window
+    lookups (Event/event_to_flag, diive core dfun frames event ranges):
+    the interval table is broadcast ONCE via ``ray.put`` and every batch
+    matches vectorized against per-key sorted arrays — np.searchsorted
+    when a key's intervals are disjoint (one candidate per point), a
+    bounded per-interval mask sweep otherwise. No shuffle at any scale;
+    the contract is that ``intervals`` is driver-small (thousands of
+    rows), which is the only regime where a range join should NOT be an
+    exchange."""
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    value_cols = [c for c in intervals.columns if c not in (key, start_col, end_col)]
+    index_ref = ray.put(_build_interval_index(intervals, key, start_col, end_col))
+    payload_ref = ray.put(intervals[value_cols].reset_index(drop=True))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        index = ray.get(index_ref)
+        payload = ray.get(payload_ref)
+        pieces = []
+        for k, grp in df.groupby(key, sort=False):
+            ent = index.get(k)
+            if ent is None:
+                continue
+            starts, ends, rows, disjoint = ent
+            tsv = ts_to_us(grp[ts_col])
+            if disjoint:
+                pos = np.searchsorted(starts, tsv, side="right") - 1
+                ok = pos >= 0
+                inside = np.zeros(len(tsv), dtype=bool)
+                if closed == "left":
+                    inside[ok] = tsv[ok] < ends[pos[ok]]
+                else:
+                    inside[ok] = tsv[ok] <= ends[pos[ok]]
+                if not inside.any():
+                    continue
+                left_part = grp.iloc[np.flatnonzero(inside)].reset_index(drop=True)
+                right_part = payload.iloc[rows[pos[inside]]].reset_index(drop=True)
+                pieces.append(pd.concat([left_part, right_part], axis=1))
+            else:
+                for i in range(len(starts)):
+                    if closed == "left":
+                        m = (tsv >= starts[i]) & (tsv < ends[i])
+                    else:
+                        m = (tsv >= starts[i]) & (tsv <= ends[i])
+                    if not m.any():
+                        continue
+                    left_part = grp.iloc[np.flatnonzero(m)].reset_index(drop=True)
+                    right_part = (
+                        payload.iloc[np.full(int(m.sum()), rows[i])]
+                        .reset_index(drop=True)
+                    )
+                    pieces.append(pd.concat([left_part, right_part], axis=1))
+        if not pieces:
+            out = df.iloc[0:0].copy()
+            for c in value_cols:
+                out[c] = pd.Series([], dtype=intervals[c].dtype)
+            return out
+        return pd.concat(pieces, ignore_index=True)
+
+    return ds.map_batches(match, batch_format="pandas")
