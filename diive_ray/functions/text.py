@@ -340,3 +340,72 @@ def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
     union = len(sh_a) + len(sh_b) - inter
     return inter / union if union else 0.0
+
+
+def batch_shingle_hashes_counted(
+    texts: list[str], k: int = 3, seed: int = 0
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Like batch_shingle_hashes but keeps the per-doc multiplicity of
+    each distinct shingle: returns (hashes, counts) per doc. Used by the
+    weighted SimHash (term-frequency voting)."""
+    words_per_doc = [t.split() for t in texts]
+    all_words = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+    if len(all_words) == 0:
+        return [(np.array([], dtype=np.uint64), np.array([], dtype=np.int64)) for _ in texts]
+    uniq, inv = np.unique(all_words, return_inverse=True)
+    with np.errstate(over="ignore"):
+        uh = np.array(
+            [_fnv1a_bytes(w.encode("utf-8")) ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF) for w in uniq],
+            dtype=np.uint64,
+        )
+    flat = uh[inv]
+    out = []
+    pos = 0
+    mult = np.uint64(0xC2B2AE3D27D4EB4F)
+    for ws in words_per_doc:
+        n_w = len(ws)
+        wh = flat[pos : pos + n_w]
+        pos += n_w
+        if n_w < k:
+            out.append((np.array([], dtype=np.uint64), np.array([], dtype=np.int64)))
+            continue
+        n = n_w - k + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc * mult) ^ wh[j : j + n]
+            acc ^= acc >> np.uint64(33)
+            acc = acc * np.uint64(0xFF51AFD7ED558CCD)
+            acc ^= acc >> np.uint64(33)
+        h, c = np.unique(acc, return_counts=True)
+        out.append((h, c.astype(np.int64)))
+    return out
+
+
+def batch_simhash64_weighted(
+    shingle_sets: list[np.ndarray], weight_sets: list[np.ndarray]
+) -> np.ndarray:
+    """Charikar SimHash with per-term weights (weighted +-w votes per
+    bit) — the standard fix for the unweighted variant's boilerplate
+    sensitivity: rare informative shingles outvote repeated template
+    text when weights are tf-damped (log1p) or idf-like. Batched with
+    one unpackbits + one reduceat like batch_simhash64; with all-ones
+    weights the output is IDENTICAL to batch_simhash64 (test-pinned)."""
+    n = len(shingle_sets)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty) == 0:
+        return out
+    vals = np.concatenate([shingle_sets[i] for i in nonempty])
+    w = np.concatenate([np.asarray(weight_sets[i], dtype=np.float64) for i in nonempty])
+    bits = np.unpackbits(vals.view(np.uint8).reshape(len(vals), 8), axis=1, bitorder="little")
+    offs = np.zeros(len(nonempty), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offs[1:])
+    wbits = bits.astype(np.float64) * w[:, None]
+    wsum_doc = np.add.reduceat(w, offs)
+    votes = np.add.reduceat(wbits, offs, axis=0) * 2.0 - wsum_doc[:, None]
+    sig_bits = (votes > 0).astype(np.uint64)
+    packed = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed
+    return out

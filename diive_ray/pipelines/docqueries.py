@@ -342,6 +342,43 @@ def q_doc_simhash_dups(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_doc_simhash_weighted(sf_dir: str):
+    """Term-weighted SimHash near-dup pairs: log1p(tf)-weighted votes
+    (batch_simhash64_weighted), same 4x16-bit banding + Hamming verify.
+    Rows-only like the unweighted variant; equality-to-unweighted on
+    tf==1 corpora and the boilerplate separation case are pinned by
+    tests/test_dedup.py."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = dd.simhash_dup_pairs(ds, max_hamming=3, weighted=True)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_doc_heavy_hitters(sf_dir: str):
+    """Exact top-20 tokens via the Misra-Gries sketch + exact recount
+    (stages/sketch.py): the sketch bounds WHICH tokens get recounted
+    (no token-space shuffle), the recount makes the answer exact — so a
+    plain SQL top-k oracle applies."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _docs(sf_dir, ["text"])
+    out = heavy_hitters(ds, text_col="text", k=20, capacity=4096)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_HEAVY_HITTERS = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents
+),
+c AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
+SELECT token, CAST(cnt AS BIGINT) AS cnt FROM c
+ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
 # -------------------------------------------------------------- similarity
 
 
@@ -441,12 +478,15 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_jaccard_blocked": q_doc_jaccard_blocked,
     "doc_simhash_dups": q_doc_simhash_dups,
+    "doc_simhash_weighted": q_doc_simhash_weighted,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "media_decode": q_media_decode,
 }
 
 DOC_ORACLE: dict[str, str] = {
+    "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,
     "doc_quality": _SQL_QUALITY,
     "doc_langid": _SQL_LANGID,

@@ -106,3 +106,47 @@ def test_shingle_semantics_match_sql_contract():
     assert len(a) == 2
     # jaccard identical text == 1
     assert tx.exact_jaccard(a, tx.shingle_hashes("a b c d")) == 1.0
+
+
+def test_weighted_simhash_reduces_to_unweighted_on_unit_counts():
+    from diive_ray.functions import text as tx
+
+    texts = ["alpha beta gamma delta epsilon zeta", "one two three four five six seven"]
+    sets = tx.batch_shingle_hashes(texts, 3, 7)
+    counted = tx.batch_shingle_hashes_counted(texts, 3, 7)
+    for (h, c), s in zip(counted, sets):
+        assert (h == s).all()
+        assert (c == 1).all()  # no repeated shingles in these texts
+    unw = tx.batch_simhash64(sets)
+    w = tx.batch_simhash64_weighted([h for h, _ in counted], [np.ones(len(h)) for h, _ in counted])
+    assert (unw == w).all()
+
+
+def test_weighted_simhash_damps_boilerplate():
+    """Two docs sharing distinct content but drowned in repeated
+    template text: log1p(tf) weighting brings their signatures closer
+    than unweighted voting does (the web-corpus failure mode)."""
+    from diive_ray.functions import text as tx
+
+    boiler = "click here to subscribe now " * 30
+    a = boiler + "quantum entanglement superconductor research findings"
+    b = boiler + "quantum entanglement superconductor research findings extra"
+    c = "completely different content about medieval castle architecture"
+    counted = tx.batch_shingle_hashes_counted([a, b, c], 3, 7)
+    wsig = tx.batch_simhash64_weighted(
+        [h for h, _ in counted], [np.log1p(cc.astype(float)) for _, cc in counted]
+    )
+    d_ab = tx.hamming64(wsig[:1], wsig[1])[0]
+    d_ac = tx.hamming64(wsig[:1], wsig[2])[0]
+    assert d_ab < d_ac  # near-dups closer than unrelated under weighting
+
+
+def test_counted_shingles_match_per_doc_counts():
+    from diive_ray.functions import text as tx
+
+    t = "a b c a b c a b c d e f"
+    (h, c), = tx.batch_shingle_hashes_counted([t], 3, 0)
+    # shingle "a b c" appears 3x; total 3-grams = 10; distinct counted
+    assert c.sum() == 10
+    assert c.max() == 3
+    assert (np.sort(h) == h).all()
