@@ -2763,6 +2763,30 @@ def q_embedding_knn_ivf_exact(sf_dir: str):
     return got[["query_id", "rank", "vec_id", "cos_sim"]].reset_index(drop=True)
 
 
+def q_embedding_knn_pq(sf_dir: str):
+    """Approximate kNN via product quantization with ADC lookup tables
+    (stages/similarity.py:knn_pq — the memory-compression scale path:
+    m uint8 codes per vector instead of d floats, queries scored by
+    table gather-sums) plus exact re-rank of the ADC top candidates.
+    Deterministic given the seed but quantizer-based -> rows-only;
+    lossless-codebook exactness + recall pinned by
+    tests/test_similarity.py."""
+    from ..stages.similarity import knn_pq
+
+    ds = _embs(sf_dir)
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    got = knn_pq(
+        ds, Q, k=5, query_ids=qdf["vec_id"].to_numpy(),
+        m=8, ks=32, rerank_factor=4,
+    )
+    got["cos_sim"] = round6(got["cos_sim"])
+    got["query_id"] = got["query_id"].astype("int64")
+    got["vec_id"] = got["vec_id"].astype("int64")
+    got["rank"] = got["rank"].astype("int64")
+    return got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 _SQL_KNN_IVF_EXACT = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
@@ -3213,6 +3237,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "eddypro_flags": q_eddypro_flags,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "embedding_knn_ivf": q_embedding_knn_ivf,
+    "embedding_knn_pq": q_embedding_knn_pq,
     "daily_correlation": q_daily_correlation,
     "similarity_fill_1h": q_similarity_fill_1h,
     "mds_fill": q_mds_fill,

@@ -417,3 +417,136 @@ def embedding_near_dup_pairs(
 def make_planes_dim_safe(ds: ray.data.Dataset, emb_col: str, n_planes: int, seed: int) -> np.ndarray:
     d = len(ds.take(1)[0][emb_col])
     return make_planes(d, n_planes, seed)
+
+
+# ------------------------------------------------------ product quantization
+
+
+def pq_fit(
+    X: np.ndarray, m: int, ks: int, *, n_iter: int = 10, seed: int = 29
+) -> np.ndarray:
+    """Product-quantizer codebooks (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11): split d into ``m``
+    subspaces, L2 k-means with ``ks`` centroids per subspace on the
+    (normalized) training sample. Returns [m, ks, d//m]."""
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, min(ks, n), dsub))
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        kk = min(ks, n)
+        # k-means++ seeding + Lloyd (L2, unnormalized subvectors)
+        cent = [S[rng.integers(n)]]
+        for _ in range(1, kk):
+            d2 = np.min(((S[:, None, :] - np.asarray(cent)[None, :, :]) ** 2).sum(axis=2), axis=1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cent.append(S[rng.choice(n, p=p)])
+        C = np.asarray(cent)
+        for _ in range(n_iter):
+            assign = np.argmin(
+                ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(kk):
+                msk = assign == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """uint8 codes [n, m]: per subspace, nearest codebook centroid (L2)."""
+    n, d = X.shape
+    m, ks, dsub = books.shape
+    codes = np.zeros((n, m), dtype=np.uint8)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        d2 = (
+            (S**2).sum(axis=1, keepdims=True)
+            - 2.0 * S @ books[j].T
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        )
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def knn_pq(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    m: int = 8,
+    ks: int = 16,
+    train_sample: int = 4096,
+    rerank_factor: int = 0,
+    seed: int = 29,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """PQ/ADC approximate cosine top-k — the memory-compression scale
+    path (d float32 -> m uint8 codes per vector, 32x at d=64/m=8).
+    Codebooks fit on a driver-side sample; per query an inner-product
+    lookup table T[q, j, c] = q_sub_j . centroid_jc is broadcast, so a
+    batch scores ALL queries with one gather-sum over its codes — no
+    distance computation against raw vectors at query time.
+
+    ``rerank_factor > 0`` re-scores each batch's top
+    ``rerank_factor * k`` ADC candidates with exact cosine (the
+    IVFADC-with-rerank pattern) — output sims become exact while the
+    ADC screen still prunes the batch. Same output contract as
+    knn_brute_force; with ks >= distinct subvectors the quantization is
+    lossless and ADC equals exact cosine (test-pinned)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ids = np.arange(len(qn)) if query_ids is None else np.asarray(query_ids)
+
+    sample = ds.limit(train_sample).to_pandas()
+    Xs = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in sample[emb_col]]))
+    books = pq_fit(Xs, m, ks, seed=seed)
+    mm, kk_, dsub = books.shape
+    # ADC tables: T[q, j, c] = <q_subj, c_jc>; approx cos = sum_j T[q, j, code_j]
+    T = np.stack([qn[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(mm)], axis=1)
+    ref = ray.put((qn, books, T))
+
+    class Score:
+        def __init__(self):
+            self.q, self.books, self.T = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(t, emb_col))
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            codes = pq_encode(x, self.books)  # [n, m]
+            nq = len(self.q)
+            # gather-sum: sims[n, q] = sum_j T[q, j, codes[:, j]]
+            sims = np.zeros((len(x), nq))
+            for j in range(self.books.shape[0]):
+                sims += self.T[:, j, codes[:, j]].T  # [n, q]
+            out_q, out_id, out_sim = [], [], []
+            top_n = (rerank_factor * k if rerank_factor else k) + 1
+            for qi in range(nq):
+                s = sims[:, qi]
+                kk = min(top_n, len(s))
+                top = np.argpartition(-s, kk - 1)[:kk]
+                if rerank_factor:
+                    exact = x[top] @ self.q[qi]
+                    kk2 = min(k + 1, len(top))
+                    best = np.argpartition(-exact, kk2 - 1)[:kk2]
+                    out_q.extend([qi] * len(best))
+                    out_id.extend(ids[top[best]].tolist())
+                    out_sim.extend(exact[best].tolist())
+                else:
+                    out_q.extend([qi] * len(top))
+                    out_id.extend(ids[top].tolist())
+                    out_sim.extend(s[top].tolist())
+            return pa.table({
+                "qi": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id),
+                "sim": pa.array(out_sim, pa.float64()),
+            })
+
+    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    return _merge_topk(parts, q_ids, k, id_col, exclude_self)

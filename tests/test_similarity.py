@@ -113,3 +113,61 @@ def test_knn_ivf_full_probe_is_exact(ds, vectors):
         a = exact[exact["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
         b = full[full["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
         assert a == b, qid
+
+
+def test_knn_pq_lossless_codebook_is_exact(ray_session):
+    """Vectors drawn from a tiny per-subspace codebook: quantization
+    error is zero, so pure-ADC sims equal exact cosine and the ranking
+    matches brute force."""
+    rng = np.random.Generator(np.random.Philox(key=101))
+    m, dsub, ks = 4, 8, 6
+    books = rng.standard_normal((m, ks, dsub))
+    # unit-norm codebook entries -> every composed row has norm sqrt(m),
+    # so cosine normalization is a UNIFORM scale and the normalized
+    # subvectors still come from a 6-entry codebook (true losslessness)
+    books /= np.linalg.norm(books, axis=2, keepdims=True)
+    picks = rng.integers(0, ks, size=(120, m))
+    X = np.concatenate([books[j][picks[:, j]] for j in range(m)], axis=1)
+    ids = np.arange(120)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [r.tolist() for r in X]})
+    ds2 = rd.from_pandas(df).repartition(3)
+    Q = X[:3]
+    exact = sim.knn_brute_force(ds2, Q, k=5, query_ids=ids[:3])
+    # ks=32 >= 6 distinct subvectors per subspace -> lossless
+    pq = sim.knn_pq(ds2, Q, k=5, query_ids=ids[:3], m=m, ks=32, train_sample=120)
+    for qid in ids[:3]:
+        a = exact[exact["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        b = pq[pq["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert a == b, qid
+
+
+def test_knn_pq_rerank_finds_planted_near_dups(ds, vectors):
+    ids, X = vectors
+    X32 = X.astype(np.float32).astype(np.float64)
+    Q = X32[:5]
+    got = sim.knn_pq(
+        ds, Q, k=3, query_ids=ids[:5], m=4, ks=16, rerank_factor=6,
+        train_sample=200,
+    )
+    found = 0
+    for i in range(5):
+        g = got[got["query_id"] == i].sort_values("rank")
+        if len(g) and g["vec_id"].iloc[0] == 150 + i:
+            found += 1
+    assert found >= 4  # ADC screen + exact rerank: at most one miss
+
+
+def test_pq_encode_decode_algebra():
+    """pq_encode picks the L2-nearest centroid per subspace; ADC table
+    gather equals the dot product against the reconstruction."""
+    rng = np.random.Generator(np.random.Philox(key=55))
+    X = rng.standard_normal((50, 16))
+    books = sim.pq_fit(X, m=4, ks=8, seed=3)
+    codes = sim.pq_encode(X, books)
+    assert codes.shape == (50, 4) and codes.dtype == np.uint8
+    q = rng.standard_normal(16)
+    qn = q / np.linalg.norm(q)
+    T = np.stack([qn[j * 4 : (j + 1) * 4] @ books[j].T for j in range(4)], axis=0)
+    adc = sum(T[j, codes[:, j]] for j in range(4))
+    recon = np.concatenate([books[j][codes[:, j]] for j in range(4)], axis=1)
+    np.testing.assert_allclose(adc, recon @ qn, rtol=1e-12)
