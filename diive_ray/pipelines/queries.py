@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..schema import US_PER_DAY, US_PER_HOUR
-from ..util import round6, stable_round6
+from ..util import round6, stable_round6, ts_to_us
 from ..stages import outliers as ol
 from ..stages.bucket import make_bucket_assigner
 from ..stages.diel import diel_cycle, monthly_matrix
@@ -3065,6 +3065,144 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_bin_fitter(sf_dir: str):
+    """BinFitterCP (fits/fitter.py:17-255): quantile-bin the predictor,
+    per-bin means, linear least squares over the bin means, 95%
+    confidence/prediction bands from the t distribution. x = value,
+    y = 0.1*value + user_id%50 (deterministic linear-plus-noise
+    derivation both sides can spell). Bin rule = ntile(10) OVER
+    (ORDER BY x, event_id) — the engine's exact distributed ntile."""
+    from ..stages.fitter import bin_fit
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "x": df["value"].astype(float),
+                "y": 0.1 * df["value"].astype(float)
+                + (df["user_id"].to_numpy(dtype=np.int64) % 50).astype(np.float64),
+            }
+        )
+
+    res = bin_fit(
+        ds.map_batches(derive, batch_format="pandas"),
+        x_col="x", y_col="y", id_col="event_id", num_bins=10, degree=1,
+    )
+    out = res["bins"].copy()
+    for c in ("x_mean", "y_mean", "fit_y", "conf_lo", "conf_hi", "pred_lo", "pred_hi"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+# t critical value for dof = 10 bins - 2 params at 95% two-sided —
+# the standard published constant the SQL oracle spells literally.
+_T_CRIT_DF8 = "2.30600413520417"
+
+_SQL_BIN_FITTER = f"""
+WITH src AS (
+  SELECT event_id, value AS x,
+         0.1 * value + CAST(user_id % 50 AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT x, y, NTILE(10) OVER (ORDER BY x, event_id) AS bin FROM src
+),
+m AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) / COUNT(*) AS x_mean, SUM(y) / COUNT(*) AS y_mean
+  FROM b GROUP BY bin
+),
+fit AS (
+  SELECT regr_slope(y_mean, x_mean) AS a1, regr_intercept(y_mean, x_mean) AS a0,
+         COUNT(*) AS nb, AVG(x_mean) AS xm,
+         SUM((x_mean - (SELECT AVG(x_mean) FROM m)) ** 2) AS sxx
+  FROM m
+),
+r AS (
+  SELECT m.bin, m.n, m.x_mean, m.y_mean,
+         f.a0 + f.a1 * m.x_mean AS fit_y,
+         SQRT(SUM((m.y_mean - (f.a0 + f.a1 * m.x_mean)) ** 2)
+              OVER () / (f.nb - 2)) AS s_err,
+         1.0 / f.nb + (m.x_mean - f.xm) ** 2 / f.sxx AS core
+  FROM m, fit f
+)
+SELECT CAST(bin AS BIGINT) AS bin, n,
+       ROUND(ROUND(x_mean, 9), 6) AS x_mean,
+       ROUND(ROUND(y_mean, 9), 6) AS y_mean,
+       ROUND(ROUND(fit_y, 9), 6) AS fit_y,
+       ROUND(ROUND(fit_y - {_T_CRIT_DF8} * s_err * SQRT(core), 9), 6) AS conf_lo,
+       ROUND(ROUND(fit_y + {_T_CRIT_DF8} * s_err * SQRT(core), 9), 6) AS conf_hi,
+       ROUND(ROUND(fit_y - {_T_CRIT_DF8} * s_err * SQRT(1.0 + core), 9), 6) AS pred_lo,
+       ROUND(ROUND(fit_y + {_T_CRIT_DF8} * s_err * SQRT(1.0 + core), 9), 6) AS pred_hi
+FROM r ORDER BY bin
+"""
+
+
+def q_combine_variables(sf_dir: str):
+    """combine_variables (variables/utilities.py:24-83): element-wise
+    arithmetic on two aligned hourly series (mean value of 'click' vs
+    'view' events) with keep_overlap_only=False (identity fill) for
+    'add' plus the 'fillgaps' coalesce mode. Alignment = one outer
+    merge on the hourly bucket."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def hourly(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna() & df["event_type"].isin(["click", "view"])]
+        us = ts_to_us(df["ts"])
+        e = ((us + US_PER_HOUR - 1) // US_PER_HOUR) * US_PER_HOUR
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "e": e, "v": df["value"].astype(float)}
+        ).groupby(["event_type", "e"], sort=False)
+        out = g.agg(n=("v", "size"), s=("v", "sum")).reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(hourly, batch_format="pandas").to_pandas()
+    tot = parts.groupby(["event_type", "e"], as_index=False)[["n", "s"]].sum()
+    tot["mean"] = tot["s"] / tot["n"]
+    a = tot[tot["event_type"] == "click"].set_index("e")["mean"]
+    b = tot[tot["event_type"] == "view"].set_index("e")["mean"]
+    added = a.add(b, fill_value=0.0)       # keep_overlap_only=False, identity 0
+    strict = a.add(b)                      # overlap-only (NaN where either missing)
+    filled = a.combine_first(b)            # fillgaps
+    out = pd.DataFrame(
+        {
+            "bucket_ts": pd.to_datetime(added.index, unit="us").astype("datetime64[us]"),
+            "sum_means": stable_round6(added.astype(float)),
+            "overlap_sum": stable_round6(strict.reindex(added.index).astype(float)),
+            "filled": stable_round6(filled.reindex(added.index).astype(float)),
+        }
+    ).reset_index(drop=True)
+    return out.sort_values("bucket_ts").reset_index(drop=True)
+
+
+_SQL_COMBINE_VARS = """
+WITH src AS (
+  SELECT event_type,
+         make_timestamp(((epoch_us(ts) + 3599999999) // 3600000000) * 3600000000) AS e,
+         value
+  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+m AS (
+  SELECT event_type, e, SUM(value) / COUNT(*) AS mean FROM src GROUP BY 1, 2
+),
+a AS (SELECT e, mean FROM m WHERE event_type = 'click'),
+b AS (SELECT e, mean FROM m WHERE event_type = 'view'),
+j AS (
+  SELECT COALESCE(a.e, b.e) AS e, a.mean AS am, b.mean AS bm
+  FROM a FULL OUTER JOIN b ON a.e = b.e
+)
+SELECT e AS bucket_ts,
+       ROUND(ROUND(COALESCE(am, 0.0) + COALESCE(bm, 0.0), 9), 6) AS sum_means,
+       ROUND(ROUND(am + bm, 9), 6) AS overlap_sum,
+       ROUND(ROUND(COALESCE(am, bm), 9), 6) AS filled
+FROM j ORDER BY bucket_ts
+"""
+
+
 # ----------------------------------------------------- range join / windows
 
 
@@ -3271,6 +3409,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "csv_ingest": q_csv_ingest,
     "range_join": q_range_join,
     "sliding_window": q_sliding_window,
+    "bin_fitter": q_bin_fitter,
+    "combine_variables": q_combine_variables,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -3344,6 +3484,8 @@ ORACLE: dict[str, str] = {
     "csv_ingest": _SQL_CSV_INGEST,
     "range_join": _rj_sql(),
     "sliding_window": _SQL_SLIDING_WINDOW,
+    "bin_fitter": _SQL_BIN_FITTER,
+    "combine_variables": _SQL_COMBINE_VARS,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }
