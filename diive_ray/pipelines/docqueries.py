@@ -466,6 +466,131 @@ FROM documents
 """
 
 
+def q_doc_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (stages/packing.py:pack_sequences):
+    docs concatenated in doc_id order, stream cut into 512-token
+    sequences; per-seq doc/token/start counts. Distributed ordered
+    prefix sum: bucketed driver cumsum + one keyed exchange."""
+    from ..stages.packing import pack_sequences
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = pack_sequences(ds, seq_len=512, bucket_width=256).to_pandas()
+    return out.sort_values("seq_id").reset_index(drop=True)
+
+
+_SQL_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+  FROM t WHERE n > 0
+),
+spans AS (
+  SELECT doc_id, n, s, s + n AS e,
+         UNNEST(generate_series(CAST(s // 512 AS BIGINT),
+                                CAST((s + n - 1) // 512 AS BIGINT))) AS seq
+  FROM c
+)
+SELECT CAST(seq AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(e, (seq+1)*512) - GREATEST(s, seq*512)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN s >= seq*512 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+FROM spans GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_doc_source_mix(sf_dir: str):
+    """Source-weighted data mixing (stages/packing.py:sample_by_source):
+    per-source keep rate 5*(1 + src_num % 10) percent, deterministic
+    Knuth-hash sampling on doc_id — stable under any partitioning.
+    Output: per-source kept counts + mean doc length of the sample."""
+    from ..stages.packing import sample_by_source
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def rates(src: np.ndarray) -> np.ndarray:
+        nums = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        return 5 * (1 + nums % 10)
+
+    kept = sample_by_source(ds, rate_fn=rates)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_kept=("doc_id", "size"), sum_chars=("n_chars", "sum")
+        )
+        return g
+
+    parts = kept.map_batches(partial, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby("source", as_index=False)[["n_kept", "sum_chars"]].sum()
+    tot["rate"] = 5 * (1 + tot["source"].str[3:].astype(np.int64) % 10)
+    out = pd.DataFrame(
+        {
+            "source": tot["source"],
+            "rate": tot["rate"].astype(np.int64),
+            "n_kept": tot["n_kept"].astype(np.int64),
+            "mean_chars": round6(tot["sum_chars"] / tot["n_kept"]),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_SOURCE_MIX = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         5 * (1 + CAST(substr(source, 4) AS BIGINT) % 10) AS rate
+  FROM documents
+),
+s AS (
+  SELECT * FROM r
+  WHERE (doc_id * 2654435761) % 4294967296 % 100 < rate
+)
+SELECT source, rate, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(SUM(n_chars) / COUNT(*), 6) AS mean_chars
+FROM s GROUP BY source, rate
+HAVING COUNT(*) > 0
+ORDER BY source
+"""
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/packing.py:decontaminate):
+    benchmark set = distinct 4-word-grams of docs with doc_id % 101 == 0
+    (collected + broadcast, never shuffled); every other doc counts its
+    distinct grams shared with the set. Hash-membership parity with the
+    string-join oracle holds up to 64-bit collisions (< 1e-11 here).
+    k=4 exercises the planted-duplicate overlaps in the fixture corpus;
+    real decontamination runs use k=8..13."""
+    from ..stages.packing import collect_benchmark_grams, decontaminate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    bench = collect_benchmark_grams(ds, k=4, bench_mod=101)
+    hits = decontaminate(ds, bench, k=4, bench_mod=101).to_pandas()
+    out = hits[hits["n_hits"] > 0].copy()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DECONTAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(generate_series(1, CAST(len(ws) - 3 AS BIGINT))) AS i, ws
+  FROM w WHERE len(ws) >= 4
+),
+grams AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram FROM g),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % 101 <> 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -483,6 +608,9 @@ DOC_QUERIES: dict[str, Any] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "media_decode": q_media_decode,
+    "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_source_mix": q_doc_source_mix,
+    "doc_decontaminate": q_doc_decontaminate,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -499,4 +627,7 @@ DOC_ORACLE: dict[str, str] = {
     "embedding_topk": _SQL_TOPK,
     "embedding_near_dup": _SQL_NEAR_DUP,
     "media_decode": _SQL_MEDIA,
+    "doc_pack_sequences": _SQL_PACK,
+    "doc_source_mix": _SQL_SOURCE_MIX,
+    "doc_decontaminate": _SQL_DECONTAM,
 }

@@ -1,0 +1,257 @@
+"""Training-data assembly tier: sequence packing, deterministic
+source-weighted sampling, and benchmark decontamination.
+
+Engine additions beyond holukas/diive (driver-brief training-data
+operators). The packing rule is the standard GPT-style concat-and-chunk:
+documents are concatenated in ``doc_id`` order into one token stream and
+the stream is cut into fixed-length sequences of ``seq_len`` tokens
+(documents may span sequence boundaries). The distributed problem is the
+ordered prefix sum over a dataset whose blocks arrive unordered:
+
+1. token counts are computed once (vectorized Arrow kernel) and
+   materialized as a tiny 3-int-column dataset — the text payload is
+   read exactly once and never shuffled;
+2. docs are bucketed by ``doc_id // bucket_width``; per-bucket token
+   sums are combined on the driver (one row per bucket — bounded, and
+   at 100 TB still ~millions of int rows, a driver-side cumsum) into
+   exclusive bucket base offsets, broadcast via ``ray.put``;
+3. ONE keyed exchange co-locates each bucket; within a block the
+   in-bucket exclusive cumsum plus the broadcast base gives every doc
+   its exact global offset, and each doc's per-sequence contributions
+   (token overlap with each seq window it spans) are emitted fully
+   vectorized (repeat/arange, no Python loop) and pre-aggregated per
+   sequence before leaving the block;
+4. a second keyed exchange on ``seq_id`` merges the (at most
+   blocks-per-seq) partials into final per-sequence stats.
+
+Deterministic sampling uses the Knuth multiplicative hash
+``(id * 2654435761) mod 2^32 mod 100 < rate`` — stable across cluster
+sizes and spellable verbatim in SQL.
+
+Decontamination flags documents sharing any k-word-gram with a
+broadcast benchmark set. Membership is tested on the 64-bit mixed gram
+hashes from functions/text.py:batch_shingle_hashes (np.isin against the
+sorted benchmark array); with G total grams the probability any
+collision perturbs the result is < G^2/2^64 (~1e-11 at test scale),
+the same argument as the MinHash oracle-parity note.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import text as tx
+from .ale import _get_broadcast
+from .exchange import block_map, driver_combine
+
+
+# ------------------------------------------------------------- packing
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    *,
+    count_fn: Callable[[pa.Array], pa.Array] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    bucket_width: int = 4096,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-sequence packing stats for GPT-style concat-and-chunk.
+
+    Returns a Dataset with one row per packed sequence: ``seq_id``,
+    ``n_docs`` (docs contributing >= 1 token), ``n_tokens`` (== seq_len
+    except for the final partial sequence), ``n_starts`` (docs whose
+    first token lands in this sequence). Zero-token docs are skipped,
+    matching the SQL oracle's ``WHERE n > 0``.
+    """
+    cfn = count_fn or tx.word_counts
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.asarray(cfn(t[text_col].combine_chunks()), dtype=np.int64)
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        return pd.DataFrame(
+            {"id": ids, "bucket": ids // bucket_width, "n": n}
+        )
+
+    cnt = ds.map_batches(counts, batch_format="pyarrow").materialize()
+
+    # per-bucket token sums -> exclusive global base offsets (driver)
+    totals = driver_combine(
+        cnt,
+        lambda df: df.groupby("bucket", as_index=False)["n"].sum(),
+        lambda df: df.groupby("bucket", as_index=False)["n"].sum()
+        if len(df)
+        else df,
+        batch_format="pandas",
+    ).sort_values("bucket")
+    buckets = totals["bucket"].to_numpy(dtype=np.int64)
+    sums = totals["n"].to_numpy(dtype=np.int64)
+    bases = np.cumsum(sums) - sums
+    base_ref = ray.put((buckets, bases))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "seq_id": pd.Series([], dtype=np.int64),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "n_tokens": pd.Series([], dtype=np.int64),
+                    "n_starts": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = df.sort_values(["bucket", "id"])
+        b = df["bucket"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        cs = np.cumsum(n) - n
+        seg = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        seg_base = np.repeat(cs[seg], np.diff(np.r_[seg, len(b)]))
+        bk, bb = _get_broadcast(base_ref)
+        s = bb[np.searchsorted(bk, b)] + (cs - seg_base)
+        e = s + n
+        first = s // seq_len
+        cntv = (e - 1) // seq_len - first + 1
+        tot = int(cntv.sum())
+        off = np.repeat(np.cumsum(cntv) - cntv, cntv)
+        seq = np.repeat(first, cntv) + (np.arange(tot, dtype=np.int64) - off)
+        srep = np.repeat(s, cntv)
+        erep = np.repeat(e, cntv)
+        tok = np.minimum(erep, (seq + 1) * seq_len) - np.maximum(srep, seq * seq_len)
+        started = (srep >= seq * seq_len).astype(np.int64)
+        g = pd.DataFrame(
+            {"seq_id": seq, "n_docs": 1, "n_tokens": tok, "n_starts": started}
+        ).groupby("seq_id", as_index=False).sum()
+        return g.astype(np.int64)
+
+    partials = block_map(
+        cnt, ["bucket"], emit, batch_format="pandas",
+        num_partitions=num_partitions, zero_copy_batch=False,
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (
+            df.groupby("seq_id", as_index=False)[["n_docs", "n_tokens", "n_starts"]]
+            .sum()
+            .astype(np.int64)
+        )
+
+    return block_map(
+        partials, ["seq_id"], combine, batch_format="pandas",
+        num_partitions=num_partitions, zero_copy_batch=False,
+    )
+
+
+# ------------------------------------------------- deterministic sample
+
+
+KNUTH = np.uint64(2654435761)
+
+
+def keep_mask(ids: np.ndarray, rates_pct: np.ndarray) -> np.ndarray:
+    """Deterministic per-row sampling: keep row i iff
+    ``(ids[i] * 2654435761) mod 2^32 mod 100 < rates_pct[i]``.
+    Stable under any partitioning / cluster size; SQL-identical."""
+    with np.errstate(over="ignore"):
+        h = (ids.astype(np.uint64) * KNUTH) % np.uint64(2**32) % np.uint64(100)
+    return h < rates_pct.astype(np.uint64)
+
+
+def sample_by_source(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rate_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+) -> rd.Dataset:
+    """Source-weighted mixing filter: per-source keep rate (percent)
+    from ``rate_fn(source_array) -> int array``, deterministic hash
+    sampling on the id. One streaming map_batches, no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        rates = rate_fn(src)
+        return t.filter(pa.array(keep_mask(ids, rates)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ decontamination
+
+
+def collect_benchmark_grams(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bench_mod: int = 101,
+) -> np.ndarray:
+    """Sorted distinct k-gram hashes of the benchmark subset
+    (``doc_id % bench_mod == 0``). The benchmark set is small by
+    construction (real decontamination sets are eval suites, a few MB)
+    — collected to the driver and broadcast, never shuffled."""
+
+    def grams(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % bench_mod == 0
+        if not m.any():
+            return pd.DataFrame({"h": pd.Series([], dtype=np.uint64)})
+        texts = [x or "" for x in t.filter(pa.array(m))[text_col].to_pylist()]
+        sets = tx.batch_shingle_hashes(texts, k=k)
+        allh = np.unique(np.concatenate(sets)) if sets else np.array([], dtype=np.uint64)
+        return pd.DataFrame({"h": allh})
+
+    parts = ds.map_batches(grams, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["h"].to_numpy(dtype=np.uint64))
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    bench_hashes: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bench_mod: int = 101,
+) -> rd.Dataset:
+    """Per-doc contamination: number of distinct k-grams shared with the
+    broadcast benchmark set (benchmark docs themselves excluded).
+    Vectorized per batch: one dictionary-encoded gram-hash pass, one
+    np.isin against the sorted benchmark array."""
+    ref = ray.put(np.sort(bench_hashes))
+
+    def fn(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % bench_mod != 0
+        ids = ids[m]
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "n_hits": pd.Series([], dtype=np.int64)}
+            )
+        texts = [x or "" for x in t.filter(pa.array(m))[text_col].to_pylist()]
+        bh = _get_broadcast(ref)
+        sets = tx.batch_shingle_hashes(texts, k=k)
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate([s for s in sets if len(s)])
+            hits = np.isin(flat, bh)
+            doc_idx = np.repeat(np.arange(len(ids)), lens)
+            n_hits = np.bincount(doc_idx[hits], minlength=len(ids))
+        else:
+            n_hits = np.zeros(len(ids), dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_hits": n_hits.astype(np.int64)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
