@@ -409,3 +409,89 @@ def batch_simhash64_weighted(
     packed = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     out[nonempty] = packed
     return out
+
+
+# --------------------------------------------------- repetition filters
+
+def repetition_features(texts: list[str]) -> dict[str, np.ndarray]:
+    """Gopher-style repetition statistics per doc (Rae et al. 2021
+    'Scaling Language Models: ... Gopher' repetition filters, public):
+    fraction of word positions covered by the most frequent word /
+    2-gram, and fraction of 3-gram positions whose gram occurs more
+    than once. Batched: ONE np.unique dictionary-encode over every word
+    in the batch; grams are built arithmetically on per-doc compacted
+    int codes (codes fit n_words**3 < 2**63 for any realistic doc), so
+    the per-doc tail is a bounded numpy unique over small int arrays —
+    no per-gram strings, no Python loop over grams.
+
+    Split convention is single-space (``text.split(' ')``) to match the
+    DuckDB oracle's ``string_split(text, ' ')`` exactly."""
+    n_docs = len(texts)
+    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    n_words = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+    top_word = np.zeros(n_docs, dtype=np.float64)
+    top2 = np.zeros(n_docs, dtype=np.float64)
+    dup3 = np.zeros(n_docs, dtype=np.float64)
+    all_words = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+    if len(all_words):
+        _, inv = np.unique(all_words, return_inverse=True)
+    else:
+        inv = np.zeros(0, dtype=np.int64)
+    pos = 0
+    for i, ws in enumerate(words_per_doc):
+        n = len(ws)
+        codes = inv[pos : pos + n]
+        pos += n
+        if n == 0:
+            continue
+        # compact to per-doc code space so gram arithmetic can't overflow
+        _, c = np.unique(codes, return_inverse=True)
+        c = c.astype(np.int64)
+        v = int(c.max()) + 1
+        _, counts1 = np.unique(c, return_counts=True)
+        top_word[i] = counts1.max() / n
+        if n >= 2:
+            g2 = c[:-1] * v + c[1:]
+            _, counts2 = np.unique(g2, return_counts=True)
+            top2[i] = counts2.max() / (n - 1)
+        if n >= 3:
+            g3 = (c[:-2] * v + c[1:-1]) * v + c[2:]
+            _, inv3, counts3 = np.unique(g3, return_inverse=True, return_counts=True)
+            dup3[i] = float((counts3[inv3] >= 2).sum()) / (n - 2)
+    return {
+        "n_words_sp": n_words,
+        "top_word_frac": top_word,
+        "top2gram_frac": top2,
+        "dup3gram_frac": dup3,
+    }
+
+
+# ------------------------------------------------------- PII detect/redact
+
+# RE2-compatible patterns (pyarrow and DuckDB both use RE2, so counts
+# and replacements agree byte-for-byte between engine and oracle).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PATTERNS = (PII_EMAIL_RE, PII_PHONE_RE, PII_IPV4_RE)
+PII_TOKEN = "<PII>"
+
+
+def pii_counts(texts: pa.Array) -> dict[str, pa.Array]:
+    """Per-doc counts of email / phone / IPv4 matches (Arrow regex
+    kernels, non-overlapping left-to-right — same as regexp_extract_all)."""
+    return {
+        "n_email": pc.count_substring_regex(texts, PII_EMAIL_RE).cast(pa.int64()),
+        "n_phone": pc.count_substring_regex(texts, PII_PHONE_RE).cast(pa.int64()),
+        "n_ipv4": pc.count_substring_regex(texts, PII_IPV4_RE).cast(pa.int64()),
+    }
+
+
+def pii_redact(texts: pa.Array, token: str = PII_TOKEN) -> pa.Array:
+    """Replace every PII match with ``token``, patterns applied in the
+    fixed order email -> phone -> ipv4 (the patterns are mutually
+    non-overlapping, so order only matters for determinism)."""
+    out = texts
+    for pat in PII_PATTERNS:
+        out = pc.replace_substring_regex(out, pat, token)
+    return out

@@ -591,6 +591,201 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filters (Rae et al. 2021, public): per
+    doc the most-frequent-word / most-frequent-2-gram coverage and the
+    fraction of 3-gram positions inside duplicated 3-grams
+    (functions/text.py:repetition_features, batch-dictionary-encoded)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        feat = tx.repetition_features(texts)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words_sp": pa.array(feat["n_words_sp"], pa.int64()),
+            "top_word_frac": pa.array(round6(feat["top_word_frac"])),
+            "top2gram_frac": pa.array(round6(feat["top2gram_frac"])),
+            "dup3gram_frac": pa.array(round6(feat["dup3gram_frac"])),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_REPETITION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws))) AS i FROM w),
+c1 AS (
+  SELECT doc_id, SUM(c) AS n, MAX(c) AS mx FROM (
+    SELECT doc_id, ws[i] AS g, COUNT(*) AS c FROM p GROUP BY 1, 2) GROUP BY doc_id
+),
+c2 AS (
+  SELECT doc_id, SUM(c) AS n, MAX(c) AS mx FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, COUNT(*) AS c
+    FROM p WHERE i <= len(ws) - 1 GROUP BY 1, 2) GROUP BY doc_id
+),
+c3 AS (
+  SELECT doc_id, SUM(c) AS n,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, COUNT(*) AS c
+    FROM p WHERE i <= len(ws) - 2 GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words_sp,
+       ROUND(COALESCE(c1.mx * 1.0 / c1.n, 0), 6) AS top_word_frac,
+       ROUND(COALESCE(c2.mx * 1.0 / c2.n, 0), 6) AS top2gram_frac,
+       ROUND(COALESCE(c3.dup * 1.0 / c3.n, 0), 6) AS dup3gram_frac
+FROM w
+LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+"""
+
+
+def q_doc_pii(sf_dir: str):
+    """PII detection + redaction (functions/text.py PII kernels: RE2
+    email/phone/IPv4 patterns, Arrow count + replace kernels). The word
+    -salad corpus carries no natural PII, so the query first SYNTHESIZES
+    it deterministically from doc_id (pure Arrow string algebra, same
+    CASE expression as the oracle), then counts matches and verifies
+    redaction via the redacted length."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pmod(a, m):
+        # pyarrow.compute has no modulo kernel; ids are non-negative so
+        # truncated integer division is exact
+        return pc.subtract(a, pc.multiply(pc.divide(a, m), m))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        id_str = pc.cast(ids, pa.string())
+        txt = t["text"]
+        j = pc.binary_join_element_wise
+        m0 = j(txt, " contact user", id_str, "@example.com now", "")
+        m1 = j(
+            txt, " call 555-",
+            pc.utf8_lpad(pc.cast(pmod(ids, 1000), pa.string()), 3, "0"), "-",
+            pc.utf8_lpad(pc.cast(pmod(pc.multiply(ids, 7), 10000), pa.string()), 4, "0"),
+            "",
+        )
+        m2 = j(
+            txt, " from 10.",
+            pc.cast(pmod(ids, 256), pa.string()), ".",
+            pc.cast(pmod(pc.multiply(ids, 3), 256), pa.string()), ".",
+            pc.cast(pmod(pc.multiply(ids, 7), 256), pa.string()),
+            "",
+        )
+        mod3 = pmod(ids, 3)
+        pii_text = pc.if_else(pc.equal(mod3, 0), m0, pc.if_else(pc.equal(mod3, 1), m1, m2))
+        counts = tx.pii_counts(pii_text)
+        red = tx.pii_redact(pii_text)
+        return pa.table({
+            "doc_id": ids,
+            "n_email": counts["n_email"],
+            "n_phone": counts["n_phone"],
+            "n_ipv4": counts["n_ipv4"],
+            "src_len": pc.utf8_length(pii_text).cast(pa.int64()),
+            "red_len": pc.utf8_length(red).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_PII = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 3 = 1
+                THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              ELSE text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(length(t) AS BIGINT) AS src_len,
+       CAST(length(
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PII>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<PII>', 'g')
+       ) AS BIGINT) AS red_len
+FROM p
+"""
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (stages/cluster.py): k=8 centroids
+    initialised from the 8 smallest vec_ids, 3 full update iterations
+    (one combiner-shaped map_batches pass each, stable_round6-ed
+    centroids), final assignment pass. Oracle = generated chained-CTE
+    SQL replaying the identical iterations."""
+    from ..stages.cluster import kmeans_lloyd
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    _, out = kmeans_lloyd(ds, 8, n_iter=3)
+    df = out.to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["cluster"] = df["cluster"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_kmeans(k: int = 8, d: int = 64, n_iter: int = 3) -> str:
+    """Generate the chained-CTE k-means oracle: c0 = k smallest-id
+    embeddings; per iteration an assignment CTE (argmin of squared L2,
+    ties to lowest cid) and a centroid-update CTE with
+    ROUND(ROUND(AVG,9),6) per dim (== engine stable_round6) and
+    COALESCE to the previous centroid for empty clusters."""
+    dist = (
+        "list_sum(list_transform(range(1, {dp1}), i -> "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.c[i])))"
+    ).format(dp1=d + 1)
+    sql = [
+        f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, n_iter + 1):
+        sql.append(f""",
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1
+),
+c{it} AS (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{it - 1} p LEFT JOIN (
+    SELECT cid, list(v ORDER BY dim) AS c FROM (
+      SELECT a.cid AS cid, t.dim AS dim,
+             ROUND(ROUND(AVG(CAST(e.embedding[t.dim] AS DOUBLE)), 9), 6) AS v
+      FROM a{it} a JOIN e USING (vec_id) CROSS JOIN range(1, {d + 1}) t(dim)
+      GROUP BY a.cid, t.dim) GROUP BY cid) n USING (cid)
+)""")
+    sql.append(f""",
+afinal AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""")
+    return "".join(sql)
+
+
+_SQL_KMEANS = _sql_kmeans()
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -611,6 +806,9 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_source_mix": q_doc_source_mix,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_repetition": q_doc_repetition,
+    "doc_pii": q_doc_pii,
+    "embedding_kmeans": q_embedding_kmeans,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -630,4 +828,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_pack_sequences": _SQL_PACK,
     "doc_source_mix": _SQL_SOURCE_MIX,
     "doc_decontaminate": _SQL_DECONTAM,
+    "doc_repetition": _SQL_REPETITION,
+    "doc_pii": _SQL_PII,
+    "embedding_kmeans": _SQL_KMEANS,
 }
