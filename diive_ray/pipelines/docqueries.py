@@ -720,6 +720,98 @@ FROM p
 """
 
 
+def q_doc_tfidf_top(sf_dir: str):
+    """TF-IDF top-3 terms per doc. Distributed shape: pass 1 computes
+    document frequencies as per-batch vectorized partials (one row per
+    DISTINCT term per batch — bounded by vocabulary, the right shape
+    for a closed vocab; an open-vocab corpus would swap the driver
+    combine + broadcast for one term-keyed exchange join), pass 2
+    broadcasts the idf table and scores each batch with one
+    dictionary-encode + pair-code unique (tf per (doc, term) without
+    per-row Python). idf = ln((1+N)/(1+df)); ties broken by term asc
+    on both sides; scores stable_round6-ed (ln ulp noise between libm
+    and DuckDB collapses at the 9-decimal pre-round)."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata, no data pass
+
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        words_per_doc = [s.split(" ") if s else [] for s in texts]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        all_words = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+        uniq, inv = np.unique(all_words, return_inverse=True)
+        pair = np.unique(doc_idx * len(uniq) + inv)
+        w_i, cnt = np.unique(pair % len(uniq), return_counts=True)
+        return pd.DataFrame({"term": uniq[w_i], "df": cnt})
+
+    df_tab = driver_combine(
+        ds, df_partial, lambda p: p.groupby("term", as_index=False)["df"].sum()
+    )
+    idf = pd.Series(
+        np.log((1.0 + n_docs) / (1.0 + df_tab["df"].to_numpy(dtype=np.float64))),
+        index=df_tab["term"].to_numpy(),
+    )
+
+    def score_batch(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words_per_doc = [s.split(" ") if s else [] for s in texts]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=ids.dtype),
+                                 "rank": pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype=np.float64)})
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        all_words = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+        uniq, inv = np.unique(all_words, return_inverse=True)
+        pair, cnt = np.unique(doc_idx * len(uniq) + inv, return_counts=True)
+        d_i = pair // len(uniq)
+        w_i = pair % len(uniq)
+        score = cnt.astype(np.float64) * idf.reindex(uniq[w_i]).to_numpy()
+        out = pd.DataFrame({"doc_id": ids[d_i], "term": uniq[w_i], "score": score})
+        out = out.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="stable"
+        )
+        out["rank"] = out.groupby("doc_id").cumcount() + 1
+        out = out[out["rank"] <= 3].copy()
+        out["score"] = stable_round6(out["score"])
+        out["rank"] = out["rank"].astype(np.int64)
+        return out[["doc_id", "rank", "term", "score"]]
+
+    res = ds.map_batches(score_batch, batch_format="pyarrow").to_pandas()
+    return res.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+_SQL_TFIDF = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((1.0 + n.n) / (1.0 + df.df)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, ROUND(ROUND(score, 9), 6) AS score
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means (stages/cluster.py): k=8 centroids
     initialised from the 8 smallest vec_ids, 3 full update iterations
@@ -808,6 +900,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_repetition": q_doc_repetition,
     "doc_pii": q_doc_pii,
+    "doc_tfidf_top": q_doc_tfidf_top,
     "embedding_kmeans": q_embedding_kmeans,
 }
 
@@ -830,5 +923,6 @@ DOC_ORACLE: dict[str, str] = {
     "doc_decontaminate": _SQL_DECONTAM,
     "doc_repetition": _SQL_REPETITION,
     "doc_pii": _SQL_PII,
+    "doc_tfidf_top": _SQL_TFIDF,
     "embedding_kmeans": _SQL_KMEANS,
 }

@@ -705,6 +705,16 @@ def simhash_dup_pairs(
             d = tx.hamming64(sigs[i + 1 :], sigs[i])
             for off in np.flatnonzero(d <= max_hamming):
                 rows.append((ids[i], ids[i + 1 + off], int(d[off])))
+        if not rows:
+            # typed empty frame: an all-object empty DataFrame trips
+            # Ray's block size estimator (np.vectorize on 0 rows)
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=df[id_col].dtype),
+                    "id_b": pd.Series([], dtype=df[id_col].dtype),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     from .exchange import grouped_block_map
