@@ -720,6 +720,112 @@ FROM p
 """
 
 
+def q_doc_chunk(sf_dir: str):
+    """Document chunking for training-context assembly: fixed 32-word
+    windows at stride 24 (8-word overlap), last window ragged. Pure
+    per-batch transform (flat_map shape, no shuffle); window starts are
+    vectorized arithmetic, only the final chunk-text join runs per
+    OUTPUT row (string assembly is the result payload, not index
+    math)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    W, S = 32, 24
+
+    def fn(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        words = [s.split(" ") if s else [] for s in texts]
+        n = np.array([len(w) for w in words], dtype=np.int64)
+        n_chunks = np.where(n > 0, (np.maximum(n, 1) - 1) // S + 1, 0)
+        doc_i = np.repeat(np.arange(len(texts)), n_chunks)
+        chunk_id = np.concatenate([np.arange(c) for c in n_chunks]) if len(doc_i) else np.zeros(0, np.int64)
+        start = chunk_id * S
+        end = np.minimum(start + W, n[doc_i])
+        chunk_text = [" ".join(words[d][s:e]) for d, s, e in zip(doc_i, start, end)]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[doc_i],
+                "chunk_id": chunk_id.astype(np.int64),
+                "n_words_chunk": (end - start).astype(np.int64),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_SQL_CHUNK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         UNNEST(generate_series(0, CAST(len(ws) - 1 AS BIGINT), 24)) AS s
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id,
+       CAST(s / 24 AS BIGINT) AS chunk_id,
+       CAST(LEAST(s + 32, len(ws)) - s AS BIGINT) AS n_words_chunk,
+       array_to_string(ws[s + 1 : LEAST(s + 32, len(ws))], ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_source_vocab_divergence(sf_dir: str):
+    """Per-source vocabulary statistics + pairwise Jaccard divergence
+    between source vocabularies (corpus-mixing diagnostics). Distributed
+    shape: per-batch DISTINCT (source, term) partials (bounded by
+    sources x vocab) -> driver dedup -> vectorized pairwise intersection
+    via sorted-code set ops. Open-vocab corpora would swap the driver
+    combine for a term-keyed exchange with per-partition pair counts."""
+    from ..stages.exchange import driver_combine
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        src = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        words = [s.split(" ") if s else [] for s in texts]
+        lens = np.array([len(w) for w in words], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "term": pd.Series([], dtype=object)})
+        src_rep = np.repeat(np.array(src, dtype=object), lens)
+        flat = np.array([w for ws in words for w in ws], dtype=object)
+        df = pd.DataFrame({"source": src_rep, "term": flat})
+        return df.drop_duplicates(ignore_index=True)
+
+    v = driver_combine(ds, partial, lambda p: p.drop_duplicates(ignore_index=True))
+    terms, codes = np.unique(v["term"].to_numpy(), return_inverse=True)
+    sets = {s: np.unique(codes[(v["source"] == s).to_numpy()]) for s in v["source"].unique()}
+    srcs = sorted(sets)
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = len(np.intersect1d(sets[sa], sets[sb], assume_unique=True))
+            union = len(sets[sa]) + len(sets[sb]) - inter
+            rows.append((sa, sb, len(sets[sa]), len(sets[sb]),
+                         round6(np.float64(inter) / union if union else 0.0)))
+    return pd.DataFrame(rows, columns=["sa", "sb", "n_terms_a", "n_terms_b", "jaccard"])
+
+
+_SQL_VOCAB_DIV = """
+WITH v AS (
+  SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+sz AS (SELECT source, COUNT(*) AS n FROM v GROUP BY 1),
+ix AS (
+  SELECT v1.source AS sa, v2.source AS sb, COUNT(*) AS inter
+  FROM v v1 JOIN v v2 USING (term)
+  WHERE v1.source < v2.source
+  GROUP BY 1, 2
+)
+SELECT a.source AS sa, b.source AS sb,
+       CAST(a.n AS BIGINT) AS n_terms_a, CAST(b.n AS BIGINT) AS n_terms_b,
+       ROUND(COALESCE(ix.inter, 0) * 1.0 / (a.n + b.n - COALESCE(ix.inter, 0)), 6) AS jaccard
+FROM sz a JOIN sz b ON a.source < b.source
+LEFT JOIN ix ON ix.sa = a.source AND ix.sb = b.source
+ORDER BY sa, sb
+"""
+
+
 def q_doc_tfidf_top(sf_dir: str):
     """TF-IDF top-3 terms per doc. Distributed shape: pass 1 computes
     document frequencies as per-batch vectorized partials (one row per
@@ -901,6 +1007,8 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_repetition": q_doc_repetition,
     "doc_pii": q_doc_pii,
     "doc_tfidf_top": q_doc_tfidf_top,
+    "doc_chunk": q_doc_chunk,
+    "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,
 }
 
@@ -924,5 +1032,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_repetition": _SQL_REPETITION,
     "doc_pii": _SQL_PII,
     "doc_tfidf_top": _SQL_TFIDF,
+    "doc_chunk": _SQL_CHUNK,
+    "source_vocab_divergence": _SQL_VOCAB_DIV,
     "embedding_kmeans": _SQL_KMEANS,
 }

@@ -151,3 +151,41 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(ray_session):
     # cluster 2 never wins a point (tie -> cid 1), centroid unchanged
     assert (C[2] == C0[2]).all()
     assert set(out.to_pandas()["cluster"].unique()) <= {0, 1}
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_doc_chunk_window_edges(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from diive_ray.pipelines.docqueries import q_doc_chunk
+
+    # monkey-shape: drive the same batch fn through a tiny in-memory
+    # table by writing it to parquet under /tmp and pointing the query
+    # at the directory layout it expects
+    import os, tempfile
+
+    d = tempfile.mkdtemp(prefix="chunk_test_")
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": [
+                " ".join(f"w{i}" for i in range(32)),   # exactly one window
+                " ".join(f"w{i}" for i in range(33)),   # 2 windows: 32 + ragged 9
+                " ".join(f"w{i}" for i in range(24)),   # single ragged window
+                "solo",                                  # 1-word window
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": pd.array([0, 0, 0, 0], dtype="int64"),
+        }
+    )
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    out = q_doc_chunk(d).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = out.groupby("doc_id")["n_words_chunk"].apply(list).to_dict()
+    assert got == {1: [32, 8], 2: [32, 9], 3: [24], 4: [1]}
+    # stride-24 overlap: doc 1 second chunk covers words 24..31
+    r = out[(out.doc_id == 1) & (out.chunk_id == 1)].iloc[0]
+    assert r["chunk_text"] == " ".join(f"w{i}" for i in range(24, 32))
