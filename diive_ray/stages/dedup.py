@@ -216,28 +216,52 @@ def lsh_candidate_pairs(
             id_col: pa.array(np.repeat(ids, bands), t[id_col].type),
         })
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        g = len(df)
+    def pairs_of_block(df: pd.DataFrame) -> pd.DataFrame:
+        """All (band, band_hash) groups of the block at once: run-length
+        group boundaries on the sorted frame, then upper-triangle pair
+        generation batched PER GROUP SIZE (one numpy gather per distinct
+        size) — a per-group Python apply costs ~100 us x mostly-singleton
+        buckets, which dominated the whole pipeline at sf0.1."""
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=df[id_col].dtype),
                               "id_b": pd.Series([], dtype=df[id_col].dtype)})
-        if g < 2:
+        if df.empty:
             return empty
-        if g > max_bucket:
+        df = df.sort_values(["band", "band_hash", id_col], kind="stable")
+        band = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        ids = df[id_col].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(df)))
+        over = lens > max_bucket
+        if over.any():
             import logging
 
-            logging.getLogger(__name__).warning(
-                "lsh_candidate_pairs: dropping band bucket of size %d (> max_bucket=%d)",
-                g, max_bucket,
-            )
+            for g in lens[over]:
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropping band bucket of size %d (> max_bucket=%d)",
+                    int(g), max_bucket,
+                )
+        keep = (lens >= 2) & ~over
+        starts, lens = starts[keep], lens[keep]
+        if len(starts) == 0:
             return empty
-        ids = np.sort(df[id_col].to_numpy())
-        ii, jj = np.triu_indices(g, 1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+        out_a, out_b = [], []
+        for s in np.unique(lens):
+            idx = starts[lens == s]
+            mat = ids[idx[:, None] + np.arange(s)[None, :]]  # ids sorted within group
+            ii, jj = np.triu_indices(int(s), 1)
+            out_a.append(mat[:, ii].ravel())
+            out_b.append(mat[:, jj].ravel())
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
-    from .exchange import block_map, grouped_block_map
+    from .exchange import block_map
 
-    pairs = grouped_block_map(
-        sig_ds.map_batches(emit, batch_format="pyarrow"), ["band", "band_hash"], pairs_of_group
+    pairs = block_map(
+        sig_ds.map_batches(emit, batch_format="pyarrow"), ["band", "band_hash"],
+        pairs_of_block, batch_format="pandas", zero_copy_batch=False,
     )
     if not dedup_pairs:
         return pairs
@@ -404,6 +428,86 @@ def verify_pairs_exact_jaccard(
     )
 
 
+def verify_pairs_broadcast(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    seed: int = 7,
+    threshold: float = 0.5,
+) -> pd.DataFrame:
+    """Exact-Jaccard verification via the BROADCAST small-side path:
+    when the candidate-pair volume is bounded (checked by the caller —
+    at dedup-grade thresholds candidates are orders of magnitude below
+    the corpus), the involved docs' shingle sets are computed by ONE
+    shuffle-free corpus scan, flattened to (keys, offsets, values)
+    arrays and ``ray.put`` once, and the pair Dataset is scored in a
+    single ``map_batches`` — no keyed exchanges, no corpus re-scan.
+    This is the standard broadcast-join escape from the two union-join
+    exchanges of verify_pairs_exact_jaccard; identical output
+    (cross-band duplicate pairs are dropped on the tiny verified
+    result instead of in the id_a exchange). Unlike the round-1
+    driver-dict version this never scores on the driver and holds only
+    FLAT bounded arrays, with the keyed-exchange path as the unbounded
+    fallback."""
+    import ray as _ray
+
+    sh = candidate_shingle_sets(
+        ds, pairs, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed
+    ).to_pandas()
+    if sh.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    sh = sh.sort_values("key", kind="stable")
+    keys = sh["key"].to_numpy(dtype=np.int64)
+    sets = [np.asarray(v, dtype=np.int64) for v in sh["sh"]]
+    lens = np.array([len(v) for v in sets], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    vals = np.concatenate(sets) if len(sets) else np.array([], dtype=np.int64)
+    ref = _ray.put((keys, offs, vals))
+
+    class ScorePairs:
+        def __init__(self):
+            self.keys, self.offs, self.vals = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pa_i = np.searchsorted(self.keys, ia)
+            pb_i = np.searchsorted(self.keys, ib)
+            out_a, out_b, out_j = [], [], []
+            for k in range(len(ia)):
+                i, j = pa_i[k], pb_i[k]
+                a = self.vals[self.offs[i] : self.offs[i + 1]].view(np.uint64)
+                b = self.vals[self.offs[j] : self.offs[j + 1]].view(np.uint64)
+                jac = tx.exact_jaccard(a, b)
+                if jac >= threshold:
+                    out_a.append(ia[k])
+                    out_b.append(ib[k])
+                    out_j.append(jac)
+            return pa.table({
+                "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
+                "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
+                "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+            })
+
+    out = pairs.map_batches(
+        ScorePairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    # cross-band duplicates of the same pair verify identically
+    return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+# candidate volume below which the verify tier takes the broadcast
+# path; above it, the two-exchange keyed union-join path runs (never
+# driver-bounded). ~16 B/pair + involved shingle arrays.
+BROADCAST_PAIR_CAP = 1_000_000
+
+
 def minhash_dup_pairs(
     ds: ray.data.Dataset,
     *,
@@ -415,19 +519,28 @@ def minhash_dup_pairs(
     shingle_k: int = 3,
     seed: int = 7,
     max_bucket: int = 2000,
+    broadcast_pair_cap: int = BROADCAST_PAIR_CAP,
 ) -> pd.DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded buckets
-    -> candidate pair Dataset -> distributed exact-Jaccard verification
-    >= threshold. Only the final verified pairs (the answer) are
-    collected."""
+    -> candidate pair Dataset -> exact-Jaccard verification >=
+    threshold (broadcast path under ``broadcast_pair_cap`` candidate
+    pairs, keyed-exchange path above). Only the final verified pairs
+    (the answer) are collected."""
     sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
     cands = lsh_candidate_pairs(
         sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket,
-        dedup_pairs=False,  # the verify tier's id_a exchange dedups in-block
-    )
-    out = verify_pairs_exact_jaccard(
-        ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
-    ).to_pandas()
+        dedup_pairs=False,  # both verify paths dedup pairs themselves
+    ).materialize()
+    if cands.count() <= broadcast_pair_cap:
+        out = verify_pairs_broadcast(
+            ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+            seed=seed, threshold=threshold,
+        )
+    else:
+        out = verify_pairs_exact_jaccard(
+            ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+            seed=seed, threshold=threshold,
+        ).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -585,20 +698,34 @@ def minhash_dedup(
     sig = signature_dataset(ds, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k, seed=seed)
     cands = lsh_candidate_pairs(
         sig, id_col=id_col, num_perm=num_perm, bands=bands, max_bucket=max_bucket,
-        dedup_pairs=False,  # the verify tier's id_a exchange dedups in-block
-    )
-    verified = verify_pairs_exact_jaccard(
-        ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
+        dedup_pairs=False,  # both verify paths dedup pairs themselves
     ).materialize()
+    if cands.count() <= BROADCAST_PAIR_CAP:
+        # bounded candidates -> broadcast verify; edge count is then
+        # <= BROADCAST_PAIR_CAP <= max_driver_edges, so union-find
+        edges_df = verify_pairs_broadcast(
+            ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+            seed=seed, threshold=threshold,
+        )
+        verified = None
+        n_edges = len(edges_df)
+    else:
+        verified = verify_pairs_exact_jaccard(
+            ds, cands, text_col=text_col, id_col=id_col, shingle_k=shingle_k, seed=seed, threshold=threshold
+        ).materialize()
+        n_edges = verified.count()
 
     # component resolution: verified near-dup edges are usually FAR
     # fewer than docs (dedup-grade thresholds), so below a generous
     # bound the driver union-find is both exact and topology-free;
     # dup-heavy corpora above the bound go through the distributed
     # min-label propagation (identical labels, test-pinned)
-    n_edges = verified.count()
     if n_edges <= max_driver_edges:
-        edges = verified.select_columns(["id_a", "id_b"]).to_pandas()
+        edges = (
+            edges_df[["id_a", "id_b"]]
+            if verified is None
+            else verified.select_columns(["id_a", "id_b"]).to_pandas()
+        )
         pairs_list = list(zip(edges["id_a"].tolist(), edges["id_b"].tolist()))
         nodes = sorted({n for e in pairs_list for n in e})
         rep = union_find_keep(pairs_list, nodes)
@@ -696,31 +823,61 @@ def simhash_dup_pairs(
             "simhash": pa.array(out_sig, pa.int64()),
         })
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        ids = df[id_col].tolist()
+    def pairs_of_block(df: pd.DataFrame) -> pd.DataFrame:
+        """All (band, key) buckets of the block at once — run-length
+        group boundaries + per-group-size batched Hamming (mostly-
+        singleton buckets make a per-group Python apply the bottleneck,
+        same fix as lsh_candidate_pairs.pairs_of_block)."""
+        # typed empty frame: an all-object empty DataFrame trips
+        # Ray's block size estimator (np.vectorize on 0 rows)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=df[id_col].dtype),
+                "id_b": pd.Series([], dtype=df[id_col].dtype),
+                "hamming": pd.Series([], dtype=np.int64),
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["band", "key", id_col], kind="stable")
+        band = df["band"].to_numpy()
+        key = df["key"].to_numpy()
+        ids = df[id_col].to_numpy()
         sigs = df["simhash"].to_numpy(dtype=np.int64).view(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            d = tx.hamming64(sigs[i + 1 :], sigs[i])
-            for off in np.flatnonzero(d <= max_hamming):
-                rows.append((ids[i], ids[i + 1 + off], int(d[off])))
-        if not rows:
-            # typed empty frame: an all-object empty DataFrame trips
-            # Ray's block size estimator (np.vectorize on 0 rows)
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype=df[id_col].dtype),
-                    "id_b": pd.Series([], dtype=df[id_col].dtype),
-                    "hamming": pd.Series([], dtype=np.int64),
-                }
-            )
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(df)))
+        keep = lens >= 2
+        starts, lens = starts[keep], lens[keep]
+        if len(starts) == 0:
+            return empty
+        out_a, out_b, out_d = [], [], []
+        for s in np.unique(lens):
+            idx = starts[lens == s]
+            gather = idx[:, None] + np.arange(s)[None, :]
+            mat_id = ids[gather]
+            mat_sig = sigs[gather]
+            ii, jj = np.triu_indices(int(s), 1)
+            d = tx.hamming64(mat_sig[:, ii].ravel(), mat_sig[:, jj].ravel())
+            m = d <= max_hamming
+            out_a.append(mat_id[:, ii].ravel()[m])
+            out_b.append(mat_id[:, jj].ravel()[m])
+            out_d.append(d[m].astype(np.int64))
+        if not any(len(a) for a in out_a):
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_d),
+        })
 
-    from .exchange import grouped_block_map
+    from .exchange import block_map
 
-    pairs = grouped_block_map(
-        sig.map_batches(emit, batch_format="pyarrow"), ["band", "key"], pairs_of_group
+    pairs = block_map(
+        sig.map_batches(emit, batch_format="pyarrow"), ["band", "key"],
+        pairs_of_block, batch_format="pandas", zero_copy_batch=False,
     ).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
