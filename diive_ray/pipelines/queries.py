@@ -2985,6 +2985,109 @@ def q_tokens_verify_tiny(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_tokens_rollup_1h(sf_dir: str):
+    """The north-rule tokens path with an EXACT SQL oracle: a
+    ``tokens:list<int32>`` column (BASELINE.json input_hint schema) is
+    synthesized deterministically from ``event_id`` with the fixture
+    corpus's formula family (``tok[j] = (seed + j*KNUTH) % VOCAB``,
+    fixtures.py:tokens_for), REAL Arrow list arrays are materialized
+    per batch, and the 1h tier aggregates read the ACTUAL array buffers
+    (``np.add.reduceat`` over the flattened values + offset-indexed
+    first/last elements), never the generating formula. The DuckDB
+    oracle replays the formula with a bounded ``generate_series`` cross
+    join — so a single wrong token in any materialized array breaks the
+    hash match. All outputs are integer-exact (no float rounding)."""
+    from ..fixtures import KNUTH, VOCAB
+    from ..schema import US_PER_HOUR
+    from ..stages.bucket import bucket_end_us
+    from ..stages.exchange import block_map
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = (eid % 257 + 1).astype(np.int64)
+        seed = (eid.astype(np.uint64) * np.uint64(1_000_003)) & np.uint64(0x7FFFFFFFFFFF)
+        offsets = np.zeros(len(eid) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        total = int(offsets[-1])
+        j = (np.arange(total, dtype=np.uint64)
+             - np.repeat(offsets[:-1], n_tok).astype(np.uint64) + np.uint64(1))
+        flat = ((np.repeat(seed, n_tok) + j * np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int32)
+        tokens = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(flat)
+        ).cast(pa.list_(pa.int32()))
+
+        # aggregate FROM the materialized arrays, not the formula
+        vals = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_sum = np.add.reduceat(vals, offsets[:-1])
+        first = vals[offsets[:-1]]
+        last = vals[offsets[1:] - 1]
+
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = bucket_end_us(ts_us, US_PER_HOUR, end_stamped=False)
+        g = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "bucket_ts": bucket,
+            "n": 1,
+            "sum_tok": n_tok,
+            "sum_tok_vals": tok_sum,
+            "min_first": first,
+            "max_last": last,
+        }).groupby(["event_type", "bucket_ts"], as_index=False).agg(
+            n=("n", "sum"), sum_tok=("sum_tok", "sum"),
+            sum_tok_vals=("sum_tok_vals", "sum"),
+            min_first=("min_first", "min"), max_last=("max_last", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "bucket_ts"], as_index=False).agg(
+            n=("n", "sum"), sum_tok=("sum_tok", "sum"),
+            sum_tok_vals=("sum_tok_vals", "sum"),
+            min_first=("min_first", "min"), max_last=("max_last", "max"),
+        )
+
+    out = block_map(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket_ts"], combine,
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"], unit="us").astype("datetime64[us]")
+    for c in ("n", "sum_tok", "sum_tok_vals", "min_first", "max_last"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_TOKENS_ROLLUP_1H = """
+WITH tok AS (
+  SELECT event_id, event_type, ts,
+         (event_id % 257) + 1 AS n_tok,
+         (event_id * 1000003) % 140737488355328 AS seed
+  FROM events
+),
+per_doc AS (
+  SELECT tok.event_type, tok.ts, tok.n_tok,
+         SUM((seed + j * 2654435761) % 50257) AS tok_sum,
+         MIN((seed + 1 * 2654435761) % 50257) AS first_tok,
+         MAX(CASE WHEN j = n_tok THEN (seed + j * 2654435761) % 50257 END) AS last_tok
+  FROM tok, generate_series(1, 257) AS t(j)
+  WHERE j <= n_tok
+  GROUP BY tok.event_id, tok.event_type, tok.ts, tok.n_tok, tok.seed
+)
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+       COUNT(*) AS n,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(tok_sum) AS BIGINT) AS sum_tok_vals,
+       CAST(MIN(first_tok) AS BIGINT) AS min_first,
+       CAST(MAX(last_tok) AS BIGINT) AS max_last
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_asof_join_hourly(sf_dir: str):
     """Distributed ASOF join (stages/joins.py:asof_join): attach to each
     raw event the latest COMPLETED hourly mean of its event_type —
@@ -3389,6 +3492,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_agg": q_lineitem_agg,
     "tokens_rollup_tiny": q_tokens_rollup_tiny,
     "tokens_verify_tiny": q_tokens_verify_tiny,
+    "tokens_rollup_1h": q_tokens_rollup_1h,
     "optimum_range": q_optimum_range,
     "asof_join_hourly": q_asof_join_hourly,
     "sessionize": q_sessionize,
@@ -3465,6 +3569,7 @@ ORACLE: dict[str, str] = {
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,
     "optimum_range": _SQL_OPTIMUM,
+    "tokens_rollup_1h": _SQL_TOKENS_ROLLUP_1H,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
     "lof_scores": _SQL_LOF_SCORES,
