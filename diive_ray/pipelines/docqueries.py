@@ -984,6 +984,41 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""")
 _SQL_KMEANS = _sql_kmeans()
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact duplicated-span coverage (ExactSubstr family, Lee et al.
+    2021 arXiv:2107.06499 at fixed k=4 word grams): per doc, how many
+    of its 4-word grams occur >= 2 times anywhere in the corpus
+    (stages/dedup.py:duplicated_span_stats — gram-string exchange, no
+    hashing, text payload never shuffled). Oracle replays the gram
+    construction with list_slice over split words."""
+    out = dd.duplicated_span_stats(
+        _docs(sf_dir, ["doc_id", "text"]), k=4
+    ).to_pandas()
+    for c in ("n_grams", "dup_grams"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DUP_SPANS = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(words, j, j + 3), ' ') AS gram
+  FROM w, generate_series(1, 4096) AS t(j)
+  WHERE j + 3 <= len(words)
+),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+FROM g JOIN c USING (gram)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1010,6 +1045,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_chunk": q_doc_chunk,
     "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,
+    "doc_dup_spans": q_doc_dup_spans,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1035,4 +1071,5 @@ DOC_ORACLE: dict[str, str] = {
     "doc_chunk": _SQL_CHUNK,
     "source_vocab_divergence": _SQL_VOCAB_DIV,
     "embedding_kmeans": _SQL_KMEANS,
+    "doc_dup_spans": _SQL_DUP_SPANS,
 }

@@ -924,3 +924,94 @@ def ngram_jaccard_pairs_blocked(
     if out.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------- duplicated spans
+
+
+def duplicated_span_stats(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact duplicated-span detection at word granularity (the
+    ExactSubstr family of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — public arXiv:2107.06499; their
+    suffix-array substring criterion, applied at fixed k-word
+    resolution): a position is *duplicated* iff its k-word gram occurs
+    >= 2 times in the corpus (any document, including self-repeats).
+    Returns one row per document that has at least one gram:
+    (id_col, n_grams, dup_grams).
+
+    Distribution contract:
+    * per-batch vectorized gram emit — whitespace split, flat word
+      array, shift-concat (pandas object ops, no per-gram Python
+      loop); doc-boundary positions masked out;
+    * ONE exchange keyed on the literal gram string (all occurrences
+      of a gram co-locate; payload is (gram, id) only — the text
+      column never moves);
+    * per-block vectorized ``groupby(gram).transform(size)`` marks
+      duplicated positions, immediately folded to per-doc partials
+      (the block's output is bounded by its distinct doc count);
+    * ONE exchange on id summing partials — output stays a Dataset
+      (per-doc stats are corpus-sized at scale, never driver-side).
+
+    Exactness: grouping is on the gram *string*, not a hash — no
+    collision caveat (cf. the 128-bit digest discussion in
+    ``exact_dedup``)."""
+    from .exchange import block_map
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                              id_col: pd.Series([], dtype=df[id_col].dtype if len(df) else object)})
+        if df.empty:
+            return empty
+        words = df[text_col].str.split()
+        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
+        keep = lens >= k
+        if not keep.any():
+            return empty
+        words = words[keep]
+        lens = lens[keep]
+        ids = df[id_col].to_numpy()[keep]
+        flat = pd.Series(np.concatenate([np.asarray(w, dtype=object) for w in words]),
+                         dtype=object)
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        gram = flat
+        for j in range(1, k):
+            gram = gram + (" " + flat.shift(-j))
+        n = len(flat)
+        valid = np.zeros(n, dtype=bool)
+        valid[: n - k + 1] = doc_idx[: n - k + 1] == doc_idx[k - 1:]
+        return pd.DataFrame({
+            "gram": gram.to_numpy()[valid],
+            id_col: np.repeat(ids, lens)[valid],
+        })
+
+    pairs = ds.map_batches(emit, batch_format="pandas", zero_copy_batch=False)
+
+    def per_gram_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: [], "n_grams": [], "dup_grams": []})
+        cnt = df.groupby("gram", sort=False)["gram"].transform("size").to_numpy()
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_grams": np.ones(len(df), dtype=np.int64),
+            "dup_grams": (cnt >= 2).astype(np.int64),
+        }).groupby(id_col, as_index=False).sum()
+
+    partials = block_map(pairs, ["gram"], per_gram_block,
+                         batch_format="pandas", num_partitions=num_partitions,
+                         zero_copy_batch=False)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return df.groupby(id_col, as_index=False)[["n_grams", "dup_grams"]].sum()
+
+    return block_map(partials, [id_col], per_doc,
+                     batch_format="pandas", num_partitions=num_partitions,
+                     zero_copy_batch=False)

@@ -150,3 +150,41 @@ def test_counted_shingles_match_per_doc_counts():
     assert c.sum() == 10
     assert c.max() == 3
     assert (np.sort(h) == h).all()
+
+
+def test_duplicated_span_stats(ray_session):
+    """Planted spans: cross-doc duplicate, within-doc self-repeat, a
+    doc shorter than k, and a unique doc — verified against a pandas
+    brute-force oracle."""
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",      # shares 4-gram with doc 2
+            "alpha beta gamma delta other words here",  # cross-doc dup span
+            "x y z w x y z w x y z w",                  # self-repeating span
+            "too short",                                # < k words -> no row
+            "entirely unique words without any repeats present",
+        ],
+    })
+    out = dd.duplicated_span_stats(
+        rd.from_pandas(docs).repartition(3), k=4
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force oracle
+    from collections import Counter
+    grams = {}
+    for _, r in docs.iterrows():
+        ws = r["text"].split()
+        grams[r["doc_id"]] = [" ".join(ws[i:i + 4]) for i in range(len(ws) - 3)]
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    exp = pd.DataFrame([
+        {"doc_id": d, "n_grams": len(gs),
+         "dup_grams": sum(cnt[g] >= 2 for g in gs)}
+        for d, gs in grams.items() if gs
+    ]).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"n_grams": "int64", "dup_grams": "int64"}), exp
+    )
+    assert 4 not in set(out["doc_id"])          # short doc emitted nothing
+    assert out.set_index("doc_id").loc[3, "dup_grams"] > 0   # self-repeat counted
+    assert out.set_index("doc_id").loc[5, "dup_grams"] == 0  # unique doc clean
