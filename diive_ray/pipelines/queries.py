@@ -3088,6 +3088,145 @@ ORDER BY 1, 2
 """
 
 
+def q_ustar_mpt(sf_dir: str):
+    """USTAR moving-point-test threshold detection (Papale et al. 2006
+    / ONEFlux MPT; reference anchor
+    /root/reference/diive/flux/lowres/ustar_mp_detection.py) with an
+    EXACT SQL oracle. Inputs (TA, USTAR, NEE, SW_IN) are synthesized
+    from event_id with pure +,*,/,min arithmetic — every intermediate
+    is an identically-rounded IEEE double on both sides, and the odd
+    multiplier hashes are bijective mod 2^31 so TA/USTAR are tie-free
+    (the tie-extension path is pinned separately in tests). NEE follows
+    a piecewise-linear respiration curve saturating at USTAR = 0.25, so
+    the detected plateau threshold is physically meaningful. Output: 4
+    season rows + annual (season 0, conservative max); not-found
+    thresholds are -1 sentinels (hash-stable across NULL/NaN)."""
+    from ..stages.ustar import mpt_thresholds_distributed
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        h1 = (eid * 1_000_003) % 2_147_483_648
+        h2 = (eid * 2_654_435_761) % 2_147_483_648
+        h3 = (eid * 97_003) % 2_147_483_648
+        ta = 5.0 + 15.0 * (h1 / 2147483648.0)
+        ustar = 0.05 + 0.6 * (h2 / 2147483648.0)
+        nee = (1.0 + 0.1 * ta) * (np.minimum(ustar, 0.25) / 0.25) \
+            + 0.2 * (h3 / 2147483648.0 - 0.5)
+        ts = pd.to_datetime(df["ts"])
+        hour = ts.dt.hour.to_numpy()
+        return pd.DataFrame({
+            "ta": ta,
+            "ustar": ustar,
+            "nee": nee,
+            "sw_in": np.where((hour >= 7) & (hour <= 17), 500.0, 0.0),
+            "month": ts.dt.month.to_numpy(dtype=np.int64),
+        })
+
+    out = mpt_thresholds_distributed(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False)
+    )
+    th = np.asarray(stable_round6(out["threshold"].astype(float)), dtype=np.float64)
+    out["threshold"] = np.where(np.isfinite(th), th, -1.0)
+    out["season"] = out["season"].astype("int64")
+    out["n_night"] = out["n_night"].astype("int64")
+    return out.sort_values("season").reset_index(drop=True)
+
+
+_SQL_USTAR_MPT = """
+WITH base AS (
+  SELECT quarter(ts) AS season,
+         CASE WHEN hour(ts) >= 7 AND hour(ts) <= 17 THEN 500.0 ELSE 0.0 END AS sw_in,
+         5.0 + 15.0 * (((event_id * 1000003) % 2147483648) / 2147483648.0) AS ta,
+         0.05 + 0.6 * (((event_id * 2654435761) % 2147483648) / 2147483648.0) AS ustar,
+         (((event_id * 97003) % 2147483648) / 2147483648.0) AS u3
+  FROM events
+),
+night AS (
+  SELECT season, ta, ustar,
+         (1.0 + 0.1 * ta) * (LEAST(ustar, 0.25) / 0.25) + 0.2 * (u3 - 0.5) AS nee
+  FROM base WHERE sw_in < 10.0
+),
+tot AS (SELECT (SELECT COUNT(*) FROM events) AS n_valid, COUNT(*) AS n_night FROM night),
+scount AS (SELECT season, COUNT(*) AS n FROM night GROUP BY season),
+elig AS (
+  SELECT s.season, s.n FROM scount s, tot
+  WHERE s.n >= 700 AND tot.n_valid >= 3000
+),
+ta_ranked AS (
+  SELECT n.season, n.ta, n.ustar, n.nee,
+         ROW_NUMBER() OVER (PARTITION BY n.season ORDER BY n.ta) - 1 AS rn,
+         e.n // 7 AS npc
+  FROM night n JOIN elig e USING (season)
+),
+ta_classed AS (SELECT *, LEAST(rn // npc, 6) AS ta_class FROM ta_ranked),
+ta_valid AS (
+  SELECT season, ta_class FROM ta_classed
+  GROUP BY season, ta_class
+  HAVING COUNT(*) >= 100 AND ABS(CORR(ta, ustar)) <= 0.5
+),
+u_ranked AS (
+  SELECT t.season, t.ta_class, t.ustar, t.nee,
+         ROW_NUMBER() OVER (PARTITION BY t.season, t.ta_class ORDER BY t.ustar) - 1 AS urn,
+         COUNT(*) OVER (PARTITION BY t.season, t.ta_class) AS m
+  FROM ta_classed t
+  JOIN ta_valid v ON t.season = v.season AND t.ta_class = v.ta_class
+),
+u_classed AS (
+  SELECT *, LEAST(urn // (m // 20), 19) AS u_class
+  FROM u_ranked WHERE m // 20 >= 1
+),
+u_means AS (
+  SELECT season, ta_class, u_class,
+         AVG(ustar) AS ustar_mean, AVG(nee) AS fx_mean
+  FROM u_classed GROUP BY season, ta_class, u_class
+),
+fwd AS (
+  SELECT *,
+         AVG(fx_mean) OVER (PARTITION BY season, ta_class ORDER BY u_class
+                            ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS m1,
+         AVG(fx_mean) OVER (PARTITION BY season, ta_class ORDER BY u_class
+                            ROWS BETWEEN 2 FOLLOWING AND 11 FOLLOWING) AS m2,
+         LEAD(fx_mean) OVER (PARTITION BY season, ta_class ORDER BY u_class) AS fx_next,
+         MIN(CASE WHEN u_class = 0 THEN ustar_mean END)
+             OVER (PARTITION BY season, ta_class) AS first_u
+  FROM u_means
+),
+sel AS (
+  SELECT season, ta_class, MIN(u_class) AS pick
+  FROM fwd
+  WHERE u_class <= 18 AND first_u <= 0.2
+    AND m1 IS NOT NULL AND m2 IS NOT NULL
+    AND fx_mean >= m1 AND fx_next >= m2
+  GROUP BY season, ta_class
+),
+class_th AS (
+  SELECT f.season, f.ustar_mean AS th
+  FROM fwd f JOIN sel s
+    ON f.season = s.season AND f.ta_class = s.ta_class AND f.u_class = s.pick
+),
+season_th AS (SELECT season, MEDIAN(th) AS threshold FROM class_th GROUP BY season),
+seasons(season) AS (VALUES (1), (2), (3), (4)),
+per_season AS (
+  SELECT s.season,
+         COALESCE(ROUND(ROUND(t.threshold, 9), 6), -1.0) AS threshold,
+         COALESCE(c.n, 0) AS n_night
+  FROM seasons s
+  LEFT JOIN season_th t ON s.season = t.season
+  LEFT JOIN scount c ON s.season = c.season
+)
+SELECT CAST(0 AS BIGINT) AS season,
+       COALESCE(ROUND(ROUND(MAX(CASE WHEN threshold >= 0 THEN threshold END), 9), 6), -1.0)
+         AS threshold,
+       (SELECT CAST(n_night AS BIGINT) FROM tot) AS n_night
+FROM per_season
+UNION ALL
+SELECT CAST(season AS BIGINT), threshold, CAST(n_night AS BIGINT) FROM per_season
+ORDER BY season
+"""
+
+
 def q_asof_join_hourly(sf_dir: str):
     """Distributed ASOF join (stages/joins.py:asof_join): attach to each
     raw event the latest COMPLETED hourly mean of its event_type —
@@ -3493,6 +3632,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tokens_rollup_tiny": q_tokens_rollup_tiny,
     "tokens_verify_tiny": q_tokens_verify_tiny,
     "tokens_rollup_1h": q_tokens_rollup_1h,
+    "ustar_mpt": q_ustar_mpt,
     "optimum_range": q_optimum_range,
     "asof_join_hourly": q_asof_join_hourly,
     "sessionize": q_sessionize,
@@ -3570,6 +3710,7 @@ ORACLE: dict[str, str] = {
     "lineitem_agg": _SQL_LINEITEM_AGG,
     "optimum_range": _SQL_OPTIMUM,
     "tokens_rollup_1h": _SQL_TOKENS_ROLLUP_1H,
+    "ustar_mpt": _SQL_USTAR_MPT,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
     "lof_scores": _SQL_LOF_SCORES,
