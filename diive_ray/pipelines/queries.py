@@ -3227,6 +3227,142 @@ ORDER BY season
 """
 
 
+def q_flux_randunc(sf_dir: str):
+    """PAS20 random + joint flux uncertainty (Pastorello et al. 2020 /
+    ONEFlux nee_proc; reference anchor
+    /root/reference/diive/flux/lowres/uncertainty.py) with an EXACT SQL
+    oracle: method 1 = sample SD of measured fluxes in a +/-7d window
+    with +/-1h time-of-day band and MDS meteo similarity (>= 6
+    matches); method 2 = median of method-1 SDs of flux-similar records
+    in +/-14d; joint = quadrature with a synthesized scenario spread.
+    Inputs are pure-IEEE bijective-hash synthesis from event_id (see
+    q_ustar_mpt); the oracle replays both methods as range self-joins.
+    Not-found values are -1 sentinels."""
+    from ..stages.uncertainty import joint_uncertainty, random_uncertainty_pas20
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        h1 = (eid * 1_000_003) % 2_147_483_648
+        h2 = (eid * 2_654_435_761) % 2_147_483_648
+        h3 = (eid * 2_246_822_519) % 2_147_483_648
+        h4 = (eid * 3_266_489_917) % 2_147_483_648
+        h5 = (eid * 668_265_263) % 2_147_483_648
+        ts = pd.to_datetime(df["ts"])
+        hour = ts.dt.hour.to_numpy()
+        day = (hour >= 7) & (hour <= 17)
+        ta = -5.0 + 30.0 * (h1 / 2147483648.0)
+        vpd = 12.0 * (h2 / 2147483648.0)
+        swin = np.where(day, 600.0 * (h3 / 2147483648.0), 0.0)
+        gf = 1.0 + 0.2 * ta + 0.01 * swin + 4.0 * (h5 / 2147483648.0 - 0.5)
+        measured = h4 < 1_503_238_553  # ~70%
+        return pd.DataFrame({
+            "event_id": eid,
+            "ts": ts.astype("datetime64[us]"),
+            "ta": ta, "vpd": vpd, "swin": swin, "gf": gf,
+            "flux": np.where(measured, gf, np.nan),
+        })
+
+    out = random_uncertainty_pas20(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False)
+    ).to_pandas()
+
+    # joint uncertainty from a synthesized scenario spread (h6/h7)
+    eid = out["event_id"].to_numpy(dtype=np.int64)
+    h6 = (eid * 374_761_393) % 2_147_483_648
+    h7 = (eid * 3_119_415_889) % 2_147_483_648
+    spread_lo = -0.5 - 2.0 * (h6 / 2147483648.0)
+    spread_hi = 0.5 + 2.0 * (h7 / 2147483648.0)
+    ru_raw = out["randunc"].to_numpy(dtype=np.float64)
+    joint = joint_uncertainty(ru_raw, spread_lo, spread_hi)
+
+    ru6 = np.asarray(stable_round6(pd.Series(ru_raw)), dtype=np.float64)
+    j6 = np.asarray(stable_round6(pd.Series(joint)), dtype=np.float64)
+    out["randunc"] = np.where(np.isfinite(ru6), ru6, -1.0)
+    out["jointunc"] = np.where(np.isfinite(j6), j6, -1.0)
+    for c in ("event_id", "n1", "n2", "method"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_FLUX_RANDUNC = """
+WITH base AS (
+  SELECT event_id, ts,
+         hour(ts) + minute(ts)/60.0 + second(ts)/3600.0 AS hr,
+         -5.0 + 30.0 * (((event_id * 1000003) % 2147483648) / 2147483648.0) AS ta,
+         12.0 * (((event_id * 2654435761) % 2147483648) / 2147483648.0) AS vpd,
+         CASE WHEN hour(ts) >= 7 AND hour(ts) <= 17
+              THEN 600.0 * (((event_id * 2246822519) % 2147483648) / 2147483648.0)
+              ELSE 0.0 END AS swin,
+         ((event_id * 3266489917) % 2147483648) < 1503238553 AS measured
+  FROM events
+),
+recs AS (
+  SELECT *,
+         1.0 + 0.2 * ta + 0.01 * swin
+           + 4.0 * ((((event_id * 668265263) % 2147483648) / 2147483648.0) - 0.5) AS gf,
+         CASE WHEN hr - 1.0 < 0.0 THEN hr - 1.0 + 24.0 ELSE hr - 1.0 END AS sh,
+         CASE WHEN hr + 1.0 >= 24.0 THEN hr + 1.0 - 24.0 ELSE hr + 1.0 END AS eh
+  FROM base
+),
+m1 AS (
+  SELECT a.event_id,
+         COUNT(*) AS n1,
+         CASE WHEN COUNT(*) >= 6 THEN STDDEV_SAMP(b.gf) END AS sd
+  FROM recs a JOIN recs b
+    ON b.ts >= a.ts - INTERVAL 7 DAY AND b.ts <= a.ts + INTERVAL 7 DAY
+   AND b.measured
+   AND ABS(b.ta - a.ta) < 2.5
+   AND ABS(b.vpd - a.vpd) < 5.0
+   AND ABS(b.swin - a.swin) < LEAST(GREATEST(a.swin, 20.0), 50.0)
+   AND CASE WHEN a.sh <= a.eh THEN b.hr >= a.sh AND b.hr <= a.eh
+            ELSE b.hr >= a.sh OR b.hr <= a.eh END
+  WHERE a.measured
+  GROUP BY a.event_id
+),
+m1ok AS (
+  SELECT r.ts, r.gf, m1.sd FROM recs r JOIN m1 USING (event_id)
+  WHERE m1.sd IS NOT NULL
+),
+need2 AS (
+  SELECT r.event_id, r.ts, r.gf
+  FROM recs r LEFT JOIN m1 USING (event_id)
+  WHERE m1.sd IS NULL
+),
+m2 AS (
+  SELECT a.event_id, COUNT(m.sd) AS n2, MEDIAN(m.sd) AS sd2
+  FROM need2 a LEFT JOIN m1ok m
+    ON m.ts >= a.ts - INTERVAL 14 DAY AND m.ts <= a.ts + INTERVAL 14 DAY
+   AND m.gf >= a.gf - GREATEST(ABS(a.gf) * 0.2, 2.0)
+   AND m.gf <= a.gf + GREATEST(ABS(a.gf) * 0.2, 2.0)
+  GROUP BY a.event_id
+),
+joined AS (
+  SELECT r.event_id,
+         COALESCE(m1.sd, m2.sd2) AS ru_raw,
+         COALESCE(m1.n1, 0) AS n1,
+         COALESCE(m2.n2, 0) AS n2,
+         CASE WHEN m1.sd IS NOT NULL THEN 1
+              WHEN m2.sd2 IS NOT NULL THEN 2 ELSE 0 END AS method,
+         (0.5 + 2.0 * (((r.event_id * 3119415889) % 2147483648) / 2147483648.0)
+          - (-0.5 - 2.0 * (((r.event_id * 374761393) % 2147483648) / 2147483648.0)))
+           / 2.0 AS sigma
+  FROM recs r
+  LEFT JOIN m1 ON r.event_id = m1.event_id
+  LEFT JOIN m2 ON r.event_id = m2.event_id
+)
+SELECT event_id,
+       COALESCE(ROUND(ROUND(ru_raw, 9), 6), -1.0) AS randunc,
+       CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2,
+       CAST(method AS BIGINT) AS method,
+       COALESCE(ROUND(ROUND(SQRT(ru_raw * ru_raw + sigma * sigma), 9), 6), -1.0) AS jointunc
+FROM joined
+ORDER BY event_id
+"""
+
+
 def q_asof_join_hourly(sf_dir: str):
     """Distributed ASOF join (stages/joins.py:asof_join): attach to each
     raw event the latest COMPLETED hourly mean of its event_type —
@@ -3633,6 +3769,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tokens_verify_tiny": q_tokens_verify_tiny,
     "tokens_rollup_1h": q_tokens_rollup_1h,
     "ustar_mpt": q_ustar_mpt,
+    "flux_randunc": q_flux_randunc,
     "optimum_range": q_optimum_range,
     "asof_join_hourly": q_asof_join_hourly,
     "sessionize": q_sessionize,
@@ -3711,6 +3848,7 @@ ORACLE: dict[str, str] = {
     "optimum_range": _SQL_OPTIMUM,
     "tokens_rollup_1h": _SQL_TOKENS_ROLLUP_1H,
     "ustar_mpt": _SQL_USTAR_MPT,
+    "flux_randunc": _SQL_FLUX_RANDUNC,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
     "lof_scores": _SQL_LOF_SCORES,
