@@ -3363,6 +3363,60 @@ ORDER BY event_id
 """
 
 
+def q_nee_partition_nt(sf_dir: str):
+    """Nighttime NEE -> GPP+RECO partitioning (Reichstein 2005 MR /
+    REddyProc; stages/partition.py). Iterative profiled least squares
+    -> rows-only driver check; planted-parameter recovery is pinned in
+    tests/test_partition.py. One series per event_type: TA diurnal +
+    trend, NEE follows Lloyd-Taylor with slowly-varying Rref plus
+    deterministic hash noise. Returns one summary row per event_type."""
+    from ..stages.partition import partition_distributed, lloyd_taylor
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        ts = pd.to_datetime(df["ts"])
+        hour = (ts.dt.hour + ts.dt.minute / 60.0).to_numpy()
+        doy = ts.dt.dayofyear.to_numpy(dtype=np.float64)
+        h1 = (eid * 2_654_435_761) % 2_147_483_648
+        h2 = (eid * 2_246_822_519) % 2_147_483_648
+        ta = 8.0 + 7.0 * np.sin(2 * np.pi * (hour - 9.0) / 24.0) \
+            + 3.0 * (h1 / 2147483648.0 - 0.5)
+        rref_true = 2.0 + 1.0 * np.sin(2 * np.pi * doy / 60.0)
+        e0_true = 180.0
+        resp = lloyd_taylor(ta + 273.15, rref_true, e0_true)
+        day = (hour >= 7) & (hour <= 17)
+        nee = resp - np.where(day, 6.0, 0.0) + 0.3 * (h2 / 2147483648.0 - 0.5)
+        return pd.DataFrame({
+            "event_id": eid,
+            "event_type": df["event_type"],
+            "ts": ts.astype("datetime64[us]"),
+            "nee": nee,
+            "ta": ta,
+            "sw_in": np.where(day, 400.0, 0.0),
+        })
+
+    out = partition_distributed(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False),
+        key_col="event_type", id_col="event_id",
+    ).to_pandas()
+    g = out.groupby("event_type", as_index=False).agg(
+        e0=("e0", "first"),
+        n=("event_id", "count"),
+        n_night=("is_night", "sum"),
+        mean_rref=("rref", "mean"),
+        mean_reco=("reco", "mean"),
+        mean_gpp=("gpp", "mean"),
+    )
+    for c in ("e0", "mean_rref", "mean_reco", "mean_gpp"):
+        g[c] = np.asarray(stable_round6(g[c].astype(float)), dtype=np.float64)
+        g[c] = np.where(np.isfinite(g[c]), g[c], -1.0)
+    g["n"] = g["n"].astype("int64")
+    g["n_night"] = g["n_night"].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
 def q_asof_join_hourly(sf_dir: str):
     """Distributed ASOF join (stages/joins.py:asof_join): attach to each
     raw event the latest COMPLETED hourly mean of its event_type —
@@ -3770,6 +3824,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tokens_rollup_1h": q_tokens_rollup_1h,
     "ustar_mpt": q_ustar_mpt,
     "flux_randunc": q_flux_randunc,
+    "nee_partition_nt": q_nee_partition_nt,
     "optimum_range": q_optimum_range,
     "asof_join_hourly": q_asof_join_hourly,
     "sessionize": q_sessionize,
