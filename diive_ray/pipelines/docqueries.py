@@ -1019,6 +1019,48 @@ ORDER BY doc_id
 """
 
 
+def q_source_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distribution-drift statistic
+    for every source pair over the n_chars grid
+    (stages/drift.py:ks_pairwise — per-batch count partials, tiny
+    driver ECDF sweep; corpus never collected). Oracle: windowed
+    cumulative ECDFs on a dense source x value grid, max |dF| per
+    pair."""
+    from ..stages.drift import ks_pairwise
+
+    out = ks_pairwise(_docs(sf_dir, ["source", "n_chars"]), "n_chars")
+    out["ks"] = np.asarray(round6(out["ks"].astype(float)), dtype=np.float64)
+    for c in ("n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_KS_DRIFT = """
+WITH c AS (
+  SELECT source, n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, COUNT(*) AS t FROM documents GROUP BY 1),
+grid AS (
+  SELECT s.source, g.v, COALESCE(c.n, 0) AS n
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT DISTINCT v FROM c) g
+  LEFT JOIN c ON c.source = s.source AND c.v = g.v
+),
+ecdf AS (
+  SELECT grid.source, grid.v,
+         (SUM(grid.n) OVER (PARTITION BY grid.source ORDER BY grid.v)) * 1.0 / tot.t AS f,
+         tot.t
+  FROM grid JOIN tot ON tot.source = grid.source
+)
+SELECT a.source AS key_a, b.source AS key_b,
+       CAST(MIN(a.t) AS BIGINT) AS n_a, CAST(MIN(b.t) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(a.f - b.f)), 6) AS ks
+FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1046,6 +1088,7 @@ DOC_QUERIES: dict[str, Any] = {
     "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,
     "doc_dup_spans": q_doc_dup_spans,
+    "source_ks_drift": q_source_ks_drift,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1072,4 +1115,5 @@ DOC_ORACLE: dict[str, str] = {
     "source_vocab_divergence": _SQL_VOCAB_DIV,
     "embedding_kmeans": _SQL_KMEANS,
     "doc_dup_spans": _SQL_DUP_SPANS,
+    "source_ks_drift": _SQL_KS_DRIFT,
 }
