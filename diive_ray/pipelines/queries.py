@@ -3227,6 +3227,145 @@ ORDER BY season
 """
 
 
+def _ustar_synth(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared tie-free IEEE synthesis for the USTAR detection queries
+    (see q_ustar_mpt docstring)."""
+    eid = df["event_id"].to_numpy(dtype=np.int64)
+    h1 = (eid * 1_000_003) % 2_147_483_648
+    h2 = (eid * 2_654_435_761) % 2_147_483_648
+    h3 = (eid * 97_003) % 2_147_483_648
+    ta = 5.0 + 15.0 * (h1 / 2147483648.0)
+    ustar = 0.05 + 0.6 * (h2 / 2147483648.0)
+    nee = (1.0 + 0.1 * ta) * (np.minimum(ustar, 0.25) / 0.25) \
+        + 0.2 * (h3 / 2147483648.0 - 0.5)
+    ts = pd.to_datetime(df["ts"])
+    hour = ts.dt.hour.to_numpy()
+    return pd.DataFrame({
+        "ta": ta,
+        "ustar": ustar,
+        "nee": nee,
+        "sw_in": np.where((hour >= 7) & (hour <= 17), 500.0, 0.0),
+        "month": ts.dt.month.to_numpy(dtype=np.int64),
+    })
+
+
+def q_ustar_vekuri(sf_dir: str):
+    """Vekuri quantile-based USTAR threshold detection (reference
+    anchor /root/reference/diive/flux/lowres/ustar_vekuri_detection.py)
+    with an EXACT SQL oracle. Quantile classes use the integer
+    rank-formula ``bin = min(n-1, max(0, (r*n-1)//(N-1)))`` which
+    reproduces pd.qcut membership on tie-free values (pinned in tests)
+    and is replayable verbatim in SQL. Meteorological seasons
+    (DJF/MAM/JJA/SON); same bijective-hash IEEE synthesis as
+    ustar_mpt. Output: 4 season rows + annual (season 0, max);
+    not-found thresholds are -1 sentinels."""
+    from ..stages.ustar import vekuri_thresholds_distributed
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+    out = vekuri_thresholds_distributed(
+        ds.map_batches(_ustar_synth, batch_format="pandas", zero_copy_batch=False)
+    )
+    th = np.asarray(stable_round6(out["threshold"].astype(float)), dtype=np.float64)
+    out["threshold"] = np.where(np.isfinite(th), th, -1.0)
+    out["season"] = out["season"].astype("int64")
+    out["n_night"] = out["n_night"].astype("int64")
+    return out.sort_values("season").reset_index(drop=True)
+
+
+_SQL_USTAR_VEKURI = """
+WITH base AS (
+  SELECT CASE WHEN month(ts) IN (12, 1, 2) THEN 1
+              WHEN month(ts) IN (3, 4, 5) THEN 2
+              WHEN month(ts) IN (6, 7, 8) THEN 3
+              ELSE 4 END AS season,
+         CASE WHEN hour(ts) >= 7 AND hour(ts) <= 17 THEN 500.0 ELSE 0.0 END AS sw_in,
+         5.0 + 15.0 * (((event_id * 1000003) % 2147483648) / 2147483648.0) AS ta,
+         0.05 + 0.6 * (((event_id * 2654435761) % 2147483648) / 2147483648.0) AS ustar,
+         (((event_id * 97003) % 2147483648) / 2147483648.0) AS u3
+  FROM events
+),
+night AS (
+  SELECT season, ta, ustar,
+         (1.0 + 0.1 * ta) * (LEAST(ustar, 0.25) / 0.25) + 0.2 * (u3 - 0.5) AS nee
+  FROM base WHERE sw_in < 10.0
+),
+tot AS (SELECT COUNT(*) AS n_night FROM night),
+scount AS (SELECT season, COUNT(*) AS n FROM night GROUP BY season),
+elig AS (
+  SELECT s.season, s.n FROM scount s, tot
+  WHERE s.n >= 50 AND tot.n_night >= 100
+),
+ta_ranked AS (
+  SELECT n.season, n.ta, n.ustar, n.nee, e.n AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY n.season ORDER BY n.ta) - 1 AS rn
+  FROM night n JOIN elig e USING (season)
+),
+ta_classed AS (
+  SELECT *, LEAST(5, GREATEST(0, (rn * 6 - 1) // (cnt - 1))) AS tcls
+  FROM ta_ranked WHERE cnt > 1
+),
+ta_valid AS (
+  SELECT season, tcls FROM ta_classed
+  GROUP BY season, tcls
+  HAVING ABS(CORR(ta, ustar)) < 0.4
+),
+u_ranked AS (
+  SELECT t.season, t.tcls, t.ustar, t.nee,
+         ROW_NUMBER() OVER (PARTITION BY t.season, t.tcls ORDER BY t.ustar) - 1 AS urn,
+         COUNT(*) OVER (PARTITION BY t.season, t.tcls) AS m
+  FROM ta_classed t JOIN ta_valid v ON t.season = v.season AND t.tcls = v.tcls
+),
+u_classed AS (
+  SELECT *, LEAST(19, GREATEST(0, (urn * 20 - 1) // (m - 1))) AS ucls
+  FROM u_ranked WHERE m > 1
+),
+u_means AS (
+  SELECT season, tcls, ucls, AVG(ustar) AS um, AVG(nee) AS fm
+  FROM u_classed GROUP BY season, tcls, ucls
+),
+pos AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY season, tcls ORDER BY ucls) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY season, tcls) AS ncls
+  FROM u_means
+),
+fwd AS (
+  SELECT *,
+         AVG(fm) OVER (PARTITION BY season, tcls ORDER BY idx
+                       ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS wmean
+  FROM pos WHERE ncls >= 3
+),
+sel AS (
+  SELECT season, tcls, MIN(idx) AS pick
+  FROM fwd
+  WHERE idx <= ncls - 2 AND fm >= 0.95 * wmean
+  GROUP BY season, tcls
+),
+class_th AS (
+  SELECT f.season, f.um AS th
+  FROM fwd f JOIN sel s ON f.season = s.season AND f.tcls = s.tcls AND f.idx = s.pick
+),
+season_th AS (SELECT season, MEDIAN(th) AS threshold FROM class_th GROUP BY season),
+seasons(season) AS (VALUES (1), (2), (3), (4)),
+per_season AS (
+  SELECT s.season,
+         COALESCE(ROUND(ROUND(t.threshold, 9), 6), -1.0) AS threshold,
+         COALESCE(c.n, 0) AS n_night
+  FROM seasons s
+  LEFT JOIN season_th t ON s.season = t.season
+  LEFT JOIN scount c ON s.season = c.season
+)
+SELECT CAST(0 AS BIGINT) AS season,
+       COALESCE(ROUND(ROUND(MAX(CASE WHEN threshold >= 0 THEN threshold END), 9), 6), -1.0)
+         AS threshold,
+       (SELECT CAST(n_night AS BIGINT) FROM tot) AS n_night
+FROM per_season
+UNION ALL
+SELECT CAST(season AS BIGINT), threshold, CAST(n_night AS BIGINT) FROM per_season
+ORDER BY season
+"""
+
+
 def q_flux_randunc(sf_dir: str):
     """PAS20 random + joint flux uncertainty (Pastorello et al. 2020 /
     ONEFlux nee_proc; reference anchor
@@ -3823,6 +3962,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tokens_verify_tiny": q_tokens_verify_tiny,
     "tokens_rollup_1h": q_tokens_rollup_1h,
     "ustar_mpt": q_ustar_mpt,
+    "ustar_vekuri": q_ustar_vekuri,
     "flux_randunc": q_flux_randunc,
     "nee_partition_nt": q_nee_partition_nt,
     "optimum_range": q_optimum_range,
@@ -3903,6 +4043,7 @@ ORACLE: dict[str, str] = {
     "optimum_range": _SQL_OPTIMUM,
     "tokens_rollup_1h": _SQL_TOKENS_ROLLUP_1H,
     "ustar_mpt": _SQL_USTAR_MPT,
+    "ustar_vekuri": _SQL_USTAR_VEKURI,
     "flux_randunc": _SQL_FLUX_RANDUNC,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,

@@ -295,3 +295,148 @@ def mpt_thresholds_distributed(
         for i in range(len(SEASON_GROUPS))
     ]
     return result_frame(per_season_th)
+
+
+# --------------------------------------------------- Vekuri quantile method
+
+VEKURI_SEASONS = ((12, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11))
+VEKURI_TA_CLASSES = 6
+VEKURI_USTAR_CLASSES = 20
+VEKURI_CORR_MAX = 0.4       # skip TA class when |corr| >= this (strict)
+VEKURI_STABILITY = 0.95
+VEKURI_WINDOW = 10
+VEKURI_MIN_VALID = 100
+VEKURI_MIN_SEASON = 50
+
+
+def quantile_bins(r: np.ndarray, total: int, n: int) -> np.ndarray:
+    """Quantile-class index for 0-based ranks ``r`` of ``total`` tie-free
+    values split into ``n`` classes: ``min(n-1, max(0, (r*n-1) //
+    (total-1)))``. For distinct values this reproduces ``pd.qcut(x, n)``
+    membership (the interpolated quantile break between order stats
+    floor/ceil((total-1)*j/n) separates ranks at the same boundary) —
+    except at ranks where a break lands EXACTLY on an order statistic,
+    which qcut tie-breaks by float rounding of j/n; this formula
+    deterministically keeps those in the lower class. Pinned against
+    pd.qcut (boundary ranks excluded) in tests; pure integer
+    arithmetic, so the SQL oracle replays it verbatim."""
+    if total <= 1:
+        return np.zeros_like(r)
+    return np.minimum(n - 1, np.maximum(0, (r * n - 1) // (total - 1)))
+
+
+def vekuri_detect_season(ta: np.ndarray, ustar: np.ndarray,
+                         nee: np.ndarray) -> float | None:
+    """One season's Vekuri threshold: 6 TA quantile classes ->
+    |corr| < 0.4 gate -> 20 USTAR quantile classes -> class means ->
+    ascending positional scan (first class whose NEE >= 0.95x the mean
+    of the next <=10 classes, excluding the last class) -> median over
+    TA classes."""
+    m = len(ta)
+    order = np.argsort(ta, kind="stable")
+    ta_s, us_s, ne_s = ta[order], ustar[order], nee[order]
+    tcls = quantile_bins(np.arange(m), m, VEKURI_TA_CLASSES)
+    found = []
+    for t in np.unique(tcls):
+        sel = tcls == t
+        ta_c, us_c, ne_c = ta_s[sel], us_s[sel], ne_s[sel]
+        corr = _pearson(ta_c, us_c)
+        if not np.isfinite(corr) or abs(corr) >= VEKURI_CORR_MAX:
+            continue
+        k = len(us_c)
+        o2 = np.argsort(us_c, kind="stable")
+        us_o, ne_o = us_c[o2], ne_c[o2]
+        ucls = quantile_bins(np.arange(k), k, VEKURI_USTAR_CLASSES)
+        labels = np.unique(ucls)
+        if len(labels) < 3:
+            continue
+        umeans = np.array([us_o[ucls == u].mean() for u in labels])
+        fmeans = np.array([ne_o[ucls == u].mean() for u in labels])
+        th = None
+        for i in range(len(labels) - 1):
+            end = min(i + 1 + VEKURI_WINDOW, len(labels))
+            wmean = float(fmeans[i + 1:end].mean())
+            if fmeans[i] >= VEKURI_STABILITY * wmean:
+                th = float(umeans[i])
+                break
+        if th is not None:
+            found.append(th)
+    return float(np.median(found)) if found else None
+
+
+def vekuri_thresholds_distributed(
+    ds,
+    *,
+    ta_col: str = "ta",
+    ustar_col: str = "ustar",
+    nee_col: str = "nee",
+    swin_col: str = "sw_in",
+    month_col: str = "month",
+) -> pd.DataFrame:
+    """Distributed Vekuri quantile-based USTAR detection (reference
+    anchor /root/reference/diive/flux/lowres/ustar_vekuri_detection.py):
+    same two-pass shape as ``mpt_thresholds_distributed`` — a tiny
+    counting pass resolves the global >=100-valid gate, then detection
+    runs INSIDE the per-season exchange blocks. Seasons are
+    meteorological (DJF/MAM/JJA/SON). Returns 4 season rows + annual
+    (season 0, max)."""
+    from .exchange import driver_combine, grouped_block_map
+
+    season_of = {mth: i + 1 for i, g in enumerate(VEKURI_SEASONS) for mth in g}
+
+    def night_valid(df: pd.DataFrame) -> pd.DataFrame:
+        valid = np.ones(len(df), dtype=bool)
+        for c in (nee_col, ta_col, ustar_col):
+            valid &= np.isfinite(df[c].to_numpy(dtype=np.float64))
+        night = valid & (df[swin_col].to_numpy(dtype=np.float64) < NIGHT_SWIN)
+        out = df.loc[night, [ta_col, ustar_col, nee_col, month_col]].copy()
+        out["season"] = out[month_col].map(season_of).astype(np.int64)
+        return out
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nv = night_valid(df)
+        p = nv["season"].value_counts().rename_axis("season").reset_index(name="n_night")
+        if not len(p):
+            p = pd.DataFrame({"season": [0], "n_night": [0]})
+        return p
+
+    counts = driver_combine(
+        ds, count_partial,
+        lambda df: df.groupby("season", as_index=False)["n_night"].sum(),
+        batch_format="pandas",
+    )
+    per_season_n = {int(r["season"]): int(r["n_night"])
+                    for _, r in counts.iterrows() if r["season"] > 0}
+    n_total = sum(per_season_n.values())
+
+    def result_frame(ths: list[float]) -> pd.DataFrame:
+        finite = [t for t in ths if np.isfinite(t)]
+        annual = float(np.max(finite)) if finite else np.nan
+        rows = [{"season": 0, "threshold": annual, "n_night": n_total}]
+        for i, t in enumerate(ths):
+            rows.append({"season": i + 1, "threshold": t,
+                         "n_night": per_season_n.get(i + 1, 0)})
+        return pd.DataFrame(rows)
+
+    if n_total < VEKURI_MIN_VALID:
+        return result_frame([np.nan] * len(VEKURI_SEASONS))
+
+    night_ds = ds.map_batches(night_valid, batch_format="pandas", zero_copy_batch=False)
+
+    def detect_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < VEKURI_MIN_SEASON:
+            th = None
+        else:
+            th = vekuri_detect_season(
+                df[ta_col].to_numpy(dtype=np.float64),
+                df[ustar_col].to_numpy(dtype=np.float64),
+                df[nee_col].to_numpy(dtype=np.float64),
+            )
+        return pd.DataFrame({
+            "season": [int(df["season"].iloc[0])],
+            "threshold": [th if th is not None else np.nan],
+        })
+
+    detected = grouped_block_map(night_ds, ["season"], detect_block).to_pandas()
+    th_by = dict(zip(detected["season"], detected["threshold"]))
+    return result_frame([th_by.get(i + 1, np.nan) for i in range(len(VEKURI_SEASONS))])

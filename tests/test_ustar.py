@@ -154,3 +154,55 @@ def test_min_period_gate(ray_session):
     })
     got = us.mpt_thresholds_distributed(rd.from_pandas(df))
     assert got["threshold"].isna().all()
+
+
+def test_quantile_bins_match_pdqcut():
+    """The integer rank formula reproduces pd.qcut membership on
+    tie-free values across divisible and non-divisible sizes."""
+    rng = np.random.Generator(np.random.Philox(key=12))
+    for n_classes in (6, 20):
+        for total in (120, 123, 157, 20, 21, 35):
+            vals = np.sort(rng.random(total))
+            got = us.quantile_bins(np.arange(total), total, n_classes)
+            qc = pd.qcut(vals, n_classes, labels=False, duplicates="drop")
+            # same PARTITION: group boundaries agree (labels may be
+            # renumbered by qcut after duplicate drops). Ranks where a
+            # quantile break lands EXACTLY on an order statistic
+            # ((total-1)*j % n_classes == 0) are tie-broken by qcut's
+            # float arithmetic and are excluded from the claim — the
+            # engine and its SQL oracle share the integer formula, so
+            # they always agree with each other.
+            boundary = np.array([
+                r for r in range(total)
+                if any((total - 1) * j == r * n_classes
+                       for j in range(1, n_classes))
+            ], dtype=int)
+            keep = np.ones(total, dtype=bool)
+            keep[boundary] = False
+            _, g_inv = np.unique(got, return_inverse=True)
+            _, q_inv = np.unique(qc, return_inverse=True)
+            np.testing.assert_array_equal(
+                g_inv[keep], q_inv[keep],
+                err_msg=f"n={n_classes} total={total}")
+
+
+def test_vekuri_detects_planted_plateau(ray_session):
+    """Saturating respiration at USTAR=0.25 -> Vekuri threshold lands
+    near the plateau onset; seasons without data come back NaN."""
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.Philox(key=13))
+    n = 4000
+    month = np.full(n, 1)  # all DJF -> season 1
+    ta = 5.0 + 15.0 * rng.random(n)
+    ustar = 0.05 + 0.6 * rng.random(n)
+    nee = (1.0 + 0.1 * ta) * np.minimum(ustar, 0.25) / 0.25 \
+        + 0.2 * (rng.random(n) - 0.5)
+    df = pd.DataFrame({"ta": ta, "ustar": ustar, "nee": nee,
+                       "sw_in": 0.0, "month": month})
+    got = us.vekuri_thresholds_distributed(rd.from_pandas(df).repartition(3))
+    th1 = got.loc[got["season"] == 1, "threshold"].iloc[0]
+    assert np.isfinite(th1) and 0.2 <= th1 <= 0.45
+    assert got.loc[got["season"] == 2, "threshold"].isna().all()
+    annual = got.loc[got["season"] == 0, "threshold"].iloc[0]
+    assert annual == th1  # only one season detected -> max == it
