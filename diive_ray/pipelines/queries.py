@@ -2611,6 +2611,92 @@ def q_tree_gapfill(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _swin_pot_feature(ts_us: np.ndarray) -> np.ndarray:
+    """Physics feature for the SW_IN filler: potential radiation at the
+    fixture site (module-level so actor constructors can pickle it)."""
+    from ..functions.solar import potential_radiation
+
+    return potential_radiation(np.asarray(ts_us, dtype=np.int64), 47.0, 8.0).reshape(-1, 1)
+
+
+def q_swin_gapfill(sf_dir: str):
+    """Physics-aware SW_IN gap-filling (reference anchor
+    /root/reference/diive/flux/lowres/../..//swin.py:23
+    SWINGapFillerXGBoost, re-derived on the from-scratch forest):
+    nighttime gaps (potential radiation below threshold) are set to the
+    physically-correct zero; daytime gaps are model-filled by a forest
+    trained on DAYTIME observations only, with SW_IN_POT as the
+    dominant predictor (feature_fn on the tree-fill contract).
+    Model-based -> rows-only; recovery quality pinned in the returned
+    rmse columns (truth is synthesized) and by tests. One summary row
+    per event_type."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+    from ..stages.mlfill import tree_fill
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        us = ts_to_us(reg["bucket_ts"])
+        pot = _swin_pot_feature(us).ravel()
+        h = ((us // 3_600_000_000) * 2_654_435_761) % 2_147_483_648
+        clearness = 0.4 + 0.6 * (h / 2147483648.0)
+        truth = pot * clearness
+        gap = reg["mean"].isna().to_numpy()  # tier's missing buckets = gaps
+        return pd.DataFrame({
+            "event_type": key,
+            "bucket_ts": reg["bucket_ts"],
+            "sw_true": truth,
+            "sw_in": np.where(gap, np.nan, truth),
+            "is_night": pot < 1e-3,
+        })
+
+    dense = grouped_block_map(t1h, ["event_type"], build)
+
+    day = dense.filter(expr="is_night == False")
+    night = dense.filter(expr="is_night == True")
+
+    filled_day = tree_fill(
+        day, value_col="sw_in", keys=("event_type",),
+        model="forest", n_trees=10, max_depth=6, seed=7,
+        feature_fn=_swin_pot_feature,
+    )
+
+    def night_fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        v = df["sw_in"].astype(float)
+        df["sw_in_treefilled"] = v.fillna(0.0)
+        df["sw_in_treefilled_is_model"] = 0
+        return df
+
+    filled = filled_day.union(
+        night.map_batches(night_fill, batch_format="pandas", zero_copy_batch=False)
+    ).to_pandas()
+
+    filled["err2"] = (filled["sw_in_treefilled"] - filled["sw_true"]) ** 2
+    filled["is_model"] = filled["sw_in_treefilled_is_model"].astype(int)
+    filled["night_gap"] = (filled["is_night"] & filled["sw_in"].isna()).astype(int)
+    g = filled.groupby("event_type", as_index=False).agg(
+        n=("bucket_ts", "count"),
+        n_gaps=("sw_in", lambda s: int(s.isna().sum())),
+        n_model_fill=("is_model", "sum"),
+        n_night_fill=("night_gap", "sum"),
+        rmse_all=("err2", "mean"),
+    )
+    model_rows = filled[filled["is_model"] == 1]
+    mg = model_rows.groupby("event_type")["err2"].mean()
+    g["rmse_model"] = g["event_type"].map(np.sqrt(mg)).fillna(-1.0)
+    g["rmse_all"] = np.sqrt(g["rmse_all"])
+    for c in ("rmse_all", "rmse_model"):
+        g[c] = np.asarray(round6(g[c].astype(float)), dtype=np.float64)
+    for c in ("n", "n_gaps", "n_model_fill", "n_night_fill"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -3956,6 +4042,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "timestamp_shifts": q_timestamp_shifts,
     "granger": q_granger,
     "tree_gapfill": q_tree_gapfill,
+    "swin_gapfill": q_swin_gapfill,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     "tokens_rollup_tiny": q_tokens_rollup_tiny,

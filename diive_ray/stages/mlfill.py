@@ -177,13 +177,19 @@ def train_trees_per_key(
     bucket_col: str = "bucket_ts",
     model: str = "forest",
     seed: int = 42,
+    feature_fn=None,
     **model_kw,
 ) -> pd.DataFrame:
     """Fit one tree-ensemble per key (the reference's per-year model of
     longterm.py:42-50 maps to per-key here; model classes re-derived in
     stages/trees.py). The fitted flat-array trees are pickled into a
     bytes column — a few KB per key — and collected to the driver for
-    broadcast."""
+    broadcast.
+
+    ``feature_fn(ts_us) -> (n, k) array`` optionally appends physics
+    features derived from the timestamp (e.g. potential radiation for
+    the SW_IN filler, swin.py:23's SW_IN_POT-as-dominant-predictor
+    design) to the standard time features."""
     import pickle
     import zlib
 
@@ -198,7 +204,10 @@ def train_trees_per_key(
         if len(obs) < 16:
             blob = pickle.dumps(("const", float(obs[value_col].mean()) if len(obs) else 0.0))
         else:
-            X = tree_time_features(ts_to_us(obs[bucket_col]))
+            us = ts_to_us(obs[bucket_col])
+            X = tree_time_features(us)
+            if feature_fn is not None:
+                X = np.hstack([X, np.atleast_2d(feature_fn(us).T).T.reshape(len(obs), -1)])
             y = obs[value_col].astype(float).to_numpy()
             if model == "gbm":
                 m = tr.fit_gbm(X, y, seed=key_seed, **model_kw)
@@ -219,10 +228,12 @@ class TreePredictor:
     """Actor-pool predict stage: models unpickled once per actor in
     __init__, prediction is a vectorized tree descent per key group."""
 
-    def __init__(self, model_ref, keys, value_col, bucket_col, out_col):
+    def __init__(self, model_ref, keys, value_col, bucket_col, out_col,
+                 feature_fn=None):
         import pickle
 
         table = ray.get(model_ref)
+        self.feature_fn = feature_fn
         self.keys = keys
         self.value_col = value_col
         self.bucket_col = bucket_col
@@ -236,7 +247,10 @@ class TreePredictor:
         from . import trees as tr
 
         df = df.copy()
-        X = tree_time_features(ts_to_us(df[self.bucket_col]))
+        us = ts_to_us(df[self.bucket_col])
+        X = tree_time_features(us)
+        if self.feature_fn is not None:
+            X = np.hstack([X, np.atleast_2d(self.feature_fn(us).T).T.reshape(len(df), -1)])
         pred = np.full(len(df), np.nan)
         kframe = df[self.keys].reset_index(drop=True)
         for k, rows in kframe.groupby(self.keys, sort=False).groups.items():
@@ -267,23 +281,27 @@ def tree_fill(
     model: str = "forest",
     seed: int = 42,
     concurrency=(1, 8),
+    feature_fn=None,
     **model_kw,
 ) -> ray.data.Dataset:
     """RandomForestTS/XGBoostTS-shaped gap-fill on the from-scratch
     ensembles (randomforest_ts.py:163 contract: observed values never
-    modified; prediction only at gaps)."""
+    modified; prediction only at gaps). ``feature_fn`` appends
+    timestamp-derived physics features at train AND predict time (must
+    be a picklable module-level callable)."""
     keys = list(keys)
     out_col = out_col or f"{value_col}_treefilled"
     models = train_trees_per_key(
         ds, value_col=value_col, keys=keys, bucket_col=bucket_col,
-        model=model, seed=seed, **model_kw,
+        model=model, seed=seed, feature_fn=feature_fn, **model_kw,
     )
     model_ref = ray.put(models)
     return ds.map_batches(
         TreePredictor,
         batch_format="pandas",
         concurrency=concurrency,
-        fn_constructor_args=(model_ref, keys, value_col, bucket_col, out_col),
+        fn_constructor_args=(model_ref, keys, value_col, bucket_col, out_col,
+                             feature_fn),
     )
 
 

@@ -184,3 +184,49 @@ def test_fft_phase_shift_recovers_planted_clock_error():
     df = pd.DataFrame({"bucket_ts": ts, "meas": meas, "pot": pot})
     nn = noon_shift_frame(df, meas_col="meas", pot_col="pot")
     assert abs(np.nanmedian(nn["shift_minutes"]) - 120) <= 60
+
+
+def test_swin_gapfill_physics_feature(ray_session):
+    """SW_IN filler: nighttime gaps go to exactly 0; daytime model
+    fills must beat a daytime-mean fill by a wide margin (the potrad
+    physics feature carries the signal)."""
+    import ray.data as rd
+
+    from diive_ray.pipelines.queries import _swin_pot_feature
+    from diive_ray.stages.mlfill import tree_fill
+
+    ts = pd.date_range("2023-06-01", periods=24 * 40, freq="1h")
+    us = ts.astype("int64").to_numpy() // 1000
+    pot = _swin_pot_feature(us).ravel()
+    h = ((us // 3_600_000_000) * 2_654_435_761) % 2_147_483_648
+    truth = pot * (0.4 + 0.6 * (h / 2147483648.0))
+    rng = np.random.Generator(np.random.Philox(key=14))
+    gap = rng.random(len(ts)) < 0.15
+    day = pot >= 1e-3
+    df = pd.DataFrame({
+        "k": "s", "bucket_ts": ts, "sw_true": truth,
+        "sw_in": np.where(gap, np.nan, truth),
+    })
+
+    filled = tree_fill(
+        rd.from_pandas(df[day]).repartition(3),
+        value_col="sw_in", keys=("k",), model="forest",
+        n_trees=10, max_depth=6, seed=7, feature_fn=_swin_pot_feature,
+    ).to_pandas()
+    m = filled["sw_in_treefilled_is_model"] == 1
+    assert m.sum() > 20
+    err_model = np.sqrt(np.mean(
+        (filled.loc[m, "sw_in_treefilled"] - filled.loc[m, "sw_true"]) ** 2))
+    meanfill = df.loc[day & ~gap, "sw_in"].mean()
+    err_mean = np.sqrt(np.mean((meanfill - filled.loc[m, "sw_true"]) ** 2))
+    # hourly clearness noise is irreducible (~0.17*pot at noon): the
+    # physics feature should still roughly halve the mean-fill error
+    # and track the truth tightly
+    assert err_model < 0.65 * err_mean
+    assert np.corrcoef(filled.loc[m, "sw_in_treefilled"],
+                       filled.loc[m, "sw_true"])[0, 1] > 0.85
+
+    # observed values never modified
+    obs = filled["sw_in"].notna()
+    np.testing.assert_allclose(filled.loc[obs, "sw_in_treefilled"],
+                               filled.loc[obs, "sw_in"])
