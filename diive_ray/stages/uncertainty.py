@@ -110,7 +110,10 @@ def m1_block(
         u_sh = hr_blk.min() - M1_WIN_HOURS
         u_eh = hr_blk.max() + M1_WIN_HOURS
         hw_full = hr[span]
-        if u_sh < 0.0 or u_eh >= 24.0:
+        if u_eh - u_sh >= 24.0:
+            # sparse block: the union band covers the whole clock face
+            umask = np.ones(len(hw_full), dtype=bool)
+        elif u_sh < 0.0 or u_eh >= 24.0:
             u_sh2 = u_sh + 24.0 if u_sh < 0.0 else u_sh
             u_eh2 = u_eh - 24.0 if u_eh >= 24.0 else u_eh
             if u_sh2 <= u_eh2:

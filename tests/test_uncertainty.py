@@ -132,3 +132,19 @@ def test_joint_uncertainty_quadrature():
     assert j[0] == pytest.approx(np.sqrt(1.0 + 1.0))
     assert np.isnan(j[1])
     assert j[2] == pytest.approx(2.0)
+
+
+def test_m1_kernel_fullcircle_block(synthetic):
+    """Regression: a block whose centers span (almost) all hours — the
+    union time-of-day band covers the whole clock face and must not
+    collapse to the wrap ends. One giant block must equal many small
+    blocks."""
+    ts_us, hr, flux, ta, vpd, swin = synthetic
+    centers = np.flatnonzero(np.isfinite(flux))[::7]  # sparse, all hours
+    sd_big, n_big = un.m1_block(centers, ts_us, hr, flux, ta, vpd, swin,
+                                block=len(centers))
+    sd_small, n_small = un.m1_block(centers, ts_us, hr, flux, ta, vpd, swin,
+                                    block=16)
+    np.testing.assert_array_equal(n_big, n_small)
+    np.testing.assert_allclose(sd_big, sd_small, rtol=0, atol=1e-10,
+                               equal_nan=True)
