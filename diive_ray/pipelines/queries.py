@@ -2697,6 +2697,104 @@ def q_swin_gapfill(sf_dir: str):
     return g.sort_values("event_type").reset_index(drop=True)
 
 
+def q_eddypro_vm97(sf_dir: str):
+    """VM97 (Vickers & Mahrt 1997) raw-data quality-flag expansion +
+    signal-strength threshold flag (reference anchors
+    /root/reference/diive/preprocessing/qaqc/eddyproflags.py:31-113 and
+    quality_flags.py:36). A 9-digit EddyPro-style code (leading 8, then
+    8 test digits in {0,1,9}) is synthesized per event, the engine
+    EXPANDS it with the shared ``extract_digit`` kernel — hard-flag
+    positions map 1->2, soft positions keep 1, digit 9 (missing) -> -1
+    sentinel — and a 'discard below' threshold flag covers the
+    signal-strength test. All integer arithmetic; the oracle replays
+    the digit extraction with // and %."""
+    ds = _events(sf_dir, ["event_id", "value"])
+    # positions 1..8: spike HF, amplitude HF, dropout HF, abslim HF,
+    # skewkurt HF, skewkurt SF, discont HF, discont SF
+    hard = {1: True, 2: True, 3: True, 4: True, 5: True, 6: False, 7: True, 8: False}
+    names = {1: "spike_hf", 2: "amplitude_hf", 3: "dropout_hf", 4: "abslim_hf",
+             5: "skewkurt_hf", 6: "skewkurt_sf", 7: "discont_hf", 8: "discont_sf"}
+    mults = {1: 2_654_435_761, 2: 2_246_822_519, 3: 3_266_489_917,
+             4: 668_265_263, 5: 374_761_393, 6: 3_119_415_889,
+             7: 1_000_003, 8: 2_038_074_743}
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.scalars import extract_digit
+
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        code = np.full(len(eid), 8, dtype=np.int64)
+        for p in range(1, 9):
+            h = (eid * mults[p]) % 16
+            digit = np.where(h < 10, 0, np.where(h < 14, 1, 9))
+            code = code * 10 + digit
+        out = pd.DataFrame({"event_id": eid, "vm97_code": code})
+        for p in range(1, 9):
+            d = extract_digit(code, p, 9)
+            flag = np.where(d == 9, -1, np.where((d == 1) & hard[p], 2, d))
+            out[f"flag_{names[p]}"] = flag.astype(np.int64)
+        # signal-strength test: 'discard below' threshold 40 on a
+        # synthesized 0..100 signal derived from value
+        ss = np.abs(df["value"].to_numpy(dtype=np.float64)) % 100.0
+        out["flag_signal_strength"] = np.where(ss >= 40.0, 0, 2).astype(np.int64)
+        return out
+
+    out = ds.map_batches(expand, batch_format="pandas", zero_copy_batch=False) \
+        .to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EDDYPRO_VM97 = """
+WITH code AS (
+  SELECT event_id, value,
+         8 * 100000000
+         + (CASE WHEN (event_id * 2654435761) % 16 < 10 THEN 0
+                 WHEN (event_id * 2654435761) % 16 < 14 THEN 1 ELSE 9 END) * 10000000
+         + (CASE WHEN (event_id * 2246822519) % 16 < 10 THEN 0
+                 WHEN (event_id * 2246822519) % 16 < 14 THEN 1 ELSE 9 END) * 1000000
+         + (CASE WHEN (event_id * 3266489917) % 16 < 10 THEN 0
+                 WHEN (event_id * 3266489917) % 16 < 14 THEN 1 ELSE 9 END) * 100000
+         + (CASE WHEN (event_id * 668265263) % 16 < 10 THEN 0
+                 WHEN (event_id * 668265263) % 16 < 14 THEN 1 ELSE 9 END) * 10000
+         + (CASE WHEN (event_id * 374761393) % 16 < 10 THEN 0
+                 WHEN (event_id * 374761393) % 16 < 14 THEN 1 ELSE 9 END) * 1000
+         + (CASE WHEN (event_id * 3119415889) % 16 < 10 THEN 0
+                 WHEN (event_id * 3119415889) % 16 < 14 THEN 1 ELSE 9 END) * 100
+         + (CASE WHEN (event_id * 1000003) % 16 < 10 THEN 0
+                 WHEN (event_id * 1000003) % 16 < 14 THEN 1 ELSE 9 END) * 10
+         + (CASE WHEN (event_id * 2038074743) % 16 < 10 THEN 0
+                 WHEN (event_id * 2038074743) % 16 < 14 THEN 1 ELSE 9 END)
+           AS vm97_code
+  FROM events
+)
+SELECT event_id, vm97_code,
+       CASE WHEN (vm97_code // 10000000) % 10 = 9 THEN -1
+            WHEN (vm97_code // 10000000) % 10 = 1 THEN 2
+            ELSE (vm97_code // 10000000) % 10 END AS flag_spike_hf,
+       CASE WHEN (vm97_code // 1000000) % 10 = 9 THEN -1
+            WHEN (vm97_code // 1000000) % 10 = 1 THEN 2
+            ELSE (vm97_code // 1000000) % 10 END AS flag_amplitude_hf,
+       CASE WHEN (vm97_code // 100000) % 10 = 9 THEN -1
+            WHEN (vm97_code // 100000) % 10 = 1 THEN 2
+            ELSE (vm97_code // 100000) % 10 END AS flag_dropout_hf,
+       CASE WHEN (vm97_code // 10000) % 10 = 9 THEN -1
+            WHEN (vm97_code // 10000) % 10 = 1 THEN 2
+            ELSE (vm97_code // 10000) % 10 END AS flag_abslim_hf,
+       CASE WHEN (vm97_code // 1000) % 10 = 9 THEN -1
+            WHEN (vm97_code // 1000) % 10 = 1 THEN 2
+            ELSE (vm97_code // 1000) % 10 END AS flag_skewkurt_hf,
+       CASE WHEN (vm97_code // 100) % 10 = 9 THEN -1
+            ELSE (vm97_code // 100) % 10 END AS flag_skewkurt_sf,
+       CASE WHEN (vm97_code // 10) % 10 = 9 THEN -1
+            WHEN (vm97_code // 10) % 10 = 1 THEN 2
+            ELSE (vm97_code // 10) % 10 END AS flag_discont_hf,
+       CASE WHEN vm97_code % 10 = 9 THEN -1
+            ELSE vm97_code % 10 END AS flag_discont_sf,
+       CASE WHEN ABS(value) % 100.0 >= 40.0 THEN 0 ELSE 2 END AS flag_signal_strength
+FROM code
+ORDER BY event_id
+"""
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -4050,6 +4148,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tokens_rollup_1h": q_tokens_rollup_1h,
     "ustar_mpt": q_ustar_mpt,
     "ustar_vekuri": q_ustar_vekuri,
+    "eddypro_vm97": q_eddypro_vm97,
     "flux_randunc": q_flux_randunc,
     "nee_partition_nt": q_nee_partition_nt,
     "optimum_range": q_optimum_range,
@@ -4131,6 +4230,7 @@ ORACLE: dict[str, str] = {
     "tokens_rollup_1h": _SQL_TOKENS_ROLLUP_1H,
     "ustar_mpt": _SQL_USTAR_MPT,
     "ustar_vekuri": _SQL_USTAR_VEKURI,
+    "eddypro_vm97": _SQL_EDDYPRO_VM97,
     "flux_randunc": _SQL_FLUX_RANDUNC,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
