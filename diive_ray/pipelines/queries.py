@@ -2795,6 +2795,138 @@ ORDER BY event_id
 """
 
 
+def q_selfheating_sf(sf_dir: str):
+    """Open-path self-heating correction, BUR08 + scaling-factor
+    optimization (Burba 2008; reference anchor selfheating.py
+    ScopPhysics/ScopOptimizer) with an EXACT SQL oracle. The engine
+    computes the three-surface BUR08 sensible heat and FCT_UNSC per
+    batch (pure map), then per (daytime, USTAR-quantile-bin) the
+    scaling factor as the closed-form |B|-weighted-median minimizer of
+    the reference's L1-of-cumsums objective (stages/burba.py). Inputs
+    synthesized with the shared bijective-hash IEEE scheme; a planted
+    per-daytime SF is recovered (pinned in tests)."""
+    from ..stages.burba import fct_unsc_bur08, scop_scaling_factors
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        ts = pd.to_datetime(df["ts"])
+        hour = ts.dt.hour.to_numpy()
+        day = ((hour >= 7) & (hour <= 17)).astype(np.int64)
+        h = {k: ((eid * m) % 2_147_483_648) / 2147483648.0
+             for k, m in [(1, 1_000_003), (2, 2_654_435_761), (3, 2_246_822_519),
+                          (4, 3_266_489_917), (5, 668_265_263), (6, 374_761_393),
+                          (7, 3_119_415_889)]}
+        ta = -5.0 + 30.0 * h[1]
+        u = 0.5 + 6.0 * h[2]
+        ustar = 0.05 + 0.6 * h[3]
+        gas = 15000.0 + 2000.0 * h[4]
+        rho_a = 1.15 + 0.1 * h[5]
+        c_p = np.full(len(eid), 1004.0)
+        fct = fct_unsc_bur08(ta, u, day, gas, rho_a, c_p)
+        op = -5.0 + 10.0 * h[6]
+        sf_true = np.where(day == 1, 2.5, 1.0)
+        ref = op + fct * sf_true + 0.05 * (h[7] - 0.5)
+        return pd.DataFrame({
+            "event_id": eid, "ts": ts.astype("datetime64[us]"),
+            "daytime": day, "ustar": ustar,
+            "op": op, "ref": ref, "fct_unsc": fct,
+        })
+
+    out = scop_scaling_factors(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False)
+    )
+    for c in ("sf", "ustar_lo", "ustar_hi"):
+        v = np.asarray(stable_round6(out[c].astype(float)), dtype=np.float64)
+        out[c] = np.where(np.isfinite(v), v, -1.0)
+    for c in ("daytime", "bin", "n"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_SELFHEATING = """
+WITH h AS (
+  SELECT event_id, ts,
+         CASE WHEN hour(ts) >= 7 AND hour(ts) <= 17 THEN 1 ELSE 0 END AS daytime,
+         -5.0 + 30.0 * (((event_id * 1000003) % 2147483648) / 2147483648.0) AS ta,
+         0.5 + 6.0 * (((event_id * 2654435761) % 2147483648) / 2147483648.0) AS u,
+         0.05 + 0.6 * (((event_id * 2246822519) % 2147483648) / 2147483648.0) AS ustar,
+         15000.0 + 2000.0 * (((event_id * 3266489917) % 2147483648) / 2147483648.0) AS gas,
+         1.15 + 0.1 * (((event_id * 668265263) % 2147483648) / 2147483648.0) AS rho_a,
+         -5.0 + 10.0 * (((event_id * 374761393) % 2147483648) / 2147483648.0) AS op,
+         (((event_id * 3119415889) % 2147483648) / 2147483648.0) AS h7
+  FROM events
+),
+fct AS (
+  SELECT *,
+    (
+      ((0.02425 + 0.00007 * ta) * ((CASE WHEN daytime = 1 THEN 0.944 * ta + 2.57
+                                         ELSE 0.883 * ta + 2.17 END) - ta)
+         / (0.004 * SQRT(0.065 / u) + 0.004))
+      + ((0.02425 + 0.00007 * ta)
+         * ((0.0225 + (0.0028 * SQRT(0.045 / u) + (0.00025 / u) + 0.0045))
+            * ((CASE WHEN daytime = 1 THEN 1.005 * ta + 0.24
+                     ELSE 1.008 * ta - 0.41 END) - ta))
+         / (0.0225 * (0.0028 * SQRT(0.045 / u) + (0.00025 / u) + 0.0045)))
+      + 0.15 * ((0.02425 + 0.00007 * ta)
+                * ((CASE WHEN daytime = 1 THEN 1.01 * ta + 0.36
+                         ELSE 1.01 * ta - 0.17 END) - ta)
+                / (0.0025 * LN((0.0025 + 0.0058 * SQRT(0.005 / u)) / 0.0025)))
+    ) / (rho_a * 1004.0) * (gas / (ta + 273.15)) AS fct_unsc
+  FROM h
+),
+rec AS (
+  SELECT *,
+         op + fct_unsc * (CASE WHEN daytime = 1 THEN 2.5 ELSE 1.0 END)
+            + 0.05 * (h7 - 0.5) AS ref
+  FROM fct
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY daytime ORDER BY ustar, event_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY daytime) AS cnt
+  FROM rec
+),
+binned AS (
+  SELECT *, LEAST(4, GREATEST(0, (rn * 5 - 1) // (cnt - 1))) AS bin
+  FROM ranked WHERE cnt > 1
+),
+cums AS (
+  SELECT daytime, bin, ustar,
+         SUM(op - ref) OVER w AS a,
+         SUM(fct_unsc) OVER w AS b,
+         COUNT(*) OVER (PARTITION BY daytime, bin) AS n,
+         MIN(ustar) OVER (PARTITION BY daytime, bin) AS ustar_lo,
+         MAX(ustar) OVER (PARTITION BY daytime, bin) AS ustar_hi
+  FROM binned
+  WINDOW w AS (PARTITION BY daytime, bin ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+bp AS (
+  SELECT daytime, bin, n, ustar_lo, ustar_hi,
+         -a / b AS r, ABS(b) AS w
+  FROM cums WHERE b != 0.0 AND n >= 10
+),
+wm AS (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY daytime, bin ORDER BY r
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY daytime, bin) AS tw
+  FROM bp
+)
+SELECT daytime, bin,
+       CAST(MIN(n) AS BIGINT) AS n,
+       COALESCE(ROUND(ROUND(LEAST(50.0, GREATEST(0.0,
+           MIN(r) FILTER (WHERE cw >= tw / 2.0))), 9), 6), -1.0) AS sf,
+       ROUND(ROUND(MIN(ustar_lo), 9), 6) AS ustar_lo,
+       ROUND(ROUND(MIN(ustar_hi), 9), 6) AS ustar_hi
+FROM wm
+GROUP BY daytime, bin
+ORDER BY daytime, bin
+"""
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -4149,6 +4281,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ustar_mpt": q_ustar_mpt,
     "ustar_vekuri": q_ustar_vekuri,
     "eddypro_vm97": q_eddypro_vm97,
+    "selfheating_sf": q_selfheating_sf,
     "flux_randunc": q_flux_randunc,
     "nee_partition_nt": q_nee_partition_nt,
     "optimum_range": q_optimum_range,
@@ -4231,6 +4364,7 @@ ORACLE: dict[str, str] = {
     "ustar_mpt": _SQL_USTAR_MPT,
     "ustar_vekuri": _SQL_USTAR_VEKURI,
     "eddypro_vm97": _SQL_EDDYPRO_VM97,
+    "selfheating_sf": _SQL_SELFHEATING,
     "flux_randunc": _SQL_FLUX_RANDUNC,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
