@@ -2927,6 +2927,67 @@ ORDER BY daytime, bin
 """
 
 
+def q_nee_partition_dt(sf_dir: str):
+    """Daytime light-response partitioning (Lasslop et al. 2010 model
+    family; reference anchor flux/partitioning/daytime_reddyproc.py) —
+    SIMPLIFIED deterministic re-derivation: VPD-limited rectangular
+    hyperbola + fixed-E0 Lloyd-Taylor respiration, fit by profiled
+    grid + coordinate descent (stages/partition.py:fit_lrc_window; the
+    reference's BFGS-with-priors machinery is NOT ported). Iterative
+    model fit -> rows-only; planted-parameter recovery pinned in
+    tests. One row per event_type with the recovered (alpha, beta, k,
+    rref)."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.partition import fit_lrc_window, predict_nep, lloyd_taylor
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        ts = pd.to_datetime(df["ts"])
+        hour = (ts.dt.hour + ts.dt.minute / 60.0).to_numpy()
+        day = (hour >= 7) & (hour <= 17)
+        h1 = ((eid * 2_654_435_761) % 2_147_483_648) / 2147483648.0
+        h2 = ((eid * 2_246_822_519) % 2_147_483_648) / 2147483648.0
+        h3 = ((eid * 3_266_489_917) % 2_147_483_648) / 2147483648.0
+        rg = np.where(day, 900.0 * np.sin(np.pi * (hour - 7.0) / 10.0) * (0.6 + 0.4 * h1), 0.0)
+        vpd = 5.0 + 20.0 * h2
+        ta = 12.0 + 8.0 * np.sin(2 * np.pi * (hour - 9.0) / 24.0)
+        lt1 = lloyd_taylor(ta + 273.15, 1.0, 170.0)
+        nep_true = predict_nep(rg, vpd, lt1, alpha=0.05, beta=22.0, k=0.15, rref=2.2)
+        nep = nep_true + 0.4 * (h3 - 0.5)
+        out = pd.DataFrame({
+            "event_type": df["event_type"], "nep": nep,
+            "rg": rg, "vpd": vpd, "ta": ta,
+        })
+        return out[day].reset_index(drop=True)
+
+    def fit_block(df: pd.DataFrame) -> pd.DataFrame:
+        res = fit_lrc_window(
+            df["nep"].to_numpy(dtype=np.float64),
+            df["rg"].to_numpy(dtype=np.float64),
+            df["vpd"].to_numpy(dtype=np.float64),
+            df["ta"].to_numpy(dtype=np.float64),
+            e0=170.0,
+        )
+        if res is None:
+            res = {"alpha": np.nan, "beta": np.nan, "k": np.nan,
+                   "rref": np.nan, "sse": np.nan, "n": len(df)}
+        res["event_type"] = df["event_type"].iloc[0]
+        return pd.DataFrame([res])
+
+    out = grouped_block_map(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False),
+        ["event_type"], fit_block,
+    ).to_pandas()
+    for c in ("alpha", "beta", "k", "rref", "sse"):
+        v = np.asarray(stable_round6(out[c].astype(float)), dtype=np.float64)
+        out[c] = np.where(np.isfinite(v), v, -1.0)
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "alpha", "beta", "k", "rref", "sse", "n"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -4273,6 +4334,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "granger": q_granger,
     "tree_gapfill": q_tree_gapfill,
     "swin_gapfill": q_swin_gapfill,
+    "nee_partition_dt": q_nee_partition_dt,
     "lineitem_filter_project": q_lineitem_filter_project,
     "lineitem_agg": q_lineitem_agg,
     "tokens_rollup_tiny": q_tokens_rollup_tiny,

@@ -313,3 +313,88 @@ def partition_distributed(
         })
 
     return grouped_block_map(ds, [key_col], kernel, num_partitions=num_partitions)
+
+
+# -------------------------------------------- daytime light-response (DT)
+
+VPD0 = 10.0  # hPa, VPD limitation onset (Lasslop 2010)
+
+
+def predict_nep(rg: np.ndarray, vpd: np.ndarray, lt1: np.ndarray,
+                alpha: float, beta: float, k: float, rref: float) -> np.ndarray:
+    """Lasslop et al. (2010) daytime model: NEP = GPP - RECO with the
+    VPD-limited rectangular hyperbola GPP = (Amax*alpha*Rg)/(alpha*Rg +
+    Amax), Amax = beta*exp(-k*(VPD-VPD0)) above VPD0; RECO =
+    rref * lt1 where ``lt1`` is the unit-Rref Lloyd-Taylor factor
+    (E0 fixed from the nighttime pass)."""
+    with np.errstate(over="ignore", invalid="ignore"):
+        amax = np.where(vpd > VPD0, beta * np.exp(-k * (vpd - VPD0)), beta)
+        gpp = (amax * alpha * rg) / (alpha * rg + amax)
+    return gpp - rref * lt1
+
+
+def fit_lrc_window(flux_nep: np.ndarray, rg: np.ndarray, vpd: np.ndarray,
+                   ta: np.ndarray, e0: float) -> dict | None:
+    """Deterministic profiled fit of (alpha, beta, k, rref) for one
+    daytime window (simplified Lasslop: E0 fixed from nighttime, no
+    priors/sd weighting — re-derivation, not a port of the reference's
+    BFGS+prior machinery; planted parameters recovered in tests).
+
+    For fixed (alpha, beta, k) the optimal rref is the closed-form
+    through-origin slope of (GPP - NEP) on the Lloyd-Taylor factor, so
+    SSE profiles over a coarse 3-D grid followed by golden-section
+    coordinate descent. NEP sign convention: positive = uptake
+    (NEP = -NEE)."""
+    lt1 = lloyd_taylor(ta + 273.15, 1.0, e0)
+    denom_lt = float((lt1 * lt1).sum())
+    if len(flux_nep) < 10 or denom_lt <= 0:
+        return None
+
+    def sse_of(alpha: float, beta: float, k: float) -> tuple[float, float]:
+        with np.errstate(over="ignore", invalid="ignore"):
+            amax = np.where(vpd > VPD0, beta * np.exp(-k * (vpd - VPD0)), beta)
+            gpp = (amax * alpha * rg) / (alpha * rg + amax)
+        rref = float((lt1 * (gpp - flux_nep)).sum() / denom_lt)
+        r = flux_nep - (gpp - rref * lt1)
+        s = float((r * r).sum())
+        return (s if np.isfinite(s) else np.inf), rref
+
+    alphas = np.geomspace(0.001, 0.3, 10)
+    betas = np.geomspace(1.0, 60.0, 10)
+    ks = np.linspace(0.0, 0.4, 5)
+    best = (np.inf, 0.05, 10.0, 0.0)
+    for a in alphas:
+        for b in betas:
+            for kk in ks:
+                s, _ = sse_of(a, b, kk)
+                if s < best[0]:
+                    best = (s, float(a), float(b), float(kk))
+
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+
+    def golden(f, lo, hi, iters=40):
+        a, c = lo, hi
+        x1 = c - invphi * (c - a)
+        x2 = a + invphi * (c - a)
+        f1, f2 = f(x1), f(x2)
+        for _ in range(iters):
+            if f1 < f2:
+                c, x2, f2 = x2, x1, f1
+                x1 = c - invphi * (c - a)
+                f1 = f(x1)
+            else:
+                a, x1, f1 = x1, x2, f2
+                x2 = a + invphi * (c - a)
+                f2 = f(x2)
+        return (a + c) / 2.0
+
+    _, alpha, beta, k = best
+    for _ in range(3):  # coordinate-descent sweeps
+        alpha = golden(lambda x: sse_of(x, beta, k)[0],
+                       alpha / 3.0, alpha * 3.0)
+        beta = golden(lambda x: sse_of(alpha, x, k)[0],
+                      beta / 3.0, beta * 3.0)
+        k = golden(lambda x: sse_of(alpha, beta, x)[0], 0.0, 0.6)
+    sse, rref = sse_of(alpha, beta, k)
+    return {"alpha": alpha, "beta": beta, "k": k, "rref": rref,
+            "sse": sse, "n": int(len(flux_nep))}

@@ -96,3 +96,28 @@ def test_partition_distributed_matches_series(ray_session):
                                rtol=0, atol=1e-10, equal_nan=True)
     np.testing.assert_array_equal(got["is_night"].to_numpy(),
                                   np.isfinite(exp["NEE_NIGHT"]))
+
+
+def test_lrc_fit_recovers_planted_params():
+    """Daytime LRC profiled fit recovers planted (alpha, beta, k, rref)
+    on a realistic daytime sample."""
+    rng = np.random.Generator(np.random.Philox(key=17))
+    n = 2000
+    hour = rng.uniform(7, 17, n)
+    rg = 900.0 * np.sin(np.pi * (hour - 7.0) / 10.0) * rng.uniform(0.5, 1.0, n)
+    vpd = rng.uniform(2, 30, n)
+    ta = 12.0 + 8.0 * np.sin(2 * np.pi * (hour - 9.0) / 24.0) + rng.normal(0, 2, n)
+    lt1 = pt.lloyd_taylor(ta + 273.15, 1.0, 170.0)
+    truth = dict(alpha=0.05, beta=22.0, k=0.15, rref=2.2)
+    nep = pt.predict_nep(rg, vpd, lt1, **truth) + 0.3 * rng.normal(size=n)
+    res = pt.fit_lrc_window(nep, rg, vpd, ta, e0=170.0)
+    assert res is not None
+    assert res["alpha"] == pytest.approx(truth["alpha"], rel=0.3)
+    assert res["beta"] == pytest.approx(truth["beta"], rel=0.2)
+    assert res["k"] == pytest.approx(truth["k"], abs=0.06)
+    assert res["rref"] == pytest.approx(truth["rref"], rel=0.2)
+
+
+def test_lrc_fit_too_small_returns_none():
+    x = np.ones(5)
+    assert pt.fit_lrc_window(x, x, x, x, e0=170.0) is None
