@@ -2988,6 +2988,78 @@ def q_nee_partition_dt(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True)
 
 
+def q_retention_sweep(sf_dir: str):
+    """Retention over the cascading tier store (the north rule's
+    retention clause; stages/retention.py): per-tier maximum ages
+    against the 1-minute watermark — 1m rows expire after 7 days, 1h
+    after 14 days, 1d kept forever. Exact per-tier (kept, expired,
+    kept_events) counts; the oracle recomputes every tier directly
+    from raw (the cascade is lossless, proven by resample_1d) and
+    applies the identical age predicate in integer microseconds."""
+    from ..stages.exchange import driver_combine
+    from ..stages.retention import retention_counts
+    from .rollup import events_cascade_fused
+
+    # watermark: END-labeled 1m bucket of the newest event
+    ts_ds = _events(sf_dir, ["ts"])
+    wm_df = driver_combine(
+        ts_ds,
+        lambda df: pd.DataFrame({"m": [pd.to_datetime(df["ts"]).max()]}),
+        lambda df: pd.DataFrame({"m": [df["m"].max()]}),
+        batch_format="pandas",
+    )
+    max_us = int(pd.Timestamp(wm_df["m"].iloc[0]).value // 1000)
+    wm_us = (max_us // 60_000_000) * 60_000_000 + 60_000_000
+
+    day_us = 86_400_000_000
+    policy = {"1m": 7 * day_us, "1h": 14 * day_us, "1d": None}
+    out = retention_counts(events_cascade_fused(sf_dir), policy, wm_us)
+    for c in ("kept", "expired", "kept_events"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_RETENTION = """
+WITH wm AS (
+  SELECT time_bucket(INTERVAL '1 minute', MAX(ts)) + INTERVAL '1 minute' AS w
+  FROM events
+),
+m AS (
+  SELECT event_type, time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS b,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS b,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS b,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT '1d' AS tier,
+       CAST(COUNT(*) AS BIGINT) AS kept,
+       CAST(0 AS BIGINT) AS expired,
+       CAST(SUM(n) AS BIGINT) AS kept_events
+FROM d
+UNION ALL
+SELECT '1h',
+       CAST(COUNT(*) FILTER (WHERE b >= w - INTERVAL 14 DAY) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE b < w - INTERVAL 14 DAY) AS BIGINT),
+       CAST(COALESCE(SUM(n) FILTER (WHERE b >= w - INTERVAL 14 DAY), 0) AS BIGINT)
+FROM h, wm
+UNION ALL
+SELECT '1m',
+       CAST(COUNT(*) FILTER (WHERE b >= w - INTERVAL 7 DAY) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE b < w - INTERVAL 7 DAY) AS BIGINT),
+       CAST(COALESCE(SUM(n) FILTER (WHERE b >= w - INTERVAL 7 DAY), 0) AS BIGINT)
+FROM m, wm
+ORDER BY tier
+"""
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -4344,6 +4416,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ustar_vekuri": q_ustar_vekuri,
     "eddypro_vm97": q_eddypro_vm97,
     "selfheating_sf": q_selfheating_sf,
+    "retention_sweep": q_retention_sweep,
     "flux_randunc": q_flux_randunc,
     "nee_partition_nt": q_nee_partition_nt,
     "optimum_range": q_optimum_range,
@@ -4427,6 +4500,7 @@ ORACLE: dict[str, str] = {
     "ustar_vekuri": _SQL_USTAR_VEKURI,
     "eddypro_vm97": _SQL_EDDYPRO_VM97,
     "selfheating_sf": _SQL_SELFHEATING,
+    "retention_sweep": _SQL_RETENTION,
     "flux_randunc": _SQL_FLUX_RANDUNC,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,
