@@ -3060,6 +3060,106 @@ ORDER BY tier
 """
 
 
+def q_m4_downsample(sf_dir: str):
+    """M4 visualization downsampling (Jugel et al. VLDB'14): per
+    (event_type, 1h pixel bucket) the first/last/min/max values +
+    count (stages/downsample.py:m4_downsample — per-batch candidate
+    reduction to <= 4 rows per bucket, one keyed combine; the series
+    never shuffles whole). Deterministic tie-breaks: first/last by
+    (ts, value), min/max by (value, ts)."""
+    from ..stages.downsample import m4_downsample
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    out = m4_downsample(ds, width_us=US_PER_HOUR).to_pandas()
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    out["n"] = out["n"].astype("int64")
+    return _round6(out, ["v_first", "v_last", "v_min", "v_max"]) \
+        .sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_M4 = """
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ts, value
+  FROM events
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, value) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, value DESC) AS rl,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts ORDER BY value, ts) AS rmin,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts ORDER BY value DESC, ts DESC) AS rmax
+  FROM b
+)
+SELECT event_type, bucket_ts,
+       ROUND(MIN(CASE WHEN rf = 1 THEN value END), 6) AS v_first,
+       ROUND(MIN(CASE WHEN rl = 1 THEN value END), 6) AS v_last,
+       ROUND(MIN(CASE WHEN rmin = 1 THEN value END), 6) AS v_min,
+       ROUND(MIN(CASE WHEN rmax = 1 THEN value END), 6) AS v_max,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_counter_rate(sf_dir: str):
+    """Monotonic-counter rate with reset detection (Prometheus/RRDtool
+    semantics; stages/downsample.py:counter_rate): a synthetic
+    cumulative counter (integer increments, modular wrap = reset) per
+    event_type; increase = diff, or the post-reset value after a drop;
+    rate = increase / dt. Integer-exact synthesis; the oracle replays
+    the window cumsum + LAG logic."""
+    from ..stages.downsample import counter_rate
+    from ..stages.exchange import grouped_block_map
+
+    ds = _events(sf_dir, ["event_type", "ts", "event_id"])
+
+    def synth_counter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        inc = (df["event_id"].to_numpy(dtype=np.int64) % 7) + 1
+        s = np.cumsum(inc)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "ts": pd.to_datetime(df["ts"]).astype("datetime64[us]"),
+            "event_id": df["event_id"],
+            "counter": (s % 1000).astype(np.float64),
+        })
+
+    withc = grouped_block_map(ds, ["event_type"], synth_counter)
+    out = counter_rate(withc, id_col="event_id").to_pandas()
+    out["ts"] = pd.to_datetime(out["ts"]).astype("datetime64[us]")
+    out["increase"] = out["increase"].astype(np.float64)
+    out["rate"] = np.asarray(round6(out["rate"].astype(float)), dtype=np.float64)
+    out["is_reset"] = out["is_reset"].astype("int64")
+    return out.sort_values(["event_type", "ts"]).reset_index(drop=True)
+
+
+_SQL_COUNTER_RATE = """
+WITH o AS (
+  SELECT event_type, ts, event_id,
+         SUM((event_id % 7) + 1) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS s
+  FROM events
+),
+c AS (SELECT event_type, ts, event_id, CAST(s % 1000 AS DOUBLE) AS counter FROM o),
+d AS (
+  SELECT event_type, ts, counter,
+         LAG(counter) OVER w AS prev_c,
+         LAG(ts) OVER w AS prev_ts
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, ts,
+       CASE WHEN counter >= prev_c THEN counter - prev_c ELSE counter END AS increase,
+       ROUND((CASE WHEN counter >= prev_c THEN counter - prev_c ELSE counter END)
+             / ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0), 6) AS rate,
+       CAST(CASE WHEN counter < prev_c THEN 1 ELSE 0 END AS BIGINT) AS is_reset
+FROM d WHERE prev_c IS NOT NULL
+ORDER BY event_type, ts
+"""
+
+
 def q_daily_correlation(sf_dir: str):
     """daily_correlation (diive/analysis namespace): Pearson r between
     consecutive-day daily means per event_type — daily aggregate via
@@ -4417,6 +4517,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "eddypro_vm97": q_eddypro_vm97,
     "selfheating_sf": q_selfheating_sf,
     "retention_sweep": q_retention_sweep,
+    "m4_downsample": q_m4_downsample,
+    "counter_rate": q_counter_rate,
     "flux_randunc": q_flux_randunc,
     "nee_partition_nt": q_nee_partition_nt,
     "optimum_range": q_optimum_range,
@@ -4501,6 +4603,8 @@ ORACLE: dict[str, str] = {
     "eddypro_vm97": _SQL_EDDYPRO_VM97,
     "selfheating_sf": _SQL_SELFHEATING,
     "retention_sweep": _SQL_RETENTION,
+    "m4_downsample": _SQL_M4,
+    "counter_rate": _SQL_COUNTER_RATE,
     "flux_randunc": _SQL_FLUX_RANDUNC,
     "asof_join_hourly": _SQL_ASOF_HOURLY,
     "sessionize": _SQL_SESSIONIZE,

@@ -64,3 +64,43 @@ def test_retention_filter_and_counts_agree(ray_session):
     # coverage invariant: 1d is keep-forever, so every expired fine row's
     # window is still represented at the 1d tier (here trivially all rows)
     assert counts.loc[counts["tier"] == "1d", "expired"].iloc[0] == 0
+
+
+def test_m4_candidates_cross_batch(ray_session):
+    """M4 must find the true bucket extremes even when a bucket's rows
+    split across batches (candidate reduction + keyed combine)."""
+    from diive_ray.stages.downsample import m4_downsample
+
+    rng = np.random.Generator(np.random.Philox(key=51))
+    n = 4000
+    ts = pd.to_datetime(np.sort(rng.integers(0, 4 * 3600 * 10**6, n)), unit="us")
+    v = rng.normal(0, 10, n)
+    df = pd.DataFrame({"event_type": "a", "ts": ts, "value": v})
+    out = m4_downsample(rd.from_pandas(df).repartition(7),
+                        width_us=3600 * 10**6).to_pandas()
+    exp = df.copy()
+    exp["bucket_ts"] = (exp["ts"].astype("int64") // (3600 * 10**9) + 1) * 3600 * 10**9
+    exp["bucket_ts"] = pd.to_datetime(exp["bucket_ts"])
+    for b, g in exp.groupby("bucket_ts"):
+        row = out[out["bucket_ts"] == b].iloc[0]
+        assert row["v_min"] == pytest.approx(g["value"].min())
+        assert row["v_max"] == pytest.approx(g["value"].max())
+        assert row["v_first"] == pytest.approx(g.sort_values("ts")["value"].iloc[0])
+        assert row["v_last"] == pytest.approx(g.sort_values("ts")["value"].iloc[-1])
+        assert row["n"] == len(g)
+
+
+def test_counter_rate_reset_semantics(ray_session):
+    from diive_ray.stages.downsample import counter_rate
+
+    df = pd.DataFrame({
+        "k": "a",
+        "ts": pd.to_datetime([0, 10, 20, 30, 40], unit="s"),
+        "counter": [5.0, 15.0, 3.0, 3.0, 13.0],  # reset at t=20
+        "rid": range(5),
+    })
+    out = counter_rate(rd.from_pandas(df), keys=("k",), value_col="counter",
+                       id_col="rid").to_pandas().sort_values("ts")
+    np.testing.assert_allclose(out["increase"], [10.0, 3.0, 0.0, 10.0])
+    np.testing.assert_allclose(out["rate"], [1.0, 0.3, 0.0, 1.0])
+    np.testing.assert_array_equal(out["is_reset"], [0, 1, 0, 0])
