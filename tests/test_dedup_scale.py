@@ -137,3 +137,67 @@ def test_exchange_disjointness_validator(ray_session, monkeypatch):
     exp = df.groupby("k", as_index=False)["v"].sum()
     got = out.sort_values("k").reset_index(drop=True)
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_exchange_split_partition_fails_loudly(ray_session):
+    """VERDICT r2 #1: if a keyed partition is ever split into multiple
+    blocks (a future Ray honoring target_max_block_size inside the
+    hash-shuffle aggregator), the always-on checker must raise rather
+    than let per-group consumers emit duplicate rows. Simulate the
+    split by scattering part labels with an UNKEYED repartition and
+    running the same validating wrapper block_map installs."""
+    import uuid
+
+    import pytest
+
+    from diive_ray.stages import exchange as ex
+
+    df = pd.DataFrame({"k": np.arange(2000) % 7, "v": np.arange(2000)})
+    labeled = ex._add_part_column(rd.from_pandas(df).repartition(4), ["k"], 64)
+    scattered = labeled.repartition(8)  # rows of one part now span blocks
+    fn = ex._validating_fn(lambda b: b, uuid.uuid4().hex, ex._get_checker(), "pyarrow")
+    with pytest.raises(Exception, match="invariant violated"):
+        scattered.map_batches(fn, batch_format="pyarrow", batch_size=None).materialize()
+
+
+def test_exchange_tiny_block_size_still_correct(ray_session):
+    """With target_max_block_size far below the partition size, today's
+    Ray still hands block_map whole partitions (one block each) and the
+    always-on checker passes — proving either correct output or (if a
+    future Ray splits) the loud failure above."""
+    from ray.data.context import DataContext
+
+    from diive_ray.stages.exchange import block_map
+
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 << 14  # 16 KiB
+    try:
+        df = pd.DataFrame({
+            "k": np.arange(60_000) % 5,
+            "v": np.random.default_rng(0).random(60_000),
+            "pad": ["x" * 64] * 60_000,
+        })
+        out = block_map(
+            rd.from_pandas(df).repartition(6),
+            ["k"],
+            lambda d: d.groupby("k", as_index=False)["v"].sum(),
+            batch_format="pandas",
+            zero_copy_batch=False,
+        ).to_pandas()
+        exp = df.groupby("k", as_index=False)["v"].sum()
+        got = out.sort_values("k").reset_index(drop=True)
+        assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy())
+    finally:
+        ctx.target_max_block_size = prev
+
+
+def test_default_partitions_scales_with_cluster(ray_session):
+    """The exchange fans out to 2 x cluster CPUs, uncapped (the round-2
+    32-partition clamp starved multi-node clusters)."""
+    import ray as _ray
+
+    from diive_ray.stages.exchange import default_partitions
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    assert default_partitions() == max(8, 2 * cpus)
