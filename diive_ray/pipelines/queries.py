@@ -4445,6 +4445,109 @@ FROM w ORDER BY event_type, window_end
 """
 
 
+# ------------------------------------------------------- gap-fill scoring
+
+
+def q_gapfill_scores(sf_dir: str):
+    """Gap-fill model scoring with an exact oracle (reference
+    gapfilling/scores.py:41-49 metric set): hide every 1h-tier row with
+    epoch-hour ≡ 2 (mod 5), linear-interpolate over the observed-row
+    sequence (limit 2), then per-event_type mae / medae / mse / rmse /
+    maxe / r2 + normalized nmae of filled-vs-truth. The hide rule,
+    interpolation expression, and every metric replay verbatim in SQL
+    (sklearn-eps mape excluded — no SQL twin; it stays in the
+    rows-only tree_gapfill_scores)."""
+    from ..stages.scores import planted_gap_fill_scores
+
+    out = planted_gap_fill_scores(
+        _fused_tier(sf_dir, "1h"), ["event_type"], value_col="mean",
+        order_col="bucket_ts", hide_every=5, hide_phase=2, interp_limit=2,
+    )
+    out = out.drop(columns=["mape"])
+    for c in ["mae", "medae", "mse", "rmse", "maxe", "r2", "nmae"]:
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
+_SQL_GAPFILL_SCORES = """
+WITH t AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS v
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), p AS (
+  SELECT event_type, bucket_ts, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS pos,
+         ((CAST(epoch(bucket_ts) AS BIGINT) // 3600) % 5) = 2 AS hidden
+  FROM t
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN NOT hidden THEN v END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN NOT hidden THEN pos END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+    first_value(CASE WHEN NOT hidden THEN v END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN NOT hidden THEN pos END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+  FROM p
+), f AS (
+  SELECT event_type, v AS truth,
+         pv + (nv - pv) * (pos - pp) / (np - pp) AS pred
+  FROM w
+  WHERE hidden AND pv IS NOT NULL AND nv IS NOT NULL AND (np - pp - 1) <= 2
+), g AS (
+  SELECT event_type, AVG(truth) AS tbar FROM f GROUP BY 1
+)
+SELECT f.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(ROUND(AVG(ABS(truth - pred)), 9), 6) AS mae,
+       ROUND(ROUND(MEDIAN(ABS(truth - pred)), 9), 6) AS medae,
+       ROUND(ROUND(AVG((truth - pred) * (truth - pred)), 9), 6) AS mse,
+       ROUND(ROUND(SQRT(AVG((truth - pred) * (truth - pred))), 9), 6) AS rmse,
+       ROUND(ROUND(MAX(ABS(truth - pred)), 9), 6) AS maxe,
+       ROUND(ROUND(CASE WHEN SUM((truth - tbar) * (truth - tbar)) > 0
+         THEN 1 - SUM((truth - pred) * (truth - pred))
+                  / SUM((truth - tbar) * (truth - tbar)) END, 9), 6) AS r2,
+       ROUND(ROUND(AVG(ABS(truth - pred)) / AVG(ABS(truth)), 9), 6) AS nmae
+FROM f JOIN g ON f.event_type = g.event_type
+GROUP BY f.event_type
+ORDER BY f.event_type
+"""
+
+
+def q_tree_gapfill_scores(sf_dir: str):
+    """Held-out train/test scores of the forest gap-filler (reference
+    scores_traintest_, core/ml/common.py:259): deterministic hash
+    split, per-key forest on time features, seven metrics per
+    event_type on the hidden test rows. Model-based -> rows-only."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+    from ..stages.mlfill import tree_fill_scores
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def regularize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        reg["event_type"] = key
+        return reg[["event_type", "bucket_ts", "mean"]]
+
+    dense = grouped_block_map(t1h, ["event_type"], regularize)
+    out = tree_fill_scores(
+        dense, value_col="mean", keys=("event_type",),
+        model="forest", n_trees=10, max_depth=6, seed=42,
+    )
+    for c in ["mae", "medae", "mse", "rmse", "mape", "maxe", "r2"]:
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -4461,6 +4564,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zscore_outliers": q_zscore_outliers,
     "screening_chain": q_screening_chain,
     "gapfill_linear_1h": q_gapfill_linear_1h,
+    "gapfill_scores": q_gapfill_scores,
+    "tree_gapfill_scores": q_tree_gapfill_scores,
     "hampel_noniter": q_hampel_noniter,
     "zscore_rolling": q_zscore_rolling,
     "zscore_rolling_noniter": q_zscore_rolling_noniter,
@@ -4558,6 +4663,7 @@ ORACLE: dict[str, str] = {
     "zscore_outliers": _SQL_ZSCORE,
     "screening_chain": _SQL_SCREENING,
     "gapfill_linear_1h": _SQL_GAPFILL_1H,
+    "gapfill_scores": _SQL_GAPFILL_SCORES,
     "hampel_noniter": _SQL_HAMPEL,
     # zscore_rolling / localsd / zscore_increments: iterative -> rows-only;
     # their single-pass variants carry exact SQL-window oracles:

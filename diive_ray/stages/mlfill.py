@@ -169,6 +169,55 @@ def tree_time_features(ts_us: np.ndarray) -> np.ndarray:
     return np.column_stack([sec_of_day, day_of_year, np.sin(h), np.cos(h), np.sin(d), np.cos(d)])
 
 
+def reduce_features_local(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    seed: int = 42,
+    k_factor: float = 0.5,
+    n_repeats: int = 5,
+    model: str = "forest",
+    **model_kw,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SHAP-style feature reduction against a random benchmark
+    (reference core/ml/common.py:779 ``reduce_features``): append a
+    random variable, fit, measure each feature's importance, and keep
+    only features whose importance exceeds
+    ``random_importance + k_factor * random_sd`` (and > 0).
+
+    Re-derivation: the reference's mean-|SHAP| importance (shap absent
+    from this container) becomes permutation importance — the MSE
+    increase when a feature column is permuted, averaged over
+    ``n_repeats`` draws; the benchmark SD is the repeat-to-repeat SD of
+    the random feature's importance. Returns (accepted_mask,
+    importance_means); if every feature falls below the benchmark the
+    single best one is kept (a featureless model is useless)."""
+    from . import trees as tr
+
+    n, nf = X.shape
+    rng = np.random.Generator(np.random.Philox(key=seed ^ 0x5EED))
+    Xa = np.hstack([X, rng.random(n)[:, None]])
+    if model == "gbm":
+        m = tr.fit_gbm(Xa, y, seed=seed, **model_kw)
+        predict = tr.predict_gbm
+    else:
+        m = tr.fit_forest(Xa, y, seed=seed, **model_kw)
+        predict = tr.predict_forest
+    base_mse = float(np.mean((predict(m, Xa) - y) ** 2))
+    imps = np.zeros((nf + 1, n_repeats))
+    for j in range(nf + 1):
+        for r in range(n_repeats):
+            Z = Xa.copy()
+            Z[:, j] = Z[rng.permutation(n), j]
+            imps[j, r] = float(np.mean((predict(m, Z) - y) ** 2)) - base_mse
+    imp_mean = imps.mean(axis=1)
+    threshold = imp_mean[-1] + k_factor * imps[-1].std()
+    accepted = (imp_mean[:-1] > threshold) & (imp_mean[:-1] > 0)
+    if not accepted.any():
+        accepted[np.argmax(imp_mean[:-1])] = True
+    return accepted, imp_mean[:-1]
+
+
 def train_trees_per_key(
     ds: ray.data.Dataset,
     *,
@@ -178,6 +227,8 @@ def train_trees_per_key(
     model: str = "forest",
     seed: int = 42,
     feature_fn=None,
+    reduce_features: bool = False,
+    k_factor: float = 0.5,
     **model_kw,
 ) -> pd.DataFrame:
     """Fit one tree-ensemble per key (the reference's per-year model of
@@ -209,12 +260,18 @@ def train_trees_per_key(
             if feature_fn is not None:
                 X = np.hstack([X, np.atleast_2d(feature_fn(us).T).T.reshape(len(obs), -1)])
             y = obs[value_col].astype(float).to_numpy()
+            mask = None
+            if reduce_features:
+                mask, _ = reduce_features_local(
+                    X, y, seed=key_seed, k_factor=k_factor, model=model, **model_kw
+                )
+                X = X[:, mask]
             if model == "gbm":
                 m = tr.fit_gbm(X, y, seed=key_seed, **model_kw)
-                blob = pickle.dumps(("gbm", m))
+                blob = pickle.dumps(("gbm", m, mask))
             else:
                 m = tr.fit_forest(X, y, seed=key_seed, **model_kw)
-                blob = pickle.dumps(("forest", m))
+                blob = pickle.dumps(("forest", m, mask))
         row["model"] = blob
         row["n_train"] = len(obs)
         return pd.DataFrame([row])
@@ -258,13 +315,15 @@ class TreePredictor:
             if m is None:
                 continue
             rows = np.asarray(rows)
-            kind, payload = m
+            kind, payload, *rest = m
+            mask = rest[0] if rest else None
+            Xr = X[rows] if mask is None else X[rows][:, mask]
             if kind == "const":
                 pred[rows] = payload
             elif kind == "gbm":
-                pred[rows] = tr.predict_gbm(payload, X[rows])
+                pred[rows] = tr.predict_gbm(payload, Xr)
             else:
-                pred[rows] = tr.predict_forest(payload, X[rows])
+                pred[rows] = tr.predict_forest(payload, Xr)
         v = df[self.value_col].astype(float)
         df[self.out_col] = v.where(v.notna(), pred)
         df[f"{self.out_col}_is_model"] = (v.isna() & ~np.isnan(pred)).astype(np.int8)
@@ -282,18 +341,22 @@ def tree_fill(
     seed: int = 42,
     concurrency=(1, 8),
     feature_fn=None,
+    reduce_features: bool = False,
     **model_kw,
 ) -> ray.data.Dataset:
     """RandomForestTS/XGBoostTS-shaped gap-fill on the from-scratch
     ensembles (randomforest_ts.py:163 contract: observed values never
     modified; prediction only at gaps). ``feature_fn`` appends
     timestamp-derived physics features at train AND predict time (must
-    be a picklable module-level callable)."""
+    be a picklable module-level callable). ``reduce_features`` enables
+    the per-key SHAP-style pruning pass (run_chain.py:119-131: on by
+    default in the reference chain; opt-in here)."""
     keys = list(keys)
     out_col = out_col or f"{value_col}_treefilled"
     models = train_trees_per_key(
         ds, value_col=value_col, keys=keys, bucket_col=bucket_col,
-        model=model, seed=seed, feature_fn=feature_fn, **model_kw,
+        model=model, seed=seed, feature_fn=feature_fn,
+        reduce_features=reduce_features, **model_kw,
     )
     model_ref = ray.put(models)
     return ds.map_batches(
@@ -328,3 +391,73 @@ def ridge_fill(
         concurrency=concurrency,
         fn_constructor_args=(coef_ref, keys, value_col, bucket_col, out_col),
     )
+
+
+def tree_fill_scores(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str = "mean",
+    keys: Iterable[str] = ("source",),
+    bucket_col: str = "bucket_ts",
+    model: str = "forest",
+    seed: int = 42,
+    test_size: float = 0.25,
+    feature_fn=None,
+    reduce_features: bool = False,
+    concurrency=(1, 8),
+    **model_kw,
+) -> pd.DataFrame:
+    """Held-out gap-fill scores — the reference's ``scores_traintest_``
+    (core/ml/common.py:259, metrics from gapfilling/scores.py:41-49):
+    deterministic hash split, per-key model fit on the train rows,
+    prediction of the test rows' *observed* values (hidden from the
+    predictor), then the seven regression metrics per key. One keyed
+    exchange for training, one actor-pool predict pass, one keyed
+    exchange for the (medae/maxe-exact) scoring."""
+    from .scores import scores_per_key
+
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    obs = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t[value_col])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # bucket_ts is per-key-unique in tier frames -> a content-stable id
+    split_ds = obs.map_batches(
+        lambda t: t.append_column(
+            "__split_id",
+            __import__("pyarrow").compute.binary_join_element_wise(
+                *[t[k].cast("string") for k in keys],
+                t[bucket_col].cast("int64").cast("string"),
+                "|",
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    train, test = train_test_split(
+        split_ds, test_size=test_size, id_col="__split_id", seed=seed
+    )
+    models = train_trees_per_key(
+        train, value_col=value_col, keys=keys, bucket_col=bucket_col,
+        model=model, seed=seed, feature_fn=feature_fn,
+        reduce_features=reduce_features, **model_kw,
+    )
+    model_ref = ray.put(models)
+
+    def hide(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__truth"] = df[value_col]
+        df[value_col] = np.nan
+        return df
+
+    pred = test.map_batches(hide, batch_format="pandas").map_batches(
+        TreePredictor,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_args=(model_ref, keys, value_col, bucket_col, "__pred",
+                             feature_fn),
+    )
+    return scores_per_key(pred, keys, pred_col="__pred", target_col="__truth")
