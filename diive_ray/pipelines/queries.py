@@ -4548,6 +4548,55 @@ def q_tree_gapfill_scores(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ----------------------------------------------------------- PWB lag + PWBOPT
+
+
+def q_pwb_lag(sf_dir: str):
+    """PWB block-bootstrap lag detection + PWBOPT decision rule
+    (reference flux/hires/lag_pwb.py:83,2345 and
+    detect_and_remove_tlag.py:47-52; stages/lag_pwb.py): per event_type
+    the scalar is the segment's own value delayed by a planted per-type
+    lag (3 + type-hash % 5 records), chunks are UTC days; the bootstrap
+    mode must recover the planted lag on well-populated chunks and
+    PWBOPT carries optima across unreliable ones. Probabilistic
+    (bootstrap) -> rows-only; planted-lag recovery pinned by
+    tests/test_lag_pwb.py at two scales."""
+    import zlib
+
+    from ..stages.exchange import grouped_block_map
+    from ..stages.lag_pwb import pwb_lag_detect
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = ts_to_us(df["ts"]) // US_PER_DAY
+        return df
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+
+    # planted per-type lag, synthesized AFTER the exchange (needs the
+    # whole ordered segment — q_max_covariance's construction)
+    def plant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").copy()
+        k = 3 + (zlib.crc32(str(g["event_type"].iloc[0]).encode()) % 5)
+        g["scalar"] = g["value"].shift(k)
+        return g
+
+    planted = grouped_block_map(prepped, ["event_type"], plant)
+    out = pwb_lag_detect(
+        planted, segment_keys=["event_type"], chunk_col="day",
+        order_cols=["ts", "event_id"], ref_col="value", scalar_col="scalar",
+        lag_max=12, n_boot=99, seed=11,
+    ).to_pandas()
+    for c in ("tlag", "hdi_lo", "hdi_hi", "hdi_range", "pwbopt", "tlag_final"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["day"] = out["day"].astype("int64")
+    out["n_records"] = out["n_records"].astype("int64")
+    out["n_boot"] = out["n_boot"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -4566,6 +4615,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "gapfill_linear_1h": q_gapfill_linear_1h,
     "gapfill_scores": q_gapfill_scores,
     "tree_gapfill_scores": q_tree_gapfill_scores,
+    "pwb_lag": q_pwb_lag,
     "hampel_noniter": q_hampel_noniter,
     "zscore_rolling": q_zscore_rolling,
     "zscore_rolling_noniter": q_zscore_rolling_noniter,
