@@ -2405,6 +2405,127 @@ FROM s JOIN ang USING (event_type, bts)
 """
 
 
+def q_flux_detection_limit(sf_dir: str):
+    """Flux detection limit (reference flux/hires/fluxdetectionlimit.py
+    :62-443, Langford 2015 / Striednig 2020; stages/fdl.py): per
+    event_type (one averaging window per segment, the whole-group
+    construction of q_max_covariance), synthesize the hires raw columns
+    deterministically from events (identically in SQL), then the full
+    chain: sonic->air temperature, double rotation, w'/c' primes,
+    cross-covariance ladder -20..20, ideal-gas flux conversion, LAN15
+    eq.9 noise RMSE over the +/-[15,20] edge windows, FDL = 3*RMSE,
+    signal at the default lag (-3) and at the max-|cov| lag, SNR
+    ratios. Tie-break for the max-|cov| lag: smallest shift (reference
+    foundlag.index[0])."""
+    from ..stages.fdl import flux_detection_limit
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "user_id", "value"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(dtype=np.float64)
+        val = df["value"].to_numpy(dtype=np.float64)
+        return df.assign(
+            u=val,
+            v=val * np.cos(uid),
+            w=val * np.sin(uid) / 10.0,
+            c=val * np.cos(uid / 7.0),
+            t_sonic=295.0 + val / 100.0,
+            h2o=0.01 + (df["user_id"].to_numpy() % 10) / 1000.0,
+            press=96000.0 + val * 10.0,
+        ).drop(columns=["user_id"])
+
+    prepared = ds.map_batches(synth, batch_format="pandas")
+    out = flux_detection_limit(
+        prepared,
+        segment_keys=["event_type"],
+        order_cols=["ts", "event_id"],
+        default_lag=3,
+        noise_range=5,
+        lag_from=-20,
+        lag_to=20,
+    ).to_pandas()
+    for col in (
+        "flux_noise_rmse",
+        "flux_detection_limit",
+        "flux_signal_at_default_lag",
+        "flux_signal_at_cov_max_lag",
+        "signal_to_noise",
+        "signal_to_detection_limit",
+    ):
+        out[col] = stable_round6(out[col].astype(float))
+    out["cov_max_shift"] = out["cov_max_shift"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_FDL = """
+WITH raw AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         value AS u,
+         value * cos(user_id) AS v,
+         value * sin(user_id) / 10 AS w,
+         value * cos(user_id / 7.0) AS c,
+         (295.0 + value / 100.0) / (1 + 0.32 * (0.01 + (user_id % 10) / 1000.0)) AS ta,
+         (96000.0 + value * 10.0) * (1 - (0.01 + (user_id % 10) / 1000.0)) AS p_dry
+  FROM events
+),
+m AS (
+  SELECT event_type, AVG(u) AS um, AVG(v) AS vm, AVG(w) AS wm,
+         AVG(ta) AS ta_mean, AVG(p_dry) AS pd_mean
+  FROM raw GROUP BY 1
+),
+ang AS (
+  SELECT event_type, ta_mean, pd_mean, atan2(vm, um) AS theta,
+         atan2(wm, um * cos(atan2(vm, um)) + vm * sin(atan2(vm, um))) AS phi
+  FROM m
+),
+rot AS (
+  SELECT r.event_type, r.rn, r.c,
+         -(r.u * cos(theta) + r.v * sin(theta)) * sin(phi) + r.w * cos(phi) AS w2,
+         ta_mean, pd_mean
+  FROM raw r JOIN ang USING (event_type)
+),
+shifts AS (SELECT unnest(generate_series(-20, 20)) AS shift),
+cov AS (
+  SELECT a.event_type, sh.shift,
+         covar_samp(a.w2, b.c) * a.pd_mean / (8.31446261815324 * a.ta_mean) AS cov_flux
+  FROM shifts sh
+  JOIN rot a ON TRUE
+  JOIN rot b ON b.event_type = a.event_type AND b.rn = a.rn + sh.shift
+  GROUP BY 1, 2, a.pd_mean, a.ta_mean
+),
+noise AS (
+  SELECT event_type,
+         sqrt(0.5 * (
+           power(stddev_samp(cov_flux) FILTER (WHERE shift BETWEEN -20 AND -15), 2) +
+           power(avg(cov_flux) FILTER (WHERE shift BETWEEN -20 AND -15), 2) +
+           power(stddev_samp(cov_flux) FILTER (WHERE shift BETWEEN 15 AND 20), 2) +
+           power(avg(cov_flux) FILTER (WHERE shift BETWEEN 15 AND 20), 2)
+         )) AS rmse
+  FROM cov GROUP BY 1
+),
+sig AS (
+  SELECT event_type, cov_flux AS flux FROM cov WHERE shift = -3
+),
+peak AS (
+  SELECT event_type, shift AS cov_max_shift, cov_flux AS maxcovflux
+  FROM cov
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY ABS(cov_flux) DESC, shift ASC) = 1
+)
+SELECT n.event_type,
+       ROUND(ROUND(n.rmse, 9), 6) AS flux_noise_rmse,
+       ROUND(ROUND(3 * n.rmse, 9), 6) AS flux_detection_limit,
+       p.cov_max_shift::BIGINT AS cov_max_shift,
+       ROUND(ROUND(s.flux, 9), 6) AS flux_signal_at_default_lag,
+       ROUND(ROUND(p.maxcovflux, 9), 6) AS flux_signal_at_cov_max_lag,
+       ROUND(ROUND(ABS(s.flux) / NULLIF(n.rmse, 0), 9), 6) AS signal_to_noise,
+       ROUND(ROUND(ABS(s.flux) / NULLIF(3 * n.rmse, 0), 9), 6) AS signal_to_detection_limit
+FROM noise n JOIN sig s USING (event_type) JOIN peak p USING (event_type)
+ORDER BY n.event_type
+"""
+
+
 def q_harmonic_k1_fit(sf_dir: str):
     """Exact-checkable harmonic slice: per event_type, the k=1 diurnal
     harmonic fit (y ~ b0 + bs*sin + bc*cos over a 24h period) of the
@@ -4051,6 +4172,54 @@ ORDER BY event_id
 """
 
 
+def q_ustar_bootstrap(sf_dir: str):
+    """Multi-year bootstrap USTAR thresholds — VUT per-year + CUT
+    pooled (reference flux/lowres/ustar_bootstrap.py:58-365
+    ``UstarBootstrapThresholds`` around MPT; stages/ustar.py:
+    ustar_bootstrap_thresholds). Inputs synthesized from event_id with
+    the q_ustar_mpt arithmetic plus a hashed 4-year axis so the 3-year
+    sliding windows and their edge rules are exercised. Rows-only:
+    bootstrap resampling is seeded-deterministic (Philox keyed on
+    (seed, year, chunk), partitioning-independent) but not
+    SQL-expressible; endpoint determinism is pinned in
+    tests/test_ustar_bootstrap.py."""
+    from ..stages.ustar import ustar_bootstrap_thresholds
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        h1 = (eid * 1_000_003) % 2_147_483_648
+        h2 = (eid * 2_654_435_761) % 2_147_483_648
+        h3 = (eid * 97_003) % 2_147_483_648
+        h4 = (eid * 48_271) % 2_147_483_648
+        ta = 5.0 + 15.0 * (h1 / 2147483648.0)
+        ustar = 0.05 + 0.6 * (h2 / 2147483648.0)
+        nee = (1.0 + 0.1 * ta) * (np.minimum(ustar, 0.25) / 0.25) \
+            + 0.2 * (h3 / 2147483648.0 - 0.5)
+        ts = pd.to_datetime(df["ts"])
+        hour = ts.dt.hour.to_numpy()
+        return pd.DataFrame({
+            "ta": ta,
+            "ustar": ustar,
+            "nee": nee,
+            "sw_in": np.where((hour >= 7) & (hour <= 17), 500.0, 0.0),
+            "month": ts.dt.month.to_numpy(dtype=np.int64),
+            "year": (2000 + h4 % 4).astype(np.int64),
+        })
+
+    out = ustar_bootstrap_thresholds(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False),
+        n_iter=30, seed=7,
+    )
+    for c in ("p16", "p50", "p84"):
+        v = np.asarray(stable_round6(out[c].astype(float)), dtype=np.float64)
+        out[c] = np.where(np.isfinite(v), v, -1.0)
+    out["year"] = out["year"].astype("int64")
+    out["n_ok"] = out["n_ok"].astype("int64")
+    return out.sort_values("year").reset_index(drop=True)
+
+
 def q_nee_partition_nt(sf_dir: str):
     """Nighttime NEE -> GPP+RECO partitioning (Reichstein 2005 MR /
     REddyProc; stages/partition.py). Iterative profiled least squares
@@ -4686,6 +4855,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "wind_rotation": q_wind_rotation,
     "xcorr_lag_scan": q_xcorr_lag_scan,
     "max_covariance": q_max_covariance,
+    "flux_detection_limit": q_flux_detection_limit,
+    "ustar_bootstrap": q_ustar_bootstrap,
     "compound_extremes": q_compound_extremes,
     "stratified_analysis": q_stratified_analysis,
     "time_since": q_time_since,
@@ -4771,6 +4942,7 @@ ORACLE: dict[str, str] = {
     "wind_rotation": _SQL_WIND_ROT,
     "xcorr_lag_scan": _SQL_XCORR_SCAN,
     "max_covariance": _SQL_MAX_COV,
+    "flux_detection_limit": _SQL_FDL,
     "compound_extremes": _SQL_COMPOUND_EXTREMES,
     "stratified_analysis": _SQL_STRATIFIED,
     "time_since": _SQL_TIME_SINCE,

@@ -440,3 +440,161 @@ def vekuri_thresholds_distributed(
     detected = grouped_block_map(night_ds, ["season"], detect_block).to_pandas()
     th_by = dict(zip(detected["season"], detected["threshold"]))
     return result_frame([th_by.get(i + 1, np.nan) for i in range(len(VEKURI_SEASONS))])
+
+
+# ------------------------------------------- multi-year bootstrap (VUT/CUT)
+
+def annual_threshold_from_window(
+    ta: np.ndarray, ustar: np.ndarray, nee: np.ndarray, month: np.ndarray
+) -> float:
+    """Annual MPT threshold of one (pooled multi-year) window: max over
+    the finite per-season thresholds (the conservative ONEFlux annual,
+    reference ustar_mp_detection.py get_annual_thresholds)."""
+    ths = seasonal_thresholds(ta, ustar, nee, month)
+    finite = [t for t in ths if np.isfinite(t)]
+    return float(np.max(finite)) if finite else float("nan")
+
+
+def ustar_bootstrap_thresholds(
+    ds,
+    *,
+    ta_col: str = "ta",
+    ustar_col: str = "ustar",
+    nee_col: str = "nee",
+    swin_col: str = "sw_in",
+    month_col: str = "month",
+    year_col: str = "year",
+    n_iter: int = 100,
+    percentiles: tuple[int, ...] = (16, 50, 84),
+    iter_chunks: int = 4,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Multi-year bootstrap USTAR thresholds — VUT (per-year) and CUT
+    (pooled), reference flux/lowres/ustar_bootstrap.py:58-310
+    ``UstarBootstrapThresholds`` around the MPT detector.
+
+    Reference semantics mirrored:
+
+    * 3-year sliding window per central year with the edge rules
+      (ustar_bootstrap.py:182-196 ``_get_window_years``: n<=3 years ->
+      all years; first year -> years[0:3]; last -> years[-3:]);
+    * per window, ``n_iter`` resamples with replacement -> annual
+      threshold each (the bootstrap worker, :20-56); NaN results are
+      dropped, not retried;
+    * VUT = per-year percentiles of that year's sample distribution
+      (:293-300); CUT = percentiles of ALL samples pooled (:340-365).
+
+    Deliberate deviation (documented): resampling is over the VALID
+    NIGHT rows — the only rows the detector consumes — not the raw
+    window rows; equivalent up to binomial jitter in the per-resample
+    night count, and it means only the 5-column night projection is
+    ever shuffled.
+
+    Distributed shape: the parallelism axis is (central_year,
+    iter_chunk). Each night row is replicated to every window that
+    contains its year (<= 3) x ``iter_chunks`` — bounded, because the
+    projection is 5 float columns. ONE exchange co-locates each
+    (window, chunk); every block runs its seeded share of the
+    resamples locally (Philox keyed on (seed, year, chunk) — the
+    sample set is independent of partitioning and cluster size). The
+    per-year percentile combine sees years x n_iter scalar samples.
+    """
+    from .exchange import driver_combine, grouped_block_map
+
+    # tiny pass: distinct years (driver sees <= decades of scalars)
+    years_df = driver_combine(
+        ds,
+        lambda df: pd.DataFrame({"y": df[year_col].unique()}),
+        lambda df: df.drop_duplicates(),
+        batch_format="pandas",
+    )
+    years = sorted(int(y) for y in years_df["y"].dropna())
+    n_years = len(years)
+
+    def window_years(idx: int) -> list[int]:
+        if n_years <= 3:
+            return years[:]
+        if idx == 0:
+            return years[0:3]
+        if idx == n_years - 1:
+            return years[n_years - 3:]
+        return years[idx - 1: idx + 2]
+
+    # invert: year -> central years whose window contains it
+    centrals_of: dict[int, list[int]] = {y: [] for y in years}
+    for i, cy in enumerate(years):
+        for wy in window_years(i):
+            centrals_of[wy].append(cy)
+
+    iters_of_chunk = [
+        n_iter // iter_chunks + (1 if c < n_iter % iter_chunks else 0)
+        for c in range(iter_chunks)
+    ]
+
+    def replicate_night(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [nee_col, ta_col, ustar_col, swin_col]
+        valid = np.ones(len(df), dtype=bool)
+        for c in cols:
+            valid &= np.isfinite(df[c].to_numpy(dtype=np.float64))
+        night = valid & (df[swin_col].to_numpy(dtype=np.float64) < NIGHT_SWIN)
+        base = df.loc[night, [ta_col, ustar_col, nee_col, month_col, year_col]]
+        outs = []
+        for cy in years:
+            m = base[year_col].isin(
+                [y for y in years if cy in centrals_of.get(y, [])]
+            )
+            w = base.loc[m]
+            if w.empty:
+                continue
+            for chunk in range(iter_chunks):
+                outs.append(w.assign(central_year=cy, chunk=chunk))
+        if not outs:
+            return pd.DataFrame(
+                columns=[*base.columns, "central_year", "chunk"]
+            ).astype({month_col: np.int64})
+        return pd.concat(outs, ignore_index=True)
+
+    night_ds = ds.map_batches(replicate_night, batch_format="pandas",
+                              zero_copy_batch=False)
+
+    def boot_block(g: pd.DataFrame) -> pd.DataFrame:
+        cy = int(g["central_year"].iloc[0])
+        chunk = int(g["chunk"].iloc[0])
+        ta = g[ta_col].to_numpy(dtype=np.float64)
+        us = g[ustar_col].to_numpy(dtype=np.float64)
+        ne = g[nee_col].to_numpy(dtype=np.float64)
+        mo = g[month_col].to_numpy(dtype=np.int64)
+        # the intra-block row order depends on block arrival order —
+        # impose a total order on the DATA so the seeded resamples are
+        # partitioning- and cluster-size-independent
+        order = np.lexsort((mo, ne, us, ta))
+        ta, us, ne, mo = ta[order], us[order], ne[order], mo[order]
+        n = len(g)
+        rng = np.random.Generator(
+            np.random.Philox(key=[seed, (cy << 16) | chunk])
+        )
+        samples = []
+        for _ in range(iters_of_chunk[chunk]):
+            idx = rng.integers(0, n, n)
+            th = annual_threshold_from_window(ta[idx], us[idx], ne[idx], mo[idx])
+            if np.isfinite(th):
+                samples.append(th)
+        return pd.DataFrame({"year": cy, "sample": samples})
+
+    samples = grouped_block_map(
+        night_ds, ["central_year", "chunk"], boot_block
+    ).to_pandas()
+
+    rows = []
+    for y in years:
+        s = samples.loc[samples["year"] == y, "sample"].to_numpy()
+        row = {"year": y, "scope": "vut", "n_ok": len(s)}
+        for p in sorted(percentiles):
+            row[f"p{p}"] = float(np.percentile(s, p)) if len(s) else float("nan")
+        rows.append(row)
+    pooled = samples["sample"].to_numpy()
+    cut = {"year": -1, "scope": "cut", "n_ok": len(pooled)}
+    for p in sorted(percentiles):
+        cut[f"p{p}"] = float(np.percentile(pooled, p)) if len(pooled) else float("nan")
+    rows.append(cut)
+    return pd.DataFrame(rows)

@@ -1,0 +1,107 @@
+"""Multi-year bootstrap USTAR thresholds (stages/ustar.py:
+ustar_bootstrap_thresholds, reference flux/lowres/ustar_bootstrap.py):
+window edge rules, seeded determinism (partitioning-independent CI
+endpoints), planted-threshold recovery, CUT pooling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diive_ray.stages.ustar import (
+    annual_threshold_from_window,
+    ustar_bootstrap_thresholds,
+)
+
+
+def _flux_frame(rng, year, n=6000, plateau=0.25):
+    """One synthetic year of night-heavy flux data with a respiration
+    plateau at `plateau` (the q_ustar_mpt construction, randomized)."""
+    ta = rng.uniform(5.0, 20.0, n)
+    ustar = rng.uniform(0.05, 0.65, n)
+    nee = (1.0 + 0.1 * ta) * (np.minimum(ustar, plateau) / plateau) \
+        + 0.2 * rng.uniform(-0.5, 0.5, n)
+    return pd.DataFrame(
+        {
+            "ta": ta,
+            "ustar": ustar,
+            "nee": nee,
+            "sw_in": np.where(rng.uniform(size=n) < 0.2, 500.0, 0.0),
+            "month": rng.integers(1, 13, n).astype(np.int64),
+            "year": np.int64(year),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def flux_years():
+    rng = np.random.Generator(np.random.Philox(key=41))
+    return pd.concat(
+        [_flux_frame(rng, y) for y in (2001, 2002, 2003, 2004)],
+        ignore_index=True,
+    )
+
+
+def test_window_edge_rules():
+    """4 years: first year pools years[0:3], last pools years[-3:],
+    middle years their neighbors (ustar_bootstrap.py:182-196)."""
+    # exercised indirectly through centrals_of in the main run; here we
+    # pin the pure rule by reimplementing the expected inverse mapping
+    years = [2001, 2002, 2003, 2004]
+
+    def window(idx):
+        n = len(years)
+        if n <= 3:
+            return years[:]
+        if idx == 0:
+            return years[0:3]
+        if idx == n - 1:
+            return years[n - 3:]
+        return years[idx - 1: idx + 2]
+
+    assert window(0) == [2001, 2002, 2003]
+    assert window(1) == [2001, 2002, 2003]
+    assert window(2) == [2002, 2003, 2004]
+    assert window(3) == [2002, 2003, 2004]
+
+
+def test_bootstrap_recovers_planted_threshold_and_is_deterministic(
+    ray_session, flux_years
+):
+    import ray.data as rd
+
+    def run(num_blocks):
+        ds = rd.from_pandas(flux_years).repartition(num_blocks)
+        return ustar_bootstrap_thresholds(ds, n_iter=20, seed=5, iter_chunks=2)
+
+    out1 = run(3)
+    out2 = run(11)  # different partitioning -> identical samples
+
+    vut = out1[out1["scope"] == "vut"].set_index("year")
+    assert sorted(vut.index) == [2001, 2002, 2003, 2004]
+    # every year's median must land at-or-above the planted plateau at
+    # 0.25 (the annual statistic is the conservative MAX over seasonal
+    # detections, which biases high under noise) and well below the
+    # 0.65 ustar range cap — i.e. the plateau is actually what anchors
+    # the bootstrap distribution
+    for y in vut.index:
+        assert vut.loc[y, "n_ok"] == 20
+        assert 0.22 <= vut.loc[y, "p50"] <= 0.5
+        assert vut.loc[y, "p16"] <= vut.loc[y, "p50"] <= vut.loc[y, "p84"]
+
+    cut = out1[out1["scope"] == "cut"].iloc[0]
+    assert cut["n_ok"] == 80  # pooled across 4 years x 20 iters
+    assert 0.22 <= cut["p50"] <= 0.5
+
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out2.reset_index(drop=True)
+    )
+
+
+def test_annual_threshold_from_window_nan_when_undetectable():
+    rng = np.random.Generator(np.random.Philox(key=42))
+    # 50 rows: below every season minimum -> NaN
+    th = annual_threshold_from_window(
+        rng.uniform(5, 20, 50), rng.uniform(0.05, 0.65, 50),
+        rng.uniform(-1, 1, 50), rng.integers(1, 13, 50),
+    )
+    assert np.isnan(th)
