@@ -28,11 +28,16 @@ import ray.data
 from ..util import ts_to_us
 
 
-def loess_smooth(y: np.ndarray, window: int, degree: int = 1) -> np.ndarray:
+def loess_smooth(
+    y: np.ndarray, window: int, degree: int = 1, rho: np.ndarray | None = None
+) -> np.ndarray:
     """LOESS (locally weighted linear regression, tricube weights) over
     an evenly spaced series; NaNs are skipped as observations but every
     position gets a smoothed value (Cleveland 1979 — the smoother STL
-    is built from). O(n * window), vectorized per point."""
+    is built from). O(n * window), vectorized per point. ``rho`` are
+    optional per-sample robustness weights multiplied into the tricube
+    neighborhood weights (the STL outer-loop hook, Cleveland et al.
+    1990 §2 / statsmodels STL robust=True)."""
     n = len(y)
     window = max(3, min(window | 1, n if n % 2 else n - 1))  # odd, <= n
     half = window // 2
@@ -51,6 +56,8 @@ def loess_smooth(y: np.ndarray, window: int, degree: int = 1) -> np.ndarray:
         dmax = max(np.abs(xs).max(), 1.0)
         w = (1.0 - np.minimum(np.abs(xs) / dmax, 1.0) ** 3) ** 3
         w = np.maximum(w, 1e-6)
+        if rho is not None:
+            w = w * np.maximum(rho[sel][m], 1e-9)
         if degree == 0:
             out[i] = np.average(ys, weights=w)
         else:
@@ -72,6 +79,8 @@ def stl_decompose_frame(
     seasonal_window: int = 7,
     trend_window: int | None = None,
     n_inner: int = 2,
+    robust: bool = False,
+    n_outer: int = 10,
 ) -> pd.DataFrame:
     """STL-lite seasonal-trend decomposition (the loess upgrade over
     the harmonic stand-in; reference uses statsmodels STL in
@@ -86,6 +95,15 @@ def stl_decompose_frame(
       4. trend = loess(y - seasonal, trend_window)
     repeated n_inner times. Deterministic (no randomness).
 
+    ``robust=True`` adds the STL OUTER loop (Cleveland 1990 §2;
+    statsmodels STL robust=True): after each inner pass, residuals
+    r = y - trend - seasonal set bisquare robustness weights
+    rho = (1 - (|r| / (6 * median|r|))^2)^2 (0 beyond), which damp
+    outliers in the cycle-subseries and trend smoothers on the next
+    pass — ``n_outer`` passes (statsmodels caps at 15; inner work per
+    pass is unchanged). The robust=False path is bit-identical to the
+    pre-robustness implementation.
+
     Input must be ONE series sorted on its regular grid. Appends
     trend/seasonal/resid columns.
     """
@@ -97,18 +115,37 @@ def stl_decompose_frame(
         trend_window += 1 - trend_window % 2
     trend = np.zeros(n)
     seasonal = np.zeros(n)
-    for _ in range(max(1, n_inner)):
-        detr = y - trend
-        # 2) per-phase loess over each cycle-subseries
-        for ph in range(period):
-            idx = np.arange(ph, n, period)
-            sub = detr[idx]
-            seasonal[idx] = loess_smooth(sub, seasonal_window, degree=1)
-        # 3) low-pass the seasonal and remove it (centers the seasonal)
-        lp = loess_smooth(seasonal, trend_window, degree=1)
-        seasonal = seasonal - lp
-        # 4) trend from the deseasonalized series
-        trend = loess_smooth(y - seasonal, trend_window, degree=1)
+    rho: np.ndarray | None = None
+
+    def inner_pass() -> None:
+        nonlocal trend, seasonal
+        for _ in range(max(1, n_inner)):
+            detr = y - trend
+            # 2) per-phase loess over each cycle-subseries
+            for ph in range(period):
+                idx = np.arange(ph, n, period)
+                sub = detr[idx]
+                seasonal[idx] = loess_smooth(
+                    sub, seasonal_window, degree=1,
+                    rho=None if rho is None else rho[idx],
+                )
+            # 3) low-pass the seasonal and remove it (centers the seasonal)
+            lp = loess_smooth(seasonal, trend_window, degree=1)
+            seasonal = seasonal - lp
+            # 4) trend from the deseasonalized series
+            trend = loess_smooth(y - seasonal, trend_window, degree=1, rho=rho)
+
+    inner_pass()
+    if robust:
+        for _ in range(max(0, n_outer)):
+            r = y - trend - seasonal
+            absr = np.abs(r)
+            h = 6.0 * np.nanmedian(absr)
+            if not np.isfinite(h) or h <= 0:
+                break
+            u = np.clip(np.nan_to_num(absr / h, nan=1.0), 0.0, 1.0)
+            rho = (1.0 - u * u) ** 2
+            inner_pass()
     out = df.copy()
     out[f"{value_col}_trend"] = trend
     out[f"{value_col}_seasonal"] = seasonal
@@ -125,6 +162,8 @@ def stl_decompose(
     period: int = 24,
     seasonal_window: int = 7,
     trend_window: int | None = None,
+    robust: bool = False,
+    n_outer: int = 10,
 ) -> ray.data.Dataset:
     """Per-key STL-lite decomposition (grouped block stage; same
     partitioning contract as harmonic_decompose)."""
@@ -135,6 +174,7 @@ def stl_decompose(
         return stl_decompose_frame(
             df, value_col, period=period,
             seasonal_window=seasonal_window, trend_window=trend_window,
+            robust=robust, n_outer=n_outer,
         )
 
     from .exchange import grouped_block_map

@@ -230,3 +230,49 @@ def test_swin_gapfill_physics_feature(ray_session):
     obs = filled["sw_in"].notna()
     np.testing.assert_allclose(filled.loc[obs, "sw_in_treefilled"],
                                filled.loc[obs, "sw_in"])
+
+
+def test_stl_robust_survives_outlier_contamination():
+    """Robustness outer loop (decompose.py: robust=True): 3% huge
+    spikes wreck the non-robust seasonal estimate measurably; the
+    bisquare-weighted outer loop recovers it. Also pins that
+    robust=False stays bit-identical to the historical path (the
+    rows-only stl_decompose query depends on that)."""
+    from diive_ray.stages.decompose import stl_decompose_frame
+
+    n = 24 * 30
+    t = np.arange(n)
+    trend_true = 0.01 * t
+    seasonal_true = 3.0 * np.sin(2 * np.pi * (t % 24) / 24)
+    rng = np.random.Generator(np.random.Philox(key=20))
+    y = trend_true + seasonal_true + rng.standard_normal(n) * 0.2
+    spikes = rng.choice(n, size=n * 3 // 100, replace=False)
+    y[spikes] += rng.choice([-1.0, 1.0], size=len(spikes)) * 60.0
+    df = pd.DataFrame({"v": y})
+
+    plain = stl_decompose_frame(df, "v", period=24, seasonal_window=11)
+    robust = stl_decompose_frame(
+        df, "v", period=24, seasonal_window=11, robust=True, n_outer=5
+    )
+
+    mid = slice(48, n - 48)
+    clean = np.ones(n, dtype=bool)
+    clean[spikes] = False
+    sel = clean[mid.start: mid.stop]
+
+    def seasonal_rmse(out):
+        s = out["v_seasonal"].to_numpy()[mid][sel]
+        return np.sqrt(np.nanmean((s - seasonal_true[mid][sel]) ** 2))
+
+    e_plain, e_robust = seasonal_rmse(plain), seasonal_rmse(robust)
+    # the non-robust fit must demonstrably fail on this contamination
+    # and the robust one must fix it
+    assert e_plain > 2 * e_robust
+    assert e_robust < 0.35
+
+    # robust=False is bit-identical to a second plain run (no hidden
+    # state; the default path did not change)
+    again = stl_decompose_frame(df, "v", period=24, seasonal_window=11)
+    np.testing.assert_array_equal(
+        plain["v_seasonal"].to_numpy(), again["v_seasonal"].to_numpy()
+    )
