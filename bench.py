@@ -166,7 +166,8 @@ def headline(num_cpus: int, sf_dir: str, *, scaling_job_only: bool = False) -> d
             # over the 22M-row scale128 corpus, shuffle-free partitioned
             # plan — the most compute-dominated representative job (see
             # BASELINE.md for the single-node bandwidth-ceiling analysis).
-            fixture128 = ensure_fixture("scale128", FIXTURE_ROOT, with_tokens=False)
+            scale_name = os.environ.get("RAY_GRAFT_SCALE_FIXTURE", "scale128")
+            fixture128 = ensure_fixture(scale_name, FIXTURE_ROOT, with_tokens=False)
             tok_fixture = ensure_fixture("bench", FIXTURE_ROOT)
 
             t0 = time.perf_counter()
@@ -219,7 +220,7 @@ def headline(num_cpus: int, sf_dir: str, *, scaling_job_only: bool = False) -> d
         ray.shutdown()
 
 
-def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str) -> dict:
+def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str, pair_only: bool = False) -> dict:
     """Fresh-process runs of the same job at several parallelism
     levels: the requested N/4N pair (default 8/32) plus a 2/8 pair
     inside this VM's memory-bandwidth envelope. Reports throughput at
@@ -235,14 +236,15 @@ def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str) -> dict:
     # object store / OS cache of its node)
     import glob
 
-    for scale, kw in (("bench", {}), ("scale128", {"with_tokens": False})):
+    scale_name = os.environ.get("RAY_GRAFT_SCALE_FIXTURE", "scale128")
+    for scale, kw in (("bench", {}), (scale_name, {"with_tokens": False})):
         path = ensure_fixture(scale, FIXTURE_ROOT, **kw)
         for f in glob.glob(os.path.join(path, "src-*", "*.parquet")):
             with open(f, "rb") as fh:
                 while fh.read(1 << 22):
                     pass
 
-    levels = sorted({2, 8, 32, cpus_lo, cpus_hi})
+    levels = sorted({cpus_lo, cpus_hi} if pair_only else {2, 8, 32, cpus_lo, cpus_hi})
     results = {}
     for n in levels:
         env = dict(os.environ)
@@ -270,6 +272,7 @@ def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str) -> dict:
         "metric": f"scaling efficiency ({pair_label} CPUs), rolled-up points/s (and tokens/s ingest), fresh ray sessions",
         "value": eff(thr, cpus_lo, cpus_hi),
         "pair": pair_label,
+        "corpus": scale_name,
         "unit": "efficiency",
         "sf": _sf_of(sf_dir),
         "num_cpus": cpus_hi,
@@ -309,11 +312,17 @@ def main() -> None:
     # (8/32 is additionally reported by the run; see BASELINE.md)
     ap.add_argument("--cpus-lo", type=int, default=2)
     ap.add_argument("--cpus-hi", type=int, default=8)
+    ap.add_argument("--scale-fixture", default=None,
+                    help="scaling-job corpus (scale32/scale128/scale512)")
+    ap.add_argument("--pair-only", action="store_true",
+                    help="scaling: run only the lo/hi pair, skip extra levels")
     args = ap.parse_args()
 
+    if args.scale_fixture:
+        os.environ["RAY_GRAFT_SCALE_FIXTURE"] = args.scale_fixture
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
-        out = scaling(args.cpus_lo, args.cpus_hi, args.sf_dir)
+        out = scaling(args.cpus_lo, args.cpus_hi, args.sf_dir, pair_only=args.pair_only)
     elif args.worker:
         out = headline(num_cpus, args.sf_dir, scaling_job_only=True)
     else:

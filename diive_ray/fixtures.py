@@ -95,6 +95,9 @@ SCALES = {
     # screening paths never read them): ~5.5M and ~22M rows
     "scale32": FixtureSpec("scale32", 32 * 86_400),
     "scale128": FixtureSpec("scale128", 128 * 86_400),
+    # 4x scale128 (~88M rows): the "does efficiency hold as
+    # per-partition state grows" corpus for the scaling pair
+    "scale512": FixtureSpec("scale512", 512 * 86_400),
 }
 
 

@@ -4172,6 +4172,26 @@ ORDER BY event_id
 """
 
 
+def q_quantiles_tdigest(sf_dir: str):
+    """Approximate per-key quantiles via the merging t-digest
+    (stages/sketch.py:quantile_sketch, Dunning & Ertl) — the documented
+    scale path for percentiles101: ONE combiner pass, no exchange,
+    bounded O(delta) centroids per key. Rows-only: the sketch is
+    approximate by design; rank-error bounds (O(q(1-q)/delta)) are
+    pinned against exact quantiles in tests/test_tdigest.py."""
+    from ..stages.sketch import quantile_sketch
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    out = quantile_sketch(
+        ds, value_col="value", keys=["event_type"],
+        qs=[0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99],
+        delta=200.0,
+    )
+    out["q"] = stable_round6(out["q"].astype(float))
+    out["value"] = stable_round6(out["value"].astype(float))
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def q_ustar_bootstrap(sf_dir: str):
     """Multi-year bootstrap USTAR thresholds — VUT per-year + CUT
     pooled (reference flux/lowres/ustar_bootstrap.py:58-365
@@ -4857,6 +4877,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "max_covariance": q_max_covariance,
     "flux_detection_limit": q_flux_detection_limit,
     "ustar_bootstrap": q_ustar_bootstrap,
+    "quantiles_tdigest": q_quantiles_tdigest,
     "compound_extremes": q_compound_extremes,
     "stratified_analysis": q_stratified_analysis,
     "time_since": q_time_since,

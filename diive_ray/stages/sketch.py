@@ -122,3 +122,126 @@ def heavy_hitters(
     ).head(k)
     exact["cnt"] = exact["cnt"].astype(np.int64)
     return exact.reset_index(drop=True)
+
+
+# ----------------------------------------------------------- t-digest
+
+"""Mergeable quantile sketch: merging t-digest (Dunning & Ertl,
+"Computing extremely accurate quantiles using t-digests", public
+algorithm). Closes the scale path documented on q_percentiles101: the
+exact per-key percentile ladder needs the whole key group on one
+worker; the digest path keeps a bounded O(delta) summary per key that
+merges associatively — per-batch partials, no shuffle of the value
+space, driver combine sees keys x O(delta) centroids."""
+
+
+def _k1(q: np.ndarray | float, delta: float) -> np.ndarray | float:
+    """k1 scale function: k(q) = delta/(2*pi) * asin(2q - 1) — tight
+    centroids at the tails, coarse at the median."""
+    return delta / (2.0 * np.pi) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+
+def _k1_inv(k: float, delta: float) -> float:
+    return float((np.sin(2.0 * np.pi * k / delta) + 1.0) / 2.0)
+
+
+def tdigest_compress(
+    means: np.ndarray, weights: np.ndarray, delta: float = 100.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (means, weights) centroids (or raw values with unit
+    weights) into <= ~2*delta centroids respecting the k1 size bound.
+    O(n log n) sort + O(delta) searchsorted steps — no per-value
+    Python. Deterministic."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="stable")
+    m = means[order].astype(np.float64)
+    w = weights[order].astype(np.float64)
+    cw = np.cumsum(w)
+    cwm = np.cumsum(w * m)
+    total = cw[-1]
+    q_right = cw / total
+    out_m, out_w = [], []
+    idx = 0
+    q0 = 0.0
+    n = len(m)
+    while idx < n:
+        q1 = _k1_inv(_k1(q0, delta) + 1.0, delta)
+        j = int(np.searchsorted(q_right, q1, side="right")) - 1
+        j = max(j, idx)  # always make progress (>= one value)
+        lo_cw = cw[idx - 1] if idx else 0.0
+        lo_cwm = cwm[idx - 1] if idx else 0.0
+        cw_j = cw[j] - lo_cw
+        out_m.append((cwm[j] - lo_cwm) / cw_j)
+        out_w.append(cw_j)
+        q0 = cw[j] / total
+        idx = j + 1
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantile(
+    means: np.ndarray, weights: np.ndarray, vmin: float, vmax: float,
+    qs: np.ndarray,
+) -> np.ndarray:
+    """Quantile estimates from a compressed digest: linear
+    interpolation between centroid midpoints in cumulative-weight
+    space, clamped by the exact (vmin, vmax)."""
+    qs = np.asarray(qs, dtype=np.float64)
+    if len(means) == 0:
+        return np.full(len(qs), np.nan)
+    total = weights.sum()
+    # centroid midpoints in cumulative weight
+    cum = np.cumsum(weights) - weights / 2.0
+    xs = np.concatenate(([0.0], cum, [total]))
+    ys = np.concatenate(([vmin], means, [vmax]))
+    return np.interp(qs * total, xs, ys)
+
+
+def quantile_sketch(
+    ds: rd.Dataset,
+    *,
+    value_col: str,
+    keys: list[str],
+    qs: list[float],
+    delta: float = 200.0,
+) -> pd.DataFrame:
+    """Per-key approximate quantiles via ONE combiner pass (no
+    exchange): each batch emits its keys' compressed digests as
+    (key..., means, weights, vmin, vmax, n) rows; the driver merges the
+    bounded partials (concat centroids -> one more compress) and
+    evaluates ``qs``. Returns one row per (key, q). Rank error is
+    O(q(1-q)/delta) (Dunning & Ertl) — pinned in tests against exact
+    quantiles."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in df.groupby(keys, sort=False):
+            v = g[value_col].astype(float).dropna().to_numpy()
+            if not len(v):
+                continue
+            m, w = tdigest_compress(v, np.ones(len(v)), delta)
+            kd = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+            rows.append({**kd, "means": m, "weights": w,
+                         "vmin": float(v.min()), "vmax": float(v.max()),
+                         "n": len(v)})
+        if not rows:
+            return pd.DataFrame(columns=[*keys, "means", "weights", "vmin", "vmax", "n"])
+        return pd.DataFrame(rows)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df  # merge happens once, below (partials are bounded)
+
+    partials = driver_combine(ds, partial, combine, batch_format="pandas")
+    out_rows = []
+    for kv, g in partials.groupby(keys, sort=True):
+        m = np.concatenate([np.asarray(x, dtype=np.float64) for x in g["means"]])
+        w = np.concatenate([np.asarray(x, dtype=np.float64) for x in g["weights"]])
+        m, w = tdigest_compress(m, w, delta)
+        vals = tdigest_quantile(
+            m, w, float(g["vmin"].min()), float(g["vmax"].max()),
+            np.asarray(qs),
+        )
+        kd = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+        for q, v in zip(qs, vals):
+            out_rows.append({**kd, "q": float(q), "value": float(v)})
+    return pd.DataFrame(out_rows)
