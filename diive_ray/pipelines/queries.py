@@ -4786,6 +4786,211 @@ def q_pwb_lag(sf_dir: str):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def q_hq_flux(sf_dir: str):
+    """Highest-quality flux selection (hqflux.py:126-330): day/night
+    regimes from solar geometry, per-regime non-iterated Hampel
+    (window 49, n_sigma 5.5, double-differencing), then the reference's
+    summary per regime — SD / 1st/99th percentiles / mean rolling
+    median (window 49) of the filtered series plus sign-split
+    non-outlier extrema (hqflux.py:75-89). Flux = value - 50 so both
+    signs are exercised. One keyed exchange; summaries are one row per
+    (key, regime)."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.hqflux import hq_flux_frame
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["flux"] = df["value"].astype(float) - 50.0
+        out = hq_flux_frame(
+            df, value_col="flux", ts_col="ts", order_cols=("event_id",),
+            lat=47.0, lon=8.5, window_length=49, n_sigma_daytime=5.5,
+            n_sigma_nighttime=5.5, use_differencing=True,
+            median_window=49, repeat=False,
+        )
+        out.insert(0, "event_type", df["event_type"].iloc[0])
+        return out
+
+    out = grouped_block_map(ds, ["event_type"], gfn).to_pandas()
+    for c in ("flag_daytime", "n", "n_outliers", "winsize"):
+        out[c] = out[c].astype("int64")
+    for c in ("sd_filtered", "p01", "p99", "mean_rmedian",
+              "max_nonneg", "min_nonneg", "max_neg", "min_neg"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "flag_daytime"]).reset_index(drop=True)
+
+
+_SQL_HQ_FLUX = """
+WITH base AS (
+  SELECT event_id, event_type, ts, value - 50.0 AS flux,
+         radians(-23.44) * cos(2 * pi() * (((epoch(ts) / 86400.0) % 365.25) + 10.0) / 365.25) AS decl,
+         radians(15.0 * ((((epoch(ts) % 86400) / 3600.0) + 8.5 / 15.0) - 12.0)) AS hour_angle
+  FROM events WHERE value IS NOT NULL
+), flagged AS (
+  SELECT event_id, event_type, ts, flux,
+         CASE WHEN 1367.0 * GREATEST(
+           sin(radians(47.0)) * sin(decl) + cos(radians(47.0)) * cos(decl) * cos(hour_angle),
+           0.0) > 20.0 THEN 1 ELSE 0 END AS dn
+  FROM base
+), s AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dn ORDER BY ts, event_id) AS pos
+  FROM flagged
+), d AS (
+  SELECT *,
+    COALESCE((flux - lag(flux) OVER w) - (lead(flux) OVER w - flux), 0.0) AS dd
+  FROM s WINDOW w AS (PARTITION BY event_type, dn ORDER BY pos)
+), m AS (
+  SELECT *,
+    CAST(median(dd) OVER (PARTITION BY event_type, dn ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) AS rmed
+  FROM d
+), mad AS (
+  SELECT *,
+    CAST(median(ABS(dd - rmed)) OVER (PARTITION BY event_type, dn ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) + 1e-6 AS rmad
+  FROM m
+), f AS (
+  SELECT *,
+    (dd > rmed + (1.4826 * rmad) * 5.5 OR dd < rmed - (1.4826 * rmad) * 5.5) AS is_out,
+    CASE WHEN NOT (dd > rmed + (1.4826 * rmad) * 5.5 OR dd < rmed - (1.4826 * rmad) * 5.5)
+         THEN flux END AS filtered
+  FROM mad
+), r AS (
+  SELECT *,
+    CAST(median(filtered) OVER (PARTITION BY event_type, dn ORDER BY pos
+      ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS DOUBLE) AS rmedian
+  FROM f
+)
+SELECT event_type,
+       CAST(dn AS BIGINT) AS flag_daytime,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(49 AS BIGINT) AS winsize,
+       ROUND(ROUND(COALESCE(stddev_samp(filtered), -9999.0), 9), 6) AS sd_filtered,
+       ROUND(ROUND(COALESCE(quantile_cont(filtered, 0.01), -9999.0), 9), 6) AS p01,
+       ROUND(ROUND(COALESCE(quantile_cont(filtered, 0.99), -9999.0), 9), 6) AS p99,
+       ROUND(ROUND(COALESCE(AVG(rmedian), -9999.0), 9), 6) AS mean_rmedian,
+       ROUND(ROUND(COALESCE(MAX(CASE WHEN NOT is_out AND flux >= 0 THEN flux END), -9999.0), 9), 6) AS max_nonneg,
+       ROUND(ROUND(COALESCE(MIN(CASE WHEN NOT is_out AND flux >= 0 THEN flux END), -9999.0), 9), 6) AS min_nonneg,
+       ROUND(ROUND(COALESCE(MAX(CASE WHEN NOT is_out AND flux < 0 THEN flux END), -9999.0), 9), 6) AS max_neg,
+       ROUND(ROUND(COALESCE(MIN(CASE WHEN NOT is_out AND flux < 0 THEN flux END), -9999.0), 9), 6) AS min_neg
+FROM r
+GROUP BY event_type, dn
+ORDER BY event_type, dn
+"""
+
+
+def q_timelag_analysis(sf_dir: str):
+    """TimeLagAnalysis.analyze_gas (timelag_analysis.py:349-440) over a
+    derived discrete lag column (0.05 s steps, EddyPro's grid):
+    unique-value histogram (histogram.py:88-124 — np.histogram with the
+    unique values as edges merges the LAST value's count into the
+    preceding bin) per event_type with fringe exclusion [5, 10],
+    display-range filter [0, 10], gradient-based peak range
+    (threshold 0.15) and the +-0.05 EddyPro adjustment. The data never
+    shuffles: per-batch partial counts combine to <= n_keys x 40 rows
+    and the gradient scan runs on that tiny frame."""
+    from ..stages.hqflux import timelag_analysis_frame
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        v = batch.column("value").to_numpy(zero_copy_only=False).astype(float)
+        keep = ~np.isnan(v)
+        et, v = et[keep], v[keep]
+        tlag = 0.05 * (((np.floor(v).astype(np.int64) % 40) + 40) % 40)
+        g = pd.DataFrame({"event_type": et, "tlag": tlag})
+        out = g.groupby(["event_type", "tlag"], sort=False).size().reset_index(name="n")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(["event_type", "tlag"], as_index=False)["n"].sum()
+    out = timelag_analysis_frame(
+        counts, "event_type", "tlag", "n",
+        ignore_fringe_bins=(5, 10), histogram_startbin=0.0,
+        histogram_endbin=10.0, gradient_threshold=0.15, eddypro_step=0.05,
+    )
+    for c in ("peak", "peak_min", "peak_max", "eddypro_min", "eddypro_max"):
+        out[c] = stable_round6(out[c].astype(float))
+    for c in ("n_bins_shown", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TIMELAG = """
+WITH t AS (
+  SELECT event_type,
+         0.05 * (((CAST(FLOOR(value) AS BIGINT) % 40) + 40) % 40) AS tlag
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, tlag, COUNT(*) AS n FROM t GROUP BY 1, 2
+), b AS (
+  SELECT event_type, tlag, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tlag) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb,
+         LEAD(n) OVER (PARTITION BY event_type ORDER BY tlag) AS lead_n
+  FROM c
+), merged AS (
+  SELECT event_type, tlag,
+         CASE WHEN rn = nb - 1 THEN n + lead_n ELSE n END AS n
+  FROM b WHERE rn < nb
+), fr AS (
+  SELECT event_type, tlag, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tlag) AS pos,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM merged
+), hist AS (
+  SELECT event_type, tlag, n FROM fr WHERE pos > 5 AND pos <= m - 10
+), pk AS (
+  SELECT event_type, tlag AS peak FROM (
+    SELECT event_type, tlag,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, tlag) AS r
+    FROM hist) WHERE r = 1
+), shown AS (
+  SELECT event_type, tlag, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tlag) AS pos,
+         COUNT(*) OVER (PARTITION BY event_type) AS m,
+         MAX(n) OVER (PARTITION BY event_type) AS maxn
+  FROM hist WHERE tlag >= 0.0 AND tlag <= 10.0
+), gr AS (
+  SELECT *, CASE
+      WHEN m = 1 THEN 0.0
+      WHEN pos = 1 THEN LEAD(CAST(n AS DOUBLE) / maxn) OVER w - CAST(n AS DOUBLE) / maxn
+      WHEN pos = m THEN CAST(n AS DOUBLE) / maxn - LAG(CAST(n AS DOUBLE) / maxn) OVER w
+      ELSE (LEAD(CAST(n AS DOUBLE) / maxn) OVER w - LAG(CAST(n AS DOUBLE) / maxn) OVER w) / 2.0
+    END AS grad
+  FROM shown WINDOW w AS (PARTITION BY event_type ORDER BY pos)
+), pidx AS (
+  SELECT event_type, pos AS peak_pos FROM (
+    SELECT gr.event_type, gr.pos,
+           ROW_NUMBER() OVER (PARTITION BY gr.event_type
+             ORDER BY ABS(gr.tlag - pk.peak), gr.pos) AS r
+    FROM gr JOIN pk USING (event_type)) WHERE r = 1
+), edges AS (
+  SELECT p.event_type, p.peak_pos,
+    COALESCE(MAX(CASE WHEN gr.pos < p.peak_pos AND ABS(gr.grad) < 0.15 THEN gr.pos END), p.peak_pos) AS left_pos,
+    COALESCE(MIN(CASE WHEN gr.pos > p.peak_pos AND ABS(gr.grad) < 0.15 THEN gr.pos END), p.peak_pos) AS right_pos
+  FROM pidx p JOIN gr ON gr.event_type = p.event_type
+  GROUP BY p.event_type, p.peak_pos
+)
+SELECT e.event_type,
+       ROUND(ROUND(pk.peak, 9), 6) AS peak,
+       ROUND(ROUND(gl.tlag, 9), 6) AS peak_min,
+       ROUND(ROUND(gh.tlag, 9), 6) AS peak_max,
+       ROUND(ROUND(gl.tlag - 0.05, 9), 6) AS eddypro_min,
+       ROUND(ROUND(gh.tlag + 0.05, 9), 6) AS eddypro_max,
+       CAST(gl.m AS BIGINT) AS n_bins_shown,
+       CAST((SELECT SUM(s2.n) FROM shown s2 WHERE s2.event_type = e.event_type) AS BIGINT) AS n_total
+FROM edges e
+JOIN pk USING (event_type)
+JOIN gr gl ON gl.event_type = e.event_type AND gl.pos = e.left_pos
+JOIN gr gh ON gh.event_type = e.event_type AND gh.pos = e.right_pos
+ORDER BY e.event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -4890,6 +5095,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "sliding_window": q_sliding_window,
     "bin_fitter": q_bin_fitter,
     "combine_variables": q_combine_variables,
+    "hq_flux": q_hq_flux,
+    "timelag_analysis": q_timelag_analysis,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -4976,6 +5183,8 @@ ORACLE: dict[str, str] = {
     "sliding_window": _SQL_SLIDING_WINDOW,
     "bin_fitter": _SQL_BIN_FITTER,
     "combine_variables": _SQL_COMBINE_VARS,
+    "hq_flux": _SQL_HQ_FLUX,
+    "timelag_analysis": _SQL_TIMELAG,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }
