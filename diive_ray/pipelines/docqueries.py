@@ -934,12 +934,15 @@ def q_embedding_kmeans(sf_dir: str):
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
-def _sql_kmeans(k: int = 8, d: int = 64, n_iter: int = 3) -> str:
+def _sql_kmeans(k: int = 8, d: int = 64, n_iter: int = 3, tail: str | None = None) -> str:
     """Generate the chained-CTE k-means oracle: c0 = k smallest-id
     embeddings; per iteration an assignment CTE (argmin of squared L2,
     ties to lowest cid) and a centroid-update CTE with
     ROUND(ROUND(AVG,9),6) per dim (== engine stable_round6) and
-    COALESCE to the previous centroid for empty clusters."""
+    COALESCE to the previous centroid for empty clusters. ``tail``
+    replaces the default final SELECT (it sees the ``afinal``
+    assignment CTE and the raw ``e`` embeddings) — used by the
+    SemDeDup oracle."""
     dist = (
         "list_sum(list_transform(range(1, {dp1}), i -> "
         "(CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * "
@@ -977,11 +980,101 @@ afinal AS (
            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
     FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1
 )
-SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""")
+{tail or "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afinal ORDER BY vec_id"}""")
     return "".join(sql)
 
 
 _SQL_KMEANS = _sql_kmeans()
+
+_SEMDEDUP_THRESHOLD = 0.55
+
+_SQL_SEMDEDUP = _sql_kmeans(tail=f""",
+pair AS (
+  SELECT a.vec_id AS id,
+         MAX(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])) AS mx
+  FROM afinal a
+  JOIN afinal b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id,
+       CAST(a.cid AS BIGINT) AS cluster,
+       CAST(CASE WHEN p.mx >= {_SEMDEDUP_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+       ROUND(COALESCE(p.mx, -2.0), 6) AS max_cos_lower
+FROM afinal a LEFT JOIN pair p ON p.id = a.vec_id
+ORDER BY a.vec_id""".lstrip())
+
+
+def q_embedding_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023 arXiv:2303.09540,
+    stages/cluster.py:semdedup_flags): k-means clusters (the
+    embedding_kmeans configuration: k=8, 3 iterations, smallest-id
+    init), then intra-cluster cosine screening — a vector is a
+    duplicate when a LOWER-id member of its cluster has cosine >=
+    0.55. One assignment pass + one keyed exchange; quadratic cost is
+    per cluster (the paper's design point). Oracle replays the k-means
+    iterations via the chained-CTE generator, then an in-cluster
+    self-join."""
+    from ..stages.cluster import kmeans_lloyd, semdedup_flags
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    C, _ = kmeans_lloyd(ds, 8, n_iter=3)
+    out = semdedup_flags(ds, C, threshold=_SEMDEDUP_THRESHOLD).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["is_dup"] = out["is_dup"].astype("int64")
+    out["max_cos_lower"] = round6(out["max_cos_lower"].astype(float))
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_doc_lm_perplexity(sf_dir: str):
+    """Bigram-LM perplexity scoring (CCNet-style quality filter,
+    Wenzek et al. 2020 arXiv:1911.00359; stages/lm.py): train add-k
+    bigram counts over the corpus in one partial-count pass (text
+    never shuffles), broadcast the model once via ray.put, score every
+    doc in an actor pool (model decoded per actor in __init__,
+    integer-coded vectorized lookups). avg_logprob = mean log2
+    P(w2|w1), perplexity = 2^-avg; docs with < 2 words carry the
+    -9999 sentinel."""
+    from ..stages.lm import score_perplexity, train_bigram_lm
+    from ..util import stable_round6
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    model = train_bigram_lm(ds, "text")
+    out = score_perplexity(ds, model).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    out["avg_logprob"] = stable_round6(out["avg_logprob"].astype(float))
+    out["perplexity"] = stable_round6(out["perplexity"].astype(float))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_LM_PPL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT UNNEST(ws) AS wd FROM w),
+uni AS (SELECT CAST(COUNT(DISTINCT wd) AS DOUBLE) AS V FROM tok),
+g AS (
+  SELECT doc_id, UNNEST(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i, ws
+  FROM w WHERE len(ws) >= 2
+),
+pairs AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM g),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(SUM(cb) AS DOUBLE) AS c1 FROM bc GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, log2((bc.cb + 0.5) / (ctx.c1 + 0.5 * uni.V)) AS lp
+  FROM pairs p JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN uni
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n, AVG(lp) AS avg_lp FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+       ROUND(ROUND(COALESCE(a.avg_lp, -9999.0), 9), 6) AS avg_logprob,
+       ROUND(ROUND(COALESCE(POWER(2.0, -a.avg_lp), -9999.0), 9), 6) AS perplexity
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def q_doc_dup_spans(sf_dir: str):
@@ -1087,6 +1180,8 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_chunk": q_doc_chunk,
     "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_semdedup": q_embedding_semdedup,
+    "doc_lm_perplexity": q_doc_lm_perplexity,
     "doc_dup_spans": q_doc_dup_spans,
     "source_ks_drift": q_source_ks_drift,
 }
@@ -1114,6 +1209,8 @@ DOC_ORACLE: dict[str, str] = {
     "doc_chunk": _SQL_CHUNK,
     "source_vocab_divergence": _SQL_VOCAB_DIV,
     "embedding_kmeans": _SQL_KMEANS,
+    "embedding_semdedup": _SQL_SEMDEDUP,
+    "doc_lm_perplexity": _SQL_LM_PPL,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "source_ks_drift": _SQL_KS_DRIFT,
 }

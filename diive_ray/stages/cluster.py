@@ -117,3 +117,56 @@ def kmeans_lloyd(
 
     out = ds.map_batches(assign_fn, batch_format="pyarrow", zero_copy_batch=True)
     return C, out
+
+
+def semdedup_flags(
+    ds: ray.data.Dataset,
+    C: np.ndarray,
+    *,
+    threshold: float = 0.55,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023 arXiv:2303.09540): semantic
+    deduplication by clustering then intra-cluster cosine screening.
+    Assign every vector to its nearest centroid (one map_batches pass,
+    argmin squared L2, ties to lowest cid — same rule as kmeans_lloyd),
+    then ONE keyed exchange on ``cluster``: inside each cluster block a
+    single normalized matmul scores all pairs and a row is a duplicate
+    when some LOWER-id member of its cluster has cosine >= threshold
+    (the deterministic keep-lowest-id variant of the paper's
+    keep-one-per-group rule).
+
+    Scale contract: the quadratic cost is *per cluster* — that bound is
+    the point of SemDeDup (pick k so n/k fits a block; for clusters
+    beyond block size, shard the matmul block-pairwise like
+    similarity.py:embedding_all_pairs_exact)."""
+    from .exchange import grouped_block_map
+
+    Cf = C
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        X = _batch_matrix(t, emb_col)
+        assign, _, _ = _cluster_partials(X, Cf)
+        return t.append_column("cluster", pa.array(assign.astype(np.int64), pa.int64()))
+
+    with_c = ds.map_batches(assign_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        X = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0] = 1.0
+        N = X / norms[:, None]
+        S = N @ N.T
+        lower = np.tril(np.ones(S.shape, dtype=bool), -1)  # pairs j < i
+        mx = np.where(lower, S, -np.inf).max(axis=1)
+        mx = np.where(np.isfinite(mx), mx, -2.0)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": df["cluster"].to_numpy(),
+            "is_dup": (mx >= threshold).astype(np.int64),
+            "max_cos_lower": mx,
+        })
+
+    return grouped_block_map(with_c, ["cluster"], gfn)

@@ -1,0 +1,200 @@
+"""N-gram language-model perplexity scoring (CCNet-style quality
+filter; Wenzek et al. 2020 arXiv:1911.00359 score documents with a
+KenLM n-gram model — here a from-scratch add-k bigram LM trained on the
+corpus itself, the public-algorithm equivalent).
+
+Reference scope: the diive reference has no LM counterpart; this is one
+of the driver-brief training-data operators (quality scoring family,
+alongside functions/text.py:quality_features).
+
+Design for 100 TB:
+* TRAIN: one ``map_batches`` pass emits per-batch (w1, w2, n) partial
+  count frames — the corpus text never shuffles; partials combine to a
+  model bounded by vocabulary size. An n-gram LM used for scoring must
+  fit on every worker *by definition*, so the combine targets the
+  driver and the model is ``ray.put`` once (broadcast), never re-shipped
+  per batch. For vocabularies beyond driver memory the standard move is
+  count pruning (drop n < threshold) inside the partial pass — exposed
+  via ``min_count``.
+* SCORE: stateful actor pool — the model arrays are decoded once per
+  actor in ``__init__``; each batch dictionary-encodes its words ONCE
+  (np.unique) and resolves all lookups through integer vocab codes
+  (searchsorted on the distinct words only + composite int64 pair
+  codes) — no Python loop and no string building in the hot path.
+
+Smoothing: add-k over observed contexts,
+``P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k * V)`` with V = unigram
+vocabulary size; per-doc score = mean log2 P over the doc's bigrams and
+``perplexity = 2 ** (-score)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+SENTINEL = -9999.0
+
+
+def _split_batch(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch of space-separated texts into one word array +
+    per-doc lengths (one C-level str.split per doc, no per-word
+    Python)."""
+    s = pd.Series(texts, dtype=object).str.split(" ")
+    lists = [x for x in s if isinstance(x, list) and len(x)]
+    lengths = s.map(lambda x: len(x) if isinstance(x, list) else 0).to_numpy(dtype=np.int64)
+    flat = np.concatenate([np.asarray(x, dtype=object) for x in lists]) \
+        if lists else np.empty(0, dtype=object)
+    return flat, lengths
+
+
+def _bigram_indices(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(first-word flat positions, doc index) of all within-doc
+    adjacent pairs."""
+    n = int(lengths.sum())
+    if n < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    doc_ix = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    pos = np.arange(n - 1, dtype=np.int64)
+    same = doc_ix[:-1] == doc_ix[1:]
+    return pos[same], doc_ix[:-1][same]
+
+
+def train_bigram_lm(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    min_count: int = 0,
+) -> dict:
+    """Distributed bigram count training: per-batch partial frames ->
+    driver combine (bounded by vocab; see module docstring). Returns a
+    plain-array model dict ready for ``ray.put``: sorted ``vocab``,
+    vocab-aligned context counts, sorted composite int64 pair codes +
+    counts."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        texts = t.column(text_col).to_numpy(zero_copy_only=False)
+        flat, lengths = _split_batch(texts)
+        p1, _ = _bigram_indices(lengths)
+        pairs = (
+            pd.DataFrame({"w1": flat[p1], "w2": flat[p1 + 1]})
+            .groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+        ) if len(p1) else pd.DataFrame({"w1": [], "w2": [], "n": []})
+        uni = pd.Series(flat, dtype=object).value_counts()
+        out_u = pd.DataFrame({"w1": uni.index.to_numpy(dtype=object), "w2": "", "n": uni.to_numpy()})
+        out_u["kind"] = np.int8(0)
+        pairs["kind"] = np.int8(1)
+        out = pd.concat([pairs, out_u], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    big = parts[parts["kind"] == 1].groupby(["w1", "w2"], as_index=False)["n"].sum()
+    uni = parts[parts["kind"] == 0].groupby("w1", as_index=False)["n"].sum()
+    if min_count > 0:
+        big = big[big["n"] >= min_count]
+    vocab = np.sort(uni["w1"].to_numpy(dtype=object))
+    nv = np.int64(len(vocab))
+    # context counts c(w1 .) from the bigram table (contexts, not raw
+    # unigrams: the last word of a doc is never a context)
+    ctx = big.groupby("w1", as_index=False)["n"].sum()
+    ctx_counts = np.zeros(len(vocab), dtype=np.int64)
+    ctx_counts[np.searchsorted(vocab, ctx["w1"].to_numpy(dtype=object))] = \
+        ctx["n"].to_numpy(dtype=np.int64)
+    c1 = np.searchsorted(vocab, big["w1"].to_numpy(dtype=object)).astype(np.int64)
+    c2 = np.searchsorted(vocab, big["w2"].to_numpy(dtype=object)).astype(np.int64)
+    pair_codes = c1 * nv + c2
+    order = np.argsort(pair_codes, kind="stable")
+    return {
+        "vocab": vocab,
+        "ctx_counts": ctx_counts,
+        "pair_codes": pair_codes[order],
+        "pair_counts": big["n"].to_numpy(dtype=np.int64)[order],
+        "vocab_size": int(nv),
+    }
+
+
+class BigramScorer:
+    """Actor-pool scoring stage: model decoded once per actor in
+    ``__init__`` (broadcast via ``ray.put`` ref)."""
+
+    def __init__(self, model_ref, text_col: str = "text", id_col: str = "doc_id",
+                 add_k: float = 0.5):
+        model = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
+        self.vocab = model["vocab"]
+        self.ctx_counts = model["ctx_counts"]
+        self.pair_codes = model["pair_codes"]
+        self.pair_counts = model["pair_counts"]
+        self.V = model["vocab_size"]
+        self.text_col = text_col
+        self.id_col = id_col
+        self.add_k = add_k
+
+    def _word_codes(self, flat: np.ndarray) -> np.ndarray:
+        """Vocab code per token, -1 for out-of-vocab; searchsorted runs
+        on the batch's DISTINCT words only."""
+        if not len(flat):
+            return np.empty(0, dtype=np.int64)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        ix = np.searchsorted(self.vocab, uniq)
+        ixc = np.clip(ix, 0, max(len(self.vocab) - 1, 0))
+        found = (ix < len(self.vocab)) & (self.vocab[ixc] == uniq) \
+            if len(self.vocab) else np.zeros(len(uniq), bool)
+        codes = np.where(found, ixc, -1).astype(np.int64)
+        return codes[inv]
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(self.text_col).to_numpy(zero_copy_only=False)
+        flat, lengths = _split_batch(texts)
+        p1, doc_ix = _bigram_indices(lengths)
+        codes = self._word_codes(flat)
+        code1, code2 = codes[p1], codes[p1 + 1]
+        in_vocab = (code1 >= 0) & (code2 >= 0)
+        pc = code1 * np.int64(self.V) + code2
+        cb = np.zeros(len(pc), dtype=np.int64)
+        if len(pc) and len(self.pair_codes):
+            ix = np.searchsorted(self.pair_codes, pc)
+            ixc = np.clip(ix, 0, len(self.pair_codes) - 1)
+            hit = in_vocab & (ix < len(self.pair_codes)) & (self.pair_codes[ixc] == pc)
+            cb[hit] = self.pair_counts[ixc[hit]]
+        c1 = np.where(code1 >= 0, self.ctx_counts[np.maximum(code1, 0)], 0)
+        k = self.add_k
+        logp = np.log2((cb + k) / (c1 + k * self.V)) if len(pc) else np.zeros(0)
+        n_pairs = np.bincount(doc_ix, minlength=len(ids)).astype(np.int64)
+        sums = np.bincount(doc_ix, weights=logp, minlength=len(ids))
+        avg = sums / np.maximum(n_pairs, 1)
+        ppl = np.power(2.0, -avg)
+        has = n_pairs > 0
+        return pd.DataFrame({
+            self.id_col: ids,
+            "n_bigrams": n_pairs,
+            "avg_logprob": np.where(has, avg, SENTINEL),
+            "perplexity": np.where(has, ppl, SENTINEL),
+        })
+
+
+def score_perplexity(
+    ds: ray.data.Dataset,
+    model: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Score every doc against a trained bigram model (actor pool,
+    model broadcast once). ``concurrency`` is the pool MAX — the pool
+    starts at 1 and grows, so a small local session can't deadlock on
+    reserved CPUs (the repo's aggregator-starvation rule)."""
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        BigramScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col,
+                               "id_col": id_col, "add_k": add_k},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
