@@ -381,7 +381,20 @@ def file_group_dataset(path: str, day_seconds: int) -> ray.data.Dataset:
                 _pa.array(offsets), _pa.array(mdf["path"].to_numpy())
             ),
         })
-        return ray.data.from_arrow(tbl)
+        # MANY blocks, not one: from_arrow(tbl) yields a single block,
+        # and a single block is a single map task — the whole
+        # per-group pipeline would run serially at any cluster size
+        # (caught by the flat 2/8/32-CPU scaling run, round 3). Slice
+        # to ~8 blocks per core; slices are zero-copy.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        n_groups = tbl.num_rows
+        g = max(1, -(-n_groups // max(8 * cpus, 1)))
+        return ray.data.from_arrow(
+            [tbl.slice(i, g) for i in range(0, n_groups, g)]
+        )
     else:
         dirs = sorted(d for d in os.listdir(path) if d.startswith("src-"))
 
