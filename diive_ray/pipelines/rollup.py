@@ -205,7 +205,15 @@ def cascade_fused(
         )
 
     pre_ds = ds.map_batches(pre, batch_format="pandas")
-    return block_map(pre_ds, keys + ["_day"], block_fn, batch_format="pandas", zero_copy_batch=False)
+    # dedup=True makes `pre` drop within-batch duplicates, so per-label
+    # row counts at the exchange depend on upstream batch boundaries —
+    # the split tripwire would false-positive across executions. The
+    # final block_fn re-dedups whole groups, so correctness never
+    # depends on pre's reduction; only the guard is relaxed.
+    return block_map(
+        pre_ds, keys + ["_day"], block_fn,
+        batch_format="pandas", zero_copy_batch=False, validate=not dedup,
+    )
 
 
 def _fused_block_fn_pandas(
@@ -558,6 +566,16 @@ def tokens_cascade(path: str, **kw) -> dict[str, ray.data.Dataset]:
     END-stamped records."""
     ds = ray.data.read_parquet(path, columns=["doc_id", "source", "ts", "n_tok"])
     kw.setdefault("dedup", True)
+    # EXACT dedup (coarse-bucket exchange on the slim 4-column
+    # projection), not assume_partitioned: Ray's dynamic block
+    # splitting can cut a duplicate run across batches, making
+    # within-batch dedup depend on runtime block boundaries — observed
+    # as run-to-run tier-row drift under memory pressure (round 3; the
+    # per-label exchange checker caught it). The north rule requires
+    # byte-stable rolled-up points; the partitioned flagship
+    # (screen_rollup_compress_partitioned) keeps its shuffle-free dedup
+    # because it reads each (source, day) file group WHOLE.
+    kw.setdefault("dedup_exact", True)
     return rollup_cascade(
         ds, value_col="n_tok", keys=("source",), ts_col="ts",
         end_stamped=True, raw_width_us=US_PER_SEC, **kw,

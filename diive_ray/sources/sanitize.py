@@ -81,12 +81,18 @@ def dedup_keep_last(
     from ..stages.exchange import block_map
 
     coarse_keys = keys + ["_coarse"]
+    # validate=False: the per-batch pre-dedup makes per-label row
+    # counts at the exchange batch-boundary-dependent (the split
+    # tripwire would false-positive across executions). block_fn
+    # re-dedups each whole group, so pre's reduction never affects
+    # the result — only the guard is relaxed.
     return block_map(
         pre.map_batches(add_coarse, batch_format="pandas", batch_size=batch_size),
         coarse_keys,
         block_fn,
         batch_format="pandas",
         zero_copy_batch=False,
+        validate=False,
     )
 
 

@@ -108,27 +108,54 @@ def _validation_enabled() -> bool:
 
 @ray.remote(num_cpus=0, max_restarts=-1, max_task_retries=-1)
 class _ExchangeChecker:
-    """Session-wide registry: (exchange_id, part) -> block fingerprint.
+    """Session-wide registry: (exchange_id, part) -> per-LABEL row count.
+
+    The fingerprint is per label, NOT per block: a Ray Dataset is lazy
+    and may be EXECUTED several times (one count() per consumer), and
+    the hash-shuffle's partition->aggregator grouping is not guaranteed
+    stable across executions — a whole-block fingerprint then flags the
+    same label landing in blocks with different *companions* as a
+    split (false positive, observed on the fused cascade's per-tier
+    counts). A label's own row count is invariant across executions
+    and retries of a deterministic pipeline; a genuinely SPLIT
+    partition hands each half fewer rows than the whole, so any
+    registered-whole vs seen-partial (or two unequal halves) mismatch
+    raises. Blind spot: two halves of an exactly row-balanced split
+    with no prior whole registration agree with each other — real
+    splits are byte-budget driven and uneven across _PART_FANOUT
+    labels, and Ray 2.49's finalize provably emits one block per
+    partition (source-verified); the guard is a tripwire for future
+    Ray versions, not a proof system.
+
+    COMBINER-FED exchanges (map_batches partials -> exchange ->
+    combine, e.g. the tier rollup) have batch-dependent per-label ROW
+    counts — upstream batch boundaries decide how many partial rows
+    each label produces, and those boundaries vary across executions.
+    For those, callers pass ``weight_col``: the fingerprint becomes the
+    per-label SUM of that additive column (e.g. the partials' ``count``
+    = raw contributing rows), which IS execution-invariant, restoring
+    the same whole-vs-partial tripwire. Exchanges whose input is
+    genuinely nondeterministic (row-position salting) opt out with
+    ``validate=False``.
 
     State is bounded by #exchanges x _PART_FANOUT x n ints per session
     (a few MB over a full query registry run) — independent of data
     volume, so the check is as valid at 100 TB as at test scale.
 
-    Restart/retry-safe: ``check`` is idempotent (fingerprint-keyed
-    setdefault), so actor-task retries after a transient
-    ActorUnavailableError re-register identically; an actor RESTART
-    loses the registry (the guard degrades to forward-only coverage
-    for in-flight exchanges) rather than failing the job."""
+    Restart/retry-safe: ``check`` is idempotent (count-keyed
+    setdefault); an actor RESTART loses the registry (the guard
+    degrades to forward-only coverage for in-flight exchanges) rather
+    than failing the job."""
 
     def __init__(self):
         self.owner: dict = {}
 
-    def check(self, exchange_id: str, fingerprint: tuple, parts: list) -> list:
+    def check(self, exchange_id: str, parts: list, counts: list) -> list:
         bad = []
-        for p in parts:
+        for p, c in zip(parts, counts):
             key = (exchange_id, p)
-            prev = self.owner.setdefault(key, fingerprint)
-            if prev != fingerprint:
+            prev = self.owner.setdefault(key, c)
+            if prev != c:
                 bad.append(p)
         return bad
 
@@ -188,11 +215,15 @@ def keyed_blocks(
     return labeled.repartition(n, keys=[_PART_COL])
 
 
-def _validating_fn(fn: Callable, exchange_id: str, checker, batch_format: str) -> Callable:
+def _validating_fn(
+    fn: Callable, exchange_id: str, checker, batch_format: str, weight_col: str | None = None
+) -> Callable:
     """Wrap fn so each whole-block batch (a) registers its distinct
-    part labels + content fingerprint with the shared checker and fails
-    loudly if any part was already claimed by a different block, then
-    (b) strips the part column before the caller's fn sees the batch."""
+    part labels + per-label fingerprint (row count, or the sum of
+    ``weight_col`` for combiner-fed exchanges) with the shared checker
+    and fails loudly if any part was already claimed with a different
+    fingerprint, then (b) strips the part column before the caller's
+    fn sees the batch."""
     import numpy as np
     import pandas as pd  # noqa: F811 (worker-side import)
 
@@ -205,13 +236,24 @@ def _validating_fn(fn: Callable, exchange_id: str, checker, batch_format: str) -
             body = batch.drop_columns([_PART_COL])
         ref = None
         if checker is not None and len(parts_arr):
-            distinct = np.unique(parts_arr)
-            fingerprint = (int(len(parts_arr)), int(parts_arr.sum()), tuple(int(p) for p in distinct))
+            distinct, inverse = np.unique(parts_arr, return_inverse=True)
+            if weight_col is not None:
+                if isinstance(batch, pd.DataFrame):
+                    w = batch[weight_col].to_numpy(dtype=np.int64, copy=False)
+                else:
+                    w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+                counts = np.bincount(inverse, weights=w).astype(np.int64)
+            else:
+                counts = np.bincount(inverse)
             # fire BEFORE fn, collect AFTER: the actor round-trip
             # overlaps with the block's real compute instead of
             # serializing in front of it (measured 40% wall on
             # cascade-shaped legs when issued synchronously)
-            ref = checker.check.remote(exchange_id, fingerprint, [int(p) for p in distinct])
+            ref = checker.check.remote(
+                exchange_id,
+                [int(p) for p in distinct],
+                [int(c) for c in counts],
+            )
         out = fn(body)
         if ref is not None:
             bad = ray.get(ref)
@@ -235,6 +277,8 @@ def block_map(
     batch_format: str = "pyarrow",
     num_partitions: int | None = None,
     zero_copy_batch: bool = True,
+    validate: bool = True,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """fn(whole_block) -> block, with key co-location guaranteed.
 
@@ -242,12 +286,20 @@ def block_map(
     so that all rows of a key land in ONE output partition, and
     ``map_batches(batch_size=None)`` maps each whole block. The
     contract is validated on every run (see module docstring); set
-    DIIVE_RAY_VALIDATE_EXCHANGE=0 to disable."""
+    DIIVE_RAY_VALIDATE_EXCHANGE=0 to disable globally.
+
+    ``weight_col``: validate on the per-label SUM of this additive
+    int column instead of the row count — required when the exchange
+    input is combiner partials whose row counts are batch-dependent
+    (module docstring). ``validate=False``: opt out entirely, for
+    inputs that are nondeterministic by design (e.g. row-position
+    salting); use only when a split would still be caught downstream
+    or the consumer is split-safe."""
     import uuid
 
     keys = list(keys)
-    checker = _get_checker() if _validation_enabled() else None
-    fn = _validating_fn(fn, uuid.uuid4().hex, checker, batch_format)
+    checker = _get_checker() if (validate and _validation_enabled()) else None
+    fn = _validating_fn(fn, uuid.uuid4().hex, checker, batch_format, weight_col)
     return keyed_blocks(ds, keys, num_partitions).map_batches(
         fn, batch_format=batch_format, batch_size=None, zero_copy_batch=zero_copy_batch
     )
@@ -259,6 +311,8 @@ def grouped_block_map(
     group_fn: Callable[[pd.DataFrame], pd.DataFrame],
     *,
     num_partitions: int | None = None,
+    validate: bool = True,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """Drop-in replacement for ``groupby(keys).map_groups(group_fn)``:
     one hash exchange, then a per-block pandas groupby-apply (pandas'
@@ -284,7 +338,8 @@ def grouped_block_map(
         return pd.concat(outs, ignore_index=True)
 
     return block_map(
-        ds, keys, fn, batch_format="pandas", num_partitions=num_partitions, zero_copy_batch=False
+        ds, keys, fn, batch_format="pandas", num_partitions=num_partitions,
+        zero_copy_batch=False, validate=validate, weight_col=weight_col,
     )
 
 
@@ -326,6 +381,14 @@ def salted_aggregate(
             s = np.arange(len(df), dtype=np.int64) % salt
         return df.assign(_salt=s)
 
+    # Split-guard: with a content salt (salt_from) both exchanges see
+    # deterministic per-label row counts, so the full tripwire applies.
+    # Row-position salting is arrival-order dependent by design — the
+    # per-label counts vary across executions, so those exchanges opt
+    # out (the combine is algebraic; a split there yields duplicate
+    # per-key partials that the caller's combine contract tolerates
+    # only if it re-aggregates — documented in the function contract).
+    deterministic = salt_from is not None
     stage1 = block_map(
         ds.map_batches(add_salt, batch_format="pandas"),
         keys + ["_salt"],
@@ -333,6 +396,7 @@ def salted_aggregate(
         batch_format="pandas",
         num_partitions=num_partitions,
         zero_copy_batch=False,
+        validate=deterministic,
     )
     return block_map(
         stage1,
@@ -341,6 +405,7 @@ def salted_aggregate(
         batch_format="pandas",
         num_partitions=num_partitions,
         zero_copy_batch=False,
+        validate=deterministic,
     )
 
 

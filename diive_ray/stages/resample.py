@@ -210,7 +210,10 @@ def rollup(
 
     from .exchange import block_map
 
-    return block_map(partials, gkeys, combine)
+    # combiner-fed exchange: per-label ROW counts depend on upstream
+    # batch boundaries, but the per-label sum of `count` (total raw
+    # contributing rows) is execution-invariant — validate on that
+    return block_map(partials, gkeys, combine, weight_col="count")
 
 
 def observed_maxcount(rollup_ds: ray.data.Dataset, keys: Iterable[str] = ()) -> "int | dict":

@@ -201,3 +201,103 @@ def test_default_partitions_scales_with_cluster(ray_session):
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     assert default_partitions() == max(8, 2 * cpus)
+
+
+def test_exchange_reexecution_no_false_positive(ray_session):
+    """Round-3 regression: a lazy block_map Dataset consumed TWICE
+    (count() then to_pandas(), as the driver's row+hash compare does)
+    must not trip the split guard. The old whole-block fingerprint
+    false-positived because the hash-shuffle's partition->aggregator
+    grouping differs across executions; the per-label fingerprint is
+    execution-invariant."""
+    from diive_ray.stages.exchange import block_map
+
+    df = pd.DataFrame({"k": np.arange(3000) % 23, "v": np.arange(3000, dtype=float)})
+    out = block_map(
+        rd.from_pandas(df).repartition(5),
+        ["k"],
+        lambda d: d.groupby("k", as_index=False)["v"].sum(),
+        batch_format="pandas",
+        zero_copy_batch=False,
+    )
+    n = out.count()          # execution 1
+    got = out.to_pandas()    # execution 2 — same exchange_id, re-registered
+    assert n == 23 and len(got) == 23
+    exp = df.groupby("k", as_index=False)["v"].sum()
+    assert np.allclose(got.sort_values("k")["v"].to_numpy(), exp["v"].to_numpy())
+
+
+def test_exchange_weight_col_tolerates_batch_dependent_partials(ray_session):
+    """Combiner-fed exchange: per-label ROW counts vary with upstream
+    batch boundaries, but the per-label sum of an additive weight
+    column is invariant — weight_col validation must pass where
+    row-count validation would false-positive across batch layouts."""
+    from diive_ray.stages.exchange import block_map
+
+    rng = np.random.default_rng(7)
+    base = pd.DataFrame({"k": rng.integers(0, 11, 4000), "count": 1, "v": rng.random(4000)})
+
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", as_index=False).agg(count=("count", "sum"), v=("v", "sum"))
+
+    def combine(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("k", as_index=False).agg(count=("count", "sum"), v=("v", "sum"))
+
+    # two different upstream batchings -> different per-label partial row counts
+    results = []
+    for parts in (3, 9):
+        ds = rd.from_pandas(base).repartition(parts).map_batches(
+            partials, batch_format="pandas", batch_size=512
+        )
+        out = block_map(ds, ["k"], combine, batch_format="pandas",
+                        zero_copy_batch=False, weight_col="count")
+        out.count()                      # execute twice on purpose
+        results.append(out.to_pandas().sort_values("k").reset_index(drop=True))
+    exp = base.groupby("k", as_index=False).agg(count=("count", "sum"), v=("v", "sum"))
+    for got in results:
+        assert (got["count"].to_numpy() == exp["count"].to_numpy()).all()
+        assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy())
+
+
+def test_exchange_split_detected_on_weight_path(ray_session):
+    """A split partition must still fail loudly when validating on
+    weight_col: each half carries a smaller weight-sum than the
+    registered whole (or two unequal halves disagree)."""
+    import uuid
+
+    from diive_ray.stages import exchange as ex
+
+    df = pd.DataFrame({"k": np.arange(2000) % 7, "count": 1, "v": np.arange(2000)})
+    labeled = ex._add_part_column(rd.from_pandas(df).repartition(4), ["k"], 64)
+    scattered = labeled.repartition(8)  # rows of one part now span blocks
+    fn = ex._validating_fn(
+        lambda b: b, uuid.uuid4().hex, ex._get_checker(), "pyarrow", weight_col="count"
+    )
+    with pytest.raises(Exception, match="invariant violated"):
+        scattered.map_batches(fn, batch_format="pyarrow", batch_size=None).materialize()
+
+
+def test_rollup_cascade_double_execution(ray_session):
+    """Round-3 regression for the observed false positive: the tier
+    rollup's combiner-fed exchange re-executed (count + to_pandas per
+    tier) must stay green under always-on validation."""
+    from diive_ray.pipelines.rollup import rollup_cascade
+
+    rng = np.random.default_rng(11)
+    n = 3 * 6 * 3600
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(np.tile(np.arange(6 * 3600), 3), unit="s")
+    df = pd.DataFrame({
+        "source": np.repeat([f"s{i}" for i in range(3)], 6 * 3600),
+        "ts": ts,
+        "doc_id": [f"d{i:07d}" for i in range(n)],
+        "n_tok": rng.integers(1, 500, n).astype(float),
+    })
+    tiers = rollup_cascade(
+        rd.from_pandas(df).repartition(6),
+        value_col="n_tok", keys=("source",), ts_col="ts",
+        dedup=True, dedup_exact=True,
+    )
+    for name in ("1m", "1h", "1d"):
+        n = tiers[name].count()
+        got = tiers[name].to_pandas()
+        assert n == len(got) and n > 0
