@@ -1221,6 +1221,85 @@ ORDER BY 1, 2
 """
 
 
+def q_doc_segment_dedup(sf_dir: str):
+    """Segment-level exact dedup stats (CCNet/RefinedWeb line-dedup
+    shape at 16-word windows; stages/dedup.py:segment_dedup_stats).
+    Only 32 B/segment digests move through the two exchanges — the
+    text never leaves the reading stage."""
+    from ..stages.dedup import segment_dedup_stats
+
+    out = segment_dedup_stats(_docs(sf_dir, ["doc_id", "text"]), width=16).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    for c in ("n_seg", "n_dup_seg"):
+        out[c] = out[c].astype("int64")
+    out["dup_frac"] = np.asarray(round6(out["dup_frac"].astype(float)), dtype=np.float64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_SEGMENT_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, CAST(s / 16 AS BIGINT) AS seg_id,
+         array_to_string(ws[s + 1 : LEAST(s + 16, len(ws))], ' ') AS seg
+  FROM (SELECT doc_id, ws,
+               UNNEST(generate_series(0, CAST(len(ws) - 1 AS BIGINT), 16)) AS s
+        FROM w WHERE len(ws) > 0)
+),
+m AS (
+  SELECT doc_id, seg_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) = 1
+              THEN 0 ELSE 1 END AS is_dup
+  FROM c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seg,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_seg,
+       ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """JSONL source coverage: documents parquet -> distributed JSONL
+    write (one file per block) -> ray.data.read_json -> per-source
+    aggregate. Proves the engine round-trips a second wire format with
+    schema intact; the oracle aggregates the original parquet, so any
+    type or value drift through JSON fails the hash."""
+    import hashlib
+    import shutil
+
+    out_dir = os.path.join(
+        "/tmp", "diive_ray_jsonl_" + hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir).write_json(out_dir)
+    back = rd.read_json(out_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["source", "lang", "n_chars"]).to_pandas()
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    from ..stages.exchange import driver_combine
+
+    out = driver_combine(
+        back, partial,
+        lambda p: p.groupby(["source", "lang"], as_index=False)[["n_docs", "sum_chars"]].sum(),
+    )
+    for c in ("n_docs", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+_SQL_JSONL_INGEST = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1252,6 +1331,8 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_dsir": q_doc_dsir,
     "doc_dup_spans": q_doc_dup_spans,
     "source_ks_drift": q_source_ks_drift,
+    "doc_segment_dedup": q_doc_segment_dedup,
+    "jsonl_ingest": q_jsonl_ingest,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1282,4 +1363,6 @@ DOC_ORACLE: dict[str, str] = {
     "doc_dsir": _SQL_DSIR,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "source_ks_drift": _SQL_KS_DRIFT,
+    "doc_segment_dedup": _SQL_SEGMENT_DEDUP,
+    "jsonl_ingest": _SQL_JSONL_INGEST,
 }

@@ -4991,6 +4991,70 @@ ORDER BY e.event_type
 """
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase within 24 h
+    of the first view (stages/joins.py:funnel_counts): per-user minima
+    chained with strictly-after semantics; one exchange on user_id,
+    per-block vectorized step masking, tiny driver sum of per-block
+    partial counts (users are block-disjoint)."""
+    from ..stages.joins import funnel_counts
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+    out = funnel_counts(
+        ds, steps=["view", "click", "purchase"],
+        key="user_id", ts="ts", event_col="event_type",
+        window_us=24 * US_PER_HOUR,
+    )
+    out["step"] = out["step"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+_SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(s1.t1) AS t1, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+) ORDER BY step
+"""
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via mergeable
+    HyperLogLog registers (stages/sketch.py:hll_distinct, p=12, ~1.6%
+    std error) — the cardinality sketch for streams where an exact
+    distinct would shuffle the full (key, value) projection. Rows-only
+    by design (the estimate is not SQL-expressible); the error bound vs
+    exact distinct is pinned by tests/test_sketch.py."""
+    from ..stages.sketch import hll_distinct
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    out = hll_distinct(ds, value_col="user_id", keys=["event_type"], p=12)
+    out["n_distinct_est"] = stable_round6(out["n_distinct_est"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -5097,6 +5161,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "combine_variables": q_combine_variables,
     "hq_flux": q_hq_flux,
     "timelag_analysis": q_timelag_analysis,
+    "event_funnel": q_event_funnel,
+    "hll_distinct_users": q_hll_distinct_users,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -5185,6 +5251,8 @@ ORACLE: dict[str, str] = {
     "combine_variables": _SQL_COMBINE_VARS,
     "hq_flux": _SQL_HQ_FLUX,
     "timelag_analysis": _SQL_TIMELAG,
+    "event_funnel": _SQL_EVENT_FUNNEL,
+    # hll_distinct_users: sketch estimate -> rows-only (error bound pytest-pinned)
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

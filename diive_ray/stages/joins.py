@@ -325,3 +325,81 @@ def range_join(
         return pd.concat(pieces, ignore_index=True)
 
     return ds.map_batches(match, batch_format="pandas")
+
+
+def funnel_counts(
+    ds: rd.Dataset,
+    *,
+    steps: "list[str]",
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    window_us: "int | None" = None,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Ordered conversion funnel: how many distinct ``key``s reach each
+    step, where step k counts only events STRICTLY after that key's
+    step-(k-1) completion time — and, with ``window_us``, no later than
+    ``window_us`` after the step-1 time (the classic web-analytics
+    funnel; no reference counterpart, events-table extension in the
+    spirit of sessionize/retention).
+
+    Completion times are per-key minima, so the result is deterministic
+    under any row order. Distribution: rows are filtered to the step
+    events and projected to (key, event_col, ts) at the read, ONE
+    exchange on key, then per-block vectorized per-step masking +
+    groupby-min (k passes, no per-user Python); each block emits k
+    partial counts (keys are block-disjoint, so a driver sum over
+    ≤ k x #blocks tiny rows finishes). Output: (step, event_type,
+    n_users) — one row per step."""
+    from .exchange import block_map
+
+    steps = list(steps)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[event_col].isin(steps)]
+        return df[[key, event_col, ts]]
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "step": pd.Series([], dtype=np.int64),
+            "n_users": pd.Series([], dtype=np.int64),
+        })
+        if df.empty:
+            return out_empty
+        us = df[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        # rebase to the block min: reindex() below goes through float64
+        # (NaN for keys missing a prior step), and absolute epoch-us
+        # (~1.7e18) exceeds float64's exact-integer range — deltas
+        # within a block (days, ~1e12) stay exact
+        us = us - us.min()
+        df = pd.DataFrame({key: df[key].to_numpy(), "ev": df[event_col].to_numpy(), "us": us})
+        cur = df.loc[df["ev"] == steps[0]].groupby(key)["us"].min()
+        t1 = cur.copy()
+        rows = [(1, len(cur))]
+        for i, step in enumerate(steps[1:], start=2):
+            if cur.empty:
+                rows.append((i, 0))
+                continue
+            sub = df.loc[df["ev"] == step].copy()
+            prev = cur.reindex(sub[key]).to_numpy()
+            ok = np.isfinite(prev) & (sub["us"].to_numpy() > prev)
+            if window_us is not None:
+                lim = (t1 + window_us).reindex(sub[key]).to_numpy()
+                ok &= sub["us"].to_numpy() <= lim
+            sub = sub.loc[ok]
+            cur = sub.groupby(key)["us"].min()
+            rows.append((i, len(cur)))
+        return pd.DataFrame({
+            "step": np.array([r[0] for r in rows], dtype=np.int64),
+            "n_users": np.array([r[1] for r in rows], dtype=np.int64),
+        })
+
+    partials = block_map(
+        ds.map_batches(pre, batch_format="pandas"),
+        [key], per_block, batch_format="pandas",
+        num_partitions=num_partitions, zero_copy_batch=False,
+    ).to_pandas()
+    out = partials.groupby("step", as_index=False)["n_users"].sum()
+    out["event_type"] = [steps[s - 1] for s in out["step"]]
+    return out[["step", "event_type", "n_users"]].sort_values("step").reset_index(drop=True)

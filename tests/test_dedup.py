@@ -216,3 +216,30 @@ def test_exact_jaccard_batch_matches_scalar():
     got = tx.exact_jaccard_batch(a_vals, a_offs, b_vals, b_offs)
     exp = np.array([tx.exact_jaccard(sets[i], sets[j]) for i, j in zip(ii, jj)])
     assert np.array_equal(got, exp)
+
+
+# ---------------------------------------------------------- segment dedup
+
+
+def test_segment_dedup_planted(ray_session):
+    """Doc 10 copies doc 0 verbatim -> every one of its segments is a
+    dup; doc 11 shares only its first 16-word window with doc 1."""
+    from diive_ray.stages.dedup import segment_dedup_stats
+
+    rng = np.random.Generator(np.random.Philox(key=9))
+    mk = lambda n: " ".join(rng.choice(WORDS, size=n))
+    texts = [mk(48) for _ in range(10)]
+    texts.append(texts[0])                                   # doc 10: full copy
+    texts.append(" ".join(texts[1].split()[:16]) + " " + mk(32))  # doc 11: first window shared
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    for parts in (2, 6):
+        out = (
+            segment_dedup_stats(rd.from_pandas(df).repartition(3),
+                                width=16, num_partitions=parts)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert (out["n_seg"] == 3).all()
+        assert out.loc[10, "n_dup_seg"] == 3 and out.loc[10, "dup_frac"] == 1.0
+        assert out.loc[11, "n_dup_seg"] == 1
+        assert out.loc[list(range(10)), "n_dup_seg"].sum() == 0

@@ -120,3 +120,68 @@ def test_session_stats_vs_pandas(sides):
     )
     exp_rows = lab.sort_values(["k", "ts", "rid"], ignore_index=True)
     assert got_rows["session_id"].tolist() == exp_rows["session_id"].tolist()
+
+
+# ------------------------------------------------------------------ funnel
+
+
+def _funnel_brute(df, steps, window_us=None):
+    """Per-user chained-minima reference in plain python."""
+    reached = [0] * len(steps)
+    for _, g in df.groupby("u"):
+        g = g.sort_values("us")
+        s1 = g[g["ev"] == steps[0]]["us"]
+        if s1.empty:
+            continue
+        t1 = prev = int(s1.min())
+        reached[0] += 1
+        for i, step in enumerate(steps[1:], start=1):
+            cand = g[(g["ev"] == step) & (g["us"] > prev)]
+            if window_us is not None:
+                cand = cand[cand["us"] <= t1 + window_us]
+            if cand.empty:
+                break
+            prev = int(cand["us"].min())
+            reached[i] += 1
+    return reached
+
+
+def test_funnel_counts_vs_brute(ray_session):
+    from diive_ray.stages.joins import funnel_counts
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 120, n),
+        "ev": rng.choice(["view", "click", "purchase", "noise"], n),
+        "us": rng.integers(0, 30 * 86_400_000_000, n),
+    })
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    steps = ["view", "click", "purchase"]
+    for window in (None, 86_400_000_000):
+        exp = _funnel_brute(df, steps, window)
+        got = funnel_counts(
+            rd.from_pandas(df[["u", "ev", "ts"]]).repartition(5),
+            steps=steps, key="u", ts="ts", event_col="ev", window_us=window,
+        )
+        assert got["n_users"].tolist() == exp, (window, got, exp)
+
+
+def test_funnel_strictly_after_and_window_edges(ray_session):
+    """Same-timestamp step-2 event does NOT count (strictly after);
+    an event exactly AT t1+window does (<=)."""
+    from diive_ray.stages.joins import funnel_counts
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2, 3, 3],
+        "ev": ["view", "click"] * 3,
+        "ts": [base, base,                                   # u1: tie -> no click
+               base, base + pd.Timedelta(hours=24),          # u2: exactly at window edge -> counts
+               base, base + pd.Timedelta(hours=24, seconds=1)],  # u3: past window -> no
+    })
+    got = funnel_counts(
+        rd.from_pandas(df), steps=["view", "click"],
+        key="u", ts="ts", event_col="ev", window_us=24 * 3600 * 1_000_000,
+    )
+    assert got["n_users"].tolist() == [3, 1]

@@ -73,3 +73,49 @@ def test_heavy_hitters_tiny_capacity_still_superset(ray_session):
     )
     assert got["token"].tolist()[0] == "the"
     assert got["cnt"].tolist()[0] == 150
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+
+def test_hll_error_bound_across_cardinalities():
+    """p=12 standard error is ~1.6%; pin < 5% (3 sigma) at several
+    cardinalities, including the linear-counting small range."""
+    from diive_ray.stages.sketch import hll_estimate, hll_partial
+
+    for n in (50, 1_000, 50_000, 1_000_000):
+        vals = np.arange(n, dtype=np.int64) * 1_000_003 + 7
+        est = hll_estimate(hll_partial(vals, p=12))
+        assert abs(est - n) / n < 0.05, (n, est)
+
+
+def test_hll_registers_mergeable():
+    """max-merge of two register arrays == registers of the union —
+    the property that makes per-batch partials exact to combine."""
+    from diive_ray.stages.sketch import hll_partial
+
+    a = np.arange(0, 80_000, dtype=np.int64)
+    b = np.arange(40_000, 140_000, dtype=np.int64)
+    merged = np.maximum(hll_partial(a), hll_partial(b))
+    direct = hll_partial(np.union1d(a, b))
+    assert (merged == direct).all()
+
+
+def test_hll_distinct_distributed_vs_exact(ray_session):
+    """Grouped hll_distinct over a Dataset lands within the error bound
+    of the exact per-group distinct, independent of partitioning."""
+    from diive_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 60_000),
+        "v": np.concatenate([rng.integers(0, 20_000, 60_000),
+                             rng.integers(0, 3_000, 60_000)]),
+    })
+    exact = df.groupby("g")["v"].nunique()
+    for parts in (2, 7):
+        got = hll_distinct(rd.from_pandas(df).repartition(parts),
+                           value_col="v", keys=["g"])
+        got = got.set_index("g")["n_distinct_est"]
+        for g in ("a", "b"):
+            assert abs(got[g] - exact[g]) / exact[g] < 0.05
