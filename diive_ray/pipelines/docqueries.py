@@ -1300,6 +1300,36 @@ FROM documents GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic per-source uniform 20-sample via Knuth
+    multiplicative hash ranking (stages/packing.py:hash_sample_topk):
+    reproducible across runs/partitionings/cluster sizes where plain
+    reservoir sampling is arrival-order dependent; per-batch partial
+    top-k means only ≤ k rows per (batch, source) ever move."""
+    from ..stages.packing import hash_sample_topk
+
+    out = hash_sample_topk(
+        _docs(sf_dir, ["source", "doc_id"]), k=20, id_col="doc_id", keys=["source"]
+    )
+    for c in ("doc_id", "h", "rk"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "doc_id", "h", "rk"]].reset_index(drop=True)
+
+
+_SQL_SAMPLE_HASH = """
+WITH h AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 AS BIGINT) AS h
+  FROM documents
+)
+SELECT source, doc_id, h, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+) WHERE rk <= 20 ORDER BY source, rk
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1333,6 +1363,7 @@ DOC_QUERIES: dict[str, Any] = {
     "source_ks_drift": q_source_ks_drift,
     "doc_segment_dedup": q_doc_segment_dedup,
     "jsonl_ingest": q_jsonl_ingest,
+    "doc_sample_hash": q_doc_sample_hash,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1365,4 +1396,5 @@ DOC_ORACLE: dict[str, str] = {
     "source_ks_drift": _SQL_KS_DRIFT,
     "doc_segment_dedup": _SQL_SEGMENT_DEDUP,
     "jsonl_ingest": _SQL_JSONL_INGEST,
+    "doc_sample_hash": _SQL_SAMPLE_HASH,
 }

@@ -5055,6 +5055,35 @@ def q_hll_distinct_users(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order event transition matrix per user
+    (stages/joins.py:event_transitions): one exchange on user_id,
+    per-block vectorized shift with boundary masking, driver sum of
+    ≤ #event-types² partials per block; event_id tie-breaks equal
+    timestamps so the sequence is a total order."""
+    from ..stages.joins import event_transitions
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    return event_transitions(
+        ds, key="user_id", ts="ts", event_col="event_type", order_col="event_id"
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_event
+  FROM events
+)
+SELECT prev_event, event_type AS next_event,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_event), 6) AS p
+FROM o WHERE prev_event IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -5163,6 +5192,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "timelag_analysis": q_timelag_analysis,
     "event_funnel": q_event_funnel,
     "hll_distinct_users": q_hll_distinct_users,
+    "event_transitions": q_event_transitions,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -5253,6 +5283,7 @@ ORACLE: dict[str, str] = {
     "timelag_analysis": _SQL_TIMELAG,
     "event_funnel": _SQL_EVENT_FUNNEL,
     # hll_distinct_users: sketch estimate -> rows-only (error bound pytest-pinned)
+    "event_transitions": _SQL_EVENT_TRANSITIONS,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

@@ -403,3 +403,55 @@ def funnel_counts(
     out = partials.groupby("step", as_index=False)["n_users"].sum()
     out["event_type"] = [steps[s - 1] for s in out["step"]]
     return out[["step", "event_type", "n_users"]].sort_values("step").reset_index(drop=True)
+
+
+def event_transitions(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    event_col: str = "event_type",
+    order_col: "str | None" = None,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """First-order transition counts (prev_event -> next_event) over
+    each key's time-ordered event sequence — the Markov path-analysis
+    primitive behind "next action" product analytics. Deterministic
+    under timestamp ties via ``order_col`` as the tie-break.
+
+    Distribution: project (key, event, ts[, order]) at the read, ONE
+    exchange on key, per-block vectorized sort + shift with key-boundary
+    masking, per-block pair counts (bounded by #event-types²), driver
+    sum. Output: (prev_event, next_event, n, p) with p = n / sum(n)
+    per prev_event, rounded to 6 dp."""
+    from ..util import round6
+    from .exchange import block_map
+
+    cols = [key, event_col, ts] + ([order_col] if order_col else [])
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "prev_event": pd.Series([], dtype=object),
+                "next_event": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        sort_cols = [key, ts] + ([order_col] if order_col else [])
+        df = df.sort_values(sort_cols, kind="stable")
+        k = df[key].to_numpy()
+        ev = df[event_col].to_numpy()
+        same = k[1:] == k[:-1]
+        pairs = pd.DataFrame({"prev_event": ev[:-1][same], "next_event": ev[1:][same]})
+        out = pairs.groupby(["prev_event", "next_event"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = block_map(
+        ds.map_batches(lambda d: d[cols], batch_format="pandas"),
+        [key], per_block, batch_format="pandas",
+        num_partitions=num_partitions, zero_copy_batch=False,
+    ).to_pandas()
+    out = partials.groupby(["prev_event", "next_event"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    tot = out.groupby("prev_event")["n"].transform("sum")
+    out["p"] = round6(out["n"] / tot)
+    return out.sort_values(["prev_event", "next_event"]).reset_index(drop=True)

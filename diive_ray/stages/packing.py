@@ -255,3 +255,59 @@ def decontaminate(
         return pd.DataFrame({"doc_id": ids, "n_hits": n_hits.astype(np.int64)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_sample_topk(
+    ds,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    keys: "list[str] | None" = None,
+    num_partitions: int | None = None,
+) -> "pd.DataFrame":
+    """Deterministic uniform k-sample [per keys] without randomness:
+    rank rows by a Knuth multiplicative hash of ``id_col`` and keep the
+    k smallest per group — reproducible across runs, cluster sizes and
+    partitionings (the property plain reservoir sampling lacks: its
+    result depends on arrival order), and SQL-replayable (the hash is
+    plain integer arithmetic, so the oracle can spell it verbatim).
+
+    Distribution: per-batch vectorized partial top-k (each batch emits
+    ≤ k rows per group it touches), ONE tiny exchange on keys combining
+    partials — the corpus never moves, only candidate ids. Output:
+    (keys..., id_col, h, rk)."""
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import block_map
+
+    gkeys = list(keys or [])
+
+    def _hash(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(4294967296)).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(h=pd.Series([], dtype=np.int64))
+        df = df.assign(h=_hash(df[id_col].to_numpy(dtype=np.int64)))
+        df = df.sort_values(gkeys + ["h", id_col], kind="stable")
+        return df.groupby(gkeys, sort=False).head(k) if gkeys else df.head(k)
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(rk=pd.Series([], dtype=np.int64))
+        df = df.sort_values(gkeys + ["h", id_col], kind="stable")
+        df = df.groupby(gkeys, sort=False).head(k) if gkeys else df.head(k)
+        df = df.copy()
+        df["rk"] = (df.groupby(gkeys).cumcount() + 1).astype(np.int64) if gkeys else np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    if gkeys:
+        out = block_map(pre, gkeys, combine, batch_format="pandas",
+                        num_partitions=num_partitions, zero_copy_batch=False).to_pandas()
+    else:
+        from .exchange import driver_combine
+        out = driver_combine(pre, lambda d: d, combine, batch_format="pandas")
+    return out.sort_values(gkeys + ["rk"]).reset_index(drop=True)

@@ -185,3 +185,28 @@ def test_funnel_strictly_after_and_window_edges(ray_session):
         key="u", ts="ts", event_col="ev", window_us=24 * 3600 * 1_000_000,
     )
     assert got["n_users"].tolist() == [3, 1]
+
+
+def test_event_transitions_vs_pandas(ray_session):
+    from diive_ray.stages.joins import event_transitions
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 60, n),
+        "ev": rng.choice(list("abcd"), n),
+        "ts": pd.to_datetime(rng.integers(0, 10 * 86_400_000_000, n), unit="us"),
+        "eid": np.arange(n, dtype=np.int64),
+    })
+    got = event_transitions(
+        rd.from_pandas(df).repartition(5),
+        key="u", ts="ts", event_col="ev", order_col="eid",
+    )
+    ref = df.sort_values(["u", "ts", "eid"])
+    prev = ref.groupby("u")["ev"].shift(1)
+    pairs = pd.DataFrame({"prev_event": prev, "next_event": ref["ev"]}).dropna()
+    exp = pairs.groupby(["prev_event", "next_event"], as_index=False).size() \
+               .rename(columns={"size": "n"}).sort_values(["prev_event", "next_event"])
+    assert got["n"].tolist() == exp["n"].tolist()
+    tot = exp.groupby("prev_event")["n"].transform("sum")
+    assert np.allclose(got["p"].to_numpy(), (exp["n"] / tot).round(6).to_numpy())

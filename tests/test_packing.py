@@ -117,3 +117,30 @@ def test_decontaminate_hash_equals_strings():
     assert len(sets[0]) == 3 and len(sets[1]) == 3 and len(sets[2]) == 1
     inter = np.intersect1d(sets[0], sets[1])
     assert len(inter) == 2  # 'b c d e', 'c d e f'
+
+
+def test_hash_sample_topk_partitioning_invariant(ray_session):
+    """The sample is a pure function of the ids — identical at any
+    partitioning and equal to a pandas replay of the hash ranking."""
+    from diive_ray.stages.packing import hash_sample_topk
+
+    df = pd.DataFrame({
+        "src": np.repeat(["x", "y", "z"], 400),
+        "doc_id": np.arange(1200, dtype=np.int64) * 13 + 5,
+    })
+    h = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    exp = (
+        df.assign(h=h.astype(np.int64))
+        .sort_values(["src", "h", "doc_id"])
+        .groupby("src").head(7)
+        .reset_index(drop=True)
+    )
+    outs = []
+    for parts in (1, 4, 9):
+        got = hash_sample_topk(
+            rd.from_pandas(df).repartition(parts), k=7, id_col="doc_id", keys=["src"]
+        )
+        outs.append(got[["src", "doc_id", "h"]].reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    assert outs[0]["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert outs[0]["h"].tolist() == exp["h"].tolist()
