@@ -5084,6 +5084,47 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_file_split_stats(sf_dir: str):
+    """FileSplitter splits-overview (reference filesplitter.py:169-240
+    via sources/splitter.py): 6h time chunks over events with 2-D wind
+    rotation + Reynolds *_TURB departures (u/v/w synthesized as in
+    q_wind_rotation), stats-only run (the file-write path is round-trip
+    pytest-pinned). Name = first record's %Y%m%d%H%M%S + '_ROT'."""
+    from ..sources.splitter import split_timeseries
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(dtype=np.float64)
+        df = df.assign(
+            u=df["value"],
+            v=df["value"] * np.cos(uid),
+            w=df["value"] * np.sin(uid) / 10.0,
+        )
+        return df.drop(columns=["user_id"])
+
+    out = split_timeseries(
+        ds.map_batches(synth, batch_format="pandas"),
+        outdir="/tmp/diive_ray_splits", ts_col="ts", every="6h",
+        rotation=True, u="u", v="v", w="w", c="value", write_files=False,
+    )
+    return out.reset_index(drop=True)
+
+
+_SQL_FILE_SPLIT = """
+WITH b AS (
+  SELECT ts, (epoch_us(ts) // 21600000000) * 21600000000 AS bucket
+  FROM events
+)
+SELECT strftime(MIN(ts), '%Y%m%d%H%M%S') || '_ROT' AS split_name,
+       MIN(ts) AS "start", MAX(ts) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(13 AS BIGINT) AS n_columns,
+       CAST(1 AS BIGINT) AS wind_rotation
+FROM b GROUP BY bucket ORDER BY 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -5193,6 +5234,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_funnel": q_event_funnel,
     "hll_distinct_users": q_hll_distinct_users,
     "event_transitions": q_event_transitions,
+    "file_split_stats": q_file_split_stats,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -5284,6 +5326,7 @@ ORACLE: dict[str, str] = {
     "event_funnel": _SQL_EVENT_FUNNEL,
     # hll_distinct_users: sketch estimate -> rows-only (error bound pytest-pinned)
     "event_transitions": _SQL_EVENT_TRANSITIONS,
+    "file_split_stats": _SQL_FILE_SPLIT,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

@@ -36,6 +36,13 @@ def read_timeseries_csv(paths, spec: CsvSpec = CsvSpec(), **read_csv_kwargs) -> 
     from pyarrow import csv as pacsv
 
     convert = pacsv.ConvertOptions(null_values=list(spec.na_values), strings_can_be_null=True)
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    if any(str(p).endswith(".gz") for p in plist) and "arrow_open_stream_args" not in read_csv_kwargs:
+        # gzip'd CSV (reference files.py:211-254 unzip semantics): arrow
+        # decompresses in-stream per file, so the read fans out per file
+        # exactly like plain CSV — no driver-side unzip step.
+        read_csv_kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
+        read_csv_kwargs.setdefault("file_extensions", None)
     ds = ray.data.read_csv(paths, convert_options=convert, **read_csv_kwargs)
 
     def fix(batch: pa.Table) -> pa.Table:
