@@ -1330,6 +1330,32 @@ SELECT source, doc_id, h, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+def q_doc_global_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle
+    (stages/packing.py:global_shuffle_order): every doc ranked by the
+    Knuth hash of its id — balanced fixed hash-range buckets, slim
+    counting pass + driver cumsum, ONE keyed exchange assigning exact
+    global positions in-block. Reproducible at any cluster size."""
+    from ..stages.packing import global_shuffle_order
+
+    out = global_shuffle_order(_docs(sf_dir, ["doc_id"]), id_col="doc_id").to_pandas()
+    for c in ("doc_id", "h", "pos"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "h", "pos"]].sort_values("pos").reset_index(drop=True)
+
+
+_SQL_GLOBAL_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, h,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h ORDER BY pos
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1364,6 +1390,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_segment_dedup": q_doc_segment_dedup,
     "jsonl_ingest": q_jsonl_ingest,
     "doc_sample_hash": q_doc_sample_hash,
+    "doc_global_shuffle": q_doc_global_shuffle,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1397,4 +1424,5 @@ DOC_ORACLE: dict[str, str] = {
     "doc_segment_dedup": _SQL_SEGMENT_DEDUP,
     "jsonl_ingest": _SQL_JSONL_INGEST,
     "doc_sample_hash": _SQL_SAMPLE_HASH,
+    "doc_global_shuffle": _SQL_GLOBAL_SHUFFLE,
 }

@@ -311,3 +311,73 @@ def hash_sample_topk(
         from .exchange import driver_combine
         out = driver_combine(pre, lambda d: d, combine, batch_format="pandas")
     return out.sort_values(gkeys + ["rk"]).reset_index(drop=True)
+
+
+def global_shuffle_order(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Deterministic global training-order shuffle: rank every row by
+    the Knuth multiplicative hash of ``id_col`` — a reproducible
+    pseudorandom permutation of the corpus (identical at any cluster
+    size / partitioning / arrival order), i.e. the "global shuffle
+    before training" step of an LLM data pipeline, without the
+    random_shuffle() nondeterminism that breaks resumability.
+
+    Distributed shape: h is uniform on [0, 2^32), so FIXED hash ranges
+    are already balanced buckets — no sampling pass, unlike a generic
+    distributed sort. (1) one slim counting pass over (id) -> per-bucket
+    counts, driver exclusive cumsum (n_buckets rows, bounded), offsets
+    broadcast via ray.put; (2) ONE keyed exchange on the bucket label;
+    in-block sort by (h, id) + broadcast base offset assigns every row
+    its exact global position, fully vectorized. Output: a streaming
+    Dataset of (id, h, pos, bucket) — writing it partitioned by
+    ``bucket`` yields shard files that concatenate in global order
+    (each bucket owns the contiguous range [offset_b, offset_b+n_b))."""
+    from .exchange import default_partitions
+
+    nb = int(n_buckets or default_partitions())
+    width = -(-(1 << 32) // nb)  # ceil(2^32 / nb)
+
+    def _hash(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)).astype(np.int64)
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = _hash(ids) // width
+        ub, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": ub.astype(np.int64), "n": c.astype(np.int64)})
+
+    def combine(df: pd.DataFrame) -> np.ndarray:
+        per = df.groupby("bucket")["n"].sum().reindex(range(nb), fill_value=0).to_numpy()
+        off = np.zeros(nb, dtype=np.int64)
+        np.cumsum(per[:-1], out=off[1:])
+        return off
+
+    slim = ds.map_batches(lambda t: t.select([id_col]), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    offsets_ref = ray.put(driver_combine(slim, counts, combine))
+
+    def label(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = _hash(ids)
+        t = t.append_column("h", pa.array(h, type=pa.int64()))
+        return t.append_column("bucket", pa.array(h // width, type=pa.int64()))
+
+    def position(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(pos=pd.Series([], dtype=np.int64))
+        offsets = _get_broadcast(offsets_ref)
+        df = df.sort_values(["bucket", "h", id_col], kind="stable").reset_index(drop=True)
+        b = df["bucket"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        in_bucket = np.arange(len(b)) - np.repeat(starts, np.diff(np.r_[starts, len(b)]))
+        df["pos"] = offsets[b] + in_bucket
+        return df
+
+    labeled = slim.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+    return block_map(labeled, ["bucket"], position, batch_format="pandas",
+                     num_partitions=num_partitions, zero_copy_batch=False)

@@ -144,3 +144,36 @@ def test_hash_sample_topk_partitioning_invariant(ray_session):
     assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
     assert outs[0]["doc_id"].tolist() == exp["doc_id"].tolist()
     assert outs[0]["h"].tolist() == exp["h"].tolist()
+
+
+def test_global_shuffle_order_exact_and_invariant(ray_session):
+    """Positions are a pure function of the ids: equal to the pandas
+    hash-sort replay, identical at any partitioning / bucket count,
+    and each hash bucket owns a contiguous global range."""
+    from diive_ray.stages.packing import global_shuffle_order
+
+    ids = np.arange(3000, dtype=np.int64) * 7 + 1
+    df = pd.DataFrame({"doc_id": ids})
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    exp = (
+        df.assign(h=h.astype(np.int64))
+        .sort_values(["h", "doc_id"])
+        .reset_index(drop=True)
+        .assign(pos=np.arange(len(df), dtype=np.int64))
+    )
+    outs = []
+    for parts, nb in ((1, 8), (5, 8), (5, 17)):
+        got = (
+            global_shuffle_order(rd.from_pandas(df).repartition(parts), n_buckets=nb)
+            .to_pandas().sort_values("pos").reset_index(drop=True)
+        )
+        outs.append(got[["doc_id", "h", "pos"]])
+        # bucket ranges are contiguous in global order
+        gb = got.sort_values("pos").groupby("bucket")["pos"]
+        lo, hi, n = gb.min(), gb.max(), gb.size()
+        assert ((hi - lo + 1) == n).all()
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    assert outs[0]["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert outs[0]["pos"].tolist() == exp["pos"].tolist()
+    # permutation sanity: every position exactly once
+    assert np.array_equal(np.sort(outs[0]["pos"].to_numpy()), np.arange(len(df)))
