@@ -547,3 +547,43 @@ def pii_redact(texts: pa.Array, token: str = PII_TOKEN) -> pa.Array:
     for pat in PII_PATTERNS:
         out = pc.replace_substring_regex(out, pat, token)
     return out
+
+
+def nfc(texts: pa.Array) -> pa.Array:
+    """Unicode NFC with an Arrow fast path: this container's pyarrow
+    (16.1) utf8_normalize does NOT recompose (NFC and NFD both emit
+    e+U+0301 — verified), so true composition needs Python
+    unicodedata. Pure-ASCII strings are NFC by definition, so the
+    vectorized regex mask short-circuits them; only the non-ASCII
+    minority pays the per-string C call (is_normalized fast-path
+    first, normalize only when it reports False)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    ascii_mask = pc.match_substring_regex(texts, r"^[\x00-\x7F]*$")
+    if pc.all(ascii_mask).as_py() in (True, None):
+        return texts
+    vals = texts.to_pylist()
+    out = [
+        v if v is None or m or unicodedata.is_normalized("NFC", v)
+        else unicodedata.normalize("NFC", v)
+        for v, m in zip(vals, ascii_mask.to_pylist())
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def normalize_text(texts: pa.Array) -> pa.Array:
+    """Canonical text normalization for dedup/filter pipelines:
+    Unicode NFC -> lowercase -> collapse ASCII whitespace runs to one
+    space -> trim. Lower/collapse/trim are Arrow compute kernels; NFC
+    is the hybrid above. The whitespace class is spelled explicitly
+    ([ \\t\\n\\r\\f\\v]) because RE2's \\s is ASCII-only while Python's is
+    Unicode-aware — pinning the ASCII class keeps the kernel, the SQL
+    oracle (regexp_replace) and any RE2-based reimplementation
+    identical."""
+    import pyarrow.compute as pc
+
+    out = pc.utf8_lower(nfc(texts))
+    out = pc.replace_substring_regex(out, pattern="[ \t\n\r\f\v]+", replacement=" ")
+    return pc.utf8_trim(out, " ")

@@ -1356,6 +1356,80 @@ FROM h ORDER BY pos
 """
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (functions/text.py:normalize_text):
+    NFC -> lower -> collapse whitespace -> trim, pure Arrow kernels per
+    batch, no shuffle. Returns the normalized text + its length so the
+    oracle compares the actual strings, not a summary."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import normalize_text
+
+    def fn(t):
+        import pyarrow as pa
+
+        norm = normalize_text(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": norm,
+            "norm_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+        })
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)),
+                           '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text,
+       CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+                        '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) AS BIGINT) AS norm_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_dedup_normalized(sf_dir: str):
+    """Normalization-aware exact dedup: normalize_text per batch (pure
+    Arrow kernels), then exact_dedup's broadcast-digest path — case /
+    whitespace / unicode-form variants collapse to one kept doc. The
+    normalized text never shuffles (only 24-byte digests move)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.text import normalize_text
+
+    def norm(t: pa.Table) -> pa.Table:
+        nt = normalize_text(t["text"])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": nt,
+            "norm_chars": pc.cast(pc.utf8_length(nt), pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = dd.exact_dedup(ds).to_pandas()
+    return out[["doc_id", "norm_chars"]].sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_DEDUP_NORMALIZED = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)),
+                             '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS nt
+  FROM documents
+)
+SELECT doc_id, CAST(length(nt) AS BIGINT) AS norm_chars FROM (
+  SELECT doc_id, nt, ROW_NUMBER() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+  FROM n
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1391,6 +1465,8 @@ DOC_QUERIES: dict[str, Any] = {
     "jsonl_ingest": q_jsonl_ingest,
     "doc_sample_hash": q_doc_sample_hash,
     "doc_global_shuffle": q_doc_global_shuffle,
+    "doc_normalize": q_doc_normalize,
+    "doc_dedup_normalized": q_doc_dedup_normalized,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1425,4 +1501,6 @@ DOC_ORACLE: dict[str, str] = {
     "jsonl_ingest": _SQL_JSONL_INGEST,
     "doc_sample_hash": _SQL_SAMPLE_HASH,
     "doc_global_shuffle": _SQL_GLOBAL_SHUFFLE,
+    "doc_normalize": _SQL_NORMALIZE,
+    "doc_dedup_normalized": _SQL_DEDUP_NORMALIZED,
 }

@@ -319,6 +319,7 @@ def global_shuffle_order(
     id_col: str = "doc_id",
     n_buckets: int | None = None,
     num_partitions: int | None = None,
+    payload: bool = False,
 ) -> rd.Dataset:
     """Deterministic global training-order shuffle: rank every row by
     the Knuth multiplicative hash of ``id_col`` — a reproducible
@@ -336,7 +337,11 @@ def global_shuffle_order(
     its exact global position, fully vectorized. Output: a streaming
     Dataset of (id, h, pos, bucket) — writing it partitioned by
     ``bucket`` yields shard files that concatenate in global order
-    (each bucket owns the contiguous range [offset_b, offset_b+n_b))."""
+    (each bucket owns the contiguous range [offset_b, offset_b+n_b)).
+
+    ``payload=True`` carries ALL input columns through the exchange
+    (for shard writing — the payload moves exactly once); the counting
+    pass stays id-only either way."""
     from .exchange import default_partitions
 
     nb = int(n_buckets or default_partitions())
@@ -378,6 +383,55 @@ def global_shuffle_order(
         df["pos"] = offsets[b] + in_bucket
         return df
 
-    labeled = slim.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+    src = ds if payload else slim
+    labeled = src.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
     return block_map(labeled, ["bucket"], position, batch_format="pandas",
                      num_partitions=num_partitions, zero_copy_batch=False)
+
+
+def write_training_shards(
+    ds: rd.Dataset,
+    outdir: str,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Materialize the deterministic global shuffle as training shards:
+    one parquet file per hash bucket, rows in global order inside each
+    file, shard files concatenating (by shard_id) to the full shuffled
+    corpus. The payload moves through exactly ONE exchange; each block
+    writes its buckets' files independently (resumable: a rerun can
+    skip shard files that already exist). Returns the shard manifest
+    (shard_id, n_rows, pos_min, pos_max, path), sorted."""
+    import os
+
+    ordered = global_shuffle_order(
+        ds, id_col=id_col, n_buckets=n_buckets,
+        num_partitions=num_partitions, payload=True,
+    )
+    os.makedirs(outdir, exist_ok=True)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["shard_id", "n_rows", "pos_min", "pos_max", "path"]
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64 if c != "path" else object)
+                                 for c in cols})
+        rows = []
+        for b, sdf in df.groupby("bucket", sort=True):
+            sdf = sdf.sort_values("pos")
+            path = os.path.join(outdir, f"shard_{int(b):06d}.parquet")
+            sdf.drop(columns=["bucket"]).to_parquet(path, index=False)
+            rows.append((int(b), len(sdf), int(sdf["pos"].iloc[0]),
+                         int(sdf["pos"].iloc[-1]), path))
+        out = pd.DataFrame(rows, columns=cols)
+        for c in cols[:-1]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    # batch_size=None maps WHOLE blocks, so each bucket's rows arrive
+    # together (block_map's one-block-per-key contract upstream).
+    manifest = ordered.map_batches(
+        write_block, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    return manifest.sort_values("shard_id").reset_index(drop=True)

@@ -177,3 +177,35 @@ def test_global_shuffle_order_exact_and_invariant(ray_session):
     assert outs[0]["pos"].tolist() == exp["pos"].tolist()
     # permutation sanity: every position exactly once
     assert np.array_equal(np.sort(outs[0]["pos"].to_numpy()), np.arange(len(df)))
+
+
+def test_write_training_shards_global_order(ray_session, tmp_path):
+    """Shard files concatenated in shard_id order reproduce the exact
+    hash-shuffled corpus, payload intact; manifest ranges partition
+    [0, n) contiguously."""
+    import glob
+
+    from diive_ray.stages.packing import write_training_shards
+
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64) * 3 + 11,
+        "txt": [f"doc-{i}" for i in range(n)],
+    })
+    out = str(tmp_path / "shards")
+    man = write_training_shards(
+        rd.from_pandas(df).repartition(6), out, n_buckets=7)
+    assert man["n_rows"].sum() == n
+    # manifest ranges tile [0, n) in shard order
+    assert man["pos_min"].iloc[0] == 0 and man["pos_max"].iloc[-1] == n - 1
+    assert (man["pos_min"].iloc[1:].to_numpy() ==
+            man["pos_max"].iloc[:-1].to_numpy() + 1).all()
+
+    files = sorted(glob.glob(out + "/shard_*.parquet"))
+    assert len(files) == len(man)
+    back = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    assert back["pos"].tolist() == list(range(n))
+    h = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    exp = df.assign(h=h.astype(np.int64)).sort_values(["h", "doc_id"])
+    assert back["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert back["txt"].tolist() == exp["txt"].tolist()
