@@ -1430,6 +1430,45 @@ SELECT doc_id, CAST(length(nt) AS BIGINT) AS norm_chars FROM (
 """
 
 
+def q_doc_quality_classifier(sf_dir: str):
+    """CCNet-style trained quality filter (stages/classifier.py):
+    logistic regression (from-scratch Newton-IRLS) on the Gopher
+    feature vector; fit on a deterministic hash-sample (only feature
+    rows reach the driver), scored corpus-wide via one
+    broadcast-weights map_batches. The corpus text is uniform word
+    salad, so — as with doc_pii — the low-quality population is
+    SYNTHESIZED deterministically: odd doc_ids get digit/punct junk
+    appended, and the classifier must recover that split from the
+    features alone. Rows-only: IRLS is not SQL-expressible;
+    separation + bit-stable weights are pytest-pinned."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.classifier import score_quality, train_quality_classifier
+    from ..util import round6
+
+    def degrade(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_clean = (ids % 2 == 0)
+        junk = pc.binary_join_element_wise(
+            t["text"], " $$$ 0123456789 !!! ### 777777 %%% 0x1f9 ???", "")
+        text = pc.if_else(pa.array(is_clean), t["text"], junk)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": text,
+            "is_clean": pa.array(is_clean.astype(np.int64)),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        degrade, batch_format="pyarrow", zero_copy_batch=True)
+    w = train_quality_classifier(ds, label_col="is_clean")
+    out = score_quality(ds, w, keep_cols=("doc_id", "is_clean")).to_pandas()
+    out["qc_prob"] = round6(out["qc_prob"])
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["is_clean"] = out["is_clean"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1467,6 +1506,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_global_shuffle": q_doc_global_shuffle,
     "doc_normalize": q_doc_normalize,
     "doc_dedup_normalized": q_doc_dedup_normalized,
+    "doc_quality_classifier": q_doc_quality_classifier,
 }
 
 DOC_ORACLE: dict[str, str] = {
