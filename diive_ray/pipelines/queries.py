@@ -5084,6 +5084,80 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_tokens_vocab_hist(sf_dir: str):
+    """Corpus-wide vocabulary statistics over the north-rule
+    ``tokens:list<int32>`` arrays (BASELINE.json input_hint): per
+    token id, total occurrences (tf) and containing-doc count (df) —
+    the inputs to vocab coverage / idf / BPE-merge analysis. Token
+    arrays are synthesized with the fixture formula and aggregated
+    FROM the materialized buffers (np.bincount over the flattened
+    values; df via unique (doc, token) keys), exactly as
+    q_tokens_rollup_1h. Per-batch partials are bounded by VOCAB, then
+    ONE tiny exchange on token sums them — the hierarchical shape
+    that holds at 100 TB (no driver-side accumulation; arrays never
+    leave their read task). Oracle replays the formula with a bounded
+    generate_series cross join."""
+    from ..fixtures import KNUTH, VOCAB
+    from ..stages.exchange import block_map
+
+    ds = _events(sf_dir, ["event_id"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(eid) == 0:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64),
+            })
+        n_tok = (eid % 257 + 1).astype(np.int64)
+        seed = (eid.astype(np.uint64) * np.uint64(1_000_003)) & np.uint64(0x7FFFFFFFFFFF)
+        offsets = np.zeros(len(eid) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        total = int(offsets[-1])
+        j = (np.arange(total, dtype=np.uint64)
+             - np.repeat(offsets[:-1], n_tok).astype(np.uint64) + np.uint64(1))
+        flat = ((np.repeat(seed, n_tok) + j * np.uint64(KNUTH)) % np.uint64(VOCAB)).astype(np.int64)
+        tf = np.bincount(flat, minlength=VOCAB)
+        # df: unique (doc, token) pairs, then count tokens once per doc
+        key = np.repeat(eid, n_tok) * np.int64(VOCAB) + flat
+        df_ = np.bincount(np.unique(key) % np.int64(VOCAB), minlength=VOCAB)
+        nz = np.flatnonzero(tf)
+        return pd.DataFrame({
+            "token": nz.astype(np.int64),
+            "n": tf[nz].astype(np.int64),
+            "df": df_[nz].astype(np.int64),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False)[["n", "df"]].sum()
+        for c in ("token", "n", "df"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = block_map(pre, ["token"], combine, batch_format="pandas",
+                    zero_copy_batch=False, weight_col="n").to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
+_SQL_TOKENS_VOCAB = """
+WITH tok AS (
+  SELECT event_id, (event_id % 257) + 1 AS n_tok,
+         (event_id * 1000003) % 140737488355328 AS seed
+  FROM events
+), flat AS (
+  SELECT event_id, (seed + j * 2654435761) % 50257 AS token
+  FROM tok, generate_series(1, 257) AS t(j)
+  WHERE j <= n_tok
+)
+SELECT CAST(token AS BIGINT) AS token,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS df
+FROM flat GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_file_split_stats(sf_dir: str):
     """FileSplitter splits-overview (reference filesplitter.py:169-240
     via sources/splitter.py): 6h time chunks over events with 2-D wind
@@ -5235,6 +5309,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "event_transitions": q_event_transitions,
     "file_split_stats": q_file_split_stats,
+    "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -5327,6 +5402,7 @@ ORACLE: dict[str, str] = {
     # hll_distinct_users: sketch estimate -> rows-only (error bound pytest-pinned)
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "file_split_stats": _SQL_FILE_SPLIT,
+    "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

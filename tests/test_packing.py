@@ -209,3 +209,17 @@ def test_write_training_shards_global_order(ray_session, tmp_path):
     exp = df.assign(h=h.astype(np.int64)).sort_values(["h", "doc_id"])
     assert back["doc_id"].tolist() == exp["doc_id"].tolist()
     assert back["txt"].tolist() == exp["txt"].tolist()
+
+
+def test_tokens_vocab_hist_invariants(ray_session):
+    """tf/df sanity at sf0.001: partitioning-invariant, df <= tf,
+    df <= n_docs, total tf == total token count."""
+    from diive_ray.pipelines.queries import q_tokens_vocab_hist
+
+    out = q_tokens_vocab_hist("/root/testdata/sf0.001")
+    assert (out["df"] <= out["n"]).all()
+    import pyarrow.parquet as pq
+    eid = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["event_id"])
+    ids = eid["event_id"].to_numpy()
+    assert (out["df"] <= len(ids)).all()
+    assert out["n"].sum() == int((ids % 257 + 1).sum())
