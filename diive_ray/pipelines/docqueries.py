@@ -1469,6 +1469,19 @@ def q_doc_quality_classifier(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (stages/bpe.py, Sennrich 2016): k=30
+    merges learned from the distributed word-frequency table (per-batch
+    value_counts partials, ONE vocab-bounded exchange — text never
+    moves; merge loop driver-side over the bounded vocab, ties broken
+    lexicographically). Rows-only: the merge loop is iterative; the
+    kernel is pinned against the paper's worked example and a pandas
+    replay in pytest."""
+    from ..stages.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["doc_id", "text"]), k=30)
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1507,6 +1520,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_normalize": q_doc_normalize,
     "doc_dedup_normalized": q_doc_dedup_normalized,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "doc_bpe_merges": q_doc_bpe_merges,
 }
 
 DOC_ORACLE: dict[str, str] = {
