@@ -5199,6 +5199,50 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_binary_extract(sf_dir: str):
+    """Bit-field decoding of packed integer status words
+    (io/binary/extract.py:14-128 via functions/binary.py): a 16-bit
+    word synthesized from event_id (odd-multiplier hash, bijective mod
+    2^16) carries three packed fields — [0,4) raw, [4,10) gain 0.25,
+    [10,16) gain 6.25 — decoded with vectorized shift/mask kernels.
+    SQL replays the same shifts exactly (all widths = n_bits here; the
+    wider-than-n_bits and NaN edge semantics are pytest-pinned against
+    a verbatim reference-semantics replica)."""
+    from ..functions.binary import encoded_value
+
+    ds = _events(sf_dir, ["event_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        word = (eid * 40503) % 65536
+        return pa.table({
+            "event_id": t["event_id"],
+            "status_word": pa.array(word, pa.int64()),
+            "status_a": pa.array(encoded_value(word, 0, 4, n_bits=16), pa.float64()),
+            "status_b": pa.array(
+                encoded_value(word, 4, 10, gain=0.25, n_bits=16), pa.float64()),
+            "status_c": pa.array(
+                encoded_value(word, 10, 16, gain=6.25, n_bits=16), pa.float64()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return _round6(out, ["status_a", "status_b", "status_c"]).sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+_SQL_BINARY_EXTRACT = """
+WITH w AS (
+  SELECT event_id, (event_id * 40503) % 65536 AS status_word FROM events
+)
+SELECT event_id, status_word,
+       ROUND(ROUND(CAST((status_word >> 12) & 15 AS DOUBLE), 9), 6) AS status_a,
+       ROUND(ROUND(CAST((status_word >> 6) & 63 AS DOUBLE) * 0.25, 9), 6) AS status_b,
+       ROUND(ROUND(CAST(status_word & 63 AS DOUBLE) * 6.25, 9), 6) AS status_c
+FROM w ORDER BY event_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -5309,6 +5353,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "event_transitions": q_event_transitions,
     "file_split_stats": q_file_split_stats,
+    "binary_extract": q_binary_extract,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
     **DOC_QUERIES,
@@ -5402,6 +5447,7 @@ ORACLE: dict[str, str] = {
     # hll_distinct_users: sketch estimate -> rows-only (error bound pytest-pinned)
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "file_split_stats": _SQL_FILE_SPLIT,
+    "binary_extract": _SQL_BINARY_EXTRACT,
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,
