@@ -5199,6 +5199,51 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_optimize_params(sf_dir: str):
+    """Hyperparameter grid search with TimeSeriesSplit CV
+    (core/ml/optimization.py:28-200 via stages/optimization.py): the
+    regularized 1h means of one event_type become the bounded model
+    table; a forest param grid fans out as (combo x fold) Ray fits over
+    the ray.put-broadcast arrays, neg-MSE CV selection, chronological
+    holdout scores on the winner. Iterative/model-based -> rows-only;
+    fold bounds + planted-structure recovery pinned in
+    tests/test_optimization.py."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+    from ..stages.mlfill import tree_time_features
+    from ..stages.optimization import grid_search_ts
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def regularize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket_ts", kind="stable")
+        key = df["event_type"].iloc[0]
+        reg = regularize_frame(df, US_PER_HOUR, "bucket_ts")
+        reg["event_type"] = key
+        return reg[["event_type", "bucket_ts", "mean"]]
+
+    dense = grouped_block_map(t1h, ["event_type"], regularize).to_pandas()
+    key = sorted(dense["event_type"].unique())[0]
+    g = dense[dense["event_type"] == key].sort_values("bucket_ts")
+    g = g[g["mean"].notna()]
+    ts_us = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]").astype(np.int64).to_numpy()
+    X = tree_time_features(ts_us)
+    y = g["mean"].to_numpy(dtype=np.float64)
+
+    cv, best, scores = grid_search_ts(
+        X, y, {"n_trees": [5, 15], "max_depth": [2, 6]},
+        model="forest", n_splits=4, seed=42)
+    cv = cv.copy()
+    cv["event_type"] = key
+    for k in ("rmse", "r2", "mae"):
+        cv[f"holdout_{k}"] = np.where(
+            cv["is_best"] == 1, np.nan_to_num(scores[k], nan=-1.0), -1.0)
+    cv = cv.astype({"n_trees": "int64", "max_depth": "int64"})
+    return _round6(
+        cv, ["mean_cv_mse", "holdout_rmse", "holdout_r2", "holdout_mae"]
+    ).sort_values(["max_depth", "n_trees"]).reset_index(drop=True)
+
+
 def q_binary_extract(sf_dir: str):
     """Bit-field decoding of packed integer status words
     (io/binary/extract.py:14-128 via functions/binary.py): a 16-bit
@@ -5354,6 +5399,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_transitions": q_event_transitions,
     "file_split_stats": q_file_split_stats,
     "binary_extract": q_binary_extract,
+    "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
     **DOC_QUERIES,
