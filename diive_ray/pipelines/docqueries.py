@@ -1482,6 +1482,21 @@ def q_doc_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), k=30)
 
 
+def q_doc_bpe_encode(sf_dir: str):
+    """BPE encoding fertility (stages/bpe.py BpeEncoder): train k=50
+    merges on the corpus, then an actor-pool pass encodes every doc's
+    DISTINCT words (per-actor cache) and reports per-doc word / BPE
+    token counts. Rows-only: the encode loop is iterative; greedy
+    rank-order semantics and the train->encode replay property are
+    pytest-pinned."""
+    from ..stages.bpe import bpe_encode_counts, bpe_train
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, k=50)
+    out = bpe_encode_counts(docs, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1521,6 +1536,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_dedup_normalized": q_doc_dedup_normalized,
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_bpe_merges": q_doc_bpe_merges,
+    "doc_bpe_encode": q_doc_bpe_encode,
 }
 
 DOC_ORACLE: dict[str, str] = {

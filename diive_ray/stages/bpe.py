@@ -118,3 +118,85 @@ def bpe_train(
     """Distributed word count -> driver merge loop. See module doc."""
     return learn_bpe(word_freqs(ds, text_col=text_col,
                                 num_partitions=num_partitions), k)
+
+
+def encode_word(word: str, ranks: dict, *, end_of_word: str = "</w>") -> list[str]:
+    """Classic BPE encoding: repeatedly merge the LOWEST-RANK adjacent
+    pair present (all its occurrences, left to right) until none of the
+    learned merges applies. Replays training exactly for in-vocab
+    words."""
+    sym: list = list(word) + [end_of_word]
+    while len(sym) > 1:
+        best_rank, best = None, None
+        for a, b in zip(sym[:-1], sym[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (a, b)
+        if best is None:
+            break
+        merged = best[0] + best[1]
+        out, j = [], 0
+        while j < len(sym):
+            if j + 1 < len(sym) and (sym[j], sym[j + 1]) == best:
+                out.append(merged)
+                j += 2
+            else:
+                out.append(sym[j])
+                j += 1
+        sym = out
+    return sym
+
+
+class BpeEncoder:
+    """Actor-pool batch encoder: the merge table (k rows, closure-tiny)
+    builds the rank dict once per actor in ``__init__``; each batch
+    splits docs to words, encodes only the batch's DISTINCT words
+    (Zipf: distinct << total; an LRU-less per-actor cache carries hot
+    words across batches), and maps token counts back per doc. Emits
+    (doc_id, n_words, n_bpe_tokens) — the fertility inputs."""
+
+    def __init__(self, merges: pd.DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        self.ranks = {
+            (l, r): int(rank)
+            for rank, l, r in zip(merges["rank"], merges["left"], merges["right"])
+        }
+        self.id_col, self.text_col = id_col, text_col
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t[self.text_col]), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        words = flat.to_pylist()
+        for w in set(words):
+            if w and w not in self.cache:
+                self.cache[w] = len(encode_word(w, self.ranks))
+        tok = np.fromiter((self.cache.get(w, 0) for w in words),
+                          dtype=np.int64, count=len(words))
+        is_word = np.fromiter((1 if w else 0 for w in words),
+                              dtype=np.int64, count=len(words))
+        offsets = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t)), offsets)
+        n_words = np.bincount(doc_idx, weights=is_word, minlength=len(t)).astype(np.int64)
+        n_tok = np.bincount(doc_idx, weights=tok, minlength=len(t)).astype(np.int64)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+        })
+
+
+def bpe_encode_counts(
+    ds: rd.Dataset, merges: pd.DataFrame, *, id_col: str = "doc_id",
+    text_col: str = "text", concurrency: tuple[int, int] | int = (1, 8),
+) -> rd.Dataset:
+    """Per-doc BPE token counts under a learned merge table (actor
+    pool; merges are bounded so they ship in the constructor)."""
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_kwargs={
+            "merges": merges, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )

@@ -83,6 +83,74 @@ def test_exhausts_cleanly():
     assert got["merged"].tolist() == ["ab", "ab</w>"]
 
 
+def test_encode_word_rank_order():
+    from diive_ray.stages.bpe import encode_word
+
+    merges = learn_bpe(PAPER_FREQS, k=5)
+    ranks = {(l, r): int(rk) for rk, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    # es -> est -> est</w> -> lo -> low, then no merge applies
+    assert encode_word("lowest", ranks) == ["low", "est</w>"]
+    assert encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert encode_word("low", ranks) == ["low", "</w>"]
+    assert encode_word("zzz", ranks) == ["z", "z", "z", "</w>"]
+
+
+def test_encode_replays_training_symbols():
+    """Encoding a training word under the full rank table reproduces
+    the trainer's final symbol sequence for that word."""
+    rng = np.random.Generator(np.random.Philox(key=[13, 2026]))
+    words = sorted({
+        "".join(rng.choice(list("abcd"), size=rng.integers(1, 7)))
+        for _ in range(40)
+    })
+    freqs = pd.DataFrame({
+        "word": words, "freq": rng.integers(1, 30, size=len(words))})
+    merges = learn_bpe(freqs, k=40)
+    ranks = {(l, r): int(rk) for rk, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+
+    # trainer-side final states via the naive replay
+    final = {i: tuple(w) + ("</w>",) for i, w in enumerate(freqs["word"])}
+    for _, row in merges.iterrows():
+        best = (row["left"], row["right"])
+        merged = row["merged"]
+        for i, sym in final.items():
+            out, j = [], 0
+            while j < len(sym):
+                if j + 1 < len(sym) and (sym[j], sym[j + 1]) == best:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            final[i] = tuple(out)
+
+    from diive_ray.stages.bpe import encode_word
+
+    for i, w in enumerate(freqs["word"]):
+        assert tuple(encode_word(w, ranks)) == final[i], w
+
+
+def test_encode_counts_dataset(ray_session):
+    import ray.data as rd
+
+    from diive_ray.stages.bpe import bpe_encode_counts
+
+    merges = learn_bpe(PAPER_FREQS, k=5)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["lowest newest", "  low  ", ""],
+    })
+    out = (
+        bpe_encode_counts(rd.from_pandas(df).repartition(3), merges)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # lowest->2, newest->4 | low->2 | empty->0
+    assert out["n_words"].tolist() == [2, 1, 0]
+    assert out["n_bpe_tokens"].tolist() == [6, 2, 0]
+
+
 def test_distributed_partitioning_invariant(ray_session):
     import ray.data as rd
 
