@@ -5199,6 +5199,64 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_winddir_agg(sf_dir: str):
+    """Circular wind-direction aggregation (core/funcs/funcs.py:85-118,
+    winddirection_agg_kanda via stages/wind.py): component-wise
+    sin/cos mean + median + P25/P75 recombined through atan2, wrapped
+    to [0, 360), per (event_type, day). Angles synthesized from
+    event_id (bijective odd-multiplier hash, exact hundredths). ONE
+    exchange on the group key; the SQL oracle replays the identical
+    expression order."""
+    from ..stages.wind import winddir_aggregate
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "bucket_us": pa.array((ts_us // US_PER_DAY) * US_PER_DAY, pa.int64()),
+            "winddir": pa.array(((eid * 40503) % 36000) / 100.0, pa.float64()),
+        })
+
+    prepped = ds.map_batches(add_cols, batch_format="pyarrow", zero_copy_batch=True)
+    out = winddir_aggregate(prepped, ["event_type", "bucket_us"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    from ..util import stable_round6
+
+    for c in ("wd_mean", "wd_median", "wd_p25", "wd_p75"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "bucket_us"]).reset_index(drop=True)
+
+
+_SQL_WINDDIR = """
+WITH a AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+         ((event_id * 40503) % 36000) / 100.0 AS angle
+  FROM events
+), c AS (
+  SELECT event_type, bucket_us,
+         SIN(angle / 180 * PI()) AS s, COS(angle / 180 * PI()) AS c
+  FROM a
+), g AS (
+  SELECT event_type, bucket_us, COUNT(*) AS n,
+         180 / PI() * ATAN2(AVG(s), AVG(c)) AS m,
+         180 / PI() * ATAN2(MEDIAN(s), MEDIAN(c)) AS md,
+         180 / PI() * ATAN2(QUANTILE_CONT(s, 0.25), QUANTILE_CONT(c, 0.25)) AS q25,
+         180 / PI() * ATAN2(QUANTILE_CONT(s, 0.75), QUANTILE_CONT(c, 0.75)) AS q75
+  FROM c GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, n,
+       ROUND(ROUND(CASE WHEN m < 0 THEN m + 360 ELSE m END, 9), 6) AS wd_mean,
+       ROUND(ROUND(CASE WHEN md < 0 THEN md + 360 ELSE md END, 9), 6) AS wd_median,
+       ROUND(ROUND(CASE WHEN q25 < 0 THEN q25 + 360 ELSE q25 END, 9), 6) AS wd_p25,
+       ROUND(ROUND(CASE WHEN q75 < 0 THEN q75 + 360 ELSE q75 END, 9), 6) AS wd_p75
+FROM g ORDER BY event_type, bucket_us
+"""
+
+
 def q_optimize_params(sf_dir: str):
     """Hyperparameter grid search with TimeSeriesSplit CV
     (core/ml/optimization.py:28-200 via stages/optimization.py): the
@@ -5399,6 +5457,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "event_transitions": q_event_transitions,
     "file_split_stats": q_file_split_stats,
     "binary_extract": q_binary_extract,
+    "winddir_agg": q_winddir_agg,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5494,6 +5553,7 @@ ORACLE: dict[str, str] = {
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "file_split_stats": _SQL_FILE_SPLIT,
     "binary_extract": _SQL_BINARY_EXTRACT,
+    "winddir_agg": _SQL_WINDDIR,
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,

@@ -85,3 +85,55 @@ def wind_double_rotation(
     return block_map(
         ds, keys, fn, batch_format="pandas", num_partitions=num_partitions, zero_copy_batch=False
     )
+
+
+def winddir_agg_kanda(angles: pd.Series, agg: str = "mean") -> float:
+    """Circular wind-direction aggregation (reference
+    core/funcs/funcs.py:85-118, winddirection_agg_kanda): aggregate the
+    sine and cosine components separately (mean / median / P25 / P75),
+    recombine via atan2, wrap negatives to [0, 360). Expression order
+    matches the reference exactly (a / 180 * pi, 180 / pi * atan2) so
+    SQL oracles can replay it bit-for-bit."""
+    ph = angles / 180 * np.pi
+    ds_, dc = np.sin(ph), np.cos(ph)
+    if agg == "mean":
+        wd0 = 180 / np.pi * np.arctan2(ds_.mean(), dc.mean())
+    elif agg == "median":
+        wd0 = 180 / np.pi * np.arctan2(ds_.median(), dc.median())
+    elif agg == "P25":
+        wd0 = 180 / np.pi * np.arctan2(ds_.quantile(0.25), dc.quantile(0.25))
+    elif agg == "P75":
+        wd0 = 180 / np.pi * np.arctan2(ds_.quantile(0.75), dc.quantile(0.75))
+    else:
+        raise ValueError(f"unknown agg {agg!r}")
+    if wd0 < 0:
+        wd0 += 360
+    return float(wd0)
+
+
+def winddir_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    *,
+    angle_col: str = "winddir",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-key circular direction summary (mean/median/P25/P75 + n):
+    ONE exchange on the keys, then each group reduces vectorized inside
+    its block. Mean alone would decompose into (sum sin, sum cos)
+    partials with no full exchange; the quantile aggs need the group's
+    full component distributions, so the grouped form is the honest
+    shape for all four at once."""
+    from .exchange import grouped_block_map
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[angle_col].dropna()
+        row = {k: df[k].iloc[0] for k in keys}
+        row["n"] = np.int64(len(a))
+        row["wd_mean"] = winddir_agg_kanda(a, "mean")
+        row["wd_median"] = winddir_agg_kanda(a, "median")
+        row["wd_p25"] = winddir_agg_kanda(a, "P25")
+        row["wd_p75"] = winddir_agg_kanda(a, "P75")
+        return pd.DataFrame([row])
+
+    return grouped_block_map(ds, keys, fn, num_partitions=num_partitions)
