@@ -1482,6 +1482,29 @@ def q_doc_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), k=30)
 
 
+def q_doc_word_freqs(sf_dir: str):
+    """Corpus-wide word-frequency table (stages/bpe.py:word_freqs —
+    the BPE trainer's counting pass): per-batch regex split +
+    value_counts partials, ONE exchange bounded by vocab size (the
+    text never moves). Exact oracle: DuckDB's regexp functions are
+    RE2, the same engine as Arrow's split_pattern_regex, so the \\s+
+    tokenization replays verbatim; empty fragments from leading /
+    trailing whitespace are filtered on both sides."""
+    from ..stages.bpe import word_freqs
+
+    out = word_freqs(_docs(sf_dir, ["doc_id", "text"]))
+    out["freq"] = out["freq"].astype("int64")
+    return out
+
+
+_SQL_WORD_FREQS = r"""
+SELECT word, COUNT(*) AS freq
+FROM (SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY word
+"""
+
+
 def q_doc_bpe_encode(sf_dir: str):
     """BPE encoding fertility (stages/bpe.py BpeEncoder): train k=50
     merges on the corpus, then an actor-pool pass encodes every doc's
@@ -1536,10 +1559,12 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_dedup_normalized": q_doc_dedup_normalized,
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_bpe_merges": q_doc_bpe_merges,
+    "doc_word_freqs": q_doc_word_freqs,
     "doc_bpe_encode": q_doc_bpe_encode,
 }
 
 DOC_ORACLE: dict[str, str] = {
+    "doc_word_freqs": _SQL_WORD_FREQS,
     "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,
     "doc_quality": _SQL_QUALITY,
