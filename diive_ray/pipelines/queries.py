@@ -5199,6 +5199,82 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_doy_cumulative(sf_dir: str):
+    """Multi-year cumulative curves with across-year CI bands
+    (times.py:1935-1996 doy_cumulatives_per_year / doy_mean_cumulative
+    via stages/cumulative.py): per-(event_type, year) running sum of
+    the 1h-tier means, then mean / sample-SD / ±1SD / ±1.96SD across
+    years per day-of-year time. Years here are synthetic 10-day spans
+    (absolute epoch-day // 10 — integer-exact on both sides) so the
+    30-day corpus yields 3 full "years" and the across-year moments are
+    non-degenerate. Single-year rows carry the -1.0 sentinel for SD and
+    bands. Two slim exchanges; the reference's pivot never
+    materializes."""
+    from ..stages.cumulative import doy_cumulative_stats
+    from ..util import stable_round6, ts_to_us
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        bucket_us = ts_to_us(df["bucket_ts"])
+        day_idx = bucket_us // US_PER_DAY
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "bucket_us": bucket_us,
+            "year": day_idx // 10,
+            "doy": day_idx % 10 + 1,
+            "sec_of_day": (bucket_us // 1_000_000) % 86_400,
+            "mean": df["mean"],
+        })
+
+    prepped = t1h.map_batches(add, batch_format="pandas")
+    out = doy_cumulative_stats(
+        prepped, ["event_type"], value_col="mean", order_col="bucket_us",
+    ).to_pandas()
+    out["doy_time"] = out["doy"] + out["sec_of_day"] / 86_400.0
+    for c in ("year",) if "year" in out.columns else ():
+        out = out.drop(columns=[c])
+    num = ["doy_time", "mean_doy_time", "sd_doy_time", "mean_plus_sd",
+           "mean_minus_sd", "mean_plus_196sd", "mean_minus_196sd"]
+    for c in num:
+        out[c] = stable_round6(out[c].astype(float))
+        out[c] = out[c].fillna(-1.0)
+    for c in ("doy", "sec_of_day", "n_years"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "doy", "sec_of_day"]).reset_index(drop=True)
+
+
+_SQL_DOY_CUM = """
+WITH h AS (
+  SELECT event_type,
+         epoch_us(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS bucket_us,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), c AS (
+  SELECT event_type,
+         (bucket_us // 86400000000) // 10 AS yr,
+         (bucket_us // 86400000000) % 10 + 1 AS doy,
+         (bucket_us // 1000000) % 86400 AS sec_of_day,
+         SUM(mean) OVER (PARTITION BY event_type, (bucket_us // 86400000000) // 10
+                         ORDER BY bucket_us) AS cum
+  FROM h
+), g AS (
+  SELECT event_type, doy, sec_of_day, COUNT(*) AS n_years,
+         AVG(cum) AS m, STDDEV_SAMP(cum) AS sd
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT event_type, doy, sec_of_day, n_years,
+       ROUND(ROUND(doy + sec_of_day / 86400.0, 9), 6) AS doy_time,
+       ROUND(ROUND(m, 9), 6) AS mean_doy_time,
+       COALESCE(ROUND(ROUND(sd, 9), 6), -1.0) AS sd_doy_time,
+       COALESCE(ROUND(ROUND(m + sd, 9), 6), -1.0) AS mean_plus_sd,
+       COALESCE(ROUND(ROUND(m - sd, 9), 6), -1.0) AS mean_minus_sd,
+       COALESCE(ROUND(ROUND(m + 1.96 * sd, 9), 6), -1.0) AS mean_plus_196sd,
+       COALESCE(ROUND(ROUND(m - 1.96 * sd, 9), 6), -1.0) AS mean_minus_196sd
+FROM g ORDER BY event_type, doy, sec_of_day
+"""
+
+
 def q_winddir_agg(sf_dir: str):
     """Circular wind-direction aggregation (core/funcs/funcs.py:85-118,
     winddirection_agg_kanda via stages/wind.py): component-wise
@@ -5458,6 +5534,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "file_split_stats": q_file_split_stats,
     "binary_extract": q_binary_extract,
     "winddir_agg": q_winddir_agg,
+    "doy_cumulative": q_doy_cumulative,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5554,6 +5631,7 @@ ORACLE: dict[str, str] = {
     "file_split_stats": _SQL_FILE_SPLIT,
     "binary_extract": _SQL_BINARY_EXTRACT,
     "winddir_agg": _SQL_WINDDIR,
+    "doy_cumulative": _SQL_DOY_CUM,
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,
