@@ -5199,6 +5199,79 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_trim_frame(sf_dir: str):
+    """Edge trimming to a variable's first/last valid record
+    (core/dfun/frames.py:207-237 trim_frame via
+    corrections.py:trim_to_var): mask the corpus's first 3 / last 4
+    days of `value` to missing (deterministic, replayed in SQL), trim
+    each event_type to its first/last surviving record — interior gaps
+    ignored — and summarize. NO shuffle: per-batch bound partials +
+    driver combine + broadcast filter."""
+    from ..stages.corrections import trim_to_var
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    lo_us = int(pd.Timestamp(ds.min("ts")).value // 1000)
+    hi_us = int(pd.Timestamp(ds.max("ts")).value // 1000)
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        edge = (ts_us < lo_us + 3 * US_PER_DAY) | (ts_us > hi_us - 4 * US_PER_DAY)
+        df = df.copy()
+        df["v"] = df["value"].where(~edge)
+        return df[["event_type", "ts", "v"]]
+
+    masked = ds.map_batches(mask, batch_format="pandas")
+    n_before = (
+        masked.groupby("event_type").count().to_pandas()
+        .rename(columns={"count()": "n_before"})
+    )
+    trimmed = trim_to_var(masked, "v", keys=["event_type"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_after=("ts", "size"), first_kept_ts=("ts", "min"),
+            last_kept_ts=("ts", "max"), s=("v", "sum"), c=("v", "count"))
+
+    parts = trimmed.map_batches(agg, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_after=("n_after", "sum"), first_kept_ts=("first_kept_ts", "min"),
+        last_kept_ts=("last_kept_ts", "max"), s=("s", "sum"), c=("c", "sum"))
+    out["mean_kept"] = stable_round6(out["s"] / out["c"])
+    out = out.merge(n_before, on="event_type")
+    out = out[["event_type", "n_before", "n_after",
+               "first_kept_ts", "last_kept_ts", "mean_kept"]]
+    for c in ("n_before", "n_after"):
+        out[c] = out[c].astype("int64")
+    for c in ("first_kept_ts", "last_kept_ts"):
+        out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TRIM = """
+WITH b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+m AS (
+  SELECT event_type, ts,
+         CASE WHEN ts < lo + INTERVAL 3 DAY OR ts > hi - INTERVAL 4 DAY
+              THEN NULL ELSE value END AS v
+  FROM events, b
+),
+t AS (
+  SELECT event_type, COUNT(*) AS n_before,
+         MIN(ts) FILTER (WHERE v IS NOT NULL) AS ft,
+         MAX(ts) FILTER (WHERE v IS NOT NULL) AS lt
+  FROM m GROUP BY 1
+)
+SELECT m.event_type, t.n_before, COUNT(*) AS n_after,
+       t.ft AS first_kept_ts, t.lt AS last_kept_ts,
+       ROUND(ROUND(SUM(m.v) / COUNT(m.v), 9), 6) AS mean_kept
+FROM m JOIN t ON m.event_type = t.event_type
+WHERE m.ts >= t.ft AND m.ts <= t.lt
+GROUP BY 1, 2, 4, 5
+ORDER BY 1
+"""
+
+
 def q_doy_cumulative(sf_dir: str):
     """Multi-year cumulative curves with across-year CI bands
     (times.py:1935-1996 doy_cumulatives_per_year / doy_mean_cumulative
@@ -5535,6 +5608,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "binary_extract": q_binary_extract,
     "winddir_agg": q_winddir_agg,
     "doy_cumulative": q_doy_cumulative,
+    "trim_frame": q_trim_frame,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5632,6 +5706,7 @@ ORACLE: dict[str, str] = {
     "binary_extract": _SQL_BINARY_EXTRACT,
     "winddir_agg": _SQL_WINDDIR,
     "doy_cumulative": _SQL_DOY_CUM,
+    "trim_frame": _SQL_TRIM,
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,

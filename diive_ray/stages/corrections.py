@@ -116,3 +116,55 @@ def offset_to_max(
     from .exchange import grouped_block_map
 
     return grouped_block_map(ds, keys, gfn)
+
+
+def trim_to_var(
+    ds: ray.data.Dataset,
+    var: str,
+    *,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+) -> ray.data.Dataset:
+    """Trim start/end of the series to the first/last non-missing
+    record of ``var`` (reference core/dfun/frames.py:207-237,
+    trim_frame — interior gaps of ``var`` are ignored, only the edges
+    are cut). Per key when ``keys`` given, else globally.
+
+    Ray shape: NO shuffle — pass 1 is a per-batch partial
+    (key, first/last non-null stamp) combined on the driver (bounded by
+    key cardinality), pass 2 filters with the closure-shipped bounds.
+    """
+    import numpy as np
+
+    keys = list(keys or [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df[df[var].notna()]
+        if keys:
+            g = ok.groupby(keys, as_index=False)[ts_col].agg(["min", "max"])
+            return g.rename(columns={"min": "ft", "max": "lt"})
+        if ok.empty:
+            return pd.DataFrame({"ft": [], "lt": []})
+        return pd.DataFrame({"ft": [ok[ts_col].min()], "lt": [ok[ts_col].max()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return ds.filter(lambda row: False)
+    if keys:
+        bdf = parts.groupby(keys, as_index=False).agg(
+            ft=("ft", "min"), lt=("lt", "max"))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            m = df.merge(bdf, on=keys, how="left")
+            mask = (m[ts_col].to_numpy() >= m["ft"].to_numpy()) & (
+                m[ts_col].to_numpy() <= m["lt"].to_numpy())
+            return df[np.asarray(mask)]
+    else:
+        ft, lt = parts["ft"].min(), parts["lt"].max()
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[(df[ts_col] >= ft) & (df[ts_col] <= lt)]
+
+    return ds.map_batches(keep, batch_format="pandas")
