@@ -88,3 +88,44 @@ def calc_vpd_from_ta_rh(ta_c: np.ndarray, rh_pct: np.ndarray) -> np.ndarray:
         1.0 - np.asarray(rh_pct, float) / 100.0
     )
     return np.maximum(vpd, 0.0)
+
+
+def flag_hard_digit(codes: np.ndarray, position: int, n_digits: int,
+                    *, hard: bool = True) -> np.ndarray:
+    """DIIVE-format flag from one digit of a multi-digit EddyPro code
+    (eddyproflags.py:31-58 _extract_and_convert_flag_from_multidigit):
+    digit 9 (and missing input) -> NaN, and for hard-flag tests a raw
+    1 becomes 2 (bad). Vectorized on top of extract_digit."""
+    c = np.asarray(codes, dtype=np.float64)
+    missing = np.isnan(c)
+    raw = extract_digit(np.where(missing, 0, c).astype(np.int64),
+                        position, n_digits).astype(np.float64)
+    out = np.where(raw == 9, np.nan, raw)
+    if hard:
+        out = np.where(out == 1, 2.0, out)
+    out[missing] = np.nan
+    return out
+
+
+def flag_high_good(x: np.ndarray, thres_good: float, thres_ok: float) -> np.ndarray:
+    """0/1/2 flag where HIGHER is better (completeness test,
+    eddyproflags.py:341-408, Sabbatini 2018 thresholds): 0 at
+    >= thres_good, 1 at [thres_ok, thres_good), else 2; NaN in -> NaN."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.full(x.shape, np.nan)
+    out[x >= thres_good] = 0.0
+    out[(x >= thres_ok) & (x < thres_good)] = 1.0
+    out[x < thres_ok] = 2.0
+    return out
+
+
+def flag_low_good(x: np.ndarray, thres_good: float, thres_ok: float) -> np.ndarray:
+    """0/1/2 flag where LOWER is better (spectral correction factor
+    test, eddyproflags.py:409-454): 0 below thres_good, 1 in
+    [thres_good, thres_ok), 2 at/above thres_ok; NaN in -> NaN."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.full(x.shape, np.nan)
+    out[x < thres_good] = 0.0
+    out[(x >= thres_good) & (x < thres_ok)] = 1.0
+    out[x >= thres_ok] = 2.0
+    return out

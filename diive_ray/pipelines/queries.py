@@ -5199,6 +5199,86 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_eddypro_flag_battery(sf_dir: str):
+    """The remaining EddyPro flag battery (eddyproflags.py:115-506
+    beyond the SSITC/VM97/signal-strength tests already covered):
+    base-variable completeness (Sabbatini 2018 0.99/0.97 thresholds),
+    spectral correction factor (2/4), horizontal-wind steadiness
+    (VM97_NSHW_HF position-1 hard flag), angle-of-attack with
+    restrict_application date windows (flags.py:19-52), and the SSITC
+    setflag_timeperiod override. All inputs synthesized
+    integer-exactly from event_id; every branch replays in SQL. NaN
+    flags (outside application windows, digit 9) -> -1.0 sentinel."""
+    from ..functions.scalars import flag_hard_digit, flag_high_good, flag_low_good
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+    lo_us = int(pd.Timestamp(ds.min("ts")).value // 1000)
+    aoa_lo, aoa_hi = lo_us + 5 * US_PER_DAY, lo_us + 12 * US_PER_DAY
+    ssitc_lo, ssitc_hi = lo_us + 8 * US_PER_DAY, lo_us + 15 * US_PER_DAY
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy()
+        ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        expect_nr = 18_000
+        basevar_nr = expect_nr - (eid * 7) % 900
+        scf = 1.0 + ((eid * 13) % 600) / 100.0
+        nshw = 80 + eid % 3            # digit 0/1/2 at position 1
+        aoa = 80 + (eid * 3) % 2       # digit 0/1
+        ssitc_raw = (eid % 3).astype(np.float64)
+
+        completeness = flag_high_good(basevar_nr / expect_nr, 0.99, 0.97)
+        scf_flag = flag_low_good(scf, 2.0, 4.0)
+        nshw_flag = flag_hard_digit(nshw, 1, 2, hard=True)
+        aoa_flag = flag_hard_digit(aoa, 1, 2, hard=True)
+        in_aoa = (ts_us >= aoa_lo) & (ts_us <= aoa_hi)
+        aoa_flag = np.where(in_aoa, aoa_flag, np.nan)
+        ssitc = ssitc_raw.copy()
+        in_ssitc = (ts_us >= ssitc_lo) & (ts_us <= ssitc_hi)
+        ssitc[in_ssitc & (ssitc_raw == 1)] = 2.0
+
+        out = pd.DataFrame({
+            "event_id": eid,
+            "flag_completeness": completeness,
+            "flag_scf": scf_flag,
+            "flag_nshw": nshw_flag,
+            "flag_aoa": aoa_flag,
+            "flag_ssitc": ssitc,
+        })
+        for c in out.columns[1:]:
+            out[c] = out[c].fillna(-1.0)
+        return out
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_EDDYPRO_BATTERY = """
+WITH b AS (SELECT MIN(ts) AS lo FROM events),
+x AS (
+  SELECT event_id, ts, lo,
+         (18000 - (event_id * 7) % 900) / 18000.0 AS pct,
+         1.0 + ((event_id * 13) % 600) / 100.0 AS scf,
+         (80 + event_id % 3) % 10 AS nshw_digit,
+         (80 + (event_id * 3) % 2) % 10 AS aoa_digit,
+         CAST(event_id % 3 AS DOUBLE) AS ssitc_raw
+  FROM events, b
+)
+SELECT event_id,
+       CASE WHEN pct >= 0.99 THEN 0.0 WHEN pct >= 0.97 THEN 1.0 ELSE 2.0 END
+         AS flag_completeness,
+       CASE WHEN scf < 2.0 THEN 0.0 WHEN scf < 4.0 THEN 1.0 ELSE 2.0 END
+         AS flag_scf,
+       CASE WHEN nshw_digit = 9 THEN -1.0 WHEN nshw_digit = 1 THEN 2.0
+            ELSE CAST(nshw_digit AS DOUBLE) END AS flag_nshw,
+       CASE WHEN ts < lo + INTERVAL 5 DAY OR ts > lo + INTERVAL 12 DAY THEN -1.0
+            WHEN aoa_digit = 1 THEN 2.0 ELSE CAST(aoa_digit AS DOUBLE) END
+         AS flag_aoa,
+       CASE WHEN ts >= lo + INTERVAL 8 DAY AND ts <= lo + INTERVAL 15 DAY
+                 AND ssitc_raw = 1.0 THEN 2.0 ELSE ssitc_raw END AS flag_ssitc
+FROM x ORDER BY event_id
+"""
+
+
 def q_trim_frame(sf_dir: str):
     """Edge trimming to a variable's first/last valid record
     (core/dfun/frames.py:207-237 trim_frame via
@@ -5609,6 +5689,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "winddir_agg": q_winddir_agg,
     "doy_cumulative": q_doy_cumulative,
     "trim_frame": q_trim_frame,
+    "eddypro_flag_battery": q_eddypro_flag_battery,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5707,6 +5788,7 @@ ORACLE: dict[str, str] = {
     "winddir_agg": _SQL_WINDDIR,
     "doy_cumulative": _SQL_DOY_CUM,
     "trim_frame": _SQL_TRIM,
+    "eddypro_flag_battery": _SQL_EDDYPRO_BATTERY,
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,
