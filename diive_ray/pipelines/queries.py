@@ -5199,6 +5199,125 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+_VARNAME_BATTERY = [
+    "NEE_CUT_REF_f", "GPP_NT", "Reco_DT", "FCH4_gf", "FN2O", "FH2O_1",
+    "LE_f", "ET_x", "Rg_1", "SW_IN_T1_2_1", "PPFD_IN", "PAR_1", "LW_IN",
+    "Tair_f", "TA_F", "TA", "TAU", "VPD_f", "SWC_1_1_1", "FC", "FC_1",
+    "SW_OUT", "RH_T1_2_1", "TS_1", "PREC_TOT", "PA_F", "WS_1", "WD_1",
+    "G_1", "UNKNOWN_VAR",
+]
+
+
+def q_variable_classify(sf_dir: str):
+    """Variable-name classification + measurement detection + applicable
+    corrections (variables/classification.py:25-95,
+    qaqc/measurements.py:123-200 via functions/classify.py): a 30-name
+    battery covering every rule and edge (FC vs FCH4 word boundary,
+    bare TA vs TAU vs TA_*, SWC-before-SW precedence) indexed by
+    event_id; first-match-wins prefix rules vectorized with np.select.
+    The SQL oracle replays the rule chains in identical order."""
+    from ..functions.classify import (
+        classify_variables,
+        corrections_for_codes,
+        detect_measurements,
+    )
+
+    ds = _events(sf_dir, ["event_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy()
+        names = np.array(_VARNAME_BATTERY, dtype=object)[eid % len(_VARNAME_BATTERY)]
+        kind, cat = classify_variables(names)
+        code = detect_measurements(names)
+        return pd.DataFrame({
+            "event_id": eid, "varname": names, "kind": kind,
+            "category": cat, "measurement": code,
+            "corrections": corrections_for_codes(code),
+        })
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_CLASSIFY = """
+WITH n AS (
+  SELECT event_id,
+         list_extract({names}, 1 + CAST(event_id % {n} AS INT)) AS varname
+  FROM events
+), k AS (
+  SELECT event_id, varname,
+    CASE
+      WHEN varname = 'FC' OR starts_with(varname, 'FC_') THEN 'FC'
+      WHEN varname = 'TA' THEN 'TA'
+      WHEN starts_with(varname, 'NEE') THEN 'NEE'
+      WHEN starts_with(varname, 'GPP') THEN 'GPP'
+      WHEN starts_with(varname, 'Reco') THEN 'Reco'
+      WHEN starts_with(varname, 'FCH4') THEN 'FCH4'
+      WHEN starts_with(varname, 'FN2O') THEN 'FN2O'
+      WHEN starts_with(varname, 'FH2O') THEN 'FH2O'
+      WHEN starts_with(varname, 'LE_') THEN 'LE'
+      WHEN starts_with(varname, 'ET_') THEN 'ET'
+      WHEN starts_with(varname, 'Rg_') THEN 'Rg'
+      WHEN starts_with(varname, 'SW_IN_') THEN 'SW_IN'
+      WHEN starts_with(varname, 'PPFD') THEN 'PPFD'
+      WHEN starts_with(varname, 'PAR_') THEN 'PAR'
+      WHEN starts_with(varname, 'LW_') THEN 'LW'
+      WHEN starts_with(varname, 'Tair') THEN 'TA'
+      WHEN starts_with(varname, 'TA_') THEN 'TA'
+      WHEN starts_with(varname, 'VPD') THEN 'VPD'
+      WHEN starts_with(varname, 'SWC') THEN 'SWC'
+      ELSE 'none' END AS kind,
+    CASE
+      WHEN varname = 'FC' OR starts_with(varname, 'FC_') THEN 'carbon'
+      WHEN varname = 'TA' THEN 'meteo'
+      WHEN starts_with(varname, 'NEE') THEN 'carbon'
+      WHEN starts_with(varname, 'GPP') THEN 'carbon'
+      WHEN starts_with(varname, 'Reco') THEN 'carbon'
+      WHEN starts_with(varname, 'FCH4') THEN 'carbon'
+      WHEN starts_with(varname, 'FN2O') THEN 'nitrogen'
+      WHEN starts_with(varname, 'FH2O') THEN 'water'
+      WHEN starts_with(varname, 'LE_') THEN 'water'
+      WHEN starts_with(varname, 'ET_') THEN 'water'
+      WHEN starts_with(varname, 'Rg_') THEN 'radiation'
+      WHEN starts_with(varname, 'SW_IN_') THEN 'radiation'
+      WHEN starts_with(varname, 'PPFD') THEN 'radiation'
+      WHEN starts_with(varname, 'PAR_') THEN 'radiation'
+      WHEN starts_with(varname, 'LW_') THEN 'radiation'
+      WHEN starts_with(varname, 'Tair') THEN 'meteo'
+      WHEN starts_with(varname, 'TA_') THEN 'meteo'
+      WHEN starts_with(varname, 'VPD') THEN 'meteo'
+      WHEN starts_with(varname, 'SWC') THEN 'soil'
+      ELSE 'none' END AS category,
+    CASE
+      WHEN starts_with(varname, 'SWC') THEN 'SWC'
+      WHEN starts_with(varname, 'SW_') THEN 'SW'
+      WHEN starts_with(varname, 'SW') THEN 'SW'
+      WHEN starts_with(varname, 'PPFD') THEN 'PPFD'
+      WHEN starts_with(varname, 'LW') THEN 'LW'
+      WHEN starts_with(varname, 'RH') THEN 'RH'
+      WHEN starts_with(varname, 'VPD') THEN 'VPD'
+      WHEN starts_with(varname, 'TA') THEN 'TA'
+      WHEN starts_with(varname, 'Tair') THEN 'TA'
+      WHEN starts_with(varname, 'TS') THEN 'TS'
+      WHEN starts_with(varname, 'PREC') THEN 'PREC'
+      WHEN starts_with(varname, 'PA') THEN 'PA'
+      WHEN starts_with(varname, 'WS') THEN 'WS'
+      WHEN starts_with(varname, 'WD') THEN 'WD'
+      WHEN starts_with(varname, 'G_') THEN 'G'
+      ELSE 'none' END AS measurement
+  FROM n
+)
+SELECT event_id, varname, kind, category, measurement,
+  CASE
+    WHEN measurement IN ('SW', 'PPFD')
+      THEN 'radiation_zero_offset,setto_max,setto_min,setto_value,set_exact_to_missing'
+    WHEN measurement = 'RH'
+      THEN 'relativehumidity_offset,setto_max,setto_min,setto_value,set_exact_to_missing'
+    ELSE 'setto_max,setto_min,setto_value,set_exact_to_missing' END AS corrections
+FROM k ORDER BY event_id
+"""
+
+
 def q_eddypro_flag_battery(sf_dir: str):
     """The remaining EddyPro flag battery (eddyproflags.py:115-506
     beyond the SSITC/VM97/signal-strength tests already covered):
@@ -5690,6 +5809,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doy_cumulative": q_doy_cumulative,
     "trim_frame": q_trim_frame,
     "eddypro_flag_battery": q_eddypro_flag_battery,
+    "variable_classify": q_variable_classify,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5789,6 +5909,7 @@ ORACLE: dict[str, str] = {
     "doy_cumulative": _SQL_DOY_CUM,
     "trim_frame": _SQL_TRIM,
     "eddypro_flag_battery": _SQL_EDDYPRO_BATTERY,
+    "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
     **DOC_ORACLE,
