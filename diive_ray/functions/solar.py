@@ -38,3 +38,45 @@ def daytime_flag(ts_us: np.ndarray, lat: float, lon: float, threshold: float = D
     """1 = daytime (potential radiation > threshold), 0 = nighttime
     (temporal.py:64-111 rule)."""
     return (potential_radiation(ts_us, lat, lon) > threshold).astype(np.int8)
+
+
+def potential_radiation_eot(
+    ts_us: np.ndarray,
+    lat: float,
+    lon: float,
+    utc_offset: int,
+    *,
+    use_atmospheric_transmission: bool = False,
+) -> np.ndarray:
+    """Potential shortwave radiation with the full equation-of-time
+    model (reference diive/variables/radiation.py:15-99, potrad_eot):
+    solstice-anchored declination, Woolf's 1968 EoT, solar hour angle
+    from local->UTC time + longitude + EoT, eccentricity-corrected TOA
+    irradiance (S=1361), optional Beer-Lambert clear-sky transmission
+    (tau=0.75, air mass 1/max(sin_psi, 0.01)), night clamped to 0.
+
+    Expression order matches the reference exactly so the SQL oracle
+    replays it; calendar day-of-year comes from the UTC-shifted stamp
+    (EXTRACT(doy) semantics, leap-aware)."""
+    import pandas as pd
+
+    idx = pd.to_datetime(np.asarray(ts_us, dtype=np.int64), unit="us")
+    utc = idx - pd.Timedelta(hours=utc_offset)
+    doy = utc.dayofyear.to_numpy(dtype=np.float64)
+    utc_h = (utc.hour + utc.minute / 60.0 + utc.second / 3600.0).to_numpy(
+        dtype=np.float64)
+
+    phi_r = np.deg2rad(23.45)
+    phi = np.deg2rad(lat)
+    delta = phi_r * np.cos(2 * np.pi * (doy - 173) / 365.25)
+    B = 2 * np.pi * (doy - 81) / 365.0
+    eot_h = (9.87 * np.sin(2 * B) - 7.53 * np.cos(B) - 1.5 * np.sin(B)) / 60.0
+    H_rad = (utc_h + lon / 15.0 + eot_h - 12) * (np.pi / 12)
+    sin_psi = (np.sin(phi) * np.sin(delta)
+               + np.cos(phi) * np.cos(delta) * np.cos(H_rad))
+    ecc = 1 + 0.033 * np.cos(2 * np.pi * doy / 365.0)
+    rad = 1361 * ecc * sin_psi
+    if use_atmospheric_transmission:
+        M = 1 / np.maximum(sin_psi, 0.01)
+        rad = rad * (0.75 ** M)
+    return np.where(rad < 0, 0.0, rad)

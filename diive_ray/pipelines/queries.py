@@ -5199,6 +5199,72 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_potrad_eot(sf_dir: str):
+    """Equation-of-time potential radiation (radiation.py:15-99
+    potrad_eot via functions/solar.py:potential_radiation_eot):
+    TOA and Beer-Lambert clear-sky variants per event stamp at the
+    fixture site (lat 47, lon 8, UTC+1). Pure closed-form trig with
+    reference-identical expression order — the SQL oracle replays every
+    term."""
+    from ..functions.solar import potential_radiation_eot
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "potrad_toa": potential_radiation_eot(ts_us, 47.0, 8.0, 1),
+            "potrad_clearsky": potential_radiation_eot(
+                ts_us, 47.0, 8.0, 1, use_atmospheric_transmission=True),
+        })
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    for c in ("potrad_toa", "potrad_clearsky"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_POTRAD_EOT = """
+WITH u AS (
+  SELECT event_id, ts - INTERVAL 1 HOUR AS uts FROM events
+), g AS (
+  SELECT event_id,
+         CAST(EXTRACT(doy FROM uts) AS DOUBLE) AS doy,
+         EXTRACT(hour FROM uts) + EXTRACT(minute FROM uts) / 60.0
+           + EXTRACT(second FROM uts) / 3600.0 AS utc_h
+  FROM u
+), s AS (
+  SELECT event_id, doy,
+         RADIANS(23.45) * COS(2 * PI() * (doy - 173) / 365.25) AS delta,
+         (9.87 * SIN(2 * (2 * PI() * (doy - 81) / 365.0))
+          - 7.53 * COS(2 * PI() * (doy - 81) / 365.0)
+          - 1.5 * SIN(2 * PI() * (doy - 81) / 365.0)) / 60.0 AS eot_h,
+         utc_h
+  FROM g
+), p AS (
+  SELECT event_id, doy,
+         SIN(RADIANS(47.0)) * SIN(delta)
+           + COS(RADIANS(47.0)) * COS(delta)
+             * COS((utc_h + 8.0 / 15.0 + eot_h - 12) * (PI() / 12)) AS sin_psi
+  FROM s
+), r AS (
+  SELECT event_id,
+         1361 * (1 + 0.033 * COS(2 * PI() * doy / 365.0)) * sin_psi AS rad,
+         sin_psi
+  FROM p
+)
+SELECT event_id,
+       ROUND(ROUND(CASE WHEN rad < 0 THEN 0.0 ELSE rad END, 9), 6) AS potrad_toa,
+       ROUND(ROUND(CASE WHEN rad * POWER(0.75, 1 / GREATEST(sin_psi, 0.01)) < 0
+                        THEN 0.0
+                        ELSE rad * POWER(0.75, 1 / GREATEST(sin_psi, 0.01)) END,
+                   9), 6) AS potrad_clearsky
+FROM r ORDER BY event_id
+"""
+
+
 _VARNAME_BATTERY = [
     "NEE_CUT_REF_f", "GPP_NT", "Reco_DT", "FCH4_gf", "FN2O", "FH2O_1",
     "LE_f", "ET_x", "Rg_1", "SW_IN_T1_2_1", "PPFD_IN", "PAR_1", "LW_IN",
@@ -5810,6 +5876,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "trim_frame": q_trim_frame,
     "eddypro_flag_battery": q_eddypro_flag_battery,
     "variable_classify": q_variable_classify,
+    "potrad_eot": q_potrad_eot,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5909,6 +5976,7 @@ ORACLE: dict[str, str] = {
     "doy_cumulative": _SQL_DOY_CUM,
     "trim_frame": _SQL_TRIM,
     "eddypro_flag_battery": _SQL_EDDYPRO_BATTERY,
+    "potrad_eot": _SQL_POTRAD_EOT,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
