@@ -5199,6 +5199,86 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_freq_groups(sf_dir: str):
+    """Per-record frequency groups (times.py:515-640 detect_freq_groups
+    via stages/freq.py:freq_groups_frame): each event_type gets a
+    two-regime timestamp ladder (60 records at 600 s, then 60 s —
+    rank-indexed by event_id, integer-exact on both sides); records
+    whose prev/next deltas cancel are certain, each delta group claims
+    its boundary stamps in (count DESC, delta ASC) application order.
+    The SQL oracle replays the full construction including the
+    boundary-override precedence; ambiguous rows carry -1.0."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.freq import freq_groups_frame
+
+    ds = _events(sf_dir, ["event_id", "event_type"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        rn = np.arange(1, len(g) + 1, dtype=np.int64)
+        # 600 s regime, a two-step irregular transition (90 s, 45 s —
+        # those records are ambiguous and rn=61 stays unclaimed), 60 s
+        off_sec = np.select(
+            [rn <= 60, rn == 61, rn == 62],
+            [(rn - 1) * 600, 59 * 600 + 90, 59 * 600 + 135],
+            default=59 * 600 + 135 + (rn - 62) * 60,
+        )
+        frame = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "rn": rn,
+            "ts_us": (off_sec * 1_000_000).astype(np.int64),
+        })
+        out = freq_groups_frame(frame, ts_col="ts_us")
+        return out[["event_type", "rn", "freq_auto_sec"]]
+
+    out = grouped_block_map(ds, ["event_type"], fn).to_pandas()
+    out["rn"] = out["rn"].astype("int64")
+    out["freq_auto_sec"] = out["freq_auto_sec"].astype(float)
+    return out.sort_values(["event_type", "rn"]).reset_index(drop=True)
+
+
+_SQL_FREQ_GROUPS = """
+WITH r AS (
+  SELECT event_type, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+), l AS (
+  SELECT event_type, rn,
+         CASE WHEN rn <= 60 THEN (rn - 1) * 600
+              WHEN rn = 61 THEN 59 * 600 + 90
+              WHEN rn = 62 THEN 59 * 600 + 135
+              ELSE 59 * 600 + 135 + (rn - 62) * 60 END AS ts_sec
+  FROM r
+), d AS (
+  SELECT event_type, rn, ts_sec,
+         LAG(ts_sec) OVER w AS pts, LEAD(ts_sec) OVER w AS nts
+  FROM l WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec)
+), c AS (
+  SELECT event_type, rn, ts_sec,
+         CAST(nts - ts_sec AS DOUBLE) AS dn,
+         (pts IS NOT NULL AND nts IS NOT NULL
+          AND (pts - ts_sec) + (nts - ts_sec) = 0) AS certain,
+         pts, nts
+  FROM d
+), g AS (
+  SELECT event_type, dn AS delta, COUNT(*) AS cnt,
+         MIN(pts) AS first_date, MAX(nts) AS last_date
+  FROM c WHERE certain GROUP BY 1, 2
+), o AS (
+  SELECT c.event_type, c.rn, g.delta,
+         ROW_NUMBER() OVER (PARTITION BY c.event_type, c.rn
+                            ORDER BY g.cnt ASC, g.delta DESC) AS pick
+  FROM c JOIN g ON g.event_type = c.event_type
+              AND (c.ts_sec = g.first_date OR c.ts_sec = g.last_date)
+)
+SELECT c.event_type, c.rn,
+       COALESCE(o.delta, CASE WHEN c.certain THEN c.dn ELSE -1.0 END)
+         AS freq_auto_sec
+FROM c LEFT JOIN (SELECT event_type, rn, delta FROM o WHERE pick = 1) o
+  ON o.event_type = c.event_type AND o.rn = c.rn
+ORDER BY c.event_type, c.rn
+"""
+
+
 def q_potrad_eot(sf_dir: str):
     """Equation-of-time potential radiation (radiation.py:15-99
     potrad_eot via functions/solar.py:potential_radiation_eot):
@@ -5877,6 +5957,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "eddypro_flag_battery": q_eddypro_flag_battery,
     "variable_classify": q_variable_classify,
     "potrad_eot": q_potrad_eot,
+    "freq_groups": q_freq_groups,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -5977,6 +6058,7 @@ ORACLE: dict[str, str] = {
     "trim_frame": _SQL_TRIM,
     "eddypro_flag_battery": _SQL_EDDYPRO_BATTERY,
     "potrad_eot": _SQL_POTRAD_EOT,
+    "freq_groups": _SQL_FREQ_GROUPS,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,

@@ -123,14 +123,59 @@ def detect_frequency_exact(
 
 
 def freq_groups_frame(df: pd.DataFrame, ts_col: str = "ts") -> pd.DataFrame:
-    """Per-record frequency group (times.py:515-640): resolution =
-    |delta_prev| when |delta_prev| == |delta_next| else ambiguous (-1)."""
+    """Per-record frequency groups, full reference semantics
+    (times.py:515-640 detect_freq_groups): a record's resolution is
+    CERTAIN iff its deltas to the previous and next record cancel
+    (DELTA_PREV + DELTA_NEXT == 0); certain records carry that delta in
+    seconds as ``freq_auto_sec``. Each delta group then claims its
+    boundary records — the timestamp before its first and after its
+    last certain record — with groups applied in (count DESC, delta
+    ASC) order so on collisions the later (rarer) group wins, which is
+    the reference's descending-value_counts loop made deterministic
+    under count ties. Ambiguous records (transition periods, series
+    edges) stay at the -1.0 sentinel. The reference may also ENLARGE
+    the index when a boundary stamp is absent from it; here only
+    existing records are labeled (an index-extension artifact a
+    row-preserving engine cannot emit — documented deviation)."""
+    df = df.sort_values(ts_col, kind="stable")
     us = ts_to_us(df[ts_col])
-    d_prev = np.diff(us, prepend=us[0])
-    d_next = np.diff(us, append=us[-1])
-    d_prev[0] = d_next[0]
-    d_next[-1] = d_prev[-1]
-    res = np.where(np.abs(d_prev) == np.abs(d_next), np.abs(d_prev), -1)
+    n = len(us)
     out = df.copy()
-    out["FREQ_GROUP_US"] = res
+    if n == 0:
+        out["freq_auto_sec"] = np.array([], dtype=np.float64)
+        return out
+    sec = us.astype(np.float64) / 1e6
+    d_prev = np.full(n, np.nan)
+    d_next = np.full(n, np.nan)
+    d_prev[1:] = sec[:-1] - sec[1:]        # negative, reference orientation
+    d_next[:-1] = sec[1:] - sec[:-1]
+    certain = (d_prev + d_next) == 0       # NaN edges compare False
+    label = np.full(n, np.nan)
+    label[certain] = d_next[certain]
+
+    deltas, counts = np.unique(d_next[certain], return_counts=True)
+    order = np.lexsort((deltas, -counts))  # count desc, delta asc
+    for i in order:
+        d = deltas[i]
+        rows = certain & (d_next == d)
+        first_date = (sec[rows] + d_prev[rows]).min()   # prev of first
+        last_date = (sec[rows] + d_next[rows]).max()    # next of last
+        label[(sec == first_date) | (sec == last_date)] = d
+    out["freq_auto_sec"] = np.where(np.isnan(label), -1.0, label)
     return out
+
+
+def detect_freq_groups(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed per-key freq_groups_frame: ONE exchange on the keys,
+    the delta logic runs vectorized inside each group's block."""
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(
+        ds, keys, lambda g: freq_groups_frame(g, ts_col=ts_col),
+        num_partitions=num_partitions)
