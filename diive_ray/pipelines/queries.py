@@ -5199,6 +5199,43 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+_FLUXNET_VARS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_fluxnet_format(sf_dir: str):
+    """FLUXNET data-sharing export format (io/formats/fluxnet.py:46-260
+    via sources/fluxnet.py): the 1h tier pivots to the wide upload
+    layout — one ``VAR_1_1_1`` column per variable, -9999 missing
+    encoding, TIMESTAMP_START/END as YYYYMMDDhhmm strings. ONE exchange
+    on the bucket stamp; the pivot is one vectorized unstack per block.
+    The yearly file writer is pytest-covered (round-trip)."""
+    from ..sources.fluxnet import fluxnet_wide
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = fluxnet_wide(t1h, variables=_FLUXNET_VARS).to_pandas()
+    for v in _FLUXNET_VARS:
+        out[f"{v}_1_1_1"] = round6(out[f"{v}_1_1_1"].astype(float))
+    return out.sort_values("TIMESTAMP_END").reset_index(drop=True)
+
+
+_SQL_FLUXNET = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+)
+SELECT strftime(bucket_ts - INTERVAL 1 HOUR, '%Y%m%d%H%M') AS "TIMESTAMP_START",
+       strftime(bucket_ts, '%Y%m%d%H%M') AS "TIMESTAMP_END",
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'click' THEN mean END), -9999), 6) AS click_1_1_1,
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'error' THEN mean END), -9999), 6) AS error_1_1_1,
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN mean END), -9999), 6) AS purchase_1_1_1,
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'signup' THEN mean END), -9999), 6) AS signup_1_1_1,
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'view' THEN mean END), -9999), 6) AS view_1_1_1
+FROM h GROUP BY bucket_ts ORDER BY 2
+"""
+
+
 def q_freq_groups(sf_dir: str):
     """Per-record frequency groups (times.py:515-640 detect_freq_groups
     via stages/freq.py:freq_groups_frame): each event_type gets a
@@ -5958,6 +5995,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "variable_classify": q_variable_classify,
     "potrad_eot": q_potrad_eot,
     "freq_groups": q_freq_groups,
+    "fluxnet_format": q_fluxnet_format,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -6059,6 +6097,7 @@ ORACLE: dict[str, str] = {
     "eddypro_flag_battery": _SQL_EDDYPRO_BATTERY,
     "potrad_eot": _SQL_POTRAD_EOT,
     "freq_groups": _SQL_FREQ_GROUPS,
+    "fluxnet_format": _SQL_FLUXNET,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
