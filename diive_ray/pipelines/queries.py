@@ -5199,6 +5199,45 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_timestamp_conventions(sf_dir: str):
+    """Timestamp convention conversion (times.py:1520-1733
+    insert_timestamp(convention=start/middle/end) and :1734-1820
+    convert_series_timestamp_to_middle): the END-labeled 1h tier gains
+    START (end - freq) and MIDDLE (end - freq/2) stamps — the
+    middle-of-averaging-interval convention the reference converts
+    flux files to. Pure stamp arithmetic, exact SQL replay."""
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        end = pd.to_datetime(df["bucket_ts"]).astype("datetime64[us]")
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "timestamp_end": end,
+            "timestamp_middle": end - pd.Timedelta(minutes=30),
+            "timestamp_start": end - pd.Timedelta(hours=1),
+            "n": df["count"].astype("int64"),
+        })
+
+    out = t1h.map_batches(fn, batch_format="pandas").to_pandas()
+    for c in ("timestamp_end", "timestamp_middle", "timestamp_start"):
+        out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
+    return out.sort_values(["event_type", "timestamp_end"]).reset_index(drop=True)
+
+
+_SQL_TS_CONVENTIONS = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         COUNT(value) AS n
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+)
+SELECT event_type, bucket_ts AS timestamp_end,
+       bucket_ts - INTERVAL 30 MINUTE AS timestamp_middle,
+       bucket_ts - INTERVAL 1 HOUR AS timestamp_start, n
+FROM h ORDER BY event_type, timestamp_end
+"""
+
+
 _FLUXNET_VARS = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -5996,6 +6035,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "potrad_eot": q_potrad_eot,
     "freq_groups": q_freq_groups,
     "fluxnet_format": q_fluxnet_format,
+    "timestamp_conventions": q_timestamp_conventions,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -6098,6 +6138,7 @@ ORACLE: dict[str, str] = {
     "potrad_eot": _SQL_POTRAD_EOT,
     "freq_groups": _SQL_FREQ_GROUPS,
     "fluxnet_format": _SQL_FLUXNET,
+    "timestamp_conventions": _SQL_TS_CONVENTIONS,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
