@@ -918,6 +918,83 @@ FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def q_doc_bm25_topk(sf_dir: str):
+    """Okapi BM25 retrieval (stages/bm25.py, Robertson & Zaragoza
+    2009): three queries derived deterministically from the corpus's
+    own DF ranking (head / mid / tail terms), scored in two passes —
+    slim query-term DF partials, then per-batch pair-code scoring with
+    partial top-k. k1=1.2, b=0.75, k=5; ranks on stable_round6 scores
+    with doc_id ties. The SQL oracle replays term selection, idf, and
+    the saturation formula exactly."""
+    from ..stages.bm25 import bm25_topk
+    from ..stages.exchange import driver_combine
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        words_per_doc = [s.split(" ") if s else [] for s in texts]
+        lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        doc_idx = np.repeat(np.arange(len(texts)), lens)
+        flat = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        pair = np.unique(doc_idx * len(uniq) + inv)
+        w_i, cnt = np.unique(pair % len(uniq), return_counts=True)
+        return pd.DataFrame({"term": uniq[w_i], "df": cnt})
+
+    df_tab = driver_combine(
+        ds, df_partial, lambda p: p.groupby("term", as_index=False)["df"].sum()
+    ).sort_values(["df", "term"], ascending=[False, True]).reset_index(drop=True)
+    ranked = df_tab["term"].tolist()
+    queries = {
+        "q_top": ranked[0:2],
+        "q_mid": ranked[4:6],
+        "q_rare": ranked[9:12],
+    }
+    out = bm25_topk(ds, queries, k=5)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+_SQL_BM25 = """
+WITH w AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+sel AS (SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r FROM df),
+q AS (
+  SELECT 'q_top' AS query_id, term, df FROM sel WHERE r IN (1, 2)
+  UNION ALL SELECT 'q_mid', term, df FROM sel WHERE r IN (5, 6)
+  UNION ALL SELECT 'q_rare', term, df FROM sel WHERE r IN (10, 11, 12)
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT COUNT(*) FROM w) * 1.0
+           / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+s AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(ln(1 + (stats.n - q.df + 0.5) / (q.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, ROUND(ROUND(raw, 9), 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(ROUND(raw, 9), 6) DESC, doc_id) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means (stages/cluster.py): k=8 centroids
     initialised from the 8 smallest vec_ids, 3 full update iterations
@@ -1543,6 +1620,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_repetition": q_doc_repetition,
     "doc_pii": q_doc_pii,
     "doc_tfidf_top": q_doc_tfidf_top,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "doc_chunk": q_doc_chunk,
     "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,
@@ -1584,6 +1662,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_repetition": _SQL_REPETITION,
     "doc_pii": _SQL_PII,
     "doc_tfidf_top": _SQL_TFIDF,
+    "doc_bm25_topk": _SQL_BM25,
     "doc_chunk": _SQL_CHUNK,
     "source_vocab_divergence": _SQL_VOCAB_DIV,
     "embedding_kmeans": _SQL_KMEANS,
