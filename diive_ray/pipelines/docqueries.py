@@ -400,6 +400,23 @@ def q_embedding_topk(sf_dir: str):
     return got[["query_id", "rank", "vec_id", "cos_sim"]].reset_index(drop=True)
 
 
+def q_embedding_mmr_topk(sf_dir: str):
+    """MMR diversified retrieval (similarity.py:mmr_rerank, Carbonell &
+    Goldstein 1998): distributed exact top-50 pool per query (vec_id <
+    5), id-bounded vector gather, then the greedy
+    relevance-vs-diversity loop over the bounded pool (lambda 0.7,
+    k=5). Iterative/greedy -> rows-only; duplicate-suppression and the
+    lambda=1 == plain-top-k reduction are pytest-pinned."""
+    ds = _embs(sf_dir)
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = sim.mmr_rerank(ds, Q, k=5, pool=50, lam=0.7,
+                         query_ids=qdf["vec_id"].to_numpy())
+    for c in ("query_id", "rank", "vec_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 _SQL_TOPK = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10
@@ -1621,6 +1638,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_pii": q_doc_pii,
     "doc_tfidf_top": q_doc_tfidf_top,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "embedding_mmr_topk": q_embedding_mmr_topk,
     "doc_chunk": q_doc_chunk,
     "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,

@@ -550,3 +550,78 @@ def knn_pq(
 
     parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
     return _merge_topk(parts, q_ids, k, id_col, exclude_self)
+
+
+def mmr_rerank(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax over the candidate pool of
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``,
+    so near-duplicate candidates are down-ranked in favour of coverage
+    — the diversified-retrieval step of seed-set curation.
+
+    Ray shape: the DISTRIBUTED work is the exact cosine top-``pool``
+    per query (broadcast query matmul, the existing brute-force path) +
+    one slim semi-join pass that gathers the pool's embedding vectors;
+    the greedy loop then runs over the bounded pool×pool similarity
+    matrix (pool ≤ ~100s — never the corpus). Deterministic: candidate
+    order and ties follow (rounded sim DESC, id ASC), marginal-score
+    ties pick the lower id."""
+    from ..util import stable_round6
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ids = np.arange(len(qn)) if query_ids is None else np.asarray(query_ids)
+    top = knn_brute_force(ds, qn, pool, id_col=id_col, emb_col=emb_col,
+                          query_ids=q_ids)
+
+    # gather the pool's vectors: broadcast the involved-id set, each
+    # batch returns only its members (id-bounded, one pass)
+    wanted = np.sort(top[id_col].unique())
+
+    def gather(t) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        pos_c = np.clip(pos, 0, len(wanted) - 1)
+        hit = (pos < len(wanted)) & (wanted[pos_c] == ids)
+        if not hit.any():
+            return pd.DataFrame({id_col: pd.Series([], dtype=ids.dtype),
+                                 "emb": pd.Series([], dtype=object)})
+        embs = [np.asarray(v, dtype=np.float64) for v in
+                np.asarray(t[emb_col].to_pylist(), dtype=object)[hit]]
+        return pd.DataFrame({id_col: ids[hit], "emb": embs})
+
+    vec_tab = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    vecs = {i: _normalize(e.reshape(1, -1))[0]
+            for i, e in zip(vec_tab[id_col], vec_tab["emb"])}
+
+    rows = []
+    for qi, q in zip(q_ids, qn):
+        cand = top[top["query_id"] == qi].sort_values("rank")
+        c_ids = cand[id_col].to_numpy()
+        rel = cand["cos_sim"].to_numpy(dtype=np.float64)
+        V = np.stack([vecs[i] for i in c_ids])
+        inter = V @ V.T
+        selected: list[int] = []
+        remaining = list(range(len(c_ids)))
+        while remaining and len(selected) < k:
+            if selected:
+                div = inter[np.ix_(remaining, selected)].max(axis=1)
+            else:
+                div = np.zeros(len(remaining))
+            marginal = lam * rel[remaining] - (1.0 - lam) * div
+            marginal = stable_round6(marginal)
+            best = remaining[int(np.lexsort((c_ids[remaining], -marginal))[0])]
+            rows.append((int(qi), len(selected) + 1, int(c_ids[best]),
+                         float(stable_round6(np.array([marginal[remaining.index(best)]]))[0])))
+            selected.append(best)
+            remaining.remove(best)
+    return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "mmr_score"])
