@@ -5199,6 +5199,65 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_series_features(sf_dir: str):
+    """tsfresh-style series feature battery
+    (core/dfun/stats.py:77-190 via stages/features.py:series_features):
+    cv, iqr, population-moment skewness / excess kurtosis, lag-1
+    autocorrelation, mean absolute change and 3-sigma outlier counts
+    per event_type in (ts, event_id) order. ONE exchange; the SQL
+    oracle replays the documented formulas with the identical centered
+    two-pass."""
+    from ..stages.features import series_features
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    out = series_features(
+        ds, value_col="value", ts_col="ts", keys=("event_type",),
+        order_cols=("event_id",))
+    num = ["mean", "sd", "cv", "iqr", "skewness", "kurtosis", "ac1", "mac"]
+    for c in num:
+        out[c] = pd.Series(stable_round6(out[c].astype(float))).fillna(-1.0)
+    out["n"] = out["n"].astype("int64")
+    out["outliers3"] = out["outliers3"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_SERIES_FEATURES = """
+WITH v AS (
+  SELECT event_type, ts, event_id, value FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, COUNT(*) AS n, AVG(value) AS mu, STDDEV_SAMP(value) AS sd,
+         QUANTILE_CONT(value, 0.75) - QUANTILE_CONT(value, 0.25) AS iqr
+  FROM v GROUP BY 1
+), z AS (
+  SELECT v.event_type, v.value - m.mu AS z, m.sd,
+         LEAD(v.value - m.mu) OVER w AS z_next,
+         v.value - LAG(v.value) OVER w AS dx
+  FROM v JOIN m USING (event_type)
+  WINDOW w AS (PARTITION BY v.event_type ORDER BY v.ts, v.event_id)
+), g AS (
+  SELECT event_type,
+         AVG(z * z) AS m2, AVG(z * z * z) AS m3, AVG(z * z * z * z) AS m4,
+         SUM(CASE WHEN z_next IS NOT NULL THEN z * z_next END) AS num,
+         SUM(z * z) AS den,
+         AVG(ABS(dx)) AS mac,
+         SUM(CASE WHEN ABS(z) > 3 * sd THEN 1 ELSE 0 END) AS outliers3
+  FROM z GROUP BY 1
+)
+SELECT m.event_type, m.n,
+       ROUND(ROUND(m.mu, 9), 6) AS mean,
+       ROUND(ROUND(m.sd, 9), 6) AS sd,
+       ROUND(ROUND(m.sd / m.mu, 9), 6) AS cv,
+       ROUND(ROUND(m.iqr, 9), 6) AS iqr,
+       ROUND(ROUND(g.m3 / POWER(g.m2, 1.5), 9), 6) AS skewness,
+       ROUND(ROUND(g.m4 / (g.m2 * g.m2) - 3.0, 9), 6) AS kurtosis,
+       ROUND(ROUND(g.num / g.den, 9), 6) AS ac1,
+       ROUND(ROUND(g.mac, 9), 6) AS mac,
+       CAST(g.outliers3 AS BIGINT) AS outliers3
+FROM m JOIN g USING (event_type) ORDER BY 1
+"""
+
+
 def q_timestamp_conventions(sf_dir: str):
     """Timestamp convention conversion (times.py:1520-1733
     insert_timestamp(convention=start/middle/end) and :1734-1820
@@ -6036,6 +6095,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "freq_groups": q_freq_groups,
     "fluxnet_format": q_fluxnet_format,
     "timestamp_conventions": q_timestamp_conventions,
+    "series_features": q_series_features,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -6139,6 +6199,7 @@ ORACLE: dict[str, str] = {
     "freq_groups": _SQL_FREQ_GROUPS,
     "fluxnet_format": _SQL_FLUXNET,
     "timestamp_conventions": _SQL_TS_CONVENTIONS,
+    "series_features": _SQL_SERIES_FEATURES,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,

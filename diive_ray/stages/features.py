@@ -239,3 +239,75 @@ def histogram(
     out["lo"] = edges[out["bin"]]
     out["hi"] = edges[out["bin"] + 1]
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def series_features(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    ts_col: str,
+    keys: Iterable[str] = (),
+    order_cols: Iterable[str] = (),
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """tsfresh-style per-series feature battery (reference
+    diive/core/dfun/stats.py:77-190: series_sd_over_mean /
+    coefficient_of_variation, interquartile_range,
+    autocorrelation_lag1, series_skewness, series_kurtosis,
+    mean_absolute_change, outlier_count) — the per-variable descriptors
+    the reference feeds into screening and ML feature selection.
+
+    Formulas (documented so the SQL oracle replays them exactly):
+    sample SD (ddof=1), cv = sd / mean, iqr = q75 - q25 (linear
+    interpolation), skewness = m3 / m2^1.5 and excess kurtosis =
+    m4 / m2^2 - 3 from POPULATION central moments (centered two-pass —
+    no raw-moment cancellation), ac1 = sum(z_t * z_{t+1}) / sum(z^2)
+    over the non-null series in (ts, *order_cols) order, mac =
+    mean(|x_t - x_{t-1}|), outliers3 = #{|x - mean| > 3 * sd}.
+
+    One exchange on the keys; every feature is vectorized inside the
+    group's block (the series-order features need the key's rows
+    co-located — the same contract as every sequential per-key op
+    here)."""
+    keys = list(keys) or ["_all"]
+    order = [ts_col] + list(order_cols)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        if "_all" in keys and "_all" not in df.columns:
+            df = df.assign(_all=0)
+        return df
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="stable")
+        x = df[value_col].astype(float).to_numpy()
+        x = x[~np.isnan(x)]
+        row = {k: df[k].iloc[0] for k in keys}
+        n = len(x)
+        row["n"] = np.int64(n)
+        if n == 0:
+            for c in ("mean", "sd", "cv", "iqr", "skewness", "kurtosis",
+                      "ac1", "mac"):
+                row[c] = np.nan
+            row["outliers3"] = np.int64(0)
+            return pd.DataFrame([row])
+        mu = x.mean()
+        z = x - mu
+        m2 = (z ** 2).mean()
+        sd = x.std(ddof=1) if n > 1 else np.nan
+        row["mean"] = mu
+        row["sd"] = sd
+        row["cv"] = sd / mu if mu != 0 else np.nan
+        row["iqr"] = np.quantile(x, 0.75) - np.quantile(x, 0.25)
+        row["skewness"] = (z ** 3).mean() / m2 ** 1.5 if m2 > 0 else np.nan
+        row["kurtosis"] = (z ** 4).mean() / m2 ** 2 - 3.0 if m2 > 0 else np.nan
+        row["ac1"] = (float((z[:-1] * z[1:]).sum() / (z ** 2).sum())
+                      if n > 1 and m2 > 0 else np.nan)
+        row["mac"] = float(np.abs(np.diff(x)).mean()) if n > 1 else np.nan
+        row["outliers3"] = np.int64((np.abs(z) > 3 * sd).sum()) if n > 1 else np.int64(0)
+        return pd.DataFrame([row])
+
+    from .exchange import grouped_block_map
+
+    return grouped_block_map(
+        ds.map_batches(prep, batch_format="pandas"), keys, gfn,
+        num_partitions=num_partitions).to_pandas()
