@@ -4294,6 +4294,62 @@ def q_nee_partition_nt(sf_dir: str):
     return g.sort_values("event_type").reset_index(drop=True)
 
 
+def q_nee_partition_nt_oneflux(sf_dir: str):
+    """ONEFlux-variant nighttime partitioning
+    (flux/partitioning/nighttime_oneflux.py:77-394 via
+    stages/partition_oneflux.py): Linacre sunrise/sunset + SW_IN night
+    flag, trimmed windowed Lloyd-Taylor fits, lowest-SE E0 selection
+    with the well-constrained gate, fixed-E0 Rref reanalysis with a
+    robust twin. Same planted construction as nee_partition_nt
+    (Lloyd-Taylor with slowly-varying Rref); iterative fits ->
+    rows-only; recovery, gate and helper parity pinned in
+    tests/test_partition_oneflux.py. One summary row per event_type."""
+    from ..stages.partition_oneflux import lloyd_taylor_c, partition_nighttime_oneflux
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        ts = pd.to_datetime(df["ts"])
+        hour = (ts.dt.hour + ts.dt.minute / 60.0).to_numpy()
+        doy = ts.dt.dayofyear.to_numpy(dtype=np.float64)
+        h1 = (eid * 2_654_435_761) % 2_147_483_648
+        h2 = (eid * 2_246_822_519) % 2_147_483_648
+        ta = 8.0 + 7.0 * np.sin(2 * np.pi * (hour - 9.0) / 24.0) \
+            + 3.0 * (h1 / 2147483648.0 - 0.5)
+        rref_true = 2.0 + 1.0 * np.sin(2 * np.pi * doy / 60.0)
+        resp = lloyd_taylor_c(ta, rref_true, 180.0)
+        day = (hour >= 7) & (hour <= 17)
+        nee = resp - np.where(day, 6.0, 0.0) + 0.3 * (h2 / 2147483648.0 - 0.5)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "ts": ts.astype("datetime64[us]"),
+            "nee": nee, "ta": ta,
+            "sw_in": np.where(day, 400.0, 0.0),
+        })
+
+    out = partition_nighttime_oneflux(
+        ds.map_batches(synth, batch_format="pandas", zero_copy_batch=False),
+        keys=["event_type"], lat=47.0,
+    ).to_pandas()
+    g = out.groupby("event_type", as_index=False).agg(
+        e0=("e0", "first"),
+        n=("ts", "count"),
+        n_night=("nee_night", "count"),
+        mean_rref=("rref", "mean"),
+        mean_reco=("reco", "mean"),
+        mean_reco_rob=("reco_rob", "mean"),
+        mean_gpp=("gpp", "mean"),
+    )
+    for c in ("e0", "mean_rref", "mean_reco", "mean_reco_rob", "mean_gpp"):
+        g[c] = np.asarray(stable_round6(g[c].astype(float)), dtype=np.float64)
+        g[c] = np.where(np.isfinite(g[c]), g[c], -1.0)
+    g["n"] = g["n"].astype("int64")
+    g["n_night"] = g["n_night"].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
 def q_asof_join_hourly(sf_dir: str):
     """Distributed ASOF join (stages/joins.py:asof_join): attach to each
     raw event the latest COMPLETED hourly mean of its event_type —
@@ -6096,6 +6152,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fluxnet_format": q_fluxnet_format,
     "timestamp_conventions": q_timestamp_conventions,
     "series_features": q_series_features,
+    "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
