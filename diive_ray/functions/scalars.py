@@ -129,3 +129,34 @@ def flag_low_good(x: np.ndarray, thres_good: float, thres_ok: float) -> np.ndarr
     out[(x >= thres_good) & (x < thres_ok)] = 1.0
     out[x >= thres_ok] = 2.0
     return out
+
+
+def aerodynamic_resistance(u_ms: np.ndarray, ustar_ms: np.ndarray) -> np.ndarray:
+    """ra = u / ustar^2 (Stull 1988 bulk momentum approach;
+    variables/thermodynamic.py:19-49), ustar <= 0 -> NaN."""
+    ustar = np.where(np.asarray(ustar_ms) <= 0, np.nan, np.asarray(ustar_ms, dtype=np.float64))
+    return np.asarray(u_ms, dtype=np.float64) / (ustar ** 2)
+
+
+def dry_air_density(rho_a: np.ndarray, rho_v: np.ndarray) -> np.ndarray:
+    """rho_d = rho_total - rho_vapor (thermodynamic.py:52-91)."""
+    return np.asarray(rho_a, dtype=np.float64) - np.asarray(rho_v, dtype=np.float64)
+
+
+def air_temp_from_sonic_temp(sonic_temp: np.ndarray, h2o: np.ndarray) -> np.ndarray:
+    """ta = sonic / (1 + 0.32 * h2o) — humidity (mmol mol-1 -> mol
+    fraction upstream) crosswind-corrected sonic temperature
+    (thermodynamic.py:134-170)."""
+    return np.asarray(sonic_temp, dtype=np.float64) / (1 + 0.32 * np.asarray(h2o, dtype=np.float64))
+
+
+def latent_heat_of_vaporization(ta_c: np.ndarray) -> np.ndarray:
+    """Lv = (2.501 - 0.00237 * TA) * 10^6 J kg-1 (Stull 1988;
+    thermodynamic.py:172-199)."""
+    return (2.501 - 0.00237 * np.asarray(ta_c, dtype=np.float64)) * (10 ** 6)
+
+
+def et_from_le(le: np.ndarray, ta_c: np.ndarray) -> np.ndarray:
+    """Evapotranspiration (mm h-1) from latent heat flux (W m-2):
+    ET = LE / Lv(TA) * 3600 (thermodynamic.py:201-240)."""
+    return np.asarray(le, dtype=np.float64) / latent_heat_of_vaporization(ta_c) * 3600

@@ -5255,6 +5255,136 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_thermo_battery(sf_dir: str):
+    """Thermodynamic derived-variable battery
+    (variables/thermodynamic.py:19-240 via functions/scalars.py):
+    aerodynamic resistance u/ustar^2 (ustar <= 0 -> missing sentinel),
+    dry-air density, crosswind-corrected sonic->air temperature,
+    latent heat of vaporization, ET from LE. Inputs synthesized
+    integer-exactly from event_id; SQL replays each closed form."""
+    from ..functions.scalars import (
+        aerodynamic_resistance, air_temp_from_sonic_temp, dry_air_density,
+        et_from_le, latent_heat_of_vaporization,
+    )
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        u = 0.5 + ((eid * 7) % 800) / 100.0
+        ustar = ((eid * 11) % 120) / 100.0 - 0.1
+        rho_a = 1.1 + ((eid * 13) % 30) / 100.0
+        rho_v = ((eid * 17) % 20) / 1000.0
+        sonic = 280.0 + ((eid * 19) % 400) / 10.0
+        h2o = ((eid * 23) % 40) / 1000.0
+        le = ((eid * 29) % 4000) / 10.0 - 50.0
+        ta = -5.0 + ((eid * 31) % 350) / 10.0
+        out = pd.DataFrame({
+            "event_id": eid,
+            "ra": aerodynamic_resistance(u, ustar),
+            "rho_d": dry_air_density(rho_a, rho_v),
+            "ta_sonic": air_temp_from_sonic_temp(sonic, h2o),
+            "lv": latent_heat_of_vaporization(ta),
+            "et": et_from_le(le, ta),
+        })
+        for c in ("ra", "rho_d", "ta_sonic", "lv", "et"):
+            out[c] = pd.Series(stable_round6(out[c].astype(float))).fillna(-1.0)
+        return out
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_THERMO = """
+WITH x AS (
+  SELECT event_id,
+         0.5 + ((event_id * 7) % 800) / 100.0 AS u,
+         ((event_id * 11) % 120) / 100.0 - 0.1 AS ustar,
+         1.1 + ((event_id * 13) % 30) / 100.0 AS rho_a,
+         ((event_id * 17) % 20) / 1000.0 AS rho_v,
+         280.0 + ((event_id * 19) % 400) / 10.0 AS sonic,
+         ((event_id * 23) % 40) / 1000.0 AS h2o,
+         ((event_id * 29) % 4000) / 10.0 - 50.0 AS le,
+         -5.0 + ((event_id * 31) % 350) / 10.0 AS ta
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN ustar <= 0 THEN -1.0
+            ELSE ROUND(ROUND(u / POWER(ustar, 2), 9), 6) END AS ra,
+       ROUND(ROUND(rho_a - rho_v, 9), 6) AS rho_d,
+       ROUND(ROUND(sonic / (1 + 0.32 * h2o), 9), 6) AS ta_sonic,
+       ROUND(ROUND((2.501 - 0.00237 * ta) * 1000000, 9), 6) AS lv,
+       ROUND(ROUND(le / ((2.501 - 0.00237 * ta) * 1000000) * 3600, 9), 6) AS et
+FROM x ORDER BY event_id
+"""
+
+
+def q_lagged_variants(sf_dir: str):
+    """Lagged feature variants (variables/temporal.py:367-440
+    lagged_variants): the 1h tier mean per event_type gains the
+    reference's minus-before / plus-after named shifts over the
+    REGULARIZED bucket grid (lag=[-2, 1], stepsize=1 -> "mean-2",
+    "mean-1", "mean+1"). ONE exchange; SQL replays with LAG/LEAD over a
+    generate_series-dense grid. Missing shifts carry the -9999.0
+    missing code (reference frames are NaN there — NaN is not
+    hash-stable, the code is)."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.gaps import regularize_frame
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        key = g["event_type"].iloc[0]
+        reg = regularize_frame(g, US_PER_HOUR, "bucket_ts")
+        out = pd.DataFrame({
+            "event_type": key,
+            "bucket_ts": pd.to_datetime(reg["bucket_ts"]).astype("datetime64[us]"),
+            "mean": reg["mean"],
+        })
+        for k in (-2, -1, 1):
+            name = f"mean{'-' if k < 0 else '+'}{abs(k)}"
+            out[name] = out["mean"].shift(-k if k > 0 else abs(k))
+        return out
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    for c in ("mean", "mean-2", "mean-1", "mean+1"):
+        out[c] = round6(out[c].astype(float))
+        out[c] = out[c].fillna(-9999.0)
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_LAGGED = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), bounds AS (
+  SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM h GROUP BY 1
+), grid AS (
+  SELECT b.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bounds b
+), dense AS (
+  SELECT g.event_type, g.bucket_ts, h.mean
+  FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.bucket_ts = g.bucket_ts
+), l AS (
+  SELECT event_type, bucket_ts, mean,
+         LAG(mean, 2) OVER w AS m_m2,
+         LAG(mean, 1) OVER w AS m_m1,
+         LEAD(mean, 1) OVER w AS m_p1
+  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type, bucket_ts,
+       COALESCE(ROUND(mean, 6), -9999.0) AS "mean",
+       COALESCE(ROUND(m_m2, 6), -9999.0) AS "mean-2",
+       COALESCE(ROUND(m_m1, 6), -9999.0) AS "mean-1",
+       COALESCE(ROUND(m_p1, 6), -9999.0) AS "mean+1"
+FROM l ORDER BY event_type, bucket_ts
+"""
+
+
 def q_series_features(sf_dir: str):
     """tsfresh-style series feature battery
     (core/dfun/stats.py:77-190 via stages/features.py:series_features):
@@ -6152,6 +6282,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fluxnet_format": q_fluxnet_format,
     "timestamp_conventions": q_timestamp_conventions,
     "series_features": q_series_features,
+    "thermo_battery": q_thermo_battery,
+    "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
@@ -6257,6 +6389,8 @@ ORACLE: dict[str, str] = {
     "fluxnet_format": _SQL_FLUXNET,
     "timestamp_conventions": _SQL_TS_CONVENTIONS,
     "series_features": _SQL_SERIES_FEATURES,
+    "thermo_battery": _SQL_THERMO,
+    "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     **ALE_ORACLE,
