@@ -5255,6 +5255,76 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_rank_drivers(sf_dir: str):
+    """Driver ranking by correlation with a target
+    (analysis/correlation.py:18-104 rank_drivers): each non-target
+    event_type's hourly mean vs the 'click' series, Pearson r over
+    pairwise-complete buckets, ranked by |r| (ties by driver name).
+    Fully decomposable: the wide pivot streams through per-batch
+    (n, Sx, Sy, Sxy, Sxx, Syy) partials — ONE bucket exchange total,
+    combine is a 4-row driver frame. The SQL oracle computes the SAME
+    raw-moment formula (not CORR()) so both sides share the exact
+    expression."""
+    from ..sources.fluxnet import fluxnet_wide
+    from ..util import stable_round6
+
+    target, drivers = "click", ["error", "purchase", "signup", "view"]
+    t1h = _fused_tier(sf_dir, "1h")
+    wide = fluxnet_wide(t1h, variables=[target] + drivers)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        y = df[f"{target}_1_1_1"].to_numpy(dtype=np.float64)
+        rows = []
+        for d in drivers:
+            x = df[f"{d}_1_1_1"].to_numpy(dtype=np.float64)
+            m = (x != -9999.0) & (y != -9999.0)
+            xs, ys = x[m], y[m]
+            rows.append((d, np.int64(m.sum()), xs.sum(), ys.sum(),
+                         (xs * ys).sum(), (xs * xs).sum(), (ys * ys).sum()))
+        return pd.DataFrame(
+            rows, columns=["driver", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    parts = wide.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("driver", as_index=False).sum()
+    n = g["n"].to_numpy(dtype=np.float64)
+    num = n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy()
+    den = np.sqrt((n * g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2)
+                  * (n * g["syy"].to_numpy() - g["sy"].to_numpy() ** 2))
+    g["r"] = stable_round6(num / den)
+    g["abs_r"] = np.abs(g["r"].to_numpy())
+    g = g.sort_values(["abs_r", "driver"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    g["n"] = g["n"].astype("int64")
+    return g[["rank", "driver", "n", "r", "abs_r"]]
+
+
+_SQL_RANK_DRIVERS = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), pairs AS (
+  SELECT d.event_type AS driver, d.mean AS x, t.mean AS y
+  FROM h d JOIN h t ON t.event_type = 'click' AND t.bucket_ts = d.bucket_ts
+  WHERE d.event_type <> 'click'
+), s AS (
+  SELECT driver, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY 1
+), r AS (
+  SELECT driver, n,
+         ROUND(ROUND((n * sxy - sx * sy)
+               / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 9), 6) AS r
+  FROM s
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ABS(r) DESC, driver) AS BIGINT) AS rank,
+       driver, n, r, ABS(r) AS abs_r
+FROM r ORDER BY rank
+"""
+
+
 def q_thermo_battery(sf_dir: str):
     """Thermodynamic derived-variable battery
     (variables/thermodynamic.py:19-240 via functions/scalars.py):
@@ -6282,6 +6352,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "fluxnet_format": q_fluxnet_format,
     "timestamp_conventions": q_timestamp_conventions,
     "series_features": q_series_features,
+    "rank_drivers": q_rank_drivers,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -6389,6 +6460,7 @@ ORACLE: dict[str, str] = {
     "fluxnet_format": _SQL_FLUXNET,
     "timestamp_conventions": _SQL_TS_CONVENTIONS,
     "series_features": _SQL_SERIES_FEATURES,
+    "rank_drivers": _SQL_RANK_DRIVERS,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
