@@ -5255,6 +5255,130 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_winsorize(sf_dir: str):
+    """Per-key winsorization (the outlier-capping cousin of the setto
+    corrections, preprocessing/corrections/setto.py family + the exact
+    distributed quantile machinery): clip each event_type's values at
+    its own [p05, p95] (linear-interpolation quantiles), report
+    per-key clipped counts and the post-clip mean. ONE exchange; SQL
+    replays with QUANTILE_CONT and identical clip expressions."""
+    from ..stages.exchange import grouped_block_map
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].dropna().astype(float).to_numpy()
+        lo, hi = np.quantile(v, 0.05), np.quantile(v, 0.95)
+        w = np.clip(v, lo, hi)
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "n": np.int64(len(v)),
+            "n_clipped_low": np.int64((v < lo).sum()),
+            "n_clipped_high": np.int64((v > hi).sum()),
+            "p05": lo, "p95": hi,
+            "mean_winsorized": w.mean(),
+        }])
+
+    out = grouped_block_map(ds, ["event_type"], fn).to_pandas()
+    for c in ("p05", "p95", "mean_winsorized"):
+        out[c] = stable_round6(out[c].astype(float))
+    for c in ("n", "n_clipped_low", "n_clipped_high"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_WINSORIZE = """
+WITH q AS (
+  SELECT event_type, COUNT(value) AS n,
+         QUANTILE_CONT(value, 0.05) AS lo, QUANTILE_CONT(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, q.n,
+       CAST(SUM(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       ROUND(ROUND(q.lo, 9), 6) AS p05,
+       ROUND(ROUND(q.hi, 9), 6) AS p95,
+       ROUND(ROUND(SUM(LEAST(GREATEST(e.value, q.lo), q.hi)) / COUNT(e.value), 9), 6)
+         AS mean_winsorized
+FROM events e JOIN q ON q.event_type = e.event_type
+WHERE e.value IS NOT NULL
+GROUP BY 1, 2, q.lo, q.hi ORDER BY 1
+"""
+
+
+def q_cusum_drift(sf_dir: str):
+    """One-sided CUSUM drift detection over the hourly means (Page
+    1954 — the pipeline-monitoring counterpart of detect_timestamp
+    _shifts): S_t = max(0, S_{t-1} + (x_t - mu0 - slack)). The
+    recursion has the closed form S_t = P_t - min_{j<=t} P_j over the
+    prefix sums P_t = sum(x_i - mu0 - slack), which is what both the
+    vectorized engine kernel (np.minimum.accumulate) and the SQL
+    oracle (running MIN window) compute — an EXACT oracle for a
+    'sequential' algorithm. mu0 = the key's own first-week mean;
+    slack = 0.5; alarm at S_t > 25. Per-key: ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+    from ..util import stable_round6
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = g["mean"].astype(float).to_numpy()
+        ts = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]")
+        t0_us = ts.astype(np.int64).iloc[0]
+        week = ts.astype(np.int64) < t0_us + 7 * US_PER_DAY
+        mu0 = x[week.to_numpy()].mean()
+        d = x - mu0 - 0.5
+        prefix = np.cumsum(d)
+        run_min = np.minimum(np.minimum.accumulate(prefix), 0.0)
+        s = prefix - run_min
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": ts,
+            "cusum": s,
+            "alarm": (s > 25.0).astype(np.int64),
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["cusum"] = stable_round6(out["cusum"].astype(float))
+    out["alarm"] = out["alarm"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_CUSUM = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), m AS (
+  SELECT event_type, MIN(bucket_ts) AS t0 FROM h GROUP BY 1
+), mu AS (
+  SELECT h.event_type, AVG(h.mean) AS mu0
+  FROM h JOIN m ON m.event_type = h.event_type
+  WHERE epoch_us(h.bucket_ts) < epoch_us(m.t0) + 7 * 86400000000
+  GROUP BY 1
+), pre AS (
+  SELECT h.event_type, h.bucket_ts,
+         SUM(h.mean - mu.mu0 - 0.5) OVER (PARTITION BY h.event_type
+                                          ORDER BY h.bucket_ts) AS prefix
+  FROM h JOIN mu ON mu.event_type = h.event_type
+), p AS (
+  SELECT event_type, bucket_ts, prefix,
+         MIN(prefix) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_min
+  FROM pre
+)
+SELECT event_type, bucket_ts,
+       ROUND(ROUND(prefix - LEAST(run_min, 0.0), 9), 6) AS cusum,
+       CAST(CASE WHEN prefix - LEAST(run_min, 0.0) > 25.0 THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm
+FROM p ORDER BY event_type, bucket_ts
+"""
+
+
 def q_rank_drivers(sf_dir: str):
     """Driver ranking by correlation with a target
     (analysis/correlation.py:18-104 rank_drivers): each non-target
@@ -6353,6 +6477,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "timestamp_conventions": q_timestamp_conventions,
     "series_features": q_series_features,
     "rank_drivers": q_rank_drivers,
+    "winsorize": q_winsorize,
+    "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -6461,6 +6587,8 @@ ORACLE: dict[str, str] = {
     "timestamp_conventions": _SQL_TS_CONVENTIONS,
     "series_features": _SQL_SERIES_FEATURES,
     "rank_drivers": _SQL_RANK_DRIVERS,
+    "winsorize": _SQL_WINSORIZE,
+    "cusum_drift": _SQL_CUSUM,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
