@@ -5255,6 +5255,49 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+_METEO_RENAME = {"click": "TA", "error": "RH", "purchase": "SW_IN",
+                 "signup": "PPFD_IN", "view": "PA"}
+
+
+def q_eddypro_meteo_format(sf_dir: str):
+    """EddyPro flux-processing meteo input layout
+    (io/formats/meteo.py:21-89 FormatMeteoForEddyProFluxProcessing via
+    the fluxnet wide pivot): timestamp split into TIMESTAMP_1
+    (yyyy-mm-dd) and TIMESTAMP_2 (HH:MM) leading columns, variables
+    renamed to meteo codes, missing filled with -9999. Same ONE-bucket-
+    exchange pivot as fluxnet_format; SQL replays the split + rename."""
+    from ..sources.fluxnet import fluxnet_wide
+
+    t1h = _fused_tier(sf_dir, "1h")
+    wide = fluxnet_wide(t1h, variables=list(_METEO_RENAME)).to_pandas()
+    s = wide["TIMESTAMP_END"]
+    out = pd.DataFrame({
+        "TIMESTAMP_1": s.str[0:4] + "-" + s.str[4:6] + "-" + s.str[6:8],
+        "TIMESTAMP_2": s.str[8:10] + ":" + s.str[10:12],
+    })
+    for src, dst in _METEO_RENAME.items():
+        out[dst] = round6(wide[f"{src}_1_1_1"].astype(float))
+    return out.sort_values(["TIMESTAMP_1", "TIMESTAMP_2"]).reset_index(drop=True)
+
+
+_SQL_METEO_FORMAT = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+)
+SELECT strftime(bucket_ts, '%Y-%m-%d') AS "TIMESTAMP_1",
+       strftime(bucket_ts, '%H:%M') AS "TIMESTAMP_2",
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'click' THEN mean END), -9999), 6) AS "TA",
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'error' THEN mean END), -9999), 6) AS "RH",
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN mean END), -9999), 6) AS "SW_IN",
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'signup' THEN mean END), -9999), 6) AS "PPFD_IN",
+       ROUND(COALESCE(MAX(CASE WHEN event_type = 'view' THEN mean END), -9999), 6) AS "PA"
+FROM h GROUP BY bucket_ts ORDER BY 1, 2
+"""
+
+
 def q_winsorize(sf_dir: str):
     """Per-key winsorization (the outlier-capping cousin of the setto
     corrections, preprocessing/corrections/setto.py family + the exact
@@ -6477,6 +6520,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "timestamp_conventions": q_timestamp_conventions,
     "series_features": q_series_features,
     "rank_drivers": q_rank_drivers,
+    "eddypro_meteo_format": q_eddypro_meteo_format,
     "winsorize": q_winsorize,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
@@ -6587,6 +6631,7 @@ ORACLE: dict[str, str] = {
     "timestamp_conventions": _SQL_TS_CONVENTIONS,
     "series_features": _SQL_SERIES_FEATURES,
     "rank_drivers": _SQL_RANK_DRIVERS,
+    "eddypro_meteo_format": _SQL_METEO_FORMAT,
     "winsorize": _SQL_WINSORIZE,
     "cusum_drift": _SQL_CUSUM,
     "thermo_battery": _SQL_THERMO,
