@@ -27,11 +27,34 @@ def entry() -> Any:
     return fused.filter(expr="tier == '1h'").drop_columns(["tier", "n_child"])
 
 
-# Queries the driver already recorded green in CORRECTNESS_r01/r02.
+# Queries the driver already recorded green in CORRECTNESS_r01/r02/r03.
 # Rotation (VERDICT r2 #2): a driver that bounds recorded rows (~50)
 # should spend them on oracle queries it has NOT yet recorded, so those
 # come first, then the previously-recorded oracle set, then rows-only.
-_DRIVER_RECORDED = frozenset({
+# wind_rotation was recorded in r03 but hash-failed there (fixed in r4:
+# order-canonical window means + -0.0 normalization on both sides), so
+# it is force-ranked FIRST for re-recording (VERDICT r3 #1).
+_RERECORD_FIRST = ("wind_rotation",)
+
+_R3_RECORDED = frozenset({
+    "asof_join_hourly", "binary_extract", "compound_extremes",
+    "cusum_drift", "doc_bm25_topk", "doc_dedup_normalized", "doc_dsir",
+    "doc_global_shuffle", "doc_lm_perplexity", "doc_normalize",
+    "doc_sample_hash", "doc_segment_dedup", "doc_word_freqs",
+    "doy_cumulative", "eddypro_flag_battery", "eddypro_meteo_format",
+    "embedding_knn_ivf_exact", "embedding_semdedup", "event_funnel",
+    "event_transitions", "file_split_stats", "flux_detection_limit",
+    "flux_randunc", "fluxnet_format", "freq_groups", "gapfill_scores",
+    "granger_lag1_f", "harmonic_k1_fit", "hq_flux", "jsonl_ingest",
+    "lagged_variants", "lof_scores", "max_covariance", "potrad_eot",
+    "profile", "rank_drivers", "series_features", "sessionize",
+    "stratified_analysis", "thermo_battery", "time_since",
+    "timelag_analysis", "timestamp_conventions", "tokens_vocab_hist",
+    "trim_frame", "variable_classify", "winddir_agg", "winsorize",
+    "xcorr_lag_scan",
+})
+
+_DRIVER_RECORDED = _R3_RECORDED | frozenset({
     "abs_limits", "bootstrap_ci", "counter_rate", "daily_correlation",
     "day_mean_as_hires", "daynight_flag", "dedup_keep_last", "diel_cycle",
     "diel_cycle_monthly", "doc_langid", "doc_quality", "doc_token_count",
@@ -102,10 +125,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round instead of re-recording the same set."""
     from diive_ray.pipelines.queries import ORACLE, QUERIES
 
-    ordered = {
+    ordered = {k: QUERIES[k] for k in _RERECORD_FIRST if k in QUERIES}
+    ordered.update({
         k: v for k, v in QUERIES.items()
         if k in ORACLE and k not in _DRIVER_RECORDED and k not in _R2_ERA
-    }
+    })
     ordered.update({
         k: v for k, v in QUERIES.items()
         if k in ORACLE and k not in _DRIVER_RECORDED and k in _R2_ERA

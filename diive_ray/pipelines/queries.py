@@ -2370,7 +2370,9 @@ def q_wind_rotation(sf_dir: str):
     prepared = ds.map_batches(bucketer, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         synth, batch_format="pandas"
     )
-    out = wind_double_rotation(prepared, keys=["event_type", "bucket_ts"]).to_pandas()
+    out = wind_double_rotation(
+        prepared, keys=["event_type", "bucket_ts"], order_by=["event_id"]
+    ).to_pandas()
     res = out[["event_id", "event_type"]].copy()
     for c in ("u2", "v2", "w2", "theta", "phi"):
         res[c] = stable_round6(out[c].astype(float))
@@ -2396,11 +2398,11 @@ ang AS (
   FROM m
 )
 SELECT s.event_id, s.event_type,
-       ROUND(ROUND((s.u * cos(theta) + s.v * sin(theta)) * cos(phi) + s.w * sin(phi), 9), 6) AS u2,
-       ROUND(ROUND(-s.u * sin(theta) + s.v * cos(theta), 9), 6) AS v2,
-       ROUND(ROUND(-(s.u * cos(theta) + s.v * sin(theta)) * sin(phi) + s.w * cos(phi), 9), 6) AS w2,
-       ROUND(ROUND(theta, 9), 6) AS theta,
-       ROUND(ROUND(phi, 9), 6) AS phi
+       ROUND(ROUND((s.u * cos(theta) + s.v * sin(theta)) * cos(phi) + s.w * sin(phi), 9), 6) + 0.0 AS u2,
+       ROUND(ROUND(-s.u * sin(theta) + s.v * cos(theta), 9), 6) + 0.0 AS v2,
+       ROUND(ROUND(-(s.u * cos(theta) + s.v * sin(theta)) * sin(phi) + s.w * cos(phi), 9), 6) + 0.0 AS w2,
+       ROUND(ROUND(theta, 9), 6) + 0.0 AS theta,
+       ROUND(ROUND(phi, 9), 6) + 0.0 AS phi
 FROM s JOIN ang USING (event_type, bts)
 """
 

@@ -53,17 +53,28 @@ def wind_double_rotation(
     v: str = "v",
     w: str = "w",
     num_partitions: int | None = None,
+    order_by: list[str] | None = None,
 ) -> rd.Dataset:
     """Distributed double rotation: ``keys`` identifies one averaging
     window (e.g. [site, bucket_ts]); one hash exchange, then ONE
     vectorized pass per block — window means via groupby().transform
     (Cython), angles and rotation applied to the whole block at once
-    (no per-group Python)."""
+    (no per-group Python).
+
+    ``order_by``: optional columns imposing a canonical row order inside
+    each block BEFORE the window means are accumulated. Intra-block row
+    order depends on block arrival, and a float mean is
+    accumulation-order-sensitive at the ULP level — enough to flip a
+    round-6 half-boundary between runs with different partitioning.
+    Pass the natural record id to make results partitioning-invariant
+    bit-for-bit."""
     from .exchange import block_map
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return wind_double_rotation_frame(df, u=u, v=v, w=w)
+        if order_by:
+            df = df.sort_values(keys + order_by, kind="stable", ignore_index=True)
         g = df.groupby(keys, sort=False)
         um = g[u].transform("mean").to_numpy()
         vm = g[v].transform("mean").to_numpy()

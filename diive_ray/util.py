@@ -31,8 +31,17 @@ def stable_round6(x) -> np.ndarray:
     engine-vs-oracle summation-order noise BEFORE the 6-decimal round so
     values landing exactly on a 6-decimal half-boundary (donor means of
     6-decimal inputs do) round identically on both sides. The oracle SQL
-    must use ROUND(ROUND(x, 9), 6) wherever the engine uses this."""
-    return round6(round6(x, 9), 6)
+    must use ROUND(ROUND(x, 9), 6) wherever the engine uses this.
+
+    ``+ 0.0`` normalizes -0.0 to +0.0: a mathematically-zero residual
+    (e.g. v2 = -u*sin(theta) + v*cos(theta) of a single-sample window)
+    computes as +-1e-17 with a sign that depends on summation order, so
+    engine and oracle would disagree on the SIGN of zero — invisible to
+    numeric compares but fatal to the driver's value hash. Any oracle
+    whose SQL can emit -0.0 must normalize with ``+ 0.0`` as well
+    (wind_rotation is the only one; audited over all oracles at
+    sf0.01)."""
+    return round6(round6(x, 9), 6) + 0.0
 
 
 def ts_to_us(x) -> np.ndarray:
