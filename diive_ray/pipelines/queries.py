@@ -6400,6 +6400,230 @@ FROM w ORDER BY event_id
 """
 
 
+def _dt_synth_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared deterministic flux synthesis for the daytime-partitioning
+    queries (the nee_partition_nt_oneflux construction plus a filled
+    VPD driver) — every expression SQL-replayable."""
+    eid = df["event_id"].to_numpy(dtype=np.int64)
+    ts = pd.to_datetime(df["ts"])
+    hour = (ts.dt.hour + ts.dt.minute / 60.0).to_numpy()
+    doy = ts.dt.dayofyear.to_numpy(dtype=np.float64)
+    h1 = (eid * 2_654_435_761) % 2_147_483_648
+    h2 = (eid * 2_246_822_519) % 2_147_483_648
+    ta = 8.0 + 7.0 * np.sin(2 * np.pi * (hour - 9.0) / 24.0) \
+        + 3.0 * (h1 / 2147483648.0 - 0.5)
+    rref_true = 2.0 + 1.0 * np.sin(2 * np.pi * doy / 60.0)
+    resp = rref_true * np.exp(180.0 * ((1.0 / (15.0 + 46.02)) - (1.0 / (ta + 46.02))))
+    day = (hour >= 7) & (hour <= 17)
+    sw = np.where(day, 400.0, 0.0)
+    gpp_true = np.where(day, 0.05 * 20.0 * sw / (0.05 * sw + 20.0), 0.0)
+    nee = resp - gpp_true + 0.3 * (h2 / 2147483648.0 - 0.5)
+    vpd = np.maximum(
+        0.0, 6.0 + 8.0 * np.sin(2 * np.pi * (hour - 15.0) / 24.0)
+        + 2.0 * (h1 / 2147483648.0 - 0.5))
+    return pd.DataFrame({
+        "event_type": df["event_type"],
+        "ts": ts.astype("datetime64[us]"),
+        "nee": nee, "ta": ta, "sw_in": sw, "vpd": vpd,
+        "doy": doy,
+    })
+
+
+def q_nee_partition_dt_oneflux(sf_dir: str):
+    """Full ONEFlux daytime partitioning (reference
+    flux/partitioning/daytime_oneflux.py:1-975, Lasslop 2010 via
+    stages/partition_daytime.py): MDS-lookup per-record NEE
+    uncertainty, per-4-day-window penalized LRC fits with nighttime E0
+    and the degenerate-model cascade, neighbor-window interpolation,
+    GPP SE propagation. Iterative fits -> rows-only; planted-parameter
+    recovery + geometry oracles pinned in
+    tests/test_partition_daytime.py and the dt_window_geometry query.
+    One summary row per event_type."""
+    from ..stages.partition_daytime import partition_daytime_oneflux
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+    out = partition_daytime_oneflux(
+        ds.map_batches(_dt_synth_frame, batch_format="pandas", zero_copy_batch=False)
+        .drop_columns(["doy"]),
+        keys=["event_type"],
+    ).to_pandas()
+    g = out.groupby("event_type", as_index=False).agg(
+        n=("ts", "count"),
+        n_reco=("RECO_DT_OF", "count"),
+        n_windows=("RREF_DT_OF", "count"),
+        mean_reco=("RECO_DT_OF", "mean"),
+        mean_gpp=("GPP_DT_OF", "mean"),
+        mean_se_gpp=("SE_GPP_DT_OF", "mean"),
+        mean_e0=("E0_DT_OF", "mean"),
+        mean_rref=("RREF_DT_OF", "mean"),
+    )
+    for c in ("mean_reco", "mean_gpp", "mean_se_gpp", "mean_e0", "mean_rref"):
+        g[c] = np.asarray(stable_round6(g[c].astype(float)), dtype=np.float64)
+        g[c] = np.where(np.isfinite(g[c]), g[c], -1.0)
+    for c in ("n", "n_reco", "n_windows"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+def q_nee_partition_dt_reddyproc(sf_dir: str):
+    """REddyProc daytime partitioning (reference
+    flux/partitioning/daytime_reddyproc.py:1-955, partitionNEEGL via
+    stages/partition_daytime.py): potential-radiation day/night split,
+    per-12-day-window nighttime E0 (24/48-day extension), GP-smoothed
+    E0, closed-form RRef windows, penalized LRC with the fix-VPD /
+    fix-alpha cascade, mean-of-valid anchored interpolation. Nested
+    optimizers -> rows-only; recovery pinned in
+    tests/test_partition_daytime.py. One summary row per event_type."""
+    from ..stages.partition_daytime import partition_daytime_reddyproc
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+    out = partition_daytime_reddyproc(
+        ds.map_batches(_dt_synth_frame, batch_format="pandas", zero_copy_batch=False)
+        .drop_columns(["doy"]),
+        keys=["event_type"], lat=47.0, lon=8.0, utc_offset=1.0,
+    ).to_pandas()
+    g = out.groupby("event_type", as_index=False).agg(
+        n=("ts", "count"),
+        n_reco=("RECO_DT_RP", "count"),
+        n_windows=("RREF_DT_RP", "count"),
+        mean_reco=("RECO_DT_RP", "mean"),
+        mean_gpp=("GPP_DT_RP", "mean"),
+        mean_e0=("E0_DT_RP", "mean"),
+        mean_rref=("RREF_DT_RP", "mean"),
+    )
+    for c in ("mean_reco", "mean_gpp", "mean_e0", "mean_rref"):
+        g[c] = np.asarray(stable_round6(g[c].astype(float)), dtype=np.float64)
+        g[c] = np.where(np.isfinite(g[c]), g[c], -1.0)
+    for c in ("n", "n_reco", "n_windows"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
+
+
+def q_dt_window_geometry(sf_dir: str):
+    """The deterministic window geometry + subset selection + beta
+    prior of the ONEFlux daytime cascade (daytime_oneflux.py:398-433:
+    4-day windows on a 2-day step, ~12-day surrounding night window,
+    the Rg<=4 night / Rg>4 day split, the idiosyncratic index
+    percentile beta guess |p03 - p97|, the night-mean rref guess),
+    exact-oracle-checked per (event_type, window) for windows passing
+    the n_night>10 AND n_day>10 precondition."""
+    from ..stages.partition_daytime import WINSIZE, _percentiles_oneflux
+    from ..util import stable_round6
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+    prepped = ds.map_batches(_dt_synth_frame, batch_format="pandas",
+                             zero_copy_batch=False)
+
+    n_parasets = (365 // WINSIZE) * 2
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        doy = g["doy"].to_numpy()
+        nee = g["nee"].to_numpy()
+        rg = g["sw_in"].to_numpy()
+        maxdoy = float(np.max(doy))
+        rows = []
+        for i in range(n_parasets):
+            db = i * WINSIZE / 2.0
+            de = db + WINSIZE
+            db2 = (i - 2) * WINSIZE / 2.0 if i > 1 else 0
+            de2 = (i + 2) * WINSIZE / 2.0 + WINSIZE if i < n_parasets - 2 else maxdoy
+            sub = (doy > db) & (doy <= de)
+            subn = (doy > db2) & (doy <= de2) & (rg <= 4.0)
+            subd = sub & (rg > 4.0)
+            n_night, n_day = int(subn.sum()), int(subd.sum())
+            if not (n_night > 10 and n_day > 10):
+                continue
+            percs = _percentiles_oneflux(nee[sub], (0.03, 0.97))
+            rows.append({
+                "event_type": g["event_type"].iloc[0],
+                "win": np.int64(i),
+                "day_begin": db, "day_end": de,
+                "n_win": np.int64(int(sub.sum())),
+                "n_night": np.int64(n_night), "n_day": np.int64(n_day),
+                "beta_guess": abs(percs[0] - percs[1]),
+                "rb": float(np.average(nee[subn])),
+            })
+        return pd.DataFrame(rows)
+
+    from ..stages.exchange import grouped_block_map
+
+    out = grouped_block_map(prepped, ["event_type"], fn).to_pandas()
+    for c in ("day_begin", "day_end", "beta_guess", "rb"):
+        out[c] = stable_round6(out[c].astype(float))
+    for c in ("win", "n_win", "n_night", "n_day"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "win"]).reset_index(drop=True)
+
+
+# _SQL_DT_GEOMETRY replays _dt_synth_frame expression-for-expression
+# (the h1/h2 odd-multiplier hashes, the Lloyd-Taylor synthesis, the
+# day/night Rg step), then the ONEFlux window geometry + the index
+# percentile beta prior.
+_SQL_DT_GEOMETRY = """
+WITH real_s AS (
+  SELECT event_type,
+         dayofyear(ts)::DOUBLE AS doy,
+         CASE WHEN (hour(ts) + minute(ts)/60.0) >= 7
+                   AND (hour(ts) + minute(ts)/60.0) <= 17
+              THEN 400.0 ELSE 0.0 END AS rg,
+         (2.0 + sin(2*pi()*dayofyear(ts)::DOUBLE/60.0))
+           * exp(180.0*((1.0/(15.0+46.02)) - (1.0/(
+               8.0 + 7.0*sin(2*pi()*((hour(ts) + minute(ts)/60.0) - 9.0)/24.0)
+                 + 3.0*(((event_id * 2654435761) % 2147483648)/2147483648.0 - 0.5)
+             +46.02))))
+         - CASE WHEN (hour(ts) + minute(ts)/60.0) >= 7
+                     AND (hour(ts) + minute(ts)/60.0) <= 17
+                THEN 0.05*20.0*400.0/(0.05*400.0+20.0) ELSE 0.0 END
+         + 0.3*(((event_id * 2246822519) % 2147483648)/2147483648.0 - 0.5) AS nee
+  FROM events
+), mx AS (SELECT event_type, MAX(doy) AS maxdoy FROM real_s GROUP BY 1),
+w AS (SELECT unnest(generate_series(0, 181)) AS i),
+geom AS (
+  SELECT mx.event_type, w.i,
+         w.i*2.0 AS db, w.i*2.0+4.0 AS de,
+         CASE WHEN w.i > 1 THEN (w.i-2)*2.0 ELSE 0.0 END AS db2,
+         CASE WHEN w.i < 180 THEN (w.i+2)*2.0+4.0 ELSE mx.maxdoy END AS de2
+  FROM w CROSS JOIN mx
+),
+sub AS (
+  SELECT g.event_type, g.i, g.db, g.de, r.nee, r.rg,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type, g.i ORDER BY r.nee) AS rn,
+         COUNT(*) OVER (PARTITION BY g.event_type, g.i) AS n
+  FROM geom g JOIN real_s r
+    ON r.event_type = g.event_type AND r.doy > g.db AND r.doy <= g.de
+),
+agg AS (
+  SELECT event_type, i, ANY_VALUE(db) AS day_begin, ANY_VALUE(de) AS day_end,
+         COUNT(*) AS n_win,
+         SUM(CASE WHEN rg > 4.0 THEN 1 ELSE 0 END) AS n_day,
+         MAX(CASE WHEN rn = CAST(FLOOR(0.03*n) AS BIGINT) + 1 THEN nee END) AS v03,
+         MAX(CASE WHEN rn = LEAST(CAST(FLOOR(0.97*(n+1)) AS BIGINT) + 1, n) THEN nee END) AS v97
+  FROM sub GROUP BY 1, 2
+),
+night AS (
+  SELECT g.event_type, g.i, COUNT(*) AS n_night,
+         SUM(r.nee)/COUNT(*) AS rb
+  FROM geom g JOIN real_s r
+    ON r.event_type = g.event_type AND r.doy > g.db2 AND r.doy <= g.de2
+       AND r.rg <= 4.0
+  GROUP BY 1, 2
+)
+SELECT a.event_type, a.i::BIGINT AS win,
+       ROUND(ROUND(a.day_begin, 9), 6) AS day_begin,
+       ROUND(ROUND(a.day_end, 9), 6) AS day_end,
+       a.n_win::BIGINT AS n_win,
+       nt.n_night::BIGINT AS n_night,
+       a.n_day::BIGINT AS n_day,
+       ROUND(ROUND(ABS(a.v03 - a.v97), 9), 6) AS beta_guess,
+       ROUND(ROUND(nt.rb, 9), 6) AS rb
+FROM agg a JOIN night nt USING (event_type, i)
+WHERE nt.n_night > 10 AND a.n_day > 10
+ORDER BY a.event_type, win
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -6528,6 +6752,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
+    "nee_partition_dt_oneflux": q_nee_partition_dt_oneflux,
+    "nee_partition_dt_reddyproc": q_nee_partition_dt_reddyproc,
+    "dt_window_geometry": q_dt_window_geometry,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
     **ALE_QUERIES,
@@ -6640,6 +6867,7 @@ ORACLE: dict[str, str] = {
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
+    "dt_window_geometry": _SQL_DT_GEOMETRY,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

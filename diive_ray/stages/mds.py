@@ -106,10 +106,19 @@ def mds_cascade(
     passes: Sequence[Pass] | None = None,
     min_donors: int = 2,
     ddof: int = 1,
+    predict_all: bool = False,
 ) -> dict[str, np.ndarray]:
     """Run the MDS cascade over one regular series. Returns per-record
     arrays: filled (measured value where present, else donor mean or
     NaN), sd, n_donors, method, window_days, quality, flag.
+
+    ``predict_all``: look up donors at EVERY position, not just gaps —
+    the ONEFlux uncertainty variant (daytime_oneflux.py:344-369,
+    uncert_via_gapFill with fill_all), where the donor standard
+    deviation at each record becomes the per-record NEE uncertainty.
+    Measured values keep their own value in ``filled``; a measured
+    record is its own donor (zero distance always passes the
+    tolerances), matching the reference.
 
     Donor rule per pass at gap position i with window half-width
     h = tw * nperday // 2 (min 1): candidate positions
@@ -136,7 +145,7 @@ def mds_cascade(
     vpd = np.asarray(vpd, dtype=np.float64)
     hr = np.asarray(hr, dtype=np.float64)
 
-    open_gaps = np.flatnonzero(~measured)
+    open_gaps = np.arange(n) if predict_all else np.flatnonzero(~measured)
     for m, tw in (passes if passes is not None else oneflux_ladder()):
         if not len(open_gaps):
             break
@@ -157,7 +166,8 @@ def mds_cascade(
             cnt = int(ok.sum())
             if cnt >= min_donors:
                 donors = v[win][ok]
-                filled[i] = donors.mean()
+                if not measured[i]:
+                    filled[i] = donors.mean()
                 sd[i] = donors.std(ddof=ddof) if cnt > ddof else np.nan
                 n_donors[i] = cnt
                 method[i] = m

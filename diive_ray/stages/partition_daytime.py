@@ -1,0 +1,1332 @@
+"""Daytime NEE partitioning (Lasslop et al. 2010) — ONEFlux and
+REddyProc variants.
+
+References (semantics only; architecture and solver are from scratch):
+
+* ONEFlux variant: diive/flux/partitioning/daytime_oneflux.py:1-975
+  (``flux_part_gl2010``): per 4-day window (2-day step) fit a
+  rectangular-hyperbola light-response curve (LRC) to daytime
+  (``Rg > 4``) NEE with the Lloyd-Taylor temperature sensitivity E0
+  estimated beforehand from the surrounding ~12 days of nighttime
+  (``Rg <= 4``) NEE and held fixed; three beta starting guesses; a
+  cascade of degenerate-parameter fallbacks (drop the VPD term, fix
+  alpha from the previous accepted window, respiration-only); accept
+  the lowest-RMSE fit passing the Lasslop parameter checks; predict
+  RECO/GPP everywhere by distance-weighted interpolation of the two
+  neighboring windows; propagate the GPP standard error through the
+  fit covariance.
+* REddyProc variant: diive/flux/partitioning/daytime_reddyproc.py:1-955
+  (``partitionNEEGL``): day/night split from Rg AND potential
+  radiation; E0 per 12-day night window (extended 24/48 on failure),
+  smoothed across time with a Gaussian process; per-window RRef by
+  closed-form regression; LRC per 4-day window by penalized weighted
+  least squares (Lasslop priors, NEE-uncertainty weighting, 3 beta
+  starts, fix-VPD / fix-alpha cascade, range rejections); RECO/GPP by
+  neighbor-window interpolation anchored at the mean-of-valid record.
+
+From-scratch deviations (documented; this container has no scipy and
+this module is a re-derivation, not a port):
+
+* All nonlinear fits use one damped Gauss-Newton (Levenberg-Marquardt)
+  solver written here (``lm_least_squares``) over the penalized
+  residual vector ``[(y - f(theta))/sigd, (theta - prior)/sigm]`` —
+  the same objective the reference hands to scipy ``leastsq`` / R
+  ``optim``, minimized by the textbook LM damping loop instead.
+  Covariances are the Gauss-Newton ``s^2 (J^T J)^-1`` at the optimum
+  (what ``leastsq`` reports). Parameters therefore agree with the
+  reference to optimizer tolerance, not bit-for-bit; planted-parameter
+  recovery and the acceptance gates are pytest-pinned instead.
+* The REddyProc GP smoother's hyperparameters are maximized with a
+  from-scratch Nelder-Mead (the reference uses scipy's); the GP
+  algebra (Gaussian correlation, profiled constant mean + variance,
+  per-point nugget) is the same.
+
+Ray shape: one exchange on (keys..., year); each year's arrays are
+bounded (<= 17 568 half-hours), all per-record stages are vectorized,
+and the ~182 windowed fits per year each operate on small (<= a few
+hundred rows) slices. At 100 TB the unit of parallelism is the
+(site, year) group — millions of independent groups, no intra-year
+distribution needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .partition_oneflux import lloyd_taylor_c
+
+TREF = 15.0
+T0 = -46.02
+VPD0 = 10.0  # hPa
+
+NAN = -9999.0
+NAN_TEST = -9990.0
+
+# ONEFlux window geometry + priors (daytime_oneflux.py:85-98).
+WINSIZE = 4
+FGUESS0 = (0.01, 30.0, 0.0, 5.0, 100.0)  # alpha, beta, k, rref, e0
+BETAFAC = (0.5, 1.0, 2.0)
+E0_MIN, E0_MAX = 50.0, 400.0
+DAY_RG_THRESHOLD = 4.0
+SIGM = {
+    "lloydtemp": np.array([800.0, 1000.0]),
+    "vpd": np.array([10.0, 600.0, 50.0, 80.0]),
+    "novpd": np.array([10.0, 600.0, 80.0]),
+    "afix_novpd": np.array([600.0, 80.0]),
+    "afix_vpd": np.array([600.0, 50.0, 80.0]),
+    "resp": np.array([80.0]),
+}
+
+# REddyProc geometry (daytime_reddyproc.py:85-98).
+RP_WIN_REF_DAYS = 4
+RP_STRIDE_DAYS = 2
+RP_WIN_NIGHT_DAYS = 12
+RP_WIN_EXTEND = (24, 48)
+RP_MIN_NREC = 10
+RP_SD_PERC, RP_SD_MINSD = 0.2, 0.7
+RP_SDPRIOR = np.array([50.0, 600.0, 10.0, 80.0, np.nan])  # k,beta,alpha,rref,e0
+T0_K = 273.15 + T0
+TREF_K = 273.15 + TREF
+
+
+def _notnan(a) -> np.ndarray:
+    return np.asarray(a) > NAN_TEST
+
+
+# --------------------------------------------------------------------------- #
+# From-scratch Levenberg-Marquardt over a penalized residual vector
+# --------------------------------------------------------------------------- #
+def lm_least_squares(
+    predict,
+    x0,
+    y,
+    sigd,
+    prior=None,
+    sigm=None,
+    *,
+    entries: int | None = None,
+    max_iter: int = 60,
+    tol: float = 1e-10,
+):
+    """Minimize ``sum(((y - predict(p)) / sigd)**2) +
+    sum(((p - prior) / sigm)**2)`` by damped Gauss-Newton.
+
+    Returns dict(params, std, cov, residuals, rmse); ``cov`` is None on
+    a singular fit (caller skips the window, the reference's
+    _BrokenWindow / convergence-failure behavior). ``residuals`` is the
+    full residual vector at the optimum (data rows then prior rows),
+    matching what the reference reads back from ``leastsq``.
+    ``entries`` sets the degrees-of-freedom convention for ``s^2``
+    (ONEFlux passes the full window length incl. invalid rows).
+    """
+    x = np.asarray(x0, dtype=np.float64).copy()
+    y = np.asarray(y, dtype=np.float64)
+    sigd = np.broadcast_to(np.asarray(sigd, dtype=np.float64), y.shape)
+    npar = x.size
+    use_prior = prior is not None and sigm is not None
+    if use_prior:
+        prior = np.asarray(prior, dtype=np.float64)
+        sigm = np.asarray(sigm, dtype=np.float64)
+        pen_ok = np.isfinite(sigm) & (sigm > 0)
+
+    def resid(p):
+        r = (y - predict(p)) / sigd
+        r = np.where(np.isfinite(r), r, 1e6)
+        if use_prior:
+            pr = np.where(pen_ok, (p - prior) / np.where(pen_ok, sigm, 1.0), 0.0)
+            return np.concatenate([r, pr])
+        return r
+
+    def jac(p, r0):
+        J = np.empty((r0.size, npar))
+        for j in range(npar):
+            h = 1.49e-8 * max(abs(p[j]), 1e-6)
+            p2 = p.copy()
+            p2[j] += h
+            J[:, j] = (resid(p2) - r0) / h
+        return J
+
+    r = resid(x)
+    sse = float(r @ r)
+    lam = 1e-3
+    for _ in range(max_iter):
+        J = jac(x, r)
+        g = J.T @ r
+        A = J.T @ J
+        stepped = False
+        for _try in range(25):
+            try:
+                delta = np.linalg.solve(A + lam * np.diag(np.maximum(np.diag(A), 1e-12)), -g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            x_new = x + delta
+            r_new = resid(x_new)
+            sse_new = float(r_new @ r_new)
+            if np.isfinite(sse_new) and sse_new <= sse:
+                improved = sse - sse_new
+                x, r, sse = x_new, r_new, sse_new
+                lam = max(lam / 3.0, 1e-12)
+                stepped = True
+                break
+            lam *= 5.0
+        if not stepped:
+            break
+        if improved <= tol * max(sse, 1.0):
+            break
+
+    # Gauss-Newton covariance at the optimum (leastsq's cov_x * s^2).
+    J = jac(x, r)
+    n_data = y.size
+    ent = entries if entries is not None else n_data
+    try:
+        cov_x = np.linalg.inv(J.T @ J)
+    except np.linalg.LinAlgError:
+        cov_x = None
+    if cov_x is not None and ent > npar:
+        s2 = sse / (ent - npar)
+        cov = cov_x * s2
+        std = np.sqrt(np.abs(np.diag(cov)))
+    else:
+        cov = None
+        std = np.full(npar, np.nan)
+    pred = predict(x)
+    ae = np.abs(y - pred)
+    rmse = float(np.sqrt(np.nansum(ae * ae) / n_data)) if n_data else 0.0
+    return dict(params=x, std=std, cov=cov, residuals=r, rmse=rmse)
+
+
+def _nelder_mead(f, x0, *, step=0.5, max_iter=400, ftol=1e-9):
+    """Compact Nelder-Mead simplex minimizer (public algorithm; used
+    only for the 2-parameter GP hyperparameter search)."""
+    x0 = np.asarray(x0, dtype=np.float64)
+    n = x0.size
+    simplex = [x0]
+    for i in range(n):
+        p = x0.copy()
+        p[i] += step if p[i] == 0 else step * abs(p[i]) + step
+        simplex.append(p)
+    simplex = np.array(simplex)
+    fv = np.array([f(p) for p in simplex])
+    for _ in range(max_iter):
+        order = np.argsort(fv, kind="stable")
+        simplex, fv = simplex[order], fv[order]
+        if abs(fv[-1] - fv[0]) <= ftol * (abs(fv[0]) + ftol):
+            break
+        cen = simplex[:-1].mean(axis=0)
+        xr = cen + (cen - simplex[-1])
+        fr = f(xr)
+        if fr < fv[0]:
+            xe = cen + 2.0 * (cen - simplex[-1])
+            fe = f(xe)
+            simplex[-1], fv[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < fv[-2]:
+            simplex[-1], fv[-1] = xr, fr
+        else:
+            xc = cen + 0.5 * (simplex[-1] - cen)
+            fc = f(xc)
+            if fc < fv[-1]:
+                simplex[-1], fv[-1] = xc, fc
+            else:
+                simplex[1:] = simplex[0] + 0.5 * (simplex[1:] - simplex[0])
+                fv[1:] = [f(p) for p in simplex[1:]]
+    i = int(np.argmin(fv))
+    return simplex[i], fv[i]
+
+
+# --------------------------------------------------------------------------- #
+# Shared model kernels
+# --------------------------------------------------------------------------- #
+def gpp_lasslop(rg, vpd, alpha, beta, k) -> np.ndarray:
+    """Rectangular-hyperbola GPP with the ONEFlux VPD modifier
+    ``min(exp(-k (VPD - VPD0)), 1)`` (daytime_oneflux.py:126-132)."""
+    rg = np.asarray(rg, dtype=np.float64)
+    if beta == 0:
+        return np.zeros(rg.shape)
+    with np.errstate(over="ignore", invalid="ignore"):
+        m = np.minimum(np.exp(-k * (np.asarray(vpd, dtype=np.float64) - VPD0)), 1.0)
+        return alpha * beta * m * rg / (alpha * rg + beta * m)
+
+
+def _percentiles_oneflux(values: np.ndarray, percs) -> np.ndarray:
+    """ONEFlux daytime ``percentiles_fn`` (daytime_oneflux.py:323-338):
+    index ``int(v*n)`` for v <= 0.5 else ``int(v*(n+1))`` clipped, on
+    the ascending sort. No NA removal."""
+    v = np.asarray(values)
+    n = v.shape[0]
+    s = np.sort(v, kind="stable")
+    out = []
+    for p in percs:
+        idx = int(p * n) if p <= 0.5 else min(int(p * (n + 1)), n - 1)
+        out.append(s[idx])
+    return np.array(out)
+
+
+# --------------------------------------------------------------------------- #
+# ONEFlux daytime: per-window cascade
+# --------------------------------------------------------------------------- #
+def _make_nee_predictor(rg, tfac, vpdm, alpha_fix, variant):
+    """NEE = -GPP + RECO predictor for one model variant; pieces that
+    do not change across residual evaluations (the fixed-E0 respiration
+    factor ``tfac``, ``vpd - VPD0``) are closed over once."""
+    if variant == "lloydtemp":  # par = [rref, e0]; tfac is the tdiff here
+        def predict(par):
+            return par[0] * np.exp(par[1] * tfac)
+    elif variant == "vpd":  # par = [alpha, beta, k, rref]
+        def predict(par):
+            with np.errstate(over="ignore", invalid="ignore"):
+                m = np.minimum(np.exp(-par[2] * vpdm), 1.0)
+                return -par[0] * par[1] * m * rg / (par[0] * rg + par[1] * m) + par[3] * tfac
+    elif variant == "novpd":  # par = [alpha, beta, rref]
+        def predict(par):
+            return -par[0] * par[1] * rg / (par[0] * rg + par[1]) + par[2] * tfac
+    elif variant == "afix_vpd":  # par = [beta, k, rref]
+        def predict(par):
+            with np.errstate(over="ignore", invalid="ignore"):
+                m = np.minimum(np.exp(-par[1] * vpdm), 1.0)
+                return (-alpha_fix * par[0] * m * rg
+                        / (alpha_fix * rg + par[0] * m) + par[2] * tfac)
+    elif variant == "afix_novpd":  # par = [beta, rref]
+        def predict(par):
+            return (-alpha_fix * par[0] * rg
+                    / (alpha_fix * rg + par[0]) + par[1] * tfac)
+    elif variant == "resp":  # par = [rref]
+        def predict(par):
+            return par[0] * tfac
+    else:
+        raise ValueError(variant)
+    return predict
+
+
+def check_parameters_oneflux(p) -> bool:
+    """ONEFlux ``check_parameters`` (daytime_oneflux.py:311-320):
+    p = [alpha, beta, k, rref, e0, se_alpha, se_beta, ...]."""
+    ok = (
+        0 <= p[0] < 0.22 and 0 <= p[1] < 250 and p[2] >= 0 and p[3] > 0
+        and 50 <= p[4] <= 400 and p[0] != FGUESS0[0]
+    )
+    if p[1] > 100 and p[1] < p[6]:
+        ok = False
+    return ok
+
+
+class _SingularWindow(Exception):
+    pass
+
+
+def _fit_of(variant, nee, indep, xguess, sigm, sigd, entries):
+    """One penalized fit with validity masking exactly as the reference
+    (daytime_oneflux.py:259-308): invalid rows contribute zero
+    residual but still count toward ``entries``; a singular covariance
+    skips the window."""
+    nonnan = np.ones(nee.size, dtype=bool)
+    for a in indep.values():
+        nonnan &= _notnan(a)
+    sigd = np.where(np.asarray(sigd, dtype=np.float64) > 0, sigd, 1.0)
+    npar = len(xguess)
+    if int(nonnan.sum()) < npar * 3 or int((nonnan & _notnan(nee)).sum()) < npar * 3:
+        raise _SingularWindow(variant)
+    clean = np.where(nonnan, nee, NAN)
+    valid = _notnan(clean)
+    if variant == "lloydtemp":
+        tfac = (1.0 / (TREF - T0)) - (1.0 / (indep["ta"] - T0))
+        predict0 = _make_nee_predictor(None, tfac, None, None, variant)
+    else:
+        ta = indep["ta"]
+        e0 = indep["e0"]
+        tfac = np.exp(np.asarray(e0, dtype=np.float64)
+                      * ((1.0 / (TREF - T0)) - (1.0 / (np.asarray(ta, dtype=np.float64) - T0))))
+        vpdm = indep["vpd"] - VPD0 if "vpd" in indep else None
+        predict0 = _make_nee_predictor(indep.get("rg"), tfac, vpdm,
+                                       indep.get("alpha_fix"), variant)
+
+    def predict(par):
+        return np.where(valid, predict0(par), clean)  # zero residual off-mask
+
+    res = lm_least_squares(
+        predict, xguess, clean, sigd,
+        prior=np.asarray(xguess, dtype=np.float32).astype(np.float64),
+        sigm=sigm, entries=entries,
+    )
+    if res["cov"] is None:
+        raise _SingularWindow(variant)
+    # RMSE over the valid rows only (reference computes it on clean_dep
+    # where invalid rows predict themselves -> zero error; same sum,
+    # same denominator = full length).
+    return res
+
+
+def estimate_parasets_oneflux(D: dict, nperday: int = 48) -> dict:
+    """Per-window LRC parameter estimation — the ONEFlux
+    ``estimate_parasets`` cascade (daytime_oneflux.py:375-592).
+
+    ``D``: year arrays in the -9999 sentinel convention: nee_f,
+    nee_fqc, tair_f, rg_f, vpd_f, rg_meas, julday, nee_fs_unc.
+    Returns dict(params: (nw,10), ind: (nw,3), whichmodel, cov
+    (nw,4,4), rescor) for the accepted windows.
+    """
+    nee_f, nee_fqc = D["nee_f"], D["nee_fqc"]
+    tair_f, rg_f, vpd_f = D["tair_f"], D["rg_f"], D["vpd_f"]
+    rg_meas, julday, sigd_all = D["rg_meas"], D["julday"], D["nee_fs_unc"]
+
+    n_parasets = (365 // WINSIZE) * 2
+    fguess = list(FGUESS0)
+    measured = nee_fqc == 0
+
+    params_ok, ind_ok, wm_ok, cov_ok, rescor_ok = [], [], [], [], []
+    lloydtemp_e0 = None
+    e0_se = np.nan
+
+    for i in range(n_parasets):
+        day_begin = i * WINSIZE / 2.0
+        day_end = day_begin + WINSIZE
+        day_begin2 = (i - 2) * WINSIZE / 2.0 if i > 1 else 0
+        day_end2 = ((i + 2) * WINSIZE / 2.0 + WINSIZE
+                    if i < n_parasets - 2 else float(np.max(julday)))
+
+        central = int((day_begin + WINSIZE / 2.0) * nperday)
+        ind_rows = np.array([central, central, central], dtype=float)
+
+        sub_m = (julday > day_begin) & (julday <= day_end) & measured
+        subn_m = ((julday > day_begin2) & (julday <= day_end2) & measured
+                  & (rg_meas <= DAY_RG_THRESHOLD))
+        subd_m = sub_m & (rg_meas > DAY_RG_THRESHOLD)
+
+        subn_sigd = sigd_all[subn_m].copy()
+        subd_sigd = sigd_all[subd_m].copy()
+        if subn_sigd.size and np.min(subn_sigd) < 0:
+            subn_sigd[:] = 1
+        if subd_sigd.size and np.min(subd_sigd) < 0:
+            subd_sigd[:] = 1
+
+        e0set = False
+        if subn_m.sum() <= 10 and params_ok and lloydtemp_e0 is not None:
+            lloydtemp_e0 = params_ok[-1][4]
+            e0_se = params_ok[-1][9]
+            ind_rows[0] = ind_ok[-1][0]
+            e0set = True
+        if not ((subn_m.sum() > 10 or e0set) and subd_m.sum() > 10):
+            continue
+
+        try:
+            percs = _percentiles_oneflux(nee_f[sub_m], (0.03, 0.97))
+            beta_guess = abs(percs[0] - percs[1])
+            fguess[3] = float(np.average(nee_f[subn_m]))
+
+            if not e0set:
+                r = _fit_of("lloydtemp", nee_f[subn_m], {"ta": tair_f[subn_m]},
+                            fguess[3:5], SIGM["lloydtemp"], subn_sigd,
+                            entries=int(subn_m.sum()))
+                e0 = float(r["params"][1])
+                e0_se = float(r["std"][1])
+                lloydtemp_e0 = e0
+                if e0 < E0_MIN or e0 > E0_MAX:
+                    if params_ok:
+                        e0 = params_ok[-1][4]
+                        e0_se = params_ok[-1][9]
+                        ind_rows[0] = ind_ok[-1][0]
+                    else:
+                        e0, e0_se = (E0_MIN, np.nan) if e0 < E0_MIN else (E0_MAX, np.nan)
+            else:
+                e0 = lloydtemp_e0
+
+            rg_d, ta_d, vpd_d = rg_f[subd_m], tair_f[subd_m], vpd_f[subd_m]
+            nee_d = nee_f[subd_m]
+            ndd = int(nee_d.size)
+            e0_d = np.full(ndd, np.float32(e0), dtype=np.float64)
+
+            pj = np.zeros((3, 10))
+            indj = np.tile(ind_rows, (3, 1))
+            rmse = np.zeros(3)
+            wm = np.zeros(3, dtype=int)
+            covj = np.zeros((3, 4, 4))
+            rescor = np.zeros(3)
+
+            for j in range(3):
+                fguess[1] = beta_guess * BETAFAC[j]
+
+                def _run(variant, xguess, sigm, extra=None):
+                    indep = {"rg": rg_d, "ta": ta_d, "e0": e0_d}
+                    if variant in ("vpd", "afix_vpd"):
+                        indep["vpd"] = vpd_d
+                    if extra is not None:
+                        indep["alpha_fix"] = extra
+                    return _fit_of(variant, nee_d, indep, xguess, sigm,
+                                   subd_sigd, entries=ndd)
+
+                r = _run("vpd", fguess[0:4], SIGM["vpd"])
+                a, b, k, rdv = r["params"]
+                wm[j] = 0
+                nres = len(r["residuals"])
+                rescor[j] = float((r["residuals"] ** 2).sum()) / (nres - 4)
+                pj[j] = [a, b, k, rdv, e0, r["std"][0], r["std"][1],
+                         r["std"][2], r["std"][3], e0_se]
+                rmse[j] = r["rmse"]
+                covj[j] = r["cov"]
+                if pj[j, 2] == 0:
+                    wm[j] = 1
+                    cov = r["cov"]
+                    jt = np.zeros((4, 4))
+                    jt[0, 0], jt[0, 1], jt[1, 0], jt[1, 1] = cov[0, 0], cov[0, 1], cov[1, 0], cov[1, 1]
+                    jt[0, 2], jt[1, 2], jt[2, 2] = cov[0, 3], cov[1, 3], cov[3, 3]
+                    jt[2, 0], jt[2, 1] = cov[3, 0], cov[3, 1]
+                    covj[j] = jt
+
+                if pj[j, 2] < 0:  # drop VPD effect
+                    r = _run("novpd", [fguess[0], fguess[1], fguess[3]], SIGM["novpd"])
+                    a, b, rdv = r["params"]
+                    wm[j] = 1
+                    rescor[j] = float((r["residuals"] ** 2).sum()) / (len(r["residuals"]) - 3)
+                    pj[j] = [a, b, 0, rdv, e0, r["std"][0], r["std"][1], 0, r["std"][2], e0_se]
+                    rmse[j] = r["rmse"]
+                    covj[j] = 0
+                    covj[j][0:3, 0:3] = r["cov"]
+                    if pj[j, 0] > 0.22 and params_ok and params_ok[-1][0] > 0:
+                        alpha = params_ok[-1][0]
+                        indj[j, 1] = ind_ok[-1][1]
+                        r = _run("afix_novpd", [fguess[1], fguess[3]],
+                                 SIGM["afix_novpd"], extra=np.float32(alpha))
+                        b, rdv = r["params"]
+                        wm[j] = 2
+                        rescor[j] = float((r["residuals"] ** 2).sum()) / (len(r["residuals"]) - 2)
+                        pj[j] = [alpha, b, 0, rdv, e0, np.nan, r["std"][0], 0, r["std"][1], e0_se]
+                        rmse[j] = r["rmse"]
+                        covj[j] = 0
+                        covj[j][0:2, 0:2] = r["cov"]
+                elif pj[j, 0] > 0.22 and params_ok and params_ok[-1][0] > 0:
+                    alpha = params_ok[-1][0]
+                    indj[j, 1] = ind_ok[-1][1]
+                    r = _run("afix_vpd", [fguess[1], fguess[2], fguess[3]],
+                             SIGM["afix_vpd"], extra=np.float32(alpha))
+                    b, k, rdv = r["params"]
+                    wm[j] = 3
+                    rescor[j] = float((r["residuals"] ** 2).sum()) / (len(r["residuals"]) - 3)
+                    pj[j] = [alpha, b, k, rdv, e0, 0, r["std"][0], r["std"][1], r["std"][2], e0_se]
+                    rmse[j] = r["rmse"]
+                    covj[j] = 0
+                    covj[j][0:3, 0:3] = r["cov"]
+                    if pj[j, 2] == 0:
+                        wm[j] = 2
+                        cov = r["cov"]
+                        jt = np.zeros((4, 4))
+                        jt[0, 0], jt[0, 1], jt[1, 0], jt[1, 1] = cov[0, 0], cov[2, 0], cov[0, 2], cov[2, 2]
+                        covj[j] = jt
+                    if pj[j, 2] < 0:
+                        r = _run("afix_novpd", [fguess[1], fguess[3]],
+                                 SIGM["afix_novpd"], extra=np.float32(alpha))
+                        b, rdv = r["params"]
+                        wm[j] = 2
+                        rescor[j] = float((r["residuals"] ** 2).sum()) / (len(r["residuals"]) - 2)
+                        pj[j] = [alpha, b, 0, rdv, e0, 0, r["std"][0], 0, r["std"][1], e0_se]
+                        rmse[j] = r["rmse"]
+                        covj[j] = 0
+                        covj[j][0:2, 0:2] = r["cov"]
+
+                if pj[j, 0] < 0 or pj[j, 1] < 0:  # respiration only
+                    r = _run("resp", [fguess[3]], SIGM["resp"])
+                    rdv = r["params"][0]
+                    wm[j] = 4
+                    rescor[j] = float((r["residuals"] ** 2).sum()) / (len(r["residuals"]) - 1)
+                    pj[j] = [0, 0, 0, rdv, e0, 0, 0, 0, r["std"][0], e0_se]
+                    rmse[j] = r["rmse"]
+                    covj[j] = 0
+                    covj[j][0, 0] = float(np.asarray(r["cov"]).flatten()[0])
+
+                if not check_parameters_oneflux(pj[j]):
+                    rmse[j] = 9999.0
+
+            jmin = int(np.where(rmse == np.min(np.abs(rmse)))[0][0])
+            if check_parameters_oneflux(pj[jmin]):
+                params_ok.append(pj[jmin].copy())
+                ind_ok.append(indj[jmin].copy())
+                wm_ok.append(int(wm[jmin]))
+                cov_ok.append(covj[jmin].copy())
+                rescor_ok.append(float(rescor[jmin]))
+        except _SingularWindow:
+            continue
+
+    return dict(
+        params=np.array(params_ok).reshape(-1, 10),
+        ind=np.array(ind_ok).reshape(-1, 3),
+        whichmodel=np.array(wm_ok, dtype=int),
+        cov=np.array(cov_ok).reshape(-1, 4, 4),
+        rescor=np.array(rescor_ok),
+    )
+
+
+def _coverage(central: np.ndarray, n: int):
+    """Vectorized window-coverage lookup (daytime_oneflux.py:598-640
+    geometry): window i covers [central[i-1], central[i+1]) with the
+    first window starting at 0 and the last extending to the series
+    end inclusive. Returns per-record (cov0, cov1) window indices (-1
+    where absent) and the interpolation weights."""
+    nwin = central.size
+    j = np.arange(n)
+    if nwin == 1:
+        cov0 = np.zeros(n, dtype=int)
+        return cov0, np.full(n, -1), np.ones(n), np.zeros(n)
+    lo = np.empty(nwin, dtype=np.int64)
+    hi = np.empty(nwin, dtype=np.int64)
+    lo[0], lo[1:] = 0, central[:-1]
+    hi[:-1], hi[-1] = central[1:], n
+    # candidates: the last window with lo<=j, and its predecessor
+    i_hi = np.searchsorted(lo, j, side="right") - 1
+    i_lo = np.maximum(i_hi - 1, 0)
+    cand = np.stack([i_lo, i_hi])
+    covers = (lo[cand] <= j) & (j < hi[cand]) & (cand >= 0)
+    covers[0] &= i_lo < i_hi  # predecessor only if distinct
+    cov0 = np.where(covers[0], cand[0], np.where(covers[1], cand[1], -1))
+    cov1 = np.where(covers[0] & covers[1], cand[1], -1)
+    both = cov1 >= 0
+    c0 = central[np.clip(cov0, 0, nwin - 1)].astype(np.float64)
+    c1 = central[np.clip(cov1, 0, nwin - 1)].astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w1 = np.where(both, (c1 - j) / (c1 - c0), 1.0)
+        w2 = np.where(both, (j - c0) / (c1 - c0), 0.0)
+    return cov0, cov1, w1, w2
+
+
+def compute_flux_oneflux(n, tair_f, rg_f, vpd_f, params, central):
+    """RECO/GPP at every record by interpolating the two covering
+    windows (daytime_oneflux.py:598-640), vectorized."""
+    cov0, cov1, w1, w2 = _coverage(central, n)
+    any_cov = cov0 >= 0
+    reco = np.full(n, NAN)
+    gpp = np.full(n, NAN)
+
+    def eval_win(widx):
+        p = params[np.clip(widx, 0, len(params) - 1)]
+        rc = lloyd_taylor_c(tair_f, p[:, 3], p[:, 4])
+        gp = np.empty(n)
+        # gpp_lasslop is scalar-parameter; evaluate per distinct window
+        for w in np.unique(widx[widx >= 0]):
+            m = widx == w
+            gp[m] = gpp_lasslop(rg_f[m], vpd_f[m], params[w, 0], params[w, 1], params[w, 2])
+        return rc, gp
+
+    rc0, gp0 = eval_win(cov0)
+    rc1, gp1 = eval_win(np.where(cov1 >= 0, cov1, cov0))
+    reco[any_cov] = (w1 * rc0 + w2 * rc1)[any_cov]
+    gpp[any_cov] = (w1 * gp0 + w2 * gp1)[any_cov]
+    return reco, gpp
+
+
+def _var_jacobian(predict, par):
+    """Numerical Jacobian with the reference's relative step 1e-3
+    (daytime_oneflux.py:646-660)."""
+    par = np.atleast_1d(np.asarray(par, dtype=np.float64))
+    f0 = predict(par)
+    jac = np.zeros((par.size, f0.size))
+    for p in range(par.size):
+        pp, pm = par.copy(), par.copy()
+        pp[p] = par[p] + 1e-3 * abs(par[p])
+        pm[p] = par[p] - 1e-3 * abs(par[p])
+        denom = pp[p] - pm[p]
+        if denom == 0:
+            continue
+        jac[p, :] = (predict(pp) - predict(pm)) / denom
+    return jac
+
+
+def compute_var_oneflux(n, tair_f, rg_f, vpd_f, params, central, whichmodel,
+                        cov_ok, rescor):
+    """Per-record GPP variance through the fit covariance
+    (daytime_oneflux.py:687-732)."""
+    cov0, cov1, w1, w2 = _coverage(central, n)
+    nwin = len(params)
+    var_win = np.full((nwin, n), np.nan)
+    for i in range(nwin):
+        m = (cov0 == i) | (cov1 == i)
+        if not m.any():
+            continue
+        rg, ta, vpd = rg_f[m], tair_f[m], vpd_f[m]
+        p = params[i]
+        e0 = p[4]
+        tfac = np.exp(e0 * ((1.0 / (TREF - T0)) - (1.0 / (ta - T0))))
+        vpdm = vpd - VPD0
+        wm = whichmodel[i]
+        if wm == 0:
+            pred = _make_nee_predictor(rg, tfac, vpdm, None, "vpd")
+            opt, cc = [p[0], p[1], p[2], p[3]], cov_ok[i]
+        elif wm == 1:
+            pred = _make_nee_predictor(rg, tfac, None, None, "novpd")
+            opt, cc = [p[0], p[1], p[3]], cov_ok[i][0:3, 0:3]
+        elif wm == 2:
+            pred = _make_nee_predictor(rg, tfac, None, p[0], "afix_novpd")
+            opt, cc = [p[1], p[3]], cov_ok[i][0:2, 0:2]
+        elif wm == 3:
+            pred = _make_nee_predictor(rg, tfac, vpdm, p[0], "afix_vpd")
+            opt, cc = [p[1], p[2], p[3]], cov_ok[i][0:3, 0:3]
+        else:
+            pred = _make_nee_predictor(None, tfac, None, None, "resp")
+            opt, cc = [p[3]], cov_ok[i][0, 0]
+        jac = _var_jacobian(pred, opt)
+        cc = np.atleast_2d(np.asarray(cc, dtype=np.float64))
+        v = np.einsum("pn,pq,qn->n", jac, cc, jac) * rescor[i]
+        var_win[i, m] = v
+
+    var = np.full(n, NAN)
+    idx = np.arange(n)
+    has0 = cov0 >= 0
+    v0 = np.where(has0, var_win[np.clip(cov0, 0, nwin - 1), idx], np.nan)
+    v1 = np.where(cov1 >= 0, var_win[np.clip(cov1, 0, nwin - 1), idx], np.nan)
+    both = has0 & (cov1 >= 0)
+    var[both] = (v0 * w1 * w1 + v1 * w2 * w2)[both]
+    only = has0 & ~both
+    var[only] = v0[only]
+    return var
+
+
+def daytime_oneflux_one_year(
+    nee, ta, sw_in, ta_f, sw_in_f, vpd, julday, hr, nperday,
+) -> dict[str, np.ndarray]:
+    """One year of ONEFlux daytime partitioning
+    (daytime_oneflux.py:738-789 orchestration). Inputs are NaN-gapped
+    float arrays (not sentinel); vpd in hPa. Returns NaN-gapped
+    RECO/GPP/SE_GPP plus per-window parameter columns at their source
+    records."""
+    from .mds import mds_cascade
+
+    n = nee.size
+    out = {c: np.full(n, np.nan) for c in
+           ("RECO_DT_OF", "GPP_DT_OF", "SE_GPP_DT_OF", "ALPHA_DT_OF",
+            "BETA_DT_OF", "K_DT_OF", "RREF_DT_OF", "E0_DT_OF")}
+
+    # Stage A: per-record NEE uncertainty (donor sd of the MDS lookup
+    # at every record, min 10 donors — uncert_via_gapFill).
+    res = mds_cascade(nee, swin=sw_in, ta=ta, vpd=vpd, hr=hr,
+                      nperday=nperday, min_donors=10, predict_all=True)
+    sd = res["sd"]
+    nee_fs_unc = np.where(np.isfinite(sd), sd, NAN).astype(np.float32).astype(np.float64)
+
+    def sent(a):
+        a = np.asarray(a, dtype=np.float64)
+        return np.where(np.isfinite(a), a, NAN).astype(np.float32).astype(np.float64)
+
+    measured = np.isfinite(nee)
+    D = dict(
+        nee_f=sent(nee),
+        nee_fqc=np.where(measured, 0.0, 1.0),
+        tair_f=sent(ta_f), rg_f=sent(sw_in_f), vpd_f=sent(vpd),
+        rg_meas=sent(sw_in), julday=np.asarray(julday, dtype=np.float64),
+        nee_fs_unc=nee_fs_unc,
+    )
+
+    fit = estimate_parasets_oneflux(D, nperday=nperday)
+    params = fit["params"]
+    if not len(params):
+        return out
+    central = fit["ind"][:, 2].astype(int)
+
+    reco, gpp = compute_flux_oneflux(n, D["tair_f"], D["rg_f"], D["vpd_f"],
+                                     params, central)
+    var_gpp = compute_var_oneflux(n, D["tair_f"], D["rg_f"], D["vpd_f"],
+                                  params, central, fit["whichmodel"],
+                                  fit["cov"], fit["rescor"])
+    with np.errstate(invalid="ignore"):
+        se_gpp = np.sqrt(var_gpp)
+
+    out["RECO_DT_OF"] = np.where(reco > NAN, reco, np.nan)
+    out["GPP_DT_OF"] = np.where(gpp > NAN, gpp, np.nan)
+    out["SE_GPP_DT_OF"] = np.where(se_gpp > NAN, se_gpp, np.nan)
+    for r, p in zip(fit["ind"], params):
+        i2, i0, i1 = int(r[2]), int(r[0]), int(r[1])
+        if 0 <= i2 < n:
+            out["RREF_DT_OF"][i2] = p[3]
+            out["BETA_DT_OF"][i2] = p[1]
+            out["K_DT_OF"][i2] = p[2]
+        if 0 <= i0 < n:
+            out["E0_DT_OF"][i0] = p[4]
+        if 0 <= i1 < n:
+            out["ALPHA_DT_OF"][i1] = p[0]
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# REddyProc daytime
+# --------------------------------------------------------------------------- #
+def lloyd_taylor_k(ta_k, rref, e0, tref_k=TREF_K) -> np.ndarray:
+    return rref * np.exp(e0 * (1.0 / (tref_k - T0_K) - 1.0 / (np.asarray(ta_k) - T0_K)))
+
+
+def rp_window_grid(n: int, dts: int):
+    """Reference-window start days + central records
+    (daytime_reddyproc.py:302-316, applyWindows winSizeRef=4 stride=2;
+    1-based central record indices)."""
+    n_day = int(np.ceil(n / dts))
+    n_day_last = n_day - RP_WIN_REF_DAYS / 2
+    start_days = np.arange(1, n_day_last + 1e-9, RP_STRIDE_DAYS).astype(int)
+    i_central = 1 + ((start_days - 1) + RP_WIN_REF_DAYS // 2) * dts
+    return start_days, i_central
+
+
+def rp_win_recs(i_central, win_days, dts, n):
+    half = win_days / 2 * dts
+    rec_start = np.maximum(1, (i_central - half).astype(int))
+    rec_end = np.minimum(n, (i_central - 1 + half).astype(int))
+    return rec_start, rec_end
+
+
+def _rp_valid_night(nee_w, temp_w, isnight_w):
+    """daytime_reddyproc.py:322-328: drop freezing (<= -1 degC) records
+    when >= 12 non-freezing remain."""
+    v = isnight_w & ~np.isnan(nee_w) & np.isfinite(temp_w)
+    freezing = temp_w[v] <= -1
+    if np.sum(~freezing) >= 12:
+        vi = np.nonzero(v)[0]
+        v[vi[freezing]] = False
+    return v
+
+
+def _rp_fit_e0_window(reco, temp_k, prev_e0, tref_k):
+    b = 1.0 / (tref_k - T0_K) - 1.0 / (temp_k - T0_K)
+    start = np.array([float(np.nanmean(reco)),
+                      prev_e0 if np.isfinite(prev_e0) else 100.0])
+
+    def predict(p):
+        return p[0] * np.exp(p[1] * b)
+
+    r = lm_least_squares(predict, start, reco, 1.0)
+    if r["cov"] is None:
+        return np.nan, np.nan, np.nan
+    rref, e0 = float(r["params"][0]), float(r["params"][1])
+    sd_e0 = float(r["std"][1])
+    if not np.isfinite(e0) or e0 < E0_MIN or e0 > E0_MAX:
+        return np.nan, np.nan, np.nan
+    return e0, sd_e0, rref
+
+
+def _rp_nighttime_pass(nee, temp, is_night, i_central, win_days, dts, n):
+    rec_start, rec_end = rp_win_recs(i_central, win_days, dts, n)
+    nw = i_central.size
+    e0 = np.full(nw, np.nan)
+    sde0 = np.full(nw, np.nan)
+    prev_e0 = np.nan
+    for w in range(nw):
+        lo, hi = rec_start[w] - 1, rec_end[w]
+        v = _rp_valid_night(nee[lo:hi], temp[lo:hi], is_night[lo:hi])
+        if v.sum() < RP_MIN_NREC:
+            prev_e0 = np.nan
+            continue
+        reco = nee[lo:hi][v]
+        temp_k = temp[lo:hi][v] + 273.15
+        tref_k = float(np.median(temp[lo:hi][v])) + 273.15
+        e0[w], sde0[w], _ = _rp_fit_e0_window(reco, temp_k, prev_e0, tref_k)
+        prev_e0 = e0[w]
+    return e0, sde0
+
+
+def gp_smooth(x, z, nug):
+    """GP smoother with Gaussian correlation, constant GLS mean and
+    profiled variance, per-point nugget scaled by a fitted factor
+    (daytime_reddyproc.py:375-425, mlegp MLE) — hyperparameters
+    maximized with the from-scratch Nelder-Mead."""
+    x = np.asarray(x, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64).reshape(-1, 1)
+    nug = np.asarray(nug, dtype=np.float64)
+    npts = x.size
+    D2 = (x[:, None] - x[None, :]) ** 2
+    one = np.ones((npts, 1))
+
+    def neg_ll(v):
+        beta, nscale = np.exp(v[0]), np.exp(v[1])
+        A = np.exp(-beta * D2) + nscale * np.diag(nug)
+        try:
+            Ainv = np.linalg.inv(A)
+        except np.linalg.LinAlgError:
+            return 1e300
+        denom = float((one.T @ Ainv @ one).item())
+        if denom == 0:
+            return 1e300
+        mu = float((one.T @ Ainv @ z).item()) / denom
+        r = z - mu
+        sig2 = float((r.T @ Ainv @ r).item()) / npts
+        if not np.isfinite(sig2) or sig2 <= 0:
+            return 1e300
+        sign, logdet = np.linalg.slogdet(sig2 * A)
+        if sign <= 0:
+            return 1e300
+        return 0.5 * (npts * np.log(2 * np.pi) + logdet
+                      + float((r.T @ Ainv @ r).item()) / sig2)
+
+    xr = max(x.max() - x.min(), 1e-9)
+    best_x, best_f = None, np.inf
+    for f0 in (0.1, 1.0, 10.0):
+        for s0 in (0.1, 1.0, 10.0):
+            xx, ff = _nelder_mead(neg_ll, np.array([np.log(f0 / xr ** 2), np.log(s0)]))
+            if ff < best_f:
+                best_x, best_f = xx, ff
+    beta, nscale = np.exp(best_x[0]), np.exp(best_x[1])
+    K = np.exp(-beta * D2)
+    nugget_vec = nscale * nug
+    Ainv = np.linalg.inv(K + np.diag(nugget_vec))
+    mu = float((one.T @ Ainv @ z).item()) / float((one.T @ Ainv @ one).item())
+    sig2 = float(((z - mu).T @ Ainv @ (z - mu)).item()) / npts
+    Vinv = np.linalg.inv(sig2 * K + np.diag(sig2 * nugget_vec))
+    zc = z - mu
+
+    def predict(xnew):
+        xnew = np.atleast_1d(np.asarray(xnew, dtype=np.float64))
+        rr = np.exp(-beta * (xnew[:, None] - x[None, :]) ** 2)
+        fit = mu + sig2 * (rr @ (Vinv @ zc)).ravel()
+        var = sig2 - sig2 * np.einsum("ij,jk,ik->i", rr, Vinv, rr) * sig2
+        return fit, np.sqrt(np.clip(var, 0, None))
+
+    return predict, nugget_vec
+
+
+def rp_smooth_tempsens(e0fit, sde0fit, icentral, daystart):
+    """Smooth per-window E0 across time (daytime_reddyproc.py:428-457):
+    duplicate-forwarded values dropped, per-year GP (or the constant
+    shortcut at CV < 1%), non-finite windows filled from the mean."""
+    e0 = np.asarray(e0fit, dtype=np.float64).copy()
+    dup = np.concatenate([[False], np.diff(e0) == 0])
+    e0[dup] = np.nan
+    sde0 = np.asarray(sde0fit, dtype=np.float64)
+    year = np.ceil(np.asarray(daystart) / 365).astype(int)
+    out_e0 = np.full(e0.size, np.nan)
+    out_sd = np.full(e0.size, np.nan)
+    for yr in np.unique(year):
+        ym = year == yr
+        fin = ym & np.isfinite(e0)
+        if fin.sum() == 0:
+            continue
+        ef, sf, xf = e0[fin], sde0[fin], icentral[fin].astype(np.float64)
+        if ef.size < 2 or np.std(ef, ddof=1) / np.mean(ef) < 0.01:
+            out_e0[ym] = np.mean(ef)
+            out_sd[ym] = np.max(sf) if np.isfinite(sf).any() else np.nan
+            continue
+        predict, nugget = gp_smooth(xf, ef, sf ** 2)
+        fit, se = predict(icentral[ym].astype(np.float64))
+        nug_all = np.full(int(ym.sum()), np.quantile(nugget, 0.9))
+        nug_all[np.isfinite(e0[ym])] = nugget
+        out_e0[ym] = fit
+        out_sd[ym] = se + np.sqrt(nug_all)
+    nf = ~np.isfinite(out_e0)
+    if nf.any() and (~nf).any():
+        out_e0[nf] = np.mean(out_e0[~nf])
+        out_sd[nf] = np.quantile(out_sd[~nf], 0.9) * 1.5
+    return out_e0, out_sd
+
+
+def rp_fit_rref_windows(nee, temp, is_night, e0_smooth, i_central, dts, n):
+    """Closed-form per-window RRef with E0 fixed + forward fill
+    (daytime_reddyproc.py:460-484)."""
+    rec_start, rec_end = rp_win_recs(i_central, RP_WIN_NIGHT_DAYS, dts, n)
+    nw = i_central.size
+    rref = np.full(nw, np.nan)
+    for w in range(nw):
+        lo, hi = rec_start[w] - 1, rec_end[w]
+        v = _rp_valid_night(nee[lo:hi], temp[lo:hi], is_night[lo:hi])
+        if v.sum() < RP_MIN_NREC:
+            continue
+        reco = nee[lo:hi][v]
+        if reco.size >= 3:
+            tk = temp[lo:hi][v] + 273.15
+            tfac = np.exp(e0_smooth[w] * (1.0 / (TREF_K - T0_K) - 1.0 / (tk - T0_K)))
+            denom = float((tfac * tfac).sum())
+            if denom > 0:
+                rref[w] = max(0.0, float((tfac * reco).sum()) / denom)
+    fin = np.isfinite(rref)
+    if fin.any():
+        cur = rref[fin][0]
+        for w in range(nw):
+            if np.isfinite(rref[w]):
+                cur = rref[w]
+            else:
+                rref[w] = cur
+    return rref
+
+
+def rp_predict_nep(theta, rg, vpd, temp):
+    """Lasslop NEP = GPP - RECO, REddyProc parameterization
+    (k == 0 -> no VPD limitation; daytime_reddyproc.py:490-501)."""
+    k, beta, alpha, rref, e0 = theta
+    with np.errstate(over="ignore", invalid="ignore"):
+        if k == 0:
+            amax = np.full(np.shape(rg), beta)
+        else:
+            amax = np.where(vpd > VPD0, beta * np.exp(-k * (vpd - VPD0)), beta)
+        reco = rref * np.exp(e0 * (1.0 / (TREF_K - T0_K) - 1.0 / (temp + 273.15 - T0_K)))
+        gpp = (amax * alpha * rg) / (alpha * rg + amax)
+    return gpp - reco
+
+
+def _rp_optim(theta_full, iopt, flux, sdflux, prior, rg, vpd, temp):
+    """One penalized LM fit over the free components ``iopt``
+    (daytime_reddyproc.py:528-542 semantics on the LM solver)."""
+    iopt = np.asarray(iopt)
+    sdprior = RP_SDPRIOR.copy()
+    fixed = [i for i in range(5) if i not in iopt]
+    sdprior[fixed] = np.nan
+
+    def predict(popt):
+        theta = theta_full.copy()
+        theta[iopt] = popt
+        return rp_predict_nep(theta, rg, vpd, temp)
+
+    r = lm_least_squares(
+        predict, theta_full[iopt], flux, sdflux,
+        prior=prior[iopt], sigm=sdprior[iopt],
+    )
+    theta = theta_full.copy()
+    theta[iopt] = r["params"]
+    # cov over the free components (Gauss-Newton, unscaled by s^2 like
+    # the reference's inverse cost Hessian)
+    if r["cov"] is not None:
+        ssr = float(r["residuals"] @ r["residuals"])
+        ent = flux.size
+        s2 = ssr / max(ent - iopt.size, 1)
+        cov = r["cov"] / s2 if s2 > 0 else r["cov"]
+    else:
+        cov = None
+    return dict(theta=theta, iopt=list(iopt), value=float(r["residuals"] @ r["residuals"]),
+                cov=cov, convergence=0 if cov is not None else 1)
+
+
+def _rp_get_iopt(fixed_vpd, fixed_alpha):
+    if not fixed_vpd and not fixed_alpha:
+        return [0, 1, 2, 3]
+    if fixed_vpd and not fixed_alpha:
+        return [1, 2, 3]
+    if not fixed_vpd and fixed_alpha:
+        return [0, 1, 3]
+    return [1, 3]
+
+
+def _rp_lrc_bounds(theta0, prior, day, last_good):
+    """The REddyProc fix-VPD / fix-alpha refit cascade
+    (daytime_reddyproc.py:545-576)."""
+    nee, sdnee, rg, vpd, temp = day
+    fin = np.isfinite(nee) & np.isfinite(sdnee)
+    nee, sdnee, rg, vpd, temp = nee[fin], sdnee[fin], rg[fin], vpd[fin], temp[fin]
+    min_unc = np.quantile(sdnee, 0.3)
+    fc_unc = np.maximum(sdnee, min_unc)
+    flux = -nee
+
+    last_good = last_good.copy()
+    if not np.isfinite(last_good[2]):
+        last_good[2] = 0.22
+    is_fixed_vpd = np.nansum(vpd >= VPD0) == 0
+    th0 = theta0.copy()
+    res = _rp_optim(th0, _rp_get_iopt(is_fixed_vpd, False), flux, fc_unc,
+                    prior, rg, vpd, temp)
+    th = res["theta"]
+    if not np.isfinite(th[0]) or th[0] < 0:
+        th0[0] = 0
+        res = _rp_optim(th0, _rp_get_iopt(True, False), flux, fc_unc,
+                        prior, rg, vpd, temp)
+        th = res["theta"]
+        if (not np.isfinite(th[2]) or th[2] > 0.22) and np.isfinite(last_good[2]):
+            th0[2] = last_good[2]
+            res = _rp_optim(th0, _rp_get_iopt(True, True), flux, fc_unc,
+                            prior, rg, vpd, temp)
+    else:
+        if (not np.isfinite(th[2]) or th[2] > 0.22) and np.isfinite(last_good[2]):
+            th0[2] = last_good[2]
+            res = _rp_optim(th0, _rp_get_iopt(is_fixed_vpd, True), flux, fc_unc,
+                            prior, rg, vpd, temp)
+            th = res["theta"]
+            if not np.isfinite(th[0]) or th[0] < 0:
+                th0[0] = 0
+                res = _rp_optim(th0, _rp_get_iopt(True, True), flux, fc_unc,
+                                prior, rg, vpd, temp)
+    if res["convergence"] != 0:
+        res["theta"] = np.full(5, np.nan)
+    th = res["theta"]
+    if np.isfinite(th[0]) and (th[2] < 0 or th[3] < 0 or th[1] < 0 or th[1] >= 250):
+        res["theta"] = np.full(5, np.nan)
+        res["convergence"] = 1002
+    return res
+
+
+def rp_fit_lrc(day, e0, sde0, rref_night, last_good):
+    """Three beta starts -> lowest cost -> SE acceptance checks
+    (daytime_reddyproc.py:579-614)."""
+    nee = day[0]
+    nee_fin = nee[np.isfinite(nee)]
+    beta_prior = abs(np.quantile(nee_fin, 0.03) - np.quantile(nee_fin, 0.97))
+    prior = np.array([0.05, beta_prior, 0.1, rref_night, e0])
+    inits = np.tile(prior, (3, 1))
+    inits[1, 1] = prior[1] * 1.3
+    inits[2, 1] = prior[1] * 0.8
+    results = [_rp_lrc_bounds(inits[r], prior, day, last_good) for r in range(3)]
+    valid = [r for r in results if np.isfinite(r["theta"][0])]
+    if not valid:
+        return None
+    best = min(valid, key=lambda r: r["value"])
+    theta, iopt, cov_lrc = best["theta"], best["iopt"], best["cov"]
+    if cov_lrc is None:
+        return None
+    cov = np.zeros((5, 5))
+    cov[4, 4] = sde0 ** 2 if np.isfinite(sde0) else 0.0
+    ix = np.array(iopt)
+    cov[np.ix_(ix, ix)] = cov_lrc
+    if np.any(np.diag(cov) < 0):
+        return None
+    sd_theta = np.full(5, np.nan)
+    iopt_full = list(iopt) + [4]
+    sd_theta[iopt_full] = np.sqrt(np.diag(cov)[iopt_full])
+    if not np.isfinite(theta[1]):
+        return None
+    if theta[1] > 100 and sd_theta[1] >= theta[1]:
+        return None
+    return best
+
+
+def rp_associate_rows(special: np.ndarray, nrec: int):
+    """Before/after anchor rows + weights for interpolation
+    (daytime_reddyproc.py:620-650 semantics), vectorized: rows between
+    two anchors s_prev < r < s_next get w_before=(s_next-r)/(s_next-
+    s_prev) toward s_prev and the complement toward s_next; anchor rows
+    and rows outside the anchor span get 0.5/0.5 on the nearest
+    anchor."""
+    special = np.asarray(special, dtype=np.int64)  # 1-based, sorted unique
+    rows = np.arange(1, nrec + 1)
+    k = np.searchsorted(special, rows, side="right") - 1  # anchor at/ before row
+    k_prev = np.clip(k, 0, special.size - 1)
+    k_next = np.clip(k + 1, 0, special.size - 1)
+    s_prev = special[k_prev]
+    s_next = special[k_next]
+    i_before = s_prev.copy()
+    i_after = s_next.copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = (s_next - s_prev).astype(np.float64)
+        w_after = np.where(d > 0, (rows - s_prev) / d, 0.5)
+    w_before = np.where(d > 0, 1.0 - w_after, 0.5)
+    # exact-anchor rows and the outside spans -> both anchors = nearest, 0.5/0.5
+    on_anchor = np.isin(rows, special)
+    before_first = rows < special[0]
+    after_last = rows >= special[-1]
+    fix = on_anchor | before_first | after_last
+    nearest = np.where(rows <= special[0], special[0],
+                       np.where(rows >= special[-1], special[-1], s_prev))
+    i_before[fix] = nearest[fix]
+    i_after[fix] = nearest[fix]
+    w_before[fix] = 0.5
+    w_after[fix] = 0.5
+    return i_before, i_after, w_before, w_after
+
+
+def rp_interpolate_fluxes(i_mean, params, rg, vpd, temp, nrec):
+    """daytime_reddyproc.py:653-690: dedup anchors keep-first, sort,
+    predict RECO/GPP from the before/after parameter sets."""
+    _, keep = np.unique(i_mean, return_index=True)
+    keep = np.sort(keep)
+    i_mean = i_mean[keep]
+    params = params[keep]
+    order = np.argsort(i_mean, kind="stable")
+    i_mean, params = i_mean[order], params[order]
+
+    i_before, i_after, w_before, w_after = rp_associate_rows(i_mean, nrec)
+    row_of = {m: i for i, m in enumerate(i_mean)}
+    rb = np.array([row_of[m] for m in i_before])
+    ra = np.array([row_of[m] for m in i_after])
+    p_b, p_a = params[rb], params[ra]
+
+    temp_k = np.maximum(-40.0, temp) + 273.15
+
+    def reco(p):
+        return lloyd_taylor_k(temp_k, p[:, 3], p[:, 4])
+
+    def gpp(p):
+        k, beta, alpha = p[:, 0], p[:, 1], p[:, 2]
+        with np.errstate(over="ignore", invalid="ignore"):
+            amax = np.where(k == 0, beta,
+                            np.where(vpd > VPD0, beta * np.exp(-k * (vpd - VPD0)), beta))
+            return (amax * alpha * rg) / (alpha * rg + amax)
+
+    return (w_before * reco(p_b) + w_after * reco(p_a),
+            w_before * gpp(p_b) + w_after * gpp(p_a))
+
+
+def replace_missing_sd(sd: np.ndarray, nee: np.ndarray) -> np.ndarray:
+    """max(0.7, 0.2*|NEE|) for missing uncertainties
+    (daytime_reddyproc.py:785-790)."""
+    sd = np.asarray(sd, dtype=np.float64).copy()
+    fill = ~np.isfinite(sd)
+    sd[fill] = np.maximum(RP_SD_MINSD, np.abs(nee[fill] * RP_SD_PERC))
+    return sd
+
+
+def daytime_reddyproc_one_year(
+    nee, sd_nee, ta, vpd, rg, doy, hour, lat, lon, utc_offset, dts,
+) -> dict[str, np.ndarray]:
+    """One series of REddyProc daytime partitioning
+    (daytime_reddyproc.py:696-782 orchestration)."""
+    from .partition import potential_radiation
+
+    n = nee.size
+    out = {c: np.full(n, np.nan) for c in
+           ("RECO_DT_RP", "GPP_DT_RP", "K_DT_RP", "BETA_DT_RP",
+            "ALPHA_DT_RP", "RREF_DT_RP", "E0_DT_RP")}
+
+    potrad = potential_radiation(doy, hour, lat, lon, utc_offset)
+    with np.errstate(invalid="ignore"):
+        is_night = (rg <= DAY_RG_THRESHOLD) & (potrad <= 0.0)
+        is_day = (rg > DAY_RG_THRESHOLD) & (potrad > 0.0)
+
+    start_days, i_central = rp_window_grid(n, dts)
+    nw = i_central.size
+
+    e0, sde0 = _rp_nighttime_pass(nee, ta, is_night, i_central,
+                                  RP_WIN_NIGHT_DAYS, dts, n)
+    for win_days in RP_WIN_EXTEND:
+        miss = ~np.isfinite(e0)
+        if not miss.any():
+            break
+        e0x, sdx = _rp_nighttime_pass(nee, ta, is_night, i_central,
+                                      win_days, dts, n)
+        e0[miss], sde0[miss] = e0x[miss], sdx[miss]
+
+    n_finite = int(np.isfinite(e0).sum())
+    if n_finite < 5 and n_finite < 0.1 * nw:
+        return out
+
+    e0_sm, sde0_sm = rp_smooth_tempsens(e0, sde0, i_central, start_days)
+    rref_win = rp_fit_rref_windows(nee, ta, is_night, e0_sm, i_central, dts, n)
+
+    rec_start, rec_end = rp_win_recs(i_central, RP_WIN_REF_DAYS, dts, n)
+    i_mean_list, params_list, central_list = [], [], []
+    last_good = np.full(5, np.nan)
+    for w in range(nw):
+        if not np.isfinite(e0_sm[w]):
+            continue
+        sl = slice(rec_start[w] - 1, rec_end[w])
+        valid = (is_day[sl] & np.isfinite(nee[sl]) & np.isfinite(ta[sl])
+                 & np.isfinite(rg[sl]) & np.isfinite(sd_nee[sl]) & np.isfinite(vpd[sl]))
+        if valid.sum() < RP_MIN_NREC:
+            valid = (is_day[sl] & np.isfinite(nee[sl]) & np.isfinite(ta[sl])
+                     & np.isfinite(rg[sl]) & np.isfinite(sd_nee[sl]))
+            if valid.sum() < RP_MIN_NREC:
+                continue
+        i_mean = (rec_start[w] - 1) + int(round(float(np.nonzero(valid)[0].mean()) + 1))
+        day = (nee[sl][valid], sd_nee[sl][valid], rg[sl][valid],
+               vpd[sl][valid], ta[sl][valid])
+        res = rp_fit_lrc(day, e0_sm[w], sde0_sm[w], rref_win[w], last_good)
+        if res is None:
+            continue
+        last_good = res["theta"]
+        i_mean_list.append(i_mean)
+        params_list.append(res["theta"])
+        central_list.append(int(i_central[w]))
+
+    if not params_list:
+        return out
+
+    params = np.array(params_list)
+    reco, gpp = rp_interpolate_fluxes(np.array(i_mean_list, dtype=np.int64),
+                                      params, rg, vpd, ta, n)
+    out["RECO_DT_RP"] = reco
+    out["GPP_DT_RP"] = gpp
+    for c, p in zip(central_list, params_list):
+        idx = c - 1
+        if 0 <= idx < n:
+            out["K_DT_RP"][idx] = p[0]
+            out["BETA_DT_RP"][idx] = p[1]
+            out["ALPHA_DT_RP"][idx] = p[2]
+            out["RREF_DT_RP"][idx] = p[3]
+            out["E0_DT_RP"][idx] = p[4]
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Ray wrappers: one exchange on (keys..., year)
+# --------------------------------------------------------------------------- #
+def _with_year(ds: rd.Dataset, ts_col: str) -> rd.Dataset:
+    def add_year(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_year"] = pd.to_datetime(df[ts_col]).dt.year.astype(np.int64)
+        return df
+
+    return ds.map_batches(add_year, batch_format="pandas", zero_copy_batch=False)
+
+
+def partition_daytime_oneflux(
+    ds: rd.Dataset,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    nee_col: str = "nee",
+    ta_col: str = "ta",
+    swin_col: str = "sw_in",
+    ta_f_col: str | None = None,
+    swin_f_col: str | None = None,
+    vpd_col: str = "vpd",
+    vpd_in_kpa: bool = False,
+    nperday: int = 48,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed ONEFlux daytime partitioning: grouped per
+    (keys, year); gap-filled drivers default to the measured series."""
+    from .exchange import grouped_block_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = pd.to_datetime(g[ts_col])
+        vf = 10.0 if vpd_in_kpa else 1.0
+        res = daytime_oneflux_one_year(
+            g[nee_col].to_numpy(dtype=np.float64),
+            g[ta_col].to_numpy(dtype=np.float64),
+            g[swin_col].to_numpy(dtype=np.float64),
+            g[ta_f_col or ta_col].to_numpy(dtype=np.float64),
+            g[swin_f_col or swin_col].to_numpy(dtype=np.float64),
+            g[vpd_col].to_numpy(dtype=np.float64) * vf,
+            ts.dt.dayofyear.to_numpy(dtype=np.float64),
+            (ts.dt.hour + np.where(ts.dt.minute == 0, 0.0, 0.5)).to_numpy(),
+            nperday,
+        )
+        out = g[keys + ["_year", ts_col]].copy()
+        for k, v in res.items():
+            out[k] = v
+        return out
+
+    return grouped_block_map(_with_year(ds, ts_col), keys + ["_year"], fn,
+                             num_partitions=num_partitions)
+
+
+def partition_daytime_reddyproc(
+    ds: rd.Dataset,
+    *,
+    keys: list[str],
+    lat: float,
+    lon: float,
+    utc_offset: float,
+    ts_col: str = "ts",
+    nee_col: str = "nee",
+    ta_col: str = "ta",
+    swin_col: str = "sw_in",
+    vpd_col: str = "vpd",
+    nee_sd_col: str | None = None,
+    vpd_in_kpa: bool = False,
+    dts: int = 48,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed REddyProc daytime partitioning per (keys, year)."""
+    from .exchange import grouped_block_map
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = pd.to_datetime(g[ts_col])
+        nee = g[nee_col].to_numpy(dtype=np.float64)
+        sd = (g[nee_sd_col].to_numpy(dtype=np.float64) if nee_sd_col
+              else np.full(nee.size, np.nan))
+        res = daytime_reddyproc_one_year(
+            nee,
+            replace_missing_sd(sd, nee),
+            g[ta_col].to_numpy(dtype=np.float64),
+            g[vpd_col].to_numpy(dtype=np.float64) * (10.0 if vpd_in_kpa else 1.0),
+            g[swin_col].to_numpy(dtype=np.float64),
+            ts.dt.dayofyear.to_numpy(dtype=np.float64),
+            (ts.dt.hour + ts.dt.minute / 60.0).to_numpy(),
+            lat, lon, utc_offset, dts,
+        )
+        out = g[keys + ["_year", ts_col]].copy()
+        for k, v in res.items():
+            out[k] = v
+        return out
+
+    return grouped_block_map(_with_year(ds, ts_col), keys + ["_year"], fn,
+                             num_partitions=num_partitions)
