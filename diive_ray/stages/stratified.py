@@ -272,6 +272,181 @@ def exact_medians(
     return out
 
 
+def keyed_quantile_cont(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    collect_cap: int = 2_000_000,
+    max_keys: int = 100_000,
+) -> pd.DataFrame:
+    """Exact per-key QUANTILE_CONT (linear-interpolation quantiles,
+    pandas ``quantile`` / SQL ``QUANTILE_CONT`` semantics) with bounded
+    driver memory — the de-skewed quantile pre-pass for per-key clip /
+    winsorize plans (VERDICT r3 #4: a ``grouped_block_map`` on a
+    low-cardinality key ships each key's FULL value set into one block;
+    this keeps every pass streaming).
+
+    Same 3-pass shape as ``exact_rank_values``, keyed:
+      1. per-batch ``groupby(key)`` (n, lo, hi) partials -> driver
+         combine (bounded by batches x keys-per-batch; asserted
+         <= ``max_keys`` distinct keys);
+      2. per-batch per-key SPARSE value histogram (only non-empty
+         (key, bin) cells leave the task) -> for each key x quantile,
+         the bins holding the two bracketing order statistics;
+      3. collect ONLY rows in wanted (key, bin) cells (expected
+         n_key / 2^17 rows per cell, ``collect_cap`` guards degenerate
+         duplicate-heavy distributions) and resolve exactly.
+
+    Returns a tidy frame (key_col, q, value), one row per key per
+    requested quantile; keys whose non-null count is 0 are omitted.
+    NaN values are ignored (pandas/SQL convention)."""
+    qs = sorted(set(float(q) for q in qs))
+
+    def p_stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[value_col], errors="coerce")
+        ok = np.isfinite(v.to_numpy(dtype=np.float64, na_value=np.nan))
+        g = pd.DataFrame({key_col: df[key_col].to_numpy()[ok],
+                          "v": v.to_numpy(dtype=np.float64)[ok]})
+        if g.empty:
+            return pd.DataFrame({key_col: [], "n": [], "lo": [], "hi": []})
+        agg = g.groupby(key_col, as_index=False, sort=False)["v"].agg(
+            ["size", "min", "max"]
+        )
+        agg.columns = [key_col, "n", "lo", "hi"]
+        return agg
+
+    stats = driver_combine(
+        ds, p_stats,
+        lambda df: df.groupby(key_col, as_index=False).agg(
+            n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max")
+        ),
+        batch_format="pandas",
+    )
+    stats = stats[stats["n"] > 0].sort_values(key_col).reset_index(drop=True)
+    if len(stats) > max_keys:
+        raise RuntimeError(
+            f"keyed_quantile_cont: {len(stats)} distinct keys (> max_keys "
+            f"{max_keys}) — driver combine would not be tiny; pre-bucket "
+            "the key or raise max_keys deliberately"
+        )
+    if stats.empty:
+        return pd.DataFrame({key_col: [], "q": [], "value": []})
+
+    keys_sorted = stats[key_col].to_numpy()
+    n_by_key = stats["n"].to_numpy(dtype=np.int64)
+    lo_by_key = stats["lo"].to_numpy(dtype=np.float64)
+    hi_by_key = stats["hi"].to_numpy(dtype=np.float64)
+
+    def _key_ix(karr: np.ndarray) -> np.ndarray:
+        return np.searchsorted(keys_sorted, karr)
+
+    def p_hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[value_col], errors="coerce").to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        ok = np.isfinite(v)
+        if not ok.any():
+            return pd.DataFrame({"ki": [], "bin": [], "c": []})
+        karr, v = df[key_col].to_numpy()[ok], v[ok]
+        ki = _key_ix(karr)
+        b = np.empty(len(v), dtype=np.int64)
+        for i in np.unique(ki):
+            m = ki == i
+            b[m] = _bin_of(v[m], lo_by_key[i], hi_by_key[i])
+        cell = ki * N_HIST_BINS + b
+        cells, counts = np.unique(cell, return_counts=True)
+        return pd.DataFrame({
+            "ki": (cells // N_HIST_BINS).astype(np.int64),
+            "bin": (cells % N_HIST_BINS).astype(np.int64),
+            "c": counts.astype(np.int64),
+        })
+
+    hist = driver_combine(
+        ds, p_hist,
+        lambda df: df.groupby(["ki", "bin"], as_index=False)["c"].sum(),
+        batch_format="pandas",
+    ).sort_values(["ki", "bin"]).reset_index(drop=True)
+
+    # per (key, q): fractional rank h=(n-1)q -> order statistics at
+    # floor(h), ceil(h); locate their bins via the key's sparse cumsum
+    want_bins: dict[int, np.ndarray] = {}
+    plan: list[tuple[int, float, int, int, float]] = []  # ki, q, k0, k1, frac
+    rank_bin: dict[tuple[int, int], int] = {}
+    cum_before_bin: dict[tuple[int, int], int] = {}
+    for i in range(len(keys_sorted)):
+        h = hist[hist["ki"] == i]
+        bins = h["bin"].to_numpy(dtype=np.int64)
+        cnts = h["c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(n_by_key[i])
+        ranks = set()
+        for q in qs:
+            fh = (n - 1) * q
+            k0, k1 = int(np.floor(fh)), int(np.ceil(fh))
+            plan.append((i, q, k0, k1, fh - k0))
+            ranks.update((k0, k1))
+        rk = np.array(sorted(ranks), dtype=np.int64)
+        pos = np.searchsorted(cum, rk, side="right")
+        for r, p in zip(rk, pos):
+            rank_bin[(i, int(r))] = int(bins[p])
+            cum_before_bin[(i, int(bins[p]))] = int(cum[p - 1]) if p > 0 else 0
+        want_bins[i] = np.unique(bins[pos])
+
+    expected = sum(
+        int(hist[(hist["ki"] == i) & (hist["bin"].isin(wb))]["c"].sum())
+        for i, wb in want_bins.items()
+    )
+    if expected > collect_cap:
+        raise RuntimeError(
+            f"keyed_quantile_cont: boundary bins hold {expected} rows "
+            f"(> cap {collect_cap}) — a duplicate class dominates some key; "
+            "pre-aggregate duplicates or use t-digest (stages/sketch.py)"
+        )
+
+    def p_collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[value_col], errors="coerce").to_numpy(
+            dtype=np.float64, na_value=np.nan
+        )
+        ok = np.isfinite(v)
+        if not ok.any():
+            return pd.DataFrame({"ki": [], "bin": [], "v": []})
+        karr, v = df[key_col].to_numpy()[ok], v[ok]
+        ki = _key_ix(karr)
+        frames = []
+        for i in np.unique(ki):
+            wb = want_bins.get(int(i))
+            if wb is None or not len(wb):
+                continue
+            m = ki == i
+            b = _bin_of(v[m], lo_by_key[i], hi_by_key[i])
+            keep = np.isin(b, wb)
+            if keep.any():
+                frames.append(pd.DataFrame(
+                    {"ki": np.int64(i), "bin": b[keep], "v": v[m][keep]}
+                ))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"ki": [], "bin": [], "v": []}
+        )
+
+    window = driver_combine(ds, p_collect, lambda df: df, batch_format="pandas")
+
+    def order_stat(i: int, k: int) -> float:
+        b = rank_bin[(i, k)]
+        rows = np.sort(
+            window[(window["ki"] == i) & (window["bin"] == b)]["v"].to_numpy()
+        )
+        return float(rows[k - cum_before_bin[(i, b)]])
+
+    out_rows = []
+    for i, q, k0, k1, frac in plan:
+        v0 = order_stat(i, k0)
+        v1 = v0 if k1 == k0 else order_stat(i, k1)
+        out_rows.append((keys_sorted[i], q, v0 + frac * (v1 - v0)))
+    return pd.DataFrame(out_rows, columns=[key_col, "q", "value"])
+
+
 def assign_ntile(
     z: np.ndarray, ids: np.ndarray, boundaries: list[tuple[float, int]]
 ) -> np.ndarray:

@@ -134,7 +134,18 @@ def winddir_aggregate(
     its block. Mean alone would decompose into (sum sin, sum cos)
     partials with no full exchange; the quantile aggs need the group's
     full component distributions, so the grouped form is the honest
-    shape for all four at once."""
+    shape for all four at once.
+
+    Hot-key bound (VERDICT r3 #4 audit): one block must hold a key's
+    full angle set. That is safe when the key includes a time bucket
+    (bounded rows/key) but NOT for a bare low-cardinality key over raw
+    records at corpus scale. The de-skewed alternative for that case:
+    decompose the mean into (sum sin, sum cos) streaming partials and
+    compute the component quantiles with
+    ``stratified.keyed_quantile_cont`` (exact, bounded driver memory)
+    — at the cost of the canonical in-block summation order that keeps
+    the mean bit-stable across partitionings (why this grouped form
+    remains the default for driver-hash-compared outputs)."""
     from .exchange import grouped_block_map
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:

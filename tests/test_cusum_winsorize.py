@@ -48,3 +48,69 @@ def test_winsorize_clip_rules():
     assert (v < lo).sum() + (v > hi).sum() == (w != v).sum()
     # clipping pulls tails in: winsorized SD strictly smaller
     assert w.std() < v.std()
+
+
+# --------------------------- keyed_quantile_cont (de-skewed winsorize)
+
+
+def test_keyed_quantile_cont_matches_pandas():
+    import pandas as pd
+    import ray.data as rd
+
+    from diive_ray.stages.stratified import keyed_quantile_cont
+
+    rng = np.random.Generator(np.random.Philox(key=[83, 2026]))
+    keys = rng.choice(np.array(["a", "b", "c"]), size=3000)
+    v = rng.normal(20, 5, size=3000)
+    v[rng.choice(3000, 50, replace=False)] = np.nan
+    df = pd.DataFrame({"k": keys, "v": v})
+    got = keyed_quantile_cont(
+        rd.from_pandas(df).repartition(7), "k", "v", [0.05, 0.5, 0.95]
+    )
+    for k in "abc":
+        sub = df[df["k"] == k]["v"].dropna()
+        for q in (0.05, 0.5, 0.95):
+            want = float(sub.quantile(q))
+            have = float(
+                got[(got["k"] == k) & (got["q"] == q)]["value"].iloc[0]
+            )
+            np.testing.assert_allclose(have, want, rtol=0, atol=1e-12)
+
+
+def test_keyed_quantile_hot_key_no_oversized_block():
+    """One key = 90% of rows (the skewed-key scale-killer VERDICT r3 #4
+    targets): the streaming plan must complete with bounded collections
+    and match pandas exactly. collect_cap is set BELOW the hot key's row
+    count — a plan that shipped whole keys anywhere would blow it."""
+    import pandas as pd
+    import ray.data as rd
+
+    from diive_ray.stages.stratified import keyed_quantile_cont
+
+    rng = np.random.Generator(np.random.Philox(key=[89, 2026]))
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, "hot", "cold")
+    v = rng.normal(0, 1, size=n)
+    df = pd.DataFrame({"k": keys, "v": v})
+    got = keyed_quantile_cont(
+        rd.from_pandas(df).repartition(13), "k", "v", [0.05, 0.95],
+        collect_cap=2_000,
+    )
+    for k in ("hot", "cold"):
+        sub = df[df["k"] == k]["v"]
+        for q in (0.05, 0.95):
+            want = float(sub.quantile(q))
+            have = float(got[(got["k"] == k) & (got["q"] == q)]["value"].iloc[0])
+            np.testing.assert_allclose(have, want, rtol=0, atol=1e-12)
+
+
+def test_keyed_quantile_duplicate_heavy_cap_raises():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from diive_ray.stages.stratified import keyed_quantile_cont
+
+    df = pd.DataFrame({"k": ["x"] * 5000, "v": np.zeros(5000)})
+    with pytest.raises(RuntimeError, match="duplicate class"):
+        keyed_quantile_cont(rd.from_pandas(df), "k", "v", [0.5], collect_cap=100)
