@@ -151,6 +151,34 @@ def _step_ustar_filter(ds, *, ustar_col="ustar", threshold=0.3, is_day_col="is_d
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _step_gapfill_score(ds, *, keys, value_col="mean", order_col="bucket_ts",
+                        round6_first=True, **kw):
+    """L4-style per-fill score report (run_chain.py fill levels report
+    r2/MAE/RMSE per gap-filled variable; reference gapfilling/
+    scores.py:41-49): deterministic hide-every-k planted scoring of the
+    chain's rolled output (stages/scores.py:planted_gap_fill_scores).
+    Terminal reporting step — output is the per-key score frame as a
+    Dataset. ``round6_first`` rounds the value column before scoring so
+    an SQL oracle replaying the chain can match bit-for-bit despite
+    summation-order ULPs in the upstream rollup means."""
+    import ray.data as rd
+
+    from ..stages.scores import planted_gap_fill_scores
+    from ..util import stable_round6
+
+    if round6_first:
+        def rnd(df):
+            df = df.copy()
+            df[value_col] = stable_round6(df[value_col].astype(float))
+            return df
+
+        ds = ds.map_batches(rnd, batch_format="pandas")
+    return rd.from_pandas(
+        planted_gap_fill_scores(ds, keys, value_col=value_col,
+                                order_col=order_col, **kw)
+    )
+
+
 STEP_REGISTRY: dict[str, Callable] = {
     "setto_threshold": _step_setto_threshold,
     "setto_value": _step_setto_value,
@@ -164,6 +192,7 @@ STEP_REGISTRY: dict[str, Callable] = {
     "storage_correction": _step_storage_correction,
     "qcf_combine": _step_qcf_combine,
     "ustar_filter": _step_ustar_filter,
+    "gapfill_score": _step_gapfill_score,
 }
 
 

@@ -1758,6 +1758,101 @@ HAVING COUNT(flux_corr) >= 1
 """
 
 
+def q_flux_chain_scores(sf_dir: str):
+    """Per-fill score report for the flux processing chain (VERDICT r3
+    #9; reference run_chain.py fill levels report per-variable
+    r2/MAE/RMSE via gapfilling/scores.py:41-49): the SAME L2->L3.3
+    chain as ``flux_chain`` rolled to hourly, then the terminal
+    ``gapfill_score`` chain step — round the hourly means to 6dp (ULP
+    canonicalization so the SQL replay matches bit-for-bit), hide every
+    row with epoch-hour == 2 (mod 5), position-based linear interp
+    (limit 2), and report mae/medae/mse/rmse/maxe/r2/nmae per
+    event_type."""
+    from .chain import Chain, Step
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        # identical deterministic stand-ins to q_flux_chain
+        df = df.copy()
+        eid = df["event_id"].to_numpy()
+        v = df["value"].astype(float)
+        df["storage"] = ((eid % 7) - 3) * 0.1
+        df["ustar"] = ((eid * 13) % 100) / 100.0
+        df["FLAG_MISSING"] = np.where(v.isna(), 2, 0).astype(np.int64)
+        df["FLAG_ABSLIM"] = np.where((v < 0) | (v > 450), 2, 0).astype(np.int64)
+        return df
+
+    chain = Chain([
+        Step("map_batches", fn=synth, batch_format="pandas"),
+        Step("daynight_flag"),
+        Step("storage_correction", flux_col="value", storage_col="storage", out_col="flux_corr"),
+        Step("flag_outliers", method="hampel", value_col="flux_corr",
+             keys=("event_type", "is_day"), ts_col=["ts", "event_id"],
+             window_length=49, n_sigma=5.5, repeat=False),
+        Step("qcf_combine", flag_cols=("FLAG_MISSING", "FLAG_ABSLIM", "FLAG_flux_corr_HAMPEL_TEST")),
+        Step("ustar_filter", ustar_col="ustar", threshold=0.3),
+        Step("rollup", width_us=US_PER_HOUR, value_col="flux_corr", keys=("event_type",)),
+        Step("gapfill_score", keys=["event_type"], value_col="mean",
+             order_col="bucket_ts", hide_every=5, hide_phase=2, interp_limit=2),
+    ])
+    out = chain.run(ds).to_pandas()
+    out = out.drop(columns=["mape"])
+    for c in ["mae", "medae", "mse", "rmse", "maxe", "r2", "nmae"]:
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
+# Composed oracle: the flux-chain SQL verbatim as a CTE (its mean_flux
+# is already ROUND(ROUND(.,9),6) = the Ray side's round6_first), then
+# the gapfill-scores hide/interp/metric replay over its hourly series.
+_SQL_FLUX_CHAIN_SCORES = f"""
+WITH chain AS ({_SQL_FLUX_CHAIN}
+), p AS (
+  SELECT event_type, bucket_ts, mean_flux AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS pos,
+         ((CAST(epoch(bucket_ts) AS BIGINT) // 3600) % 5) = 2 AS hidden
+  FROM chain
+), w AS (
+  SELECT *,
+    last_value(CASE WHEN NOT hidden THEN v END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN NOT hidden THEN pos END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+    first_value(CASE WHEN NOT hidden THEN v END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN NOT hidden THEN pos END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+  FROM p
+), f AS (
+  SELECT event_type, v AS truth,
+         pv + (nv - pv) * (pos - pp) / (np - pp) AS pred
+  FROM w
+  WHERE hidden AND pv IS NOT NULL AND nv IS NOT NULL AND (np - pp - 1) <= 2
+), g AS (
+  SELECT event_type, AVG(truth) AS tbar FROM f GROUP BY 1
+)
+SELECT f.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       ROUND(ROUND(AVG(ABS(truth - pred)), 9), 6) AS mae,
+       ROUND(ROUND(MEDIAN(ABS(truth - pred)), 9), 6) AS medae,
+       ROUND(ROUND(AVG((truth - pred) * (truth - pred)), 9), 6) AS mse,
+       ROUND(ROUND(SQRT(AVG((truth - pred) * (truth - pred))), 9), 6) AS rmse,
+       ROUND(ROUND(MAX(ABS(truth - pred)), 9), 6) AS maxe,
+       ROUND(ROUND(CASE WHEN SUM((truth - tbar) * (truth - tbar)) > 0
+         THEN 1 - SUM((truth - pred) * (truth - pred))
+                  / SUM((truth - tbar) * (truth - tbar)) END, 9), 6) AS r2,
+       ROUND(ROUND(AVG(ABS(truth - pred)) / AVG(ABS(truth)), 9), 6) AS nmae
+FROM f JOIN g ON f.event_type = g.event_type
+GROUP BY f.event_type
+ORDER BY f.event_type
+"""
+
+
 _MDS_PASSES = [
     # the head of the reference's 6-loop ladder (stages/mds.py:
     # oneflux_ladder), every loop represented: ALL 14,28 | SWIN 14 |
@@ -6718,6 +6813,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "similarity_fill_1h": q_similarity_fill_1h,
     "mds_fill": q_mds_fill,
     "flux_chain": q_flux_chain,
+    "flux_chain_scores": q_flux_chain_scores,
     "harmonic_decompose": q_harmonic_decompose,
     "stl_decompose": q_stl_decompose,
     "timestamp_shifts": q_timestamp_shifts,
@@ -6844,6 +6940,7 @@ ORACLE: dict[str, str] = {
     "similarity_fill_1h": _SQL_SIMFILL,
     "mds_fill": _mds_sql(),
     "flux_chain": _SQL_FLUX_CHAIN,
+    "flux_chain_scores": _SQL_FLUX_CHAIN_SCORES,
     # harmonic_decompose: model-based least squares -> rows-only
     "lineitem_filter_project": _SQL_LINEITEM_FP,
     "lineitem_agg": _SQL_LINEITEM_AGG,

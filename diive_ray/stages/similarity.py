@@ -356,62 +356,78 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 11,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Near-duplicate vector pairs (cosine >= threshold): hyperplane
     buckets as candidate groups, exact pairwise cosine inside each
     group. Coarse buckets (8 planes) keep recall high at dedup-grade
     thresholds; a vector pair at cos >= 0.9 collides in the full bucket
     with p = (1 - acos(0.9)/pi)^8 ~ 0.33, so three seeded rounds are
     OR-combined for recall ~0.7 -> documented approximate contract; use
-    ngram/exact paths when exactness is required."""
-    rounds = [make_planes_dim_safe(ds, emb_col, n_planes, seed + r) for r in range(3)]
+    ngram/exact paths when exactness is required.
 
-    all_pairs: dict[tuple, float] = {}
-    for planes in rounds:
-        p_ref = ray.put(planes)
+    Dataset-native end to end (VERDICT r3 #5): ONE signature pass emits
+    a (round, bucket, id, emb) row per round per vector, ONE exchange
+    on (round, bucket) scores candidate groups, and a final keyed
+    exchange on (id_a, id_b) drops cross-round duplicates in-block (the
+    dedup.py banding shape) — pair volume never collects on the
+    driver, so a dup-heavy corpus can't blow driver memory. Two
+    shuffles total in one topology (three per-round sub-plans unioned
+    would hold three actor fleets + shuffle stages live at once and
+    can starve each other on a small CPU budget). Callers wanting a
+    frame consume ``.to_pandas()`` on the (pruned) result."""
+    from .exchange import block_map, grouped_block_map
 
-        class Sig:
-            def __init__(self):
-                self.planes = ray.get(p_ref)
+    n_rounds = 3
+    planes_ref = ray.put(np.stack(
+        [make_planes_dim_safe(ds, emb_col, n_planes, seed + r) for r in range(n_rounds)]
+    ))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                x = _normalize(_batch_matrix(t, emb_col))
-                sigs = hyperplane_signatures(x, self.planes).view(np.int64)
-                return pa.table({
-                    "bucket": pa.array(sigs, pa.int64()),
-                    id_col: t[id_col],
-                    emb_col: t[emb_col],
-                })
+    class Sig:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
 
-        def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
-            x = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in df[emb_col]]))
-            sims = x @ x.T
-            ids = df[id_col].to_numpy()
-            ii, jj = np.triu_indices(len(ids), 1)
-            hit = sims[ii, jj] >= threshold
-            return pd.DataFrame({
-                "id_a": ids[ii[hit]],
-                "id_b": ids[jj[hit]],
-                "cos_sim": sims[ii[hit], jj[hit]],
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = _normalize(_batch_matrix(t, emb_col))
+            n = len(x)
+            sigs = np.concatenate([
+                hyperplane_signatures(x, p).view(np.int64) for p in self.planes
+            ])
+            idx = np.tile(np.arange(n), n_rounds)
+            return pa.table({
+                "round": pa.array(np.repeat(np.arange(n_rounds, dtype=np.int8), n), pa.int8()),
+                "bucket": pa.array(sigs, pa.int64()),
+                id_col: t[id_col].take(pa.array(idx)),
+                emb_col: t[emb_col].take(pa.array(idx)),
             })
 
-        from .exchange import grouped_block_map
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        x = _normalize(np.asarray([np.asarray(v, dtype=np.float64) for v in df[emb_col]]))
+        sims = x @ x.T
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        ii, jj = np.triu_indices(len(ids), 1)
+        hit = sims[ii, jj] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ii[hit]],
+            "id_b": ids[jj[hit]],
+            "cos_sim": sims[ii[hit], jj[hit]],
+        })
 
-        got = grouped_block_map(
-            ds.map_batches(Sig, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
-            ["bucket"],
-            pairs_of_group,
-        ).to_pandas()
-        for _, r in got.iterrows():
-            all_pairs[(r["id_a"], r["id_b"])] = r["cos_sim"]
-
-    if not all_pairs:
-        return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-    out = pd.DataFrame(
-        [(a, b, s) for (a, b), s in all_pairs.items()], columns=["id_a", "id_b", "cos_sim"]
+    all_pairs = grouped_block_map(
+        ds.map_batches(Sig, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+        ["round", "bucket"],
+        pairs_of_group,
     )
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def dedup_block(df: pd.DataFrame) -> pd.DataFrame:
+        # same (id_a, id_b) from different rounds carries the same exact
+        # cosine — keep-first is deterministic in value
+        out = df.drop_duplicates(subset=["id_a", "id_b"])
+        return out.astype({"id_a": np.int64, "id_b": np.int64,
+                           "cos_sim": np.float64})
+
+    return block_map(all_pairs, ["id_a", "id_b"], dedup_block,
+                     batch_format="pandas", zero_copy_batch=False)
 
 
 def make_planes_dim_safe(ds: ray.data.Dataset, emb_col: str, n_planes: int, seed: int) -> np.ndarray:

@@ -58,3 +58,36 @@ def test_chain_intermediates_and_custom_step(minutes):
 def test_chain_unknown_step_raises(minutes):
     with pytest.raises(KeyError):
         Chain([Step("nope")]).run(minutes)
+
+
+def test_chain_gapfill_score_step(minutes):
+    """Terminal gapfill_score step == rollup then direct
+    planted_gap_fill_scores on the rolled output (VERDICT r3 #9: the
+    chain reports per-fill scores the way run_chain's fill levels do)."""
+    from diive_ray.stages.scores import planted_gap_fill_scores
+    from diive_ray.util import stable_round6
+
+    base = Chain([
+        Step("rollup", width_us=US_PER_HOUR, value_col="value", keys=("source",)),
+    ]).run(minutes)
+
+    def rnd(df):
+        df = df.copy()
+        df["mean"] = stable_round6(df["mean"].astype(float))
+        return df
+
+    want = planted_gap_fill_scores(
+        base.map_batches(rnd, batch_format="pandas"), ["source"],
+        value_col="mean", order_col="bucket_ts",
+        hide_every=5, hide_phase=2, interp_limit=2,
+    )
+
+    got = Chain([
+        Step("rollup", width_us=US_PER_HOUR, value_col="value", keys=("source",)),
+        Step("gapfill_score", keys=["source"], value_col="mean",
+             order_col="bucket_ts", hide_every=5, hide_phase=2, interp_limit=2),
+    ]).run(minutes).to_pandas()
+
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    assert got["n_scored"].iloc[0] > 0
+    assert np.isfinite(got["r2"].iloc[0])

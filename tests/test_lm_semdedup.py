@@ -130,3 +130,66 @@ def test_semdedup_flags_partitioning_invariant(ray_session):
     b = semdedup_flags(rd.read_parquet(path).repartition(7), C, threshold=0.95) \
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_train_bigram_lm_open_vocab_mg(ray_session):
+    """VERDICT r3 #7: max_entries bounds driver state via Misra-Gries
+    pruning + exact recount. On a Zipf-ish long-tail corpus (few head
+    words, many singletons) the head words/pairs must survive with
+    EXACT counts and the model vocab stays within the cap."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.Philox(key=[97, 2026]))
+    head = [f"h{i}" for i in range(8)]
+    texts = []
+    for i in range(600):
+        words = list(rng.choice(head, size=6)) + [f"tail{i}"]  # unique tail word per doc
+        texts.append(" ".join(words))
+    docs = pd.DataFrame({"doc_id": np.arange(600), "text": texts})
+    ds = rd.from_pandas(docs).repartition(6)
+
+    capped = train_bigram_lm(ds, "text", max_entries=64)
+    exact = train_bigram_lm(ds, "text")
+
+    # vocab bounded by the cap (608 true distinct words)
+    assert capped["vocab_size"] <= 64
+    # every head word survives (true count ~450 >> N/(cap+1) ~ 65)
+    assert set(head) <= set(capped["vocab"].tolist())
+    # surviving counts are EXACT (recount pass), matching the full model
+    exact_ix = {w: i for i, w in enumerate(exact["vocab"])}
+    for w in head:
+        ci = int(np.searchsorted(capped["vocab"], w))
+        # context counts may differ (pairs into dropped tail words are
+        # pruned), but each surviving PAIR count must equal the exact one
+        assert capped["vocab"][ci] == w
+    cap_pairs = dict(zip(capped["pair_codes"].tolist(), capped["pair_counts"].tolist()))
+    nv_c, nv_e = capped["vocab_size"], exact["vocab_size"]
+    for code_c, cnt_c in cap_pairs.items():
+        w1 = capped["vocab"][code_c // nv_c]
+        w2 = capped["vocab"][code_c % nv_c]
+        code_e = exact_ix[w1] * nv_e + exact_ix[w2]
+        j = int(np.searchsorted(exact["pair_codes"], code_e))
+        assert exact["pair_codes"][j] == code_e
+        assert cnt_c == exact["pair_counts"][j], (w1, w2)
+
+
+def test_train_bigram_lm_capped_equals_exact_when_vocab_fits(ray_session):
+    """With max_entries >= true distinct counts the MG path never
+    decrements: the pruned model must equal the exact one bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b a c", "b a b", "c a b a"],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    exact = train_bigram_lm(ds, "text")
+    capped = train_bigram_lm(ds, "text", max_entries=1000)
+    np.testing.assert_array_equal(exact["vocab"], capped["vocab"])
+    np.testing.assert_array_equal(exact["ctx_counts"], capped["ctx_counts"])
+    np.testing.assert_array_equal(exact["pair_codes"], capped["pair_codes"])
+    np.testing.assert_array_equal(exact["pair_counts"], capped["pair_counts"])

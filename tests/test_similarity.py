@@ -62,10 +62,12 @@ def test_knn_lsh_finds_planted_near_dups(ds, vectors):
 
 
 def test_embedding_near_dup_pairs_finds_planted(ds):
-    got = sim.embedding_near_dup_pairs(ds, threshold=0.95, n_planes=8)
+    got = sim.embedding_near_dup_pairs(ds, threshold=0.95, n_planes=8).to_pandas()
     pairs = set(zip(got["id_a"], got["id_b"]))
     assert {(i, 150 + i) for i in range(5)} <= pairs
     assert (got["cos_sim"] >= 0.95).all()
+    # cross-round duplicates are dropped by the keyed exchange
+    assert len(got) == len(got.drop_duplicates(subset=["id_a", "id_b"]))
 
 
 def test_embedding_all_pairs_exact_matches_bruteforce(ds, vectors):
