@@ -93,6 +93,72 @@ def quality_features(texts: pa.Array) -> dict[str, np.ndarray]:
     }
 
 
+#: Gopher's required-stopword list (Rae et al. 2021 "Scaling Language
+#: Models" Table A1: a doc must contain >= 2 of these 8 words).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    texts: pa.Array,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, np.ndarray]:
+    """Gopher document-quality rule battery (Rae et al. 2021 Table A1),
+    Arrow-regex vectorized. Returns per-doc features, one boolean per
+    rule, and the AND-combined ``keep``. Line-level rules (bullet /
+    ellipsis line fractions) are omitted: the engine's documents are
+    single-line word streams; they'd slot in as two more regex counts.
+    Defaults are the paper's thresholds; callers tune them per corpus."""
+    n_chars = pc.utf8_length(texts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_words = word_counts(texts).to_numpy(zero_copy_only=False)
+    # '#' occurrences + '...' runs per word (Gopher's symbol-to-word ratio)
+    n_sym = pc.add(
+        regex_match_counts(texts, r"#"), regex_match_counts(texts, r"\.\.\.")
+    ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # words containing at least one alphabetic character
+    n_alpha_words = regex_match_counts(
+        texts, r"[^ ]*[a-zA-Z][^ ]*"
+    ).to_numpy(zero_copy_only=False)
+    # how many DISTINCT required stopwords appear at least once
+    n_stop_distinct = np.zeros(len(n_words), dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        hit = pc.greater(
+            pc.count_substring_regex(texts, rf"\b{w}\b"), 0
+        ).to_numpy(zero_copy_only=False)
+        n_stop_distinct += hit.astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_word_len = np.where(
+            n_words > 0,
+            (n_chars - (n_words - 1).clip(min=0)) / np.maximum(n_words, 1), 0.0,
+        )
+        symbol_ratio = np.where(n_words > 0, n_sym / np.maximum(n_words, 1), 0.0)
+        alpha_frac = np.where(n_words > 0, n_alpha_words / np.maximum(n_words, 1), 0.0)
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len)
+    r_sym = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_word_frac
+    r_stop = n_stop_distinct >= min_stopwords
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_distinct": n_stop_distinct,
+        "rule_word_count": r_words,
+        "rule_mean_word_len": r_mwl,
+        "rule_symbol_ratio": r_sym,
+        "rule_alpha_words": r_alpha,
+        "rule_stopwords": r_stop,
+        "keep": r_words & r_mwl & r_sym & r_alpha & r_stop,
+    }
+
+
 def quality_score(feat: dict[str, np.ndarray]) -> np.ndarray:
     """Deterministic 0..1 quality score from the feature dict: product of
     clamped sub-scores (word count in [5, 10000], mean word len in

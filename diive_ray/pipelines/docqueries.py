@@ -19,6 +19,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions import text as tx
@@ -1171,6 +1172,198 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_gopher_rules(sf_dir: str):
+    """Gopher quality-rule battery (Rae et al. 2021 Table A1;
+    functions/text.py:gopher_rules, Arrow-regex vectorized): per-doc
+    word count / mean word length / symbol ratio / alphabetic-word
+    fraction / distinct-required-stopword count, one boolean per rule,
+    AND-combined keep. Thresholds tuned so every rule discriminates on
+    this corpus (word count [30, 70], the rest at paper defaults)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        feat = tx.gopher_rules(t["text"], min_words=30, max_words=70)
+        cols = {"doc_id": t["doc_id"]}
+        cols["n_words"] = pa.array(feat["n_words"], pa.int64())
+        cols["mean_word_len"] = pa.array(round6(feat["mean_word_len"]))
+        cols["symbol_ratio"] = pa.array(round6(feat["symbol_ratio"]))
+        cols["alpha_word_frac"] = pa.array(round6(feat["alpha_word_frac"]))
+        cols["n_stop_distinct"] = pa.array(feat["n_stop_distinct"], pa.int64())
+        for r in ("rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+                  "rule_alpha_words", "rule_stopwords", "keep"):
+            cols[r] = pa.array(feat[r].astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_GOPHER_RULES = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+         len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         len(regexp_extract_all(text, '[^ ]*[a-zA-Z][^ ]*')) AS n_alpha,
+         (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\bbe\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END
+        + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words, n_stop,
+         CASE WHEN n_words > 0
+              THEN (n_chars - greatest(n_words - 1, 0)) * 1.0 / greatest(n_words, 1)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN n_words > 0 THEN n_sym * 1.0 / greatest(n_words, 1) ELSE 0.0 END AS symr,
+         CASE WHEN n_words > 0 THEN n_alpha * 1.0 / greatest(n_words, 1) ELSE 0.0 END AS alphaf
+  FROM f
+), b AS (
+  SELECT doc_id, n_words, n_stop, mwl, symr, alphaf,
+         CASE WHEN n_words >= 30 AND n_words <= 70 THEN 1 ELSE 0 END AS r_wc,
+         CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS r_mwl,
+         CASE WHEN symr <= 0.1 THEN 1 ELSE 0 END AS r_sym,
+         CASE WHEN alphaf >= 0.8 THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM r
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(symr, 6) AS symbol_ratio,
+       ROUND(alphaf, 6) AS alpha_word_frac,
+       CAST(n_stop AS BIGINT) AS n_stop_distinct,
+       CAST(r_wc AS BIGINT) AS rule_word_count,
+       CAST(r_mwl AS BIGINT) AS rule_mean_word_len,
+       CAST(r_sym AS BIGINT) AS rule_symbol_ratio,
+       CAST(r_alpha AS BIGINT) AS rule_alpha_words,
+       CAST(r_stop AS BIGINT) AS rule_stopwords,
+       CAST(r_wc * r_mwl * r_sym * r_alpha * r_stop AS BIGINT) AS keep
+FROM b
+"""
+
+
+def q_doc_mix_temperature(sf_dir: str):
+    """Temperature-scaled source mixing (Arivazhagan et al. 2019
+    arXiv:1907.05019; stages/packing.py:temperature_mix): per-source
+    token counts -> w_s = n_s^0.7 / sum n^0.7, token allocation at a
+    100k budget, implied epochs. One bounded driver combine; text
+    never shuffles."""
+    from ..stages.packing import temperature_mix
+    from ..util import stable_round6
+
+    ds = _docs(sf_dir, ["source", "text"])
+    out = temperature_mix(ds, tau=0.7, budget_tokens=100_000)
+    for c in ("weight", "sampled_tokens", "epochs"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
+_SQL_MIX_TEMPERATURE = r"""
+WITH n AS (
+  SELECT source,
+         SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_tokens, POWER(n_tokens, 0.7) AS pw FROM n
+), s AS (SELECT SUM(pw) AS z FROM p)
+SELECT p.source,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(ROUND(p.pw / s.z, 9), 6) AS weight,
+       ROUND(ROUND(p.pw / s.z * 100000.0, 9), 6) AS sampled_tokens,
+       ROUND(ROUND(p.pw / s.z * 100000.0 / p.n_tokens, 9), 6) AS epochs
+FROM p CROSS JOIN s
+ORDER BY p.source
+"""
+
+
+def q_doc_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (Wenzek et al. 2020 arXiv:1911.00359
+    §4.3: per-language head/middle/tail split at perplexity tertiles):
+    bigram-LM scored perplexity (stages/lm.py, model broadcast once),
+    rounded to 6dp for rank stability, per-lang EXACT tertile cuts via
+    the streaming keyed quantile pass (stages/stratified.py:
+    keyed_quantile_cont — 3 bounded passes, no whole-lang block), cuts
+    broadcast into a stateless assignment map. Text never shuffles."""
+    from ..stages.lm import score_perplexity, train_bigram_lm
+    from ..stages.stratified import keyed_quantile_cont
+    from ..util import stable_round6
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    model = train_bigram_lm(ds, "text")
+    scored = score_perplexity(ds, model, keep_cols=("lang",))
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_bigrams"] > 0].copy()
+        df["perplexity"] = stable_round6(df["perplexity"].astype(float))
+        return df[["doc_id", "lang", "perplexity"]]
+
+    scored_r = scored.map_batches(rnd, batch_format="pandas")
+    cuts = keyed_quantile_cont(scored_r, "lang", "perplexity", [1.0 / 3.0, 2.0 / 3.0])
+    lo = dict(zip(cuts[cuts["q"] == cuts["q"].min()]["lang"],
+                  cuts[cuts["q"] == cuts["q"].min()]["value"]))
+    hi = dict(zip(cuts[cuts["q"] == cuts["q"].max()]["lang"],
+                  cuts[cuts["q"] == cuts["q"].max()]["value"]))
+    lo_ref, hi_ref = ray.put(lo), ray.put(hi)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+        lo_m, hi_m = _r.get(lo_ref), _r.get(hi_ref)
+        df = df.copy()
+        c1 = df["lang"].map(lo_m).to_numpy(dtype=np.float64)
+        c2 = df["lang"].map(hi_m).to_numpy(dtype=np.float64)
+        p = df["perplexity"].to_numpy(dtype=np.float64)
+        df["bucket"] = np.where(p <= c1, "head", np.where(p <= c2, "middle", "tail"))
+        return df
+
+    out = scored_r.map_batches(assign, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_CCNET_BUCKETS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT UNNEST(ws) AS wd FROM w),
+uni AS (SELECT CAST(COUNT(DISTINCT wd) AS DOUBLE) AS V FROM tok),
+g AS (
+  SELECT doc_id, UNNEST(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i, ws
+  FROM w WHERE len(ws) >= 2
+),
+pairs AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM g),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(SUM(cb) AS DOUBLE) AS c1 FROM bc GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, log2((bc.cb + 0.5) / (ctx.c1 + 0.5 * uni.V)) AS lp
+  FROM pairs p JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN uni
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n, AVG(lp) AS avg_lp FROM scored GROUP BY doc_id
+),
+ppl AS (
+  SELECT d.doc_id, d.lang,
+         ROUND(ROUND(POWER(2.0, -a.avg_lp), 9), 6) AS perplexity
+  FROM documents d JOIN agg a USING (doc_id) WHERE a.n > 0
+),
+cuts AS (
+  SELECT lang,
+         QUANTILE_CONT(perplexity, 1.0/3.0) AS c1,
+         QUANTILE_CONT(perplexity, 2.0/3.0) AS c2
+  FROM ppl GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.perplexity,
+       CASE WHEN p.perplexity <= c.c1 THEN 'head'
+            WHEN p.perplexity <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ppl p JOIN cuts c USING (lang)
+ORDER BY p.doc_id
+"""
+
+
 def q_doc_dsir(sf_dir: str):
     """DSIR data selection (Xie et al. 2023 arXiv:2302.03169,
     stages/dsir.py): bag-of-ngram-bucket importance weights — target
@@ -1644,6 +1837,9 @@ DOC_QUERIES: dict[str, Any] = {
     "embedding_kmeans": q_embedding_kmeans,
     "embedding_semdedup": q_embedding_semdedup,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "doc_gopher_rules": q_doc_gopher_rules,
+    "doc_mix_temperature": q_doc_mix_temperature,
+    "doc_ccnet_buckets": q_doc_ccnet_buckets,
     "doc_dsir": q_doc_dsir,
     "doc_dup_spans": q_doc_dup_spans,
     "source_ks_drift": q_source_ks_drift,
@@ -1686,6 +1882,9 @@ DOC_ORACLE: dict[str, str] = {
     "embedding_kmeans": _SQL_KMEANS,
     "embedding_semdedup": _SQL_SEMDEDUP,
     "doc_lm_perplexity": _SQL_LM_PPL,
+    "doc_gopher_rules": _SQL_GOPHER_RULES,
+    "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
+    "doc_ccnet_buckets": _SQL_CCNET_BUCKETS,
     "doc_dsir": _SQL_DSIR,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "source_ks_drift": _SQL_KS_DRIFT,

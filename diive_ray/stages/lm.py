@@ -229,7 +229,7 @@ class BigramScorer:
     ``__init__`` (broadcast via ``ray.put`` ref)."""
 
     def __init__(self, model_ref, text_col: str = "text", id_col: str = "doc_id",
-                 add_k: float = 0.5):
+                 add_k: float = 0.5, keep_cols: tuple = ()):
         model = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
         self.vocab = model["vocab"]
         self.ctx_counts = model["ctx_counts"]
@@ -239,6 +239,7 @@ class BigramScorer:
         self.text_col = text_col
         self.id_col = id_col
         self.add_k = add_k
+        self.keep_cols = tuple(keep_cols)
 
     def _word_codes(self, flat: np.ndarray) -> np.ndarray:
         """Vocab code per token, -1 for out-of-vocab; searchsorted runs
@@ -276,12 +277,15 @@ class BigramScorer:
         avg = sums / np.maximum(n_pairs, 1)
         ppl = np.power(2.0, -avg)
         has = n_pairs > 0
-        return pd.DataFrame({
-            self.id_col: ids,
+        out = {self.id_col: ids}
+        for c in self.keep_cols:
+            out[c] = t.column(c).to_numpy(zero_copy_only=False)
+        out.update({
             "n_bigrams": n_pairs,
             "avg_logprob": np.where(has, avg, SENTINEL),
             "perplexity": np.where(has, ppl, SENTINEL),
         })
+        return pd.DataFrame(out)
 
 
 def score_perplexity(
@@ -292,16 +296,20 @@ def score_perplexity(
     id_col: str = "doc_id",
     add_k: float = 0.5,
     concurrency: int = 4,
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Score every doc against a trained bigram model (actor pool,
     model broadcast once). ``concurrency`` is the pool MAX — the pool
     starts at 1 and grows, so a small local session can't deadlock on
-    reserved CPUs (the repo's aggregator-starvation rule)."""
+    reserved CPUs (the repo's aggregator-starvation rule).
+    ``keep_cols``: input columns copied through to the scored output
+    (e.g. a language key for downstream per-lang bucketing)."""
     model_ref = ray.put(model)
     return ds.map_batches(
         BigramScorer,
         fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col,
-                               "id_col": id_col, "add_k": add_k},
+                               "id_col": id_col, "add_k": add_k,
+                               "keep_cols": keep_cols},
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )

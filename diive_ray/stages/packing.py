@@ -435,3 +435,51 @@ def write_training_shards(
         write_block, batch_format="pandas", batch_size=None
     ).to_pandas()
     return manifest.sort_values("shard_id").reset_index(drop=True)
+
+
+# --------------------------------------------- temperature source mixing
+
+
+def temperature_mix(
+    ds: rd.Dataset,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    tau: float = 0.7,
+    budget_tokens: int = 100_000,
+) -> pd.DataFrame:
+    """Temperature-scaled multinomial source mixing (the multilingual /
+    multi-source sampling rule of Arivazhagan et al. 2019
+    arXiv:1907.05019, used for LM corpus mixing e.g. in XLM-R and
+    mT5): per-source token counts n_s -> sampling weight
+    w_s = n_s^tau / sum n^tau, plus the sampled token allocation at a
+    token budget and the implied epochs over each source
+    (allocation / n_s; tau < 1 upsamples small sources).
+
+    100-TB shape: per-batch vectorized (source x token-count) partials,
+    driver combine bounded by the source count — the text never
+    shuffles and nothing materializes."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        n_tok = tx.word_counts(t[text_col]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            source_col: t[source_col].to_numpy(zero_copy_only=False),
+            "n_tokens": n_tok,
+        }).groupby(source_col, as_index=False)["n_tokens"].sum()
+        return g
+
+    tot = driver_combine(
+        ds, partial,
+        lambda df: df.groupby(source_col, as_index=False)["n_tokens"].sum(),
+    ).sort_values(source_col).reset_index(drop=True)
+    n = tot["n_tokens"].to_numpy(dtype=np.float64)
+    pw = np.power(n, tau)
+    w = pw / pw.sum()
+    alloc = w * float(budget_tokens)
+    return pd.DataFrame({
+        source_col: tot[source_col],
+        "n_tokens": tot["n_tokens"].astype(np.int64),
+        "weight": w,
+        "sampled_tokens": alloc,
+        "epochs": alloc / n,
+    })
