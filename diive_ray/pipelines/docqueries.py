@@ -455,6 +455,63 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_embedding_cov(sf_dir: str):
+    """Distributed covariance of the embedding matrix (the PCA
+    pre-pass; stages/similarity.py:embedding_moments): per-batch
+    (n, sum, X^T X) float64 partials -> ONE driver combine of O(d^2)
+    state — vectors never shuffle at any corpus size. Output: the
+    upper triangle of the first 8 dims (i <= j), ddof=1, computed as
+    (XtX_ij - s_i s_j / n) / (n - 1) on both sides."""
+    from ..stages.similarity import embedding_moments
+    from ..util import stable_round6 as _sr6
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    n, s, xtx = embedding_moments(ds)
+    ii, jj = np.triu_indices(8)
+    cov = (xtx[ii, jj] - s[ii] * s[jj] / n) / (n - 1)
+    return pd.DataFrame({
+        "i": ii.astype(np.int64),
+        "j": jj.astype(np.int64),
+        "cov": _sr6(cov),
+    })
+
+
+_SQL_EMBEDDING_COV = """
+WITH d AS (SELECT UNNEST(generate_series(1, 8)) AS i),
+p AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON a.i <= b.i),
+s AS (
+  SELECT p.i, p.j,
+         COUNT(*) AS n,
+         SUM(CAST(e.embedding[p.i] AS DOUBLE) * CAST(e.embedding[p.j] AS DOUBLE)) AS sxy,
+         SUM(CAST(e.embedding[p.i] AS DOUBLE)) AS sx,
+         SUM(CAST(e.embedding[p.j] AS DOUBLE)) AS sy
+  FROM embeddings e CROSS JOIN p
+  GROUP BY p.i, p.j
+)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       ROUND(ROUND((sxy - sx * sy / n) / (n - 1), 9), 6) AS cov
+FROM s ORDER BY i, j
+"""
+
+
+def q_embedding_pca(sf_dir: str):
+    """Top-4 PCA projection of every embedding (stages/similarity.py:
+    embedding_pca_project): one-combine covariance moments, driver
+    eigh on the d x d matrix, components broadcast into a stateless
+    matmul map. Rows-only (eigenvectors aren't SQL-expressible);
+    pinned against local numpy in tests/test_pca.py."""
+    from ..stages.similarity import embedding_pca_project
+    from ..util import stable_round6 as _sr6
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    proj, comps = embedding_pca_project(ds, k=4)
+    out = proj.to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    for c in ("pc0", "pc1", "pc2", "pc3"):
+        out[c] = _sr6(out[c].astype(float))
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -1840,6 +1897,8 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_gopher_rules": q_doc_gopher_rules,
     "doc_mix_temperature": q_doc_mix_temperature,
     "doc_ccnet_buckets": q_doc_ccnet_buckets,
+    "embedding_cov": q_embedding_cov,
+    "embedding_pca": q_embedding_pca,
     "doc_dsir": q_doc_dsir,
     "doc_dup_spans": q_doc_dup_spans,
     "source_ks_drift": q_source_ks_drift,
@@ -1885,6 +1944,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_gopher_rules": _SQL_GOPHER_RULES,
     "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
     "doc_ccnet_buckets": _SQL_CCNET_BUCKETS,
+    "embedding_cov": _SQL_EMBEDDING_COV,
     "doc_dsir": _SQL_DSIR,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "source_ks_drift": _SQL_KS_DRIFT,

@@ -641,3 +641,85 @@ def mmr_rerank(
             selected.append(best)
             remaining.remove(best)
     return pd.DataFrame(rows, columns=["query_id", "rank", id_col, "mmr_score"])
+
+
+# ----------------------------------------------------------- PCA
+
+
+def embedding_moments(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, sum vector, X^T X) of the embedding matrix in ONE pass:
+    per-batch float64 partials (d + d^2 values per batch — ~33 KB at
+    d=64) -> driver combine. The one-combine second-moment pattern is
+    the scale path for covariance/PCA at any corpus size: the vectors
+    never shuffle and driver state is O(d^2)."""
+    from .exchange import driver_combine
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, emb_col).astype(np.float64)
+        d = x.shape[1] if x.size else 0
+        if not x.size:
+            return pd.DataFrame({"n": [], "s": [], "xtx": []})
+        return pd.DataFrame({
+            "n": [len(x)],
+            "s": [x.sum(axis=0).tolist()],
+            "xtx": [(x.T @ x).ravel().tolist()],
+        })
+
+    parts = driver_combine(ds, partial, lambda df: df)
+    n = int(parts["n"].sum())
+    s = np.sum([np.asarray(v) for v in parts["s"]], axis=0)
+    xtx_flat = np.sum([np.asarray(v) for v in parts["xtx"]], axis=0)
+    d = len(s)
+    return n, s, xtx_flat.reshape(d, d)
+
+
+def embedding_covariance(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Sample covariance (ddof=1) from the one-pass moments."""
+    n, s, xtx = embedding_moments(ds, emb_col)
+    mean = s / n
+    return (xtx - np.outer(mean, mean) * n) / (n - 1)
+
+
+def embedding_pca_project(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """PCA projection of every vector onto the top-k principal
+    components: covariance via the one-combine moment pass, ``eigh``
+    on the driver (d x d), components broadcast once via ``ray.put``
+    into a stateless matmul map. Sign convention: each component's
+    largest-|.| coordinate is positive (deterministic across BLAS
+    builds). Returns (projected dataset, (k, d) component matrix);
+    explained variance = the top-k eigenvalues (descending)."""
+    n, s, xtx = embedding_moments(ds, emb_col)
+    mean = s / n
+    cov = (xtx - np.outer(mean, mean) * n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                       # (k, d)
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    state = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        mu, c = ray.get(state)
+        x = _batch_matrix(t, emb_col).astype(np.float64)
+        p = (x - mu) @ c.T
+        out = {id_col: t[id_col].to_numpy(zero_copy_only=False)}
+        for i in range(p.shape[1]):
+            out[f"pc{i}"] = p[:, i]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        comps,
+    )
