@@ -1864,6 +1864,182 @@ def q_doc_bpe_encode(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_zipf_fit(sf_dir: str):
+    """Per-source Zipf rank-frequency fit (Zipf 1935; Piantadosi 2014
+    review; stages/textstats.py:zipf_fit): distributed (source, word)
+    counts — ONE exchange keyed on (source, word) so hot sources
+    spread over all partitions — then exact per-source top-200 via
+    per-block partial top-k + bounded driver merge, then OLS of
+    ln(freq) on ln(rank). Slope near -1 is healthy natural text; the
+    fit is the classic synthetic/template-corpus probe."""
+    from ..stages.textstats import zipf_fit
+    from ..util import stable_round6 as _sr6
+
+    out = zipf_fit(_docs(sf_dir, ["source", "text"]), key_col="source",
+                   top_n=200)
+    out["n_ranks"] = out["n_ranks"].astype("int64")
+    for c in ("zipf_slope", "intercept", "r2"):
+        out[c] = _sr6(out[c].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_ZIPF_FIT = r"""
+WITH tok AS (
+  SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+  FROM documents),
+c AS (SELECT source, word, COUNT(*) AS freq FROM tok
+      WHERE word <> '' GROUP BY source, word),
+r AS (SELECT source, word, freq,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, word ASC)
+          AS rnk FROM c),
+top AS (SELECT source, LN(CAST(rnk AS DOUBLE)) AS x,
+               LN(CAST(freq AS DOUBLE)) AS y
+        FROM r WHERE rnk <= 200),
+f AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mx,
+             AVG(y) AS my, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+             SUM(y*y) AS syy
+      FROM top GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_ranks,
+  ROUND(ROUND((sxy - n*mx*my) / (sxx - n*mx*mx), 9), 6) AS zipf_slope,
+  ROUND(ROUND(my - (sxy - n*mx*my) / (sxx - n*mx*mx) * mx, 9), 6) AS intercept,
+  ROUND(ROUND((sxy - n*mx*my) * (sxy - n*mx*my)
+              / ((sxx - n*mx*mx) * (syy - n*my*my)), 9), 6) AS r2
+FROM f ORDER BY source
+"""
+
+
+def q_doc_top_ngrams(sf_dir: str):
+    """Per-source top-20 word trigrams (the C4 boilerplate probe,
+    Raffel et al. 2020 arXiv:1910.10683; stages/textstats.py): counts
+    exchange keyed on (source, ngram), exact top-k via per-block
+    partial top-k (each block holds complete groups after the
+    exchange) + bounded driver merge. Ties freq DESC, ngram ASC."""
+    from ..stages.textstats import keyed_term_counts, top_terms
+
+    counts = keyed_term_counts(_docs(sf_dir, ["source", "text"]),
+                               key_col="source", ngram=3)
+    out = top_terms(counts, key_col="source", k=20)
+    out = out.rename(columns={"term": "ngram"})
+    out["rnk"] = out["rnk"].astype("int64")
+    out["freq"] = out["freq"].astype("int64")
+    return out.sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
+_SQL_TOP_NGRAMS = r"""
+WITH w AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (SELECT source,
+             UNNEST(generate_series(1, CAST(len(ws) - 2 AS BIGINT))) AS i, ws
+      FROM w WHERE len(ws) >= 3),
+tg AS (SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+       FROM g),
+c AS (SELECT source, ngram, COUNT(*) AS freq FROM tg GROUP BY source, ngram),
+r AS (SELECT source, ngram, freq,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, ngram ASC)
+          AS rnk FROM c)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, ngram, CAST(freq AS BIGINT) AS freq
+FROM r WHERE rnk <= 20 ORDER BY source, rnk
+"""
+
+
+def q_doc_lm_kneser_ney(sf_dir: str):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995,
+    Chen & Goodman 1999 — the KenLM default smoothing;
+    stages/lm.py:KneserNeyScorer): same broadcast-model actor pool as
+    doc_lm_perplexity; the KN continuation/context-type tables derive
+    from the model's sorted pair codes once per actor. Natural-log
+    scores; kn_perplexity = exp(-mean ln P)."""
+    from ..stages.lm import score_kneser_ney, train_bigram_lm
+    from ..util import stable_round6
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    model = train_bigram_lm(ds, "text")
+    out = score_kneser_ney(ds, model, discount=0.75).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    out["kn_avg_logprob"] = stable_round6(out["kn_avg_logprob"].astype(float))
+    out["kn_perplexity"] = stable_round6(out["kn_perplexity"].astype(float))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_LM_KN = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, UNNEST(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i, ws
+  FROM w WHERE len(ws) >= 2
+),
+pairs AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM g),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cb) AS c1, CAST(COUNT(*) AS DOUBLE) AS fwd
+        FROM bc GROUP BY 1),
+bwd AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS nb FROM bc GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS B FROM bc),
+scored AS (
+  SELECT p.doc_id,
+         LN((bc.cb - 0.75) / ctx.c1 + 0.75 * ctx.fwd / ctx.c1 * (bwd.nb / tot.B))
+           AS lp
+  FROM pairs p JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+       JOIN bwd USING (w2) CROSS JOIN tot
+),
+agg AS (SELECT doc_id, COUNT(*) AS n, AVG(lp) AS avg_lp FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+       ROUND(ROUND(COALESCE(a.avg_lp, -9999.0), 9), 6) AS kn_avg_logprob,
+       ROUND(ROUND(COALESCE(EXP(-a.avg_lp), -9999.0), 9), 6) AS kn_perplexity
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_embedding_jl(sf_dir: str):
+    """Johnson-Lindenstrauss sign projection to 8 dims (Achlioptas
+    2003 database-friendly random projections; stages/similarity.py:
+    jl_project): deterministic hash-seeded Rademacher matrix rebuilt
+    per task from (d, k) — nothing broadcast, stateless vectorized
+    matmul, the standard cheap pre-pass before LSH / near-dup when
+    full-dim distance math dominates. Long output (vec_id, dim,
+    proj)."""
+    from ..stages.similarity import jl_project
+    from ..util import stable_round6
+
+    out = jl_project(_embs(sf_dir, ["vec_id", "embedding"]), k=8).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    out["proj"] = stable_round6(out["proj"].astype(float))
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+_SQL_EMBEDDING_JL = """
+WITH e AS (
+  SELECT vec_id,
+         UNNEST(generate_series(1, CAST(len(embedding) AS BIGINT))) AS i,
+         embedding AS emb
+  FROM embeddings),
+dims AS (SELECT UNNEST(generate_series(0, 7)) AS j),
+h1 AS (
+  SELECT vec_id, i, j, emb,
+         (((CAST(i AS BIGINT) - 1) * 131071 + j) * 2654435761)
+           % 4294967296 AS h
+  FROM e CROSS JOIN dims),
+h3 AS (
+  SELECT vec_id, i, j, emb,
+         xor((xor(h, h >> 16) * 40503) % 4294967296,
+             ((xor(h, h >> 16) * 40503) % 4294967296) >> 15) AS h
+  FROM h1),
+p AS (
+  SELECT vec_id, j,
+         SUM(CASE WHEN h < 2147483648
+                  THEN CAST(emb[i] AS DOUBLE)
+                  ELSE -CAST(emb[i] AS DOUBLE) END) AS s
+  FROM h3 GROUP BY vec_id, j)
+SELECT vec_id, CAST(j AS BIGINT) AS dim,
+       ROUND(ROUND(s * (1.0 / SQRT(8.0)), 9), 6) AS proj
+FROM p ORDER BY vec_id, dim
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -1912,6 +2088,10 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_word_freqs": q_doc_word_freqs,
     "doc_bpe_encode": q_doc_bpe_encode,
+    "doc_zipf_fit": q_doc_zipf_fit,
+    "doc_top_ngrams": q_doc_top_ngrams,
+    "doc_lm_kneser_ney": q_doc_lm_kneser_ney,
+    "embedding_jl": q_embedding_jl,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -1954,4 +2134,8 @@ DOC_ORACLE: dict[str, str] = {
     "doc_global_shuffle": _SQL_GLOBAL_SHUFFLE,
     "doc_normalize": _SQL_NORMALIZE,
     "doc_dedup_normalized": _SQL_DEDUP_NORMALIZED,
+    "doc_zipf_fit": _SQL_ZIPF_FIT,
+    "doc_top_ngrams": _SQL_TOP_NGRAMS,
+    "doc_lm_kneser_ney": _SQL_LM_KN,
+    "embedding_jl": _SQL_EMBEDDING_JL,
 }

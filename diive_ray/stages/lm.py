@@ -313,3 +313,97 @@ def score_perplexity(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
+
+
+class KneserNeyScorer(BigramScorer):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1999 empirical study — the KenLM default smoothing):
+
+        P(w2|w1) = (c(w1 w2) - D) / c(w1 .)
+                   + D * N1+(w1, .) / c(w1 .) * N1+(., w2) / N1+(., .)
+
+    with a fixed absolute discount D. All KN tables derive from the
+    broadcast model's sorted pair codes in ``__init__`` (once per
+    actor): N1+(w1, .) / N1+(., w2) are bincounts of the pair-code
+    rows/columns, N1+(., .) is the pair-type count. Backoff for pairs
+    unseen in training: the continuation probability alone (for OOV
+    w2, the uniform floor 1 / N1+(., .)). Scores use natural log;
+    kn_perplexity = exp(-mean ln P)."""
+
+    def __init__(self, model_ref, text_col: str = "text", id_col: str = "doc_id",
+                 discount: float = 0.75, keep_cols: tuple = ()):
+        super().__init__(model_ref, text_col=text_col, id_col=id_col,
+                         keep_cols=keep_cols)
+        self.discount = float(discount)
+        V = max(self.V, 1)
+        c1 = self.pair_codes // V
+        c2 = self.pair_codes % V
+        self.fwd_types = np.bincount(c1, minlength=V).astype(np.float64)
+        self.bwd_types = np.bincount(c2, minlength=V).astype(np.float64)
+        self.n_pair_types = np.float64(max(len(self.pair_codes), 1))
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(self.text_col).to_numpy(zero_copy_only=False)
+        flat, lengths = _split_batch(texts)
+        p1, doc_ix = _bigram_indices(lengths)
+        codes = self._word_codes(flat)
+        code1, code2 = codes[p1], codes[p1 + 1]
+        in_vocab = (code1 >= 0) & (code2 >= 0)
+        pc_codes = code1 * np.int64(self.V) + code2
+        cb = np.zeros(len(pc_codes), dtype=np.float64)
+        if len(pc_codes) and len(self.pair_codes):
+            ix = np.searchsorted(self.pair_codes, pc_codes)
+            ixc = np.clip(ix, 0, len(self.pair_codes) - 1)
+            hit = in_vocab & (ix < len(self.pair_codes)) & (self.pair_codes[ixc] == pc_codes)
+            cb[hit] = self.pair_counts[ixc[hit]].astype(np.float64)
+        c1n = np.where(code1 >= 0,
+                       self.ctx_counts[np.maximum(code1, 0)], 0).astype(np.float64)
+        D = self.discount
+        B = self.n_pair_types
+        pcont = np.where(code2 >= 0,
+                         self.bwd_types[np.maximum(code2, 0)] / B, 1.0 / B)
+        fwd = np.where(code1 >= 0, self.fwd_types[np.maximum(code1, 0)], 0.0)
+        # seen-context branch: expression order mirrors the SQL oracle
+        # term-for-term so stable_round6 closes the remaining FP gap
+        safe_c1 = np.maximum(c1n, 1.0)
+        p_seen = np.maximum(cb - D, 0.0) / safe_c1 + D * fwd / safe_c1 * pcont
+        p = np.where(c1n > 0, p_seen, pcont)
+        logp = np.log(np.maximum(p, 1e-300)) if len(pc_codes) else np.zeros(0)
+        n_pairs = np.bincount(doc_ix, minlength=len(ids)).astype(np.int64)
+        sums = np.bincount(doc_ix, weights=logp, minlength=len(ids))
+        avg = sums / np.maximum(n_pairs, 1)
+        ppl = np.exp(-avg)
+        has = n_pairs > 0
+        out = {self.id_col: ids}
+        for c in self.keep_cols:
+            out[c] = t.column(c).to_numpy(zero_copy_only=False)
+        out.update({
+            "n_bigrams": n_pairs,
+            "kn_avg_logprob": np.where(has, avg, SENTINEL),
+            "kn_perplexity": np.where(has, ppl, SENTINEL),
+        })
+        return pd.DataFrame(out)
+
+
+def score_kneser_ney(
+    ds: ray.data.Dataset,
+    model: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    concurrency: int = 4,
+    keep_cols: tuple = (),
+) -> ray.data.Dataset:
+    """Kneser-Ney twin of ``score_perplexity``: same broadcast-model
+    actor pool, KN tables derived once per actor."""
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        KneserNeyScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "text_col": text_col,
+                               "id_col": id_col, "discount": discount,
+                               "keep_cols": keep_cols},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )

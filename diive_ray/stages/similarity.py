@@ -723,3 +723,57 @@ def embedding_pca_project(
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
         comps,
     )
+
+
+# ------------------------------------------- Johnson-Lindenstrauss projection
+
+
+def jl_sign_matrix(d: int, k: int) -> np.ndarray:
+    """Deterministic (d, k) Rademacher +-1 projection matrix
+    (Achlioptas 2003 "Database-friendly random projections": +-1 signs
+    satisfy the JL lemma like Gaussians do). Signs come from a Knuth
+    multiplicative hash of (i, j) so every worker — and the SQL oracle
+    — regenerates the identical matrix from (d, k) alone: nothing to
+    broadcast, nothing to store."""
+    i = np.arange(d, dtype=np.int64)[:, None]
+    j = np.arange(k, dtype=np.int64)[None, :]
+    # linear-code the cell, then multiply-xorshift-multiply: a single
+    # multiplicative round leaves the top bit linear in j (near-constant
+    # rows — a degenerate low-rank projection); the xorshift avalanche
+    # breaks that. All ops stay within int64 so SQL replays them exactly.
+    h = ((i * np.int64(131071) + j) * np.int64(2654435761)) % np.int64(4294967296)
+    h = ((h ^ (h >> np.int64(16))) * np.int64(40503)) % np.int64(4294967296)
+    h = h ^ (h >> np.int64(15))
+    return np.where(h < np.int64(2147483648), 1.0, -1.0)
+
+
+def jl_project(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Project every embedding to k dims with the deterministic JL sign
+    matrix, scaled 1/sqrt(k) (preserves pairwise distances within
+    (1 +- eps) whp — the standard cheap pre-pass before LSH / near-dup
+    at 100 TB where full-dim distance math dominates). Stateless
+    vectorized map: the sign matrix is rebuilt per task from (d, k)
+    (microseconds — cheaper than shipping it). Long output
+    (id, dim, proj): one row per projected coordinate."""
+    d = len(ds.take(1)[0][emb_col])
+    scale = 1.0 / np.sqrt(np.float64(k))
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        s = jl_sign_matrix(d, k)
+        x = _batch_matrix(t, emb_col)
+        p = (x @ s) * scale
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pd.DataFrame({
+            id_col: np.repeat(ids, k),
+            "dim": np.tile(np.arange(k, dtype=np.int64), n),
+            "proj": p.reshape(-1),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
