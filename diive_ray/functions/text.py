@@ -218,6 +218,28 @@ def polynomial_fingerprint(texts: list[str] | np.ndarray) -> np.ndarray:
     return out
 
 
+def word_poly_hashes(words: np.ndarray) -> np.ndarray:
+    """Per-WORD rolling polynomial hash, fully vectorized across the
+    word array: the words are viewed as one fixed-width padded Unicode
+    code-point matrix (numpy 'U' dtype layout, zero padding) and the
+    Horner recursion runs column-wise with a pad mask (real chars are
+    never NUL). Value-identical to ``polynomial_fingerprint`` applied
+    word-by-word (test-pinned) and to the DuckDB char-list_reduce
+    oracle — but O(max_word_len) vector ops instead of a Python loop
+    per word."""
+    words = np.asarray(words, dtype="U")
+    if not len(words):
+        return np.empty(0, dtype=np.int64)
+    width = words.dtype.itemsize // 4
+    mat = words.view(np.uint32).reshape(len(words), width).astype(np.int64)
+    h = np.zeros(len(words), dtype=np.int64)
+    for c in range(width):
+        cp = mat[:, c]
+        upd = (h * FP_BASE + cp) % FP_MOD
+        h = np.where(cp > 0, upd, h)
+    return h
+
+
 def _fnv1a_bytes(data: bytes) -> np.uint64:
     h = np.uint64(0xCBF29CE484222325)
     prime = np.uint64(0x100000001B3)

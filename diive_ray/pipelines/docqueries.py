@@ -2040,6 +2040,115 @@ FROM p ORDER BY vec_id, dim
 """
 
 
+def q_doc_cms_counts(sf_dir: str):
+    """Count-min sketch word-frequency estimates (Cormode &
+    Muthukrishnan 2005; stages/sketch.py:cms_build): fixed O(R*W)
+    per-batch bincount partials, ONE mergeable driver combine — the
+    sketch completes the repo's mergeable family (Misra-Gries, HLL,
+    t-digest). Output: the top-20 true words with true freq and CMS
+    estimate; min-over-rows never under-estimates (test-pinned)."""
+    from ..stages.bpe import word_freqs
+    from ..stages.sketch import cms_build, cms_estimate
+
+    cms = cms_build(_docs(sf_dir, ["doc_id", "text"]))
+    wf = word_freqs(_docs(sf_dir, ["doc_id", "text"]))
+    top = wf.sort_values(["freq", "word"], ascending=[False, True],
+                         kind="mergesort").head(20)
+    est = cms_estimate(cms, top["word"].to_numpy(dtype=object))
+    out = pd.DataFrame({
+        "word": top["word"].to_numpy(dtype=object),
+        "freq": top["freq"].to_numpy().astype("int64"),
+        "cms_est": est.astype("int64"),
+    })
+    return out.sort_values("word").reset_index(drop=True)
+
+
+_SQL_CMS_COUNTS = r"""
+WITH tok AS (
+  SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS freq FROM tok WHERE word <> '' GROUP BY word),
+h AS (SELECT word, freq,
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(string_split(word, ''), x -> ascii(x)::BIGINT)),
+          (a, b) -> (a * 31 + b) % 2147483647) AS hh
+      FROM c),
+params AS (SELECT * FROM (VALUES (0, 131, 0), (1, 8191, 17),
+                                 (2, 524287, 1009), (3, 1299709, 65537))
+           t(r, a, b)),
+buckets AS (SELECT h.word, h.freq, p.r,
+                   ((h.hh * p.a + p.b) % 2147483647) % 1024 AS bkt
+            FROM h CROSS JOIN params p),
+cms AS (SELECT r, bkt, SUM(freq) AS n FROM buckets GROUP BY r, bkt),
+top AS (SELECT word, freq FROM (
+          SELECT word, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS rnk
+          FROM c) WHERE rnk <= 20),
+est AS (SELECT t.word, t.freq, MIN(cms.n) AS cms_est
+        FROM top t JOIN buckets b ON b.word = t.word
+             JOIN cms ON cms.r = b.r AND cms.bkt = b.bkt
+        GROUP BY t.word, t.freq)
+SELECT word, CAST(freq AS BIGINT) AS freq, CAST(cms_est AS BIGINT) AS cms_est
+FROM est ORDER BY word
+"""
+
+
+def q_doc_bloom_probe(sf_dir: str):
+    """Bloom-filter incremental dedup probe (Bloom 1970; Kirsch &
+    Mitzenmacher 2006 double hashing; stages/sketch.py): build a
+    16 KiB bitmap over the even-doc_id half's content fingerprints
+    (per-batch distinct positions, ONE driver union), broadcast once,
+    probe the odd half with a stateless vectorized map — the standard
+    new-shard-vs-existing-corpus dedup pre-pass at 100 TB (no shuffle
+    touches the corpus). Deterministic: the fingerprint and both bloom
+    hashes replay exactly in SQL, so even the false POSITIVES match
+    the oracle bit-for-bit."""
+    from ..stages.sketch import bloom_build, bloom_probe
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def half(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    corpus = ds.map_batches(half(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    probe = ds.map_batches(half(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bits = bloom_build(corpus)
+    out = bloom_probe(probe, bits).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["in_bloom"] = out["in_bloom"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_BLOOM_PROBE = r"""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+           (h, c) -> (h * 31 + c) % 2147483647) AS h1
+  FROM documents),
+hh AS (SELECT doc_id, h1, (h1 * 2654435761) % 2147483647 AS h2 FROM fp),
+ks AS (SELECT UNNEST(generate_series(0, 3)) AS i),
+corpus AS (SELECT DISTINCT (h1 + i * h2) % 131072 AS pos
+           FROM hh CROSS JOIN ks WHERE doc_id % 2 = 0),
+probe AS (SELECT doc_id, (h1 + i * h2) % 131072 AS pos
+          FROM hh CROSS JOIN ks WHERE doc_id % 2 = 1),
+hits AS (SELECT p.doc_id, COUNT(*) AS k_in
+         FROM probe p JOIN corpus c ON p.pos = c.pos GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(h.k_in, 0) = 4 THEN 1 ELSE 0 END AS BIGINT)
+         AS in_bloom
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -2092,6 +2201,8 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_top_ngrams": q_doc_top_ngrams,
     "doc_lm_kneser_ney": q_doc_lm_kneser_ney,
     "embedding_jl": q_embedding_jl,
+    "doc_cms_counts": q_doc_cms_counts,
+    "doc_bloom_probe": q_doc_bloom_probe,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -2138,4 +2249,6 @@ DOC_ORACLE: dict[str, str] = {
     "doc_top_ngrams": _SQL_TOP_NGRAMS,
     "doc_lm_kneser_ney": _SQL_LM_KN,
     "embedding_jl": _SQL_EMBEDDING_JL,
+    "doc_cms_counts": _SQL_CMS_COUNTS,
+    "doc_bloom_probe": _SQL_BLOOM_PROBE,
 }

@@ -342,3 +342,140 @@ def hll_distinct(
         return out
 
     return driver_combine(ds, partial, combine, batch_format="pandas")
+
+
+# --------------------------------------------------------- count-min sketch
+
+CMS_ROWS = ((131, 0), (8191, 17), (524287, 1009), (1299709, 65537))
+CMS_WIDTH = 1024
+_CMS_MOD = 2**31 - 1  # functions/text.py FP_MOD
+
+
+def cms_buckets(hashes: np.ndarray) -> np.ndarray:
+    """(n, R) bucket indices from word hashes via the pairwise-
+    independent family ((a*h + b) mod p) mod W (Cormode & Muthukrishnan
+    2005). All int64-safe (a < 2^21, h < 2^31) so the SQL oracle
+    replays bit-for-bit."""
+    h = np.asarray(hashes, dtype=np.int64)[:, None]
+    a = np.array([r[0] for r in CMS_ROWS], dtype=np.int64)[None, :]
+    b = np.array([r[1] for r in CMS_ROWS], dtype=np.int64)[None, :]
+    return ((h * a + b) % np.int64(_CMS_MOD)) % np.int64(CMS_WIDTH)
+
+
+def cms_build(ds: rd.Dataset, *, text_col: str = "text") -> np.ndarray:
+    """Count-min sketch of corpus word frequencies: per-batch distinct
+    words -> vectorized hash (functions/text.py:word_poly_hashes) ->
+    per-row bincount partials of FIXED O(R*W) size; ONE driver combine
+    sums them (CMS is mergeable by construction — the 100-TB path is
+    this exact pass at any scale). Returns the (R, W) int64 table."""
+    from ..functions.text import word_poly_hashes
+    from .textstats import _split_words
+
+    def partial(t) -> pd.DataFrame:
+        words, _ = _split_words(t[text_col])
+        if not len(words):
+            return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                                 "bkt": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        uniq, counts = np.unique(words, return_counts=True)
+        buckets = cms_buckets(word_poly_hashes(uniq))
+        frames = []
+        for r in range(len(CMS_ROWS)):
+            acc = np.bincount(buckets[:, r], weights=counts, minlength=CMS_WIDTH)
+            nz = np.nonzero(acc)[0]
+            frames.append(pd.DataFrame({
+                "r": np.full(len(nz), r, dtype=np.int64),
+                "bkt": nz.astype(np.int64),
+                "n": acc[nz].astype(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        return parts.groupby(["r", "bkt"], as_index=False)["n"].sum()
+
+    flat = driver_combine(ds, partial, combine)
+    cms = np.zeros((len(CMS_ROWS), CMS_WIDTH), dtype=np.int64)
+    cms[flat["r"].to_numpy(), flat["bkt"].to_numpy()] = flat["n"].to_numpy()
+    return cms
+
+
+def cms_estimate(cms: np.ndarray, words: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows (never under-estimates)."""
+    from ..functions.text import word_poly_hashes
+
+    buckets = cms_buckets(word_poly_hashes(np.asarray(words, dtype=object)))
+    rows = np.arange(len(CMS_ROWS), dtype=np.int64)[None, :]
+    return cms[rows, buckets].min(axis=1).astype(np.int64)
+
+
+# ------------------------------------------------------------- Bloom filter
+
+BLOOM_BITS = 1 << 17
+BLOOM_K = 4
+
+
+def bloom_positions(fp: np.ndarray) -> np.ndarray:
+    """(n, K) bit positions by Kirsch-Mitzenmacher double hashing
+    pos_i = (h1 + i*h2) mod M with h2 a second multiplicative hash of
+    the fingerprint — int64-safe and SQL-replayable."""
+    h1 = np.asarray(fp, dtype=np.int64)[:, None]
+    h2 = (h1 * np.int64(2654435761)) % np.int64(_CMS_MOD)
+    i = np.arange(BLOOM_K, dtype=np.int64)[None, :]
+    return (h1 + i * h2) % np.int64(BLOOM_BITS)
+
+
+def bloom_build(ds: rd.Dataset, *, text_col: str = "text") -> np.ndarray:
+    """Bloom filter over document content fingerprints: per-batch
+    DISTINCT bit positions (bounded by M) -> ONE driver union -> a
+    16 KiB bitmap. The standard incremental-dedup primitive: build on
+    the existing corpus once, broadcast, probe every new shard with a
+    stateless vectorized map — no shuffle touches the corpus."""
+    from ..functions.text import polynomial_fingerprint
+
+    def partial(t) -> pd.DataFrame:
+        texts = t[text_col].to_pylist()
+        if not texts:
+            return pd.DataFrame({"pos": pd.Series([], dtype=np.int64)})
+        pos = bloom_positions(polynomial_fingerprint(texts)).ravel()
+        return pd.DataFrame({"pos": np.unique(pos)})
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        return parts.drop_duplicates("pos")
+
+    pos = driver_combine(ds, partial, combine)["pos"].to_numpy()
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    bits[pos] = True
+    return bits
+
+
+def bloom_probe(
+    ds: rd.Dataset,
+    bits: np.ndarray,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Membership probe: in_bloom = every one of the K positions set.
+    No false negatives by construction; the false-positive rate at
+    load n/M follows the standard (1 - e^(-Kn/M))^K curve. The bitmap
+    ships once via ``ray.put``."""
+    import ray
+
+    from ..functions.text import polynomial_fingerprint
+
+    bits_ref = ray.put(bits)
+
+    def probe(t) -> pd.DataFrame:
+        bm = ray.get(bits_ref)
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not texts:
+            return pd.DataFrame({id_col: ids,
+                                 "in_bloom": pd.Series([], dtype=np.int64)})
+        pos = bloom_positions(polynomial_fingerprint(texts))
+        return pd.DataFrame({
+            id_col: ids,
+            "in_bloom": bm[pos].all(axis=1).astype(np.int64),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
