@@ -2149,6 +2149,129 @@ ORDER BY d.doc_id
 """
 
 
+def q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard (cross-source contamination
+    / similarity matrix): per-batch DISTINCT (source, word) partials,
+    ONE exchange on word (all copies of a word co-locate; a block
+    dedups then self-joins its words across sources), bounded per-block
+    (word x source-pair) counts, driver sum over C(S,2) pairs. The
+    word-keyed exchange keeps hot sources spread across partitions."""
+    from ..stages.exchange import block_map
+    from ..stages.textstats import _split_words
+    from ..util import stable_round6
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        words, lengths = _split_words(t["text"])
+        if not len(words):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "source": np.repeat(srcs, lengths),
+            "word": words,
+        }).drop_duplicates(ignore_index=True)
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["source", "word"])
+        sizes = df.groupby("source").size().reset_index(name="n")
+        sizes["kind"], sizes["sb"] = np.int8(0), ""
+        m = df.merge(df, on="word")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"]).size().reset_index(name="n")
+        inter = inter.rename(columns={"source_x": "source", "source_y": "sb"})
+        inter["kind"] = np.int8(1)
+        out = pd.concat([sizes[["source", "sb", "kind", "n"]],
+                         inter[["source", "sb", "kind", "n"]]], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = block_map(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], per_block, batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    agg = parts.groupby(["source", "sb", "kind"], as_index=False)["n"].sum()
+    sizes = dict(zip(agg[agg["kind"] == 0]["source"], agg[agg["kind"] == 0]["n"]))
+    inter = agg[agg["kind"] == 1]
+    na = inter["source"].map(sizes).to_numpy(dtype=np.float64)
+    nb = inter["sb"].map(sizes).to_numpy(dtype=np.float64)
+    iv = inter["n"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        "source_a": inter["source"].to_numpy(dtype=object),
+        "source_b": inter["sb"].to_numpy(dtype=object),
+        "inter": inter["n"].to_numpy().astype("int64"),
+        "jaccard": stable_round6(iv / (na + nb - iv)),
+    })
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+_SQL_VOCAB_JACCARD = r"""
+WITH sw AS (
+  SELECT DISTINCT source, word FROM (
+    SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+    FROM documents)
+  WHERE word <> ''),
+sizes AS (SELECT source, COUNT(*) AS n FROM sw GROUP BY source),
+pairs AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+          FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       ROUND(ROUND(CAST(p.inter AS DOUBLE)
+                   / (x.n + y.n - p.inter), 9), 6) AS jaccard
+FROM pairs p JOIN sizes x ON x.source = p.sa JOIN sizes y ON y.source = p.sb
+ORDER BY source_a, source_b
+"""
+
+
+def q_doc_split_assign(sf_dir: str):
+    """Deterministic hash-based train/val/test split (80/10/10 on a
+    Knuth-hash bucket of doc_id — cluster-size- and partitioning-
+    independent, the property a resumable 100-TB ingest needs):
+    stateless vectorized assignment + bounded per-(source, split)
+    count partials, ONE driver combine. Output: counts + share per
+    source and split."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        bucket = (ids * np.int64(2654435761)) % np.int64(4294967296) % np.int64(100)
+        split = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test"))
+        out = pd.DataFrame({"source": srcs, "split": split}) \
+            .groupby(["source", "split"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        return parts.groupby(["source", "split"], as_index=False)["n"].sum()
+
+    out = driver_combine(_docs(sf_dir, ["doc_id", "source"]), partial, combine)
+    totals = out.groupby("source")["n"].transform("sum").to_numpy(dtype=np.float64)
+    out = out.rename(columns={"n": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["share"] = stable_round6(out["n_docs"].to_numpy(dtype=np.float64) / totals)
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+_SQL_SPLIT_ASSIGN = """
+WITH a AS (
+  SELECT source,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+c AS (SELECT source, split, COUNT(*) AS n_docs FROM a GROUP BY source, split),
+t AS (SELECT source, SUM(n_docs) AS total FROM c GROUP BY source)
+SELECT c.source, c.split, CAST(c.n_docs AS BIGINT) AS n_docs,
+       ROUND(ROUND(CAST(c.n_docs AS DOUBLE) / t.total, 9), 6) AS share
+FROM c JOIN t USING (source)
+ORDER BY source, split
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -2203,6 +2326,8 @@ DOC_QUERIES: dict[str, Any] = {
     "embedding_jl": q_embedding_jl,
     "doc_cms_counts": q_doc_cms_counts,
     "doc_bloom_probe": q_doc_bloom_probe,
+    "source_vocab_jaccard": q_source_vocab_jaccard,
+    "doc_split_assign": q_doc_split_assign,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -2251,4 +2376,6 @@ DOC_ORACLE: dict[str, str] = {
     "embedding_jl": _SQL_EMBEDDING_JL,
     "doc_cms_counts": _SQL_CMS_COUNTS,
     "doc_bloom_probe": _SQL_BLOOM_PROBE,
+    "source_vocab_jaccard": _SQL_VOCAB_JACCARD,
+    "doc_split_assign": _SQL_SPLIT_ASSIGN,
 }

@@ -73,3 +73,50 @@ def test_bloom_positions_int64_safe():
     pos = bloom_positions(fp)
     assert pos.shape == (3, BLOOM_K)
     assert (pos >= 0).all() and (pos < BLOOM_BITS).all()
+
+
+def test_vocab_jaccard_matches_pandas(ray_session, tmp_path):
+    """source_vocab_jaccard vs a direct pandas set computation, and
+    invariance to input partitioning."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from diive_ray.pipelines.docqueries import q_source_vocab_jaccard
+
+    rng = np.random.Generator(np.random.Philox(key=23))
+    vocab = np.array([f"w{i}" for i in range(40)], dtype=object)
+    srcs = [f"s{i % 3}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(30)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+        "text": texts, "source": srcs,
+    }), str(tmp_path / "documents.parquet"))
+    got = q_source_vocab_jaccard(str(tmp_path))
+    sets = {}
+    for s, t in zip(srcs, texts):
+        sets.setdefault(s, set()).update(t.split())
+    for _, r in got.iterrows():
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        inter = len(a & b)
+        assert r["inter"] == inter
+        assert abs(r["jaccard"] - inter / len(a | b)) < 1e-6
+
+
+def test_split_assign_deterministic_and_proportional(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from diive_ray.pipelines.docqueries import q_doc_split_assign
+
+    n = 5000
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": ["x"] * n,
+        "source": ["s"] * n,
+    }), str(tmp_path / "documents.parquet"))
+    a = q_doc_split_assign(str(tmp_path))
+    b = q_doc_split_assign(str(tmp_path))
+    pd.testing.assert_frame_equal(a, b)
+    by = dict(zip(a["split"], a["share"]))
+    assert abs(by["train"] - 0.8) < 0.02
+    assert abs(by["val"] - 0.1) < 0.02
+    assert abs(by["test"] - 0.1) < 0.02
+    assert a["n_docs"].sum() == n
