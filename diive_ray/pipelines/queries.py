@@ -6755,6 +6755,188 @@ ORDER BY a.event_type, win
 """
 
 
+def q_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test + Sen's slope (Mann 1945, Sen 1968;
+    stages/trend.py) per event_type over the DAILY mean series of the
+    distributed rollup cascade: S over the i<j sign triangle,
+    tie-corrected variance, continuity-corrected Z, tau-a, and the
+    median-of-pairwise-slopes Sen estimator. Daily means are 6dp-rounded
+    on both sides so tie structure and signs agree exactly; the O(n^2)
+    pair triangle is over CALENDAR-bounded n (days), not corpus rows."""
+    from ..stages.trend import mann_kendall_frame
+
+    t1d = _fused_tier(sf_dir, "1d").to_pandas()
+    t1d["m"] = stable_round6(t1d["mean"].astype(float))
+    out = mann_kendall_frame(t1d, key="event_type", day_col="bucket_ts", val_col="m")
+    for c in ("var_s", "z", "tau", "sen_slope"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_MANN_KENDALL = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS d,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type,
+         SIGN(b.m - a.m) AS sg,
+         (b.m - a.m) / date_diff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+sstat AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s, MEDIAN(slope) AS sen
+  FROM pairs GROUP BY 1
+),
+nrow AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n FROM daily GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         COALESCE(SUM(CASE WHEN t > 1 THEN t * (t - 1) * (2 * t + 5) ELSE 0 END), 0)::DOUBLE AS tsum
+  FROM (SELECT event_type, m, COUNT(*)::DOUBLE AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+calc AS (
+  SELECT n.event_type, n.n, s.s, s.sen,
+         (n.n * (n.n - 1) * (2 * n.n + 5) - t.tsum) / 18 AS var_s
+  FROM nrow n JOIN sstat s USING (event_type) JOIN ties t USING (event_type)
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       s,
+       ROUND(ROUND(var_s, 9), 6) AS var_s,
+       ROUND(ROUND(CASE WHEN var_s <= 0 THEN 0
+                        WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                        WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                        ELSE 0 END, 9), 6) AS z,
+       ROUND(ROUND(s / (n * (n - 1) / 2), 9), 6) AS tau,
+       ROUND(ROUND(sen, 9), 6) AS sen_slope
+FROM calc ORDER BY event_type
+"""
+
+
+_LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
+
+
+def q_lomb_scargle(sf_dir: str):
+    """Lomb-Scargle periodogram (Lomb 1976, Scargle 1982;
+    stages/trend.py:lomb_scargle_power) per event_type at integer-second
+    periods 6h/12h/24h/48h/168h, straight over the UNEVENLY-sampled raw
+    events (no resampling): one vectorized partial pass computing the
+    (n, Sy, Syy, Sc, Ss, Syc, Sys, Scc, Ssc) sufficient statistics, a
+    keys-x-periods driver combine, closed-form power. Phases come from
+    epoch %% period so the SQL oracle replays the trig bit-for-bit."""
+    from ..stages.trend import lomb_scargle_power
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    out = lomb_scargle_power(
+        ds, keys=["event_type"], ts_col="ts", val_col="value", periods_s=list(_LS_PERIODS)
+    )
+    out["period_s"] = out["period_s"].astype("int64")
+    out["power"] = stable_round6(out["power"].astype(float))
+    return out.sort_values(["event_type", "period_s"]).reset_index(drop=True)
+
+
+_SQL_LOMB_SCARGLE = """
+WITH pers AS (SELECT UNNEST([21600, 43200, 86400, 172800, 604800]) AS p),
+ph AS (
+  SELECT e.event_type, p.p, e.value AS y,
+         cos(CAST(epoch_us(e.ts) % (p.p::BIGINT * 1000000) AS DOUBLE)
+             * (2 * pi() / (p.p * 1000000.0))) AS c,
+         sin(CAST(epoch_us(e.ts) % (p.p::BIGINT * 1000000) AS DOUBLE)
+             * (2 * pi() / (p.p * 1000000.0))) AS s
+  FROM events e CROSS JOIN pers p
+  WHERE e.value IS NOT NULL
+),
+sums AS (
+  SELECT event_type, p,
+         COUNT(*)::DOUBLE AS n,
+         SUM(y) AS sy, SUM(y * y) AS syy,
+         SUM(c) AS sc, SUM(s) AS ss,
+         SUM(y * c) AS syc, SUM(y * s) AS sys_,
+         SUM(c * c) AS scc, SUM(s * c) AS ssc
+  FROM ph GROUP BY 1, 2
+),
+calc AS (
+  SELECT event_type, p, n,
+         cos(atan2(2 * ssc, 2 * scc - n) / 2) AS ct,
+         sin(atan2(2 * ssc, 2 * scc - n) / 2) AS st,
+         syc - (sy / n) * sc AS a,
+         sys_ - (sy / n) * ss AS b,
+         scc, ssc,
+         (syy - n * (sy / n) * (sy / n)) / (n - 1) AS var
+  FROM sums
+),
+calc2 AS (
+  SELECT event_type, p, n, var,
+         a * ct + b * st AS num_c,
+         b * ct - a * st AS num_s,
+         ct * ct * scc + 2 * ct * st * ssc + st * st * (n - scc) AS den_c
+  FROM calc
+)
+SELECT event_type,
+       CAST(p AS BIGINT) AS period_s,
+       CAST(n AS BIGINT) AS n,
+       ROUND(ROUND((num_c * num_c / den_c + num_s * num_s / (n - den_c)) / (2 * var), 9), 6) AS power
+FROM calc2 ORDER BY event_type, period_s
+"""
+
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def q_acf_lags(sf_dir: str):
+    """Pairwise-complete autocorrelation (stages/trend.py:acf_lags_frame;
+    the reference's pairwise dropna convention, analysis/correlation.py)
+    per event_type at lags 1/2/3/6/12/24 h over the 6dp-rounded hourly
+    means of the distributed rollup: a pair exists only where BOTH
+    buckets exist, Pearson r in the n-product-moment form shared
+    verbatim with the SQL oracle's lag self-join."""
+    from ..stages.trend import acf_lags_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    out = acf_lags_frame(
+        t1h, key="event_type", ts_col="bucket_ts", val_col="m", lags=list(_ACF_LAGS)
+    )
+    out = out[out["n_pairs"] >= 2].copy()  # oracle's WHERE n >= 2
+    out["acf"] = stable_round6(out["acf"].astype(float))
+    return out.sort_values(["event_type", "lag"]).reset_index(drop=True)
+
+
+_SQL_ACF_LAGS = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+lags AS (SELECT UNNEST([1, 2, 3, 6, 12, 24]) AS lag),
+pairs AS (
+  SELECT h1.event_type, l.lag, h1.m AS x, h2.m AS z
+  FROM hourly h1
+  CROSS JOIN lags l
+  JOIN hourly h2
+    ON h2.event_type = h1.event_type
+   AND h2.bts = h1.bts + to_hours(l.lag::BIGINT)
+),
+sums AS (
+  SELECT event_type, lag, COUNT(*)::DOUBLE AS n,
+         SUM(x) AS sx, SUM(z) AS sz,
+         SUM(x * x) AS sxx, SUM(z * z) AS szz, SUM(x * z) AS sxz
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND(ROUND((n * sxz - sx * sz)
+             / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)), 9), 6) AS acf
+FROM sums WHERE n >= 2 ORDER BY event_type, lag
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -6889,6 +7071,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dt_window_geometry": q_dt_window_geometry,
     "optimize_params": q_optimize_params,
     "tokens_vocab_hist": q_tokens_vocab_hist,
+    "mann_kendall": q_mann_kendall,
+    "lomb_scargle": q_lomb_scargle,
+    "acf_lags": q_acf_lags,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -7001,6 +7186,9 @@ ORACLE: dict[str, str] = {
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
     "tokens_vocab_hist": _SQL_TOKENS_VOCAB,
     "dt_window_geometry": _SQL_DT_GEOMETRY,
+    "mann_kendall": _SQL_MANN_KENDALL,
+    "lomb_scargle": _SQL_LOMB_SCARGLE,
+    "acf_lags": _SQL_ACF_LAGS,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

@@ -1,0 +1,226 @@
+"""Trend and periodicity analysis over gappy time series.
+
+Three public-literature operators the reference's analysis tier
+(diive/analysis: seasonaltrend.py, harmonic.py, correlation.py) implies
+but does not ship, completing the trend-analysis family:
+
+* Mann-Kendall trend test + Sen's slope (Mann 1945, Kendall 1975,
+  Sen 1968) — THE standard monotone-trend test for environmental /
+  flux series (tie-corrected variance, Z statistic, Kendall tau,
+  median-of-pairwise-slopes estimator).
+* Lomb-Scargle periodogram (Lomb 1976, Scargle 1982) — spectral power
+  on UNEVENLY sampled series, i.e. exactly the gap-riddled series the
+  reference's screening chain produces; no interpolation needed.
+* Multi-lag autocorrelation over a regular bucket grid with
+  missing-pair dropping (pairwise-complete, the reference's
+  daily_correlation convention, analysis/correlation.py).
+
+Ray shape: every operator reduces to DECOMPOSABLE per-(key[, freq])
+sufficient statistics — one vectorized ``map_batches`` partial pass
+over the raw events plus a tiny driver combine (rows = keys x freqs,
+never data-sized) for Lomb-Scargle, and bounded per-key series (daily /
+hourly tier outputs of the distributed rollup cascade) for MK / ACF,
+where the O(n^2) pair work is over CALENDAR-bounded n (days), not
+corpus-bounded n. Nothing here shuffles and nothing is corpus-sized on
+the driver at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..util import ts_to_us
+
+
+# ----------------------------------------------------------- Mann-Kendall
+
+
+def mann_kendall_sen(y: np.ndarray, t_days: np.ndarray) -> dict:
+    """Mann-Kendall S / tie-corrected var / Z / tau plus Sen's slope
+    over ONE ordered series (y at day-offsets t_days, strictly
+    increasing). Vectorized over the full i<j pair triangle — n is
+    calendar-bounded (days), so the O(n^2) triangle is tiny.
+
+    Tie correction (Kendall 1975): var(S) = (n(n-1)(2n+5)
+    - sum_k t_k(t_k-1)(2t_k+5)) / 18 over tie groups of y.
+    Z uses the +-1 continuity correction; tau is tau-a = S / (n(n-1)/2).
+    Sen's slope = median over i<j of (y_j - y_i) / (t_j - t_i).
+    """
+    n = len(y)
+    if n < 2:
+        return {"n": n, "s": 0, "var_s": 0.0, "z": 0.0, "tau": 0.0, "sen_slope": np.nan}
+    iu, ju = np.triu_indices(n, k=1)
+    dy = y[ju] - y[iu]
+    s = int(np.sign(dy).sum())
+    _, counts = np.unique(y, return_counts=True)
+    ties = counts[counts > 1].astype(np.float64)
+    var_s = (n * (n - 1) * (2 * n + 5) - np.sum(ties * (ties - 1) * (2 * ties + 5))) / 18.0
+    if var_s > 0:
+        if s > 0:
+            z = (s - 1) / np.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / np.sqrt(var_s)
+        else:
+            z = 0.0
+    else:
+        z = 0.0
+    tau = s / (n * (n - 1) / 2.0)
+    slopes = dy / (t_days[ju] - t_days[iu]).astype(np.float64)
+    return {
+        "n": n, "s": s, "var_s": float(var_s), "z": float(z),
+        "tau": float(tau), "sen_slope": float(np.median(slopes)),
+    }
+
+
+def mann_kendall_frame(
+    daily: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    day_col: str = "bucket_ts",
+    val_col: str = "m",
+) -> pd.DataFrame:
+    """MK + Sen per key over a (key, day, value) daily frame (the
+    distributed rollup's 1d tier output — bounded rows)."""
+    rows = []
+    for k, g in daily.groupby(key, sort=True):
+        g = g.sort_values(day_col)
+        t_days = ts_to_us(pd.to_datetime(g[day_col])) // (86_400_000_000)
+        r = mann_kendall_sen(g[val_col].to_numpy(dtype=np.float64), t_days)
+        rows.append((k, r["n"], r["s"], r["var_s"], r["z"], r["tau"], r["sen_slope"]))
+    out = pd.DataFrame(rows, columns=[key, "n", "s", "var_s", "z", "tau", "sen_slope"])
+    out["n"] = out["n"].astype("int64")
+    out["s"] = out["s"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------- Lomb-Scargle
+
+
+def lomb_scargle_power(
+    ds: rd.Dataset,
+    *,
+    keys: list[str],
+    ts_col: str = "ts",
+    val_col: str = "value",
+    periods_s: list[int] = (21_600, 43_200, 86_400, 172_800, 604_800),
+) -> pd.DataFrame:
+    """Lomb-Scargle normalized power per (key, period) over an UNEVENLY
+    sampled series, fully distributed: the periodogram at angular
+    frequency w depends only on the sufficient statistics
+    (n, Sy, Syy, Sc, Ss, Syc, Sys, Scc, Ssc) with c=cos(wt), s=sin(wt)
+    — all plain sums, so ONE vectorized map_batches partial pass and a
+    driver combine over keys x periods rows. The time phase is computed
+    from epoch %% period (periods are integer seconds), keeping trig
+    arguments in [0, 2pi) so engine and SQL oracle agree bit-for-bit
+    after rounding (the harmonic_k1_fit idiom, stages/decompose.py).
+
+    Scargle 1982 eq. 10 with the classical variance normalization:
+    tan(2wτ) = sum sin 2wt / sum cos 2wt;
+    P = [ (sum (y-ybar) cos w(t-τ))^2 / sum cos^2 w(t-τ)
+        + (sum (y-ybar) sin w(t-τ))^2 / sum sin^2 w(t-τ) ] / (2 s_y^2)
+    with s_y^2 the (n-1)-denominator sample variance.
+    """
+    from .exchange import driver_combine
+
+    pers = np.asarray(sorted(periods_s), dtype=np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        y = df[val_col].to_numpy(dtype=np.float64)
+        us = ts_to_us(df[ts_col])
+        ok = ~np.isnan(y)
+        parts = []
+        for p in pers:
+            # phase in [0, 2pi): integer us modulo integer-second period
+            ph = (us % (p * 1_000_000)).astype(np.float64) * (2.0 * np.pi / (p * 1e6))
+            c, s = np.cos(ph), np.sin(ph)
+            g = pd.DataFrame({
+                **{k: df[k] for k in keys},
+                "_ok": ok.astype(np.int64),
+                "_y": np.where(ok, y, 0.0),
+                "_yy": np.where(ok, y * y, 0.0),
+                "_c": np.where(ok, c, 0.0),
+                "_s": np.where(ok, s, 0.0),
+                "_yc": np.where(ok, y * c, 0.0),
+                "_ys": np.where(ok, y * s, 0.0),
+                "_cc": np.where(ok, c * c, 0.0),
+                "_sc": np.where(ok, s * c, 0.0),
+            }).groupby(keys, sort=False, as_index=False).sum()
+            g["period_s"] = int(p)
+            parts.append(g)
+        return pd.concat(parts, ignore_index=True)
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        return parts.groupby(keys + ["period_s"], as_index=False).sum()
+
+    g = driver_combine(ds, partial, combine)
+    n = g["_ok"].to_numpy(dtype=np.float64)
+    sy, syy = g["_y"].to_numpy(), g["_yy"].to_numpy()
+    sc, ss = g["_c"].to_numpy(), g["_s"].to_numpy()
+    syc, sys_ = g["_yc"].to_numpy(), g["_ys"].to_numpy()
+    scc, ssc = g["_cc"].to_numpy(), g["_sc"].to_numpy()
+    ybar = sy / n
+    # tau from sum sin2wt = 2*Ssc, sum cos2wt = 2*Scc - n
+    two_wtau = np.arctan2(2.0 * ssc, 2.0 * scc - n)
+    ct, st = np.cos(two_wtau / 2.0), np.sin(two_wtau / 2.0)
+    a = syc - ybar * sc  # sum (y-ybar) cos wt
+    b = sys_ - ybar * ss  # sum (y-ybar) sin wt
+    num_c = a * ct + b * st  # sum (y-ybar) cos w(t-tau)
+    num_s = b * ct - a * st
+    den_c = ct * ct * scc + 2.0 * ct * st * ssc + st * st * (n - scc)
+    den_s = n - den_c
+    var = (syy - n * ybar * ybar) / (n - 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        power = (num_c * num_c / den_c + num_s * num_s / den_s) / (2.0 * var)
+    out = g[keys + ["period_s"]].copy()
+    out["n"] = n.astype("int64")
+    out["power"] = power
+    return out.sort_values(keys + ["period_s"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- ACF
+
+
+def acf_lags_frame(
+    hourly: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    ts_col: str = "bucket_ts",
+    val_col: str = "m",
+    lags: list[int] = (1, 2, 3, 6, 12, 24),
+    step_us: int = 3_600_000_000,
+) -> pd.DataFrame:
+    """Pairwise-complete autocorrelation at each lag over a regular
+    bucket grid with holes: pair (m(t), m(t + lag*step)) only where
+    BOTH buckets exist (the reference's pairwise dropna convention,
+    analysis/correlation.py daily_correlation). Pearson r via the
+    n-product moment form — identical under sample/population variance,
+    shared verbatim with the SQL oracle. Input frame is tier-sized
+    (bounded), produced by the distributed rollup."""
+    rows = []
+    for k, g in hourly.groupby(key, sort=True):
+        us = ts_to_us(pd.to_datetime(g[ts_col]))
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        y = g[val_col].to_numpy(dtype=np.float64)[order]
+        pos = {int(u): i for i, u in enumerate(us)}
+        for lag in lags:
+            j = np.array([pos.get(int(u + lag * step_us), -1) for u in us], dtype=np.int64)
+            okm = j >= 0
+            x, z = y[okm], y[j[okm]]
+            npairs = len(x)
+            if npairs < 2:
+                rows.append((k, int(lag), npairs, np.nan))
+                continue
+            sx, sz = x.sum(), z.sum()
+            sxx, szz, sxz = (x * x).sum(), (z * z).sum(), (x * z).sum()
+            den = np.sqrt((npairs * sxx - sx * sx) * (npairs * szz - sz * sz))
+            r = (npairs * sxz - sx * sz) / den if den > 0 else np.nan
+            rows.append((k, int(lag), npairs, r))
+    out = pd.DataFrame(rows, columns=[key, "lag", "n_pairs", "acf"])
+    out["lag"] = out["lag"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out
