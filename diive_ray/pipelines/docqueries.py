@@ -2272,6 +2272,113 @@ ORDER BY source, split
 """
 
 
+def q_doc_reservoir_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each doc gets key = ln(u) / w with w = n_chars and
+    u a Knuth-hash uniform in (0,1) derived from doc_id — the top-k by
+    key IS an exact weighted sample, and because u is a pure function
+    of doc_id the draw is partitioning- and cluster-size-independent
+    (the resumable-ingest property). Distributed as per-block partial
+    top-k (each block keeps its best k rows) + one bounded driver
+    combine — no shuffle, no full sort; the SQL oracle replays the hash
+    and the key bit-for-bit."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6
+
+    K = 50
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (((ids * np.int64(2654435761)) % np.int64(4294967296)).astype(np.float64) + 0.5) / 4294967296.0
+        key = np.log(u) / w
+        df = pd.DataFrame({"doc_id": ids, "source": t["source"].to_numpy(zero_copy_only=False),
+                           "n_chars": w.astype(np.int64), "key": key})
+        # (key desc, doc_id asc) — the oracle's ROW_NUMBER tie order
+        return df.sort_values(["key", "doc_id"], ascending=[False, True]).head(K)
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        return parts.sort_values(["key", "doc_id"], ascending=[False, True]).head(K)
+
+    out = driver_combine(_docs(sf_dir, ["doc_id", "source", "n_chars"]), partial, combine)
+    out = out.sort_values(["key", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["key"] = stable_round6(out["key"].astype(float))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["rank", "doc_id", "source", "n_chars", "key"]]
+
+
+_SQL_RESERVOIR = """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_chars, key,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank
+  FROM k
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(ROUND(key, 9), 6) AS key
+FROM r WHERE rank <= 50 ORDER BY rank
+"""
+
+
+def q_doc_unigram_tokenizer(sf_dir: str):
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    model; stages/unigram.py): distributed word counts -> substring
+    seed vocab -> EM rounds of distributed Viterbi E-step (broadcast
+    piece table, vocab-bounded count partials) + driver M-step with
+    count-ordered pruning, single chars never pruned (full coverage).
+    Deterministic at any partitioning (pytest-pinned), so rows-only
+    with a stable result; model-based training is not SQL-expressible."""
+    from ..stages.unigram import train_unigram
+    from ..util import stable_round6
+
+    pieces = train_unigram(
+        _docs(sf_dir, ["text"]), vocab_size=48, max_piece_len=5,
+        seed_size=256, n_iters=3,
+    )
+    pieces["count"] = pieces["count"].astype("int64")
+    pieces["logp"] = stable_round6(pieces["logp"].astype(float))
+    return pieces.sort_values("piece").reset_index(drop=True)
+
+
+def q_doc_unigram_fertility(sf_dir: str):
+    """Tokenizer fertility per source (pieces per word) under the
+    trained unigram vocab — the standard tokenizer-health probe for a
+    multi-source corpus (encoder actor pool with the piece table
+    broadcast once, per-actor distinct-word cache; rows-only, training
+    is model-based)."""
+    from ..stages.unigram import train_unigram, unigram_fertility
+    from ..util import stable_round6
+
+    docs = _docs(sf_dir, ["source", "text"])
+    pieces = train_unigram(docs, vocab_size=48, max_piece_len=5, seed_size=256, n_iters=3)
+    out = unigram_fertility(docs, pieces, keys=["source"], max_piece_len=5)
+    out["pieces_per_word"] = stable_round6(out["pieces_per_word"].astype(float))
+    return out
+
+
+def q_embedding_kcenter(sf_dir: str):
+    """Greedy k-center coreset over the embedding column (Gonzalez
+    1985 farthest-point; Sener & Savarese 2018 data selection;
+    stages/similarity.py:kcenter_greedy): k vectorized full passes,
+    one (dist, id, vec) row per block per pass, no shuffle. Iterative
+    farthest-point selection is not SQL-expressible -> rows-only; the
+    2-approximation and determinism are pytest-pinned."""
+    from ..stages.similarity import kcenter_greedy
+    from ..util import stable_round6
+
+    out = kcenter_greedy(_embs(sf_dir, ["vec_id", "embedding"]), k=16)
+    out["dist"] = stable_round6(out["dist"].astype(float))
+    return out
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -2328,6 +2435,10 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_bloom_probe": q_doc_bloom_probe,
     "source_vocab_jaccard": q_source_vocab_jaccard,
     "doc_split_assign": q_doc_split_assign,
+    "doc_reservoir_sample": q_doc_reservoir_sample,
+    "doc_unigram_tokenizer": q_doc_unigram_tokenizer,
+    "doc_unigram_fertility": q_doc_unigram_fertility,
+    "embedding_kcenter": q_embedding_kcenter,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -2378,4 +2489,5 @@ DOC_ORACLE: dict[str, str] = {
     "doc_bloom_probe": _SQL_BLOOM_PROBE,
     "source_vocab_jaccard": _SQL_VOCAB_JACCARD,
     "doc_split_assign": _SQL_SPLIT_ASSIGN,
+    "doc_reservoir_sample": _SQL_RESERVOIR,
 }

@@ -777,3 +777,70 @@ def jl_project(
         })
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kcenter_greedy(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    normalize: bool = True,
+) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal; Sener & Savarese 2018 for training-data selection):
+    start from the smallest id, then k-1 times add the point FARTHEST
+    from the selected set. 2-approximation to the optimal k-center
+    cover, fully deterministic (max ties broken by smallest id).
+
+    Ray shape: the selected set is tiny (k x d) and rides along as a
+    plain argument re-captured per round; each round is ONE vectorized
+    map_batches pass emitting a single (best dist, id) row per block,
+    and the driver reduces blocks -- k passes total, no shuffle, no
+    corpus materialization. At 100 TB the k passes re-read the source;
+    callers doing many rounds should persist the (id, embedding)
+    projection once and iterate over that.
+
+    Returns (order, vec_id, dist) -- dist is each center's distance to
+    the previously-selected set (the coverage radius sequence, weakly
+    decreasing for exact arithmetic)."""
+    base = ds
+    if normalize:
+        def norm(t: pa.Table) -> pd.DataFrame:
+            x = _batch_matrix(t, emb_col)
+            x = _normalize(x)
+            return pd.DataFrame({
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                emb_col: list(x),
+            })
+        base = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    base = base.materialize()
+
+    def first_vec(df: pd.DataFrame) -> pd.DataFrame:
+        i = int(df[id_col].to_numpy().argmin())
+        return pd.DataFrame({id_col: [df[id_col].iloc[i]], "vec": [df[emb_col].iloc[i]]})
+
+    f = base.map_batches(first_vec, batch_format="pandas").to_pandas()
+    f = f.sort_values(id_col).iloc[0]
+    centers = [(int(f[id_col]), 0.0)]
+    cmat = np.asarray(f["vec"], dtype=np.float64)[None, :]
+
+    for _ in range(k - 1):
+        def far(df: pd.DataFrame, _c=cmat) -> pd.DataFrame:
+            # per-block winner: one (dist, id, vec) row rides back
+            x = np.stack(df[emb_col].to_numpy())
+            d2 = ((x[:, None, :] - _c[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            i = int(np.lexsort((df[id_col].to_numpy(), -d2))[0])
+            return pd.DataFrame({
+                id_col: [df[id_col].iloc[i]], "d2": [d2[i]], "vec": [df[emb_col].iloc[i]],
+            })
+
+        parts = base.map_batches(far, batch_format="pandas").to_pandas()
+        best = parts.sort_values(["d2", id_col], ascending=[False, True]).iloc[0]
+        centers.append((int(best[id_col]), float(np.sqrt(best["d2"]))))
+        cmat = np.vstack([cmat, np.asarray(best["vec"], dtype=np.float64)])
+
+    out = pd.DataFrame(centers, columns=[id_col, "dist"])
+    out.insert(0, "order", np.arange(len(out), dtype=np.int64))
+    out[id_col] = out[id_col].astype("int64")
+    return out
