@@ -494,6 +494,51 @@ FROM s ORDER BY i, j
 """
 
 
+def q_embedding_label_compactness(sf_dir: str):
+    """Intra-class compactness probe over the labeled embedding column
+    (stages/similarity.py:label_compactness): per label, member count,
+    centroid L2 norm, and the mean / min cosine of members to their own
+    centroid. Two bounded passes — (labels x d) centroid partials, then
+    a broadcast cosine map — vectors never shuffle."""
+    from ..util import stable_round6 as _sr6
+
+    ds = _embs(sf_dir, ["label", "embedding"])
+    out = sim.label_compactness(ds)
+    for c in ("centroid_norm", "mean_cos", "min_cos"):
+        out[c] = _sr6(out[c].astype(float))
+    return out
+
+
+_SQL_LABEL_COMPACT = """
+WITH u AS (
+  SELECT label, vec_id,
+         UNNEST(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent AS (SELECT label, i, AVG(x) AS c FROM u GROUP BY 1, 2),
+cn AS (SELECT label, SQRT(SUM(c * c)) AS cnorm FROM cent GROUP BY 1),
+dotp AS (
+  SELECT u.label, u.vec_id,
+         SUM(u.x * cent.c) AS dp,
+         SQRT(SUM(u.x * u.x)) AS vnorm
+  FROM u JOIN cent ON u.label = cent.label AND u.i = cent.i
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT d.label, d.dp / (d.vnorm * cn.cnorm) AS cs
+  FROM dotp d JOIN cn ON d.label = cn.label
+)
+SELECT CAST(c.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ROUND(ANY_VALUE(n2.cnorm), 9), 6) AS centroid_norm,
+       ROUND(ROUND(AVG(c.cs), 9), 6) AS mean_cos,
+       ROUND(ROUND(MIN(c.cs), 9), 6) AS min_cos
+FROM cosv c JOIN cn n2 ON c.label = n2.label
+GROUP BY c.label ORDER BY label
+"""
+
+
 def q_embedding_pca(sf_dir: str):
     """Top-4 PCA projection of every embedding (stages/similarity.py:
     embedding_pca_project): one-combine covariance moments, driver
@@ -2413,6 +2458,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_mix_temperature": q_doc_mix_temperature,
     "doc_ccnet_buckets": q_doc_ccnet_buckets,
     "embedding_cov": q_embedding_cov,
+    "embedding_label_compactness": q_embedding_label_compactness,
     "embedding_pca": q_embedding_pca,
     "doc_dsir": q_doc_dsir,
     "doc_dup_spans": q_doc_dup_spans,
@@ -2472,6 +2518,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_mix_temperature": _SQL_MIX_TEMPERATURE,
     "doc_ccnet_buckets": _SQL_CCNET_BUCKETS,
     "embedding_cov": _SQL_EMBEDDING_COV,
+    "embedding_label_compactness": _SQL_LABEL_COMPACT,
     "doc_dsir": _SQL_DSIR,
     "doc_dup_spans": _SQL_DUP_SPANS,
     "source_ks_drift": _SQL_KS_DRIFT,

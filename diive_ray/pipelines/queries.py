@@ -6937,6 +6937,58 @@ FROM sums WHERE n >= 2 ORDER BY event_type, lag
 """
 
 
+def q_pettitt(sf_dir: str):
+    """Pettitt (1979) change-point test (stages/trend.py:pettitt_test)
+    per event_type over the 6dp-rounded daily means of the distributed
+    rollup: U_t via the rank recurrence, K = max|U_t| with first-t tie
+    break, the classical p ~= 2 exp(-6K^2/(n^3+n^2)). Complements the
+    sequential CUSUM drift detector (cusum_drift) with the
+    distribution-free retrospective test."""
+    from ..stages.trend import pettitt_frame
+
+    t1d = _fused_tier(sf_dir, "1d").to_pandas()
+    t1d["m"] = stable_round6(t1d["mean"].astype(float))
+    out = pettitt_frame(t1d, key="event_type", day_col="bucket_ts", val_col="m")
+    out["change_day"] = pd.to_datetime(out["change_day"]).astype("datetime64[us]")
+    out["p_approx"] = stable_round6(out["p_approx"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_PETTITT = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS d,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+v AS (
+  SELECT a.event_type, a.d,
+         SUM(SIGN(b.m - a.m)) AS vt
+  FROM daily a JOIN daily b ON a.event_type = b.event_type
+  GROUP BY 1, 2
+),
+u AS (
+  SELECT event_type, d,
+         SUM(vt) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS ut,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+best AS (
+  SELECT event_type, n, d, ut,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(ut) DESC, rn) AS pick
+  FROM u WHERE rn < n
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(ABS(ut) AS BIGINT) AS k_stat,
+       d AS change_day,
+       CAST(ut AS BIGINT) AS u_at_change,
+       ROUND(ROUND(LEAST(1.0, 2 * exp(-6.0 * ut * ut / (n*n*n + n*n))), 9), 6) AS p_approx
+FROM best WHERE pick = 1 ORDER BY event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -7074,6 +7126,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "mann_kendall": q_mann_kendall,
     "lomb_scargle": q_lomb_scargle,
     "acf_lags": q_acf_lags,
+    "pettitt": q_pettitt,
     **ALE_QUERIES,
     **DOC_QUERIES,
 }
@@ -7189,6 +7242,7 @@ ORACLE: dict[str, str] = {
     "mann_kendall": _SQL_MANN_KENDALL,
     "lomb_scargle": _SQL_LOMB_SCARGLE,
     "acf_lags": _SQL_ACF_LAGS,
+    "pettitt": _SQL_PETTITT,
     **ALE_ORACLE,
     **DOC_ORACLE,
 }

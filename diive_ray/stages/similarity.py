@@ -844,3 +844,64 @@ def kcenter_greedy(
     out.insert(0, "order", np.arange(len(out), dtype=np.int64))
     out[id_col] = out[id_col].astype("int64")
     return out
+
+
+def label_compactness(
+    ds: ray.data.Dataset,
+    *,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """Intra-class compactness of an embedding column: per label, the
+    centroid norm and the mean / min cosine of members to their own
+    centroid -- the standard embedding-quality probe for curation and
+    classifier-readiness checks.
+
+    Two bounded passes, vectors never shuffle: (1) per-label (n, sum
+    vector) partials -> driver centroids (labels x d); (2) centroids
+    broadcast into a stateless vectorized cosine map emitting per-label
+    (n, sum cos, min cos) partials -> tiny combine."""
+    from .exchange import driver_combine
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, emb_col)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            rows.append((int(lv), int(m.sum()), x[m].sum(axis=0).tolist()))
+        return pd.DataFrame(rows, columns=["label", "n", "s"])
+
+    parts = driver_combine(ds, moments, lambda df: df)
+    agg = {}
+    for lv, g in parts.groupby("label"):
+        n = int(g["n"].sum())
+        s = np.sum([np.asarray(v, dtype=np.float64) for v in g["s"]], axis=0)
+        agg[int(lv)] = (n, s / n)
+    cent = {lv: c for lv, (n, c) in agg.items()}
+    cnorm = {lv: float(np.sqrt((c * c).sum())) for lv, c in cent.items()}
+
+    def cosines(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, emb_col)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        vnorm = np.sqrt((x * x).sum(axis=1))
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            c = cent[int(lv)]
+            cos = (x[m] @ c) / (vnorm[m] * cnorm[int(lv)])
+            rows.append((int(lv), int(m.sum()), float(cos.sum()), float(cos.min())))
+        return pd.DataFrame(rows, columns=["label", "n", "sum_cos", "min_cos"])
+
+    p2 = driver_combine(ds, cosines, lambda df: df)
+    out_rows = []
+    for lv, g in p2.groupby("label"):
+        n = int(g["n"].sum())
+        out_rows.append((
+            int(lv), n, cnorm[int(lv)],
+            float(g["sum_cos"].sum()) / n, float(g["min_cos"].min()),
+        ))
+    out = pd.DataFrame(out_rows, columns=["label", "n", "centroid_norm", "mean_cos", "min_cos"])
+    out["label"] = out["label"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)

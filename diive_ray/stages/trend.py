@@ -224,3 +224,53 @@ def acf_lags_frame(
     out["lag"] = out["lag"].astype("int64")
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------- Pettitt
+
+
+def pettitt_test(y: np.ndarray) -> dict:
+    """Pettitt (1979) single change-point test over ONE ordered series:
+    U_t = sum_{i<=t, j>t} sign(y_j - y_i) via the rank recurrence
+    U_t = sum_{k<=t} V_k with V_k = sum_j sign(y_j - y_k); the change
+    point is the FIRST t (1-based, t < n) maximizing |U_t|, K = max|U_t|,
+    and the classical approximate significance
+    p ~= 2 exp(-6 K^2 / (n^3 + n^2)). Vectorized over the full sign
+    matrix -- n is calendar-bounded."""
+    n = len(y)
+    if n < 2:
+        return {"n": n, "k_stat": 0, "t_change": 0, "u_at_change": 0, "p_approx": 1.0}
+    sgn = np.sign(y[None, :] - y[:, None])  # sgn[k, j] = sign(y_j - y_k)
+    v = sgn.sum(axis=1)
+    u = np.cumsum(v)[: n - 1]  # U_t for t = 1..n-1
+    t_idx = int(np.argmax(np.abs(u)))  # first max on ties
+    k = float(np.abs(u[t_idx]))
+    p = min(1.0, 2.0 * np.exp(-6.0 * k * k / (n ** 3 + n ** 2)))
+    return {
+        "n": n, "k_stat": int(k), "t_change": t_idx + 1,
+        "u_at_change": int(u[t_idx]), "p_approx": float(p),
+    }
+
+
+def pettitt_frame(
+    daily: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    day_col: str = "bucket_ts",
+    val_col: str = "m",
+) -> pd.DataFrame:
+    """Pettitt per key over a (key, day, value) daily frame; emits the
+    change DAY (the last day of the pre-change segment)."""
+    rows = []
+    for k, g in daily.groupby(key, sort=True):
+        g = g.sort_values(day_col).reset_index(drop=True)
+        r = pettitt_test(g[val_col].to_numpy(dtype=np.float64))
+        cd = g[day_col].iloc[r["t_change"] - 1] if r["n"] >= 2 else pd.NaT
+        rows.append((k, r["n"], r["k_stat"], cd, r["u_at_change"], r["p_approx"]))
+    out = pd.DataFrame(
+        rows, columns=[key, "n", "k_stat", "change_day", "u_at_change", "p_approx"]
+    )
+    out["n"] = out["n"].astype("int64")
+    out["k_stat"] = out["k_stat"].astype("int64")
+    out["u_at_change"] = out["u_at_change"].astype("int64")
+    return out

@@ -120,3 +120,56 @@ def test_acf_short_series_guard():
     })
     out = acf_lags_frame(df, lags=[1])       # no lag-1h pair exists
     assert out["n_pairs"].iloc[0] == 0 and np.isnan(out["acf"].iloc[0])
+
+
+# -------------------------------------------------------------- Pettitt
+
+
+def test_pettitt_planted_step_change():
+    from diive_ray.stages.trend import pettitt_test
+
+    rng = np.random.Generator(np.random.Philox(key=[303, 2026]))
+    y = np.concatenate([rng.normal(0, 1, 50), rng.normal(4, 1, 50)])
+    r = pettitt_test(y)
+    assert abs(r["t_change"] - 50) <= 2      # change point recovered
+    assert r["p_approx"] < 1e-6              # decisively significant
+    # shift-invariance of the rank statistic
+    r2 = pettitt_test(y + 100.0)
+    assert r2["k_stat"] == r["k_stat"] and r2["t_change"] == r["t_change"]
+
+
+def test_pettitt_analytic_tiny_series():
+    from diive_ray.stages.trend import pettitt_test
+
+    # y = [1, 2, 10, 11]: U_1 = 3, U_2 = 3 + 3 = ... hand-derived below
+    y = np.array([1.0, 2.0, 10.0, 11.0])
+    # V_k = sum_j sign(y_j - y_k): V_1=3, V_2=1, V_3=-1, V_4=-3
+    # U = cumsum(V)[:3] = [3, 4, 3]; K=4 at t=2 (1-based)
+    r = pettitt_test(y)
+    assert r["k_stat"] == 4 and r["t_change"] == 2 and r["u_at_change"] == 4
+    n = 4
+    assert r["p_approx"] == pytest.approx(2 * np.exp(-6 * 16 / (n**3 + n**2)))
+
+
+def test_pettitt_constant_and_tie_break():
+    from diive_ray.stages.trend import pettitt_test
+
+    r = pettitt_test(np.full(20, 5.0))
+    assert r["k_stat"] == 0 and r["p_approx"] == 1.0
+    # symmetric two-level series: |U| plateaus; FIRST t wins the tie
+    y = np.array([0.0, 0.0, 1.0, 1.0])
+    # V = [2, 2, -2, -2]; U = [2, 4, 2]; max at t=2 uniquely here
+    assert pettitt_test(y)["t_change"] == 2
+
+
+def test_pettitt_frame_change_day_mapping():
+    from diive_ray.stages.trend import pettitt_frame
+
+    days = pd.date_range("2024-01-01", periods=30, freq="D")
+    rng = np.random.Generator(np.random.Philox(key=[304, 2026]))
+    m = np.concatenate([rng.normal(0, 0.1, 12), rng.normal(3, 0.1, 18)])
+    df = pd.DataFrame({"event_type": "a", "bucket_ts": days, "m": m})
+    out = pettitt_frame(df)
+    assert len(out) == 1
+    # change day = LAST day of the pre-change segment (12th day)
+    assert out["change_day"].iloc[0] == days[11]
