@@ -5361,6 +5361,81 @@ FROM b GROUP BY bucket ORDER BY 1
 """
 
 
+def q_file_inventory(sf_dir: str):
+    """FileDetector expected-vs-available inventory (reference
+    filedetector.py:18-153 via sources/inventory.py:file_inventory):
+    file names synthesized from the events table's 6h generation grid
+    (%Y%m%d%H%M%S of the slot start — the logger-naming convention the
+    reference parses), with deterministic hash-dropped slots (missing
+    expected files) and one-hour-shifted slots (unexpected / off-grid
+    files); data_res = 60 s. Grid assembly is calendar-bounded."""
+    from ..sources.inventory import file_inventory
+    from ..stages.exchange import driver_combine
+
+    ds = _events(sf_dir, ["ts"])
+    width = 21_600_000_000  # 6h in us
+
+    def buckets(t: pa.Table) -> pd.DataFrame:
+        us = ts_to_us(t["ts"].to_pandas())
+        return pd.DataFrame({"bk": np.unique((us // width) * width)})
+
+    bks = np.unique(
+        driver_combine(ds, buckets, lambda df: df)["bk"].to_numpy(dtype=np.int64)
+    )
+    slot = bks // width
+    keep = slot % 7 != 3                    # dropped slots = missing files
+    dt_us = np.where(slot % 11 == 5, bks + 3_600_000_000, bks)[keep]
+    names = pd.Series(dt_us.astype("datetime64[us]")).dt.strftime("%Y%m%d%H%M%S")
+
+    out = file_inventory(
+        pd.DataFrame({"filename": names}),
+        file_date_format="%Y%m%d%H%M%S",
+        file_generation_res="6h",
+        data_res=60.0,
+    )
+    out["expected_records"] = out["expected_records"].astype(float)
+    out["expected_duration"] = out["expected_duration"].astype(float)
+    return out
+
+
+_SQL_FILE_INVENTORY = """
+WITH b AS (
+  SELECT DISTINCT (epoch_us(ts) // 21600000000) * 21600000000 AS bk FROM events
+),
+f AS (
+  SELECT CASE WHEN (bk // 21600000000) % 11 = 5 THEN bk + 3600000000 ELSE bk END AS dt_us
+  FROM b WHERE (bk // 21600000000) % 7 <> 3
+),
+d AS (
+  SELECT make_timestamp(dt_us) AS dt,
+         strftime(make_timestamp(dt_us), '%Y%m%d%H%M%S') AS filename
+  FROM f
+),
+bounds AS (SELECT MIN(dt) AS lo, MAX(dt) AS hi FROM d),
+grid AS (
+  SELECT UNNEST(generate_series(lo, hi + INTERVAL 6 HOUR, INTERVAL 6 HOUR)) AS gdt
+  FROM bounds
+),
+allrows AS (
+  SELECT g.gdt AS file_dt, g.gdt AS expected_file, d.filename
+  FROM grid g LEFT JOIN d ON d.dt = g.gdt
+  UNION ALL
+  SELECT dt, NULL, filename FROM d WHERE dt NOT IN (SELECT gdt FROM grid)
+),
+w AS (
+  SELECT file_dt, expected_file, filename,
+         CASE WHEN filename IS NULL THEN 0 ELSE 1 END AS avail,
+         LEAD(file_dt) OVER (ORDER BY file_dt) AS expected_end
+  FROM allrows
+)
+SELECT file_dt, expected_file,
+       CAST(avail AS BIGINT) AS file_available, filename, expected_end,
+       CASE WHEN avail = 1 THEN epoch(expected_end - file_dt) END AS expected_duration,
+       CASE WHEN avail = 1 THEN epoch(expected_end - file_dt) / 60.0 END AS expected_records
+FROM w ORDER BY file_dt
+"""
+
+
 _METEO_RENAME = {"click": "TA", "error": "RH", "purchase": "SW_IN",
                  "signup": "PPFD_IN", "view": "PA"}
 
@@ -7100,6 +7175,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "event_transitions": q_event_transitions,
     "file_split_stats": q_file_split_stats,
+    "file_inventory": q_file_inventory,
     "binary_extract": q_binary_extract,
     "winddir_agg": q_winddir_agg,
     "doy_cumulative": q_doy_cumulative,
@@ -7220,6 +7296,7 @@ ORACLE: dict[str, str] = {
     # hll_distinct_users: sketch estimate -> rows-only (error bound pytest-pinned)
     "event_transitions": _SQL_EVENT_TRANSITIONS,
     "file_split_stats": _SQL_FILE_SPLIT,
+    "file_inventory": _SQL_FILE_INVENTORY,
     "binary_extract": _SQL_BINARY_EXTRACT,
     "winddir_agg": _SQL_WINDDIR,
     "doy_cumulative": _SQL_DOY_CUM,
