@@ -675,3 +675,46 @@ def normalize_text(texts: pa.Array) -> pa.Array:
     out = pc.utf8_lower(nfc(texts))
     out = pc.replace_substring_regex(out, pattern="[ \t\n\r\f\v]+", replacement=" ")
     return pc.utf8_trim(out, " ")
+
+
+def winnow_fingerprints(
+    texts: list[str], k: int = 8, w: int = 4
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, SIGMOD): per text, character k-gram polynomial hashes (the
+    FP_BASE/FP_MOD Horner scheme of ``polynomial_fingerprint``), then
+    every length-``w`` window of consecutive k-gram hashes selects its
+    RIGHTMOST minimal hash; the distinct selected (position, hash)
+    pairs are the fingerprints. Guarantees a shared fingerprint for
+    any match of length >= w + k - 1. Texts with fewer than w k-grams
+    (len < k + w - 1) emit nothing, matching the windowed SQL replay.
+
+    Returns (doc_index, pos, hash) arrays — pos is the 1-based k-gram
+    start. Inner math is vectorized per text (sliding-window matmul +
+    reversed-argmin); the per-text loop carries only bounded numpy
+    calls, the same shape as batch_shingle_hashes."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pows = np.ones(k, dtype=np.int64)
+    for i in range(1, k):
+        pows[i] = (pows[i - 1] * FP_BASE) % FP_MOD
+    pows = pows[::-1].copy()  # [B^(k-1) .. B^0] mod P
+
+    di, pi, hi = [], [], []
+    for idx, t in enumerate(texts):
+        a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        m = len(a) - k + 1
+        if m < w:
+            continue
+        kg = ((sliding_window_view(a, k) % FP_MOD) * pows).sum(axis=1) % FP_MOD
+        win = sliding_window_view(kg, w)             # (m - w + 1, w)
+        right_argmin = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        pos = np.arange(m - w + 1, dtype=np.int64) + right_argmin
+        sel = np.unique(pos)
+        di.append(np.full(len(sel), idx, dtype=np.int64))
+        pi.append(sel + 1)                           # 1-based k-gram start
+        hi.append(kg[sel])
+    if not di:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(di), np.concatenate(pi), np.concatenate(hi)

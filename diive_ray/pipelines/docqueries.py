@@ -205,6 +205,61 @@ FROM documents
 """
 
 
+def q_doc_winnowing(sf_dir: str):
+    """Winnowing fingerprints (Schleimer-Wilkerson-Aiken 2003 via
+    functions/text.py:winnow_fingerprints): char 8-gram polynomial
+    hashes, window w=4 selects the rightmost minimal hash; emits the
+    distinct (doc_id, pos, fp) fingerprint rows — the MOSS copy-
+    detection selection, guaranteed to share a fingerprint with any
+    match of length >= w + k - 1 = 11 chars. Stateless vectorized
+    map; fingerprints (not text) are what downstream dedup ships."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        di, pos, h = tx.winnow_fingerprints(t["text"].to_pylist(), k=8, w=4)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[di]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "fp": pa.array(h, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_WINNOWING = r"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS cp
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_prepend(0::BIGINT, cp[i : i + 7]),
+           (h, ch) -> (h * 31 + ch) % 2147483647
+         ) AS h
+  FROM c, UNNEST(range(1, len(cp) - 8 + 2)) AS t(i)
+),
+mx AS (SELECT doc_id, MAX(i) AS m FROM kg GROUP BY 1),
+j AS (
+  SELECT doc_id, UNNEST(range(1, m - 4 + 2)) AS j FROM mx WHERE m >= 4
+),
+p AS (
+  SELECT kg.doc_id, j.j, kg.i, kg.h
+  FROM kg JOIN j ON kg.doc_id = j.doc_id AND kg.i BETWEEN j.j AND j.j + 3
+),
+g1 AS (SELECT doc_id, j, MIN(h) AS minh FROM p GROUP BY 1, 2),
+sel AS (
+  SELECT p.doc_id, MAX(p.i) AS pos, g1.minh AS fp
+  FROM p JOIN g1 ON p.doc_id = g1.doc_id AND p.j = g1.j AND p.h = g1.minh
+  GROUP BY p.doc_id, p.j, g1.minh
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, CAST(fp AS BIGINT) AS fp
+FROM sel ORDER BY doc_id, pos
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 
@@ -2431,6 +2486,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnowing": q_doc_winnowing,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_minhash_dups": q_doc_minhash_dups,
     "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -2494,6 +2550,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_quality": _SQL_QUALITY,
     "doc_langid": _SQL_LANGID,
     "doc_fingerprint": _SQL_FINGERPRINT,
+    "doc_winnowing": _SQL_WINNOWING,
     "doc_exact_dedup": _SQL_EXACT_DEDUP,
     "doc_minhash_dups": _SQL_MINHASH,
     "doc_minhash_dedup": _SQL_MINHASH_DEDUP,
