@@ -718,3 +718,68 @@ def winnow_fingerprints(
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
     return np.concatenate(di), np.concatenate(pi), np.concatenate(hi)
+
+
+def lexical_stats(texts: list[str]) -> dict[str, np.ndarray]:
+    """Per-doc lexical-statistics battery (public corpus-quality
+    signals): Shannon character entropy and word entropy in nats
+    (Shannon 1948), type-token ratio, Yule's characteristic K
+    (Yule 1944: K = 1e4 * (sum_t c_t^2 - N) / N^2 over type counts
+    c_t), and hapax-legomenon ratio V1/N. Batched: ONE np.unique
+    dictionary-encode over every word in the batch, ONE unique over
+    packed (doc, codepoint) keys; per-doc reductions are np.bincount
+    segment sums — no Python loop over tokens.
+
+    Split convention is single-space (``text.split(' ')``), matching
+    DuckDB ``string_split(text, ' ')``; empty texts yield 0.0 rows.
+    Entropy terms are the oracle's elementwise -(c/N)*ln(c/N), so only
+    summation order differs -> stable_round6 / ROUND(ROUND(.,9),6)."""
+    n_docs = len(texts)
+    h_char = np.zeros(n_docs, dtype=np.float64)
+    h_word = np.zeros(n_docs, dtype=np.float64)
+    ttr = np.zeros(n_docs, dtype=np.float64)
+    yule_k = np.zeros(n_docs, dtype=np.float64)
+    hapax = np.zeros(n_docs, dtype=np.float64)
+
+    cps = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts]
+    nch = np.array([len(c) for c in cps], dtype=np.int64)
+    if nch.sum():
+        di = np.repeat(np.arange(n_docs, dtype=np.int64), nch)
+        cp = np.concatenate(cps).astype(np.int64)
+        key = (di << 21) | cp  # codepoints < 2**21 by Unicode
+        uk, counts = np.unique(key, return_counts=True)
+        kdoc = uk >> 21
+        p = counts / nch[kdoc]
+        h_char = np.bincount(kdoc, weights=-(p * np.log(p)), minlength=n_docs)
+
+    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    nw = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+    all_words = np.array([w for ws in words_per_doc for w in ws], dtype=object)
+    if len(all_words):
+        _, inv = np.unique(all_words, return_inverse=True)
+        v_total = int(inv.max()) + 1
+        di = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+        uk, counts = np.unique(di * v_total + inv, return_counts=True)
+        kdoc = uk // v_total
+        n = nw[kdoc].astype(np.float64)
+        p = counts / n
+        h_word = np.bincount(kdoc, weights=-(p * np.log(p)), minlength=n_docs)
+        v = np.bincount(kdoc, minlength=n_docs).astype(np.float64)
+        sum_c2 = np.bincount(
+            kdoc, weights=counts.astype(np.float64) ** 2, minlength=n_docs
+        )
+        v1 = np.bincount(
+            kdoc, weights=(counts == 1).astype(np.float64), minlength=n_docs
+        )
+        pos = nw > 0
+        nwf = nw.astype(np.float64)
+        ttr[pos] = v[pos] / nwf[pos]
+        yule_k[pos] = 1e4 * (sum_c2[pos] - nwf[pos]) / (nwf[pos] * nwf[pos])
+        hapax[pos] = v1[pos] / nwf[pos]
+    return {
+        "h_char": h_char,
+        "h_word": h_word,
+        "ttr": ttr,
+        "yule_k": yule_k,
+        "hapax_ratio": hapax,
+    }

@@ -260,6 +260,70 @@ FROM sel ORDER BY doc_id, pos
 """
 
 
+def q_doc_lexical_stats(sf_dir: str):
+    """Lexical-statistics battery (functions/text.py:lexical_stats):
+    Shannon char/word entropy in nats, type-token ratio, Yule's K
+    (Yule 1944), hapax-legomenon ratio — classic corpus-quality and
+    authorship signals. Stateless vectorized map; entropies are
+    summation-order-sensitive -> stable_round6 / ROUND(ROUND(.,9),6)
+    on both sides."""
+    from ..util import stable_round6
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = tx.lexical_stats(t["text"].to_pylist())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h_char": pa.array(stable_round6(s["h_char"])),
+            "h_word": pa.array(stable_round6(s["h_word"])),
+            "ttr": pa.array(round6(s["ttr"])),
+            "yule_k": pa.array(stable_round6(s["yule_k"])),
+            "hapax_ratio": pa.array(round6(s["hapax_ratio"])),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_LEXICAL_STATS = r"""
+WITH ch AS (
+  SELECT doc_id, c, COUNT(*)::DOUBLE AS cnt
+  FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents)
+  GROUP BY 1, 2
+),
+chn AS (SELECT doc_id, SUM(cnt) AS n FROM ch GROUP BY 1),
+hc AS (
+  SELECT ch.doc_id, SUM(-(cnt / n) * ln(cnt / n)) AS h_char
+  FROM ch JOIN chn USING (doc_id) GROUP BY 1
+),
+w AS (
+  SELECT doc_id, wd, COUNT(*)::DOUBLE AS cnt
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS wd
+        FROM documents WHERE len(text) > 0)
+  GROUP BY 1, 2
+),
+wn AS (SELECT doc_id, SUM(cnt) AS n FROM w GROUP BY 1),
+hw AS (
+  SELECT w.doc_id,
+         SUM(-(cnt / n) * ln(cnt / n)) AS h_word,
+         COUNT(*)::DOUBLE AS v,
+         SUM(cnt * cnt) AS sum_c2,
+         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE AS v1,
+         ANY_VALUE(n) AS n
+  FROM w JOIN wn USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id,
+       ROUND(ROUND(COALESCE(hc.h_char, 0.0), 9), 6) AS h_char,
+       ROUND(ROUND(COALESCE(hw.h_word, 0.0), 9), 6) AS h_word,
+       ROUND(COALESCE(hw.v / hw.n, 0.0), 6) AS ttr,
+       ROUND(ROUND(COALESCE(1e4 * (hw.sum_c2 - hw.n) / (hw.n * hw.n), 0.0), 9), 6) AS yule_k,
+       ROUND(COALESCE(hw.v1 / hw.n, 0.0), 6) AS hapax_ratio
+FROM documents d
+LEFT JOIN hc ON d.doc_id = hc.doc_id
+LEFT JOIN hw ON d.doc_id = hw.doc_id
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 
@@ -2487,6 +2551,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnowing": q_doc_winnowing,
+    "doc_lexical_stats": q_doc_lexical_stats,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_minhash_dups": q_doc_minhash_dups,
     "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -2551,6 +2616,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_langid": _SQL_LANGID,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "doc_winnowing": _SQL_WINNOWING,
+    "doc_lexical_stats": _SQL_LEXICAL_STATS,
     "doc_exact_dedup": _SQL_EXACT_DEDUP,
     "doc_minhash_dups": _SQL_MINHASH,
     "doc_minhash_dedup": _SQL_MINHASH_DEDUP,
