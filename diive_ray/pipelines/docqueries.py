@@ -1322,6 +1322,81 @@ FROM afinal a LEFT JOIN pair p ON p.id = a.vec_id
 ORDER BY a.vec_id""".lstrip())
 
 
+def q_embedding_dbscan(sf_dir: str):
+    """DBSCAN (Ester et al. 1996; stages/cluster.py:dbscan_embeddings)
+    over the embedding column: squared-L2 eps-graph (eps^2 = 1.3,
+    min_pts = 4 incl. self), core = connected components via min-label
+    propagation, border = min-id core neighbor's cluster (the
+    deterministic refinement of the scan-order-dependent classic),
+    noise = -1. Pairs come from the exact sharded all-pairs self-join;
+    the threshold margin (no pair within 5e-5 of eps^2 at sf0.001/0.01)
+    is pinned by tests, so engine matmul vs oracle sequential-sum FP
+    order cannot flip a membership."""
+    from ..stages.cluster import dbscan_embeddings
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    out = dbscan_embeddings(ds, eps2=1.3, min_pts=4).to_pandas()
+    return (
+        out.astype({"vec_id": "int64", "cluster": "int64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+_SQL_DBSCAN = r"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding FROM embeddings
+), d AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_reduce(
+          list_transform(range(1, len(a.embedding) + 1),
+            i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+               * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)),
+          (x, y) -> x + y) <= 1.3
+), dirs AS (
+  SELECT ia AS node, ib AS nbr FROM d
+  UNION ALL
+  SELECT ib, ia FROM d
+), deg AS (
+  SELECT node, COUNT(*) AS deg FROM dirs GROUP BY 1
+), core AS (
+  SELECT e.vec_id, COALESCE(deg.deg, 0) + 1 >= 4 AS is_core
+  FROM e LEFT JOIN deg ON e.vec_id = deg.node
+), cdirs AS (
+  SELECT dirs.node, dirs.nbr
+  FROM dirs
+  JOIN core ca ON dirs.node = ca.vec_id AND ca.is_core
+  JOIN core cb ON dirs.nbr = cb.vec_id AND cb.is_core
+), reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM core WHERE is_core
+  UNION
+  SELECT c.nbr, reach.lbl FROM reach JOIN cdirs c ON c.node = reach.node
+), comp AS (
+  SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY 1
+), border AS (
+  SELECT dirs.node, MIN(dirs.nbr) AS core_nbr
+  FROM dirs
+  JOIN core cn ON dirs.node = cn.vec_id AND NOT cn.is_core
+  JOIN core cb ON dirs.nbr = cb.vec_id AND cb.is_core
+  GROUP BY 1
+)
+SELECT e.vec_id,
+       CASE WHEN c.is_core THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CASE WHEN c.is_core THEN comp.cluster
+            WHEN b.node IS NOT NULL THEN comp2.cluster
+            ELSE -1 END AS cluster
+FROM e
+JOIN core c ON e.vec_id = c.vec_id
+LEFT JOIN comp ON e.vec_id = comp.node
+LEFT JOIN border b ON e.vec_id = b.node
+LEFT JOIN comp comp2 ON b.core_nbr = comp2.node
+ORDER BY e.vec_id
+"""
+
+
 def q_embedding_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023 arXiv:2303.09540,
     stages/cluster.py:semdedup_flags): k-means clusters (the
@@ -2573,6 +2648,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_chunk": q_doc_chunk,
     "source_vocab_divergence": q_source_vocab_divergence,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_dbscan": q_embedding_dbscan,
     "embedding_semdedup": q_embedding_semdedup,
     "doc_lm_perplexity": q_doc_lm_perplexity,
     "doc_gopher_rules": q_doc_gopher_rules,
@@ -2635,6 +2711,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_chunk": _SQL_CHUNK,
     "source_vocab_divergence": _SQL_VOCAB_DIV,
     "embedding_kmeans": _SQL_KMEANS,
+    "embedding_dbscan": _SQL_DBSCAN,
     "embedding_semdedup": _SQL_SEMDEDUP,
     "doc_lm_perplexity": _SQL_LM_PPL,
     "doc_gopher_rules": _SQL_GOPHER_RULES,

@@ -675,12 +675,12 @@ def connected_components(
             ["node"], combine, batch_format="pandas", zero_copy_batch=False,
         ).materialize()
 
-        n_changed = int(
-            new_labels.map_batches(
-                lambda df: pd.DataFrame({"c": [int(df["changed"].sum())]}),
-                batch_format="pandas",
-            ).to_pandas()["c"].sum()
-        )
+        changed_df = new_labels.map_batches(
+            lambda df: pd.DataFrame({"c": [int(df["changed"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        # an empty edge set yields zero blocks -> no "c" column at all
+        n_changed = int(changed_df["c"].sum()) if "c" in changed_df.columns else 0
         labels = new_labels.drop_columns(["changed"]).materialize()
         if n_changed == 0:
             break
