@@ -1913,6 +1913,53 @@ SELECT source, doc_id, h, CAST(rk AS BIGINT) AS rk FROM (
 """
 
 
+def q_doc_sample_neyman(sf_dir: str):
+    """Neyman-allocation stratified sampling (Neyman 1934;
+    stages/packing.py:neyman_sample): a 100-row budget split across
+    sources proportionally to N_s * sigma_s of n_chars via EXACT
+    integer arithmetic (w_s = floor(sqrt(n*sumsq - sum^2)), alloc =
+    total*w // sum w — IEEE sqrt is correctly rounded so the SQL
+    replays it bit-for-bit), then the deterministic Knuth-hash
+    selection within each stratum."""
+    from ..stages.packing import neyman_sample
+
+    out = neyman_sample(
+        _docs(sf_dir, ["source", "doc_id", "n_chars"]),
+        total=100, strat_col="source", var_col="n_chars", id_col="doc_id",
+    )
+    for c in ("doc_id", "h", "rk", "n_alloc"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_SAMPLE_NEYMAN = """
+WITH m AS (
+  SELECT source, COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS s1,
+         SUM(n_chars * n_chars)::BIGINT AS s2
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS w
+  FROM m
+), a AS (
+  SELECT source, CAST((100 * w) // (SELECT SUM(w) FROM w) AS BIGINT) AS n_alloc
+  FROM w
+), h AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296 AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT source, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM h
+)
+SELECT r.source, r.doc_id, r.h, CAST(r.rk AS BIGINT) AS rk, a.n_alloc
+FROM r JOIN a ON r.source = a.source
+WHERE r.rk <= a.n_alloc
+ORDER BY r.source, r.rk
+"""
+
+
 def q_doc_global_shuffle(sf_dir: str):
     """Deterministic global training-order shuffle
     (stages/packing.py:global_shuffle_order): every doc ranked by the
@@ -2663,6 +2710,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_segment_dedup": q_doc_segment_dedup,
     "jsonl_ingest": q_jsonl_ingest,
     "doc_sample_hash": q_doc_sample_hash,
+    "doc_sample_neyman": q_doc_sample_neyman,
     "doc_global_shuffle": q_doc_global_shuffle,
     "doc_normalize": q_doc_normalize,
     "doc_dedup_normalized": q_doc_dedup_normalized,
@@ -2725,6 +2773,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_segment_dedup": _SQL_SEGMENT_DEDUP,
     "jsonl_ingest": _SQL_JSONL_INGEST,
     "doc_sample_hash": _SQL_SAMPLE_HASH,
+    "doc_sample_neyman": _SQL_SAMPLE_NEYMAN,
     "doc_global_shuffle": _SQL_GLOBAL_SHUFFLE,
     "doc_normalize": _SQL_NORMALIZE,
     "doc_dedup_normalized": _SQL_DEDUP_NORMALIZED,

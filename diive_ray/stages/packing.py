@@ -483,3 +483,124 @@ def temperature_mix(
         "sampled_tokens": alloc,
         "epochs": alloc / n,
     })
+
+
+def neyman_sample(
+    ds,
+    *,
+    total: int,
+    strat_col: str = "source",
+    var_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Neyman-allocation stratified sampling (Neyman 1934): a budget of
+    ``total`` rows is split across strata proportionally to N_s * sigma_s
+    (stratum size x stddev of ``var_col``), which minimizes the variance
+    of the stratified mean estimator; selection within a stratum is the
+    deterministic Knuth-hash ranking of ``hash_sample_topk``.
+
+    Allocation is EXACT INTEGER arithmetic so the SQL oracle replays it
+    bit-for-bit: with integer moment partials n_s, sum_s, sumsq_s,
+
+        S2_s    = n_s * sumsq_s - sum_s^2       (= n_s^2 * popvar, exact)
+        w_s     = floor(sqrt(S2_s))             (~ n_s * sigma_s)
+        alloc_s = total * w_s // sum_t w_t      (floor division)
+
+    IEEE-754 sqrt is correctly rounded, so floor(sqrt(int)) matches
+    DuckDB's FLOOR(SQRT(..)) exactly while S2_s < 2^53 (holds to ~1e8
+    rows x 1e3 values per stratum; shard strata beyond that). Constant
+    strata (sigma = 0) get no allocation, the rounding shortfall
+    (sum alloc_s <= total) is by design, and an allocation exceeding a
+    stratum's population simply keeps the whole stratum (no
+    redistribution pass — n_alloc reports the raw allocation).
+
+    Distribution: ONE column-pruned partials pass (3 ints per
+    (batch, stratum)) + bounded driver combine for the allocation; ONE
+    partial-top-k pass + keyed exchange for selection — the corpus
+    never moves. Output: (strat_col, id_col, h, rk, n_alloc)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import block_map, driver_combine
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                strat_col: pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "s1": pd.Series([], dtype=np.int64),
+                "s2": pd.Series([], dtype=np.int64),
+            })
+        x = df[var_col].to_numpy(dtype=np.int64)
+        g = df.assign(n=1, s1=x, s2=x * x).groupby(strat_col, sort=False)
+        return g[["n", "s1", "s2"]].sum().reset_index()
+
+    def alloc_combine(parts: pd.DataFrame) -> pd.DataFrame:
+        g = parts.groupby(strat_col, sort=True)[["n", "s1", "s2"]].sum()
+        # exact ints via Python bignum (pandas sum stays int64-safe at
+        # the documented bound; .astype(object) guards the product)
+        s2 = (g["n"].astype(object) * g["s2"].astype(object)
+              - g["s1"].astype(object) ** 2)
+        w = np.array([math.floor(math.sqrt(float(v))) for v in s2], dtype=np.int64)
+        wsum = int(w.sum())
+        alloc = (total * w) // max(wsum, 1)
+        return pd.DataFrame({
+            strat_col: g.index.to_numpy(),
+            "n_alloc": alloc.astype(np.int64),
+        })
+
+    alloc_df = driver_combine(
+        ds.map_batches(moments, batch_format="pandas"),
+        lambda df: df, alloc_combine, batch_format="pandas",
+    )
+    alloc = dict(zip(alloc_df[strat_col], alloc_df["n_alloc"]))
+    kmax = int(max(alloc.values(), default=0))
+    if kmax == 0:
+        return pd.DataFrame({
+            strat_col: pd.Series([], dtype=object),
+            id_col: pd.Series([], dtype=np.int64),
+            "h": pd.Series([], dtype=np.int64),
+            "rk": pd.Series([], dtype=np.int64),
+            "n_alloc": pd.Series([], dtype=np.int64),
+        })
+
+    def _hash(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(4294967296)).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                strat_col: pd.Series([], dtype=object),
+                id_col: pd.Series([], dtype=np.int64),
+                "h": pd.Series([], dtype=np.int64),
+            })
+        df = df[[strat_col, id_col]].copy()
+        df["h"] = _hash(df[id_col].to_numpy(dtype=np.int64))
+        df = df.sort_values([strat_col, "h", id_col], kind="stable")
+        # per-batch partial top-k at each stratum's own allocation
+        df["__rk"] = df.groupby(strat_col, sort=False).cumcount()
+        df["__k"] = df[strat_col].map(alloc).fillna(0).astype(np.int64)
+        return df[df["__rk"] < df["__k"]][[strat_col, id_col, "h"]]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                strat_col: pd.Series([], dtype=object),
+                id_col: pd.Series([], dtype=np.int64),
+                "h": pd.Series([], dtype=np.int64),
+                "rk": pd.Series([], dtype=np.int64),
+            })
+        df = df.sort_values([strat_col, "h", id_col], kind="stable").copy()
+        df["rk"] = (df.groupby(strat_col, sort=False).cumcount() + 1).astype(np.int64)
+        df["__k"] = df[strat_col].map(alloc).fillna(0).astype(np.int64)
+        return df[df["rk"] <= df["__k"]][[strat_col, id_col, "h", "rk"]]
+
+    out = block_map(
+        ds.select_columns([strat_col, id_col]).map_batches(partial, batch_format="pandas"),
+        [strat_col], combine, batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    out["n_alloc"] = out[strat_col].map(alloc).astype(np.int64)
+    return out.sort_values([strat_col, "rk"]).reset_index(drop=True)
