@@ -1960,6 +1960,27 @@ ORDER BY r.source, r.rk
 """
 
 
+def q_embedding_iforest(sf_dir: str):
+    """Isolation Forest anomaly scoring over the embedding column
+    (Liu, Ting & Zhou 2008; stages/iforest.py): deterministic
+    Knuth-hash bounded training pool, driver-built forest of 100
+    psi=256 iTrees, broadcast once, level-synchronous vectorized
+    scoring pass. Top-20 most anomalous vectors. Rows-only (random
+    axis-aligned trees aren't SQL-expressible); planted-anomaly
+    recovery, determinism and partitioning invariance are pinned in
+    tests/test_iforest.py."""
+    from ..stages.iforest import iforest_scores
+    from ..util import stable_round6 as _sr6
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    out = iforest_scores(ds, id_col="vec_id", vec_col="embedding").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["iforest_score"] = _sr6(out["iforest_score"].astype(float))
+    out = out.sort_values(
+        ["iforest_score", "vec_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
 def q_doc_global_shuffle(sf_dir: str):
     """Deterministic global training-order shuffle
     (stages/packing.py:global_shuffle_order): every doc ranked by the
@@ -2711,6 +2732,7 @@ DOC_QUERIES: dict[str, Any] = {
     "jsonl_ingest": q_jsonl_ingest,
     "doc_sample_hash": q_doc_sample_hash,
     "doc_sample_neyman": q_doc_sample_neyman,
+    "embedding_iforest": q_embedding_iforest,
     "doc_global_shuffle": q_doc_global_shuffle,
     "doc_normalize": q_doc_normalize,
     "doc_dedup_normalized": q_doc_dedup_normalized,
