@@ -7064,6 +7064,89 @@ FROM best WHERE pick = 1 ORDER BY event_type
 """
 
 
+def q_storage_fill(sf_dir: str):
+    """Storage correction with expanding rolling-median gap-fill
+    (reference flux/lowres/storage_correction.py:230-295,
+    _gapfill_storage_term; stages/gaps.py:expanding_rmedian_fill_frame):
+    per event_type series, missing storage values are filled with the
+    rolling median at the smallest odd centered window holding >= 3
+    valid values (windows 3,5,7,... over ROW positions of the ORIGINAL
+    series) — equivalently the median of valid values within the
+    minimal symmetric window, h* = 3rd-smallest position distance —
+    then corrected flux = flux + filled storage on flux-valid rows.
+    Storage/flux series synthesized deterministically from events with
+    Knuth-hash planted gaps (20% storage, 5% flux), identical in SQL."""
+    from ..stages.gaps import storage_gapfill
+
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        storage = df["value"].to_numpy(np.float64) / 10.0
+        storage[(h % np.uint64(100)) < 20] = np.nan
+        flux = df["value"].to_numpy(np.float64)
+        flux[((h // np.uint64(7)) % np.uint64(100)) < 5] = np.nan
+        return df.assign(storage=storage, flux=flux).drop(columns=["value"])
+
+    prepared = ds.map_batches(synth, batch_format="pandas")
+    out = storage_gapfill(
+        prepared, keys=["event_type"], order_by=["ts", "event_id"],
+    ).to_pandas()
+    res = out[["event_id", "event_type", "flag_strg_isfilled"]].copy()
+    res["flag_strg_isfilled"] = res["flag_strg_isfilled"].astype("int64")
+    res["storage_gf"] = stable_round6(out["storage_gf"].astype(float))
+    res["flux_corr"] = stable_round6(out["flux_corr"].astype(float))
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+_SQL_STORAGE_FILL = """
+WITH base AS (
+  SELECT event_id, event_type, ts,
+         (CAST(event_id AS UBIGINT) * 2654435761) % 4294967296 AS h,
+         value
+  FROM events
+), s AS (
+  SELECT event_id, event_type,
+         CASE WHEN h % 100 < 20 THEN NULL ELSE value / 10.0 END AS storage,
+         CASE WHEN (h // 7) % 100 < 5 THEN NULL ELSE value END AS flux,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pos
+  FROM base
+), v AS (
+  SELECT event_type, pos, storage FROM s WHERE storage IS NOT NULL
+), miss AS (
+  SELECT event_type, event_id, pos FROM s WHERE storage IS NULL
+), d AS (
+  SELECT m.event_type, m.event_id, m.pos, v.pos AS vpos,
+         ABS(v.pos - m.pos) AS dist
+  FROM miss m JOIN v ON v.event_type = m.event_type
+), d3 AS (
+  SELECT event_type, event_id, pos, dist AS hstar FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type, event_id ORDER BY dist, vpos) AS rk
+    FROM d
+  ) WHERE rk = 3
+), fill AS (
+  SELECT d3.event_type, d3.event_id, MEDIAN(v.storage) AS fillval
+  FROM d3 JOIN v ON v.event_type = d3.event_type
+       AND v.pos BETWEEN d3.pos - d3.hstar AND d3.pos + d3.hstar
+  GROUP BY 1, 2
+)
+SELECT s.event_id, s.event_type,
+       CAST(CASE WHEN s.storage IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS flag_strg_isfilled,
+       ROUND(ROUND(COALESCE(s.storage, fill.fillval, 0.0), 9), 6) + 0.0
+         AS storage_gf,
+       ROUND(ROUND(s.flux + COALESCE(s.storage, fill.fillval, 0.0), 9), 6) + 0.0
+         AS flux_corr
+FROM s
+LEFT JOIN fill ON fill.event_type = s.event_type AND fill.event_id = s.event_id
+WHERE s.flux IS NOT NULL
+ORDER BY s.event_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -7190,6 +7273,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "rank_drivers": q_rank_drivers,
     "eddypro_meteo_format": q_eddypro_meteo_format,
     "winsorize": q_winsorize,
+    "storage_fill": q_storage_fill,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
@@ -7310,6 +7394,7 @@ ORACLE: dict[str, str] = {
     "rank_drivers": _SQL_RANK_DRIVERS,
     "eddypro_meteo_format": _SQL_METEO_FORMAT,
     "winsorize": _SQL_WINSORIZE,
+    "storage_fill": _SQL_STORAGE_FILL,
     "cusum_drift": _SQL_CUSUM,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

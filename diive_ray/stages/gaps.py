@@ -315,3 +315,88 @@ def gapfill_rollup(
 
     with_chunks = ds.map_batches(emit_chunks, batch_format="pandas")
     return grouped_block_map(with_chunks, keys + ["_chunk"], gfn)
+
+
+def expanding_rmedian_fill_frame(
+    df: pd.DataFrame,
+    *,
+    strg_col: str = "storage",
+    flux_col: str = "flux",
+) -> pd.DataFrame:
+    """Storage-term gap-fill with an EXPANDING centered rolling median
+    (reference flux/lowres/storage_correction.py:230-295,
+    _gapfill_storage_term): windows 3, 5, 7, ... until every gap is
+    covered; each pass's median is computed on the ORIGINAL series, so
+    the fill at a missing position equals the rolling median at the
+    SMALLEST odd window holding >= 3 valid values there — i.e. the
+    median of the valid values within the minimal symmetric position
+    window [p-h*, p+h*] with >= 3 valid (h* = 3rd-smallest position
+    distance to a valid value). Fewer than 3 valid values in the whole
+    series -> fallback 0.0 (flagged). Output keeps only rows where the
+    flux is non-null (the reference's dropna(subset=fluxcol)) and
+    appends ``{strg_col}_gf`` + ``flag_strg_isfilled`` (0 original /
+    1 filled) + ``flux_corr`` = flux + filled storage.
+
+    The frame must arrive in series order (sort by timestamp first);
+    positions are ROW positions as in the reference's integer-window
+    rolling. O(n_missing) candidate scan + per-missing median over the
+    minimal window — the cold path of a storage series (gaps are rare).
+    """
+    s = df[strg_col].to_numpy(dtype=np.float64)
+    n = len(s)
+    out = s.copy()
+    flag = np.zeros(n, dtype=np.int8)
+    valid = np.flatnonzero(~np.isnan(s))
+    missing = np.flatnonzero(np.isnan(s))
+    if len(valid) < 3:
+        out[missing] = 0.0
+        flag[missing] = 1
+    else:
+        V = valid
+        sv = s[V]
+        for p in missing:
+            i = int(np.searchsorted(V, p))
+            # minimal symmetric window with >=3 valid: best triple of
+            # consecutive valid positions around p
+            best = None
+            for k in range(max(0, i - 3), min(len(V) - 3, i) + 1):
+                h = max(abs(int(V[k]) - int(p)), abs(int(V[k + 2]) - int(p)))
+                if best is None or h < best:
+                    best = h
+            lo = int(np.searchsorted(V, p - best))
+            hi = int(np.searchsorted(V, p + best, side="right"))
+            out[p] = float(np.median(sv[lo:hi]))
+            flag[p] = 1
+    res = df.copy()
+    res[f"{strg_col}_gf"] = out
+    res["flag_strg_isfilled"] = flag
+    res = res[res[flux_col].notna()].copy()
+    res["flux_corr"] = res[flux_col].to_numpy(dtype=np.float64) + res[
+        f"{strg_col}_gf"].to_numpy(dtype=np.float64)
+    return res
+
+
+def storage_gapfill(
+    ds,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    strg_col: str = "storage",
+    flux_col: str = "flux",
+    num_partitions: int | None = None,
+):
+    """Distributed storage correction with rolling-median gap-fill:
+    ONE keyed exchange co-locates each series, rows sorted into series
+    order, then the frame op above per group. Window growth is
+    unbounded like the reference's (cap 2n+1), so a series must fit
+    its block — the same per-series partitioning assumption as the
+    other sequential per-key stages (document/shard very long series
+    by (key, year) if needed)."""
+    from .exchange import grouped_block_map
+
+    def gfn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, kind="stable", ignore_index=True)
+        return expanding_rmedian_fill_frame(
+            df, strg_col=strg_col, flux_col=flux_col)
+
+    return grouped_block_map(ds, keys, gfn, num_partitions=num_partitions)
