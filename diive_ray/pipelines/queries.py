@@ -6893,6 +6893,146 @@ FROM calc ORDER BY event_type
 """
 
 
+def q_seasonal_mann_kendall(sf_dir: str):
+    """Seasonal Mann-Kendall test (Hirsch, Slack & Smith 1982;
+    stages/trend.py:seasonal_mann_kendall_frame) per event_type over
+    the daily mean series with month-of-year seasons: within-season
+    sign triangles only (S' = sum S_k, Var' = sum of tie-corrected
+    var_k, continuity-corrected Z), tau = S'/sum n_k(n_k-1)/2, seasonal
+    Sen slope = median over all within-season pairwise slopes."""
+    from ..stages.trend import seasonal_mann_kendall_frame
+
+    t1d = _fused_tier(sf_dir, "1d").to_pandas()
+    t1d["m"] = stable_round6(t1d["mean"].astype(float))
+    out = seasonal_mann_kendall_frame(
+        t1d, key="event_type", day_col="bucket_ts", val_col="m")
+    for c in ("var_s", "z", "tau", "sen_slope"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_SEASONAL_MK = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS d,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type,
+         SIGN(b.m - a.m) AS sg,
+         (b.m - a.m) / date_diff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND month(a.d) = month(b.d) AND a.d < b.d
+),
+sstat AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s, MEDIAN(slope) AS sen
+  FROM pairs GROUP BY 1
+),
+seas AS (
+  SELECT event_type, month(d) AS mo, COUNT(*)::DOUBLE AS nk
+  FROM daily GROUP BY 1, 2
+),
+ties AS (
+  SELECT event_type, mo,
+         COALESCE(SUM(CASE WHEN t > 1 THEN t * (t - 1) * (2 * t + 5) ELSE 0 END), 0)::DOUBLE AS tsum
+  FROM (SELECT event_type, month(d) AS mo, m, COUNT(*)::DOUBLE AS t
+        FROM daily GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+pervar AS (
+  SELECT s.event_type, s.mo,
+         (s.nk * (s.nk - 1) * (2 * s.nk + 5) - t.tsum) / 18 AS var_k,
+         s.nk * (s.nk - 1) / 2 AS denom_k,
+         s.nk
+  FROM seas s JOIN ties t ON s.event_type = t.event_type AND s.mo = t.mo
+),
+agg AS (
+  SELECT event_type, SUM(nk) AS n, SUM(var_k) AS var_s, SUM(denom_k) AS denom
+  FROM pervar GROUP BY 1
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n,
+       s.s,
+       ROUND(ROUND(a.var_s, 9), 6) AS var_s,
+       ROUND(ROUND(CASE WHEN a.var_s <= 0 THEN 0
+                        WHEN s.s > 0 THEN (s.s - 1) / sqrt(a.var_s)
+                        WHEN s.s < 0 THEN (s.s + 1) / sqrt(a.var_s)
+                        ELSE 0 END, 9), 6) AS z,
+       ROUND(ROUND(CASE WHEN a.denom > 0 THEN s.s / a.denom ELSE 0 END, 9), 6) AS tau,
+       ROUND(ROUND(s.sen, 9), 6) AS sen_slope
+FROM agg a JOIN sstat s USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit data-quality probe (Benford
+    1938, Newcomb 1881): distribution of the leading digit of
+    floor(o_totalprice) per order priority vs the Benford expectation
+    log10(1 + 1/d), with the per-digit chi-square contribution
+    n*(share-exp)^2/exp. First digit extracted by exact integer
+    division (repeated //10 — no float log10 near power-of-10
+    boundaries), so both sides agree bit-for-bit. One vectorized
+    partial-count pass + tiny (priority x 9) combine."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.floor(v).astype(np.int64)
+        m = d > 0
+        d = d[m]
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        df = pd.DataFrame({
+            "priority": np.asarray(t["o_orderpriority"].to_pylist(), dtype=object)[m],
+            "digit": d,
+        })
+        g = df.groupby(["priority", "digit"], sort=False).size().reset_index(name="cnt")
+        return g
+
+    from ..stages.exchange import driver_combine
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        g = parts.groupby(["priority", "digit"], sort=True)["cnt"].sum().reset_index()
+        tot = g.groupby("priority")["cnt"].transform("sum").to_numpy(np.float64)
+        share = g["cnt"].to_numpy(np.float64) / tot
+        exp = np.log10(1.0 + 1.0 / g["digit"].to_numpy(np.float64))
+        g["share"] = stable_round6(share)
+        g["benford_exp"] = stable_round6(exp)
+        g["chi2_term"] = stable_round6(tot * (share - exp) ** 2 / exp)
+        g["cnt"] = g["cnt"].astype("int64")
+        g["digit"] = g["digit"].astype("int64")
+        return g.reset_index(drop=True)
+
+    return driver_combine(ds, partial, combine)
+
+
+_SQL_BENFORD = """
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+         CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE FLOOR(o_totalprice) > 0
+),
+g AS (
+  SELECT priority, digit, COUNT(*)::BIGINT AS cnt FROM d GROUP BY 1, 2
+),
+t AS (
+  SELECT priority, SUM(cnt)::DOUBLE AS tot FROM g GROUP BY 1
+)
+SELECT g.priority, g.digit, g.cnt,
+       ROUND(ROUND(g.cnt / t.tot, 9), 6) AS share,
+       ROUND(ROUND(LOG10(1.0 + 1.0 / g.digit), 9), 6) AS benford_exp,
+       ROUND(ROUND(t.tot * POW(g.cnt / t.tot - LOG10(1.0 + 1.0 / g.digit), 2)
+             / LOG10(1.0 + 1.0 / g.digit), 9), 6) AS chi2_term
+FROM g JOIN t USING (priority)
+ORDER BY priority, digit
+"""
+
+
 _LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
 
 
@@ -7274,6 +7414,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "eddypro_meteo_format": q_eddypro_meteo_format,
     "winsorize": q_winsorize,
     "storage_fill": q_storage_fill,
+    "seasonal_mann_kendall": q_seasonal_mann_kendall,
+    "benford_digits": q_benford_digits,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
@@ -7395,6 +7537,8 @@ ORACLE: dict[str, str] = {
     "eddypro_meteo_format": _SQL_METEO_FORMAT,
     "winsorize": _SQL_WINSORIZE,
     "storage_fill": _SQL_STORAGE_FILL,
+    "seasonal_mann_kendall": _SQL_SEASONAL_MK,
+    "benford_digits": _SQL_BENFORD,
     "cusum_drift": _SQL_CUSUM,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

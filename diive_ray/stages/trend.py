@@ -274,3 +274,61 @@ def pettitt_frame(
     out["k_stat"] = out["k_stat"].astype("int64")
     out["u_at_change"] = out["u_at_change"].astype("int64")
     return out
+
+
+def seasonal_mann_kendall_frame(
+    daily: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    day_col: str = "bucket_ts",
+    val_col: str = "m",
+) -> pd.DataFrame:
+    """Seasonal Mann-Kendall test (Hirsch, Slack & Smith 1982; the
+    seasonal Kendall test with month-of-year seasons): per season k,
+    S_k over that season's i<j sign triangle and tie-corrected var_k;
+    the test statistic sums seasons (S' = sum S_k, Var' = sum var_k,
+    continuity-corrected Z), tau = S' / sum_k n_k(n_k-1)/2, and the
+    seasonal Sen slope is the median over ALL within-season pairwise
+    slopes. Removes the seasonal cycle's false-trend contribution that
+    the plain MK test (mann_kendall_frame) conflates with trend.
+
+    Input is the rollup cascade's bounded DAILY tier, so the per-season
+    O(n_k^2) triangles are calendar-bounded."""
+    rows = []
+    for k, g in daily.groupby(key, sort=True):
+        d = pd.to_datetime(g[day_col])
+        g = g.assign(_month=d.dt.month.to_numpy())
+        S = 0
+        V = 0.0
+        denom = 0.0
+        n = 0
+        slopes = []
+        for _, gg in g.groupby("_month", sort=True):
+            gg = gg.sort_values(day_col)
+            y = gg[val_col].to_numpy(dtype=np.float64)
+            t = ts_to_us(pd.to_datetime(gg[day_col])) // 86_400_000_000
+            nk = len(y)
+            n += nk
+            if nk < 2:
+                continue
+            iu, ju = np.triu_indices(nk, k=1)
+            dy = y[ju] - y[iu]
+            S += int(np.sign(dy).sum())
+            _, counts = np.unique(y, return_counts=True)
+            ties = counts[counts > 1].astype(np.float64)
+            V += (nk * (nk - 1) * (2 * nk + 5)
+                  - np.sum(ties * (ties - 1) * (2 * ties + 5))) / 18.0
+            denom += nk * (nk - 1) / 2.0
+            slopes.append(dy / (t[ju] - t[iu]).astype(np.float64))
+        if V > 0:
+            z = (S - 1) / np.sqrt(V) if S > 0 else ((S + 1) / np.sqrt(V) if S < 0 else 0.0)
+        else:
+            z = 0.0
+        tau = S / denom if denom > 0 else 0.0
+        sen = float(np.median(np.concatenate(slopes))) if slopes else np.nan
+        rows.append((k, n, S, float(V), float(z), float(tau), sen))
+    out = pd.DataFrame(
+        rows, columns=[key, "n", "s", "var_s", "z", "tau", "sen_slope"])
+    out["n"] = out["n"].astype("int64")
+    out["s"] = out["s"].astype("int64")
+    return out
