@@ -7033,6 +7033,28 @@ ORDER BY priority, digit
 """
 
 
+def q_shesd_anomalies(sf_dir: str):
+    """Seasonal Hybrid ESD anomaly detection (Hochenbaum, Vallis &
+    Kejariwal 2017; stages/shesd.py) per event_type over the hourly
+    mean tier (period 24): STL-lite seasonal removal, then the robust
+    generalized ESD sweep (Rosner 1983) with median/MAD statistics.
+    Rows-only (loess + iterative removal isn't SQL-expressible);
+    Rosner's published critical values and planted-anomaly recovery
+    are pinned in tests/test_shesd.py. Returns flagged anomalies."""
+    from ..stages.shesd import shesd_detect
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = shesd_detect(
+        t1h, keys=["event_type"], order_by=["bucket_ts"], value_col="mean",
+        period=24, max_anoms_frac=0.02, alpha=0.05,
+    ).to_pandas()
+    out = out[out["anomaly"] == 1][
+        ["event_type", "bucket_ts", "mean", "anom_rank"]].copy()
+    out["mean"] = stable_round6(out["mean"].astype(float))
+    out["anom_rank"] = out["anom_rank"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
 _LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
 
 
@@ -7416,6 +7438,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "storage_fill": q_storage_fill,
     "seasonal_mann_kendall": q_seasonal_mann_kendall,
     "benford_digits": q_benford_digits,
+    "shesd_anomalies": q_shesd_anomalies,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
