@@ -7055,6 +7055,185 @@ def q_shesd_anomalies(sf_dir: str):
     return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
 
 
+def q_pelt_changepoints(sf_dir: str):
+    """PELT optimal mean-changepoint detection (Killick, Fearnhead &
+    Eckley 2012; stages/trend.py:pelt_mean_changepoints) per event_type
+    over the daily mean tier: exact penalized-likelihood segmentation
+    with the paper's pruning, MAD-based default penalty. Rows-only
+    (the DP isn't SQL-expressible); exactness vs the unpruned O(n^2)
+    DP and planted-changepoint recovery are pinned in
+    tests/test_pelt.py."""
+    from ..stages.trend import pelt_frame
+
+    t1d = _fused_tier(sf_dir, "1d").to_pandas()
+    t1d["m"] = stable_round6(t1d["mean"].astype(float))
+    # the synthetic daily means are stationary; plant a deterministic
+    # two-step level shift (at the 1/3 and 2/3 day ranks per key) so
+    # the query exercises multi-changepoint recovery end-to-end
+    t1d = t1d.sort_values(["event_type", "bucket_ts"], ignore_index=True)
+    rk = t1d.groupby("event_type").cumcount().to_numpy()
+    nn = t1d.groupby("event_type")["m"].transform("size").to_numpy()
+    sig = t1d.groupby("event_type")["m"].transform("std").to_numpy()
+    t1d["m"] = (t1d["m"].to_numpy()
+                + 5.0 * sig * (rk >= nn // 3) + 4.0 * sig * (rk >= 2 * nn // 3))
+    out = pelt_frame(t1d, key="event_type", day_col="bucket_ts", val_col="m")
+    for c in ("mean_before", "mean_after"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "cp_rank"]).reset_index(drop=True)
+
+
+def q_mutual_information(sf_dir: str):
+    """Mutual information + Cramer's V between event_type and
+    hour-of-day over the events table (Shannon 1948; Cramer 1946):
+    joint/marginal cell counts via ONE tiny combine (cells bounded at
+    |types| x 24), MI = sum p_xy * ln(p_xy / (p_x p_y)), normalized MI
+    = MI / min(H(x), H(y)), chi-square + V = sqrt(chi2 / (n * (min(r,c)
+    - 1))). Exact SQL replay."""
+    from ..stages.exchange import driver_combine
+
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        hrs = pd.to_datetime(
+            t["ts"].to_pandas()).dt.hour.to_numpy()
+        df = pd.DataFrame({
+            "x": np.asarray(t["event_type"].to_pylist(), dtype=object),
+            "h": hrs,
+        })
+        return df.groupby(["x", "h"], sort=False).size().reset_index(name="cnt")
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        g = parts.groupby(["x", "h"], sort=True)["cnt"].sum().reset_index()
+        n = float(g["cnt"].sum())
+        pxy = g["cnt"].to_numpy(np.float64) / n
+        px = g.groupby("x")["cnt"].transform("sum").to_numpy(np.float64) / n
+        ph = g.groupby("h")["cnt"].transform("sum").to_numpy(np.float64) / n
+        mi = float(np.sum(pxy * np.log(pxy / (px * ph))))
+        mx = g.groupby("x")["cnt"].sum().to_numpy(np.float64) / n
+        mh = g.groupby("h")["cnt"].sum().to_numpy(np.float64) / n
+        hx = -float(np.sum(mx * np.log(mx)))
+        hh = -float(np.sum(mh * np.log(mh)))
+        # chi2 over the COMPLETE r x c grid (empty cells contribute
+        # their full expected count): pivot to the full grid
+        grid = g.pivot_table(index="x", columns="h", values="cnt",
+                             fill_value=0, aggfunc="sum").to_numpy(np.float64)
+        expg = np.outer(mx, mh) * n
+        chi2 = float(np.sum((grid - expg) ** 2 / expg))
+        r, c = len(mx), len(mh)
+        v = float(np.sqrt(chi2 / (n * (min(r, c) - 1))))
+        return pd.DataFrame({
+            "n": pd.Series([int(n)], dtype="int64"),
+            "mi": stable_round6(np.array([mi])),
+            "nmi": stable_round6(np.array([mi / min(hx, hh)])),
+            "h_type": stable_round6(np.array([hx])),
+            "h_hour": stable_round6(np.array([hh])),
+            "chi2": stable_round6(np.array([chi2])),
+            "cramers_v": stable_round6(np.array([v])),
+        })
+
+    return driver_combine(ds, partial, combine)
+
+
+_SQL_MUTUAL_INFO = """
+WITH g AS (
+  SELECT event_type AS x, hour(ts) AS h, COUNT(*)::DOUBLE AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT SUM(cnt) AS n FROM g),
+mx AS (SELECT x, SUM(cnt) AS cx FROM g GROUP BY 1),
+mh AS (SELECT h, SUM(cnt) AS ch FROM g GROUP BY 1),
+mi AS (
+  SELECT SUM((g.cnt / t.n) * LN((g.cnt / t.n) / ((mx.cx / t.n) * (mh.ch / t.n)))) AS mi
+  FROM g JOIN mx USING (x) JOIN mh USING (h) CROSS JOIN tot t
+),
+-- chi2 over the COMPLETE grid: cross-join marginals, missing cells = 0
+chi AS (
+  SELECT SUM(POW(COALESCE(g.cnt, 0) - mx.cx * mh.ch / t.n, 2)
+             / (mx.cx * mh.ch / t.n)) AS chi2
+  FROM mx CROSS JOIN mh CROSS JOIN tot t
+  LEFT JOIN g ON g.x = mx.x AND g.h = mh.h
+),
+ent AS (
+  SELECT (SELECT -SUM((cx / t.n) * LN(cx / t.n)) FROM mx CROSS JOIN tot t) AS hx,
+         (SELECT -SUM((ch / t.n) * LN(ch / t.n)) FROM mh CROSS JOIN tot t) AS hh,
+         (SELECT COUNT(*) FROM mx) AS r,
+         (SELECT COUNT(*) FROM mh) AS c
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       ROUND(ROUND(mi.mi, 9), 6) AS mi,
+       ROUND(ROUND(mi.mi / LEAST(ent.hx, ent.hh), 9), 6) AS nmi,
+       ROUND(ROUND(ent.hx, 9), 6) AS h_type,
+       ROUND(ROUND(ent.hh, 9), 6) AS h_hour,
+       ROUND(ROUND(chi.chi2, 9), 6) AS chi2,
+       ROUND(ROUND(SQRT(chi.chi2 / (t.n * (LEAST(ent.r, ent.c) - 1))), 9), 6) AS cramers_v
+FROM mi CROSS JOIN chi CROSS JOIN ent CROSS JOIN tot t
+"""
+
+
+def q_permutation_entropy(sf_dir: str):
+    """Permutation entropy (Bandt & Pompe 2002), order m=3, lag 1, per
+    event_type over the hourly mean tier: each window of 3 consecutive
+    rows is coded by its ordinal pattern (ties ranked by time, the BP
+    convention -> later-element >= comparisons), pattern distribution
+    -> Shannon entropy, normalized by ln(3!). Complexity probe for the
+    rollup tier series; exact SQL replay via LEAD + CASE coding."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    t1h = t1h.sort_values(["event_type", "bucket_ts"], ignore_index=True)
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g["m"].to_numpy(np.float64)
+        if len(y) < 3:
+            continue
+        a, b, c = y[:-2], y[1:-1], y[2:]
+        code = (4 * (b >= a).astype(np.int64)
+                + 2 * (c >= b).astype(np.int64)
+                + (c >= a).astype(np.int64))
+        cnt = np.bincount(code, minlength=8).astype(np.float64)
+        n = cnt.sum()
+        p = cnt[cnt > 0] / n
+        pe = -float(np.sum(p * np.log(p)))
+        rows.append((k, int(n), pe, pe / np.log(6.0)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_windows", "pe", "pe_norm"])
+    out["n_windows"] = out["n_windows"].astype("int64")
+    out["pe"] = stable_round6(out["pe"].astype(float))
+    out["pe_norm"] = stable_round6(out["pe_norm"].astype(float))
+    return out.reset_index(drop=True)
+
+
+_SQL_PERM_ENTROPY = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS b,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+w AS (
+  SELECT event_type, m AS a,
+         LEAD(m, 1) OVER (PARTITION BY event_type ORDER BY b) AS bb,
+         LEAD(m, 2) OVER (PARTITION BY event_type ORDER BY b) AS cc
+  FROM h
+),
+p AS (
+  SELECT event_type,
+         4 * CAST(bb >= a AS BIGINT) + 2 * CAST(cc >= bb AS BIGINT)
+           + CAST(cc >= a AS BIGINT) AS code
+  FROM w WHERE cc IS NOT NULL
+),
+g AS (SELECT event_type, code, COUNT(*)::DOUBLE AS cnt FROM p GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(cnt) AS n FROM g GROUP BY 1),
+e AS (
+  SELECT g.event_type, t.n,
+         -SUM((g.cnt / t.n) * LN(g.cnt / t.n)) AS pe
+  FROM g JOIN t USING (event_type) GROUP BY 1, 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_windows,
+       ROUND(ROUND(pe, 9), 6) AS pe,
+       ROUND(ROUND(pe / LN(6.0), 9), 6) AS pe_norm
+FROM e ORDER BY event_type
+"""
+
+
 _LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
 
 
@@ -7439,6 +7618,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "seasonal_mann_kendall": q_seasonal_mann_kendall,
     "benford_digits": q_benford_digits,
     "shesd_anomalies": q_shesd_anomalies,
+    "pelt_changepoints": q_pelt_changepoints,
+    "mutual_information": q_mutual_information,
+    "permutation_entropy": q_permutation_entropy,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
@@ -7562,6 +7744,8 @@ ORACLE: dict[str, str] = {
     "storage_fill": _SQL_STORAGE_FILL,
     "seasonal_mann_kendall": _SQL_SEASONAL_MK,
     "benford_digits": _SQL_BENFORD,
+    "mutual_information": _SQL_MUTUAL_INFO,
+    "permutation_entropy": _SQL_PERM_ENTROPY,
     "cusum_drift": _SQL_CUSUM,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

@@ -332,3 +332,97 @@ def seasonal_mann_kendall_frame(
     out["n"] = out["n"].astype("int64")
     out["s"] = out["s"].astype("int64")
     return out
+
+
+# ------------------------------------------------------------------ PELT
+
+
+def pelt_mean_changepoints(
+    y: np.ndarray, *, penalty: float | None = None, min_size: int = 2,
+) -> list[int]:
+    """PELT optimal changepoint detection (Killick, Fearnhead & Eckley
+    2012) for changes in MEAN under a Gaussian cost: segment cost
+    C(a, b) = sum (y - mean)^2 over y[a:b] via prefix sums, total
+    objective sum C + beta * (#changepoints), exact minimization with
+    the paper's pruning rule (candidates t with F(t) + C(t, s) > F(s)
+    can never be optimal again). Default penalty beta = 2 * sigma_hat^2
+    * log n with sigma_hat the MAD-consistent noise scale — the
+    standard BIC-flavored choice.
+
+    Returns the sorted changepoint indices (segment starts, excluding
+    0). Deterministic; completes the changepoint family next to
+    pettitt_test (single change, rank-based) and CUSUM (drift)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n < 2 * min_size:
+        return []
+    if penalty is None:
+        dif = np.diff(y)
+        sig = 1.4826 * np.median(np.abs(dif - np.median(dif))) / np.sqrt(2.0)
+        penalty = 2.0 * max(sig, 1e-12) ** 2 * np.log(n)
+    s1 = np.concatenate([[0.0], np.cumsum(y)])
+    s2 = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def cost(a: int, b: int) -> float:  # y[a:b]
+        m = b - a
+        s = s1[b] - s1[a]
+        return (s2[b] - s2[a]) - s * s / m
+
+    F = np.full(n + 1, np.inf)
+    F[0] = -penalty
+    last = np.zeros(n + 1, dtype=np.int64)
+    # candidate last-changepoint positions: 0 plus every valid segment
+    # end in [min_size, t - min_size], grown as it becomes feasible
+    R = [0]
+    for t in range(min_size, n + 1):
+        best, barg = np.inf, 0
+        for s in R:
+            v = F[s] + cost(s, t) + penalty
+            if v < best:
+                best, barg = v, s
+        F[t] = best
+        last[t] = barg
+        # PELT pruning: s with F[s] + C(s, t) > F(t) can never win again
+        R = [s for s in R if F[s] + cost(s, t) <= F[t]]
+        snew = t - min_size + 1  # becomes feasible at iteration t + 1
+        if snew >= min_size:
+            R.append(snew)
+    cps = []
+    t = n
+    while t > 0:
+        s = int(last[t])
+        if s == 0:
+            break
+        cps.append(s)
+        t = s
+    return sorted(cps)
+
+
+def pelt_frame(
+    daily: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    day_col: str = "bucket_ts",
+    val_col: str = "m",
+    penalty: float | None = None,
+    min_size: int = 2,
+) -> pd.DataFrame:
+    """PELT per key over a bounded daily frame: one row per detected
+    changepoint (key, cp_rank, day, mean_before, mean_after)."""
+    rows = []
+    for k, g in daily.groupby(key, sort=True):
+        g = g.sort_values(day_col, ignore_index=True)
+        y = g[val_col].to_numpy(dtype=np.float64)
+        cps = pelt_mean_changepoints(y, penalty=penalty, min_size=min_size)
+        bounds = [0] + cps + [len(y)]
+        for r, cp in enumerate(cps, start=1):
+            i = bounds.index(cp)
+            rows.append((
+                k, r, g[day_col].iloc[cp],
+                float(y[bounds[i - 1]:cp].mean()),
+                float(y[cp:bounds[i + 1]].mean()),
+            ))
+    out = pd.DataFrame(
+        rows, columns=[key, "cp_rank", "day", "mean_before", "mean_after"])
+    out["cp_rank"] = out["cp_rank"].astype("int64")
+    return out
