@@ -1981,6 +1981,81 @@ def q_embedding_iforest(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_source_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test + Cohen's d between every
+    source pair on document length (Welch 1947; Satterthwaite 1946;
+    Cohen 1988): per-source moment partials (n, sum, sumsq) in ONE
+    vectorized pass + a tiny pair combine — t = (m1-m2)/sqrt(v1/n1 +
+    v2/n2), Welch-Satterthwaite df, d = (m1-m2)/s_pooled. Sample
+    variance via the exact integer moments so the SQL replays it
+    bit-for-bit."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    ds = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "source": np.asarray(t["source"].to_pylist(), dtype=object),
+            "n": 1, "s1": x, "s2": x * x,
+        })
+        return df.groupby("source", sort=False)[["n", "s1", "s2"]].sum().reset_index()
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        g = parts.groupby("source", sort=True)[["n", "s1", "s2"]].sum()
+        src = g.index.to_numpy()
+        n = g["n"].to_numpy(np.float64)
+        m = g["s1"].to_numpy(np.float64) / n
+        # exact integer sum-of-squares -> sample variance
+        ss = g["s2"].to_numpy(np.float64) - g["s1"].to_numpy(np.float64) ** 2 / n
+        v = ss / (n - 1)
+        rows = []
+        for i in range(len(src)):
+            for j in range(i + 1, len(src)):
+                se2 = v[i] / n[i] + v[j] / n[j]
+                tstat = (m[i] - m[j]) / np.sqrt(se2)
+                df_w = se2 ** 2 / (
+                    (v[i] / n[i]) ** 2 / (n[i] - 1)
+                    + (v[j] / n[j]) ** 2 / (n[j] - 1))
+                sp = np.sqrt(((n[i] - 1) * v[i] + (n[j] - 1) * v[j])
+                             / (n[i] + n[j] - 2))
+                rows.append((src[i], src[j], int(n[i]), int(n[j]),
+                             tstat, df_w, (m[i] - m[j]) / sp))
+        out = pd.DataFrame(rows, columns=[
+            "src_a", "src_b", "n_a", "n_b", "t_welch", "df_welch", "cohens_d"])
+        out["n_a"] = out["n_a"].astype("int64")
+        out["n_b"] = out["n_b"].astype("int64")
+        for c in ("t_welch", "df_welch", "cohens_d"):
+            out[c] = _sr6(out[c].astype(float))
+        return out
+
+    return driver_combine(ds, partial, combine)
+
+
+_SQL_WELCH = """
+WITH g AS (
+  SELECT source, COUNT(*)::DOUBLE AS n, SUM(n_chars)::BIGINT AS s1,
+         SUM(n_chars * n_chars)::BIGINT AS s2
+  FROM documents GROUP BY 1
+),
+m AS (
+  SELECT source, n, s1 / n AS mean,
+         (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) AS var
+  FROM g
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       ROUND(ROUND((a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n), 9), 6) AS t_welch,
+       ROUND(ROUND(POW(a.var / a.n + b.var / b.n, 2) /
+             (POW(a.var / a.n, 2) / (a.n - 1) + POW(b.var / b.n, 2) / (b.n - 1)), 9), 6) AS df_welch,
+       ROUND(ROUND((a.mean - b.mean) /
+             SQRT(((a.n - 1) * a.var + (b.n - 1) * b.var) / (a.n + b.n - 2)), 9), 6) AS cohens_d
+FROM m a JOIN m b ON a.source < b.source
+ORDER BY src_a, src_b
+"""
+
+
 def q_doc_global_shuffle(sf_dir: str):
     """Deterministic global training-order shuffle
     (stages/packing.py:global_shuffle_order): every doc ranked by the
@@ -2733,6 +2808,7 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_sample_hash": q_doc_sample_hash,
     "doc_sample_neyman": q_doc_sample_neyman,
     "embedding_iforest": q_embedding_iforest,
+    "source_welch_ttest": q_source_welch_ttest,
     "doc_global_shuffle": q_doc_global_shuffle,
     "doc_normalize": q_doc_normalize,
     "doc_dedup_normalized": q_doc_dedup_normalized,
@@ -2796,6 +2872,7 @@ DOC_ORACLE: dict[str, str] = {
     "jsonl_ingest": _SQL_JSONL_INGEST,
     "doc_sample_hash": _SQL_SAMPLE_HASH,
     "doc_sample_neyman": _SQL_SAMPLE_NEYMAN,
+    "source_welch_ttest": _SQL_WELCH,
     "doc_global_shuffle": _SQL_GLOBAL_SHUFFLE,
     "doc_normalize": _SQL_NORMALIZE,
     "doc_dedup_normalized": _SQL_DEDUP_NORMALIZED,

@@ -7234,6 +7234,51 @@ FROM e ORDER BY event_type
 """
 
 
+def q_lttb_downsample(sf_dir: str):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    stages/downsample.py:lttb_downsample) per event_type over the
+    hourly mean tier to 60 points: endpoints kept, each interior
+    bucket keeps the point maximizing the triangle with the previous
+    selection and the next bucket's centroid. Rows-only (the forward
+    selection recursion isn't SQL-expressible); pinned vs a naive
+    reference replica + invariance tests in tests/test_lttb.py."""
+    from ..stages.downsample import lttb_downsample
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = lttb_downsample(
+        t1h, keys=["event_type"], order_by=["bucket_ts"],
+        x_col="bucket_ts", y_col="mean", n_out=60,
+    ).to_pandas()
+    out = out[["event_type", "bucket_ts", "mean", "lttb_rank"]].copy()
+    out["mean"] = stable_round6(out["mean"].astype(float))
+    out["lttb_rank"] = out["lttb_rank"].astype("int64")
+    return out.sort_values(["event_type", "lttb_rank"]).reset_index(drop=True)
+
+
+def q_hurst_exponent(sf_dir: str):
+    """Hurst exponent by rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969; stages/trend.py:hurst_rs) per event_type
+    over the hourly mean tier: disjoint-chunk R/S at window ladder
+    8..128, log-log OLS slope. Rows-only (chunked cumulative ranges
+    aren't SQL-expressible); iid ~ 0.5 / persistent > 0.5 /
+    antipersistent < 0.5 pins in tests/test_hurst.py."""
+    from ..stages.trend import hurst_rs
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h = t1h.sort_values(["event_type", "bucket_ts"], ignore_index=True)
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        h, tab = hurst_rs(g["mean"].to_numpy(np.float64))
+        rows.append((k, len(g), h,
+                     float(tab["rs"].iloc[0]) if len(tab) else np.nan,
+                     float(tab["rs"].iloc[-1]) if len(tab) else np.nan))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "hurst", "rs_min_w", "rs_max_w"])
+    out["n"] = out["n"].astype("int64")
+    for c in ("hurst", "rs_min_w", "rs_max_w"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
 _LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
 
 
@@ -7621,6 +7666,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pelt_changepoints": q_pelt_changepoints,
     "mutual_information": q_mutual_information,
     "permutation_entropy": q_permutation_entropy,
+    "lttb_downsample": q_lttb_downsample,
+    "hurst_exponent": q_hurst_exponent,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,

@@ -139,3 +139,72 @@ def counter_rate(
         return out
 
     return grouped_block_map(ds, keys, kernel)
+
+
+def lttb_frame(
+    x: np.ndarray, y: np.ndarray, n_out: int
+) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    over ONE series: first/last points always kept; the interior is
+    split into n_out-2 equal-count buckets and each bucket keeps the
+    point forming the largest triangle with the PREVIOUSLY SELECTED
+    point and the NEXT bucket's centroid. Sequential by construction
+    (selection feeds forward), but each step is a vectorized argmax
+    over one bucket — O(n) total. Returns selected row indices."""
+    n = len(x)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    # bucket boundaries over the interior points 1..n-2 (Steinarsson's
+    # even split of n-2 points into n_out-2 buckets)
+    bounds = (np.arange(n_out - 1, dtype=np.float64)
+              * (n - 2) / (n_out - 2) + 1).astype(np.int64)
+    bounds = np.append(bounds, n - 1)
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])           # this bucket
+        # next-bucket centroid; for the last interior bucket the next
+        # "bucket" is exactly the final point (canonical LTTB)
+        nlo = int(bounds[i + 1])
+        nhi = n if i == n_out - 3 else int(bounds[i + 2])
+        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        ax, ay = x[a], y[a]
+        # triangle area * 2 = |(ax-cx)(y-ay) - (ax-x)(cy-ay)|
+        area = np.abs((ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay))
+        a = lo + int(np.argmax(area))
+        sel[i + 1] = a
+    sel[n_out - 1] = n - 1
+    return sel
+
+
+def lttb_downsample(
+    ds,
+    *,
+    keys: list[str],
+    order_by: list[str],
+    x_col: str,
+    y_col: str,
+    n_out: int = 100,
+    num_partitions: int | None = None,
+):
+    """Distributed LTTB: ONE keyed exchange co-locates each series
+    (bounded tier output — the same per-series contract as the other
+    sequential stages), then the vectorized forward sweep per group.
+    The selection recursion cannot split across blocks; for
+    pixel-bounded rendering of unbounded series run M4 first (exact
+    per-bucket, shuffle-free) and LTTB on its bounded output."""
+    from .exchange import grouped_block_map
+    from ..util import ts_to_us
+
+    def gfn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, kind="stable", ignore_index=True)
+        xs = g[x_col]
+        x = ts_to_us(xs).astype(np.float64) if str(xs.dtype).startswith("datetime") \
+            else xs.to_numpy(dtype=np.float64)
+        idx = lttb_frame(x, g[y_col].to_numpy(dtype=np.float64), n_out)
+        out = g.iloc[idx].copy()
+        out["lttb_rank"] = np.arange(len(idx), dtype=np.int64)
+        return out
+
+    return grouped_block_map(ds, keys, gfn, num_partitions=num_partitions)

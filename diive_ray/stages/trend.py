@@ -426,3 +426,42 @@ def pelt_frame(
         rows, columns=[key, "cp_rank", "day", "mean_before", "mean_after"])
     out["cp_rank"] = out["cp_rank"].astype("int64")
     return out
+
+
+# ------------------------------------------------------------- Hurst R/S
+
+
+def hurst_rs(
+    y: np.ndarray, *, window_sizes: tuple = (8, 16, 32, 64, 128),
+) -> tuple[float, pd.DataFrame]:
+    """Hurst exponent by classical rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969): for each window size w, split the series
+    into floor(n/w) disjoint chunks; per chunk R = range of the
+    cumulative mean-adjusted sums, S = population std; R/S averaged
+    over chunks; H = OLS slope of log2(mean R/S) on log2(w). H ~ 0.5
+    for iid noise, > 0.5 persistent, < 0.5 antipersistent. Vectorized
+    per window size via reshape; deterministic."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    rows = []
+    for w in window_sizes:
+        k = n // w
+        if k < 1:
+            continue
+        chunks = y[: k * w].reshape(k, w)
+        dev = chunks - chunks.mean(axis=1, keepdims=True)
+        cum = np.cumsum(dev, axis=1)
+        R = cum.max(axis=1) - cum.min(axis=1)
+        S = chunks.std(axis=1)
+        ok = S > 0
+        if not ok.any():
+            continue
+        rows.append((int(w), int(ok.sum()), float((R[ok] / S[ok]).mean())))
+    tab = pd.DataFrame(rows, columns=["w", "n_chunks", "rs"])
+    if len(tab) < 2:
+        return float("nan"), tab
+    lx = np.log2(tab["w"].to_numpy(np.float64))
+    ly = np.log2(tab["rs"].to_numpy(np.float64))
+    lx0 = lx - lx.mean()
+    h = float((lx0 * (ly - ly.mean())).sum() / (lx0 * lx0).sum())
+    return h, tab
