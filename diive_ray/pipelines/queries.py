@@ -5320,6 +5320,131 @@ FROM flat GROUP BY 1 ORDER BY 1
 """
 
 
+def q_token_ngram_overlap(sf_dir: str):
+    """Cross-source token 4-gram contamination matrix over the
+    north-rule ``tokens:list<int32>`` arrays (the token-level analogue
+    of the 13-gram text decontamination, Brown et al. 2020 App. C):
+    per event_type, the DISTINCT set of consecutive-token 4-grams
+    (packed into one int64 key, base VOCAB — 50257^4 < 2^63), then
+    pairwise |A intersect B| and Jaccard. Ray shape: per-batch
+    vectorized distinct (type, key) emission, ONE keyed exchange on
+    the 4-gram key (types-per-key is bounded by |types|, so per-block
+    pair emission is tiny), slim combine. Token arrays synthesized
+    with the fixture formula identically in SQL."""
+    from ..fixtures import KNUTH as _K, VOCAB as _V
+    from ..stages.exchange import block_map
+
+    ds = _events(sf_dir, ["event_id", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        if len(eid) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "key": pd.Series([], dtype=np.int64)})
+        n_tok = (eid % 257 + 1).astype(np.int64)
+        seed = (eid.astype(np.uint64) * np.uint64(1_000_003)) & np.uint64(0x7FFFFFFFFFFF)
+        offsets = np.zeros(len(eid) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        total = int(offsets[-1])
+        j = (np.arange(total, dtype=np.uint64)
+             - np.repeat(offsets[:-1], n_tok).astype(np.uint64) + np.uint64(1))
+        flat = ((np.repeat(seed, n_tok) + j * np.uint64(_K)) % np.uint64(_V)).astype(np.int64)
+        # in-doc 4-gram windows: start positions with j <= n_tok - 3
+        jj = j.astype(np.int64)
+        ntrep = np.repeat(n_tok, n_tok)
+        m = jj <= ntrep - 3
+        starts = np.flatnonzero(m)
+        if len(starts) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "key": pd.Series([], dtype=np.int64)})
+        V = np.int64(_V)
+        key = ((flat[starts] * V + flat[starts + 1]) * V
+               + flat[starts + 2]) * V + flat[starts + 3]
+        df = pd.DataFrame({
+            "event_type": np.repeat(et, n_tok)[starts], "key": key,
+        }).drop_duplicates()
+        return df
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        # block holds complete key groups: distinct types per key ->
+        # per-type counts and per-pair co-occurrence counts
+        df = df.drop_duplicates()
+        singles = df.groupby("event_type").size().reset_index(name="cnt")
+        singles["pair"] = singles["event_type"]
+        g = df.groupby("key")["event_type"].agg(lambda s: sorted(set(s)))
+        pairs: dict[tuple, int] = {}
+        for types in g:
+            for i in range(len(types)):
+                for jx in range(i + 1, len(types)):
+                    p = (types[i], types[jx])
+                    pairs[p] = pairs.get(p, 0) + 1
+        pair_df = pd.DataFrame(
+            [(a + "|" + b, c) for (a, b), c in pairs.items()],
+            columns=["pair", "cnt"]) if pairs else pd.DataFrame(
+            {"pair": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)})
+        out = pd.concat([singles[["pair", "cnt"]], pair_df], ignore_index=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = block_map(pre, ["key"], per_key, batch_format="pandas",
+                    zero_copy_batch=False).to_pandas()
+    tot = agg.groupby("pair", sort=True)["cnt"].sum()
+    singles = {p: int(c) for p, c in tot.items() if "|" not in p}
+    rows = []
+    for p, c in tot.items():
+        if "|" not in p:
+            continue
+        a, b = p.split("|")
+        inter = int(c)
+        rows.append((a, b, singles[a], singles[b], inter,
+                     inter / (singles[a] + singles[b] - inter)))
+    out = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_a", "n_b", "n_common", "jaccard"])
+    for c in ("n_a", "n_b", "n_common"):
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = stable_round6(out["jaccard"].astype(float))
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+_SQL_TOKEN_NGRAM = """
+WITH tok AS (
+  SELECT event_id, event_type, (event_id % 257) + 1 AS n_tok,
+         (event_id * 1000003) % 140737488355328 AS seed
+  FROM events
+), flat AS (
+  SELECT event_id, event_type, n_tok, j,
+         (seed + j * 2654435761) % 50257 AS token
+  FROM tok, generate_series(1, 257) AS t(j)
+  WHERE j <= n_tok
+), grams AS (
+  SELECT event_type,
+         ((token * 50257
+           + LEAD(token, 1) OVER w) * 50257
+           + LEAD(token, 2) OVER w) * 50257
+           + LEAD(token, 3) OVER w AS key,
+         j, n_tok
+  FROM flat
+  WINDOW w AS (PARTITION BY event_id ORDER BY j)
+), dk AS (
+  SELECT DISTINCT event_type, key FROM grams WHERE j <= n_tok - 3
+), singles AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n FROM dk GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*)::BIGINT AS n_common
+  FROM dk a JOIN dk b ON a.key = b.key AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+       ROUND(ROUND(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 9), 6) AS jaccard
+FROM inter i
+JOIN singles sa ON sa.event_type = i.type_a
+JOIN singles sb ON sb.event_type = i.type_b
+ORDER BY type_a, type_b
+"""
+
+
 def q_file_split_stats(sf_dir: str):
     """FileSplitter splits-overview (reference filesplitter.py:169-240
     via sources/splitter.py): 6h time chunks over events with 2-D wind
@@ -7279,6 +7404,33 @@ def q_hurst_exponent(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_holt_winters(sf_dir: str):
+    """Additive Holt-Winters smoothing + 24-step forecast (Holt 1957,
+    Winters 1960; stages/decompose.py:holt_winters_frame) per
+    event_type over the hourly mean tier (period 24). Rows-only (the
+    triple recursion isn't SQL-expressible); recursion pins and
+    synthetic-pattern recovery in tests/test_holt_winters.py. Returns
+    one row per forecast step plus the final level/trend."""
+    from ..stages.decompose import holt_winters_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h = t1h.sort_values(["event_type", "bucket_ts"], ignore_index=True)
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g["mean"].to_numpy(np.float64)
+        r = holt_winters_frame(y, period=24, horizon=24)
+        resid = y - r["fitted"]
+        mae = float(np.nanmean(np.abs(resid)))
+        for h in range(24):
+            rows.append((k, h + 1, r["forecast"][h], r["level"], r["trend"], mae))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "h", "forecast", "level", "trend", "fit_mae"])
+    out["h"] = out["h"].astype("int64")
+    for c in ("forecast", "level", "trend", "fit_mae"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
 _LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
 
 
@@ -7668,6 +7820,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "permutation_entropy": q_permutation_entropy,
     "lttb_downsample": q_lttb_downsample,
     "hurst_exponent": q_hurst_exponent,
+    "token_ngram_overlap": q_token_ngram_overlap,
+    "holt_winters": q_holt_winters,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
@@ -7793,6 +7947,7 @@ ORACLE: dict[str, str] = {
     "benford_digits": _SQL_BENFORD,
     "mutual_information": _SQL_MUTUAL_INFO,
     "permutation_entropy": _SQL_PERM_ENTROPY,
+    "token_ngram_overlap": _SQL_TOKEN_NGRAM,
     "cusum_drift": _SQL_CUSUM,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

@@ -262,3 +262,51 @@ def harmonic_decompose(
     from .exchange import grouped_block_map
 
     return grouped_block_map(ds, keys, gfn)
+
+
+def holt_winters_frame(
+    y: np.ndarray,
+    *,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+    horizon: int = 0,
+) -> dict:
+    """Additive Holt-Winters triple exponential smoothing (Holt 1957,
+    Winters 1960) over ONE regular series: classical recursions
+        level_t = alpha (y_t - seas_{t-p}) + (1-alpha)(level + trend)
+        trend_t = beta (level_t - level_{t-1}) + (1-beta) trend
+        seas_t  = gamma (y_t - level_t) + (1-gamma) seas_{t-p}
+    with the standard initialization (level = mean of the first
+    season, trend = per-step difference of the first two season means,
+    seasonal = first-season deviations from its mean). One-step-ahead
+    fitted values and an optional ``horizon``-step forecast
+    level + h*trend + seas[(t+h) mod p]. Sequential by definition —
+    runs per bounded tier series inside its block (the engine's
+    per-series contract); deterministic."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    p = int(period)
+    if n < 2 * p:
+        raise ValueError(f"need >= 2 periods ({2*p}), got {n}")
+    m1 = y[:p].mean()
+    m2 = y[p:2*p].mean()
+    level = m1
+    trend = (m2 - m1) / p
+    seas = list(y[:p] - m1)
+    fitted = np.full(n, np.nan)
+    for t in range(p, n):
+        sprev = seas[t - p]
+        fitted[t] = level + trend + sprev
+        newlevel = alpha * (y[t] - sprev) + (1 - alpha) * (level + trend)
+        trend = beta * (newlevel - level) + (1 - beta) * trend
+        level = newlevel
+        seas.append(gamma * (y[t] - level) + (1 - gamma) * sprev)
+    # forecast: the last p seasonal states cycle forward
+    fc = np.array([
+        level + (h + 1) * trend + seas[n - p + (h % p)]
+        for h in range(horizon)
+    ]) if horizon else np.empty(0)
+    return {"fitted": fitted, "level": level, "trend": trend,
+            "seasonal_tail": np.asarray(seas[-p:]), "forecast": fc}
