@@ -7431,6 +7431,29 @@ def q_holt_winters(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_kalman_smooth(sf_dir: str):
+    """Kalman local-level filter + RTS smoother (Kalman 1960; Rauch,
+    Tung & Striebel 1965; stages/kalman.py) per event_type over the
+    hourly mean tier, moment-estimated noise variances. Rows-only (the
+    forward/backward recursions aren't SQL-expressible); steady-state
+    gain closed form, planted-parameter recovery and NaN bridging are
+    pinned in tests/test_kalman.py. Returns every 24th point to keep
+    the verified frame slim."""
+    from ..stages.kalman import kalman_smooth
+
+    t1h = _fused_tier(sf_dir, "1h")
+    out = kalman_smooth(
+        t1h, keys=["event_type"], order_by=["bucket_ts"], value_col="mean",
+    ).to_pandas()
+    out = out.sort_values(["event_type", "bucket_ts"], ignore_index=True)
+    out = out.groupby("event_type", group_keys=False).apply(
+        lambda g: g.iloc[::24], include_groups=True)
+    out = out[["event_type", "bucket_ts", "mean", "level_smooth", "var_smooth"]].copy()
+    for c in ("mean", "level_smooth", "var_smooth"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.reset_index(drop=True)
+
+
 _LS_PERIODS = (21_600, 43_200, 86_400, 172_800, 604_800)
 
 
@@ -7822,6 +7845,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hurst_exponent": q_hurst_exponent,
     "token_ngram_overlap": q_token_ngram_overlap,
     "holt_winters": q_holt_winters,
+    "kalman_smooth": q_kalman_smooth,
     "cusum_drift": q_cusum_drift,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
