@@ -5722,6 +5722,72 @@ def q_cusum_drift(sf_dir: str):
     return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
 
 
+def q_page_hinkley(sf_dir: str):
+    """Page-Hinkley drift test over the hourly means (Page 1954 §5 —
+    the running-mean variant used by streaming-ML monitors): with
+    running mean xbar_t of x_1..x_t, m_t = sum_{i<=t}(x_i - xbar_i -
+    delta), PH_t = m_t - min_{j<=t} m_j, alarm at PH_t > lambda.
+    Everything is prefix arithmetic (cumsum / running mean / running
+    min), so the 'sequential' detector has an EXACT windowed-SQL
+    oracle — the cusum_drift idiom. delta = 0.1, lambda = 15.
+    Per-key: ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = g["mean"].astype(float).to_numpy()
+        ts = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]")
+        n = len(x)
+        xbar = np.cumsum(x) / np.arange(1, n + 1)
+        m = np.cumsum(x - xbar - 0.1)
+        ph = m - np.minimum.accumulate(m)
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": ts,
+            "ph": ph,
+            "alarm": (ph > 15.0).astype(np.int64),
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["ph"] = stable_round6(out["ph"].astype(float))
+    out["alarm"] = out["alarm"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_PAGE_HINKLEY = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         SUM(value) / COUNT(value) AS mean
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), t AS (
+  SELECT event_type, bucket_ts,
+         mean - AVG(mean) OVER w - 0.1 AS term
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT event_type, bucket_ts,
+         SUM(term) OVER w AS m
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT event_type, bucket_ts,
+         m - MIN(m) OVER w AS ph
+  FROM m
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket_ts,
+       ROUND(ROUND(ph, 9), 6) AS ph,
+       CAST(ph > 15.0 AS BIGINT) AS alarm
+FROM p ORDER BY event_type, bucket_ts
+"""
+
+
 _SQL_CUSUM = """
 WITH h AS (
   SELECT event_type,
@@ -5752,6 +5818,242 @@ SELECT event_type, bucket_ts,
        CAST(CASE WHEN prefix - LEAST(run_min, 0.0) > 25.0 THEN 1 ELSE 0 END
             AS BIGINT) AS alarm
 FROM p ORDER BY event_type, bucket_ts
+"""
+
+
+_EWMA_LAM = 0.2  # chart smoothing constant (Roberts' classic choice)
+
+
+def q_ewma_chart(sf_dir: str):
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990 limits)
+    over the 6dp-rounded hourly means, reset per (event_type, month):
+    z_t = lam*x_t + (1-lam)*z_{t-1}, z_0 = the month's own mean mu0;
+    UCL/LCL = mu0 +/- 3*sigma*sqrt(lam/(2-lam)*(1-(1-lam)^(2t))).
+    The recursion has the scaled-prefix closed form
+    z_t = lam*(1-lam)^t * cumsum(x_i*(1-lam)^(-i)) + (1-lam)^t*mu0 —
+    the monthly reset bounds the exponent (t <= 744) so the scaling
+    stays inside float64 and the 'sequential' chart gets an EXACT
+    windowed-SQL oracle (the cusum_drift idiom). Per-key: ONE
+    exchange; state is bounded by the tier (hours), not the corpus."""
+    from ..stages.exchange import grouped_block_map
+    from ..util import stable_round6
+
+    lam = _EWMA_LAM
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        ts = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        month = ts.dt.to_period("M").to_numpy()
+        parts = []
+        for mo in pd.unique(month):
+            sel = month == mo
+            xm, tm = x[sel], ts[sel]
+            n = len(xm)
+            # identical expression order to the SQL oracle
+            mu0 = xm.sum() / n
+            sigma = np.sqrt(np.maximum((xm * xm).sum() / n - mu0 * mu0, 0.0))
+            rn = np.arange(1, n + 1, dtype=float)
+            s = np.cumsum(xm * np.power(1.0 - lam, -rn))
+            z = lam * np.power(1.0 - lam, rn) * s + np.power(1.0 - lam, rn) * mu0
+            half = 3.0 * sigma * np.sqrt(
+                lam / (2.0 - lam) * (1.0 - np.power(1.0 - lam, 2.0 * rn))
+            )
+            parts.append(pd.DataFrame({
+                "event_type": g["event_type"].iloc[0],
+                "bucket_ts": tm.to_numpy(),
+                "ewma": z,
+                "ucl": mu0 + half,
+                "lcl": mu0 - half,
+                "alarm": ((z > mu0 + half) | (z < mu0 - half)).astype(np.int64),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    for c in ("ewma", "ucl", "lcl"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["alarm"] = out["alarm"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_EWMA = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), k AS (
+  SELECT event_type, bucket_ts, m,
+         date_trunc('month', bucket_ts) AS mo,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type,
+                                 date_trunc('month', bucket_ts)
+                                 ORDER BY bucket_ts) AS DOUBLE) AS rn
+  FROM h
+), st AS (
+  SELECT event_type, bucket_ts, m, mo, rn,
+         SUM(m) OVER w / COUNT(m) OVER w AS mu0,
+         SQRT(GREATEST(SUM(m * m) OVER w / COUNT(m) OVER w
+                       - (SUM(m) OVER w / COUNT(m) OVER w)
+                         * (SUM(m) OVER w / COUNT(m) OVER w), 0.0)) AS sigma,
+         SUM(m * POWER(0.8, -rn)) OVER (PARTITION BY event_type, mo
+                                        ORDER BY bucket_ts) AS s
+  FROM k
+  WINDOW w AS (PARTITION BY event_type, mo)
+), z AS (
+  SELECT event_type, bucket_ts,
+         0.2 * POWER(0.8, rn) * s + POWER(0.8, rn) * mu0 AS ewma,
+         mu0,
+         3.0 * sigma * SQRT(0.2 / 1.8 * (1.0 - POWER(0.8, 2.0 * rn))) AS half
+  FROM st
+)
+SELECT event_type, bucket_ts,
+       ROUND(ROUND(ewma, 9), 6) AS ewma,
+       ROUND(ROUND(mu0 + half, 9), 6) AS ucl,
+       ROUND(ROUND(mu0 - half, 9), 6) AS lcl,
+       CAST(CASE WHEN ewma > mu0 + half OR ewma < mu0 - half
+            THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM z ORDER BY event_type, bucket_ts
+"""
+
+
+def q_dickey_fuller(sf_dir: str):
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979, constant,
+    no lag terms): OLS of dx_t = a + b*x_{t-1} on the 6dp-rounded
+    hourly means per event_type; t-statistic on b against MacKinnon's
+    large-n 5%% constant-case critical value (-2.86). The 2-regressor
+    OLS is closed-form in raw moments (Sxx/Sxy/Syy with explicit
+    n*mean*mean centering), so the SQL oracle shares the exact
+    expression order. Per-key moments are decomposable; ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+    from ..util import stable_round6
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        m = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        xl, d = m[:-1], np.diff(m)
+        n = float(len(xl))
+        mx, my = xl.sum() / n, d.sum() / n
+        sxx = (xl * xl).sum() - n * mx * mx
+        sxy = (xl * d).sum() - n * mx * my
+        syy = (d * d).sum() - n * my * my
+        b = sxy / sxx
+        ssr = syy - b * sxy
+        tstat = b / np.sqrt(ssr / (n - 2.0) / sxx)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_obs": [np.int64(n)],
+            "beta": [b],
+            "tstat": [tstat],
+            "stationary": [np.int64(1 if tstat < -2.86 else 0)],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["beta"] = stable_round6(out["beta"].astype(float))
+    out["tstat"] = stable_round6(out["tstat"].astype(float))
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["stationary"] = out["stationary"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_DICKEY_FULLER = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), p AS (
+  SELECT event_type,
+         LAG(m) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS xl,
+         m - LAG(m) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS d
+  FROM h
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xl) / COUNT(*) AS mx, SUM(d) / COUNT(*) AS my,
+         SUM(xl * xl) AS rxx, SUM(xl * d) AS rxy, SUM(d * d) AS ryy
+  FROM p WHERE xl IS NOT NULL GROUP BY 1
+), o AS (
+  SELECT event_type, n,
+         (rxy - n * mx * my) / (rxx - n * mx * mx) AS b,
+         (ryy - n * my * my)
+           - (rxy - n * mx * my) / (rxx - n * mx * mx)
+             * (rxy - n * mx * my) AS ssr,
+         rxx - n * mx * mx AS sxx
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(ROUND(b, 9), 6) AS beta,
+       ROUND(ROUND(b / SQRT(ssr / (n - 2.0) / sxx), 9), 6) AS tstat,
+       CAST(CASE WHEN b / SQRT(ssr / (n - 2.0) / sxx) < -2.86
+            THEN 1 ELSE 0 END AS BIGINT) AS stationary
+FROM o ORDER BY event_type
+"""
+
+
+def q_stability_lumpiness(sf_dir: str):
+    """Tiled-window stability / lumpiness features (Hyndman, Wang &
+    Laptev 2015 'Large-scale unusual time series detection' — the
+    tsfeatures battery): tile the hourly means by calendar day, then
+    stability = population variance of the tile means and lumpiness =
+    population variance of the tile variances. Tile stats are rounded
+    to 6dp on both sides before the outer variance so the nested
+    moments stay bit-comparable. Raw-moment form (SUM(x*x)/n - mean^2)
+    shared verbatim with the SQL. Decomposable; ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+    from ..util import stable_round6
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        m = stable_round6(g["mean"].astype(float))
+        day = pd.to_datetime(g["bucket_ts"]).dt.floor("D")
+        gg = pd.DataFrame({"day": day.to_numpy(), "m": np.asarray(m, dtype=np.float64)})
+        agg = gg.groupby("day", sort=True)["m"].agg(
+            n="count", s="sum", ss=lambda v: (v * v).sum()
+        )
+        dm = stable_round6(agg["s"] / agg["n"])
+        dv = stable_round6(agg["ss"] / agg["n"] - (agg["s"] / agg["n"]) ** 2)
+        nd = float(len(agg))
+        stability = (dm * dm).sum() / nd - (dm.sum() / nd) ** 2
+        lumpiness = (dv * dv).sum() / nd - (dv.sum() / nd) ** 2
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_days": [np.int64(nd)],
+            "stability": [stability],
+            "lumpiness": [lumpiness],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["stability"] = stable_round6(out["stability"].astype(float))
+    out["lumpiness"] = stable_round6(out["lumpiness"].astype(float))
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_STABILITY = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), d AS (
+  SELECT event_type, date_trunc('day', bucket_ts) AS day,
+         ROUND(ROUND(SUM(m) / COUNT(*), 9), 6) AS dm,
+         ROUND(ROUND(SUM(m * m) / COUNT(*)
+               - (SUM(m) / COUNT(*)) * (SUM(m) / COUNT(*)), 9), 6) AS dv
+  FROM h GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(ROUND(SUM(dm * dm) / COUNT(*)
+             - (SUM(dm) / COUNT(*)) * (SUM(dm) / COUNT(*)), 9), 6) AS stability,
+       ROUND(ROUND(SUM(dv * dv) / COUNT(*)
+             - (SUM(dv) / COUNT(*)) * (SUM(dv) / COUNT(*)), 9), 6) AS lumpiness
+FROM d GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -7847,6 +8149,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "holt_winters": q_holt_winters,
     "kalman_smooth": q_kalman_smooth,
     "cusum_drift": q_cusum_drift,
+    "page_hinkley": q_page_hinkley,
+    "ewma_chart": q_ewma_chart,
+    "dickey_fuller": q_dickey_fuller,
+    "stability_lumpiness": q_stability_lumpiness,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -7973,6 +8279,10 @@ ORACLE: dict[str, str] = {
     "permutation_entropy": _SQL_PERM_ENTROPY,
     "token_ngram_overlap": _SQL_TOKEN_NGRAM,
     "cusum_drift": _SQL_CUSUM,
+    "page_hinkley": _SQL_PAGE_HINKLEY,
+    "ewma_chart": _SQL_EWMA,
+    "dickey_fuller": _SQL_DICKEY_FULLER,
+    "stability_lumpiness": _SQL_STABILITY,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
