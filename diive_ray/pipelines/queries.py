@@ -6057,6 +6057,382 @@ FROM d GROUP BY event_type ORDER BY event_type
 """
 
 
+_KPSS_MAX_LAG = 12  # Bartlett weights vanish past L; 12 covers L at any sf
+
+
+def q_kpss(sf_dir: str):
+    """KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt &
+    Shin 1992) on the 6dp hourly means per event_type: e_t = x_t - xbar,
+    S_t = cumsum(e), eta = (sum S_t^2 / n^2) / s2_lr with the
+    Newey-West long-run variance s2_lr = g0 + 2*sum_l w_l*g_l,
+    Bartlett w_l = max(0, 1 - l/(L+1)), L = floor(4*(n/100)^0.25)
+    (the classic 'lags short' rule). Computing weights as
+    GREATEST(0, .) over a FIXED lag grid 1..12 makes the
+    data-dependent truncation exactly SQL-replayable. 5%% level
+    critical value 0.463. Per-key state = the hourly tier, bounded by
+    the time range, not the corpus; ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+    maxlag = _KPSS_MAX_LAG
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        n = float(len(x))
+        e = x - x.sum() / n
+        s = np.cumsum(e)
+        num = (s * s).sum() / (n * n)
+        big_l = np.floor(4.0 * np.power(n / 100.0, 0.25))
+        sig2 = (e * e).sum() / n
+        for lag in range(1, maxlag + 1):
+            w = max(0.0, 1.0 - lag / (big_l + 1.0))
+            if len(e) > lag:
+                sig2 += 2.0 * w * ((e[lag:] * e[:-lag]).sum() / n)
+        eta = num / sig2
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_obs": [np.int64(n)],
+            "eta": [eta],
+            "sigma2_lr": [sig2],
+            "stationary": [np.int64(1 if eta < 0.463 else 0)],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["eta"] = stable_round6(out["eta"].astype(float))
+    out["sigma2_lr"] = stable_round6(out["sigma2_lr"].astype(float))
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["stationary"] = out["stationary"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_KPSS = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), k AS (
+  SELECT event_type, bucket_ts,
+         m - SUM(m) OVER (PARTITION BY event_type)
+             / COUNT(m) OVER (PARTITION BY event_type) AS e
+  FROM h
+), cs AS (
+  SELECT event_type, e,
+         SUM(e) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         LAG(e, 1)  OVER w AS e1,  LAG(e, 2)  OVER w AS e2,
+         LAG(e, 3)  OVER w AS e3,  LAG(e, 4)  OVER w AS e4,
+         LAG(e, 5)  OVER w AS e5,  LAG(e, 6)  OVER w AS e6,
+         LAG(e, 7)  OVER w AS e7,  LAG(e, 8)  OVER w AS e8,
+         LAG(e, 9)  OVER w AS e9,  LAG(e, 10) OVER w AS e10,
+         LAG(e, 11) OVER w AS e11, LAG(e, 12) OVER w AS e12
+  FROM k
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(s * s) AS sss, SUM(e * e) AS g0,
+         SUM(e * e1) AS c1,  SUM(e * e2) AS c2,  SUM(e * e3) AS c3,
+         SUM(e * e4) AS c4,  SUM(e * e5) AS c5,  SUM(e * e6) AS c6,
+         SUM(e * e7) AS c7,  SUM(e * e8) AS c8,  SUM(e * e9) AS c9,
+         SUM(e * e10) AS c10, SUM(e * e11) AS c11, SUM(e * e12) AS c12
+  FROM cs GROUP BY 1
+), lv AS (
+  SELECT event_type, n, sss,
+         FLOOR(4.0 * POWER(n / 100.0, 0.25)) AS bl
+  FROM agg
+), sg AS (
+  SELECT a.event_type, a.n, a.sss,
+         a.g0 / a.n
+         + 2.0 * GREATEST(0.0, 1.0 - 1.0  / (l.bl + 1.0)) * (COALESCE(a.c1, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 2.0  / (l.bl + 1.0)) * (COALESCE(a.c2, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 3.0  / (l.bl + 1.0)) * (COALESCE(a.c3, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 4.0  / (l.bl + 1.0)) * (COALESCE(a.c4, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 5.0  / (l.bl + 1.0)) * (COALESCE(a.c5, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 6.0  / (l.bl + 1.0)) * (COALESCE(a.c6, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 7.0  / (l.bl + 1.0)) * (COALESCE(a.c7, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 8.0  / (l.bl + 1.0)) * (COALESCE(a.c8, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 9.0  / (l.bl + 1.0)) * (COALESCE(a.c9, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 10.0 / (l.bl + 1.0)) * (COALESCE(a.c10, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 11.0 / (l.bl + 1.0)) * (COALESCE(a.c11, 0) / a.n)
+         + 2.0 * GREATEST(0.0, 1.0 - 12.0 / (l.bl + 1.0)) * (COALESCE(a.c12, 0) / a.n)
+           AS sig2
+  FROM agg a JOIN lv l USING (event_type)
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(ROUND((sss / (n * n)) / sig2, 9), 6) AS eta,
+       ROUND(ROUND(sig2, 9), 6) AS sigma2_lr,
+       CAST(CASE WHEN (sss / (n * n)) / sig2 < 0.463
+            THEN 1 ELSE 0 END AS BIGINT) AS stationary
+FROM sg ORDER BY event_type
+"""
+
+
+_VR_Q = 4  # aggregation horizon of the variance-ratio test
+
+
+def q_variance_ratio(sf_dir: str):
+    """Lo-MacKinlay variance-ratio test (Lo & MacKinlay 1988, q=4,
+    overlapping differences with the unbiased m-normalization) on the
+    6dp hourly means per event_type: mu = (x_T - x_0)/T,
+    s1 = sum(x_t - x_{t-1} - mu)^2 / (T-1),
+    sq = sum(x_t - x_{t-q} - q*mu)^2 / m, m = q*(T-q+1)*(1 - q/T),
+    VR = sq/s1, homoskedastic z = (VR-1)*sqrt(T / (2*(2q-1)*(q-1)/(3q))).
+    All prefix/LAG arithmetic — exact SQL replay. Per-key state is the
+    bounded hourly tier; ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+
+    q = _VR_Q
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        t = float(len(x) - 1)
+        mu = (x[-1] - x[0]) / t
+        d1 = np.diff(x) - mu
+        dq = x[q:] - x[:-q] - q * mu
+        s1 = (d1 * d1).sum() / (t - 1.0)
+        m = q * (t - q + 1.0) * (1.0 - q / t)
+        sq = (dq * dq).sum() / m
+        vr = sq / s1
+        z = (vr - 1.0) * np.sqrt(t / (2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q)))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_obs": [np.int64(t + 1.0)],
+            "vr": [vr],
+            "zstat": [z],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["vr"] = stable_round6(out["vr"].astype(float))
+    out["zstat"] = stable_round6(out["zstat"].astype(float))
+    out["n_obs"] = out["n_obs"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_VARIANCE_RATIO = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), b AS (
+  SELECT event_type, bucket_ts, m,
+         (LAST_VALUE(m) OVER wf - FIRST_VALUE(m) OVER wf)
+           / (COUNT(m) OVER (PARTITION BY event_type) - 1.0) AS mu,
+         LAG(m, 1) OVER wo AS m1,
+         LAG(m, 4) OVER wo AS m4
+  FROM h
+  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_ts),
+         wf AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) - 1 AS DOUBLE) AS t,
+         SUM((m - m1 - mu) * (m - m1 - mu)) AS r1,
+         SUM((m - m4 - 4.0 * mu) * (m - m4 - 4.0 * mu)) AS r4
+  FROM b GROUP BY 1
+), v AS (
+  SELECT event_type, t,
+         (r4 / (4.0 * (t - 4.0 + 1.0) * (1.0 - 4.0 / t)))
+           / (r1 / (t - 1.0)) AS vr
+  FROM s
+)
+SELECT event_type,
+       CAST(t + 1.0 AS BIGINT) AS n_obs,
+       ROUND(ROUND(vr, 9), 6) AS vr,
+       ROUND(ROUND((vr - 1.0)
+             * SQRT(t / (2.0 * (2.0 * 4.0 - 1.0) * (4.0 - 1.0) / (3.0 * 4.0))),
+             9), 6) AS zstat
+FROM v ORDER BY event_type
+"""
+
+
+_HILL_K = 100  # tail order statistics entering the Hill sum
+
+
+def q_hill_tail(sf_dir: str):
+    """Hill tail-index estimator (Hill 1975) per event_type over the
+    positive raw event values: with the k+1 largest values
+    v_(1) >= ... >= v_(k+1), gamma = (1/k) * sum_{i<=k} ln(v_(i) /
+    v_(k+1)) and alpha = 1/gamma. The top-(k+1) VALUE multiset is
+    unique under ties, so the estimator is deterministic. Distributed
+    as per-block per-key partial top-(k+1) (np.partition) + a slim
+    driver combine — raw values never shuffle; scale-correct at any
+    corpus size. k = 100."""
+    k = _HILL_K
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"] > 0]
+        rows = []
+        for et, grp in df.groupby("event_type", sort=False):
+            v = grp["value"].to_numpy(dtype=np.float64)
+            if len(v) > k + 1:
+                v = np.partition(v, len(v) - (k + 1))[-(k + 1):]
+            rows.append(pd.DataFrame({"event_type": et, "value": v}))
+        if not rows:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "value": pd.Series([], dtype=np.float64)})
+        return pd.concat(rows, ignore_index=True)
+
+    pooled = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for et, grp in pooled.groupby("event_type", sort=True):
+        v = np.sort(grp["value"].to_numpy(dtype=np.float64))[::-1]
+        if len(v) < k + 1:
+            continue
+        top = v[:k]
+        thr = v[k]
+        gamma = np.log(top / thr).sum() / k
+        out_rows.append({
+            "event_type": et,
+            "k": np.int64(k),
+            "threshold": thr,
+            "gamma": gamma,
+            "alpha": 1.0 / gamma,
+        })
+    out = pd.DataFrame(out_rows)
+    out["threshold"] = stable_round6(out["threshold"].astype(float))
+    out["gamma"] = stable_round6(out["gamma"].astype(float))
+    out["alpha"] = stable_round6(out["alpha"].astype(float))
+    out["k"] = out["k"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_HILL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC) AS rn
+  FROM events WHERE value > 0
+), thr AS (
+  SELECT event_type, value AS thr FROM r WHERE rn = 101
+), g AS (
+  SELECT r.event_type, thr.thr,
+         SUM(LN(r.value / thr.thr)) / 100.0 AS gamma
+  FROM r JOIN thr USING (event_type)
+  WHERE r.rn <= 100
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(100 AS BIGINT) AS k,
+       ROUND(ROUND(thr, 9), 6) AS threshold,
+       ROUND(ROUND(gamma, 9), 6) AS gamma,
+       ROUND(ROUND(1.0 / gamma, 9), 6) AS alpha
+FROM g ORDER BY event_type
+"""
+
+
+def q_spectral_entropy(sf_dir: str):
+    """Spectral entropy over the Lomb-Scargle power grid (the
+    tsfeatures 'entropy' analogue for uneven sampling): normalize the
+    6dp-rounded powers at the 5 candidate periods to a distribution,
+    H = -sum p*ln(p), normalized by ln(5); plus the peak period
+    (highest power, smallest-period tie-break). Rounding the powers
+    BEFORE the nonlinear entropy pins the trig ulp noise on both
+    sides. Reuses the lomb_scargle sufficient-statistics pass —
+    ONE bounded combine, no shuffle."""
+    from ..stages.trend import lomb_scargle_power
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    lomb = lomb_scargle_power(
+        ds, keys=["event_type"], ts_col="ts", val_col="value", periods_s=list(_LS_PERIODS)
+    )
+    lomb["power"] = stable_round6(lomb["power"].astype(float))
+    rows = []
+    for et, grp in lomb.groupby("event_type", sort=True):
+        pw = grp["power"].to_numpy(dtype=np.float64)
+        per = grp["period_s"].to_numpy(dtype=np.int64)
+        p = pw / pw.sum()
+        ent = -(p[p > 0] * np.log(p[p > 0])).sum()
+        order = np.lexsort((per, -pw))
+        rows.append({
+            "event_type": et,
+            "n_periods": np.int64(len(pw)),
+            "entropy": ent,
+            "entropy_norm": ent / np.log(float(len(pw))),
+            "peak_period_s": np.int64(per[order[0]]),
+        })
+    out = pd.DataFrame(rows)
+    out["entropy"] = stable_round6(out["entropy"].astype(float))
+    out["entropy_norm"] = stable_round6(out["entropy_norm"].astype(float))
+    out["n_periods"] = out["n_periods"].astype("int64")
+    out["peak_period_s"] = out["peak_period_s"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+def q_savgol(sf_dir: str):
+    """Savitzky-Golay smoothing (Savitzky & Golay 1964; window 7,
+    quadratic) over the position-ordered 6dp hourly means per
+    event_type, interior points only: the closed-form convolution
+    weights (-2, 3, 6, 7, 6, 3, -2)/21 applied in a FIXED summation
+    order shared with the SQL's LAG/LEAD expression, so the filter is
+    bit-exact on both sides. Emits smooth + residual. Per-key state is
+    the bounded hourly tier; ONE exchange."""
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        ts = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]").to_numpy()
+        n = len(x)
+        if n < 7:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "bucket_ts": pd.Series([], dtype="datetime64[us]"),
+                "smooth": pd.Series([], dtype=np.float64),
+                "residual": pd.Series([], dtype=np.float64),
+            })
+        c = slice(3, n - 3)
+        # identical term order to the SQL expression
+        sm = (-2.0 * x[:-6] + 3.0 * x[1:-5] + 6.0 * x[2:-4] + 7.0 * x[3:-3]
+              + 6.0 * x[4:-2] + 3.0 * x[5:-1] - 2.0 * x[6:]) / 21.0
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": ts[c],
+            "smooth": sm,
+            "residual": x[c] - sm,
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["smooth"] = stable_round6(out["smooth"].astype(float))
+    out["residual"] = stable_round6(out["residual"].astype(float))
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_SAVGOL = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), k AS (
+  SELECT event_type, bucket_ts,
+         LAG(m, 3)  OVER w AS xm3, LAG(m, 2) OVER w AS xm2,
+         LAG(m, 1)  OVER w AS xm1, m AS x0,
+         LEAD(m, 1) OVER w AS xp1, LEAD(m, 2) OVER w AS xp2,
+         LEAD(m, 3) OVER w AS xp3
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+), s AS (
+  SELECT event_type, bucket_ts, x0,
+         (-2.0 * xm3 + 3.0 * xm2 + 6.0 * xm1 + 7.0 * x0
+          + 6.0 * xp1 + 3.0 * xp2 - 2.0 * xp3) / 21.0 AS sm
+  FROM k
+  WHERE xm3 IS NOT NULL AND xp3 IS NOT NULL
+)
+SELECT event_type, bucket_ts,
+       ROUND(ROUND(sm, 9), 6) AS smooth,
+       ROUND(ROUND(x0 - sm, 9), 6) AS residual
+FROM s ORDER BY event_type, bucket_ts
+"""
+
+
 def q_rank_drivers(sf_dir: str):
     """Driver ranking by correlation with a target
     (analysis/correlation.py:18-104 rank_drivers): each non-target
@@ -7823,6 +8199,33 @@ FROM calc2 ORDER BY event_type, period_s
 """
 
 
+# Entropy over the SAME lomb grid: the engine rounds powers to 6dp
+# BEFORE normalizing, so the oracle consumes the lomb SQL verbatim
+# (its final SELECT already emits the rounded power).
+_SQL_SPECTRAL_ENTROPY = f"""
+WITH lomb AS ({_SQL_LOMB_SCARGLE}),
+t AS (
+  SELECT event_type, period_s, power,
+         SUM(power) OVER (PARTITION BY event_type) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY power DESC, period_s ASC) AS rk
+  FROM lomb
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_periods,
+         SUM(CASE WHEN power / tot > 0
+             THEN -(power / tot) * LN(power / tot) ELSE 0 END) AS ent,
+         MAX(CASE WHEN rk = 1 THEN period_s END) AS peak_period_s
+  FROM t GROUP BY 1
+)
+SELECT event_type, n_periods,
+       ROUND(ROUND(ent, 9), 6) AS entropy,
+       ROUND(ROUND(ent / LN(CAST(n_periods AS DOUBLE)), 9), 6) AS entropy_norm,
+       CAST(peak_period_s AS BIGINT) AS peak_period_s
+FROM agg ORDER BY event_type
+"""
+
+
 _ACF_LAGS = (1, 2, 3, 6, 12, 24)
 
 
@@ -8153,6 +8556,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ewma_chart": q_ewma_chart,
     "dickey_fuller": q_dickey_fuller,
     "stability_lumpiness": q_stability_lumpiness,
+    "kpss": q_kpss,
+    "variance_ratio": q_variance_ratio,
+    "hill_tail": q_hill_tail,
+    "spectral_entropy": q_spectral_entropy,
+    "savgol": q_savgol,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -8283,6 +8691,11 @@ ORACLE: dict[str, str] = {
     "ewma_chart": _SQL_EWMA,
     "dickey_fuller": _SQL_DICKEY_FULLER,
     "stability_lumpiness": _SQL_STABILITY,
+    "kpss": _SQL_KPSS,
+    "variance_ratio": _SQL_VARIANCE_RATIO,
+    "hill_tail": _SQL_HILL,
+    "spectral_entropy": _SQL_SPECTRAL_ENTROPY,
+    "savgol": _SQL_SAVGOL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
