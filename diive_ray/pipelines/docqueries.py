@@ -2761,6 +2761,194 @@ def q_embedding_kcenter(sf_dir: str):
     return out
 
 
+def q_embedding_quantize_int8(sf_dir: str):
+    """Scalar int8 quantization of the embedding column (the
+    vector-store compression baseline; Jegou et al. 2011 §2 scalar
+    quantizer): pass 1 = per-dim global min/max partials (bounded O(d)
+    driver combine), pass 2 = affine code floor((x-mn)/(mx-mn)*255+0.5)
+    clamped to [0,255], reconstruction x' = mn + q*(mx-mn)/255, per-dim
+    MSE + max-abs reconstruction error partials. Vectors never shuffle;
+    both passes stream. The integer code rule is branch-exact in SQL."""
+    from ..stages.exchange import driver_combine
+    from ..stages.similarity import _batch_matrix
+    from ..util import stable_round6
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, "embedding").astype(np.float64)
+        if not x.size:
+            return pd.DataFrame({"mn": [], "mx": []})
+        return pd.DataFrame({"mn": [x.min(axis=0).tolist()],
+                             "mx": [x.max(axis=0).tolist()]})
+
+    parts = driver_combine(ds, mm_partial, lambda df: df)
+    mn = np.min([np.asarray(v) for v in parts["mn"]], axis=0)
+    mx = np.max([np.asarray(v) for v in parts["mx"]], axis=0)
+    rng = mx - mn
+
+    def err_partial(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, "embedding").astype(np.float64)
+        if not x.size:
+            return pd.DataFrame({"n": [], "sse": [], "mae": []})
+        qf = np.floor((x - mn) / rng * 255.0 + 0.5)
+        q = np.clip(qf, 0.0, 255.0)
+        xr = mn + q * rng / 255.0
+        e = x - xr
+        return pd.DataFrame({
+            "n": [len(x)],
+            "sse": [(e * e).sum(axis=0).tolist()],
+            "mae": [np.abs(e).max(axis=0).tolist()],
+        })
+
+    eparts = driver_combine(ds, err_partial, lambda df: df)
+    n = int(np.sum(eparts["n"]))
+    sse = np.sum([np.asarray(v) for v in eparts["sse"]], axis=0)
+    mae = np.max([np.asarray(v) for v in eparts["mae"]], axis=0)
+    out = pd.DataFrame({
+        "i": np.arange(len(mn), dtype=np.int64),
+        "n": np.int64(n),
+        "mn": stable_round6(mn),
+        "mx": stable_round6(mx),
+        "mse": stable_round6(sse / n),
+        "max_abs_err": stable_round6(mae),
+    })
+    out["i"] = out["i"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("i").reset_index(drop=True)
+
+
+_SQL_QUANTIZE_INT8 = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), mm AS (
+  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY 1
+), e AS (
+  SELECT u.i, mm.mn, mm.mx,
+         u.x - (mm.mn + LEAST(GREATEST(FLOOR((u.x - mm.mn)
+                / (mm.mx - mm.mn) * 255.0 + 0.5), 0.0), 255.0)
+                * (mm.mx - mm.mn) / 255.0) AS err
+  FROM u JOIN mm USING (i)
+)
+SELECT CAST(i - 1 AS BIGINT) AS i,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ROUND(ANY_VALUE(mn), 9), 6) AS mn,
+       ROUND(ROUND(ANY_VALUE(mx), 9), 6) AS mx,
+       ROUND(ROUND(SUM(err * err) / COUNT(*), 9), 6) AS mse,
+       ROUND(ROUND(MAX(ABS(err)), 9), 6) AS max_abs_err
+FROM e GROUP BY i ORDER BY i
+"""
+
+
+def q_embedding_morton(sf_dir: str):
+    """Morton (Z-order) locality codes over the first two embedding
+    dims (Morton 1966; the space-filling-curve bucketing used to
+    co-locate nearby vectors without a learned index): 16-bit grid
+    coordinates floor((x-mn)/(mx-mn)*65535+0.5) from global per-dim
+    min/max, bit interleave via the classic 4-step magic-mask
+    spreading, bucket = morton >> 24 (256 contiguous Z-ranges). All
+    integer arithmetic — exact in SQL. At scale the bucket becomes the
+    repartition key: one bounded min/max pass + a stateless map."""
+    from ..stages.exchange import driver_combine
+    from ..stages.similarity import _batch_matrix
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, "embedding").astype(np.float64)[:, :2]
+        if not x.size:
+            return pd.DataFrame({"mn": [], "mx": []})
+        return pd.DataFrame({"mn": [x.min(axis=0).tolist()],
+                             "mx": [x.max(axis=0).tolist()]})
+
+    parts = driver_combine(ds, mm_partial, lambda df: df)
+    mn = np.min([np.asarray(v) for v in parts["mn"]], axis=0)
+    mx = np.max([np.asarray(v) for v in parts["mx"]], axis=0)
+    rng = mx - mn
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+        return v
+
+    def code(t: pa.Table) -> pd.DataFrame:
+        x = _batch_matrix(t, "embedding").astype(np.float64)[:, :2]
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not x.size:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype=np.int64),
+                "gx": pd.Series([], dtype=np.int64),
+                "gy": pd.Series([], dtype=np.int64),
+                "morton": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64),
+            })
+        g = np.clip(np.floor((x - mn) / rng * 65535.0 + 0.5), 0.0, 65535.0)
+        gx = g[:, 0].astype(np.uint64)
+        gy = g[:, 1].astype(np.uint64)
+        morton = spread(gx) | (spread(gy) << np.uint64(1))
+        return pd.DataFrame({
+            "vec_id": vid,
+            "gx": gx.astype(np.int64),
+            "gy": gy.astype(np.int64),
+            "morton": morton.astype(np.int64),
+            "bucket": (morton >> np.uint64(24)).astype(np.int64),
+        })
+
+    out = ds.map_batches(code, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+_SQL_MORTON = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS x1,
+         CAST(embedding[2] AS DOUBLE) AS x2
+  FROM embeddings
+), mm AS (
+  SELECT MIN(x1) AS mn1, MAX(x1) AS mx1, MIN(x2) AS mn2, MAX(x2) AS mx2
+  FROM u
+), g AS (
+  SELECT u.vec_id,
+         CAST(LEAST(GREATEST(FLOOR((u.x1 - mm.mn1) / (mm.mx1 - mm.mn1)
+              * 65535.0 + 0.5), 0.0), 65535.0) AS BIGINT) AS gx,
+         CAST(LEAST(GREATEST(FLOOR((u.x2 - mm.mn2) / (mm.mx2 - mm.mn2)
+              * 65535.0 + 0.5), 0.0), 65535.0) AS BIGINT) AS gy
+  FROM u CROSS JOIN mm
+), s1 AS (
+  SELECT vec_id, gx, gy,
+         (gx | (gx << 8)) & 16711935 AS ax,
+         (gy | (gy << 8)) & 16711935 AS ay
+  FROM g
+), s2 AS (
+  SELECT vec_id, gx, gy,
+         (ax | (ax << 4)) & 252645135 AS ax,
+         (ay | (ay << 4)) & 252645135 AS ay
+  FROM s1
+), s3 AS (
+  SELECT vec_id, gx, gy,
+         (ax | (ax << 2)) & 858993459 AS ax,
+         (ay | (ay << 2)) & 858993459 AS ay
+  FROM s2
+), s4 AS (
+  SELECT vec_id, gx, gy,
+         (ax | (ax << 1)) & 1431655765 AS ax,
+         (ay | (ay << 1)) & 1431655765 AS ay
+  FROM s3
+)
+SELECT vec_id, gx, gy,
+       ax | (ay << 1) AS morton,
+       (ax | (ay << 1)) >> 24 AS bucket
+FROM s4 ORDER BY vec_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
@@ -2828,6 +3016,8 @@ DOC_QUERIES: dict[str, Any] = {
     "doc_unigram_tokenizer": q_doc_unigram_tokenizer,
     "doc_unigram_fertility": q_doc_unigram_fertility,
     "embedding_kcenter": q_embedding_kcenter,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
+    "embedding_morton": q_embedding_morton,
 }
 
 DOC_ORACLE: dict[str, str] = {
@@ -2885,4 +3075,6 @@ DOC_ORACLE: dict[str, str] = {
     "source_vocab_jaccard": _SQL_VOCAB_JACCARD,
     "doc_split_assign": _SQL_SPLIT_ASSIGN,
     "doc_reservoir_sample": _SQL_RESERVOIR,
+    "embedding_quantize_int8": _SQL_QUANTIZE_INT8,
+    "embedding_morton": _SQL_MORTON,
 }

@@ -6433,6 +6433,311 @@ FROM s ORDER BY event_type, bucket_ts
 """
 
 
+def _l_moment_frame(g: pd.DataFrame) -> pd.DataFrame:
+    """Sample L-moments (Hosking 1990, unbiased PWM estimators) of the
+    block-maxima column 'x' in g: b_r from ascending order statistics,
+    lambda1..4, L-CV, L-skewness t3, L-kurtosis t4. Weighted sums are
+    tie-safe (equal x contribute equally under any tie order)."""
+    x = np.sort(g["x"].to_numpy(dtype=np.float64))
+    n = float(len(x))
+    j = np.arange(1, len(x) + 1, dtype=np.float64)
+    b0 = x.sum() / n
+    b1 = ((j - 1.0) / (n - 1.0) * x).sum() / n
+    b2 = ((j - 1.0) * (j - 2.0) / ((n - 1.0) * (n - 2.0)) * x).sum() / n
+    b3 = ((j - 1.0) * (j - 2.0) * (j - 3.0)
+          / ((n - 1.0) * (n - 2.0) * (n - 3.0)) * x).sum() / n
+    l1 = b0
+    l2 = 2.0 * b1 - b0
+    l3 = 6.0 * b2 - 6.0 * b1 + b0
+    l4 = 20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0
+    return pd.DataFrame({
+        "event_type": [g["event_type"].iloc[0]],
+        "n_blocks": [np.int64(n)],
+        "lambda1": [l1], "lambda2": [l2],
+        "lcv": [l2 / l1], "t3": [l3 / l2], "t4": [l4 / l2],
+    })
+
+
+def q_l_moments(sf_dir: str):
+    """Sample L-moments of the daily block maxima per event_type
+    (Hosking 1990 'L-moments: analysis and estimation'): order-
+    statistic-weighted PWM sums — pure rank arithmetic, so the oracle
+    replays them exactly with ROW_NUMBER windows. Daily maxima come
+    from the distributed 1d tier (max is decomposable — no raw-row
+    shuffle); the per-key L-moment reduce sees only ~days rows."""
+    from ..stages.exchange import grouped_block_map
+
+    t1d = _fused_tier(sf_dir, "1d")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return _l_moment_frame(g.rename(columns={"max": "x"}))
+
+    out = grouped_block_map(t1d, ["event_type"], fn).to_pandas()
+    for c in ("lambda1", "lambda2", "lcv", "t3", "t4"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["n_blocks"] = out["n_blocks"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_L_MOMENTS = """
+WITH d AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS day,
+         MAX(value) AS x
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), r AS (
+  SELECT event_type, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+              AS DOUBLE) AS j,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+  FROM d
+), b AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         SUM(x) / ANY_VALUE(n) AS b0,
+         SUM((j - 1.0) / (n - 1.0) * x) / ANY_VALUE(n) AS b1,
+         SUM((j - 1.0) * (j - 2.0) / ((n - 1.0) * (n - 2.0)) * x)
+           / ANY_VALUE(n) AS b2,
+         SUM((j - 1.0) * (j - 2.0) * (j - 3.0)
+             / ((n - 1.0) * (n - 2.0) * (n - 3.0)) * x)
+           / ANY_VALUE(n) AS b3
+  FROM r GROUP BY 1
+), l AS (
+  SELECT event_type, n, b0 AS l1, 2.0 * b1 - b0 AS l2,
+         6.0 * b2 - 6.0 * b1 + b0 AS l3,
+         20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS l4
+  FROM b
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_blocks,
+       ROUND(ROUND(l1, 9), 6) AS lambda1,
+       ROUND(ROUND(l2, 9), 6) AS lambda2,
+       ROUND(ROUND(l2 / l1, 9), 6) AS lcv,
+       ROUND(ROUND(l3 / l2, 9), 6) AS t3,
+       ROUND(ROUND(l4 / l2, 9), 6) AS t4
+FROM l ORDER BY event_type
+"""
+
+
+def q_gev_fit(sf_dir: str):
+    """GEV fit to the daily block maxima per event_type via the
+    Hosking, Wallis & Wood (1985) L-moment estimators: shape
+    k = 7.8590c + 2.9554c^2 with c = 2/(3+t3) - ln2/ln3, scale
+    sigma = lambda2*k / ((1-2^-k)*Gamma(1+k)), location
+    mu = lambda1 - sigma*(1-Gamma(1+k))/k, plus the 100-block return
+    level mu + sigma*(1-(-ln(1-1/100))^k)/k. k is 6dp-rounded BEFORE
+    the transcendentals so both sides feed gamma/pow identical doubles
+    (DuckDB tgamma vs CPython gamma agree to 1 ulp — measured; the
+    stable_round6 on outputs absorbs it). Same distributed daily-max
+    shape as l_moments."""
+    import math
+
+    from ..stages.exchange import grouped_block_map
+
+    t1d = _fused_tier(sf_dir, "1d")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        lm = _l_moment_frame(g.rename(columns={"max": "x"}))
+        l1 = float(lm["lambda1"].iloc[0])
+        l2 = float(lm["lambda2"].iloc[0])
+        t3 = float(lm["t3"].iloc[0])
+        c = 2.0 / (3.0 + t3) - np.log(2.0) / np.log(3.0)
+        k = float(stable_round6(np.array([7.8590 * c + 2.9554 * c * c]))[0])
+        gam = math.gamma(1.0 + k)
+        sigma = l2 * k / ((1.0 - np.power(2.0, -k)) * gam)
+        mu = l1 - sigma * (1.0 - gam) / k
+        rl100 = mu + sigma * (1.0 - np.power(-np.log(1.0 - 1.0 / 100.0), k)) / k
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_blocks": lm["n_blocks"],
+            "shape_k": [k], "sigma": [sigma], "mu": [mu], "rl100": [rl100],
+        })
+
+    out = grouped_block_map(t1d, ["event_type"], fn).to_pandas()
+    for c in ("shape_k", "sigma", "mu", "rl100"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["n_blocks"] = out["n_blocks"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_GEV_FIT = """
+WITH d AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS day,
+         MAX(value) AS x
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), r AS (
+  SELECT event_type, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+              AS DOUBLE) AS j,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n
+  FROM d
+), b AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         SUM(x) / ANY_VALUE(n) AS b0,
+         SUM((j - 1.0) / (n - 1.0) * x) / ANY_VALUE(n) AS b1,
+         SUM((j - 1.0) * (j - 2.0) / ((n - 1.0) * (n - 2.0)) * x)
+           / ANY_VALUE(n) AS b2
+  FROM r GROUP BY 1
+), l AS (
+  SELECT event_type, n, b0 AS l1, 2.0 * b1 - b0 AS l2,
+         (6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0) AS t3
+  FROM b
+), kk AS (
+  SELECT event_type, n, l1, l2,
+         ROUND(ROUND(7.8590 * (2.0 / (3.0 + t3) - LN(2.0) / LN(3.0))
+               + 2.9554 * (2.0 / (3.0 + t3) - LN(2.0) / LN(3.0))
+                        * (2.0 / (3.0 + t3) - LN(2.0) / LN(3.0)), 9), 6) AS k
+  FROM l
+), p AS (
+  SELECT event_type, n, l1, k,
+         l2 * k / ((1.0 - POWER(2.0, -k)) * gamma(1.0 + k)) AS sigma,
+         gamma(1.0 + k) AS gam
+  FROM kk
+), q AS (
+  SELECT event_type, n, k, sigma,
+         l1 - sigma * (1.0 - gam) / k AS mu
+  FROM p
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_blocks,
+       ROUND(ROUND(k, 9), 6) AS shape_k,
+       ROUND(ROUND(sigma, 9), 6) AS sigma,
+       ROUND(ROUND(mu, 9), 6) AS mu,
+       ROUND(ROUND(mu + sigma * (1.0 - POWER(-LN(1.0 - 1.0 / 100.0), k)) / k,
+             9), 6) AS rl100
+FROM q ORDER BY event_type
+"""
+
+
+def q_token_transition_entropy(sf_dir: str):
+    """Token bigram transition entropy per event_type over the
+    north-rule ``tokens`` arrays (Shannon 1948; the sequence-level
+    redundancy probe): with global pair counts c over consecutive
+    (cur, next) token pairs inside each doc, H_pair = ln(N) -
+    sum(c*ln c)/N; same for the cur-position unigrams; conditional
+    entropy H(next|cur) = H_pair - H_cur. Ray shape: per-batch partial
+    pair/unigram counts (tokens never materialize beyond the batch),
+    ONE keyed exchange each on the packed pair key / cur token, then a
+    slim sum(c*ln c) combine — correct at any corpus size. Token
+    arrays synthesized with the fixture formula identically in SQL."""
+    from ..fixtures import KNUTH as _K, VOCAB as _V
+    from ..stages.exchange import grouped_block_map
+
+    ds = _events(sf_dir, ["event_id", "event_type"])
+
+    def emit(t: pa.Table, pairs: bool) -> pd.DataFrame:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "key": pd.Series([], dtype=np.int64),
+            "c": pd.Series([], dtype=np.int64),
+        })
+        if len(eid) == 0:
+            return empty
+        n_tok = (eid % 257 + 1).astype(np.int64)
+        seed = (eid.astype(np.uint64) * np.uint64(1_000_003)) & np.uint64(0x7FFFFFFFFFFF)
+        offsets = np.zeros(len(eid) + 1, dtype=np.int64)
+        np.cumsum(n_tok, out=offsets[1:])
+        total = int(offsets[-1])
+        j = (np.arange(total, dtype=np.uint64)
+             - np.repeat(offsets[:-1], n_tok).astype(np.uint64) + np.uint64(1))
+        flat = ((np.repeat(seed, n_tok) + j * np.uint64(_K)) % np.uint64(_V)).astype(np.int64)
+        jj = j.astype(np.int64)
+        ntrep = np.repeat(n_tok, n_tok)
+        starts = np.flatnonzero(jj <= ntrep - 1)   # cur positions
+        if len(starts) == 0:
+            return empty
+        if pairs:
+            key = flat[starts] * np.int64(_V) + flat[starts + 1]
+        else:
+            key = flat[starts]
+        df = pd.DataFrame({
+            "event_type": np.repeat(et, n_tok)[starts], "key": key,
+        })
+        out = df.groupby(["event_type", "key"], sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # block holds complete (type, key) groups: finalize counts,
+        # emit per-type partial moments
+        cc = g.groupby(["event_type", "key"], sort=False)["c"].sum()
+        agg = cc.groupby(level=0).agg(
+            n="sum", clnc=lambda v: (v * np.log(v.astype(np.float64))).sum(),
+            d="count")
+        return pd.DataFrame({
+            "event_type": agg.index.to_numpy(dtype=object),
+            "n": agg["n"].to_numpy(dtype=np.int64),
+            "clnc": agg["clnc"].to_numpy(dtype=np.float64),
+            "d": agg["d"].to_numpy(dtype=np.int64),
+        })
+
+    def moments(pairs: bool) -> pd.DataFrame:
+        part = ds.map_batches(lambda t, p=pairs: emit(t, p), batch_format="pyarrow")
+        red = grouped_block_map(part, ["event_type", "key"], combine).to_pandas()
+        return red.groupby("event_type", sort=True).agg(
+            n=("n", "sum"), clnc=("clnc", "sum"), d=("d", "sum")).reset_index()
+
+    mp = moments(True)
+    mu = moments(False)
+    out = mp.merge(mu, on="event_type", suffixes=("_p", "_u"))
+    n = out["n_p"].to_numpy(dtype=np.float64)
+    h_pair = np.log(n) - out["clnc_p"].to_numpy() / n
+    h_cur = np.log(n) - out["clnc_u"].to_numpy() / n
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "n_pairs": out["n_p"].astype("int64"),
+        "distinct_pairs": out["d_p"].astype("int64"),
+        "pair_entropy": stable_round6(h_pair),
+        "cur_entropy": stable_round6(h_cur),
+        "cond_entropy": stable_round6(h_pair - h_cur),
+    })
+    return res.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_TOKEN_TRANSITION = """
+WITH tok AS (
+  SELECT event_id, event_type, (event_id % 257) + 1 AS n_tok,
+         (event_id * 1000003) % 140737488355328 AS seed
+  FROM events
+), flat AS (
+  SELECT event_id, event_type, n_tok, j,
+         (seed + j * 2654435761) % 50257 AS token
+  FROM tok, generate_series(1, 257) AS t(j)
+  WHERE j <= n_tok
+), pr AS (
+  SELECT event_type,
+         token * 50257 + LEAD(token, 1) OVER w AS pkey,
+         token AS ckey, j, n_tok
+  FROM flat
+  WINDOW w AS (PARTITION BY event_id ORDER BY j)
+), pc AS (
+  SELECT event_type, pkey, COUNT(*)::DOUBLE AS c
+  FROM pr WHERE j <= n_tok - 1 GROUP BY 1, 2
+), uc AS (
+  SELECT event_type, ckey, COUNT(*)::DOUBLE AS c
+  FROM pr WHERE j <= n_tok - 1 GROUP BY 1, 2
+), pm AS (
+  SELECT event_type, SUM(c) AS n, SUM(c * LN(c)) AS clnc,
+         COUNT(*)::BIGINT AS d
+  FROM pc GROUP BY 1
+), um AS (
+  SELECT event_type, SUM(c) AS n, SUM(c * LN(c)) AS clnc
+  FROM uc GROUP BY 1
+)
+SELECT pm.event_type,
+       CAST(pm.n AS BIGINT) AS n_pairs,
+       pm.d AS distinct_pairs,
+       ROUND(ROUND(LN(pm.n) - pm.clnc / pm.n, 9), 6) AS pair_entropy,
+       ROUND(ROUND(LN(um.n) - um.clnc / um.n, 9), 6) AS cur_entropy,
+       ROUND(ROUND((LN(pm.n) - pm.clnc / pm.n)
+             - (LN(um.n) - um.clnc / um.n), 9), 6) AS cond_entropy
+FROM pm JOIN um USING (event_type)
+ORDER BY event_type
+"""
+
+
 def q_rank_drivers(sf_dir: str):
     """Driver ranking by correlation with a target
     (analysis/correlation.py:18-104 rank_drivers): each non-target
@@ -8561,6 +8866,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "hill_tail": q_hill_tail,
     "spectral_entropy": q_spectral_entropy,
     "savgol": q_savgol,
+    "l_moments": q_l_moments,
+    "gev_fit": q_gev_fit,
+    "token_transition_entropy": q_token_transition_entropy,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -8696,6 +9004,9 @@ ORACLE: dict[str, str] = {
     "hill_tail": _SQL_HILL,
     "spectral_entropy": _SQL_SPECTRAL_ENTROPY,
     "savgol": _SQL_SAVGOL,
+    "l_moments": _SQL_L_MOMENTS,
+    "gev_fit": _SQL_GEV_FIT,
+    "token_transition_entropy": _SQL_TOKEN_TRANSITION,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
