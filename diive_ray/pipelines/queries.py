@@ -6738,6 +6738,236 @@ ORDER BY event_type
 """
 
 
+_SAX_BP = 0.6745  # ~Phi^-1(0.75): alphabet-4 Gaussian breakpoints (-bp, 0, bp)
+
+
+def q_sax(sf_dir: str):
+    """SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003) of the
+    hourly means per event_type: z-normalize the whole series
+    (population SD, raw-moment form), PAA over position-based tiles of
+    4 (complete tiles only), alphabet-4 symbols at the Gaussian
+    breakpoints (-0.6745, 0, 0.6745). The PAA value is 6dp-rounded
+    BEFORE the breakpoint CASE on both sides so boundary comparisons
+    can't flip. Per-key state = the bounded hourly tier; ONE
+    exchange."""
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+    bp = _SAX_BP
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        n = float(len(x))
+        mu = x.sum() / n
+        sd = np.sqrt((x * x).sum() / n - mu * mu)
+        z = (x - mu) / sd
+        nt = (len(x) // 4) * 4
+        if nt == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "tile": pd.Series([], dtype=np.int64),
+                "paa": pd.Series([], dtype=np.float64),
+                "symbol": pd.Series([], dtype=object),
+            })
+        paa = z[:nt].reshape(-1, 4).sum(axis=1) / 4.0
+        paa = np.asarray(stable_round6(paa), dtype=np.float64)
+        sym = np.where(paa < -bp, "a",
+                       np.where(paa < 0.0, "b",
+                                np.where(paa < bp, "c", "d")))
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "tile": np.arange(len(paa), dtype=np.int64),
+            "paa": paa,
+            "symbol": sym.astype(object),
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["tile"] = out["tile"].astype("int64")
+    return out.sort_values(["event_type", "tile"]).reset_index(drop=True)
+
+
+_SQL_SAX = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), z AS (
+  SELECT event_type, bucket_ts,
+         (m - SUM(m) OVER w / COUNT(m) OVER w)
+           / SQRT(SUM(m * m) OVER w / COUNT(m) OVER w
+                  - (SUM(m) OVER w / COUNT(m) OVER w)
+                    * (SUM(m) OVER w / COUNT(m) OVER w)) AS zv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1
+           AS pos,
+         COUNT(*) OVER w AS n
+  FROM h
+  WINDOW w AS (PARTITION BY event_type)
+), t AS (
+  SELECT event_type, pos // 4 AS tile,
+         ROUND(ROUND(SUM(zv) / 4.0, 9), 6) AS paa
+  FROM z
+  WHERE pos < (n // 4) * 4
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(tile AS BIGINT) AS tile, paa,
+       CASE WHEN paa < -0.6745 THEN 'a'
+            WHEN paa < 0.0 THEN 'b'
+            WHEN paa < 0.6745 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM t ORDER BY event_type, tile
+"""
+
+
+def q_forecast_accuracy(sf_dir: str):
+    """Seasonal-naive forecast accuracy battery (Hyndman & Koehler
+    2006) per event_type on the 6dp hourly means: test = the last 48 h
+    of each key's range, forecast yhat_t = y(t - 24h) where that
+    calendar bucket exists (pairwise-complete, the acf convention);
+    MAE / RMSE / sMAPE over the test pairs and MASE = test MAE divided
+    by the in-sample seasonal-naive MAE over the train pairs. One
+    calendar self-merge per key inside ONE exchange; the oracle is a
+    LEFT self-join on bucket_ts - 24h."""
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        ts = pd.to_datetime(g["bucket_ts"])
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        f = pd.DataFrame({"ts": ts.to_numpy(), "y": x})
+        lagged = f.rename(columns={"ts": "lts", "y": "yhat"})
+        f = f.assign(lts=f["ts"] - pd.Timedelta(hours=24)).merge(
+            lagged, on="lts", how="left")
+        cutoff = f["ts"].max() - pd.Timedelta(hours=48)
+        got = f[f["yhat"].notna()]
+        test = got[got["ts"] > cutoff]
+        train = got[got["ts"] <= cutoff]
+        if len(test) == 0 or len(train) == 0:
+            # mirrors the oracle's inner join: keys without both a
+            # test and a train pair produce no row
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_test": pd.Series([], dtype=np.int64),
+                "mae": pd.Series([], dtype=np.float64),
+                "rmse": pd.Series([], dtype=np.float64),
+                "smape": pd.Series([], dtype=np.float64),
+                "mase": pd.Series([], dtype=np.float64),
+            })
+        e = test["y"].to_numpy() - test["yhat"].to_numpy()
+        ay, ah = np.abs(test["y"].to_numpy()), np.abs(test["yhat"].to_numpy())
+        nt = float(len(e))
+        mae = np.abs(e).sum() / nt
+        rmse = np.sqrt((e * e).sum() / nt)
+        smape = (2.0 * np.abs(e) / (ay + ah)).sum() / nt
+        scale = np.abs(train["y"].to_numpy() - train["yhat"].to_numpy()).sum() / float(len(train))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_test": [np.int64(nt)],
+            "mae": [mae], "rmse": [rmse], "smape": [smape],
+            "mase": [mae / scale],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    for c in ("mae", "rmse", "smape", "mase"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["n_test"] = out["n_test"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_FORECAST_ACC = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), j AS (
+  SELECT a.event_type, a.bucket_ts, a.m AS y, b.m AS yhat,
+         MAX(a.bucket_ts) OVER (PARTITION BY a.event_type)
+           - INTERVAL '48 hours' AS cutoff
+  FROM h a LEFT JOIN h b
+    ON b.event_type = a.event_type
+   AND b.bucket_ts = a.bucket_ts - INTERVAL '24 hours'
+), te AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS nt,
+         SUM(ABS(y - yhat)) AS sae,
+         SUM((y - yhat) * (y - yhat)) AS sse,
+         SUM(2.0 * ABS(y - yhat) / (ABS(y) + ABS(yhat))) AS ssm
+  FROM j WHERE yhat IS NOT NULL AND bucket_ts > cutoff GROUP BY 1
+), tr AS (
+  SELECT event_type,
+         SUM(ABS(y - yhat)) / CAST(COUNT(*) AS DOUBLE) AS scale
+  FROM j WHERE yhat IS NOT NULL AND bucket_ts <= cutoff GROUP BY 1
+)
+SELECT te.event_type,
+       CAST(te.nt AS BIGINT) AS n_test,
+       ROUND(ROUND(te.sae / te.nt, 9), 6) AS mae,
+       ROUND(ROUND(SQRT(te.sse / te.nt), 9), 6) AS rmse,
+       ROUND(ROUND(te.ssm / te.nt, 9), 6) AS smape,
+       ROUND(ROUND((te.sae / te.nt) / tr.scale, 9), 6) AS mase
+FROM te JOIN tr USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_matrix_profile(sf_dir: str):
+    """Matrix profile (Yeh et al. 2016 'Matrix Profile I') of each
+    event_type's hourly-mean series, window m = 24: per-window minimal
+    z-normalized Euclidean distance to any non-trivially-overlapping
+    window plus the nearest-neighbor index (stages/tsdist.py:
+    matrix_profile — full vectorized QT matrix; the tiled diagonal-band
+    sharding is the documented scale path for long horizons). The
+    O(n^2) all-pairs min is not SQL-expressible at oracle cost ->
+    rows-only; the kernel is brute-force-pinned in pytest."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.tsdist import matrix_profile
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        mp, nn = matrix_profile(x, m=24)
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "i": np.arange(len(mp), dtype=np.int64),
+            "mp": mp,
+            "nn": nn,
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["mp"] = stable_round6(out["mp"].astype(float))
+    out["i"] = out["i"].astype("int64")
+    out["nn"] = out["nn"].astype("int64")
+    return out.sort_values(["event_type", "i"]).reset_index(drop=True)
+
+
+def q_diel_dtw(sf_dir: str):
+    """DTW distance matrix (Sakoe & Chiba 1978, band 6) between the
+    24-point mean diel profiles of every event_type pair: profiles
+    from one distributed hour-of-day aggregate (bounded 24 x |types|),
+    the 24x24 DP on the driver. Iterative DP -> rows-only; the kernel
+    is pinned against the literal recursion in pytest."""
+    from ..stages.tsdist import dtw_distance
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["hour"] = pd.to_datetime(t1h["bucket_ts"]).dt.hour
+    prof = (t1h.groupby(["event_type", "hour"], sort=True)["mean"]
+            .mean().unstack(level=1))
+    types = sorted(prof.index)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            d = dtw_distance(prof.loc[a].to_numpy(), prof.loc[b].to_numpy(), band=6)
+            rows.append({"type_a": a, "type_b": b, "dtw": d})
+    out = pd.DataFrame(rows)
+    out["dtw"] = stable_round6(out["dtw"].astype(float))
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 def q_rank_drivers(sf_dir: str):
     """Driver ranking by correlation with a target
     (analysis/correlation.py:18-104 rank_drivers): each non-target
@@ -8869,6 +9099,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "l_moments": q_l_moments,
     "gev_fit": q_gev_fit,
     "token_transition_entropy": q_token_transition_entropy,
+    "sax": q_sax,
+    "forecast_accuracy": q_forecast_accuracy,
+    "matrix_profile": q_matrix_profile,
+    "diel_dtw": q_diel_dtw,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -9007,6 +9241,8 @@ ORACLE: dict[str, str] = {
     "l_moments": _SQL_L_MOMENTS,
     "gev_fit": _SQL_GEV_FIT,
     "token_transition_entropy": _SQL_TOKEN_TRANSITION,
+    "sax": _SQL_SAX,
+    "forecast_accuracy": _SQL_FORECAST_ACC,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),
