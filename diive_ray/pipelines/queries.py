@@ -6968,6 +6968,251 @@ def q_diel_dtw(sf_dir: str):
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 20
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank (Page, Brin, Motwani & Winograd 1999) over the
+    first-order event-type transition graph: edge weights from the
+    distributed per-user transition counts (stages/joins.py:
+    event_transitions — one user_id exchange, bounded |types|^2
+    combine), then 20 damped power iterations r(v) = (1-d)/N +
+    d*sum_u r(u) w(u,v) on the driver's tiny matrix (dangling mass
+    ignored, the common simplification — identical on both sides).
+    Ranks are assigned on the 6dp-ROUNDED score (node tie-break) so
+    ordering can't flip on a last-ulp. The oracle unrolls the same 20
+    iterations as generated CTEs."""
+    from ..stages.joins import event_transitions
+
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+    edges = event_transitions(
+        ds, key="user_id", ts="ts", event_col="event_type", order_col="event_id"
+    )
+    nodes = sorted(set(edges["prev_event"]) | set(edges["next_event"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    cnt = np.zeros((n, n), dtype=np.float64)
+    for u, v, c in zip(edges["prev_event"], edges["next_event"], edges["n"]):
+        cnt[idx[u], idx[v]] = float(c)
+    w = cnt / cnt.sum(axis=1, keepdims=True)
+    d = _PR_DAMP
+    r = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        r = (1.0 - d) / n + d * (r @ w)
+    r6 = np.asarray(stable_round6(r), dtype=np.float64)
+    order = np.lexsort((np.asarray(nodes, dtype=object), -r6))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(1, n + 1)
+    out = pd.DataFrame({"node": nodes, "pagerank": r6, "rank": rank})
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _pagerank_sql(damp: float = _PR_DAMP, iters: int = _PR_ITERS) -> str:
+    head = """
+WITH o AS MATERIALIZED (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_event
+  FROM events
+), ec AS MATERIALIZED (
+  SELECT prev_event AS u, event_type AS v, COUNT(*)::DOUBLE AS n
+  FROM o WHERE prev_event IS NOT NULL GROUP BY 1, 2
+), w AS MATERIALIZED (
+  SELECT u, v, n / SUM(n) OVER (PARTITION BY u) AS w FROM ec
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT event_type AS node FROM events
+), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT n2.node,
+         (1.0 - {damp}) / (SELECT n FROM nn)
+         + {damp} * COALESCE(SUM(p.r * w.w), 0.0) AS r
+  FROM nodes n2
+  LEFT JOIN w ON w.v = n2.node
+  LEFT JOIN r{k - 1} p ON p.node = w.u
+  GROUP BY n2.node
+)"""
+                     )
+    tail = f"""
+SELECT node,
+       ROUND(ROUND(r, 9), 6) AS pagerank,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(ROUND(r, 9), 6) DESC, node)
+            AS BIGINT) AS rank
+FROM r{iters} ORDER BY node"""
+    return head + "".join(steps) + tail
+
+
+_SQL_PAGERANK = _pagerank_sql()
+
+
+def q_conformal_interval(sf_dir: str):
+    """Split-conformal prediction intervals (Vovk et al. 2005;
+    Lei et al. 2018 §2) around the seasonal-naive forecast: per
+    event_type, train = all but the last 48 h of calendar t-24h pairs,
+    nonconformity = |y - yhat|, qhat = the ceil((n_train+1)*0.9)-th
+    smallest score (clamped to n_train — the standard finite-sample
+    quantile), intervals yhat ± qhat on the test pairs, empirical
+    coverage reported. Exact order-statistic arithmetic — full SQL
+    replay. Same ONE-exchange shape as forecast_accuracy."""
+    from ..stages.exchange import grouped_block_map
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        ts = pd.to_datetime(g["bucket_ts"])
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        f = pd.DataFrame({"ts": ts.to_numpy(), "y": x})
+        lagged = f.rename(columns={"ts": "lts", "y": "yhat"})
+        f = f.assign(lts=f["ts"] - pd.Timedelta(hours=24)).merge(
+            lagged, on="lts", how="left")
+        cutoff = f["ts"].max() - pd.Timedelta(hours=48)
+        got = f[f["yhat"].notna()]
+        test = got[got["ts"] > cutoff]
+        train = got[got["ts"] <= cutoff]
+        if len(test) == 0 or len(train) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_train": pd.Series([], dtype=np.int64),
+                "n_test": pd.Series([], dtype=np.int64),
+                "qhat": pd.Series([], dtype=np.float64),
+                "coverage": pd.Series([], dtype=np.float64),
+            })
+        scores = np.sort(np.abs(train["y"].to_numpy() - train["yhat"].to_numpy()))
+        k = min(int(np.ceil((len(scores) + 1) * 0.9)), len(scores))
+        qhat = scores[k - 1]
+        e = np.abs(test["y"].to_numpy() - test["yhat"].to_numpy())
+        cov = (e <= qhat).sum() / float(len(e))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_train": [np.int64(len(scores))],
+            "n_test": [np.int64(len(e))],
+            "qhat": [qhat],
+            "coverage": [cov],
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["qhat"] = stable_round6(out["qhat"].astype(float))
+    out["coverage"] = stable_round6(out["coverage"].astype(float))
+    out["n_train"] = out["n_train"].astype("int64")
+    out["n_test"] = out["n_test"].astype("int64")
+    return out.sort_values(["event_type"]).reset_index(drop=True)
+
+
+_SQL_CONFORMAL = """
+WITH h AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+), j AS (
+  SELECT a.event_type, a.bucket_ts, a.m AS y, b.m AS yhat,
+         MAX(a.bucket_ts) OVER (PARTITION BY a.event_type)
+           - INTERVAL '48 hours' AS cutoff
+  FROM h a LEFT JOIN h b
+    ON b.event_type = a.event_type
+   AND b.bucket_ts = a.bucket_ts - INTERVAL '24 hours'
+), tr AS (
+  SELECT event_type, ABS(y - yhat) AS s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(y - yhat))
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM j WHERE yhat IS NOT NULL AND bucket_ts <= cutoff
+), q AS (
+  SELECT event_type, ANY_VALUE(n) AS n_train,
+         MAX(CASE WHEN rn = LEAST(CAST(CEIL((n + 1) * 0.9) AS BIGINT), n)
+             THEN s END) AS qhat
+  FROM tr GROUP BY 1
+), te AS (
+  SELECT j.event_type,
+         CAST(COUNT(*) AS DOUBLE) AS nt,
+         SUM(CASE WHEN ABS(j.y - j.yhat) <= q.qhat THEN 1 ELSE 0 END)
+           AS covered,
+         ANY_VALUE(q.qhat) AS qhat, ANY_VALUE(q.n_train) AS n_train
+  FROM j JOIN q USING (event_type)
+  WHERE j.yhat IS NOT NULL AND j.bucket_ts > j.cutoff
+  GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(nt AS BIGINT) AS n_test,
+       ROUND(ROUND(qhat, 9), 6) AS qhat,
+       ROUND(ROUND(covered / nt, 9), 6) AS coverage
+FROM te ORDER BY event_type
+"""
+
+
+def q_adwin_drift(sf_dir: str):
+    """ADWIN adaptive-window drift detection (Bifet & Gavalda 2007,
+    variance-based ADWIN2 bound) over the 6dp hourly means per
+    event_type (stages/streamdetect.py:adwin_scan — the exact
+    all-splits variant; the paper's exponential-histogram buckets are
+    the documented log-state scale path). Sequential data-dependent
+    window cuts aren't SQL-expressible -> rows-only; planted-shift and
+    stationary-no-cut behavior pytest-pinned."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.streamdetect import adwin_scan
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        ts = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]").to_numpy()
+        wlen, wmean, shrunk = adwin_scan(x)
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": ts,
+            "window_len": wlen,
+            "window_mean": wmean,
+            "shrunk": shrunk,
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["window_mean"] = stable_round6(out["window_mean"].astype(float))
+    out["window_len"] = out["window_len"].astype("int64")
+    out["shrunk"] = out["shrunk"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+def q_spectral_residual_anomaly(sf_dir: str):
+    """Spectral-residual saliency anomaly detection (Ren et al. 2019,
+    the SR stage of SR-CNN) per event_type on the hourly means
+    (stages/streamdetect.py:spectral_residual): log-amplitude
+    spectrum minus its 3-point average, inverse FFT with original
+    phase, score = relative saliency deviation from a 21-point local
+    mean; flag score > 3. FFT isn't SQL-expressible -> rows-only;
+    planted-spike saliency pinned in pytest."""
+    from ..stages.exchange import grouped_block_map
+    from ..stages.streamdetect import spectral_residual
+
+    t1h = _fused_tier(sf_dir, "1h")
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_ts", kind="stable")
+        x = np.asarray(stable_round6(g["mean"].astype(float)), dtype=np.float64)
+        ts = pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]").to_numpy()
+        s, score = spectral_residual(x)
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bucket_ts": ts,
+            "saliency": s,
+            "score": score,
+            "flagged": (score > 3.0).astype(np.int64),
+        })
+
+    out = grouped_block_map(t1h, ["event_type"], fn).to_pandas()
+    out["saliency"] = stable_round6(out["saliency"].astype(float))
+    out["score"] = stable_round6(out["score"].astype(float))
+    out["flagged"] = out["flagged"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
 def q_rank_drivers(sf_dir: str):
     """Driver ranking by correlation with a target
     (analysis/correlation.py:18-104 rank_drivers): each non-target
@@ -9103,6 +9348,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "forecast_accuracy": q_forecast_accuracy,
     "matrix_profile": q_matrix_profile,
     "diel_dtw": q_diel_dtw,
+    "pagerank": q_pagerank,
+    "conformal_interval": q_conformal_interval,
+    "adwin_drift": q_adwin_drift,
+    "spectral_residual_anomaly": q_spectral_residual_anomaly,
     "thermo_battery": q_thermo_battery,
     "lagged_variants": q_lagged_variants,
     "nee_partition_nt_oneflux": q_nee_partition_nt_oneflux,
@@ -9243,6 +9492,8 @@ ORACLE: dict[str, str] = {
     "token_transition_entropy": _SQL_TOKEN_TRANSITION,
     "sax": _SQL_SAX,
     "forecast_accuracy": _SQL_FORECAST_ACC,
+    "pagerank": _SQL_PAGERANK,
+    "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
     "variable_classify": _SQL_CLASSIFY.format(names="[" + ", ".join(repr(x) for x in _VARNAME_BATTERY) + "]", n=len(_VARNAME_BATTERY)),

@@ -1,0 +1,82 @@
+"""Streaming-monitor detectors over bounded per-key series: ADWIN
+(Bifet & Gavalda 2007 'Learning from time-changing data with adaptive
+windowing', the variance-based ADWIN2 bound) and the spectral-residual
+saliency detector (Ren et al. 2019, KDD 'Time-Series Anomaly Detection
+Service at Microsoft').
+
+Both kernels run inside one exchange block per key; the series length
+is the TIER length (time range), not the corpus, so the O(n^2) exact
+ADWIN sweep and the FFT are bounded. For unbounded horizons ADWIN's
+exponential-histogram buckets (log n state) are the documented scale
+path — this exact variant checks every admissible split, which the
+bucketed version approximates."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def adwin_scan(x: np.ndarray, delta: float = 0.002, min_sub: int = 5
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact ADWIN sweep over ``x``: maintain the adaptive window
+    [start, t]; after each arrival, while some split W = W0 · W1 (both
+    halves >= min_sub) has |mean(W0) - mean(W1)| > eps_cut, drop W0.
+
+    eps_cut is the Bernstein-style ADWIN2 bound
+        sqrt(2/m * var(W) * ln(2/dp)) + 2/(3m) * ln(2/dp),
+    m = harmonic mean of the half sizes, dp = delta / n.
+
+    Returns (window_len, window_mean, shrunk_flag) per index."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    wlen = np.zeros(n, dtype=np.int64)
+    wmean = np.zeros(n, dtype=np.float64)
+    shrunk = np.zeros(n, dtype=np.int64)
+    start = 0
+    for t in range(n):
+        while True:
+            w = x[start:t + 1]
+            m_ = len(w)
+            if m_ < 2 * min_sub:
+                break
+            cs = np.cumsum(w)
+            n0 = np.arange(min_sub, m_ - min_sub + 1, dtype=np.float64)
+            n1 = m_ - n0
+            i0 = n0.astype(np.int64) - 1
+            mu0 = cs[i0] / n0
+            mu1 = (cs[-1] - cs[i0]) / n1
+            hm = 1.0 / (1.0 / n0 + 1.0 / n1)
+            dp = delta / m_
+            var = w.var()
+            ln = np.log(2.0 / dp)
+            eps = np.sqrt(2.0 / hm * var * ln) + 2.0 / (3.0 * hm) * ln
+            viol = np.abs(mu0 - mu1) > eps
+            if not viol.any():
+                break
+            start += int(n0[np.argmax(viol)])
+            shrunk[t] = 1
+        w = x[start:t + 1]
+        wlen[t] = len(w)
+        wmean[t] = w.mean()
+    return wlen, wmean, shrunk
+
+
+def spectral_residual(x: np.ndarray, q: int = 3, local: int = 21
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Spectral-residual saliency map (Ren et al. 2019 §3.1): log
+    amplitude spectrum minus its q-point moving average, exponentiate
+    back, inverse FFT with the original phase; anomaly score =
+    relative deviation of the saliency from its ``local``-point moving
+    average. Returns (saliency, score)."""
+    x = np.asarray(x, dtype=np.float64)
+    eps = 1e-8
+    f = np.fft.fft(x)
+    amp = np.abs(f)
+    la = np.log(amp + eps)
+    ala = np.convolve(la, np.ones(q) / q, mode="same")
+    sr = np.exp(la - ala)
+    f2 = f / (amp + eps) * sr
+    s = np.abs(np.fft.ifft(f2))
+    loc = np.convolve(s, np.ones(local) / local, mode="same")
+    score = (s - loc) / (loc + eps)
+    return s, score
