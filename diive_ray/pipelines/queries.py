@@ -9193,6 +9193,174 @@ ORDER BY s.event_id
 """
 
 
+# ------------------------------------------------------------- equi-joins
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast equi-join (stages/joins.py:broadcast_join): orders x
+    customer on custkey — the bounded dimension side is ray.put ONCE
+    and merged map-side per batch, zero shuffle (the reference's
+    aggregated-as-hires date merge, frames.py:255-316, generalized to
+    a relational dimension join). Per-market-segment order stats; means
+    not raw sums (FP accumulation across engines)."""
+    from ..stages.exchange import driver_combine
+    from ..stages.joins import broadcast_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n=("o_totalprice", "size"),
+            s=("o_totalprice", "sum"),
+            mn=("o_totalprice", "min"),
+            mx=("o_totalprice", "max"),
+        )
+
+    g = driver_combine(
+        joined, partial,
+        lambda df: df.groupby("c_mktsegment", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        ),
+        batch_format="pandas",
+    )
+    out = pd.DataFrame({
+        "c_mktsegment": g["c_mktsegment"],
+        "n_orders": g["n"].astype("int64"),
+        "mean_price": stable_round6(g["s"] / g["n"]),
+        "min_price": round6(g["mn"]),
+        "max_price": round6(g["mx"]),
+    })
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT c.c_mktsegment,
+       COUNT(*)::BIGINT AS n_orders,
+       ROUND(ROUND(SUM(o.o_totalprice) / COUNT(*), 9), 6) AS mean_price,
+       ROUND(MIN(o.o_totalprice), 6) AS min_price,
+       ROUND(MAX(o.o_totalprice), 6) AS max_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """Distributed hash equi-join (stages/joins.py:hash_join): lineitem
+    x orders on orderkey — BOTH fact-sized sides hash-partitioned on
+    the key in ONE exchange, per-block vectorized pandas merge (no
+    broadcast: neither side is bounded at scale). Join result reduced
+    per (o_orderpriority, l_returnflag) via the bounded driver
+    combine."""
+    from ..stages.exchange import driver_combine
+    from ..stages.joins import hash_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderpriority", "l_returnflag"], as_index=False).agg(
+            n=("l_quantity", "size"), s=("l_quantity", "sum")
+        )
+
+    g = driver_combine(
+        joined, partial,
+        lambda df: df.groupby(["o_orderpriority", "l_returnflag"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        ),
+        batch_format="pandas",
+    )
+    out = pd.DataFrame({
+        "o_orderpriority": g["o_orderpriority"],
+        "l_returnflag": g["l_returnflag"],
+        "n": g["n"].astype("int64"),
+        "mean_qty": stable_round6(g["s"] / g["n"]),
+    })
+    return out.sort_values(["o_orderpriority", "l_returnflag"]).reset_index(drop=True)
+
+
+_SQL_JOIN_LINEITEM_ORDERS = """
+SELECT o.o_orderpriority, l.l_returnflag,
+       COUNT(*)::BIGINT AS n,
+       ROUND(ROUND(SUM(l.l_quantity) / COUNT(*), 9), 6) AS mean_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority, l.l_returnflag
+ORDER BY o.o_orderpriority, l.l_returnflag
+"""
+
+
+def q_join_semi_anti(sf_dir: str):
+    """Semi and anti hash joins (stages/joins.py:hash_join how=semi/
+    anti): orders WITH at least one lineitem vs orders with NONE,
+    counted per order status. Each variant is one keyed exchange whose
+    per-block merge reduces the right side to its distinct keys first
+    (existence check, never a row multiplication)."""
+    from ..stages.exchange import driver_combine
+    from ..stages.joins import hash_join
+
+    def orders_ds():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus"],
+        )
+
+    def li_keys():
+        return rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+        ).map_batches(
+            lambda t: t.rename_columns(["o_orderkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def count_by_status(ds) -> pd.DataFrame:
+        return driver_combine(
+            ds,
+            lambda df: df.groupby("o_orderstatus", as_index=False).agg(
+                n=("o_orderkey", "size")
+            ),
+            lambda df: df.groupby("o_orderstatus", as_index=False).agg(n=("n", "sum")),
+            batch_format="pandas",
+        )
+
+    semi = count_by_status(hash_join(orders_ds(), li_keys(), on="o_orderkey", how="semi"))
+    anti = count_by_status(hash_join(orders_ds(), li_keys(), on="o_orderkey", how="anti"))
+    out = semi.rename(columns={"n": "n_with_items"}).merge(
+        anti.rename(columns={"n": "n_without_items"}), on="o_orderstatus", how="outer"
+    )
+    for c in ("n_with_items", "n_without_items"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+_SQL_JOIN_SEMI_ANTI = """
+WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem)
+SELECT o.o_orderstatus,
+       (COUNT(*) FILTER (WHERE k.l_orderkey IS NOT NULL))::BIGINT AS n_with_items,
+       (COUNT(*) FILTER (WHERE k.l_orderkey IS NULL))::BIGINT AS n_without_items
+FROM orders o LEFT JOIN k ON o.o_orderkey = k.l_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -9349,6 +9517,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "matrix_profile": q_matrix_profile,
     "diel_dtw": q_diel_dtw,
     "pagerank": q_pagerank,
+    "join_orders_customer": q_join_orders_customer,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "join_semi_anti": q_join_semi_anti,
     "conformal_interval": q_conformal_interval,
     "adwin_drift": q_adwin_drift,
     "spectral_residual_anomaly": q_spectral_residual_anomaly,
@@ -9493,6 +9664,9 @@ ORACLE: dict[str, str] = {
     "sax": _SQL_SAX,
     "forecast_accuracy": _SQL_FORECAST_ACC,
     "pagerank": _SQL_PAGERANK,
+    "join_orders_customer": _SQL_JOIN_ORDERS_CUSTOMER,
+    "join_lineitem_orders": _SQL_JOIN_LINEITEM_ORDERS,
+    "join_semi_anti": _SQL_JOIN_SEMI_ANTI,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

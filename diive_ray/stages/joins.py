@@ -455,3 +455,179 @@ def event_transitions(
     tot = out.groupby("prev_event")["n"].transform("sum")
     out["p"] = round6(out["n"] / tot)
     return out.sort_values(["prev_event", "next_event"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------- equi-join
+
+
+def _restore_int_dtypes(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
+    """Undo the float/object promotion the union's typed nulls caused on
+    the OTHER side's rows: restore int/bool dtypes where the subset holds
+    no nulls (matching a direct to_pandas of the original side)."""
+    for f in schema:
+        if f.name not in df.columns:
+            continue
+        if pa.types.is_integer(f.type) and not df[f.name].isna().any():
+            df[f.name] = df[f.name].astype(np.dtype(f.type.to_pandas_dtype()))
+        elif pa.types.is_boolean(f.type) and not df[f.name].isna().any():
+            df[f.name] = df[f.name].astype(bool)
+    return df
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: "str | Iterable[str]",
+    how: str = "inner",
+    rsuffix: str = "_r",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed equi-join: both sides hash-partitioned on the join
+    key in ONE shuffle (the textbook exchange hash join — no counterpart
+    in the reference, which is single-frame pandas throughout; this is
+    the engine's relational join primitive).
+
+    ``how``: ``inner`` | ``left`` | ``semi`` | ``anti``. Semi/anti
+    return left's schema unchanged (existence filters). Null join keys
+    never match (SQL semantics — pandas' NaN==NaN merge behavior is
+    masked out explicitly); in a LEFT join, null-key left rows are kept
+    with null right values.
+
+    Right payload columns whose names clash with left's are renamed
+    with ``rsuffix``. Key columns must share names on both sides
+    (rename the right side upstream when they differ — zero-cost on
+    Arrow metadata).
+
+    Plan: tag side -> align schemas with typed nulls -> ``union`` ->
+    ONE keyed exchange on ``on`` -> per-block pandas merge. At scale
+    each side moves exactly once; a hot key concentrates in one block
+    (pre-aggregate, salt, or use ``broadcast_join`` when one side is
+    bounded)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    left_cols = list(lschema.names)
+    for k in keys:
+        if k not in left_cols or k not in rschema.names:
+            raise ValueError(f"join key {k!r} must exist on both sides")
+
+    rename = {
+        n: n + rsuffix
+        for n in rschema.names
+        if n in left_cols and n not in keys
+    }
+    if any(v in left_cols for v in rename.values()):
+        raise ValueError(f"rsuffix={rsuffix!r} still clashes with left schema")
+
+    def retype(t: pa.Table) -> pa.Table:
+        # cast right key columns to left's key types so the hash and the
+        # merge see one type; rename clashing payload columns
+        cols, names = [], []
+        for n in t.schema.names:
+            col = t.column(n)
+            if n in keys:
+                want = lschema.field(n).type
+                if col.type != want:
+                    col = col.cast(want)
+                names.append(n)
+            else:
+                names.append(rename.get(n, n))
+            cols.append(col)
+        return pa.table(dict(zip(names, cols)))
+
+    right = right.map_batches(retype, batch_format="pyarrow", zero_copy_batch=True)
+    rschema2 = pa.schema(
+        [pa.field(rename.get(f.name, f.name),
+                  lschema.field(f.name).type if f.name in keys else f.type)
+         for f in rschema]
+    )
+    value_cols = [c for c in rschema2.names if c not in keys]
+    order = left_cols + value_cols
+
+    miss_left = [rschema2.field(c) for c in value_cols]
+    miss_right = [lschema.field(c) for c in left_cols if c not in keys]
+
+    def tag(side: int, missing: list):
+        def fn(t: pa.Table) -> pa.Table:
+            t = _append_missing(t, missing)
+            t = t.append_column("_side", pa.array(np.full(len(t), side, dtype=np.uint8)))
+            return t.select(order + ["_side"])
+
+        return fn
+
+    unioned = left.map_batches(tag(0, miss_left), batch_format="pyarrow").union(
+        right.map_batches(tag(1, miss_right), batch_format="pyarrow")
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0].drop(columns=value_cols + ["_side"])
+        l = _restore_int_dtypes(l.reset_index(drop=True), lschema)
+        r = df[df["_side"] == 1][keys + value_cols]
+        r = _restore_int_dtypes(r.reset_index(drop=True), rschema2)
+        r = r.dropna(subset=keys)
+        lkey_ok = ~l[keys].isna().any(axis=1)
+        if how == "inner":
+            return l[lkey_ok].merge(r, on=keys, how="inner")
+        if how == "left":
+            matched = l[lkey_ok].merge(r, on=keys, how="left")
+            skipped = l[~lkey_ok]
+            if len(skipped):
+                skipped = skipped.reindex(columns=matched.columns)
+                matched = pd.concat([matched, skipped], ignore_index=True)
+            return matched
+        rk = r[keys].drop_duplicates()
+        if how == "semi":
+            return l[lkey_ok].merge(rk, on=keys, how="inner")
+        # anti: null-key left rows never match -> always kept
+        m = l[lkey_ok].merge(rk.assign(__m=1), on=keys, how="left")
+        out = m[m["__m"].isna()].drop(columns="__m")
+        skipped = l[~lkey_ok]
+        if len(skipped):
+            out = pd.concat([out, skipped], ignore_index=True)
+        return out
+
+    return block_map(
+        unioned,
+        keys,
+        combine,
+        batch_format="pandas",
+        num_partitions=num_partitions,
+        zero_copy_batch=False,
+    )
+
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pd.DataFrame,
+    *,
+    on: "str | Iterable[str]",
+    how: str = "inner",
+) -> rd.Dataset:
+    """Map-side equi-join for a BOUNDED small side: ``ray.put`` the
+    small table ONCE, per-batch pandas merge inside ``map_batches`` —
+    zero shuffle, the big side never moves, and the small side is read
+    from the object store by every task rather than re-shipped per
+    batch. ``how``: ``inner`` | ``left``. Null keys never match; the
+    caller pre-renames clashing small-side columns."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (broadcast side must be right)")
+    small = small.dropna(subset=keys)
+    ref = ray.put(small)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        sm = _ray.get(ref)
+        ok = ~df[keys].isna().any(axis=1)
+        out = df[ok].merge(sm, on=keys, how=how)
+        if how == "left" and (~ok).any():
+            out = pd.concat(
+                [out, df[~ok].reindex(columns=out.columns)], ignore_index=True
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
