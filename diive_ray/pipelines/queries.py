@@ -9361,6 +9361,178 @@ ORDER BY o.o_orderstatus
 """
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Daily cohort retention matrix (stages/joins.py:retention_cohorts):
+    cohort = calendar day of a user's FIRST event, cell (cohort, offset)
+    = distinct users active offset days later, retention = cell /
+    offset-0 cell. ONE exchange on user_id (per-user first day and
+    distinct active days are exact in-block), calendar-bounded driver
+    combine."""
+    from ..stages.joins import retention_cohorts
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    out = retention_cohorts(ds, user_col="user_id", ts_col="ts", period="D")
+    out["cohort"] = pd.to_datetime(out["cohort"]).astype("datetime64[us]")
+    out["retention"] = stable_round6(out["retention"].astype(float))
+    return out[["cohort", "day_offset", "n_active", "cohort_size", "retention"]]
+
+
+_SQL_RETENTION_COHORTS = """
+WITH fu AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY user_id
+),
+ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+),
+j AS (
+  SELECT f.cohort, date_diff('day', f.cohort, u.d) AS day_offset
+  FROM ud u JOIN fu f ON u.user_id = f.user_id
+),
+act AS (
+  SELECT cohort, day_offset::BIGINT AS day_offset, COUNT(*)::BIGINT AS n_active
+  FROM j GROUP BY 1, 2
+),
+base AS (SELECT cohort, n_active AS cohort_size FROM act WHERE day_offset = 0)
+SELECT a.cohort, a.day_offset, a.n_active, b.cohort_size,
+       ROUND(ROUND(a.n_active * 1.0 / b.cohort_size, 9), 6) AS retention
+FROM act a JOIN base b ON a.cohort = b.cohort
+ORDER BY a.cohort, a.day_offset
+"""
+
+
+def q_ar2_yule_walker(sf_dir: str):
+    """AR(2) Yule-Walker fit (stages/trend.py:yule_walker_ar2_frame)
+    per event_type over the 6dp-rounded hourly means of the distributed
+    rollup: pairwise-complete autocovariances at lags 1/2 h (the
+    acf_lags convention), closed 2x2 solve for phi1/phi2, innovation
+    variance c0(1 - phi1 r1 - phi2 r2). Expression order shared
+    verbatim with the SQL oracle's lag self-joins."""
+    from ..stages.trend import yule_walker_ar2_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    out = yule_walker_ar2_frame(t1h, key="event_type", ts_col="bucket_ts", val_col="m")
+    for c in ("r1", "r2", "phi1", "phi2", "sigma2"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_AR2_YW = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+stats AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(m) / COUNT(*) AS ybar
+  FROM hourly GROUP BY 1
+),
+c0s AS (
+  SELECT h.event_type, SUM((h.m - s.ybar) * (h.m - s.ybar)) / s.n AS c0
+  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+  GROUP BY h.event_type, s.n
+),
+p1 AS (
+  SELECT h1.event_type,
+         SUM((h1.m - s.ybar) * (h2.m - s.ybar)) / COUNT(*) AS c1
+  FROM hourly h1
+  JOIN stats s ON s.event_type = h1.event_type
+  JOIN hourly h2 ON h2.event_type = h1.event_type
+                AND h2.bts = h1.bts + INTERVAL '1 hour'
+  GROUP BY 1
+),
+p2 AS (
+  SELECT h1.event_type,
+         SUM((h1.m - s.ybar) * (h2.m - s.ybar)) / COUNT(*) AS c2
+  FROM hourly h1
+  JOIN stats s ON s.event_type = h1.event_type
+  JOIN hourly h2 ON h2.event_type = h1.event_type
+                AND h2.bts = h1.bts + INTERVAL '2 hours'
+  GROUP BY 1
+),
+r AS (
+  SELECT s.event_type, s.n, c.c0, p1.c1 / c.c0 AS r1, p2.c2 / c.c0 AS r2
+  FROM stats s
+  JOIN c0s c ON c.event_type = s.event_type
+  JOIN p1 ON p1.event_type = s.event_type
+  JOIN p2 ON p2.event_type = s.event_type
+  WHERE s.n >= 3 AND c.c0 > 0
+),
+f AS (
+  SELECT event_type, n, c0, r1, r2,
+         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+  FROM r
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(r1, 9), 6) AS r1,
+       ROUND(ROUND(r2, 9), 6) AS r2,
+       ROUND(ROUND(phi1, 9), 6) AS phi1,
+       ROUND(ROUND(phi2, 9), 6) AS phi2,
+       ROUND(ROUND(c0 * (1.0 - phi1 * r1 - phi2 * r2), 9), 6) AS sigma2
+FROM f ORDER BY event_type
+"""
+
+
+def q_ts_complexity(sf_dir: str):
+    """Nonlinear complexity battery (stages/trend.py:complexity_frame;
+    tsfresh-popularized public estimators — Batista 2014 CID, Schreiber
+    & Schmitz 1997 C3, Fulcher & Jones 2014 time-reversal asymmetry)
+    per event_type over the hourly rollup means, pairwise/triplet-
+    complete on the bucket grid."""
+    from ..stages.trend import complexity_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    out = complexity_frame(t1h, key="event_type", ts_col="bucket_ts", val_col="m")
+    for c in ("mean_abs_change", "cid_ce", "c3", "time_rev_asym"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TS_COMPLEXITY = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT h1.event_type, h2.m - h1.m AS d
+  FROM hourly h1
+  JOIN hourly h2 ON h2.event_type = h1.event_type
+                AND h2.bts = h1.bts + INTERVAL '1 hour'
+),
+pagg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+         SUM(ABS(d)) AS sad, SUM(d * d) AS sdd
+  FROM pairs GROUP BY 1
+),
+trips AS (
+  SELECT h0.event_type, h0.m AS x0, h1.m AS x1, h2.m AS x2
+  FROM hourly h0
+  JOIN hourly h1 ON h1.event_type = h0.event_type
+                AND h1.bts = h0.bts + INTERVAL '1 hour'
+  JOIN hourly h2 ON h2.event_type = h0.event_type
+                AND h2.bts = h0.bts + INTERVAL '2 hours'
+),
+tagg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_triples,
+         SUM(x0 * x1 * x2) AS sc3,
+         SUM(x2 * x2 * x1 - x1 * x0 * x0) AS st
+  FROM trips GROUP BY 1
+)
+SELECT p.event_type, p.n_pairs,
+       COALESCE(t.n_triples, 0)::BIGINT AS n_triples,
+       ROUND(ROUND(p.sad / p.n_pairs, 9), 6) AS mean_abs_change,
+       ROUND(ROUND(SQRT(p.sdd), 9), 6) AS cid_ce,
+       ROUND(ROUND(t.sc3 / t.n_triples, 9), 6) AS c3,
+       ROUND(ROUND(t.st / t.n_triples, 9), 6) AS time_rev_asym
+FROM pagg p LEFT JOIN tagg t ON t.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
@@ -9520,6 +9692,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
     "join_semi_anti": q_join_semi_anti,
+    "retention_cohorts": q_retention_cohorts,
+    "ar2_yule_walker": q_ar2_yule_walker,
+    "ts_complexity": q_ts_complexity,
     "conformal_interval": q_conformal_interval,
     "adwin_drift": q_adwin_drift,
     "spectral_residual_anomaly": q_spectral_residual_anomaly,
@@ -9667,6 +9842,9 @@ ORACLE: dict[str, str] = {
     "join_orders_customer": _SQL_JOIN_ORDERS_CUSTOMER,
     "join_lineitem_orders": _SQL_JOIN_LINEITEM_ORDERS,
     "join_semi_anti": _SQL_JOIN_SEMI_ANTI,
+    "retention_cohorts": _SQL_RETENTION_COHORTS,
+    "ar2_yule_walker": _SQL_AR2_YW,
+    "ts_complexity": _SQL_TS_COMPLEXITY,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

@@ -631,3 +631,71 @@ def broadcast_join(
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# ------------------------------------------------------- cohort retention
+
+
+def retention_cohorts(
+    ds: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "D",
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """Cohort retention matrix (classic product-analytics operator, no
+    reference counterpart): cohort = the calendar period of a user's
+    FIRST event; a cell (cohort, offset) counts distinct users of that
+    cohort active ``offset`` periods later; retention = cell count /
+    cohort size, where cohort size == the offset-0 cell (every user is
+    active in their own first period by construction).
+
+    Plan: ONE exchange on ``user_col`` — each block then holds its
+    users' complete history, so the per-user first period and distinct
+    active periods are globally exact in-block; blocks emit
+    (cohort, offset, partial count) rows bounded by the calendar, and
+    the driver combine sums them. ``period``: 'D' (midnight floor) or
+    'W' (ISO-Monday floor)."""
+    from .exchange import block_map
+
+    if period not in ("D", "W"):
+        raise ValueError("period must be 'D' or 'W'")
+    step_days = 1 if period == "D" else 7
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "cohort": pd.Series([], dtype="datetime64[us]"),
+                "week_offset" if period == "W" else "day_offset":
+                    pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            })
+        ts = pd.to_datetime(df[ts_col])
+        p = ts.dt.normalize()
+        if period == "W":
+            p = p - pd.to_timedelta(ts.dt.dayofweek, unit="D")
+        sub = pd.DataFrame({"u": df[user_col].to_numpy(), "p": p.to_numpy()})
+        sub["cohort"] = sub.groupby("u", sort=False)["p"].transform("min")
+        uniq = sub.drop_duplicates(["u", "p"])
+        off = ((uniq["p"] - uniq["cohort"]).dt.days // step_days).astype(np.int64)
+        name = "week_offset" if period == "W" else "day_offset"
+        out = pd.DataFrame({"cohort": uniq["cohort"].to_numpy(), name: off.to_numpy()})
+        out = out.groupby(["cohort", name], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    name = "week_offset" if period == "W" else "day_offset"
+    partials = block_map(
+        ds.map_batches(lambda d: d[[user_col, ts_col]], batch_format="pandas"),
+        [user_col], per_block, batch_format="pandas",
+        num_partitions=num_partitions, zero_copy_batch=False,
+    ).to_pandas()
+    act = partials.groupby(["cohort", name], as_index=False)["n"].sum()
+    act["n"] = act["n"].astype("int64")
+    base = act[act[name] == 0][["cohort", "n"]].rename(columns={"n": "cohort_size"})
+    out = act.merge(base, on="cohort", how="left")
+    out["retention"] = out["n"] / out["cohort_size"]
+    out = out.rename(columns={"n": "n_active"})
+    out["cohort_size"] = out["cohort_size"].astype("int64")
+    return out.sort_values(["cohort", name]).reset_index(drop=True)

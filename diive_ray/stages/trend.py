@@ -465,3 +465,123 @@ def hurst_rs(
     lx0 = lx - lx.mean()
     h = float((lx0 * (ly - ly.mean())).sum() / (lx0 * lx0).sum())
     return h, tab
+
+
+# ------------------------------------------------- AR(2) Yule-Walker
+
+
+def yule_walker_ar2_frame(
+    hourly: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    ts_col: str = "bucket_ts",
+    val_col: str = "m",
+    step_us: int = 3_600_000_000,
+) -> pd.DataFrame:
+    """AR(2) fit via the Yule-Walker equations (Yule 1927 / Walker 1931;
+    the closed 2x2 solve) over a regular bucket grid with holes, per
+    key. Autocovariances use the pairwise-complete convention shared
+    with acf_lags_frame — c_k averages (x_t - ybar)(x_{t+k} - ybar)
+    over pairs where BOTH buckets exist, divided by the pair count
+    (so r_k = c_k / c_0 with c_0 the population variance over all n
+    points):
+
+        phi1 = r1 (1 - r2) / (1 - r1^2)
+        phi2 = (r2 - r1^2) / (1 - r1^2)
+        sigma2 = c0 (1 - phi1 r1 - phi2 r2)
+
+    Input frame is tier-sized (bounded), produced by the distributed
+    rollup; the expression order is shared verbatim with the SQL
+    oracle."""
+    rows = []
+    for k, g in hourly.groupby(key, sort=True):
+        us = ts_to_us(pd.to_datetime(g[ts_col]))
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        y = g[val_col].to_numpy(dtype=np.float64)[order]
+        n = len(y)
+        if n < 3:
+            continue
+        ybar = y.sum() / n
+        c0 = ((y - ybar) ** 2).sum() / n
+        pos = {int(u): i for i, u in enumerate(us)}
+        cs = []
+        for lag in (1, 2):
+            j = np.array([pos.get(int(u + lag * step_us), -1) for u in us], dtype=np.int64)
+            okm = j >= 0
+            npairs = int(okm.sum())
+            if npairs == 0 or c0 <= 0:
+                cs.append(np.nan)
+                continue
+            cs.append((((y[okm] - ybar) * (y[j[okm]] - ybar)).sum()) / npairs)
+        c1, c2 = cs
+        r1, r2 = c1 / c0, c2 / c0
+        den = 1.0 - r1 * r1
+        phi1 = r1 * (1.0 - r2) / den
+        phi2 = (r2 - r1 * r1) / den
+        sigma2 = c0 * (1.0 - phi1 * r1 - phi2 * r2)
+        rows.append((k, n, r1, r2, phi1, phi2, sigma2))
+    out = pd.DataFrame(
+        rows, columns=[key, "n", "r1", "r2", "phi1", "phi2", "sigma2"]
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+# --------------------------------------------- complexity battery
+
+
+def complexity_frame(
+    hourly: pd.DataFrame,
+    *,
+    key: str = "event_type",
+    ts_col: str = "bucket_ts",
+    val_col: str = "m",
+    step_us: int = 3_600_000_000,
+) -> pd.DataFrame:
+    """Nonlinear time-series complexity battery (the tsfresh-popularized
+    estimators, public formulas) over a regular bucket grid with holes,
+    per key, pairwise/triplet-complete:
+
+    * mean_abs_change = mean |x_{t+1} - x_t| over adjacent present pairs
+    * cid_ce = sqrt( sum (x_{t+1} - x_t)^2 )  (Batista et al. 2014
+      complexity-invariant distance core, unnormalized)
+    * c3 = mean( x_t * x_{t+1} * x_{t+2} ) over present triples
+      (Schreiber & Schmitz 1997 nonlinearity statistic, lag 1)
+    * time_rev_asym = mean( x_{t+2}^2 * x_{t+1} - x_{t+1} * x_t^2 )
+      (Fulcher & Jones 2014 time-reversal asymmetry, lag 1)
+    """
+    rows = []
+    for k, g in hourly.groupby(key, sort=True):
+        us = ts_to_us(pd.to_datetime(g[ts_col]))
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        y = g[val_col].to_numpy(dtype=np.float64)[order]
+        pos = {int(u): i for i, u in enumerate(us)}
+        j1 = np.array([pos.get(int(u + step_us), -1) for u in us], dtype=np.int64)
+        j2 = np.array([pos.get(int(u + 2 * step_us), -1) for u in us], dtype=np.int64)
+        pair = j1 >= 0
+        trip = (j1 >= 0) & (j2 >= 0)
+        n_pairs = int(pair.sum())
+        n_triples = int(trip.sum())
+        if n_pairs == 0:
+            continue
+        d = y[j1[pair]] - y[pair]
+        mac = np.abs(d).sum() / n_pairs
+        cid = np.sqrt((d * d).sum())
+        if n_triples > 0:
+            x0, x1, x2 = y[trip], y[j1[trip]], y[j2[trip]]
+            c3 = (x0 * x1 * x2).sum() / n_triples
+            trev = (x2 * x2 * x1 - x1 * x0 * x0).sum() / n_triples
+        else:
+            c3 = np.nan
+            trev = np.nan
+        rows.append((k, n_pairs, n_triples, mac, cid, c3, trev))
+    out = pd.DataFrame(
+        rows,
+        columns=[key, "n_pairs", "n_triples", "mean_abs_change", "cid_ce",
+                 "c3", "time_rev_asym"],
+    )
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["n_triples"] = out["n_triples"].astype("int64")
+    return out
