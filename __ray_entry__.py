@@ -126,13 +126,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from diive_ray.pipelines.queries import ORACLE, QUERIES
 
     ordered = {k: QUERIES[k] for k in _RERECORD_FIRST if k in QUERIES}
-    ordered.update({
-        k: v for k, v in QUERIES.items()
-        if k in ORACLE and k not in _DRIVER_RECORDED and k not in _R2_ERA
-    })
+    # VERDICT r3 #6: the ~30 r2-era oracle queries that are judge-green
+    # but have never had a driver-recorded row come before this round's
+    # brand-new additions, so CORRECTNESS_r04 closes that gap first.
     ordered.update({
         k: v for k, v in QUERIES.items()
         if k in ORACLE and k not in _DRIVER_RECORDED and k in _R2_ERA
+    })
+    ordered.update({
+        k: v for k, v in QUERIES.items()
+        if k in ORACLE and k not in _DRIVER_RECORDED and k not in _R2_ERA
     })
     ordered.update(
         {k: v for k, v in QUERIES.items() if k in ORACLE and k in _DRIVER_RECORDED}

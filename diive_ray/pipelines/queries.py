@@ -9538,6 +9538,323 @@ ORDER BY p.event_type
 from .alequeries import ALE_ORACLE, ALE_QUERIES
 from .docqueries import DOC_ORACLE, DOC_QUERIES
 
+def q_classical_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition (reference
+    core/times/decomposition_utils.py:160-211 classical_decompose +
+    :366-424 reconstruct_from_components;
+    stages/decompose.py:classical_decompose_frame) per event_type over
+    the 6dp-rounded hourly means of the distributed rollup, period 24
+    positions: centered 2x24 MA trend (NaN edges — the reference's
+    no-extrapolation fallback), positional phase means centered,
+    residual, and the additive reconstruction. Phase = row position
+    within the series modulo 24 (statsmodels convention), replayed in
+    SQL as ROW_NUMBER arithmetic."""
+    from ..stages.decompose import classical_decompose_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    out = classical_decompose_frame(
+        t1h, key="event_type", ts_col="bucket_ts", val_col="m", period=24
+    )
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype("datetime64[us]")
+    for c in ("trend", "seasonal", "resid", "recon"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_CLASSICAL_DECOMPOSE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, bts, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+tr AS (
+  SELECT *,
+         SUM(m) OVER (PARTITION BY event_type ORDER BY rn
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS s25,
+         LAG(m, 12)  OVER (PARTITION BY event_type ORDER BY rn) AS mfirst,
+         LEAD(m, 12) OVER (PARTITION BY event_type ORDER BY rn) AS mlast
+  FROM pos
+),
+tr2 AS (
+  SELECT event_type, bts, m, rn,
+         CASE WHEN rn > 12 AND rn <= n - 12
+              THEN (s25 - 0.5 * mfirst - 0.5 * mlast) / 24 END AS trend
+  FROM tr
+),
+ph AS (
+  SELECT event_type, (rn - 1) % 24 AS phase, AVG(m - trend) AS pm
+  FROM tr2 WHERE trend IS NOT NULL GROUP BY 1, 2
+),
+phc AS (
+  SELECT event_type, phase,
+         pm - AVG(pm) OVER (PARTITION BY event_type) AS seas
+  FROM ph
+)
+SELECT t.event_type, t.bts AS bucket_ts, t.m,
+       ROUND(ROUND(t.trend, 9), 6) + 0.0 AS trend,
+       ROUND(ROUND(p.seas, 9), 6) + 0.0 AS seasonal,
+       ROUND(ROUND(t.m - t.trend - p.seas, 9), 6) + 0.0 AS resid,
+       ROUND(ROUND(t.trend + p.seas + (t.m - t.trend - p.seas), 9), 6) + 0.0 AS recon
+FROM tr2 t
+LEFT JOIN phc p ON p.event_type = t.event_type AND p.phase = (t.rn - 1) % 24
+ORDER BY 1, 2
+"""
+
+
+def q_seasonality_detect(sf_dir: str):
+    """Periodogram-based dominant-period detection (reference
+    core/times/decomposition_utils.py:425-531 detect_seasonality;
+    stages/decompose.py:detect_seasonality_frame) per event_type over
+    the 6dp-rounded hourly means: linear detrend, rFFT power, strict
+    local-maxima peaks, primary/secondary periods + seasonality
+    strength. FFT is not SQL-expressible -> rows-only; kernels pinned
+    by planted-period pytests."""
+    from ..stages.decompose import detect_seasonality_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    out = detect_seasonality_frame(
+        t1h, key="event_type", ts_col="bucket_ts", val_col="m"
+    )
+    out["strength"] = stable_round6(out["strength"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_ustar_scenario_flags(sf_dir: str):
+    """USTAR threshold scenario flags (reference
+    flux/lowres/ustarthreshold.py:27-96 FlagMultipleConstantUstarThresholds,
+    :98-154 FlagSingleConstantUstarThreshold, :156-219
+    FlagMultipleVariableUstarThresholds, :219-372
+    UstarThresholdConstantScenarios): three constant CUT scenarios
+    (0.05/0.07/0.09 — the 16th/50th/84th-percentile convention) plus
+    one per-record VUT threshold series, each flagging ustar < thr as
+    hard-reject (flag 2) in a single pass (no iteration,
+    ustarthreshold.py:139 repeat=False). ustar and the VUT series are
+    synthesized deterministically from events columns identically in
+    SQL. Ray shape: ONE stateless map_batches partial pass (per-batch
+    group counts, 5 types x 4 scenarios) + a slim driver combine —
+    nothing corpus-sized moves."""
+    ds = _events(sf_dir, ["event_type", "ts", "user_id", "value"])
+    scen = [("CUT16", 0.05), ("CUT50", 0.07), ("CUT84", 0.09)]
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ustar = (df["user_id"].to_numpy() % 100) / 250.0
+        flux = df["value"].to_numpy(dtype=np.float64)
+        day = pd.to_datetime(df["ts"]).dt.day.to_numpy()
+        out = []
+        for label, thr_val in scen + [("VUT", None)]:
+            thr = (0.04 + (day % 3) * 0.015) if thr_val is None else thr_val
+            rej = ustar < thr
+            g = pd.DataFrame({
+                "event_type": df["event_type"],
+                "scenario": label,
+                "n_total": 1,
+                "n_reject": rej.astype("int64"),
+                "sum_ok": np.where(rej, 0.0, flux),
+            })
+            out.append(g)
+        allg = pd.concat(out, ignore_index=True)
+        return allg.groupby(["event_type", "scenario"], as_index=False).sum()
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    comb = parts.groupby(["event_type", "scenario"], as_index=False).sum()
+    comb["n_ok"] = comb["n_total"] - comb["n_reject"]
+    comb["mean_flux_ok"] = stable_round6(comb["sum_ok"] / comb["n_ok"])
+    comb = comb.drop(columns=["sum_ok"])
+    for c in ("n_total", "n_reject", "n_ok"):
+        comb[c] = comb[c].astype("int64")
+    return comb.sort_values(["event_type", "scenario"]).reset_index(drop=True)
+
+
+_SQL_USTAR_SCENARIOS = """
+WITH s AS (
+  SELECT event_type, value AS flux,
+         (user_id % 100) / 250.0 AS ustar,
+         0.04 + (EXTRACT(day FROM ts)::BIGINT % 3) * 0.015 AS vut_thr
+  FROM events
+),
+scen AS (
+  SELECT * FROM (VALUES ('CUT16', 0.05), ('CUT50', 0.07), ('CUT84', 0.09))
+           AS t(scenario, thr)
+),
+flagged AS (
+  SELECT s.event_type, scen.scenario,
+         CASE WHEN s.ustar < scen.thr THEN 1 ELSE 0 END AS rej, s.flux
+  FROM s CROSS JOIN scen
+  UNION ALL
+  SELECT event_type, 'VUT' AS scenario,
+         CASE WHEN ustar < vut_thr THEN 1 ELSE 0 END AS rej, flux
+  FROM s
+)
+SELECT event_type, scenario,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(rej) AS BIGINT) AS n_reject,
+       CAST(COUNT(*) - SUM(rej) AS BIGINT) AS n_ok,
+       ROUND(ROUND(SUM(CASE WHEN rej = 0 THEN flux ELSE 0 END)
+             / (COUNT(*) - SUM(rej)), 9), 6) AS mean_flux_ok
+FROM flagged
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_linear_regression(sf_dir: str):
+    """Simple OLS y ~ x (reference core/dfun/regression.py:1-58
+    ``linear``: slope k, intercept d, R^2, adjusted R^2 on
+    pairwise-complete data) for every ordered event-type pair over the
+    6dp-rounded hourly means of the distributed rollup, joined on
+    bucket. Closed-form n-product-moment expressions shared verbatim
+    with the SQL oracle; adjusted R^2 = 1 - (1-R^2)(n-1)/(n-2) (one
+    predictor — the statsmodels rsquared_adj the reference returns)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    types = sorted(t1h["event_type"].unique())
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+    for ex in types:
+        for ey in types:
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner").sort_index()
+            x, y = j["x"].to_numpy(), j["y"].to_numpy()
+            n = float(len(j))
+            if n < 3:
+                continue
+            sx, sy = x.sum(), y.sum()
+            sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+            k = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            d = (sy - k * sx) / n
+            r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            r2a = 1.0 - (1.0 - r2) * (n - 1.0) / (n - 2.0)
+            rows.append({"event_x": ex, "event_y": ey, "n": int(n),
+                         "k": k, "d": d, "rsquared": r2, "rsquared_adj": r2a})
+    out = pd.DataFrame(rows)
+    for c in ("k", "d", "rsquared", "rsquared_adj"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_LINREG = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+sums AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_x, event_y, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9), 6) AS k,
+       ROUND(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9), 6) AS d,
+       ROUND(ROUND(POW(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9), 6) AS rsquared,
+       ROUND(ROUND(1.0 - (1.0 - POW(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+             * (n - 1.0) / (n - 2.0), 9), 6) AS rsquared_adj
+FROM sums WHERE n >= 3 ORDER BY event_x, event_y
+"""
+
+
+def year_pools(counts: "pd.Series") -> list[dict]:
+    """Year-pool rows from a (year -> row count) Series, ascending
+    index (reference core/times/neighbors.py:1-50: pool = year + two
+    nearest years by |delta|, find_nearest_val argmin-FIRST tie-break
+    -> the earlier year wins ties; bounds + closed-interval row count
+    per _limit_yearpool_data)."""
+    years = counts.index.to_numpy()
+    rows = []
+    for y in years:
+        pool = [int(y)]
+        rest = [int(v) for v in years if v != y]
+        for _ in range(2):
+            if not rest:
+                break
+            deltas = [abs(v - y) for v in rest]
+            pick = rest[int(np.argmin(deltas))]
+            pool.append(pick)
+            rest.remove(pick)
+        first, last = min(pool), max(pool)
+        n_rows = int(counts[(counts.index >= first) & (counts.index <= last)].sum())
+        rows.append({"year": int(y), "pool_first": first, "pool_last": last,
+                     "n_pool_years": len(pool), "n_rows": n_rows})
+    return rows
+
+
+def q_year_neighbors(sf_dir: str):
+    """Neighboring-year pool construction (reference
+    core/times/neighbors.py:1-50 ``neighboring_years`` +
+    ``_limit_yearpool_data``, the LongTermGapFilling year-pool rule,
+    gapfilling/longterm.py:42-50): for each distinct order year, the
+    pool is the year plus its two nearest years by |delta| with
+    argmin-first tie-break (find_nearest_val semantics — ties resolve
+    to the EARLIER year in the ascending unique-year list), pool bounds
+    = min/max of the pool, and the row count inside the bounds
+    (_limit_yearpool_data's closed interval). Ray shape: distributed
+    per-batch (year -> count) partials over orders + a years-sized
+    driver combine."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.to_datetime(df["o_orderdate"]).dt.year
+        out = yr.value_counts().rename_axis("y").reset_index(name="cnt")
+        return out
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    counts = parts.groupby("y")["cnt"].sum().sort_index()
+    out = pd.DataFrame(year_pools(counts))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("year").reset_index(drop=True)
+
+
+_SQL_YEAR_NEIGHBORS = """
+WITH u AS (
+  SELECT DISTINCT EXTRACT(year FROM o_orderdate)::BIGINT AS y FROM orders
+),
+n1 AS (
+  SELECT a.y, b.y AS cand,
+         ROW_NUMBER() OVER (PARTITION BY a.y ORDER BY ABS(b.y - a.y), b.y) AS rk
+  FROM u a JOIN u b ON b.y <> a.y
+),
+f1 AS (SELECT y, cand AS y1 FROM n1 WHERE rk = 1),
+n2 AS (
+  SELECT a.y, b.y AS cand,
+         ROW_NUMBER() OVER (PARTITION BY a.y ORDER BY ABS(b.y - a.y), b.y) AS rk
+  FROM u a JOIN u b ON b.y <> a.y JOIN f1 ON f1.y = a.y AND b.y <> f1.y1
+),
+f2 AS (SELECT y, cand AS y2 FROM n2 WHERE rk = 1),
+pools AS (
+  SELECT u.y,
+         LEAST(u.y, COALESCE(f1.y1, u.y), COALESCE(f2.y2, u.y)) AS pool_first,
+         GREATEST(u.y, COALESCE(f1.y1, u.y), COALESCE(f2.y2, u.y)) AS pool_last,
+         1 + (f1.y1 IS NOT NULL)::BIGINT + (f2.y2 IS NOT NULL)::BIGINT AS n_pool_years
+  FROM u LEFT JOIN f1 ON f1.y = u.y LEFT JOIN f2 ON f2.y = u.y
+)
+SELECT p.y AS year, p.pool_first, p.pool_last, p.n_pool_years,
+       (SELECT COUNT(*) FROM orders o
+        WHERE EXTRACT(year FROM o.o_orderdate)::BIGINT BETWEEN p.pool_first AND p.pool_last
+       )::BIGINT AS n_rows
+FROM pools p ORDER BY year
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
@@ -9695,6 +10012,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "retention_cohorts": q_retention_cohorts,
     "ar2_yule_walker": q_ar2_yule_walker,
     "ts_complexity": q_ts_complexity,
+    "classical_decompose": q_classical_decompose,
+    "seasonality_detect": q_seasonality_detect,
+    "ustar_scenario_flags": q_ustar_scenario_flags,
+    "linear_regression": q_linear_regression,
+    "year_neighbors": q_year_neighbors,
     "conformal_interval": q_conformal_interval,
     "adwin_drift": q_adwin_drift,
     "spectral_residual_anomaly": q_spectral_residual_anomaly,
@@ -9845,6 +10167,10 @@ ORACLE: dict[str, str] = {
     "retention_cohorts": _SQL_RETENTION_COHORTS,
     "ar2_yule_walker": _SQL_AR2_YW,
     "ts_complexity": _SQL_TS_COMPLEXITY,
+    "classical_decompose": _SQL_CLASSICAL_DECOMPOSE,
+    "ustar_scenario_flags": _SQL_USTAR_SCENARIOS,
+    "linear_regression": _SQL_LINREG,
+    "year_neighbors": _SQL_YEAR_NEIGHBORS,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

@@ -310,3 +310,157 @@ def holt_winters_frame(
     ]) if horizon else np.empty(0)
     return {"fitted": fitted, "level": level, "trend": trend,
             "seasonal_tail": np.asarray(seas[-p:]), "forecast": fc}
+
+
+# -------------------------------------------- classical decomposition
+
+
+def classical_decompose_frame(
+    df: pd.DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    period: int = 24,
+) -> pd.DataFrame:
+    """Classical additive seasonal decomposition (reference
+    core/times/decomposition_utils.py:160-211 ``classical_decompose``,
+    which wraps statsmodels ``seasonal_decompose``; statsmodels is not
+    in this container, so the exact positional semantics are
+    re-derived):
+
+    * trend — centered moving average; for even ``period`` p the
+      2xp MA, i.e. the (p+1)-tap filter [0.5, 1, ..., 1, 0.5]/p, with
+      the first and last p//2 positions undefined (the reference's
+      TypeError fallback path runs WITHOUT trend extrapolation, so
+      edges stay NaN — decomposition_utils.py:195-199),
+    * seasonal — per-phase mean of (value - trend) where phase is the
+      POSITION within the series modulo p (statsmodels convention),
+      centered by subtracting the mean of the p phase means,
+    * residual — value - trend - seasonal,
+    * recon — trend + seasonal + residual (the ``additive`` branch of
+      ``reconstruct_from_components``, decomposition_utils.py:366-424;
+      NaN wherever trend is NaN, matching its trend-NaN propagation).
+
+    Runs per key over the BOUNDED rollup-tier series (rows = buckets,
+    calendar-bounded) after the distributed cascade — the same shape as
+    every trend/ACF analysis in this engine; nothing here is
+    corpus-sized. Expression order is shared verbatim with the SQL
+    oracle (positional ROW_NUMBER window replay)."""
+    if period % 2:
+        raise NotImplementedError("even period only (2xp MA)")
+    half = period // 2
+    parts: list[pd.DataFrame] = []
+    for k, g in df.groupby(key, sort=True):
+        g = g.sort_values(ts_col, ignore_index=True)
+        y = g[val_col].to_numpy(dtype=np.float64)
+        n = len(y)
+        trend = np.full(n, np.nan)
+        if n >= period + 1:
+            # (sum of the 25-row window - 0.5*first - 0.5*last) / period,
+            # the exact arithmetic the SQL window replay uses
+            csum = np.concatenate(([0.0], np.cumsum(y)))
+            s = csum[period + 1:] - csum[:-(period + 1)]
+            trend[half:n - half] = (
+                s - 0.5 * y[:n - period] - 0.5 * y[period:]
+            ) / period
+        phase = np.arange(n) % period
+        detr = y - trend
+        ok = np.isfinite(trend)
+        pm = np.full(period, np.nan)
+        for ph in range(period):
+            sel = ok & (phase == ph)
+            if sel.any():
+                pm[ph] = detr[sel].mean()
+        pm = pm - np.nanmean(pm)
+        seasonal = pm[phase]
+        resid = y - trend - seasonal
+        recon = trend + seasonal + resid
+        parts.append(pd.DataFrame({
+            key: k,
+            ts_col: g[ts_col],
+            val_col: y,
+            "trend": trend,
+            "seasonal": seasonal,
+            "resid": resid,
+            "recon": recon,
+        }))
+    if not parts:
+        return pd.DataFrame(columns=[key, ts_col, val_col, "trend",
+                                     "seasonal", "resid", "recon"])
+    return pd.concat(parts, ignore_index=True)
+
+
+def detect_seasonality_frame(
+    df: pd.DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    max_period: int = 730,
+    top_n: int = 5,
+) -> pd.DataFrame:
+    """Dominant-period detection via the periodogram (reference
+    core/times/decomposition_utils.py:425-531 ``detect_seasonality``):
+    linear detrend (least-squares line over positions — the
+    scipy.signal.detrend(type='linear') semantics), rFFT power
+    spectrum, candidate periods round(1/f) limited to
+    [2, min(max_period, n//2)], peaks = strict local maxima of the
+    power-by-period sequence (scipy find_peaks default), primary =
+    highest-power peak, secondaries = next ``top_n - 1``, strength =
+    sum of peak power / total candidate power clamped to [0, 1]; the
+    reference's no-peak fallback (global max, no secondaries) and the
+    365/[7,30] no-candidate fallback are reproduced.
+
+    Per-key over the bounded tier series; FFT cost is
+    O(buckets log buckets) per key inside the block."""
+    rows = []
+    for k, g in df.groupby(key, sort=True):
+        g = g.sort_values(ts_col, ignore_index=True)
+        y = g[val_col].to_numpy(dtype=np.float64)
+        y = y[np.isfinite(y)]
+        n = len(y)
+        mp = min(max_period, n // 2)
+        # linear detrend: subtract the OLS line over positions 0..n-1
+        t = np.arange(n, dtype=np.float64)
+        tm, ym = t.mean(), y.mean()
+        slope = ((t - tm) * (y - ym)).sum() / ((t - tm) ** 2).sum()
+        yd = y - (ym + slope * (t - tm))
+        power = np.abs(np.fft.rfft(yd)) ** 2
+        freqs = np.fft.rfftfreq(n)
+        periods, pw = [], []
+        for i in range(1, len(freqs)):
+            f = freqs[i]
+            if f > 0:
+                per = 1.0 / f
+                if 2 <= per <= mp:
+                    periods.append(int(np.round(per)))
+                    pw.append(power[i])
+        if not periods:
+            rows.append({key: k, "n_obs": n, "primary_period": 365,
+                         "secondary_periods": "7,30", "n_peaks": 0,
+                         "strength": 0.0})
+            continue
+        pw_arr = np.asarray(pw)
+        # strict local maxima (find_peaks default: greater than both
+        # neighbors; endpoints are never peaks)
+        interior = (pw_arr[1:-1] > pw_arr[:-2]) & (pw_arr[1:-1] > pw_arr[2:])
+        peaks = np.flatnonzero(interior) + 1
+        if len(peaks):
+            order = peaks[np.argsort(-pw_arr[peaks], kind="stable")]
+            primary = periods[order[0]]
+            secondary = [periods[i] for i in order[1:top_n]]
+            strength = float(pw_arr[peaks].sum() / pw_arr.sum())
+        else:
+            primary = periods[int(np.argmax(pw_arr))]
+            secondary = []
+            strength = 0.0
+        rows.append({
+            key: k,
+            "n_obs": n,
+            "primary_period": int(primary),
+            "secondary_periods": ",".join(str(p) for p in secondary),
+            "n_peaks": int(len(peaks)),
+            "strength": min(strength, 1.0),
+        })
+    return pd.DataFrame(rows)
