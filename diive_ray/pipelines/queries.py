@@ -9855,6 +9855,245 @@ FROM pools p ORDER BY year
 """
 
 
+def q_theta_forecast(sf_dir: str):
+    """Theta(0,2) method forecast (Assimakopoulos & Nikolopoulos 2000;
+    Hyndman & Billah 2003; stages/streamdetect.py:theta_forecast_frame)
+    per event_type on the 6dp hourly means: train = all but the last
+    24 positional buckets, OLS theta-0 line + closed-form SES (alpha
+    0.2) of the theta-2 line, 24-step equal-weight combination forecast
+    scored against the held-out buckets. The SES closed form (power
+    weights, no recursion) replays verbatim in SQL — the
+    forecast-accuracy companion to the seasonal-naive baseline
+    (q_forecast_accuracy)."""
+    from ..stages.streamdetect import theta_forecast_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(y) < 48:
+            continue
+        r = theta_forecast_frame(y[:-24], horizon=24, alpha=0.2)
+        for h in range(1, 25):
+            rows.append({"event_type": k, "h": h,
+                         "yhat": r["yhat"][h - 1], "actual": y[-25 + h]})
+    out = pd.DataFrame(rows)
+    out["h"] = out["h"].astype("int64")
+    out["yhat"] = stable_round6(out["yhat"].astype(float))
+    return out.sort_values(["event_type", "h"]).reset_index(drop=True)
+
+
+_SQL_THETA = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS ntot
+  FROM hourly
+),
+ok AS (SELECT * FROM pos WHERE ntot >= 48),
+train AS (SELECT event_type, m, rn::DOUBLE AS rn, (ntot - 24)::DOUBLE AS n
+          FROM ok WHERE rn <= ntot - 24),
+ols AS (
+  SELECT event_type, MAX(n) AS n, COUNT(*)::DOUBLE AS nn,
+         SUM(rn) AS sp, SUM(m) AS sy, SUM(rn * rn) AS spp, SUM(rn * m) AS spy
+  FROM train GROUP BY 1
+),
+ab AS (
+  SELECT event_type, n,
+         (nn * spy - sp * sy) / (nn * spp - sp * sp) AS b,
+         (sy - (nn * spy - sp * sy) / (nn * spp - sp * sp) * sp) / nn AS a
+  FROM ols
+),
+ses AS (
+  SELECT t.event_type,
+         SUM(CASE WHEN t.rn = 1
+                  THEN POW(0.8, ab.n - 1) * (2 * t.m - (ab.a + ab.b * t.rn))
+                  ELSE 0.2 * POW(0.8, ab.n - t.rn) * (2 * t.m - (ab.a + ab.b * t.rn))
+             END) AS ln
+  FROM train t JOIN ab USING (event_type) GROUP BY 1
+),
+test AS (
+  SELECT event_type, m AS actual, (rn - (ntot - 24))::DOUBLE AS h
+  FROM ok WHERE rn > ntot - 24
+)
+SELECT test.event_type, CAST(test.h AS BIGINT) AS h,
+       ROUND(ROUND(0.5 * (ab.a + ab.b * (ab.n + test.h)) + 0.5 * ses.ln, 9), 6) AS yhat,
+       test.actual
+FROM test JOIN ab USING (event_type) JOIN ses USING (event_type)
+ORDER BY event_type, h
+"""
+
+
+def q_decomp_strength(sf_dir: str):
+    """Trend / seasonal strength features (Wang, Smyth & Hyndman 2006;
+    the tsfeatures convention F = max(0, 1 - Var(resid)/Var(comp +
+    resid))) on the classical additive decomposition
+    (decomposition_utils.py:160-211; stages/decompose.py): per
+    event_type over rows where trend is defined, population variances
+    in the n-moment closed form shared verbatim with the SQL replay of
+    the decomposition CTEs."""
+    from ..stages.decompose import classical_decompose_frame
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    dec = classical_decompose_frame(
+        t1h, key="event_type", ts_col="bucket_ts", val_col="m", period=24
+    )
+    dec = dec[dec["trend"].notna()]
+    rows = []
+    for k, g in dec.groupby("event_type", sort=True):
+        n = float(len(g))
+
+        def pvar(x: np.ndarray) -> float:
+            sx, sxx = x.sum(), (x * x).sum()
+            return (n * sxx - sx * sx) / (n * n)
+
+        vr = pvar(g["resid"].to_numpy())
+        vtr = pvar((g["m"] - g["seasonal"]).to_numpy())
+        vsr = pvar((g["m"] - g["trend"]).to_numpy())
+        rows.append({
+            "event_type": k, "n_used": int(n),
+            "trend_strength": max(0.0, 1.0 - vr / vtr),
+            "seasonal_strength": max(0.0, 1.0 - vr / vsr),
+        })
+    out = pd.DataFrame(rows)
+    for c in ("trend_strength", "seasonal_strength"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_DECOMP_STRENGTH = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, bts, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+tr AS (
+  SELECT *,
+         SUM(m) OVER (PARTITION BY event_type ORDER BY rn
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS s25,
+         LAG(m, 12)  OVER (PARTITION BY event_type ORDER BY rn) AS mfirst,
+         LEAD(m, 12) OVER (PARTITION BY event_type ORDER BY rn) AS mlast
+  FROM pos
+),
+tr2 AS (
+  SELECT event_type, bts, m, rn,
+         CASE WHEN rn > 12 AND rn <= n - 12
+              THEN (s25 - 0.5 * mfirst - 0.5 * mlast) / 24 END AS trend
+  FROM tr
+),
+ph AS (
+  SELECT event_type, (rn - 1) % 24 AS phase, AVG(m - trend) AS pm
+  FROM tr2 WHERE trend IS NOT NULL GROUP BY 1, 2
+),
+phc AS (
+  SELECT event_type, phase,
+         pm - AVG(pm) OVER (PARTITION BY event_type) AS seas
+  FROM ph
+),
+comp AS (
+  SELECT t.event_type, t.m, t.trend, p.seas,
+         t.m - t.trend - p.seas AS resid
+  FROM tr2 t
+  JOIN phc p ON p.event_type = t.event_type AND p.phase = (t.rn - 1) % 24
+  WHERE t.trend IS NOT NULL
+),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         SUM(resid) AS sr, SUM(resid * resid) AS srr,
+         SUM(m - seas) AS st, SUM((m - seas) * (m - seas)) AS stt,
+         SUM(m - trend) AS ss, SUM((m - trend) * (m - trend)) AS sss
+  FROM comp GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_used,
+       ROUND(ROUND(GREATEST(0.0, 1.0 - ((n * srr - sr * sr) / (n * n))
+             / ((n * stt - st * st) / (n * n))), 9), 6) AS trend_strength,
+       ROUND(ROUND(GREATEST(0.0, 1.0 - ((n * srr - sr * sr) / (n * n))
+             / ((n * sss - ss * ss) / (n * n))), 9), 6) AS seasonal_strength
+FROM mom ORDER BY event_type
+"""
+
+
+def q_threshold_crossings(sf_dir: str):
+    """Hysteresis threshold-crossing counts (the Schmitt-trigger
+    alerting rule of monitoring TSDBs — two thresholds so noise around
+    one level does not re-fire; stages/streamdetect.py:
+    hysteresis_crossings) per event_type on the 6dp hourly means:
+    high/low = mean +/- 0.5 population SD (moment form), both
+    6dp-rounded BEFORE comparison so the marker set is bit-identical
+    on both sides; an UP crossing is a >=high marker whose most recent
+    preceding marker was <=low, DOWN the reverse."""
+    from ..stages.streamdetect import hysteresis_crossings
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        n = float(len(y))
+        sx, sxx = y.sum(), (y * y).sum()
+        sd = np.sqrt((n * sxx - sx * sx) / (n * n))
+        mu = sx / n
+        high = float(stable_round6(np.array([mu + 0.5 * sd]))[0])
+        low = float(stable_round6(np.array([mu - 0.5 * sd]))[0])
+        n_up, n_down, n_ext = hysteresis_crossings(y, low, high)
+        rows.append({"event_type": k, "n_buckets": int(n), "high": high,
+                     "low": low, "n_extreme": n_ext, "n_up": n_up,
+                     "n_down": n_down})
+    out = pd.DataFrame(rows)
+    for c in ("n_buckets", "n_extreme", "n_up", "n_down"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_CROSSINGS = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+stats AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(m) AS sx, SUM(m * m) AS sxx
+  FROM hourly GROUP BY 1
+),
+thr AS (
+  SELECT event_type, n,
+         ROUND(ROUND(sx / n + 0.5 * sqrt((n * sxx - sx * sx) / (n * n)), 9), 6) AS high,
+         ROUND(ROUND(sx / n - 0.5 * sqrt((n * sxx - sx * sx) / (n * n)), 9), 6) AS low
+  FROM stats
+),
+marked AS (
+  SELECT h.event_type, h.bts, t.n, t.high, t.low,
+         CASE WHEN h.m >= t.high THEN 1 WHEN h.m <= t.low THEN -1 ELSE 0 END AS mk
+  FROM hourly h JOIN thr t USING (event_type)
+),
+nz AS (
+  SELECT event_type, n, high, low, mk,
+         LAG(mk) OVER (PARTITION BY event_type ORDER BY bts) AS prev
+  FROM marked WHERE mk <> 0
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_buckets,
+       MAX(high) AS high, MAX(low) AS low,
+       CAST(COUNT(*) AS BIGINT) AS n_extreme,
+       CAST(SUM(CASE WHEN mk = 1 AND prev = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN mk = -1 AND prev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+FROM nz GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
@@ -10017,6 +10256,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ustar_scenario_flags": q_ustar_scenario_flags,
     "linear_regression": q_linear_regression,
     "year_neighbors": q_year_neighbors,
+    "theta_forecast": q_theta_forecast,
+    "decomp_strength": q_decomp_strength,
+    "threshold_crossings": q_threshold_crossings,
     "conformal_interval": q_conformal_interval,
     "adwin_drift": q_adwin_drift,
     "spectral_residual_anomaly": q_spectral_residual_anomaly,
@@ -10171,6 +10413,9 @@ ORACLE: dict[str, str] = {
     "ustar_scenario_flags": _SQL_USTAR_SCENARIOS,
     "linear_regression": _SQL_LINREG,
     "year_neighbors": _SQL_YEAR_NEIGHBORS,
+    "theta_forecast": _SQL_THETA,
+    "decomp_strength": _SQL_DECOMP_STRENGTH,
+    "threshold_crossings": _SQL_CROSSINGS,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

@@ -80,3 +80,63 @@ def spectral_residual(x: np.ndarray, q: int = 3, local: int = 21
     loc = np.convolve(s, np.ones(local) / local, mode="same")
     score = (s - loc) / (loc + eps)
     return s, score
+
+
+def hysteresis_crossings(
+    v: np.ndarray, low: float, high: float
+) -> tuple[int, int, int]:
+    """Schmitt-trigger threshold-crossing counter — the hysteresis
+    alerting rule every monitoring TSDB ships (two thresholds so noise
+    around a single level does not re-fire): a row is an extreme
+    marker when v >= high (+1) or v <= low (-1); an UP crossing is a
+    +1 marker whose most recent preceding marker was -1, a DOWN
+    crossing the reverse. The first marker of a series starts state
+    without counting. Returns (n_up, n_down, n_extreme).
+
+    Vectorized: filter to nonzero markers, compare against the shifted
+    marker sequence — O(n), no Python loop."""
+    m = np.where(v >= high, 1, np.where(v <= low, -1, 0))
+    mk = m[m != 0]
+    if len(mk) < 2:
+        return 0, 0, int(len(mk))
+    prev = mk[:-1]
+    cur = mk[1:]
+    n_up = int(((cur == 1) & (prev == -1)).sum())
+    n_down = int(((cur == -1) & (prev == 1)).sum())
+    return n_up, n_down, int(len(mk))
+
+
+def theta_forecast_frame(
+    y: np.ndarray, *, horizon: int, alpha: float = 0.2
+) -> dict:
+    """Theta(0,2) method forecast (Assimakopoulos & Nikolopoulos 2000;
+    Hyndman & Billah 2003 showed it equals SES-with-drift): fit the
+    OLS line a + b*(pos) over train positions 1..n (the theta=0 line);
+    the theta=2 line z = 2y - fit keeps curvature; SES with fixed
+    ``alpha`` and l1 = z1 smooths z to a flat forecast l_n, computed
+    via the CLOSED FORM
+
+        l_n = (1-a)^(n-1) z_1 + a * sum_{i=2..n} (1-a)^(n-i) z_i
+
+    (exactly SQL-replayable — no recursion); the h-step forecast is
+    the equal-weight combination of the extrapolated theta-0 line and
+    the flat SES of theta-2:
+
+        yhat_{n+h} = 0.5 * (a + b*(n+h)) + 0.5 * l_n
+
+    Returns dict(a, b, l_n, yhat: ndarray[horizon])."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    pos = np.arange(1, n + 1, dtype=np.float64)
+    sp, sy = pos.sum(), y.sum()
+    spp, spy = (pos * pos).sum(), (pos * y).sum()
+    b = (n * spy - sp * sy) / (n * spp - sp * sp)
+    a = (sy - b * sp) / n
+    z = 2.0 * y - (a + b * pos)
+    w = np.empty(n)
+    w[0] = (1.0 - alpha) ** (n - 1)
+    w[1:] = alpha * (1.0 - alpha) ** (n - pos[1:])
+    l_n = float((w * z).sum())
+    h = np.arange(1, horizon + 1, dtype=np.float64)
+    yhat = 0.5 * (a + b * (n + h)) + 0.5 * l_n
+    return {"a": float(a), "b": float(b), "l_n": l_n, "yhat": yhat}
