@@ -10094,6 +10094,212 @@ FROM nz GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_croston(sf_dir: str):
+    """Croston's intermittent-demand forecast (Croston 1972;
+    stages/streamdetect.py:croston_forecast) per event_type over the
+    DENSE 15-minute grid of event counts (zeros where no events — the
+    intermittent series the method exists for): closed-form SES
+    (alpha 0.1) over nonzero demand sizes and inter-arrival intervals,
+    per-period forecast = z_hat / x_hat; the power-weight SES replays
+    verbatim in SQL over generate_series-densified counts."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+    us15 = 15 * 60 * 1_000_000
+    bucketer = make_bucket_assigner(us15, end_stamped=True)
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "bucket_ts"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "cnt"}),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(bucketer, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        partials, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(["event_type", "bucket_ts"], as_index=False)["cnt"].sum()
+    from ..stages.streamdetect import croston_forecast
+
+    rows = []
+    for k, g in counts.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        ts = pd.to_datetime(g["bucket_ts"])
+        full = pd.date_range(ts.iloc[0], ts.iloc[-1], freq="15min")
+        demand = g.set_index(ts)["cnt"].reindex(full, fill_value=0).to_numpy(
+            dtype=np.float64)
+        z_hat, x_hat, fc, q = croston_forecast(demand, alpha=0.1)
+        rows.append({"event_type": k, "n_periods": len(demand),
+                     "n_nonzero": q, "z_hat": z_hat, "x_hat": x_hat,
+                     "forecast": fc})
+    out = pd.DataFrame(rows)
+    out["n_periods"] = out["n_periods"].astype("int64")
+    out["n_nonzero"] = out["n_nonzero"].astype("int64")
+    for c in ("z_hat", "x_hat", "forecast"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_CROSTON = """
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS bts,
+         COUNT(*)::DOUBLE AS cnt
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(bts) AS lo, MAX(bts) AS hi FROM b GROUP BY 1),
+grid AS (
+  SELECT s.event_type, g.g AS bts
+  FROM span s, LATERAL (SELECT UNNEST(generate_series(s.lo, s.hi,
+                         INTERVAL '15 minutes')) AS g) g
+),
+dense AS (
+  SELECT grid.event_type, grid.bts, COALESCE(b.cnt, 0.0) AS demand,
+         ROW_NUMBER() OVER (PARTITION BY grid.event_type ORDER BY grid.bts) AS pos,
+         COUNT(*) OVER (PARTITION BY grid.event_type) AS n_periods
+  FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bts = grid.bts
+),
+nz AS (
+  SELECT event_type, demand AS z, pos, n_periods,
+         (pos - COALESCE(LAG(pos) OVER (PARTITION BY event_type ORDER BY pos), 0))::DOUBLE AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY pos) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS q
+  FROM dense WHERE demand <> 0
+),
+ses AS (
+  SELECT event_type, MAX(n_periods) AS n_periods, MAX(q) AS q,
+         SUM(CASE WHEN rn = 1 THEN POW(0.9, q - 1) * z
+                  ELSE 0.1 * POW(0.9, q - rn) * z END) AS z_hat,
+         SUM(CASE WHEN rn = 1 THEN POW(0.9, q - 1) * x
+                  ELSE 0.1 * POW(0.9, q - rn) * x END) AS x_hat
+  FROM nz GROUP BY event_type
+)
+SELECT event_type, CAST(n_periods AS BIGINT) AS n_periods,
+       CAST(q AS BIGINT) AS n_nonzero,
+       ROUND(ROUND(z_hat, 9), 6) AS z_hat,
+       ROUND(ROUND(x_hat, 9), 6) AS x_hat,
+       ROUND(ROUND(z_hat / x_hat, 9), 6) AS forecast
+FROM ses ORDER BY event_type
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test around the mean cut (1940;
+    stages/trend.py:runs_test) per event_type on the 6dp hourly means:
+    run count via sign changes, exact expectation/variance, z score.
+    The randomness probe complementing Ljung-Box (correlation-based)
+    and the drift detectors (sequential)."""
+    from ..stages.trend import runs_test
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        r = runs_test(y)
+        rows.append({"event_type": k, **r})
+    out = pd.DataFrame(rows)
+    for c in ("n1", "n2", "runs"):
+        out[c] = out[c].astype("int64")
+    for c in ("expected", "z"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_RUNS_TEST = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+mu AS (SELECT event_type, SUM(m) / COUNT(*) AS mean_m FROM hourly GROUP BY 1),
+signs AS (
+  SELECT h.event_type, h.bts,
+         CASE WHEN h.m > mu.mean_m THEN 1 ELSE -1 END AS s
+  FROM hourly h JOIN mu USING (event_type)
+),
+lagged AS (
+  SELECT event_type, s,
+         LAG(s) OVER (PARTITION BY event_type ORDER BY bts) AS prev
+  FROM signs
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+         SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)::DOUBLE AS n2,
+         1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev THEN 1 ELSE 0 END) AS runs
+  FROM lagged GROUP BY 1
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(runs AS BIGINT) AS runs,
+       ROUND(ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 9), 6) AS expected,
+       ROUND(ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                    / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0))), 9), 6) AS z
+FROM agg ORDER BY event_type
+"""
+
+
+def q_ljung_box(sf_dir: str):
+    """Ljung-Box portmanteau whiteness statistic (Ljung & Box 1978;
+    stages/trend.py:ljung_box_q) per event_type on the 6dp hourly
+    means, m = 10 lags: Q = n(n+2) sum rho_k^2/(n-k) with the biased
+    positional Box-Jenkins autocorrelation (denominator over all n
+    terms), replayed in SQL as an offset self-join on ROW_NUMBER."""
+    from ..stages.trend import ljung_box_q
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        q, df = ljung_box_q(y, m=10)
+        rows.append({"event_type": k, "n_obs": len(y), "df": df, "q_stat": q})
+    out = pd.DataFrame(rows)
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    out["q_stat"] = stable_round6(out["q_stat"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_LJUNG_BOX = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS rn
+  FROM hourly
+),
+mu AS (
+  SELECT event_type, SUM(m) / COUNT(*) AS yb, COUNT(*)::DOUBLE AS n
+  FROM pos GROUP BY event_type
+),
+den AS (
+  SELECT p.event_type, SUM((p.m - mu.yb) * (p.m - mu.yb)) AS denom
+  FROM pos p JOIN mu USING (event_type) GROUP BY 1
+),
+lags AS (SELECT UNNEST(generate_series(1, 10)) AS k),
+rho AS (
+  SELECT a.event_type, l.k,
+         SUM((a.m - mu.yb) * (b.m - mu.yb)) / MAX(den.denom) AS r
+  FROM lags l
+  JOIN pos a ON TRUE
+  JOIN pos b ON b.event_type = a.event_type AND b.rn = a.rn - l.k
+  JOIN mu ON mu.event_type = a.event_type
+  JOIN den ON den.event_type = a.event_type
+  GROUP BY 1, 2
+)
+SELECT rho.event_type,
+       CAST(mu.n AS BIGINT) AS n_obs,
+       CAST(10 AS BIGINT) AS df,
+       ROUND(ROUND(mu.n * (mu.n + 2.0) * SUM(rho.r * rho.r / (mu.n - rho.k)), 9), 6) AS q_stat
+FROM rho JOIN mu USING (event_type)
+GROUP BY rho.event_type, mu.n
+ORDER BY rho.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
@@ -10259,6 +10465,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "theta_forecast": q_theta_forecast,
     "decomp_strength": q_decomp_strength,
     "threshold_crossings": q_threshold_crossings,
+    "croston": q_croston,
+    "runs_test": q_runs_test,
+    "ljung_box": q_ljung_box,
     "conformal_interval": q_conformal_interval,
     "adwin_drift": q_adwin_drift,
     "spectral_residual_anomaly": q_spectral_residual_anomaly,
@@ -10416,6 +10625,9 @@ ORACLE: dict[str, str] = {
     "theta_forecast": _SQL_THETA,
     "decomp_strength": _SQL_DECOMP_STRENGTH,
     "threshold_crossings": _SQL_CROSSINGS,
+    "croston": _SQL_CROSTON,
+    "runs_test": _SQL_RUNS_TEST,
+    "ljung_box": _SQL_LJUNG_BOX,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

@@ -140,3 +140,33 @@ def theta_forecast_frame(
     h = np.arange(1, horizon + 1, dtype=np.float64)
     yhat = 0.5 * (a + b * (n + h)) + 0.5 * l_n
     return {"a": float(a), "b": float(b), "l_n": l_n, "yhat": yhat}
+
+
+def croston_forecast(
+    demand: np.ndarray, *, alpha: float = 0.1
+) -> tuple[float, float, float, int]:
+    """Croston's method for intermittent demand (Croston 1972): SES
+    with the same closed power-weight form as theta_forecast_frame
+    over (a) the nonzero demand sizes z_i and (b) the inter-arrival
+    intervals x_i (periods between nonzero demands, first interval =
+    position of the first demand); the flat forecast per period is
+    z_hat / x_hat. Returns (z_hat, x_hat, forecast, n_nonzero);
+    all-zero series -> (nan, nan, 0.0, 0)."""
+    demand = np.asarray(demand, dtype=np.float64)
+    nzpos = np.flatnonzero(demand != 0)
+    q = len(nzpos)
+    if q == 0:
+        return float("nan"), float("nan"), 0.0, 0
+    z = demand[nzpos]
+    x = np.diff(np.concatenate(([-1], nzpos))).astype(np.float64)
+
+    def ses_flat(v: np.ndarray) -> float:
+        n = len(v)
+        w = np.empty(n)
+        w[0] = (1.0 - alpha) ** (n - 1)
+        if n > 1:
+            w[1:] = alpha * (1.0 - alpha) ** (n - 1 - np.arange(1, n))
+        return float((w * v).sum())
+
+    z_hat, x_hat = ses_flat(z), ses_flat(x)
+    return z_hat, x_hat, z_hat / x_hat, q

@@ -585,3 +585,45 @@ def complexity_frame(
     out["n_pairs"] = out["n_pairs"].astype("int64")
     out["n_triples"] = out["n_triples"].astype("int64")
     return out
+
+
+# ------------------------------------------- randomness / whiteness
+
+
+def runs_test(y: np.ndarray) -> dict:
+    """Wald-Wolfowitz runs test (1940) around the MEAN cut (the
+    continuous-data variant — no ties): signs s = +1 where y > mean
+    else -1, R = number of runs, E[R] = 2 n1 n2 / n + 1,
+    Var[R] = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1)), z = (R - E)/sd.
+    Exact integer run counting -> SQL-replayable via LAG."""
+    y = np.asarray(y, dtype=np.float64)
+    mu = y.sum() / len(y)
+    s = np.where(y > mu, 1, -1)
+    n1 = int((s == 1).sum())
+    n2 = int((s == -1).sum())
+    n = n1 + n2
+    runs = 1 + int((s[1:] != s[:-1]).sum()) if n else 0
+    e_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    z = (runs - e_r) / np.sqrt(var_r) if var_r > 0 else float("nan")
+    return {"n1": n1, "n2": n2, "runs": runs, "expected": e_r, "z": z}
+
+
+def ljung_box_q(y: np.ndarray, m: int = 10) -> tuple[float, int]:
+    """Ljung-Box portmanteau statistic (Ljung & Box 1978):
+    Q = n (n+2) sum_{k=1..m} rho_k^2 / (n - k) with the BIASED
+    positional autocorrelation rho_k = sum_{t>k} (y_t - ybar)
+    (y_{t-k} - ybar) / sum (y_t - ybar)^2 (the standard Box-Jenkins
+    estimator — denominator over ALL n terms, so rho is well defined
+    and the statistic replays exactly in SQL as an offset self-join).
+    Returns (Q, df=m)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    yb = y.sum() / n
+    d = y - yb
+    denom = (d * d).sum()
+    q = 0.0
+    for k in range(1, m + 1):
+        rho = (d[k:] * d[:-k]).sum() / denom
+        q += rho * rho / (n - k)
+    return float(n * (n + 2.0) * q), m
