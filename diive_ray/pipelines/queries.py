@@ -10300,6 +10300,72 @@ ORDER BY rho.event_type
 """
 
 
+def q_bocpd(sf_dir: str):
+    """Bayesian online changepoint detection (Adams & MacKay 2007;
+    stages/streamdetect.py:bocpd_normal — Normal-Inverse-Gamma
+    conjugate, Student-t predictive, constant hazard 1/250, MAP
+    run-length-collapse changepoint rule) per event_type on the 6dp
+    hourly means. The Bayesian member of the drift family (CUSUM /
+    Page-Hinkley / ADWIN / EWMA are frequentist). Posterior recursion
+    is not SQL-expressible -> rows-only; planted-shift pytests pin the
+    kernel."""
+    from ..stages.streamdetect import bocpd_normal
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        y = g["m"].to_numpy(dtype=np.float64)
+        r = bocpd_normal(y)
+        cps = r["cp_positions"]
+        bts = pd.to_datetime(g["bucket_ts"]).reset_index(drop=True)
+        rows.append({
+            "event_type": k,
+            "n_obs": len(y),
+            "n_cps": int(len(cps)),
+            "first_cp": bts.iloc[int(cps[0])] if len(cps) else pd.NaT,
+            "last_cp": bts.iloc[int(cps[-1])] if len(cps) else pd.NaT,
+            "final_map_runlength": r["map_runlength_final"],
+            "max_p_cp": stable_round6(np.array([r["p_cp"][1:].max()]))[0],
+        })
+    out = pd.DataFrame(rows)
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["n_cps"] = out["n_cps"].astype("int64")
+    out["final_map_runlength"] = out["final_map_runlength"].astype("int64")
+    for c in ("first_cp", "last_cp"):
+        out[c] = pd.to_datetime(out[c]).astype("datetime64[us]")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_hp_filter(sf_dir: str):
+    """Hodrick-Prescott trend/cycle decomposition (Hodrick & Prescott
+    1997; stages/trend.py:hp_filter, lambda 1600) per event_type on
+    the 6dp hourly means. The pentadiagonal normal-equation solve is
+    not SQL-expressible -> rows-only; pinned by the exact invariants
+    (HP of a linear series is the series; cycle sums to ~0;
+    second-difference penalty balances the residual gradient)."""
+    from ..stages.trend import hp_filter
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    parts = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        y = g["m"].to_numpy(dtype=np.float64)
+        trend, cycle = hp_filter(y, lam=1600.0)
+        parts.append(pd.DataFrame({
+            "event_type": k,
+            "bucket_ts": pd.to_datetime(g["bucket_ts"]).to_numpy(),
+            "m": y,
+            "hp_trend": stable_round6(trend),
+            "hp_cycle": stable_round6(cycle),
+        }))
+    out = pd.concat(parts, ignore_index=True)
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
@@ -10468,6 +10534,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "croston": q_croston,
     "runs_test": q_runs_test,
     "ljung_box": q_ljung_box,
+    "bocpd": q_bocpd,
+    "hp_filter": q_hp_filter,
     "conformal_interval": q_conformal_interval,
     "adwin_drift": q_adwin_drift,
     "spectral_residual_anomaly": q_spectral_residual_anomaly,

@@ -627,3 +627,26 @@ def ljung_box_q(y: np.ndarray, m: int = 10) -> tuple[float, int]:
         rho = (d[k:] * d[:-k]).sum() / denom
         q += rho * rho / (n - k)
     return float(n * (n + 2.0) * q), m
+
+
+def hp_filter(y: np.ndarray, lam: float = 1600.0) -> tuple[np.ndarray, np.ndarray]:
+    """Hodrick-Prescott trend/cycle filter (Hodrick & Prescott 1997):
+    trend tau minimizes sum (y - tau)^2 + lam * sum (Delta^2 tau)^2,
+    the normal equations (I + lam * D'D) tau = y with D the
+    (n-2) x n second-difference operator. Solved exactly per bounded
+    tier series; the system is pentadiagonal, so the documented scale
+    path for very long series is a banded Cholesky — at tier lengths
+    (calendar-bounded buckets) the dense solve is already trivial.
+    Returns (trend, cycle = y - trend)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n < 3:
+        return y.copy(), np.zeros(n)
+    d = np.zeros((n - 2, n))
+    idx = np.arange(n - 2)
+    d[idx, idx] = 1.0
+    d[idx, idx + 1] = -2.0
+    d[idx, idx + 2] = 1.0
+    a = np.eye(n) + lam * (d.T @ d)
+    trend = np.linalg.solve(a, y)
+    return trend, y - trend
