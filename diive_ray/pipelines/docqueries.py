@@ -2949,9 +2949,38 @@ FROM s4 ORDER BY vec_id
 """
 
 
+def q_doc_wordpiece(sf_dir: str):
+    """WordPiece greedy max-match tokenization fertility (Schuster &
+    Nakajima 2012; the BERT tokenizer rule; stages/wordpiece.py):
+    train k=50 BPE merges (the shared vocabulary-learning pass of
+    doc_bpe_merges), derive the piece vocab deterministically, then an
+    actor-pool pass segments every doc's DISTINCT words longest-match-
+    first with whole-word UNK fallback; per-source word/piece/UNK
+    totals + fertility. Rows-only: the greedy loop is iterative;
+    hand-worked segmentations and the longest-match property are
+    pytest-pinned."""
+    from ..stages.bpe import bpe_train
+    from ..stages.wordpiece import wordpiece_counts
+    from ..util import stable_round6 as _sr6
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+    merges = bpe_train(docs, k=50)
+    per_doc = wordpiece_counts(docs, merges).to_pandas()
+    g = per_doc.groupby("source", as_index=False).agg(
+        n_docs=("doc_id", "size"), n_words=("n_words", "sum"),
+        n_pieces=("n_pieces", "sum"), n_unk_words=("n_unk_words", "sum"))
+    seg_words = g["n_words"] - g["n_unk_words"]
+    g["fertility"] = _sr6(g["n_pieces"] / seg_words)
+    g["unk_rate"] = _sr6(g["n_unk_words"] / g["n_words"])
+    for c in ("n_docs", "n_words", "n_pieces", "n_unk_words"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
+    "doc_wordpiece": q_doc_wordpiece,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,

@@ -10366,7 +10366,72 @@ def q_hp_filter(sf_dir: str):
     return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
 
 
+def q_ssa(sf_dir: str):
+    """Singular spectrum analysis (Broomhead & King 1986, Golyandina
+    2001; stages/decompose.py:ssa_decompose — L=72 trajectory window,
+    top-6 eigentriples, Hankel diagonal averaging) per event_type on
+    the 6dp hourly means: rank-r reconstruction + residual per bucket
+    and the kept eigenvalue shares. Eigendecomposition is not
+    SQL-expressible -> rows-only; separability pins in pytest (a
+    noiseless trend+seasonal reconstructs to 1e-10)."""
+    from ..stages.decompose import ssa_decompose
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    parts = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        y = g["m"].to_numpy(dtype=np.float64)
+        r = ssa_decompose(y, window=72, rank=6)
+        parts.append(pd.DataFrame({
+            "event_type": k,
+            "bucket_ts": pd.to_datetime(g["bucket_ts"]).to_numpy(),
+            "m": y,
+            "ssa_recon": stable_round6(r["recon"]),
+            "ssa_resid": stable_round6(r["resid"]),
+            "ev1_share": stable_round6(np.full(len(y), r["sv_share"][0])),
+        }))
+    out = pd.concat(parts, ignore_index=True)
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+def q_emd(sf_dir: str):
+    """Empirical mode decomposition (Huang et al. 1998;
+    stages/decompose.py:emd — natural-cubic envelope sifting, SD stop
+    0.3, exact-reconstruction identity) per event_type on the 6dp
+    hourly means: the first two intrinsic mode functions, the final
+    residual trend, and the IMF count. Sifting is iterative and
+    spline-based -> rows-only; separation and exact-reconstruction
+    pins in pytest."""
+    from ..stages.decompose import emd
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    parts = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        y = g["m"].to_numpy(dtype=np.float64)
+        imfs = emd(y)
+        z = np.zeros(len(y))
+        parts.append(pd.DataFrame({
+            "event_type": k,
+            "bucket_ts": pd.to_datetime(g["bucket_ts"]).to_numpy(),
+            "m": y,
+            "imf1": stable_round6(imfs[0] if len(imfs) > 1 else z),
+            "imf2": stable_round6(imfs[1] if len(imfs) > 2 else z),
+            "trend_resid": stable_round6(imfs[-1]),
+            "n_imfs": len(imfs) - 1,
+        }))
+    out = pd.concat(parts, ignore_index=True)
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    out["n_imfs"] = out["n_imfs"].astype("int64")
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
+    "ssa_decompose": q_ssa,
+    "emd_decompose": q_emd,
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
     "resample_1d_mincount": q_resample_1d_mincount,

@@ -81,6 +81,7 @@ def stl_decompose_frame(
     n_inner: int = 2,
     robust: bool = False,
     n_outer: int = 10,
+    weights: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """STL-lite seasonal-trend decomposition (the loess upgrade over
     the harmonic stand-in; reference uses statsmodels STL in
@@ -104,6 +105,15 @@ def stl_decompose_frame(
     pass is unchanged). The robust=False path is bit-identical to the
     pre-robustness implementation.
 
+    ``weights``: optional per-sample QUALITY weights in [0, 1]
+    (reference core/times/decomposition_utils.py:318-364
+    ``quality_weighted_decompose`` — quality flags enter the FIT, not
+    a pre-filter: low-quality samples keep their rows but lose
+    influence on the trend/seasonal smoothers). They seed the loess
+    robustness weights and, under ``robust=True``, multiply into each
+    outer pass's bisquare weights. ``weights=None`` is bit-identical
+    to the unweighted implementation.
+
     Input must be ONE series sorted on its regular grid. Appends
     trend/seasonal/resid columns.
     """
@@ -115,7 +125,9 @@ def stl_decompose_frame(
         trend_window += 1 - trend_window % 2
     trend = np.zeros(n)
     seasonal = np.zeros(n)
-    rho: np.ndarray | None = None
+    qual = None if weights is None else np.clip(
+        np.asarray(weights, dtype=np.float64), 0.0, 1.0)
+    rho: np.ndarray | None = qual
 
     def inner_pass() -> None:
         nonlocal trend, seasonal
@@ -145,6 +157,8 @@ def stl_decompose_frame(
                 break
             u = np.clip(np.nan_to_num(absr / h, nan=1.0), 0.0, 1.0)
             rho = (1.0 - u * u) ** 2
+            if qual is not None:
+                rho = rho * qual
             inner_pass()
     out = df.copy()
     out[f"{value_col}_trend"] = trend
@@ -464,3 +478,137 @@ def detect_seasonality_frame(
             "strength": min(strength, 1.0),
         })
     return pd.DataFrame(rows)
+
+
+# -------------------------------------------------- singular spectrum
+
+
+def ssa_decompose(
+    y: np.ndarray, *, window: int = 72, rank: int = 6
+) -> dict:
+    """Singular spectrum analysis (Broomhead & King 1986; Golyandina
+    et al. 2001 'Analysis of Time Series Structure'): embed the series
+    in the L x K trajectory matrix (lagged windows), eigendecompose
+    the L x L lag-covariance S = X X^T, keep the top ``rank``
+    eigentriples, and map the rank-r approximation back to a series by
+    diagonal (Hankel) averaging. Deterministic (numpy eigh) — no
+    iteration.
+
+    Cost is O(n L) to embed + O(L^3) for the eigensolve, with L
+    calendar-bounded (a window over the TIER series), so per-key
+    blocks stay cheap at any corpus size. Returns dict(recon, resid,
+    sv_share: ndarray[rank] — eigenvalue mass of each kept triple)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    L = int(min(window, max(2, n // 2)))
+    K = n - L + 1
+    X = np.lib.stride_tricks.sliding_window_view(y, L).T  # L x K
+    S = X @ X.T
+    w, V = np.linalg.eigh(S)  # ascending
+    order = np.argsort(w)[::-1]
+    r = int(min(rank, L))
+    Vr = V[:, order[:r]]
+    Xr = Vr @ (Vr.T @ X)
+    # diagonal averaging: z[t] = mean of Xr[i, j] over i + j == t
+    sums = np.zeros(n)
+    idx = np.arange(L)[:, None] + np.arange(K)[None, :]
+    np.add.at(sums, idx.ravel(), Xr.ravel())
+    counts = np.minimum(np.minimum(np.arange(n) + 1, n - np.arange(n)), min(L, K))
+    recon = sums / counts
+    total = w.sum()
+    sv_share = w[order[:r]] / total if total > 0 else np.zeros(r)
+    return {"recon": recon, "resid": y - recon, "sv_share": sv_share}
+
+
+# ------------------------------------------------ empirical mode decomposition
+
+
+def _natural_cubic_eval(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Natural cubic spline through (xk, yk) evaluated at x — the
+    classic tridiagonal second-derivative solve (Thomas algorithm),
+    no scipy. xk strictly increasing, len >= 2 (linear for len == 2)."""
+    n = len(xk)
+    if n == 2:
+        t = (x - xk[0]) / (xk[1] - xk[0])
+        return yk[0] + t * (yk[1] - yk[0])
+    h = np.diff(xk)
+    # tridiagonal system for interior second derivatives m[1..n-2]
+    a = h[:-1].copy()                    # sub-diagonal
+    b = 2.0 * (h[:-1] + h[1:])           # diagonal
+    c = h[1:].copy()                     # super-diagonal
+    d = 6.0 * (np.diff(yk[1:]) / h[1:] - np.diff(yk[:-1]) / h[:-1])
+    # Thomas forward sweep
+    for i in range(1, n - 2):
+        w = a[i] / b[i - 1]
+        b[i] -= w * c[i - 1]
+        d[i] -= w * d[i - 1]
+    m_int = np.zeros(n - 2)
+    m_int[-1] = d[-1] / b[-1]
+    for i in range(n - 4, -1, -1):
+        m_int[i] = (d[i] - c[i] * m_int[i + 1]) / b[i]
+    m = np.concatenate(([0.0], m_int, [0.0]))  # natural ends
+    # evaluate piecewise
+    seg = np.clip(np.searchsorted(xk, x, side="right") - 1, 0, n - 2)
+    hs = h[seg]
+    t0 = xk[seg]
+    A = (xk[seg + 1] - x) / hs
+    B = (x - t0) / hs
+    return (A * yk[seg] + B * yk[seg + 1]
+            + ((A ** 3 - A) * m[seg] + (B ** 3 - B) * m[seg + 1]) * hs * hs / 6.0)
+
+
+def _local_extrema(y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Strict interior maxima / minima positions."""
+    up = np.flatnonzero((y[1:-1] > y[:-2]) & (y[1:-1] > y[2:])) + 1
+    dn = np.flatnonzero((y[1:-1] < y[:-2]) & (y[1:-1] < y[2:])) + 1
+    return up, dn
+
+
+def emd(
+    y: np.ndarray, *, max_imfs: int = 6, max_sift: int = 30,
+    sd_stop: float = 0.3,
+) -> list[np.ndarray]:
+    """Empirical mode decomposition (Huang et al. 1998, Proc. R. Soc.
+    A): iteratively sift each intrinsic mode function — upper/lower
+    natural-cubic envelopes through the local maxima/minima (endpoints
+    appended so envelopes span the series), subtract the envelope
+    mean, stop a sift at Huang's SD criterion
+    sum((h_prev - h)^2 / h_prev^2) < ``sd_stop``; extraction stops
+    when fewer than 2 maxima + 2 minima remain (the residual trend).
+    Returns [imf_1, imf_2, ..., residual]; sum reconstructs y exactly
+    (the defining EMD identity).
+
+    Deterministic (fixed stopping rules, no ensemble noise); runs per
+    bounded tier series inside its block. The noise-assisted EEMD
+    variant is intentionally out of scope — it would need seeded
+    ensemble averaging and breaks exact reconstruction."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    pos = np.arange(n, dtype=np.float64)
+    imfs: list[np.ndarray] = []
+    resid = y.copy()
+    for _ in range(max_imfs):
+        up, dn = _local_extrema(resid)
+        if len(up) < 2 or len(dn) < 2:
+            break
+        h = resid.copy()
+        for _s in range(max_sift):
+            up, dn = _local_extrema(h)
+            if len(up) < 2 or len(dn) < 2:
+                break
+            xu = np.concatenate(([0.0], pos[up], [n - 1.0]))
+            yu = np.concatenate(([h[up[0]]], h[up], [h[up[-1]]]))
+            xd = np.concatenate(([0.0], pos[dn], [n - 1.0]))
+            yd = np.concatenate(([h[dn[0]]], h[dn], [h[dn[-1]]]))
+            env_mean = 0.5 * (_natural_cubic_eval(xu, yu, pos)
+                              + _natural_cubic_eval(xd, yd, pos))
+            h_new = h - env_mean
+            denom = (h * h).sum()
+            sd = ((h - h_new) ** 2).sum() / denom if denom > 0 else 0.0
+            h = h_new
+            if sd < sd_stop:
+                break
+        imfs.append(h)
+        resid = resid - h
+    imfs.append(resid)
+    return imfs
