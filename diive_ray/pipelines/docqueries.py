@@ -2977,10 +2977,228 @@ def q_doc_wordpiece(sf_dir: str):
     return g.sort_values("source").reset_index(drop=True)
 
 
+def q_doc_good_turing(sf_dir: str):
+    """Good-Turing frequency smoothing (Good 1953; the Katz-backoff /
+    KenLM discounting foundation): frequency-of-frequencies N_r over
+    the corpus word counts (the doc_word_freqs distributed pass —
+    per-batch value_counts partials, ONE vocab-bounded exchange), the
+    classic adjusted counts r* = (r+1) N_{r+1} / N_r for r = 1..10,
+    and the unseen-mass estimate p0 = N_1 / T. Exact SQL replay on the
+    same tokenization."""
+    from ..stages.bpe import word_freqs
+    from ..util import stable_round6 as _sr6
+
+    wf = word_freqs(_docs(sf_dir, ["text"]))
+    ff = wf["freq"].value_counts()
+    t_total = int(wf["freq"].sum())
+    n1 = int(ff.get(1, 0))
+    rows = []
+    for r in range(1, 11):
+        n_r = int(ff.get(r, 0))
+        n_r1 = int(ff.get(r + 1, 0))
+        r_star = (r + 1) * n_r1 / n_r if n_r > 0 else np.nan
+        rows.append({"r": r, "n_r": n_r, "r_star": r_star})
+    out = pd.DataFrame(rows)
+    out["r"] = out["r"].astype("int64")
+    out["n_r"] = out["n_r"].astype("int64")
+    out["r_star"] = _sr6(out["r_star"].astype(float))
+    out["p0"] = _sr6(pd.Series(np.full(len(out), n1 / t_total)))
+    out["t_total"] = t_total
+    return out.sort_values("r").reset_index(drop=True)
+
+
+_SQL_GOOD_TURING = r"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+ff AS (SELECT freq AS r, COUNT(*) AS n FROM wf GROUP BY freq),
+tot AS (SELECT SUM(freq) AS t, SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS n1 FROM wf),
+ks AS (SELECT UNNEST(generate_series(1, 10)) AS r)
+SELECT ks.r::BIGINT AS r,
+       COALESCE(fr.n, 0)::BIGINT AS n_r,
+       CASE WHEN fr.n > 0
+            THEN ROUND(ROUND((ks.r + 1) * COALESCE(fr1.n, 0) / fr.n::DOUBLE, 9), 6)
+       END AS r_star,
+       ROUND(ROUND(tot.n1 / tot.t::DOUBLE, 9), 6) AS p0,
+       tot.t::BIGINT AS t_total
+FROM ks
+LEFT JOIN ff fr ON fr.r = ks.r
+LEFT JOIN ff fr1 ON fr1.r = ks.r + 1
+CROSS JOIN tot
+ORDER BY r
+"""
+
+
+def q_doc_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit (Heaps 1978, Herdan 1960:
+    V = K * T^beta) per source: docs ordered by doc_id, vocabulary size
+    V(n) = words whose FIRST document rank <= n (first occurrence =
+    MIN(doc_id) per word — decomposable, one keyed exchange), token
+    count T(n) = cumulative words through rank n, sampled at the ten
+    decile checkpoints n_k = (k*N)//10, then the ln-ln OLS slope/
+    intercept/r2 in the shared n-moment form. Ray shape: two slim
+    distributed passes (per-doc word counts; per-(source,word) min
+    doc_id) + a driver combine over doc-granularity rows — the same
+    per-doc result granularity as the encode queries; at open scale
+    the decile boundaries come from distributed rank selection
+    (stratified.py:exact_rank_values) instead of a doc list."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def per_doc(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        nonempty = pc.not_equal(flat, "")
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(t)), sizes)
+        good = nonempty.to_numpy(zero_copy_only=False)
+        n_words = np.bincount(doc_ix[good], minlength=len(t)).astype(np.int64)
+        return pd.DataFrame({"source": t["source"].to_pandas(),
+                             "doc_id": t["doc_id"].to_pandas(),
+                             "n_words": n_words})
+
+    doc_tbl = docs.map_batches(per_doc, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+
+    def first_partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(t)), sizes)
+        df = pd.DataFrame({"source": t["source"].to_pandas().to_numpy()[doc_ix],
+                           "doc_id": t["doc_id"].to_pandas().to_numpy()[doc_ix],
+                           "word": flat.to_pandas()})
+        df = df[df["word"] != ""]
+        return df.groupby(["source", "word"], as_index=False)["doc_id"].min()
+
+    firsts = driver_combine(
+        docs, first_partial,
+        lambda df: df.groupby(["source", "word"], as_index=False)["doc_id"].min(),
+        batch_format="pyarrow",
+    )
+
+    rows = []
+    for src, g in doc_tbl.groupby("source", sort=True):
+        g = g.sort_values("doc_id", ignore_index=True)
+        nd = len(g)
+        cumtok = g["n_words"].to_numpy(dtype=np.int64).cumsum()
+        ids = g["doc_id"].to_numpy()
+        fw = firsts[firsts["source"] == src]
+        franks = np.searchsorted(ids, fw["doc_id"].to_numpy()) + 1
+        vcum = np.bincount(franks, minlength=nd + 1).cumsum()
+        xs, ys = [], []
+        for k in range(1, 11):
+            nk = (k * nd) // 10
+            if nk < 1:
+                continue
+            xs.append(np.log(float(cumtok[nk - 1])))
+            ys.append(np.log(float(vcum[nk])))
+        x = np.asarray(xs)
+        y = np.asarray(ys)
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        if y.max() == y.min():
+            # vocab saturated before the first checkpoint: the fit is
+            # the flat line (guarded EXPLICITLY on both sides — the
+            # moment-form denominator is 0 here in exact arithmetic
+            # but accumulation order decides whether a given engine
+            # sees exactly 0 or 1 ULP of noise)
+            beta, ln_k, r2 = 0.0, sy / n, 0.0
+        else:
+            beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            ln_k = (sy - beta * sx) / n
+            r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        rows.append({"source": src, "n_docs": nd,
+                     "t_total": int(cumtok[-1]), "v_total": int(len(fw)),
+                     "beta": beta, "ln_k": ln_k, "r2": r2})
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "t_total", "v_total"):
+        out[c] = out[c].astype("int64")
+    for c in ("beta", "ln_k", "r2"):
+        out[c] = _sr6(out[c].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_HEAPS_LAW = r"""
+WITH tok AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         w -> w <> '')) AS n_words
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_words,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS nd,
+         SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cumtok
+  FROM tok
+),
+words AS (
+  SELECT source, word, MIN(doc_id) AS fd
+  FROM (SELECT source, doc_id,
+               UNNEST(regexp_split_to_array(text, '\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+),
+wrank AS (
+  SELECT w.source, r.rnk AS frnk
+  FROM words w JOIN ranked r ON r.source = w.source AND r.doc_id = w.fd
+),
+src AS (SELECT source, MAX(nd) AS nd, MAX(cumtok) AS t_total FROM ranked GROUP BY 1),
+vtot AS (SELECT source, COUNT(*) AS v_total FROM words GROUP BY 1),
+ks AS (SELECT UNNEST(generate_series(1, 10)) AS k),
+cps AS (
+  SELECT src.source, ks.k, (ks.k * src.nd) // 10 AS nk
+  FROM src CROSS JOIN ks
+  WHERE (ks.k * src.nd) // 10 >= 1
+),
+points AS (
+  SELECT c.source,
+         ln(r.cumtok::DOUBLE) AS x,
+         ln((SELECT COUNT(*) FROM wrank w
+             WHERE w.source = c.source AND w.frnk <= c.nk)::DOUBLE) AS y
+  FROM cps c JOIN ranked r ON r.source = c.source AND r.rnk = c.nk
+),
+mom AS (
+  SELECT source, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy,
+         MAX(y) AS ymax, MIN(y) AS ymin
+  FROM points GROUP BY 1
+)
+SELECT mom.source,
+       src.nd::BIGINT AS n_docs,
+       src.t_total::BIGINT AS t_total,
+       vtot.v_total::BIGINT AS v_total,
+       CASE WHEN ymax = ymin THEN 0.0 ELSE
+       ROUND(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9), 6) END AS beta,
+       CASE WHEN ymax = ymin THEN ROUND(ROUND(sy / n, 9), 6) ELSE
+       ROUND(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9), 6) END AS ln_k,
+       CASE WHEN ymax = ymin THEN 0.0 ELSE
+       ROUND(ROUND(POW(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9), 6) END AS r2
+FROM mom JOIN src USING (source) JOIN vtot USING (source)
+ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
     "doc_wordpiece": q_doc_wordpiece,
+    "doc_good_turing": q_doc_good_turing,
+    "doc_heaps_law": q_doc_heaps_law,
     "doc_token_count": q_doc_token_count,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -3051,6 +3269,8 @@ DOC_QUERIES: dict[str, Any] = {
 
 DOC_ORACLE: dict[str, str] = {
     "doc_word_freqs": _SQL_WORD_FREQS,
+    "doc_good_turing": _SQL_GOOD_TURING,
+    "doc_heaps_law": _SQL_HEAPS_LAW,
     "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,
     "doc_quality": _SQL_QUALITY,

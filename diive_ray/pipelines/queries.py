@@ -10429,9 +10429,94 @@ def q_emd(sf_dir: str):
     return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
 
 
+def q_tpch_q3_topk(sf_dir: str):
+    """TPC-H Q3-shape analytical pipeline exercising the join
+    primitives end-to-end (stages/joins.py:hash_join semi + inner):
+    customers in one market segment -> SEMI hash join filters orders
+    (date-bounded) -> INNER hash join with date-bounded lineitems ->
+    per-order revenue sum(extendedprice * (1 - discount)) via
+    per-batch partials + slim driver combine -> top 10 by ROUNDED
+    revenue (desc, orderkey asc — both sides rank the same rounded
+    value so the cut is deterministic). Each fact side moves exactly
+    once; the segment filter is an existence semi-join, never a row
+    multiplication."""
+    from ..stages.exchange import driver_combine
+    from ..stages.joins import hash_join
+
+    cutoff = "1998-01-01"
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr="c_mktsegment == 'BUILDING'").map_batches(
+        lambda t: t.select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df[df["o_orderdate"] < pd.Timestamp(cutoff)],
+        batch_format="pandas",
+    )
+    o2 = hash_join(orders, cust, on="o_custkey", how="semi").map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda df: df[df["l_shipdate"] > pd.Timestamp(cutoff)].drop(
+            columns=["l_shipdate"]).rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    j = hash_join(li, o2, on="o_orderkey", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby(["o_orderkey", "o_orderdate"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size"))
+
+    g = driver_combine(
+        j, partial,
+        lambda df: df.groupby(["o_orderkey", "o_orderdate"], as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum")),
+        batch_format="pandas",
+    )
+    g["revenue"] = stable_round6(g["rev"].astype(float))
+    g = g.sort_values(["revenue", "o_orderkey"],
+                      ascending=[False, True]).head(10)
+    out = pd.DataFrame({
+        "o_orderkey": g["o_orderkey"].astype("int64"),
+        "o_orderdate": pd.to_datetime(g["o_orderdate"]).astype("datetime64[us]"),
+        "n_items": g["n"].astype("int64"),
+        "revenue": g["revenue"],
+    })
+    return out.reset_index(drop=True)
+
+
+_SQL_TPCH_Q3 = """
+SELECT l.l_orderkey::BIGINT AS o_orderkey,
+       o.o_orderdate,
+       COUNT(*)::BIGINT AS n_items,
+       ROUND(ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 9), 6) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "emd_decompose": q_emd,
+    "tpch_q3_topk": q_tpch_q3_topk,
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
     "resample_1d_mincount": q_resample_1d_mincount,
@@ -10761,6 +10846,7 @@ ORACLE: dict[str, str] = {
     "croston": _SQL_CROSTON,
     "runs_test": _SQL_RUNS_TEST,
     "ljung_box": _SQL_LJUNG_BOX,
+    "tpch_q3_topk": _SQL_TPCH_Q3,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
