@@ -10513,10 +10513,315 @@ LIMIT 10
 """
 
 
+def q_regression_diagnostics(sf_dir: str):
+    """OLS regression diagnostics battery (Durbin & Watson 1950 serial
+    correlation statistic; Cook 1977 influence distance with the exact
+    simple-regression hat values h_i = 1/n + (x_i - xbar)^2 / Sxx) for
+    every ordered event-type pair over the bucket-joined 6dp hourly
+    means: DW = sum (e_i - e_{i-1})^2 / sum e_i^2 in bucket order,
+    max Cook's D, and the count of influential points (D > 4/n). The
+    residuals e = y - a - b x and all moments share expression order
+    with the SQL replay (regression.py companion to
+    q_linear_regression)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+    rows = []
+    for ex in sorted(by):
+        for ey in sorted(by):
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner").sort_index()
+            x, y = j["x"].to_numpy(), j["y"].to_numpy()
+            n = float(len(j))
+            if n < 5:
+                continue
+            mx, my = x.sum() / n, y.sum() / n
+            sxx = (x * x).sum() - n * mx * mx
+            sxy = (x * y).sum() - n * mx * my
+            b = sxy / sxx
+            a = my - b * mx
+            e = y - a - b * x
+            sse = (e * e).sum()
+            dw = ((e[1:] - e[:-1]) ** 2).sum() / sse
+            s2 = sse / (n - 2.0)
+            h = 1.0 / n + (x - mx) ** 2 / sxx
+            cooks = e * e * h / (2.0 * s2 * (1.0 - h) ** 2)
+            rows.append({
+                "event_x": ex, "event_y": ey, "n": int(n),
+                "dw": dw, "max_cooks_d": cooks.max(),
+                "n_influential": int((cooks > 4.0 / n).sum()),
+            })
+    out = pd.DataFrame(rows)
+    for c in ("dw", "max_cooks_d"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["n_influential"] = out["n_influential"].astype("int64")
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_REG_DIAG = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+mom AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n,
+         SUM(x) / COUNT(*) AS mx, SUM(y) / COUNT(*) AS my,
+         SUM(x * x) AS sxx_raw, SUM(x * y) AS sxy_raw
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+fit AS (
+  SELECT event_x, event_y, n, mx, my,
+         sxx_raw - n * mx * mx AS sxx,
+         (sxy_raw - n * mx * my) / (sxx_raw - n * mx * mx) AS b
+  FROM mom
+),
+resid AS (
+  SELECT p.event_x, p.event_y, p.bts, f.n, f.sxx, f.mx,
+         p.y - (f.my - f.b * f.mx) - f.b * p.x AS e,
+         p.x
+  FROM pairs p JOIN fit f USING (event_x, event_y)
+),
+lagged AS (
+  SELECT *, LAG(e) OVER (PARTITION BY event_x, event_y ORDER BY bts) AS eprev
+  FROM resid
+),
+agg AS (
+  SELECT event_x, event_y, MAX(n) AS n, MAX(sxx) AS sxx, MAX(mx) AS mx,
+         SUM(e * e) AS sse,
+         SUM(CASE WHEN eprev IS NULL THEN 0 ELSE (e - eprev) * (e - eprev) END) AS sdiff
+  FROM lagged GROUP BY 1, 2
+),
+cooks AS (
+  SELECT r.event_x, r.event_y, a.n,
+         r.e * r.e * (1.0 / a.n + (r.x - a.mx) * (r.x - a.mx) / a.sxx)
+         / (2.0 * (a.sse / (a.n - 2.0))
+            * POW(1.0 - (1.0 / a.n + (r.x - a.mx) * (r.x - a.mx) / a.sxx), 2)) AS d
+  FROM resid r JOIN agg a USING (event_x, event_y)
+)
+SELECT agg.event_x, agg.event_y, CAST(agg.n AS BIGINT) AS n,
+       ROUND(ROUND(agg.sdiff / agg.sse, 9), 6) AS dw,
+       ROUND(ROUND(MAX(cooks.d), 9), 6) AS max_cooks_d,
+       CAST(SUM(CASE WHEN cooks.d > 4.0 / agg.n THEN 1 ELSE 0 END) AS BIGINT) AS n_influential
+FROM agg JOIN cooks USING (event_x, event_y)
+GROUP BY agg.event_x, agg.event_y, agg.n, agg.sdiff, agg.sse
+ORDER BY event_x, event_y
+"""
+
+
+def q_chow_test(sf_dir: str):
+    """Chow structural-break F test (Chow 1960) per event_type: OLS of
+    the 6dp hourly mean on its row position, pooled vs split at the
+    midpoint n//2; F = ((RSS_p - RSS_1 - RSS_2) / k) /
+    ((RSS_1 + RSS_2) / (n - 2k)) with k = 2 regressors. RSS in the
+    centered-moment closed form (syy - sxy^2/sxx, explicit n*mean
+    centering — the dickey_fuller convention), replayed verbatim in
+    SQL over three moment groups. The parametric complement to the
+    Pettitt / CUSUM / BOCPD changepoint family."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+
+    def rss(pos: np.ndarray, v: np.ndarray) -> float:
+        n = float(len(v))
+        mx, my = pos.sum() / n, v.sum() / n
+        sxx = (pos * pos).sum() - n * mx * mx
+        sxy = (pos * v).sum() - n * mx * my
+        syy = (v * v).sum() - n * my * my
+        return syy - sxy * sxy / sxx
+
+    for k, g in t1h.groupby("event_type", sort=True):
+        v = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        n = len(v)
+        m = n // 2
+        if m < 3 or n - m < 3:
+            continue
+        pos = np.arange(1, n + 1, dtype=np.float64)
+        rss_p = rss(pos, v)
+        rss_1 = rss(pos[:m], v[:m])
+        rss_2 = rss(pos[m:], v[m:])
+        f = ((rss_p - rss_1 - rss_2) / 2.0) / ((rss_1 + rss_2) / (n - 4.0))
+        rows.append({"event_type": k, "n": n, "split_at": m, "f_stat": f})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["split_at"] = out["split_at"].astype("int64")
+    out["f_stat"] = stable_round6(out["f_stat"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_CHOW = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts)::DOUBLE AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+seg AS (
+  SELECT event_type, m, rn, n,
+         CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS half
+  FROM pos WHERE n // 2 >= 3 AND n - n // 2 >= 3
+),
+smom AS (
+  SELECT event_type, half, COUNT(*)::DOUBLE AS cn,
+         SUM(rn) / COUNT(*) AS mx, SUM(m) / COUNT(*) AS my,
+         SUM(rn * rn) AS sxx_raw, SUM(rn * m) AS sxy_raw, SUM(m * m) AS syy_raw
+  FROM seg GROUP BY 1, 2
+),
+srss AS (
+  SELECT event_type, half,
+         (syy_raw - cn * my * my)
+         - POW(sxy_raw - cn * mx * my, 2) / (sxx_raw - cn * mx * mx) AS rss
+  FROM smom
+),
+pmom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS cn, MAX(n) AS n, MAX(n) // 2 AS split_at,
+         SUM(rn) / COUNT(*) AS mx, SUM(m) / COUNT(*) AS my,
+         SUM(rn * rn) AS sxx_raw, SUM(rn * m) AS sxy_raw, SUM(m * m) AS syy_raw
+  FROM seg GROUP BY 1
+),
+prss AS (
+  SELECT event_type, n, split_at, cn,
+         (syy_raw - cn * my * my)
+         - POW(sxy_raw - cn * mx * my, 2) / (sxx_raw - cn * mx * mx) AS rss_p
+  FROM pmom
+),
+halves AS (
+  SELECT event_type,
+         SUM(CASE WHEN half = 1 THEN rss END) AS rss_1,
+         SUM(CASE WHEN half = 2 THEN rss END) AS rss_2
+  FROM srss GROUP BY 1
+)
+SELECT p.event_type, CAST(p.n AS BIGINT) AS n, CAST(p.split_at AS BIGINT) AS split_at,
+       ROUND(ROUND(((p.rss_p - h.rss_1 - h.rss_2) / 2.0)
+             / ((h.rss_1 + h.rss_2) / (p.cn - 4.0)), 9), 6) AS f_stat
+FROM prss p JOIN halves h USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_cointegration_eg(sf_dir: str):
+    """Engle-Granger two-step cointegration test (Engle & Granger
+    1987) for every ordered event-type pair: step 1 — OLS y ~ x on the
+    bucket-joined 6dp hourly means (the q_linear_regression fit);
+    step 2 — Dickey-Fuller regression de_t = a + b e_{t-1} on the
+    step-1 residuals in bucket order, t statistic on b (the
+    q_dickey_fuller closed form), cointegrated where the ROUNDED t is
+    below the Engle-Granger 5%% two-variable critical value -3.34
+    (both sides threshold the same rounded value, so the flag is
+    deterministic)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+    rows = []
+    for ex in sorted(by):
+        for ey in sorted(by):
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner").sort_index()
+            x, y = j["x"].to_numpy(), j["y"].to_numpy()
+            n = float(len(j))
+            if n < 10:
+                continue
+            mx, my = x.sum() / n, y.sum() / n
+            sxx = (x * x).sum() - n * mx * mx
+            sxy = (x * y).sum() - n * mx * my
+            b = sxy / sxx
+            a = my - b * mx
+            e = y - a - b * x
+            el, d = e[:-1], np.diff(e)
+            nn = float(len(el))
+            mex, mey = el.sum() / nn, d.sum() / nn
+            exx = (el * el).sum() - nn * mex * mex
+            exy = (el * d).sum() - nn * mex * mey
+            eyy = (d * d).sum() - nn * mey * mey
+            g_ = exy / exx
+            ssr = eyy - g_ * exy
+            t = g_ / np.sqrt(ssr / (nn - 2.0) / exx)
+            rows.append({"event_x": ex, "event_y": ey, "n": int(n),
+                         "beta": b, "tstat_adf": t})
+    out = pd.DataFrame(rows)
+    out["beta"] = stable_round6(out["beta"].astype(float))
+    out["tstat_adf"] = stable_round6(out["tstat_adf"].astype(float))
+    out["cointegrated"] = (out["tstat_adf"] < -3.34).astype("int64")
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_COINTEGRATION = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+mom AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n,
+         SUM(x) / COUNT(*) AS mx, SUM(y) / COUNT(*) AS my,
+         SUM(x * x) AS sxx_raw, SUM(x * y) AS sxy_raw
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 10
+),
+fit AS (
+  SELECT event_x, event_y, n, mx, my,
+         (sxy_raw - n * mx * my) / (sxx_raw - n * mx * mx) AS b
+  FROM mom
+),
+resid AS (
+  SELECT p.event_x, p.event_y, p.bts, f.n, f.b,
+         p.y - (f.my - f.b * f.mx) - f.b * p.x AS e
+  FROM pairs p JOIN fit f USING (event_x, event_y)
+),
+lagged AS (
+  SELECT event_x, event_y, n, b,
+         LAG(e) OVER (PARTITION BY event_x, event_y ORDER BY bts) AS el,
+         e - LAG(e) OVER (PARTITION BY event_x, event_y ORDER BY bts) AS d
+  FROM resid
+),
+emom AS (
+  SELECT event_x, event_y, MAX(n) AS n, MAX(b) AS b, COUNT(*)::DOUBLE AS nn,
+         SUM(el) / COUNT(*) AS mex, SUM(d) / COUNT(*) AS mey,
+         SUM(el * el) AS exx_raw, SUM(el * d) AS exy_raw, SUM(d * d) AS eyy_raw
+  FROM lagged WHERE el IS NOT NULL GROUP BY 1, 2
+),
+tstat AS (
+  SELECT event_x, event_y, n, b,
+         ((exy_raw - nn * mex * mey) / (exx_raw - nn * mex * mex))
+         / sqrt(((eyy_raw - nn * mey * mey)
+                 - (exy_raw - nn * mex * mey) / (exx_raw - nn * mex * mex)
+                   * (exy_raw - nn * mex * mey))
+                / (nn - 2.0) / (exx_raw - nn * mex * mex)) AS t
+  FROM emom
+)
+SELECT event_x, event_y, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(b, 9), 6) AS beta,
+       ROUND(ROUND(t, 9), 6) AS tstat_adf,
+       CAST(CASE WHEN ROUND(ROUND(t, 9), 6) < -3.34 THEN 1 ELSE 0 END AS BIGINT) AS cointegrated
+FROM tstat ORDER BY event_x, event_y
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "emd_decompose": q_emd,
     "tpch_q3_topk": q_tpch_q3_topk,
+    "regression_diagnostics": q_regression_diagnostics,
+    "chow_test": q_chow_test,
+    "cointegration_eg": q_cointegration_eg,
     "resample_1h": q_resample_1h,
     "resample_1d": q_resample_1d,
     "resample_1d_mincount": q_resample_1d_mincount,
@@ -10847,6 +11152,9 @@ ORACLE: dict[str, str] = {
     "runs_test": _SQL_RUNS_TEST,
     "ljung_box": _SQL_LJUNG_BOX,
     "tpch_q3_topk": _SQL_TPCH_Q3,
+    "regression_diagnostics": _SQL_REG_DIAG,
+    "chow_test": _SQL_CHOW,
+    "cointegration_eg": _SQL_COINTEGRATION,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
