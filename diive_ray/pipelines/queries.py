@@ -10815,8 +10815,157 @@ FROM tstat ORDER BY event_x, event_y
 """
 
 
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram (Matheron 1962) per event_type over the
+    6dp hourly means: gamma(h) = mean((y_{t+h} - y_t)^2) / 2 at
+    calendar lags 1..12 h, pairwise-complete (a pair exists only where
+    BOTH buckets exist — the acf_lags convention). The geostatistics
+    view of temporal structure; SQL replay is a lag self-join."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        s = g.set_index(pd.to_datetime(g["bucket_ts"]))["m"].sort_index()
+        for h in range(1, 13):
+            shifted = s.copy()
+            shifted.index = shifted.index - pd.Timedelta(hours=h)
+            j = pd.concat([s.rename("a"), shifted.rename("b")],
+                          axis=1, join="inner")
+            if len(j) < 2:
+                continue
+            d = j["b"].to_numpy() - j["a"].to_numpy()
+            rows.append({"event_type": k, "lag": h, "n_pairs": len(j),
+                         "gamma": (d * d).sum() / len(j) / 2.0})
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["gamma"] = stable_round6(out["gamma"].astype(float))
+    return out.sort_values(["event_type", "lag"]).reset_index(drop=True)
+
+
+_SQL_VARIOGRAM = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+lags AS (SELECT UNNEST(generate_series(1, 12)) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, (b.m - a.m) AS d
+  FROM lags l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.event_type = a.event_type
+                AND b.bts = a.bts + to_hours(l.lag::BIGINT)
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(ROUND(SUM(d * d) / COUNT(*) / 2.0, 9), 6) AS gamma
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY event_type, lag
+"""
+
+
+def q_effective_sample_size(sf_dir: str):
+    """Autocorrelation time and effective sample size (the MCMC / time
+    series ESS convention, e.g. Geyer 1992): ESS = n / (1 + 2 *
+    sum_{k=1..10} rho_k) with the biased positional Box-Jenkins
+    autocorrelation of q_ljung_box, per event_type on the 6dp hourly
+    means. Fixed-m truncation (documented) keeps the statistic exactly
+    SQL-replayable."""
+    from ..stages.trend import ljung_box_q  # shares the rho estimator
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        n = len(y)
+        yb = y.sum() / n
+        d = y - yb
+        denom = (d * d).sum()
+        s = 0.0
+        for kk in range(1, 11):
+            s += (d[kk:] * d[:-kk]).sum() / denom
+        act = 1.0 + 2.0 * s
+        rows.append({"event_type": k, "n_obs": n, "act": act,
+                     "ess": n / act})
+    out = pd.DataFrame(rows)
+    out["n_obs"] = out["n_obs"].astype("int64")
+    for c in ("act", "ess"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_ESS = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS rn
+  FROM hourly
+),
+mu AS (
+  SELECT event_type, SUM(m) / COUNT(*) AS yb, COUNT(*)::DOUBLE AS n
+  FROM pos GROUP BY event_type
+),
+den AS (
+  SELECT p.event_type, SUM((p.m - mu.yb) * (p.m - mu.yb)) AS denom
+  FROM pos p JOIN mu USING (event_type) GROUP BY 1
+),
+lags AS (SELECT UNNEST(generate_series(1, 10)) AS k),
+rho AS (
+  SELECT a.event_type,
+         SUM((a.m - mu.yb) * (b.m - mu.yb)) / MAX(den.denom) AS r
+  FROM lags l
+  JOIN pos a ON TRUE
+  JOIN pos b ON b.event_type = a.event_type AND b.rn = a.rn - l.k
+  JOIN mu ON mu.event_type = a.event_type
+  JOIN den ON den.event_type = a.event_type
+  GROUP BY a.event_type, l.k
+),
+act AS (
+  SELECT event_type, 1.0 + 2.0 * SUM(r) AS act FROM rho GROUP BY 1
+)
+SELECT act.event_type, CAST(mu.n AS BIGINT) AS n_obs,
+       ROUND(ROUND(act.act, 9), 6) AS act,
+       ROUND(ROUND(mu.n / act.act, 9), 6) AS ess
+FROM act JOIN mu USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_dfa(sf_dir: str):
+    """Detrended fluctuation analysis (Peng et al. 1994;
+    stages/trend.py:dfa_alpha) per event_type on the 6dp hourly means:
+    integrated profile, per-window OLS detrend at dyadic scales,
+    ln F - ln n slope = the DFA exponent. The long-memory complement
+    to Hurst R/S (hurst_exponent); window regressions are not
+    SQL-expressible -> rows-only, white~0.5/Brownian~1.5 pytest pins."""
+    from ..stages.trend import dfa_alpha
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        r = dfa_alpha(y)
+        rows.append({"event_type": k, "n_obs": len(y),
+                     "n_scales": r["n_scales"],
+                     "alpha": stable_round6(np.array([r["alpha"]]))[0]})
+    out = pd.DataFrame(rows)
+    out["n_obs"] = out["n_obs"].astype("int64")
+    out["n_scales"] = out["n_scales"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
+    "variogram": q_variogram,
+    "effective_sample_size": q_effective_sample_size,
+    "dfa": q_dfa,
     "emd_decompose": q_emd,
     "tpch_q3_topk": q_tpch_q3_topk,
     "regression_diagnostics": q_regression_diagnostics,
@@ -11155,6 +11304,8 @@ ORACLE: dict[str, str] = {
     "regression_diagnostics": _SQL_REG_DIAG,
     "chow_test": _SQL_CHOW,
     "cointegration_eg": _SQL_COINTEGRATION,
+    "variogram": _SQL_VARIOGRAM,
+    "effective_sample_size": _SQL_ESS,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,

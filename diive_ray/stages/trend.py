@@ -650,3 +650,40 @@ def hp_filter(y: np.ndarray, lam: float = 1600.0) -> tuple[np.ndarray, np.ndarra
     a = np.eye(n) + lam * (d.T @ d)
     trend = np.linalg.solve(a, y)
     return trend, y - trend
+
+
+def dfa_alpha(y: np.ndarray, scales: list[int] | None = None) -> dict:
+    """Detrended fluctuation analysis (Peng et al. 1994): integrate
+    the mean-removed series, split into non-overlapping windows of
+    each scale n, remove the per-window OLS line, fluctuation
+    F(n) = sqrt(mean squared residual); the DFA exponent alpha is the
+    ln F - ln n OLS slope. alpha ~ 0.5 white noise, ~ 1 1/f,
+    ~ 1.5 Brownian — the long-memory complement to Hurst R/S
+    (hurst_rs above). Deterministic; per bounded tier series."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if scales is None:
+        scales = [s for s in (4, 8, 16, 32, 64, 128) if s <= n // 4]
+    prof = np.cumsum(y - y.sum() / n)
+    xs, fs = [], []
+    for s in scales:
+        k = n // s
+        if k < 2:
+            continue
+        seg = prof[:k * s].reshape(k, s)
+        t = np.arange(s, dtype=np.float64)
+        tm = t.mean()
+        tc = t - tm
+        denom = (tc * tc).sum()
+        b = (seg * tc).sum(axis=1) / denom
+        a = seg.mean(axis=1)
+        resid = seg - (a[:, None] + b[:, None] * tc[None, :])
+        fs.append(np.sqrt((resid * resid).mean()))
+        xs.append(float(s))
+    x = np.log(np.asarray(xs))
+    f = np.log(np.asarray(fs))
+    m = float(len(x))
+    sx, sy = x.sum(), f.sum()
+    alpha = (m * (x * f).sum() - sx * sy) / (m * (x * x).sum() - sx * sx)
+    return {"alpha": float(alpha), "n_scales": len(xs),
+            "scales": [int(v) for v in xs], "f": fs}
