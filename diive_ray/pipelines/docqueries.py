@@ -3193,9 +3193,144 @@ ORDER BY source
 """
 
 
+def unimax_alloc(
+    n: "np.ndarray", *, budget: float, cap: float
+) -> tuple["np.ndarray", int]:
+    """UniMax waterfilling over ASCENDING-sorted source sizes ``n``:
+    rank k is epoch-capped iff cap*n_k*(M-k+1) <= budget - prefix_{k-1}
+    applied as a running AND (the capped set is a prefix); the rest
+    split the remaining budget equally. All quantities are
+    integer-valued floats below 2^53, so the comparisons are EXACT and
+    partitioning/accumulation-order independent. Returns
+    (alloc, k_cap)."""
+    m = len(n)
+    prefix = np.concatenate(([0.0], (cap * n).cumsum()))
+    k_cap = 0
+    for k in range(1, m + 1):
+        if cap * n[k - 1] * (m - k + 1) <= budget - prefix[k - 1]:
+            k_cap = k
+        else:
+            break
+    alloc = np.empty(m)
+    alloc[:k_cap] = cap * n[:k_cap]
+    if k_cap < m:
+        alloc[k_cap:] = (budget - prefix[k_cap]) / (m - k_cap)
+    return alloc, k_cap
+
+
+def q_doc_mix_unimax(sf_dir: str):
+    """UniMax budget-capped uniform source sampling (Chung et al.
+    2023, 'UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining'): given per-source word
+    counts n_i, a total budget B = 0.5 * total words, and an epoch cap
+    c = 3, waterfill — sources small enough that c * n_i fits their
+    fair share of the remaining budget are capped at c epochs, the
+    rest split the remainder equally. Since sources are processed in
+    ascending size the capped set is a PREFIX of the sorted order, so
+    the allocation has a closed form over prefix sums (rank k capped
+    iff c * n_k * (M - k + 1) <= B - prefix_{k-1}, applied as a
+    running AND) — exactly SQL-replayable. Third mixing policy next to
+    proportional (doc_source_mix) and temperature
+    (doc_mix_temperature). Ray shape: one per-batch word-count partial
+    pass, sources-sized driver combine."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        good = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(t)), sizes)
+        n_words = np.bincount(doc_ix[good], minlength=len(t))
+        return pd.DataFrame({"source": t["source"].to_pandas(),
+                             "n_words": n_words.astype(np.int64)}
+                            ).groupby("source", as_index=False).sum()
+
+    g = driver_combine(
+        docs, partial,
+        lambda df: df.groupby("source", as_index=False)["n_words"].sum(),
+        batch_format="pyarrow",
+    ).sort_values(["n_words", "source"], ignore_index=True)
+
+    c = 3.0
+    n = g["n_words"].to_numpy(dtype=np.float64)
+    budget = 0.5 * n.sum()
+    m = len(n)
+    alloc, k_cap = unimax_alloc(n, budget=budget, cap=c)
+    out = pd.DataFrame({
+        "source": g["source"],
+        "n_words": g["n_words"].astype("int64"),
+        "capped": np.arange(1, m + 1) <= k_cap,
+        "alloc": _sr6(alloc),
+        "epochs": _sr6(alloc / n),
+        "share": _sr6(alloc / budget),
+    })
+    out["capped"] = out["capped"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_UNIMAX = r"""
+WITH tok AS (
+  SELECT source,
+         SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                             w -> w <> ''))) AS n_words
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source, n_words::DOUBLE AS n,
+         ROW_NUMBER() OVER (ORDER BY n_words, source) AS k,
+         COUNT(*) OVER () AS m,
+         SUM(n_words::DOUBLE) OVER () AS total
+  FROM tok
+),
+pref AS (
+  SELECT *,
+         0.5 * total AS budget,
+         COALESCE(SUM(3.0 * n) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix_prev,
+         SUM(3.0 * n) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS prefix_incl
+  FROM ranked
+),
+flags AS (
+  SELECT *,
+         CASE WHEN 3.0 * n * (m - k + 1) <= budget - prefix_prev
+              THEN 1 ELSE 0 END AS ok
+  FROM pref
+),
+runall AS (
+  SELECT *,
+         MIN(ok) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS capped
+  FROM flags
+),
+kc AS (
+  SELECT COALESCE(MAX(CASE WHEN capped = 1 THEN k END), 0) AS k_cap,
+         COALESCE(MAX(CASE WHEN capped = 1 THEN prefix_incl END), 0.0) AS prefix_cap
+  FROM runall
+)
+SELECT r.source,
+       CAST(r.n AS BIGINT) AS n_words,
+       CAST(r.capped AS BIGINT) AS capped,
+       ROUND(ROUND(CASE WHEN r.capped = 1 THEN 3.0 * r.n
+                        ELSE (r.budget - kc.prefix_cap) / (r.m - kc.k_cap) END, 9), 6) AS alloc,
+       ROUND(ROUND(CASE WHEN r.capped = 1 THEN 3.0
+                        ELSE (r.budget - kc.prefix_cap) / (r.m - kc.k_cap) / r.n END, 9), 6) AS epochs,
+       ROUND(ROUND(CASE WHEN r.capped = 1 THEN 3.0 * r.n / r.budget
+                        ELSE (r.budget - kc.prefix_cap) / (r.m - kc.k_cap) / r.budget END, 9), 6) AS share
+FROM runall r CROSS JOIN kc
+ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
+    "doc_mix_unimax": q_doc_mix_unimax,
     "doc_wordpiece": q_doc_wordpiece,
     "doc_good_turing": q_doc_good_turing,
     "doc_heaps_law": q_doc_heaps_law,
@@ -3270,6 +3405,7 @@ DOC_QUERIES: dict[str, Any] = {
 DOC_ORACLE: dict[str, str] = {
     "doc_word_freqs": _SQL_WORD_FREQS,
     "doc_good_turing": _SQL_GOOD_TURING,
+    "doc_mix_unimax": _SQL_UNIMAX,
     "doc_heaps_law": _SQL_HEAPS_LAW,
     "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,
