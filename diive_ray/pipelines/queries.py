@@ -10961,9 +10961,286 @@ def q_dfa(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_jarque_bera(sf_dir: str):
+    """Jarque-Bera normality test (Jarque & Bera 1980) per event_type
+    on the 6dp hourly means: population central moments about the
+    mean, skewness S = m3 / m2^1.5, excess kurtosis K = m4 / m2^2 - 3,
+    JB = n/6 * (S^2 + K^2/4). Two-pass moment expressions shared
+    verbatim with the SQL replay (mean precomputed, centered powers
+    summed)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g["m"].to_numpy(dtype=np.float64)
+        n = float(len(y))
+        mu = y.sum() / n
+        d = y - mu
+        m2 = (d * d).sum() / n
+        m3 = (d * d * d).sum() / n
+        m4 = (d * d * d * d).sum() / n
+        s = m3 / m2 ** 1.5
+        kk = m4 / (m2 * m2) - 3.0
+        rows.append({"event_type": k, "n": int(n), "skew": s,
+                     "ex_kurtosis": kk,
+                     "jb_stat": n / 6.0 * (s * s + kk * kk / 4.0)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("skew", "ex_kurtosis", "jb_stat"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_JARQUE_BERA = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+mu AS (SELECT event_type, SUM(m) / COUNT(*) AS mean_m, COUNT(*)::DOUBLE AS n
+       FROM hourly GROUP BY 1),
+mom AS (
+  SELECT h.event_type, MAX(mu.n) AS n,
+         SUM((h.m - mu.mean_m) * (h.m - mu.mean_m)) / MAX(mu.n) AS m2,
+         SUM((h.m - mu.mean_m) * (h.m - mu.mean_m) * (h.m - mu.mean_m)) / MAX(mu.n) AS m3,
+         SUM((h.m - mu.mean_m) * (h.m - mu.mean_m) * (h.m - mu.mean_m) * (h.m - mu.mean_m)) / MAX(mu.n) AS m4
+  FROM hourly h JOIN mu USING (event_type) GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(m3 / POW(m2, 1.5), 9), 6) AS skew,
+       ROUND(ROUND(m4 / (m2 * m2) - 3.0, 9), 6) AS ex_kurtosis,
+       ROUND(ROUND(n / 6.0 * (POW(m3 / POW(m2, 1.5), 2)
+             + POW(m4 / (m2 * m2) - 3.0, 2) / 4.0), 9), 6) AS jb_stat
+FROM mom ORDER BY event_type
+"""
+
+
+def q_breusch_pagan(sf_dir: str):
+    """Breusch-Pagan heteroskedasticity LM test (Breusch & Pagan 1979,
+    Koenker's studentized form: LM = n * R^2 of e^2 on x) for every
+    ordered event-type pair over the bucket-joined hourly means —
+    completes the regression-diagnostics battery (DW/Cook's D). All
+    moments closed-form and shared with the SQL replay."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+    rows = []
+    for ex in sorted(by):
+        for ey in sorted(by):
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner").sort_index()
+            x, y = j["x"].to_numpy(), j["y"].to_numpy()
+            n = float(len(j))
+            if n < 5:
+                continue
+            mx, my = x.sum() / n, y.sum() / n
+            sxx = (x * x).sum() - n * mx * mx
+            sxy = (x * y).sum() - n * mx * my
+            b = sxy / sxx
+            e2 = (y - (my - b * mx) - b * x) ** 2
+            me = e2.sum() / n
+            sxe = (x * e2).sum() - n * mx * me
+            see = (e2 * e2).sum() - n * me * me
+            r2 = sxe * sxe / (sxx * see)
+            rows.append({"event_x": ex, "event_y": ey, "n": int(n),
+                         "lm_stat": n * r2})
+    out = pd.DataFrame(rows)
+    out["lm_stat"] = stable_round6(out["lm_stat"].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_BREUSCH_PAGAN = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+mom AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n,
+         SUM(x) / COUNT(*) AS mx, SUM(y) / COUNT(*) AS my,
+         SUM(x * x) AS sxx_raw, SUM(x * y) AS sxy_raw
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+fit AS (
+  SELECT event_x, event_y, n, mx, my,
+         sxx_raw - n * mx * mx AS sxx,
+         (sxy_raw - n * mx * my) / (sxx_raw - n * mx * mx) AS b
+  FROM mom
+),
+r AS (
+  SELECT p.event_x, p.event_y, f.n, f.sxx, f.mx, p.x,
+         POW(p.y - (f.my - f.b * f.mx) - f.b * p.x, 2) AS e2
+  FROM pairs p JOIN fit f USING (event_x, event_y)
+),
+emom AS (
+  SELECT event_x, event_y, MAX(n) AS n, MAX(sxx) AS sxx, MAX(mx) AS mx,
+         SUM(e2) / MAX(n) AS me,
+         SUM(x * e2) AS sxe_raw, SUM(e2 * e2) AS see_raw
+  FROM r GROUP BY 1, 2
+)
+SELECT event_x, event_y, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(n * POW(sxe_raw - n * mx * me, 2)
+             / (sxx * (see_raw - n * me * me)), 9), 6) AS lm_stat
+FROM emom ORDER BY event_x, event_y
+"""
+
+
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis rank ANOVA (Kruskal & Wallis 1952) across ALL
+    event types on the 6dp hourly means: average ranks for ties
+    (rank + (t-1)/2 on the rounded values, identical rule both sides),
+    H = 12/(N(N+1)) * sum R_i^2/n_i - 3(N+1), tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N), H_adj = H / C. One row —
+    the nonparametric one-way ANOVA over groups."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    v = t1h["m"].to_numpy(dtype=np.float64)
+    grp = t1h["event_type"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    n_tot = len(sv)
+    # average rank per distinct value: first position + (t-1)/2, 1-based
+    uniq, first, counts = np.unique(sv, return_index=True, return_counts=True)
+    avg_rank = first + 1 + (counts - 1) / 2.0
+    rank_of = dict(zip(uniq, avg_rank))
+    ranks = np.fromiter((rank_of[x] for x in v), dtype=np.float64, count=n_tot)
+    nn = float(n_tot)
+    h = 0.0
+    k = 0
+    for _, gi in pd.Series(ranks).groupby(pd.Series(grp)):
+        h += gi.sum() ** 2 / len(gi)
+        k += 1
+    h = 12.0 / (nn * (nn + 1.0)) * h - 3.0 * (nn + 1.0)
+    tie = 1.0 - ((counts.astype(np.float64) ** 3 - counts).sum()
+                 / (nn ** 3 - nn))
+    out = pd.DataFrame([{
+        "n_total": n_tot, "n_groups": k,
+        "h_stat": stable_round6(np.array([h]))[0],
+        "tie_correction": stable_round6(np.array([tie]))[0],
+        "h_adj": stable_round6(np.array([h / tie]))[0],
+    }])
+    out["n_total"] = out["n_total"].astype("int64")
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out
+
+
+_SQL_KRUSKAL = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+ranked AS (
+  SELECT event_type, m,
+         RANK() OVER (ORDER BY m) AS rk,
+         COUNT(*) OVER (PARTITION BY m) AS t
+  FROM hourly
+),
+avgr AS (SELECT event_type, rk + (t - 1) / 2.0 AS r, t FROM ranked),
+grp AS (
+  SELECT event_type, SUM(r) AS rsum, COUNT(*)::DOUBLE AS ng
+  FROM avgr GROUP BY 1
+),
+tot AS (SELECT COUNT(*)::DOUBLE AS n FROM hourly),
+ties AS (
+  SELECT SUM(tc * tc * tc - tc) AS tsum
+  FROM (SELECT COUNT(*)::DOUBLE AS tc FROM hourly GROUP BY m)
+),
+h AS (
+  SELECT tot.n,
+         (SELECT COUNT(*) FROM grp) AS k,
+         12.0 / (tot.n * (tot.n + 1.0))
+           * (SELECT SUM(rsum * rsum / ng) FROM grp)
+           - 3.0 * (tot.n + 1.0) AS h_stat,
+         1.0 - ties.tsum / (tot.n * tot.n * tot.n - tot.n) AS c
+  FROM tot, ties
+)
+SELECT CAST(n AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_groups,
+       ROUND(ROUND(h_stat, 9), 6) AS h_stat,
+       ROUND(ROUND(c, 9), 6) AS tie_correction,
+       ROUND(ROUND(h_stat / c, 9), 6) AS h_adj
+FROM h
+"""
+
+
+def q_levene(sf_dir: str):
+    """Levene variance-homogeneity test (Levene 1960, mean-centered
+    form) across event types on the 6dp hourly means:
+    z_ij = |y_ij - mean_i|, W = ((N-k)/(k-1)) * sum n_i (zbar_i -
+    zbar)^2 / sum sum (z_ij - zbar_i)^2. The ANOVA-on-deviations
+    closed form replays exactly in SQL (group means precomputed)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    zs, nis, zbars = [], [], []
+    for _, g in t1h.groupby("event_type", sort=True):
+        y = g["m"].to_numpy(dtype=np.float64)
+        z = np.abs(y - y.sum() / len(y))
+        zs.append(z)
+        nis.append(float(len(z)))
+        zbars.append(z.sum() / len(z))
+    k = float(len(zs))
+    n_tot = sum(nis)
+    zbar = sum(z.sum() for z in zs) / n_tot
+    between = sum(ni * (zb - zbar) ** 2 for ni, zb in zip(nis, zbars))
+    within = sum(((z - zb) ** 2).sum() for z, zb in zip(zs, zbars))
+    w = (n_tot - k) / (k - 1.0) * between / within
+    out = pd.DataFrame([{
+        "n_total": int(n_tot), "n_groups": int(k),
+        "w_stat": stable_round6(np.array([w]))[0],
+    }])
+    out["n_total"] = out["n_total"].astype("int64")
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out
+
+
+_SQL_LEVENE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+gm AS (SELECT event_type, SUM(m) / COUNT(*) AS mean_m FROM hourly GROUP BY 1),
+z AS (
+  SELECT h.event_type, ABS(h.m - gm.mean_m) AS z
+  FROM hourly h JOIN gm USING (event_type)
+),
+gz AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS ni, SUM(z) / COUNT(*) AS zbar_i
+  FROM z GROUP BY 1
+),
+tot AS (
+  SELECT SUM(ni) AS n, COUNT(*)::DOUBLE AS k,
+         SUM(ni * zbar_i) / SUM(ni) AS zbar
+  FROM gz
+),
+between_ AS (
+  SELECT SUM(gz.ni * (gz.zbar_i - tot.zbar) * (gz.zbar_i - tot.zbar)) AS b
+  FROM gz, tot
+),
+within_ AS (
+  SELECT SUM((z.z - gz.zbar_i) * (z.z - gz.zbar_i)) AS w
+  FROM z JOIN gz USING (event_type)
+)
+SELECT CAST(tot.n AS BIGINT) AS n_total, CAST(tot.k AS BIGINT) AS n_groups,
+       ROUND(ROUND((tot.n - tot.k) / (tot.k - 1.0) * between_.b / within_.w, 9), 6) AS w_stat
+FROM tot, between_, within_
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "variogram": q_variogram,
+    "jarque_bera": q_jarque_bera,
+    "breusch_pagan": q_breusch_pagan,
+    "kruskal_wallis": q_kruskal_wallis,
+    "levene": q_levene,
     "effective_sample_size": q_effective_sample_size,
     "dfa": q_dfa,
     "emd_decompose": q_emd,
@@ -11306,6 +11583,10 @@ ORACLE: dict[str, str] = {
     "cointegration_eg": _SQL_COINTEGRATION,
     "variogram": _SQL_VARIOGRAM,
     "effective_sample_size": _SQL_ESS,
+    "jarque_bera": _SQL_JARQUE_BERA,
+    "breusch_pagan": _SQL_BREUSCH_PAGAN,
+    "kruskal_wallis": _SQL_KRUSKAL,
+    "levene": _SQL_LEVENE,
     "conformal_interval": _SQL_CONFORMAL,
     "thermo_battery": _SQL_THERMO,
     "lagged_variants": _SQL_LAGGED,
