@@ -3327,10 +3327,209 @@ ORDER BY source
 """
 
 
+def q_embedding_label_sim(sf_dir: str):
+    """Inter-label centroid cosine matrix (the between-class companion
+    to embedding_label_compactness): per-label centroid = mean vector
+    from (label x d) sum partials — labels are bounded, vectors never
+    shuffle — then pairwise cosine of the centroids (ordered pairs
+    la < lb). Exact SQL replay via the UNNEST/generate_subscripts
+    pattern of the compactness oracle."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    ds = _embs(sf_dir, ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        rows = []
+        for lab, g in df.groupby("label"):
+            x = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append({"label": int(lab), "n": len(x),
+                         "s": x.sum(axis=0).tolist()})
+        return pd.DataFrame(rows)
+
+    parts = driver_combine(ds, partial, lambda df: df, batch_format="pyarrow")
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for _, r in parts.iterrows():
+        n0, s0 = agg.get(int(r["label"]), (0, 0.0))
+        agg[int(r["label"])] = (n0 + int(r["n"]), s0 + np.asarray(r["s"]))
+    cents = {lab: s / n for lab, (n, s) in agg.items()}
+    rows = []
+    for la in sorted(cents):
+        for lb in sorted(cents):
+            if la >= lb:
+                continue
+            a, b = cents[la], cents[lb]
+            cos = (a * b).sum() / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()))
+            rows.append({"label_a": la, "label_b": lb,
+                         "n_a": agg[la][0], "n_b": agg[lb][0], "cos": cos})
+    out = pd.DataFrame(rows)
+    for c in ("label_a", "label_b", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    out["cos"] = _sr6(out["cos"].astype(float))
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+_SQL_LABEL_SIM = """
+WITH u AS (
+  SELECT label, vec_id,
+         UNNEST(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i, SUM(x) / COUNT(*) AS c,
+         COUNT(DISTINCT vec_id) AS n
+  FROM u GROUP BY 1, 2
+),
+nlab AS (SELECT label, MAX(n) AS n FROM cent GROUP BY 1),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(a.c * b.c) AS dot,
+         SQRT(SUM(a.c * a.c)) AS na, SQRT(SUM(b.c * b.c)) AS nb
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT p.label_a::BIGINT AS label_a, p.label_b::BIGINT AS label_b,
+       la.n::BIGINT AS n_a, lb.n::BIGINT AS n_b,
+       ROUND(ROUND(p.dot / (p.na * p.nb), 9), 6) AS cos
+FROM pairs p
+JOIN nlab la ON la.label = p.label_a
+JOIN nlab lb ON lb.label = p.label_b
+ORDER BY label_a, label_b
+"""
+
+
+def q_doc_vocab_chi2(sf_dir: str):
+    """Chi-square homogeneity test of word distributions between
+    source pairs (Pearson 1900; the classic categorical drift test,
+    complementing KS on values, JS vocabulary divergence and the
+    Jaccard matrix): the global top-20 words by corpus frequency are
+    the categories plus one rest bucket; for each ordered source pair
+    chi2 = sum (O - E)^2 / E with expectations from the 2 x 21 table
+    margins. Counts ride the one vocab-bounded word exchange; the
+    pair stage is a bounded driver combine over (source, top-word)
+    counts. Integer counts make both sides exact."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(t)), sizes)
+        df = pd.DataFrame({"source": t["source"].to_pandas().to_numpy()[doc_ix],
+                           "word": flat.to_pandas()})
+        df = df[df["word"] != ""]
+        return df.groupby(["source", "word"], as_index=False).size().rename(
+            columns={"size": "cnt"})
+
+    counts = driver_combine(
+        docs, partial,
+        lambda df: df.groupby(["source", "word"], as_index=False)["cnt"].sum(),
+        batch_format="pyarrow",
+    )
+    tot = counts.groupby("word")["cnt"].sum().sort_values(ascending=False)
+    # deterministic top-20: frequency desc, word asc on ties
+    top = sorted(tot.index[tot.to_numpy() >= 0],
+                 key=lambda w: (-int(tot[w]), w))[:20]
+    topset = set(top)
+    counts["cat"] = np.where(counts["word"].isin(topset),
+                             counts["word"], "__rest__")
+    cat = counts.groupby(["source", "cat"])["cnt"].sum()
+    sources = sorted(counts["source"].unique())
+    cats = top + ["__rest__"]
+    mat = {s: np.array([float(cat.get((s, c), 0)) for c in cats])
+           for s in sources}
+    rows = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1:]:
+            oa, ob = mat[sa], mat[sb]
+            ta, tb = oa.sum(), ob.sum()
+            col = oa + ob
+            n = ta + tb
+            ea = col * ta / n
+            eb = col * tb / n
+            ok = col > 0
+            chi2 = (((oa - ea) ** 2 / ea)[ok].sum()
+                    + (((ob - eb) ** 2 / eb)[ok]).sum())
+            rows.append({"source_a": sa, "source_b": sb,
+                         "n_a": int(ta), "n_b": int(tb),
+                         "df": int(ok.sum()) - 1, "chi2": chi2})
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b", "df"):
+        out[c] = out[c].astype("int64")
+    out["chi2"] = _sr6(out["chi2"].astype(float))
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+_SQL_VOCAB_CHI2 = r"""
+WITH wc AS (
+  SELECT source, word, COUNT(*) AS cnt
+  FROM (SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+),
+top AS (
+  SELECT word FROM (
+    SELECT word, SUM(cnt) AS f FROM wc GROUP BY 1
+    ORDER BY f DESC, word ASC LIMIT 20)
+),
+catd AS (
+  SELECT wc.source,
+         CASE WHEN top.word IS NOT NULL THEN wc.word ELSE '__rest__' END AS cat,
+         SUM(wc.cnt)::DOUBLE AS o
+  FROM wc LEFT JOIN top ON top.word = wc.word
+  GROUP BY 1, 2
+),
+srcs AS (SELECT DISTINCT source FROM catd),
+prs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+cats AS (SELECT DISTINCT cat FROM catd),
+cells AS (
+  SELECT p.source_a, p.source_b, c.cat,
+         COALESCE(ca.o, 0.0) AS oa, COALESCE(cb.o, 0.0) AS ob
+  FROM prs p CROSS JOIN cats c
+  LEFT JOIN catd ca ON ca.source = p.source_a AND ca.cat = c.cat
+  LEFT JOIN catd cb ON cb.source = p.source_b AND cb.cat = c.cat
+),
+tots AS (
+  SELECT source_a, source_b, SUM(oa) AS ta, SUM(ob) AS tb
+  FROM cells GROUP BY 1, 2
+),
+chi AS (
+  SELECT c.source_a, c.source_b, t.ta, t.tb,
+         SUM(CASE WHEN c.oa + c.ob > 0 THEN
+             POW(c.oa - (c.oa + c.ob) * t.ta / (t.ta + t.tb), 2)
+               / ((c.oa + c.ob) * t.ta / (t.ta + t.tb))
+           + POW(c.ob - (c.oa + c.ob) * t.tb / (t.ta + t.tb), 2)
+               / ((c.oa + c.ob) * t.tb / (t.ta + t.tb))
+             ELSE 0 END) AS chi2,
+         SUM(CASE WHEN c.oa + c.ob > 0 THEN 1 ELSE 0 END) - 1 AS df
+  FROM cells c JOIN tots t USING (source_a, source_b)
+  GROUP BY 1, 2, t.ta, t.tb
+)
+SELECT source_a, source_b,
+       CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       CAST(df AS BIGINT) AS df,
+       ROUND(ROUND(chi2, 9), 6) AS chi2
+FROM chi ORDER BY source_a, source_b
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
     "doc_mix_unimax": q_doc_mix_unimax,
+    "embedding_label_sim": q_embedding_label_sim,
+    "doc_vocab_chi2": q_doc_vocab_chi2,
     "doc_wordpiece": q_doc_wordpiece,
     "doc_good_turing": q_doc_good_turing,
     "doc_heaps_law": q_doc_heaps_law,
@@ -3406,6 +3605,8 @@ DOC_ORACLE: dict[str, str] = {
     "doc_word_freqs": _SQL_WORD_FREQS,
     "doc_good_turing": _SQL_GOOD_TURING,
     "doc_mix_unimax": _SQL_UNIMAX,
+    "embedding_label_sim": _SQL_LABEL_SIM,
+    "doc_vocab_chi2": _SQL_VOCAB_CHI2,
     "doc_heaps_law": _SQL_HEAPS_LAW,
     "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,

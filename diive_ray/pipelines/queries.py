@@ -11234,9 +11234,81 @@ FROM tot, between_, within_
 """
 
 
+def q_dispersion_test(sf_dir: str):
+    """Poisson dispersion test (Fisher 1950 index-of-dispersion /
+    variance-to-mean ratio) per event_type over the DENSE hourly event
+    counts (zeros included via the calendar grid — under-dispersion is
+    invisible without them): D = s^2 / mean with the ddof=1 sample
+    variance in the n-moment form, chi2 = (n - 1) * D. The classic
+    count-data overdispersion screen; exact SQL replay via
+    generate_series densification."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+    bucketer = make_bucket_assigner(US_PER_HOUR, end_stamped=True)
+
+    def partials(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df.groupby(["event_type", "bucket_ts"], as_index=False).size(
+        ).rename(columns={"size": "cnt"})
+
+    parts = ds.map_batches(bucketer, batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+        partials, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby(["event_type", "bucket_ts"], as_index=False)["cnt"].sum()
+    rows = []
+    for k, g in counts.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        ts = pd.to_datetime(g["bucket_ts"])
+        full = pd.date_range(ts.iloc[0], ts.iloc[-1], freq="1h")
+        c = g.set_index(ts)["cnt"].reindex(full, fill_value=0).to_numpy(
+            dtype=np.float64)
+        n = float(len(c))
+        mu = c.sum() / n
+        var = ((c * c).sum() - n * mu * mu) / (n - 1.0)
+        d = var / mu
+        rows.append({"event_type": k, "n_periods": int(n),
+                     "mean_count": mu, "dispersion": d,
+                     "chi2": (n - 1.0) * d})
+    out = pd.DataFrame(rows)
+    out["n_periods"] = out["n_periods"].astype("int64")
+    for c in ("mean_count", "dispersion", "chi2"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_DISPERSION = """
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         COUNT(*)::DOUBLE AS cnt
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(bts) AS lo, MAX(bts) AS hi FROM b GROUP BY 1),
+grid AS (
+  SELECT s.event_type, g.g AS bts
+  FROM span s, LATERAL (SELECT UNNEST(generate_series(s.lo, s.hi,
+                         INTERVAL '1 hour')) AS g) g
+),
+dense AS (
+  SELECT grid.event_type, COALESCE(b.cnt, 0.0) AS c
+  FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bts = grid.bts
+),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         SUM(c) / COUNT(*) AS mu, SUM(c * c) AS scc
+  FROM dense GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_periods,
+       ROUND(ROUND(mu, 9), 6) AS mean_count,
+       ROUND(ROUND((scc - n * mu * mu) / (n - 1.0) / mu, 9), 6) AS dispersion,
+       ROUND(ROUND((n - 1.0) * ((scc - n * mu * mu) / (n - 1.0) / mu), 9), 6) AS chi2
+FROM mom ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "variogram": q_variogram,
+    "dispersion_test": q_dispersion_test,
     "jarque_bera": q_jarque_bera,
     "breusch_pagan": q_breusch_pagan,
     "kruskal_wallis": q_kruskal_wallis,
@@ -11584,6 +11656,7 @@ ORACLE: dict[str, str] = {
     "variogram": _SQL_VARIOGRAM,
     "effective_sample_size": _SQL_ESS,
     "jarque_bera": _SQL_JARQUE_BERA,
+    "dispersion_test": _SQL_DISPERSION,
     "breusch_pagan": _SQL_BREUSCH_PAGAN,
     "kruskal_wallis": _SQL_KRUSKAL,
     "levene": _SQL_LEVENE,
