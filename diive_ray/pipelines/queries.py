@@ -11305,10 +11305,207 @@ FROM mom ORDER BY event_type
 """
 
 
+def q_spearman_corr(sf_dir: str):
+    """Spearman rank correlation (Spearman 1904) for every ordered
+    event-type pair over the bucket-joined 6dp hourly means:
+    average-rank ties (rank + (t-1)/2 within the JOINED sample, the
+    kruskal_wallis rule), then Pearson of the ranks in the shared
+    n-product-moment form. The monotone-association companion to the
+    Pearson battery (linear_regression / acf)."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+
+    def avg_ranks(v: np.ndarray) -> np.ndarray:
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        uniq, first, counts = np.unique(sv, return_index=True,
+                                        return_counts=True)
+        ar = first + 1 + (counts - 1) / 2.0
+        lut = dict(zip(uniq, ar))
+        return np.fromiter((lut[x] for x in v), dtype=np.float64,
+                           count=len(v))
+
+    rows = []
+    for ex in sorted(by):
+        for ey in sorted(by):
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner").sort_index()
+            if len(j) < 3:
+                continue
+            rx = avg_ranks(j["x"].to_numpy())
+            ry = avg_ranks(j["y"].to_numpy())
+            n = float(len(j))
+            sx, sy = rx.sum(), ry.sum()
+            sxx, syy, sxy = (rx * rx).sum(), (ry * ry).sum(), (rx * ry).sum()
+            rho = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy))
+            rows.append({"event_x": ex, "event_y": ey, "n": int(n),
+                         "rho": rho})
+    out = pd.DataFrame(rows)
+    out["rho"] = stable_round6(out["rho"].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_SPEARMAN = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+rk AS (
+  SELECT event_x, event_y, bts,
+         RANK() OVER (PARTITION BY event_x, event_y ORDER BY x)
+           + (COUNT(*) OVER (PARTITION BY event_x, event_y, x) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY event_x, event_y ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY event_x, event_y, y) - 1) / 2.0 AS ry
+  FROM pairs
+),
+mom AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM rk GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT event_x, event_y, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9), 6) AS rho
+FROM mom ORDER BY event_x, event_y
+"""
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall tau-b rank correlation (Kendall 1938, tie-corrected
+    tau-b) for every ordered event-type pair: concordant minus
+    discordant pair counts over all bucket pairs i < j,
+    tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with the usual tie
+    terms. O(n^2) pairs over the CALENDAR-bounded hourly series (the
+    Pettitt/MK cost shape — never corpus-sized); the SQL replay is a
+    positional self-join with SIGN products."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+    rows = []
+    for ex in sorted(by):
+        for ey in sorted(by):
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner").sort_index()
+            n = len(j)
+            if n < 3:
+                continue
+            x, y = j["x"].to_numpy(), j["y"].to_numpy()
+            sx = np.sign(x[:, None] - x[None, :])
+            sy = np.sign(y[:, None] - y[None, :])
+            iu = np.triu_indices(n, 1)
+            prod = sx[iu] * sy[iu]
+            c = int((prod > 0).sum())
+            d = int((prod < 0).sum())
+            n0 = n * (n - 1) / 2.0
+            _, tx = np.unique(x, return_counts=True)
+            _, ty = np.unique(y, return_counts=True)
+            n1 = float((tx * (tx - 1) / 2).sum())
+            n2 = float((ty * (ty - 1) / 2).sum())
+            tau = (c - d) / np.sqrt((n0 - n1) * (n0 - n2))
+            rows.append({"event_x": ex, "event_y": ey, "n": n,
+                         "concordant": c, "discordant": d, "tau_b": tau})
+    out = pd.DataFrame(rows)
+    for c_ in ("n", "concordant", "discordant"):
+        out[c_] = out[c_].astype("int64")
+    out["tau_b"] = stable_round6(out["tau_b"].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_KENDALL = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+pp AS (
+  SELECT p.event_x, p.event_y,
+         SIGN(q.x - p.x) * SIGN(q.y - p.y) AS s
+  FROM pairs p JOIN pairs q
+    ON q.event_x = p.event_x AND q.event_y = p.event_y AND q.bts > p.bts
+),
+cd AS (
+  SELECT event_x, event_y,
+         SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)::DOUBLE AS c,
+         SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)::DOUBLE AS d
+  FROM pp GROUP BY 1, 2
+),
+nn AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+tx AS (
+  SELECT event_x, event_y, SUM(t * (t - 1) / 2.0) AS n1
+  FROM (SELECT event_x, event_y, COUNT(*)::DOUBLE AS t
+        FROM pairs GROUP BY event_x, event_y, x)
+  GROUP BY 1, 2
+),
+ty AS (
+  SELECT event_x, event_y, SUM(t * (t - 1) / 2.0) AS n2
+  FROM (SELECT event_x, event_y, COUNT(*)::DOUBLE AS t
+        FROM pairs GROUP BY event_x, event_y, y)
+  GROUP BY 1, 2
+)
+SELECT nn.event_x, nn.event_y, CAST(nn.n AS BIGINT) AS n,
+       CAST(cd.c AS BIGINT) AS concordant,
+       CAST(cd.d AS BIGINT) AS discordant,
+       ROUND(ROUND((cd.c - cd.d)
+             / sqrt((nn.n * (nn.n - 1) / 2.0 - tx.n1)
+                    * (nn.n * (nn.n - 1) / 2.0 - ty.n2)), 9), 6) AS tau_b
+FROM nn JOIN cd USING (event_x, event_y)
+JOIN tx USING (event_x, event_y) JOIN ty USING (event_x, event_y)
+ORDER BY event_x, event_y
+"""
+
+
+def q_pacf(sf_dir: str):
+    """Partial autocorrelation function via the Durbin-Levinson
+    recursion (Durbin 1960; stages/trend.py:pacf_durbin_levinson) per
+    event_type on the 6dp hourly means, lags 1..10 from the biased
+    positional ACF. For AR(p) data the PACF cuts off after lag p — the
+    Box-Jenkins order-identification tool completing acf_lags /
+    ar2_yule_walker. The recursion is not SQL-expressible ->
+    rows-only; AR(2)-cutoff pytest pins."""
+    from ..stages.trend import pacf_durbin_levinson
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for k, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        p = pacf_durbin_levinson(y, m=10)
+        for lag in range(1, 11):
+            rows.append({"event_type": k, "lag": lag,
+                         "pacf": stable_round6(np.array([p[lag - 1]]))[0]})
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype("int64")
+    return out.sort_values(["event_type", "lag"]).reset_index(drop=True)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "variogram": q_variogram,
     "dispersion_test": q_dispersion_test,
+    "spearman_corr": q_spearman_corr,
+    "kendall_tau": q_kendall_tau,
+    "pacf": q_pacf,
     "jarque_bera": q_jarque_bera,
     "breusch_pagan": q_breusch_pagan,
     "kruskal_wallis": q_kruskal_wallis,
@@ -11657,6 +11854,8 @@ ORACLE: dict[str, str] = {
     "effective_sample_size": _SQL_ESS,
     "jarque_bera": _SQL_JARQUE_BERA,
     "dispersion_test": _SQL_DISPERSION,
+    "spearman_corr": _SQL_SPEARMAN,
+    "kendall_tau": _SQL_KENDALL,
     "breusch_pagan": _SQL_BREUSCH_PAGAN,
     "kruskal_wallis": _SQL_KRUSKAL,
     "levene": _SQL_LEVENE,

@@ -687,3 +687,31 @@ def dfa_alpha(y: np.ndarray, scales: list[int] | None = None) -> dict:
     alpha = (m * (x * f).sum() - sx * sy) / (m * (x * x).sum() - sx * sx)
     return {"alpha": float(alpha), "n_scales": len(xs),
             "scales": [int(v) for v in xs], "f": fs}
+
+
+def pacf_durbin_levinson(y: np.ndarray, m: int = 10) -> np.ndarray:
+    """Partial autocorrelation via the Durbin-Levinson recursion
+    (Durbin 1960; Box-Jenkins ch.3) from the biased positional
+    autocorrelations rho_1..rho_m (the ljung_box_q estimator): phi_kk
+    is the lag-k PACF. Deterministic O(m^2); per bounded tier series.
+    For an AR(p) process the PACF cuts off after lag p — the classic
+    order-identification signature."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    yb = y.sum() / n
+    d = y - yb
+    denom = (d * d).sum()
+    rho = np.array([1.0] + [(d[k:] * d[:-k]).sum() / denom
+                            for k in range(1, m + 1)])
+    phi = np.zeros((m + 1, m + 1))
+    pacf = np.zeros(m)
+    for k in range(1, m + 1):
+        if k == 1:
+            phi[1, 1] = rho[1]
+        else:
+            num = rho[k] - (phi[k - 1, 1:k] * rho[k - 1:0:-1]).sum()
+            den = 1.0 - (phi[k - 1, 1:k] * rho[1:k]).sum()
+            phi[k, k] = num / den
+            phi[k, 1:k] = phi[k - 1, 1:k] - phi[k, k] * phi[k - 1, k - 1:0:-1]
+        pacf[k - 1] = phi[k, k]
+    return pacf
