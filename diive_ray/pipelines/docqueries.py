@@ -3524,9 +3524,77 @@ FROM chi ORDER BY source_a, source_b
 """
 
 
+def q_doc_gini_length(sf_dir: str):
+    """Gini coefficient of document length inequality per source
+    (Gini 1912, rank closed form G = (2 sum i*x_(i)) / (n sum x)
+    - (n+1)/n over ascending-sorted word counts, ties broken by
+    doc_id so the rank assignment is identical on both sides) — the
+    corpus-curation balance probe: a source dominated by a few huge
+    documents trains differently from a uniform one. One per-batch
+    word-count partial pass; per-source sort over doc-granularity
+    rows."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        good = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(t)), sizes)
+        n_words = np.bincount(doc_ix[good], minlength=len(t))
+        return pd.DataFrame({"source": t["source"].to_pandas(),
+                             "doc_id": t["doc_id"].to_pandas(),
+                             "n_words": n_words.astype(np.int64)})
+
+    per_doc = driver_combine(docs, partial, lambda df: df,
+                             batch_format="pyarrow")
+    rows = []
+    for src, g in per_doc.groupby("source", sort=True):
+        g = g.sort_values(["n_words", "doc_id"], ignore_index=True)
+        x = g["n_words"].to_numpy(dtype=np.float64)
+        n = float(len(x))
+        i = np.arange(1, len(x) + 1, dtype=np.float64)
+        gini = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        rows.append({"source": src, "n_docs": int(n),
+                     "total_words": int(x.sum()), "gini": gini})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_words"] = out["total_words"].astype("int64")
+    out["gini"] = _sr6(out["gini"].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_GINI_LENGTH = r"""
+WITH tok AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         w -> w <> ''))::DOUBLE AS x
+  FROM documents
+),
+ranked AS (
+  SELECT source, x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id)::DOUBLE AS i
+  FROM tok
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(x) AS BIGINT) AS total_words,
+       ROUND(ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 9), 6) AS gini
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
+    "doc_gini_length": q_doc_gini_length,
     "doc_mix_unimax": q_doc_mix_unimax,
     "embedding_label_sim": q_embedding_label_sim,
     "doc_vocab_chi2": q_doc_vocab_chi2,
@@ -3607,6 +3675,7 @@ DOC_ORACLE: dict[str, str] = {
     "doc_mix_unimax": _SQL_UNIMAX,
     "embedding_label_sim": _SQL_LABEL_SIM,
     "doc_vocab_chi2": _SQL_VOCAB_CHI2,
+    "doc_gini_length": _SQL_GINI_LENGTH,
     "doc_heaps_law": _SQL_HEAPS_LAW,
     "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,

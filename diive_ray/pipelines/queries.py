@@ -11499,10 +11499,179 @@ def q_pacf(sf_dir: str):
     return out.sort_values(["event_type", "lag"]).reset_index(drop=True)
 
 
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947) with Cliff's
+    delta effect size (Cliff 1993, delta = 2U/(n_a n_b) - 1) for every
+    UNORDERED event-type pair, comparing the two types' hourly-mean
+    DISTRIBUTIONS (not paired): combined average-rank with ties,
+    U = R_a - n_a(n_a+1)/2, normal z with the tie-corrected variance.
+    The nonparametric companion to source_welch_ttest."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g["m"].to_numpy(dtype=np.float64)
+          for k, g in t1h.groupby("event_type")}
+    types = sorted(by)
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            a, b = by[ta], by[tb]
+            na, nb = float(len(a)), float(len(b))
+            comb = np.concatenate([a, b])
+            order = np.argsort(comb, kind="stable")
+            sv = comb[order]
+            uniq, first, counts = np.unique(sv, return_index=True,
+                                            return_counts=True)
+            ar = first + 1 + (counts - 1) / 2.0
+            lut = dict(zip(uniq, ar))
+            ranks_a = np.fromiter((lut[x] for x in a), dtype=np.float64,
+                                  count=len(a))
+            u = ranks_a.sum() - na * (na + 1.0) / 2.0
+            nn = na + nb
+            tie = ((counts.astype(np.float64) ** 3 - counts).sum()
+                   / (nn * (nn - 1.0)))
+            sigma = np.sqrt(na * nb / 12.0 * ((nn + 1.0) - tie))
+            z = (u - na * nb / 2.0) / sigma
+            delta = 2.0 * u / (na * nb) - 1.0
+            rows.append({"event_a": ta, "event_b": tb,
+                         "n_a": int(na), "n_b": int(nb),
+                         "u_stat": u, "z": z, "cliffs_delta": delta})
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    for c in ("u_stat", "z", "cliffs_delta"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_a", "event_b"]).reset_index(drop=True)
+
+
+_SQL_MANN_WHITNEY = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+tp AS (SELECT DISTINCT event_type FROM hourly),
+prs AS (
+  SELECT a.event_type AS event_a, b.event_type AS event_b
+  FROM tp a JOIN tp b ON a.event_type < b.event_type
+),
+comb AS (
+  SELECT p.event_a, p.event_b, h.event_type, h.m
+  FROM prs p JOIN hourly h
+    ON h.event_type = p.event_a OR h.event_type = p.event_b
+),
+rk AS (
+  SELECT event_a, event_b, event_type,
+         RANK() OVER (PARTITION BY event_a, event_b ORDER BY m)
+           + (COUNT(*) OVER (PARTITION BY event_a, event_b, m) - 1) / 2.0 AS r,
+         COUNT(*) OVER (PARTITION BY event_a, event_b, m)::DOUBLE AS t
+  FROM comb
+),
+sums AS (
+  SELECT event_a, event_b,
+         SUM(CASE WHEN event_type = event_a THEN r ELSE 0 END) AS ra,
+         SUM(CASE WHEN event_type = event_a THEN 1 ELSE 0 END)::DOUBLE AS na,
+         SUM(CASE WHEN event_type = event_b THEN 1 ELSE 0 END)::DOUBLE AS nb
+  FROM rk GROUP BY 1, 2
+),
+ties AS (
+  SELECT event_a, event_b, SUM(tc * tc * tc - tc) AS tsum
+  FROM (SELECT event_a, event_b, m, COUNT(*)::DOUBLE AS tc
+        FROM comb GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT s.event_a, s.event_b,
+       CAST(s.na AS BIGINT) AS n_a, CAST(s.nb AS BIGINT) AS n_b,
+       ROUND(ROUND(s.ra - s.na * (s.na + 1.0) / 2.0, 9), 6) AS u_stat,
+       ROUND(ROUND(((s.ra - s.na * (s.na + 1.0) / 2.0) - s.na * s.nb / 2.0)
+             / sqrt(s.na * s.nb / 12.0 * ((s.na + s.nb + 1.0)
+                    - t.tsum / ((s.na + s.nb) * (s.na + s.nb - 1.0)))), 9), 6) AS z,
+       ROUND(ROUND(2.0 * (s.ra - s.na * (s.na + 1.0) / 2.0)
+             / (s.na * s.nb) - 1.0, 9), 6) AS cliffs_delta
+FROM sums s JOIN ties t USING (event_a, event_b)
+ORDER BY event_a, event_b
+"""
+
+
+def q_friedman_test(sf_dir: str):
+    """Friedman rank test (Friedman 1937) over COMPLETE daily blocks:
+    days where every event type has a value are the blocks, ranks
+    across the k types within each block (average ties), chi2_F =
+    12/(n k (k+1)) * sum R_j^2 - 3 n (k+1). The blocked nonparametric
+    ANOVA controlling for time-of-bucket, complementing Kruskal-Wallis
+    (unblocked). Per-type rank sums are also emitted."""
+    t1h = _fused_tier(sf_dir, "1d").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    wide = t1h.pivot_table(index="bucket_ts", columns="event_type",
+                           values="m", aggfunc="first").dropna()
+    k = wide.shape[1]
+    n = len(wide)
+    vals = wide.to_numpy(dtype=np.float64)
+    # average ranks within each row
+    ranks = np.empty_like(vals)
+    for i in range(n):
+        row = vals[i]
+        order = np.argsort(row, kind="stable")
+        sv = row[order]
+        uniq, first, counts = np.unique(sv, return_index=True,
+                                        return_counts=True)
+        ar = first + 1 + (counts - 1) / 2.0
+        lut = dict(zip(uniq, ar))
+        ranks[i] = [lut[x] for x in row]
+    rj = ranks.sum(axis=0)
+    chi2 = 12.0 / (n * k * (k + 1.0)) * (rj * rj).sum() - 3.0 * n * (k + 1.0)
+    rows = [{"event_type": c, "rank_sum": stable_round6(np.array([r]))[0],
+             "n_blocks": n, "k": k,
+             "chi2_f": stable_round6(np.array([chi2]))[0]}
+            for c, r in zip(wide.columns, rj)]
+    out = pd.DataFrame(rows)
+    out["n_blocks"] = out["n_blocks"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_FRIEDMAN = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+k AS (SELECT COUNT(DISTINCT event_type) AS k FROM hourly),
+complete AS (
+  SELECT bts FROM hourly GROUP BY bts
+  HAVING COUNT(DISTINCT event_type) = (SELECT k FROM k)
+),
+blk AS (
+  SELECT h.event_type, h.bts, h.m FROM hourly h JOIN complete USING (bts)
+),
+rk AS (
+  SELECT event_type, bts,
+         RANK() OVER (PARTITION BY bts ORDER BY m)
+           + (COUNT(*) OVER (PARTITION BY bts, m) - 1) / 2.0 AS r
+  FROM blk
+),
+rj AS (SELECT event_type, SUM(r) AS rank_sum FROM rk GROUP BY 1),
+nb AS (SELECT COUNT(*)::DOUBLE AS n FROM complete),
+chi AS (
+  SELECT 12.0 / (nb.n * k.k * (k.k + 1.0))
+           * (SELECT SUM(rank_sum * rank_sum) FROM rj)
+           - 3.0 * nb.n * (k.k + 1.0) AS chi2, nb.n, k.k
+  FROM nb, k
+)
+SELECT rj.event_type,
+       ROUND(ROUND(rj.rank_sum, 9), 6) AS rank_sum,
+       CAST(chi.n AS BIGINT) AS n_blocks,
+       CAST(chi.k AS BIGINT) AS k,
+       ROUND(ROUND(chi.chi2, 9), 6) AS chi2_f
+FROM rj, chi ORDER BY rj.event_type
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "variogram": q_variogram,
     "dispersion_test": q_dispersion_test,
+    "mann_whitney": q_mann_whitney,
+    "friedman_test": q_friedman_test,
     "spearman_corr": q_spearman_corr,
     "kendall_tau": q_kendall_tau,
     "pacf": q_pacf,
@@ -11855,6 +12024,8 @@ ORACLE: dict[str, str] = {
     "jarque_bera": _SQL_JARQUE_BERA,
     "dispersion_test": _SQL_DISPERSION,
     "spearman_corr": _SQL_SPEARMAN,
+    "mann_whitney": _SQL_MANN_WHITNEY,
+    "friedman_test": _SQL_FRIEDMAN,
     "kendall_tau": _SQL_KENDALL,
     "breusch_pagan": _SQL_BREUSCH_PAGAN,
     "kruskal_wallis": _SQL_KRUSKAL,
