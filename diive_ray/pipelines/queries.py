@@ -11666,10 +11666,79 @@ FROM rj, chi ORDER BY rj.event_type
 """
 
 
+def q_haar_energy(sf_dir: str):
+    """Haar discrete-wavelet energy decomposition (Haar 1910; Mallat
+    1989 pyramid) per event_type on the 6dp hourly means: for levels
+    k = 1..4 the detail coefficients over non-overlapping 2^k-blocks
+    d = (S_firsthalf - S_secondhalf) / sqrt(2^k), energy_k = sum d^2
+    (series positionally truncated to a multiple of 16 so every level
+    shares the same pyramid base on both sides). Energy-by-scale is
+    the wavelet complement to the FFT views (spectral_entropy,
+    harmonic, Lomb-Scargle); block sums replay exactly in SQL via
+    ROW_NUMBER arithmetic."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        y = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        n = (len(y) // 16) * 16
+        y = y[:n]
+        for k in range(1, 5):
+            w = 1 << k
+            blocks = y.reshape(n // w, w)
+            half = w // 2
+            d = (blocks[:, :half].sum(axis=1)
+                 - blocks[:, half:].sum(axis=1)) / np.sqrt(float(w))
+            rows.append({"event_type": key, "level": k,
+                         "n_coeffs": n // w,
+                         "energy": (d * d).sum()})
+    out = pd.DataFrame(rows)
+    out["level"] = out["level"].astype("int64")
+    out["n_coeffs"] = out["n_coeffs"].astype("int64")
+    out["energy"] = stable_round6(out["energy"].astype(float))
+    return out.sort_values(["event_type", "level"]).reset_index(drop=True)
+
+
+_SQL_HAAR = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS p,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+trunc AS (SELECT * FROM pos WHERE p < (n // 16) * 16),
+lv AS (SELECT UNNEST(generate_series(1, 4)) AS k),
+cells AS (
+  SELECT t.event_type, lv.k,
+         t.p // (1 << lv.k) AS blk,
+         (t.p // (1 << (lv.k - 1))) % 2 AS half,
+         t.m
+  FROM trunc t CROSS JOIN lv
+),
+coef AS (
+  SELECT event_type, k, blk,
+         (SUM(CASE WHEN half = 0 THEN m ELSE 0 END)
+          - SUM(CASE WHEN half = 1 THEN m ELSE 0 END))
+         / sqrt((1 << k)::DOUBLE) AS d
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(k AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       ROUND(ROUND(SUM(d * d), 9), 6) AS energy
+FROM coef GROUP BY 1, 2 ORDER BY event_type, level
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "variogram": q_variogram,
     "dispersion_test": q_dispersion_test,
+    "haar_energy": q_haar_energy,
     "mann_whitney": q_mann_whitney,
     "friedman_test": q_friedman_test,
     "spearman_corr": q_spearman_corr,
@@ -12025,6 +12094,7 @@ ORACLE: dict[str, str] = {
     "dispersion_test": _SQL_DISPERSION,
     "spearman_corr": _SQL_SPEARMAN,
     "mann_whitney": _SQL_MANN_WHITNEY,
+    "haar_energy": _SQL_HAAR,
     "friedman_test": _SQL_FRIEDMAN,
     "kendall_tau": _SQL_KENDALL,
     "breusch_pagan": _SQL_BREUSCH_PAGAN,
