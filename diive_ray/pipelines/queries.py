@@ -11734,11 +11734,94 @@ FROM coef GROUP BY 1, 2 ORDER BY event_type, level
 """
 
 
+def q_tail_dependence(sf_dir: str):
+    """Empirical upper tail-dependence coefficient (the copula
+    lambda_U of Joe 1997, empirical estimator): for each ordered
+    event-type pair over the bucket-joined hourly means,
+    lambda_U = P(y >= q_y | x >= q_x) with q = the k-th ascending
+    order statistic at k = ceil(0.9 n) (an exact multiset rank, so
+    both sides pick the identical threshold regardless of tie order).
+    Compound-extreme risk structure that correlation misses —
+    complements compound_extremes and the correlation battery."""
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    by = {k: g.set_index("bucket_ts")["m"] for k, g in t1h.groupby("event_type")}
+    rows = []
+    for ex in sorted(by):
+        for ey in sorted(by):
+            if ex == ey:
+                continue
+            j = pd.concat([by[ex].rename("x"), by[ey].rename("y")],
+                          axis=1, join="inner")
+            n = len(j)
+            if n < 10:
+                continue
+            k = int(np.ceil(0.9 * n))
+            qx = np.sort(j["x"].to_numpy())[k - 1]
+            qy = np.sort(j["y"].to_numpy())[k - 1]
+            above_x = j["x"].to_numpy() >= qx
+            joint = above_x & (j["y"].to_numpy() >= qy)
+            rows.append({"event_x": ex, "event_y": ey, "n": n,
+                         "n_above_x": int(above_x.sum()),
+                         "n_joint": int(joint.sum()),
+                         "lambda_u": joint.sum() / above_x.sum()})
+    out = pd.DataFrame(rows)
+    for c in ("n", "n_above_x", "n_joint"):
+        out[c] = out[c].astype("int64")
+    out["lambda_u"] = stable_round6(out["lambda_u"].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_TAIL_DEP = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pairs AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y, a.bts, a.m AS x, b.m AS y
+  FROM hourly a JOIN hourly b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+),
+nn AS (
+  SELECT event_x, event_y, COUNT(*) AS n,
+         CAST(CEIL(0.9 * COUNT(*)) AS BIGINT) AS k
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 10
+),
+rx AS (
+  SELECT p.event_x, p.event_y, p.x,
+         ROW_NUMBER() OVER (PARTITION BY p.event_x, p.event_y ORDER BY p.x) AS r
+  FROM pairs p
+),
+ry AS (
+  SELECT p.event_x, p.event_y, p.y,
+         ROW_NUMBER() OVER (PARTITION BY p.event_x, p.event_y ORDER BY p.y) AS r
+  FROM pairs p
+),
+qx AS (SELECT rx.event_x, rx.event_y, rx.x AS qx
+       FROM rx JOIN nn USING (event_x, event_y) WHERE rx.r = nn.k),
+qy AS (SELECT ry.event_x, ry.event_y, ry.y AS qy
+       FROM ry JOIN nn USING (event_x, event_y) WHERE ry.r = nn.k)
+SELECT nn.event_x, nn.event_y, CAST(nn.n AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN p.x >= qx.qx THEN 1 ELSE 0 END) AS BIGINT) AS n_above_x,
+       CAST(SUM(CASE WHEN p.x >= qx.qx AND p.y >= qy.qy THEN 1 ELSE 0 END) AS BIGINT) AS n_joint,
+       ROUND(ROUND(SUM(CASE WHEN p.x >= qx.qx AND p.y >= qy.qy THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN p.x >= qx.qx THEN 1 ELSE 0 END), 9), 6) AS lambda_u
+FROM pairs p
+JOIN nn USING (event_x, event_y)
+JOIN qx USING (event_x, event_y)
+JOIN qy USING (event_x, event_y)
+GROUP BY nn.event_x, nn.event_y, nn.n
+ORDER BY nn.event_x, nn.event_y
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "ssa_decompose": q_ssa,
     "variogram": q_variogram,
     "dispersion_test": q_dispersion_test,
     "haar_energy": q_haar_energy,
+    "tail_dependence": q_tail_dependence,
     "mann_whitney": q_mann_whitney,
     "friedman_test": q_friedman_test,
     "spearman_corr": q_spearman_corr,
@@ -12095,6 +12178,7 @@ ORACLE: dict[str, str] = {
     "spearman_corr": _SQL_SPEARMAN,
     "mann_whitney": _SQL_MANN_WHITNEY,
     "haar_energy": _SQL_HAAR,
+    "tail_dependence": _SQL_TAIL_DEP,
     "friedman_test": _SQL_FRIEDMAN,
     "kendall_tau": _SQL_KENDALL,
     "breusch_pagan": _SQL_BREUSCH_PAGAN,
