@@ -3591,9 +3591,173 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def q_doc_ngram_commonality(sf_dir: str):
+    """Bigram-commonality diversity probe (the Self-BLEU intuition of
+    Zhu et al. 2018 'Texygen', made set-exact instead of
+    BLEU-weighted): per source, the mean over docs of the fraction of
+    a doc's DISTINCT bigrams that also occur in at least one OTHER doc
+    of the same source — 1.0 means every doc re-uses corpus bigrams
+    (template degeneracy), low values mean diverse text. Decomposable:
+    distinct (source, doc, bigram) rows -> bigram doc-frequencies ->
+    per-doc fraction with df >= 2; integer counts keep both sides
+    exact."""
+    from ..stages.exchange import driver_combine
+    from ..util import stable_round6 as _sr6
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        out = []
+        for i in range(len(t)):
+            words = [w for w in lists[i].as_py() if w]
+            grams = {(words[j], words[j + 1]) for j in range(len(words) - 1)}
+            if not grams:
+                continue
+            out.append(pd.DataFrame({
+                "source": t["source"][i].as_py(),
+                "doc_id": t["doc_id"][i].as_py(),
+                "w1": [g[0] for g in grams],
+                "w2": [g[1] for g in grams],
+            }))
+        if not out:
+            return pd.DataFrame({"source": [], "doc_id": [],
+                                 "w1": [], "w2": []})
+        return pd.concat(out, ignore_index=True)
+
+    tri = driver_combine(docs, partial, lambda df: df,
+                         batch_format="pyarrow")
+    df_counts = tri.groupby(["source", "w1", "w2"])["doc_id"].nunique()
+    tri = tri.merge(df_counts.rename("df").reset_index(),
+                    on=["source", "w1", "w2"])
+    per_doc = tri.groupby(["source", "doc_id"]).agg(
+        n_grams=("df", "size"),
+        n_common=("df", lambda s: int((s >= 2).sum())))
+    per_doc["frac"] = per_doc["n_common"] / per_doc["n_grams"]
+    g = per_doc.groupby("source").agg(
+        n_docs=("frac", "size"), mean_commonality=("frac", "mean"),
+        total_distinct_grams=("n_grams", "sum"))
+    out = g.reset_index()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_distinct_grams"] = out["total_distinct_grams"].astype("int64")
+    out["mean_commonality"] = _sr6(out["mean_commonality"].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_NGRAM_COMMONALITY = r"""
+WITH w AS (
+  SELECT source, doc_id, word, rn
+  FROM (SELECT source, doc_id,
+               UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS word,
+               generate_subscripts(list_filter(
+                   regexp_split_to_array(text, '\s+'), x -> x <> ''), 1) AS rn
+        FROM documents)
+),
+grams AS (
+  SELECT DISTINCT a.source, a.doc_id, a.word AS w1, b.word AS w2
+  FROM w a JOIN w b
+    ON b.source = a.source AND b.doc_id = a.doc_id AND b.rn = a.rn + 1
+),
+dfreq AS (
+  SELECT source, w1, w2, COUNT(DISTINCT doc_id) AS df
+  FROM grams GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT g.source, g.doc_id,
+         COUNT(*)::DOUBLE AS n_grams,
+         SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::DOUBLE AS n_common
+  FROM grams g JOIN dfreq d USING (source, w1, w2)
+  GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(ROUND(SUM(n_common / n_grams) / COUNT(*), 9), 6) AS mean_commonality,
+       CAST(SUM(n_grams) AS BIGINT) AS total_distinct_grams
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_interarrival_expfit(sf_dir: str):
+    """Exponential inter-arrival fit with an exact KS distance (the
+    queueing-theory Poisson-process check): per event_type, sorted
+    event timestamps give inter-arrival gaps (seconds, positive only),
+    MLE rate lambda = 1/mean, and the one-sample KS statistic against
+    F(x) = 1 - exp(-lambda x) via the order-statistic form
+    D = max_i max(i/n - F(x_(i)), F(x_(i)) - (i-1)/n). Every quantity
+    (ranks, exp expression) replays exactly in SQL."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..util import stable_round6 as _sr6
+
+    ev = rd.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"]).to_pandas()
+
+    from ..util import ts_to_us
+
+    rows = []
+    for k, g in ev.groupby("event_type", sort=True):
+        ts = np.sort(ts_to_us(g["ts"]))
+        gaps = np.diff(ts) / 1e6  # microseconds -> seconds
+        gaps = gaps[gaps > 0]
+        n = float(len(gaps))
+        if n < 10:
+            continue
+        lam = n / gaps.sum()
+        x = np.sort(gaps)
+        f = 1.0 - np.exp(-lam * x)
+        i = np.arange(1, len(x) + 1, dtype=np.float64)
+        d = np.maximum(i / n - f, f - (i - 1.0) / n).max()
+        rows.append({"event_type": k, "n_gaps": int(n),
+                     "rate_per_s": lam, "ks_d": d})
+    out = pd.DataFrame(rows)
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    for c in ("rate_per_s", "ks_d"):
+        out[c] = _sr6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_EXPFIT = """
+WITH ordered AS (
+  SELECT event_type, ts,
+         LAG(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         EXTRACT(epoch FROM ts - prev) AS gap
+  FROM ordered WHERE prev IS NOT NULL
+    AND EXTRACT(epoch FROM ts - prev) > 0
+),
+lam AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         COUNT(*) / SUM(gap) AS lambda
+  FROM gaps GROUP BY 1 HAVING COUNT(*) >= 10
+),
+rk AS (
+  SELECT g.event_type, g.gap, lam.n, lam.lambda,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.gap)::DOUBLE AS i
+  FROM gaps g JOIN lam USING (event_type)
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       ROUND(ROUND(MAX(lambda), 9), 6) AS rate_per_s,
+       ROUND(ROUND(MAX(GREATEST(
+           i / n - (1.0 - exp(-lambda * gap)),
+           (1.0 - exp(-lambda * gap)) - (i - 1.0) / n)), 9), 6) AS ks_d
+FROM rk GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
+    "doc_ngram_commonality": q_doc_ngram_commonality,
+    "interarrival_expfit": q_interarrival_expfit,
     "doc_gini_length": q_doc_gini_length,
     "doc_mix_unimax": q_doc_mix_unimax,
     "embedding_label_sim": q_embedding_label_sim,
@@ -3676,6 +3840,8 @@ DOC_ORACLE: dict[str, str] = {
     "embedding_label_sim": _SQL_LABEL_SIM,
     "doc_vocab_chi2": _SQL_VOCAB_CHI2,
     "doc_gini_length": _SQL_GINI_LENGTH,
+    "doc_ngram_commonality": _SQL_NGRAM_COMMONALITY,
+    "interarrival_expfit": _SQL_EXPFIT,
     "doc_heaps_law": _SQL_HEAPS_LAW,
     "doc_heavy_hitters": _SQL_HEAVY_HITTERS,
     "doc_token_count": _SQL_TOKEN_COUNT,
