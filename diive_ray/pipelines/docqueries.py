@@ -3753,9 +3753,86 @@ FROM rk GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------------- domain quota cap
+
+
+_QUOTA_K = 50
+_QUOTA_DOMS = 97
+
+
+def quota_combine_kernel(cand: pd.DataFrame, k: int = _QUOTA_K) -> pd.DataFrame:
+    """Combine per-batch candidate partials: global per-domain counts
+    from the attached partial counts, kept set = the k smallest doc_ids
+    among candidates (each batch contributed its own k smallest, so the
+    union contains the global k smallest — the partial-top-k argument)."""
+    cnt = cand.groupby("dom", as_index=False).agg(n_docs=("n_docs_part", "sum"))
+    kept = (cand.sort_values(["dom", "doc_id"], kind="stable")
+            .groupby("dom").head(k))
+    ks = kept.groupby("dom", as_index=False).agg(
+        n_kept=("doc_id", "size"), kept_min_id=("doc_id", "min"),
+        kept_max_id=("doc_id", "max"), kept_chars=("n_chars", "sum"))
+    out = cnt.merge(ks, on="dom")
+    out = out.rename(columns={"dom": "domain"})
+    for c in ("domain", "n_docs", "n_kept", "kept_min_id", "kept_max_id",
+              "kept_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
+def q_doc_domain_quota(sf_dir: str):
+    """C4/CommonCrawl-style per-domain quota sampling: docs are keyed
+    to a synthetic domain (bijective odd-multiplier hash of doc_id mod
+    97 — the corpus has no URL column), each domain keeps its K=50
+    lowest doc_ids (deterministic order), and the query reports
+    per-domain totals vs kept stats. Scale shape: ONE pruned scan of
+    (doc_id, n_chars) — text never moves — with per-batch vectorized
+    per-domain partial top-K + counts; the combine payload is bounded
+    by domains x K x blocks, domains x K after the final head-K."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        dom = ((df["doc_id"] * 2654435761) % 2147483648) % _QUOTA_DOMS
+        df = df.assign(dom=dom.astype("int64"))
+        top = (df.sort_values(["dom", "doc_id"], kind="stable")
+               .groupby("dom").head(_QUOTA_K))
+        cnt = df.groupby("dom").size().rename("n_docs_part")
+        top = top.merge(cnt, left_on="dom", right_index=True)
+        # attach the batch's count to ONE row per dom so sums stay exact
+        first = ~top["dom"].duplicated()
+        top.loc[~first, "n_docs_part"] = 0
+        return top[["dom", "doc_id", "n_chars", "n_docs_part"]]
+
+    cand = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return quota_combine_kernel(cand)
+
+
+_SQL_DOMAIN_QUOTA = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 2147483648) % 97 AS dom
+  FROM documents
+),
+r AS (
+  SELECT dom, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY dom ORDER BY doc_id) AS rn
+  FROM d
+),
+agg AS (SELECT dom, COUNT(*) AS n_docs FROM d GROUP BY 1),
+k AS (
+  SELECT dom, COUNT(*) AS n_kept, MIN(doc_id) AS kept_min_id,
+         MAX(doc_id) AS kept_max_id, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+  FROM r WHERE rn <= 50 GROUP BY 1
+)
+SELECT agg.dom AS domain, agg.n_docs, k.n_kept, k.kept_min_id,
+       k.kept_max_id, k.kept_chars
+FROM agg JOIN k USING (dom) ORDER BY domain
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 DOC_QUERIES: dict[str, Any] = {
+    "doc_domain_quota": q_doc_domain_quota,
     "doc_ngram_commonality": q_doc_ngram_commonality,
     "interarrival_expfit": q_interarrival_expfit,
     "doc_gini_length": q_doc_gini_length,
@@ -3834,6 +3911,7 @@ DOC_QUERIES: dict[str, Any] = {
 }
 
 DOC_ORACLE: dict[str, str] = {
+    "doc_domain_quota": _SQL_DOMAIN_QUOTA,
     "doc_word_freqs": _SQL_WORD_FREQS,
     "doc_good_turing": _SQL_GOOD_TURING,
     "doc_mix_unimax": _SQL_UNIMAX,

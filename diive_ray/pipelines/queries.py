@@ -9537,6 +9537,7 @@ ORDER BY p.event_type
 
 from .alequeries import ALE_ORACLE, ALE_QUERIES
 from .docqueries import DOC_ORACLE, DOC_QUERIES
+from .statqueries import STAT_ORACLE, STAT_QUERIES
 
 def q_classical_decompose(sf_dir: str):
     """Classical additive seasonal decomposition (reference
@@ -12024,6 +12025,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pettitt": q_pettitt,
     **ALE_QUERIES,
     **DOC_QUERIES,
+    **STAT_QUERIES,
 }
 
 ORACLE: dict[str, str] = {
@@ -12196,4 +12198,5 @@ ORACLE: dict[str, str] = {
     "pettitt": _SQL_PETTITT,
     **ALE_ORACLE,
     **DOC_ORACLE,
+    **STAT_ORACLE,
 }
