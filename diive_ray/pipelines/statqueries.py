@@ -462,18 +462,359 @@ ORDER BY grouping_id, event_type, hod
 """
 
 
-STAT_QUERIES: dict[str, Any] = {
-    "arch_lm": q_arch_lm,
-    "gpd_pot": q_gpd_pot,
-    "hac_trend": q_hac_trend,
-    "ad_twosample": q_ad_twosample,
-    "grouping_sets_agg": q_grouping_sets,
-}
+STAT_QUERIES: dict[str, Any] = {}
 
-STAT_ORACLE: dict[str, str] = {
-    "arch_lm": _SQL_ARCH_LM,
-    "gpd_pot": _SQL_GPD_POT,
-    "hac_trend": _SQL_HAC_TREND,
-    "ad_twosample": _SQL_AD_TWOSAMPLE,
-    "grouping_sets_agg": _SQL_GROUPING_SETS,
-}
+STAT_ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, fn: Any, sql: str | None = None) -> None:
+    STAT_QUERIES[name] = fn
+    if sql is not None:
+        STAT_ORACLE[name] = sql
+
+
+_register("arch_lm", q_arch_lm, _SQL_ARCH_LM)
+_register("gpd_pot", q_gpd_pot, _SQL_GPD_POT)
+_register("hac_trend", q_hac_trend, _SQL_HAC_TREND)
+_register("ad_twosample", q_ad_twosample, _SQL_AD_TWOSAMPLE)
+_register("grouping_sets_agg", q_grouping_sets, _SQL_GROUPING_SETS)
+
+
+# ------------------------------------------------------------ energy distance
+
+
+def energy_distance_kernel(xs: np.ndarray, ys: np.ndarray) -> dict[str, float]:
+    """Szekely & Rizzo (2004) energy distance, V-statistic form
+    (n^2 / m^2 / nm normalizations, zero diagonal included):
+    E = 2 A - B - C with A = mean|x_i - y_j|, B = mean|x_i - x_j|,
+    C = mean|y_i - y_j|; test statistic = nm/(n+m) * E.
+
+    O(n log n): cross terms via searchsorted + prefix sums, within
+    terms from the sorted-order identity sum_{i<j}(x_(j) - x_(i)) =
+    sum_j (2j - n - 1) x_(j)."""
+    n, m = float(len(xs)), float(len(ys))
+    sx, sy = np.sort(xs), np.sort(ys)
+    px = np.concatenate([[0.0], np.cumsum(sx)])
+    # A: for each y, sum_i |x_i - y| with k = #x <= y
+    k = np.searchsorted(sx, sy, side="right").astype(np.float64)
+    tot = px[-1]
+    a_sum = ((k * sy - px[np.searchsorted(sx, sy, side="right")])
+             + ((tot - px[np.searchsorted(sx, sy, side="right")])
+                - (len(sx) - k) * sy)).sum()
+    j = np.arange(1, len(sx) + 1, dtype=np.float64)
+    b_sum = 2.0 * ((2.0 * j - n - 1.0) * sx).sum()
+    j = np.arange(1, len(sy) + 1, dtype=np.float64)
+    c_sum = 2.0 * ((2.0 * j - m - 1.0) * sy).sum()
+    a, b, c = a_sum / (n * m), b_sum / (n * n), c_sum / (m * m)
+    e = 2.0 * a - b - c
+    return {"a_xy": a, "b_xx": b, "c_yy": c, "e_dist": e,
+            "e_stat": n * m / (n + m) * e}
+
+
+def q_energy_distance(sf_dir: str):
+    """Energy-distance two-sample test (Szekely & Rizzo 2004) for every
+    unordered event-type pair over the unpaired 6dp hourly-mean samples
+    — the metric-space distributional comparison completing the
+    KS (sup) / AD (tail-weighted quadratic) / energy (first-moment
+    metric) trio. Engine side is O(n log n) via sorted prefix sums; the
+    oracle replays the same V-statistics as self-join averages."""
+    t1h = _hourly(sf_dir)
+    by = {k: g["m"].to_numpy(dtype=np.float64)
+          for k, g in t1h.groupby("event_type")}
+    rows = []
+    keys = sorted(by)
+    for i, ex in enumerate(keys):
+        for ey in keys[i + 1:]:
+            xs, ys = by[ex], by[ey]
+            if len(xs) < 5 or len(ys) < 5:
+                continue
+            rows.append({"event_x": ex, "event_y": ey,
+                         "n_x": len(xs), "n_y": len(ys),
+                         **energy_distance_kernel(xs, ys)})
+    out = pd.DataFrame(rows)
+    for c in ("n_x", "n_y"):
+        out[c] = out[c].astype("int64")
+    for c in ("a_xy", "b_xx", "c_yy", "e_dist", "e_stat"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_ENERGY = _HOURLY_CTE + """,
+tl AS (SELECT event_type, COUNT(*) AS n FROM hourly GROUP BY 1),
+pp AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y,
+         a.n AS n1, b.n AS n2
+  FROM tl a JOIN tl b ON a.event_type < b.event_type
+  WHERE a.n >= 5 AND b.n >= 5
+),
+axy AS (
+  SELECT pp.event_x, pp.event_y, AVG(ABS(hx.m - hy.m)) AS a_xy
+  FROM pp
+  JOIN hourly hx ON hx.event_type = pp.event_x
+  JOIN hourly hy ON hy.event_type = pp.event_y
+  GROUP BY 1, 2
+),
+self_d AS (
+  SELECT a.event_type, AVG(ABS(a.m - b.m)) AS d
+  FROM hourly a JOIN hourly b ON a.event_type = b.event_type
+  GROUP BY 1
+)
+SELECT pp.event_x, pp.event_y,
+       CAST(pp.n1 AS BIGINT) AS n_x, CAST(pp.n2 AS BIGINT) AS n_y,
+       ROUND(ROUND(axy.a_xy, 9), 6) AS a_xy,
+       ROUND(ROUND(sx.d, 9), 6) AS b_xx,
+       ROUND(ROUND(sy.d, 9), 6) AS c_yy,
+       ROUND(ROUND(2.0 * axy.a_xy - sx.d - sy.d, 9), 6) AS e_dist,
+       ROUND(ROUND(pp.n1::DOUBLE * pp.n2 / (pp.n1 + pp.n2)
+             * (2.0 * axy.a_xy - sx.d - sy.d), 9), 6) AS e_stat
+FROM pp
+JOIN axy USING (event_x, event_y)
+JOIN self_d sx ON sx.event_type = pp.event_x
+JOIN self_d sy ON sy.event_type = pp.event_y
+ORDER BY pp.event_x, pp.event_y
+"""
+
+
+# ------------------------------------------------------------- robust scale
+
+
+def robust_scale_kernel(x: np.ndarray) -> dict[str, float]:
+    """Robust scale battery: MAD (median absolute deviation), Qn
+    (Rousseeuw & Croux 1993 — k-th order statistic of pairwise
+    distances, k = C(h,2), h = n//2 + 1), and the biweight midvariance
+    (Lax 1985, c = 9)."""
+    n = len(x)
+    med = np.median(x)
+    mad = np.median(np.abs(x - med))
+    # Qn: exact k-th smallest of the n(n-1)/2 pairwise |xi - xj|, i < j
+    d = np.abs(x[:, None] - x[None, :])[np.triu_indices(n, k=1)]
+    h = n // 2 + 1
+    k = h * (h - 1) // 2
+    qn = np.partition(d, k - 1)[k - 1]
+    # biweight midvariance, u = (x - med) / (9 MAD), |u| < 1
+    u = (x - med) / (9.0 * mad) if mad > 0 else np.zeros(n)
+    w = np.abs(u) < 1.0
+    num = float(n) * ((x - med) ** 2 * (1 - u * u) ** 4)[w].sum()
+    den = (((1 - u * u) * (1 - 5 * u * u))[w].sum()) ** 2
+    return {"mad": mad, "mad_scaled": 1.4826 * mad,
+            "qn": qn, "qn_scaled": 2.2219 * qn,
+            "biweight_midvar": num / den}
+
+
+def q_robust_scale(sf_dir: str):
+    """Robust scale estimators per event_type on the 6dp hourly means:
+    MAD (50% breakdown, 37% efficiency), Qn (50% breakdown, 82%
+    efficiency, no location estimate needed — Rousseeuw & Croux 1993),
+    and the biweight midvariance (Lax 1985). The robust complement to
+    sstats' classical sd; Qn's pairwise order statistic replays
+    exactly in SQL as an i<j self-join ROW_NUMBER rank."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        x = g["m"].to_numpy(dtype=np.float64)
+        if len(x) < 10:
+            continue
+        rows.append({"event_type": key, "n": len(x), **robust_scale_kernel(x)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("mad", "mad_scaled", "qn", "qn_scaled", "biweight_midvar"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_ROBUST_SCALE = _HOURLY_CTE + """,
+med AS (
+  SELECT event_type, COUNT(*) AS n, MEDIAN(m) AS med
+  FROM hourly GROUP BY 1 HAVING COUNT(*) >= 10
+),
+madt AS (
+  SELECT h.event_type, med.n, med.med, MEDIAN(ABS(h.m - med.med)) AS mad
+  FROM hourly h JOIN med USING (event_type) GROUP BY 1, 2, 3
+),
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m) AS r
+  FROM hourly
+),
+pd_rank AS (
+  SELECT a.event_type, ABS(a.m - b.m) AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.event_type ORDER BY ABS(a.m - b.m)) AS rd
+  FROM pos a JOIN pos b ON a.event_type = b.event_type AND a.r < b.r
+),
+qn AS (
+  SELECT p.event_type, p.d AS qn
+  FROM pd_rank p JOIN med USING (event_type)
+  WHERE p.rd = ((med.n // 2 + 1) * (med.n // 2)) // 2
+),
+bw AS (
+  SELECT h.event_type,
+         MAX(mt.n)::DOUBLE
+           * SUM(CASE WHEN mt.mad > 0 AND ABS((h.m - mt.med) / (9.0 * mt.mad)) < 1
+                 THEN POW(h.m - mt.med, 2)
+                      * POW(1 - POW((h.m - mt.med) / (9.0 * mt.mad), 2), 4)
+                 ELSE 0 END)
+           / POW(SUM(CASE WHEN mt.mad > 0 AND ABS((h.m - mt.med) / (9.0 * mt.mad)) < 1
+                 THEN (1 - POW((h.m - mt.med) / (9.0 * mt.mad), 2))
+                      * (1 - 5 * POW((h.m - mt.med) / (9.0 * mt.mad), 2))
+                 ELSE 0 END), 2) AS biweight_midvar
+  FROM hourly h JOIN madt mt USING (event_type) GROUP BY 1
+)
+SELECT mt.event_type, CAST(mt.n AS BIGINT) AS n,
+       ROUND(ROUND(mt.mad, 9), 6) AS mad,
+       ROUND(ROUND(1.4826 * mt.mad, 9), 6) AS mad_scaled,
+       ROUND(ROUND(qn.qn, 9), 6) AS qn,
+       ROUND(ROUND(2.2219 * qn.qn, 9), 6) AS qn_scaled,
+       ROUND(ROUND(bw.biweight_midvar, 9), 6) AS biweight_midvar
+FROM madt mt JOIN qn USING (event_type) JOIN bw USING (event_type)
+ORDER BY mt.event_type
+"""
+
+
+# --------------------------------------------------------- isotonic (PAVA)
+
+
+def pava_kernel(y: np.ndarray) -> np.ndarray:
+    """Pool-adjacent-violators for an increasing isotonic fit: stack of
+    (sum, count) blocks, merge while the previous block mean exceeds
+    the new one; fitted value = block mean. Equals the minimax formula
+    fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]) (Robertson/Wright/
+    Dykstra 1988), which is what the SQL oracle replays."""
+    sums: list[float] = []
+    cnts: list[int] = []
+    for v in y:
+        s, c = float(v), 1
+        while sums and sums[-1] / cnts[-1] >= s / c:
+            s += sums.pop()
+            c += cnts.pop()
+        sums.append(s)
+        cnts.append(c)
+    out = np.empty(len(y), dtype=np.float64)
+    pos = 0
+    for s, c in zip(sums, cnts):
+        out[pos:pos + c] = s / c
+        pos += c
+    return out
+
+
+def q_isotonic_fit(sf_dir: str):
+    """Increasing isotonic regression (PAVA) of the 6dp DAILY means on
+    time per event_type — monotone trend extraction whose exact SQL
+    oracle is the O(n^2) minimax closed form over prefix-sum range
+    means (the engine runs the O(n) pool-adjacent-violators stack;
+    equality of the two is the classical representation theorem)."""
+    from .queries import _fused_tier
+
+    t1d = _fused_tier(sf_dir, "1d").to_pandas()
+    t1d["m"] = stable_round6(t1d["mean"].astype(float))
+    rows = []
+    for key, g in t1d.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        y = g["m"].to_numpy(dtype=np.float64)
+        fit = pava_kernel(y)
+        rows.append(pd.DataFrame({
+            "event_type": key,
+            "bucket_ts": pd.to_datetime(g["bucket_ts"]).astype("datetime64[us]"),
+            "m": y, "fitted": fit}))
+    out = pd.concat(rows, ignore_index=True)
+    out["fitted"] = stable_round6(out["fitted"].astype(float))
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+
+
+_SQL_ISOTONIC = """
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS bts,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2 HAVING COUNT(value) > 0
+),
+pos AS (
+  SELECT event_type, bts, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) AS p,
+         SUM(m) OVER (PARTITION BY event_type ORDER BY bts) AS cs
+  FROM daily
+),
+rng AS (
+  SELECT a.event_type, a.p AS j, b.p AS k,
+         (b.cs - a.cs + a.m) / (b.p - a.p + 1) AS rmean
+  FROM pos a JOIN pos b
+    ON a.event_type = b.event_type AND b.p >= a.p
+),
+rmin AS (
+  SELECT event_type, j, k,
+         MIN(rmean) OVER (PARTITION BY event_type, j
+                          ORDER BY k DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minov
+  FROM rng
+),
+fit AS (
+  SELECT event_type, k AS p, MAX(minov) AS fitted
+  FROM rmin GROUP BY 1, 2
+)
+SELECT pos.event_type, pos.bts AS bucket_ts, pos.m,
+       ROUND(ROUND(fit.fitted, 9), 6) AS fitted
+FROM pos JOIN fit ON fit.event_type = pos.event_type AND fit.p = pos.p
+ORDER BY pos.event_type, pos.bts
+"""
+
+
+# -------------------------------------------------------------- GARCH(1,1)
+
+_GARCH_ALPHAS = np.round(np.arange(0.0, 0.32, 0.02), 2)
+_GARCH_BETAS = np.round(np.arange(0.30, 0.99, 0.02), 2)
+
+
+def garch11_grid_kernel(e: np.ndarray) -> dict[str, float]:
+    """GARCH(1,1) by variance targeting + Gaussian quasi-likelihood
+    grid search (Bollerslev 1986; Engle & Mezrich 1996 targeting):
+    omega = var (1 - alpha - beta), sigma2_1 = var, recursion
+    sigma2_t = omega + alpha e2_{t-1} + beta sigma2_{t-1}; pick the
+    (alpha, beta) grid point maximizing the QMLE log-likelihood
+    (deterministic lowest-(alpha,beta) tie-break). Iterative + grid
+    semantics, hence rows-only (no SQL oracle)."""
+    n = len(e)
+    var = float((e * e).sum() / n)
+    e2 = e * e
+    aa, bb = np.meshgrid(_GARCH_ALPHAS, _GARCH_BETAS, indexing="ij")
+    aa, bb = aa.ravel(), bb.ravel()
+    keep = aa + bb < 0.999
+    aa, bb = aa[keep], bb[keep]
+    omega = var * (1.0 - aa - bb)
+    # recursion sequential in t, vectorized across the whole grid
+    s2 = np.full(aa.shape, var)
+    ll = -0.5 * (np.log(2.0 * np.pi) + np.log(s2) + e2[0] / s2)
+    for t in range(1, n):
+        s2 = omega + aa * e2[t - 1] + bb * s2
+        ll += -0.5 * (np.log(2.0 * np.pi) + np.log(s2) + e2[t] / s2)
+    # argmax with deterministic lowest-(alpha, beta) tie-break: grid is
+    # enumerated ascending, argmax takes the first maximum
+    i = int(np.argmax(np.round(ll, 9)))
+    return {"omega": float(omega[i]), "alpha": float(aa[i]),
+            "beta": float(bb[i]), "persistence": float(aa[i] + bb[i]),
+            "loglik": float(ll[i]), "uncond_var": var}
+
+
+def q_garch11(sf_dir: str):
+    """GARCH(1,1) volatility fit per event_type on the demeaned 6dp
+    hourly means (variance-targeted Gaussian QMLE over a fixed
+    (alpha, beta) grid). Volatility-clustering quantification following
+    the arch_lm detection test. Rows-only by design (sequential
+    recursion + argmax grid); kernels pinned by planted-parameter
+    recovery tests."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(m) < 50:
+            continue
+        e = m - m.sum() / len(m)
+        rows.append({"event_type": key, "n": len(m), **garch11_grid_kernel(e)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("omega", "alpha", "beta", "persistence", "loglik", "uncond_var"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_register("energy_distance", q_energy_distance, _SQL_ENERGY)
+_register("robust_scale", q_robust_scale, _SQL_ROBUST_SCALE)
+_register("isotonic_fit", q_isotonic_fit, _SQL_ISOTONIC)
+_register("garch11", q_garch11)

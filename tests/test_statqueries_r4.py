@@ -211,3 +211,117 @@ def test_quota_partial_topk_combine_equals_global():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True),
         truth.astype("int64").reset_index(drop=True))
+
+
+# ------------------------------------------------------------ energy distance
+
+from diive_ray.pipelines.statqueries import (  # noqa: E402
+    energy_distance_kernel,
+    garch11_grid_kernel,
+    pava_kernel,
+    robust_scale_kernel,
+)
+
+
+def test_energy_distance_matches_naive_pairwise():
+    rng = _rng(61)
+    xs, ys = rng.normal(0, 1, 120), rng.normal(0.5, 2, 150)
+    r = energy_distance_kernel(xs, ys)
+    a = np.abs(xs[:, None] - ys[None, :]).mean()
+    b = np.abs(xs[:, None] - xs[None, :]).mean()
+    c = np.abs(ys[:, None] - ys[None, :]).mean()
+    np.testing.assert_allclose(r["a_xy"], a, rtol=1e-10)
+    np.testing.assert_allclose(r["b_xx"], b, rtol=1e-10)
+    np.testing.assert_allclose(r["c_yy"], c, rtol=1e-10)
+    np.testing.assert_allclose(r["e_dist"], 2 * a - b - c, rtol=1e-9)
+
+
+def test_energy_distance_zero_for_identical_and_positive_for_shift():
+    rng = _rng(67)
+    xs = rng.normal(0, 1, 300)
+    same = energy_distance_kernel(xs, xs.copy())
+    assert abs(same["e_dist"]) < 1e-12
+    shifted = energy_distance_kernel(xs, xs + 2.0)
+    assert shifted["e_dist"] > 1.0
+
+
+# -------------------------------------------------------------- robust scale
+
+
+def test_robust_scale_consistency_on_gaussian():
+    rng = _rng(71)
+    x = rng.normal(0, 2.0, 20000)
+    r = robust_scale_kernel(x[:2000])   # Qn is O(n^2), keep n modest
+    np.testing.assert_allclose(r["mad_scaled"], 2.0, rtol=0.08)
+    np.testing.assert_allclose(r["qn_scaled"], 2.0, rtol=0.08)
+    np.testing.assert_allclose(np.sqrt(r["biweight_midvar"]), 2.0, rtol=0.08)
+
+
+def test_robust_scale_immune_to_outliers():
+    rng = _rng(73)
+    x = rng.normal(0, 1.0, 1000)
+    x[:100] = 1000.0   # 10% contamination
+    r = robust_scale_kernel(x)
+    assert r["mad_scaled"] < 2.0
+    assert r["qn_scaled"] < 2.5
+    assert np.std(x) > 100     # classical sd is destroyed
+
+
+# ---------------------------------------------------------------- PAVA
+
+
+def test_pava_equals_minimax_formula():
+    rng = _rng(79)
+    y = rng.normal(0, 1, 60)
+    fit = pava_kernel(y)
+    cs = np.concatenate([[0.0], np.cumsum(y)])
+    n = len(y)
+    expect = np.empty(n)
+    for i in range(n):
+        best = -np.inf
+        for j in range(i + 1):
+            mn = min((cs[k + 1] - cs[j]) / (k - j + 1) for k in range(i, n))
+            best = max(best, mn)
+        expect[i] = best
+    np.testing.assert_allclose(fit, expect, rtol=1e-10, atol=1e-12)
+
+
+def test_pava_is_monotone_and_mean_preserving():
+    rng = _rng(83)
+    y = np.sort(rng.normal(0, 1, 500))[::-1] + rng.normal(0, 0.1, 500)
+    fit = pava_kernel(y)
+    assert (np.diff(fit) >= -1e-12).all()
+    np.testing.assert_allclose(fit.mean(), y.mean(), rtol=1e-12)
+
+
+def test_pava_identity_on_already_increasing():
+    y = np.array([1.0, 2.0, 5.0, 9.0])
+    np.testing.assert_array_equal(pava_kernel(y), y)
+
+
+# ---------------------------------------------------------------- GARCH(1,1)
+
+
+def test_garch_grid_recovers_planted_parameters():
+    rng = _rng(89)
+    n = 6000
+    a_true, b_true = 0.10, 0.82
+    omega = 1.0 * (1 - a_true - b_true)
+    e = np.zeros(n)
+    s2 = 1.0
+    for t in range(1, n):
+        s2 = omega + a_true * e[t - 1] ** 2 + b_true * s2
+        e[t] = np.sqrt(s2) * rng.normal()
+    r = garch11_grid_kernel(e)
+    assert abs(r["alpha"] - a_true) <= 0.04
+    assert abs(r["beta"] - b_true) <= 0.06
+    assert abs(r["persistence"] - (a_true + b_true)) <= 0.05
+
+
+def test_garch_grid_white_noise_has_low_persistence_gain():
+    rng = _rng(97)
+    e = rng.normal(0, 1, 3000)
+    r = garch11_grid_kernel(e)
+    # on iid data the volatility forecast cannot beat the flat variance
+    # by much: alpha stays at the small end of the grid
+    assert r["alpha"] <= 0.06
