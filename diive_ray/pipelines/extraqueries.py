@@ -1,0 +1,315 @@
+"""Round-4 continuation batch 2: robust estimators, ECDF distances,
+relational TPC-H shapes and incremental-rollup maintenance, registered
+alongside pipelines/queries.py (same oracle-parity conventions: 6dp
+``stable_round6`` outputs, identical column names, deterministic
+tie-breaks, hourly means from the engine's own fused rollup cascade).
+
+Members (⊕ = exact DuckDB oracle):
+
+* ``theil_sen``         ⊕ — Theil (1950) / Sen (1968) median-of-pairwise-
+                            slopes robust trend per event_type (the point
+                            estimator paired with the existing
+                            ``mann_kendall`` test).
+* ``hodges_lehmann``    ⊕ — Hodges-Lehmann (1963) one-sample location
+                            estimator (median of Walsh averages).
+* ``wasserstein_pairs`` ⊕ — 1-D Wasserstein-1 (earth-mover) distance
+                            between the hourly-mean distributions of
+                            every event-type pair (exact ECDF integral).
+* ``cvm_twosample``     ⊕ — two-sample Cramér-von Mises statistic,
+                            tie-aware ECDF-integral form (Anderson 1962).
+
+All four run on the bounded hourly tier (cardinality = event types x
+hours): the distributed fused rollup produces the tier, the statistic
+tail is driver-side on the bounded frame — the analysis-tail pattern
+shared with the stationarity / correlation batteries in
+``statqueries.py``. Pairwise kernels are O(n^2) on ~700-bucket series
+(vectorized numpy); at any corpus scale the tier stays bounded by
+(types x hours), never by raw rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from ..util import stable_round6
+from .statqueries import _HOURLY_CTE, _hourly
+
+EXTRA_QUERIES: dict[str, Any] = {}
+EXTRA_ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, fn: Any, sql: str | None = None) -> None:
+    EXTRA_QUERIES[name] = fn
+    if sql is not None:
+        EXTRA_ORACLE[name] = sql
+
+
+# ---------------------------------------------------------------- Theil-Sen
+
+
+def theil_sen_kernel(m: np.ndarray) -> dict[str, float]:
+    """Median of all pairwise slopes over positional order; intercept =
+    median(y - slope6 * i) computed with the 6dp-rounded slope so the
+    SQL replica uses the bitwise-identical slope value."""
+    n = len(m)
+    i, j = np.triu_indices(n, k=1)
+    slopes = (m[j] - m[i]) / (j - i).astype(np.float64)
+    slope = float(np.median(slopes))
+    slope6 = float(stable_round6(np.array([slope]))[0])
+    intercept = float(np.median(m - slope6 * np.arange(n, dtype=np.float64)))
+    return {"slope": slope, "intercept": intercept, "n_pairs": float(len(slopes))}
+
+
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend per event_type on the 6dp hourly means of
+    the distributed rollup: slope = median over all C(n,2) pairwise
+    slopes in positional bucket order, intercept = median residual
+    offset at the 6dp slope. The robust point-estimator companion to
+    the existing ``mann_kendall`` trend test (Sen 1968)."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(m) < 3:
+            continue
+        k = theil_sen_kernel(m)
+        rows.append({"event_type": key, "n": len(m),
+                     "n_pairs": int(k["n_pairs"]),
+                     "slope": k["slope"], "intercept": k["intercept"]})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    for c in ("slope", "intercept"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_THEIL_SEN = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS i
+  FROM hourly
+),
+sl AS (
+  SELECT a.event_type, (b.m - a.m) / (b.i - a.i) AS s
+  FROM pos a JOIN pos b ON a.event_type = b.event_type AND b.i > a.i
+),
+sm AS (
+  SELECT event_type, MEDIAN(s) AS slope, COUNT(*) AS n_pairs
+  FROM sl GROUP BY 1
+),
+ic AS (
+  SELECT p.event_type,
+         MEDIAN(p.m - ROUND(ROUND(sm.slope, 9), 6) * p.i) AS itc
+  FROM pos p JOIN sm USING (event_type) GROUP BY 1
+),
+tl AS (SELECT event_type, COUNT(*) AS n FROM hourly GROUP BY 1)
+SELECT tl.event_type, CAST(tl.n AS BIGINT) AS n,
+       CAST(sm.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(ROUND(sm.slope, 9), 6) AS slope,
+       ROUND(ROUND(ic.itc, 9), 6) AS intercept
+FROM tl
+JOIN sm USING (event_type)
+JOIN ic USING (event_type)
+WHERE tl.n >= 3
+ORDER BY tl.event_type
+"""
+
+
+# ----------------------------------------------------------- Hodges-Lehmann
+
+
+def hodges_lehmann_kernel(m: np.ndarray) -> tuple[float, int]:
+    """Median of Walsh averages (x_i + x_j)/2 over i <= j."""
+    i, j = np.triu_indices(len(m), k=0)
+    walsh = (m[i] + m[j]) / 2.0
+    return float(np.median(walsh)), int(len(walsh))
+
+
+def q_hodges_lehmann(sf_dir: str):
+    """Hodges-Lehmann one-sample location estimator per event_type on
+    the 6dp hourly means: median of all n(n+1)/2 Walsh averages — the
+    robust-location companion of the existing MAD/Qn scale battery
+    (``robust_scale``), Hodges & Lehmann 1963."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(m) < 2:
+            continue
+        hl, nw = hodges_lehmann_kernel(m)
+        med = float(np.median(m))
+        rows.append({"event_type": key, "n": len(m), "n_walsh": nw,
+                     "hl_location": hl, "median": med,
+                     "hl_minus_median": hl - med})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["n_walsh"] = out["n_walsh"].astype("int64")
+    for c in ("hl_location", "median", "hl_minus_median"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_HODGES_LEHMANN = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) - 1 AS i
+  FROM hourly
+),
+w AS (
+  SELECT a.event_type, (a.m + b.m) / 2.0 AS wa
+  FROM pos a JOIN pos b ON a.event_type = b.event_type AND b.i >= a.i
+),
+hl AS (SELECT event_type, MEDIAN(wa) AS hl, COUNT(*) AS n_walsh FROM w GROUP BY 1),
+md AS (SELECT event_type, MEDIAN(m) AS med, COUNT(*) AS n FROM hourly GROUP BY 1)
+SELECT md.event_type, CAST(md.n AS BIGINT) AS n,
+       CAST(hl.n_walsh AS BIGINT) AS n_walsh,
+       ROUND(ROUND(hl.hl, 9), 6) AS hl_location,
+       ROUND(ROUND(md.med, 9), 6) AS median,
+       ROUND(ROUND(hl.hl - md.med, 9), 6) AS hl_minus_median
+FROM md JOIN hl USING (event_type)
+WHERE md.n >= 2
+ORDER BY md.event_type
+"""
+
+
+# ------------------------------------------------- ECDF distances (W1 / CvM)
+
+
+def ecdf_distance_kernel(x: np.ndarray, y: np.ndarray) -> dict[str, float]:
+    """Exact 1-D ECDF distances on two samples: Wasserstein-1 as the
+    integral of |F_x - F_y| over the merged support, and the tie-aware
+    two-sample Cramér-von Mises statistic
+    T = (n m / (n+m)^2) * sum_z w_z (F_x(z) - F_y(z))^2 with w_z the
+    combined multiplicity at z (the ECDF-integral form, Anderson 1962
+    eq. 2.1 evaluated against the pooled empirical measure)."""
+    nx, ny = len(x), len(y)
+    allv = np.concatenate([x, y])
+    grid = np.unique(allv)
+    kx = np.zeros(len(grid), dtype=np.int64)
+    ky = np.zeros(len(grid), dtype=np.int64)
+    np.add.at(kx, np.searchsorted(grid, x), 1)
+    np.add.at(ky, np.searchsorted(grid, y), 1)
+    fx = np.cumsum(kx) / float(nx)
+    fy = np.cumsum(ky) / float(ny)
+    diff = fx - fy
+    w1 = float(np.sum(np.abs(diff[:-1]) * np.diff(grid))) if len(grid) > 1 else 0.0
+    w = (kx + ky).astype(np.float64)
+    cvm = float(nx * ny / float(nx + ny) ** 2 * np.sum(w * diff * diff))
+    ks = float(np.max(np.abs(diff)))
+    return {"w1": w1, "cvm": cvm, "ks": ks}
+
+
+def _pair_rows(sf_dir: str) -> list[dict[str, Any]]:
+    t1h = _hourly(sf_dir)
+    series = {
+        k: g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        for k, g in t1h.groupby("event_type", sort=True)
+    }
+    keys = sorted(series)
+    rows = []
+    for a_i in range(len(keys)):
+        for b_i in range(a_i + 1, len(keys)):
+            a, b = keys[a_i], keys[b_i]
+            x, y = series[a], series[b]
+            if len(x) < 5 or len(y) < 5:
+                continue
+            d = ecdf_distance_kernel(x, y)
+            rows.append({"event_x": a, "event_y": b,
+                         "n_x": len(x), "n_y": len(y), **d})
+    return rows
+
+
+def q_wasserstein_pairs(sf_dir: str):
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    hourly-mean distributions of every event-type pair: the integral of
+    |F_x - F_y| over the merged sample support — the transport-cost
+    companion to the existing ``energy_distance`` / ``ad_twosample``
+    two-sample battery. Distribution-drift magnitude in value units."""
+    rows = _pair_rows(sf_dir)
+    out = pd.DataFrame([{k: r[k] for k in
+                         ("event_x", "event_y", "n_x", "n_y", "w1")}
+                        for r in rows])
+    out["n_x"] = out["n_x"].astype("int64")
+    out["n_y"] = out["n_y"].astype("int64")
+    out["w1"] = stable_round6(out["w1"].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+def q_cvm_twosample(sf_dir: str):
+    """Two-sample Cramér-von Mises statistic per event-type pair on the
+    6dp hourly means (tie-aware ECDF-integral form against the pooled
+    empirical measure). More tail-balanced than KS (which weighs only
+    the supremum); the quadratic companion to ``ad_twosample``."""
+    rows = _pair_rows(sf_dir)
+    out = pd.DataFrame([{k: r[k] for k in
+                         ("event_x", "event_y", "n_x", "n_y", "cvm", "ks")}
+                        for r in rows])
+    out["n_x"] = out["n_x"].astype("int64")
+    out["n_y"] = out["n_y"].astype("int64")
+    for c in ("cvm", "ks"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_ECDF_BASE = _HOURLY_CTE + """,
+tl AS (SELECT event_type, COUNT(*) AS n FROM hourly GROUP BY 1),
+pp AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y,
+         a.n AS nx, b.n AS ny
+  FROM tl a JOIN tl b ON a.event_type < b.event_type
+  WHERE a.n >= 5 AND b.n >= 5
+),
+pts AS (
+  SELECT pp.event_x, pp.event_y, pp.nx, pp.ny, h.m,
+         CASE WHEN h.event_type = pp.event_x THEN 1 ELSE 0 END AS cx,
+         CASE WHEN h.event_type = pp.event_y THEN 1 ELSE 0 END AS cy
+  FROM pp JOIN hourly h
+    ON h.event_type = pp.event_x OR h.event_type = pp.event_y
+),
+g AS (
+  SELECT event_x, event_y, nx, ny, m,
+         SUM(cx) AS kx, SUM(cy) AS ky
+  FROM pts GROUP BY 1, 2, 3, 4, 5
+),
+c AS (
+  SELECT event_x, event_y, nx, ny, m, kx, ky,
+         SUM(kx) OVER w AS cumx, SUM(ky) OVER w AS cumy,
+         LEAD(m) OVER w AS m_next
+  FROM g
+  WINDOW w AS (PARTITION BY event_x, event_y ORDER BY m)
+)
+"""
+
+_SQL_WASSERSTEIN = _SQL_ECDF_BASE + """
+SELECT event_x, event_y,
+       CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+       ROUND(ROUND(SUM(CASE WHEN m_next IS NULL THEN 0.0
+           ELSE ABS(cumx::DOUBLE / nx - cumy::DOUBLE / ny) * (m_next - m)
+           END), 9), 6) AS w1
+FROM c
+GROUP BY 1, 2, 3, 4
+ORDER BY event_x, event_y
+"""
+
+_SQL_CVM = _SQL_ECDF_BASE + """
+SELECT event_x, event_y,
+       CAST(nx AS BIGINT) AS n_x, CAST(ny AS BIGINT) AS n_y,
+       ROUND(ROUND(nx::DOUBLE * ny / ((nx + ny)::DOUBLE * (nx + ny))
+           * SUM((kx + ky)
+                 * (cumx::DOUBLE / nx - cumy::DOUBLE / ny)
+                 * (cumx::DOUBLE / nx - cumy::DOUBLE / ny)), 9), 6) AS cvm,
+       ROUND(ROUND(MAX(ABS(cumx::DOUBLE / nx - cumy::DOUBLE / ny)), 9), 6) AS ks
+FROM c
+GROUP BY event_x, event_y, nx, ny
+ORDER BY event_x, event_y
+"""
+
+
+_register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("hodges_lehmann", q_hodges_lehmann, _SQL_HODGES_LEHMANN)
+_register("wasserstein_pairs", q_wasserstein_pairs, _SQL_WASSERSTEIN)
+_register("cvm_twosample", q_cvm_twosample, _SQL_CVM)

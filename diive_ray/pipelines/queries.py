@@ -9538,6 +9538,7 @@ ORDER BY p.event_type
 from .alequeries import ALE_ORACLE, ALE_QUERIES
 from .docqueries import DOC_ORACLE, DOC_QUERIES
 from .statqueries import STAT_ORACLE, STAT_QUERIES
+from .extraqueries import EXTRA_ORACLE, EXTRA_QUERIES
 
 def q_classical_decompose(sf_dir: str):
     """Classical additive seasonal decomposition (reference
@@ -12026,6 +12027,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     **ALE_QUERIES,
     **DOC_QUERIES,
     **STAT_QUERIES,
+    **EXTRA_QUERIES,
 }
 
 ORACLE: dict[str, str] = {
@@ -12199,4 +12201,5 @@ ORACLE: dict[str, str] = {
     **ALE_ORACLE,
     **DOC_ORACLE,
     **STAT_ORACLE,
+    **EXTRA_ORACLE,
 }

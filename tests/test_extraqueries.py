@@ -1,0 +1,137 @@
+"""Property pins for the round-4 batch-2 robust/ECDF estimators:
+Theil-Sen, Hodges-Lehmann, Wasserstein-1 and Cramér-von Mises (kernels
+shared verbatim with the SQL oracles — pipelines/extraqueries.py)."""
+
+import numpy as np
+
+from diive_ray.pipelines.extraqueries import (
+    ecdf_distance_kernel,
+    hodges_lehmann_kernel,
+    theil_sen_kernel,
+)
+
+
+def _rng(key):
+    return np.random.Generator(np.random.Philox(key=[key, 2026]))
+
+
+# ---------------------------------------------------------------- Theil-Sen
+
+
+def test_theil_sen_exact_on_clean_line():
+    x = np.arange(50, dtype=float)
+    y = 3.25 * x - 7.0
+    r = theil_sen_kernel(y)
+    np.testing.assert_allclose(r["slope"], 3.25, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(r["intercept"], -7.0, rtol=0, atol=1e-12)
+    assert r["n_pairs"] == 50 * 49 / 2
+
+
+def test_theil_sen_resists_30pct_outliers_where_ols_breaks():
+    rng = _rng(3)
+    n = 400
+    x = np.arange(n, dtype=float)
+    y = 0.5 * x + 10.0 + rng.normal(0, 0.1, n)
+    # contaminate the top 30% of x positions only — a one-sided leverage
+    # pattern that drags the OLS slope but not the pairwise-slope median
+    bad = np.arange(n - n * 3 // 10, n)
+    y[bad] += rng.normal(500, 100, len(bad))
+    sen = theil_sen_kernel(y)["slope"]
+    ols = np.polyfit(x, y, 1)[0]
+    assert abs(sen - 0.5) < 0.05                   # robust: still the line
+    assert abs(ols - 0.5) > 0.5                    # OLS dragged off
+
+
+def test_theil_sen_median_of_all_pairwise_slopes():
+    rng = _rng(5)
+    y = rng.normal(0, 1, 30)
+    slopes = [(y[j] - y[i]) / (j - i)
+              for i in range(30) for j in range(i + 1, 30)]
+    np.testing.assert_allclose(theil_sen_kernel(y)["slope"],
+                               np.median(slopes), rtol=1e-12)
+
+
+# ----------------------------------------------------------- Hodges-Lehmann
+
+
+def test_hodges_lehmann_location_of_shifted_symmetric_sample():
+    rng = _rng(7)
+    x = rng.standard_t(3, 20000) + 42.0            # heavy tails, center 42
+    hl, nw = hodges_lehmann_kernel(x)
+    assert abs(hl - 42.0) < 0.05
+    assert nw == len(x) * (len(x) + 1) // 2
+
+
+def test_hodges_lehmann_is_median_of_walsh_averages():
+    rng = _rng(9)
+    x = rng.normal(5, 2, 25)
+    walsh = [(x[i] + x[j]) / 2 for i in range(25) for j in range(i, 25)]
+    hl, _ = hodges_lehmann_kernel(x)
+    np.testing.assert_allclose(hl, np.median(walsh), rtol=1e-12)
+
+
+def test_hodges_lehmann_beats_mean_under_asymmetric_outliers():
+    rng = _rng(11)
+    x = np.concatenate([rng.normal(0, 1, 900), np.full(100, 50.0)])
+    hl, _ = hodges_lehmann_kernel(x)
+    assert abs(hl) < 0.5
+    assert abs(x.mean()) > 4.0
+
+
+# --------------------------------------------------------- ECDF distances
+
+
+def test_w1_between_point_masses_is_their_distance():
+    d = ecdf_distance_kernel(np.full(10, 1.0), np.full(7, 4.5))
+    np.testing.assert_allclose(d["w1"], 3.5, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(d["ks"], 1.0)
+
+
+def test_w1_hand_case_two_points_each():
+    # F_x steps at 0 and 2; F_y steps at 1 and 3; |Fx-Fy| = 0.5 on each
+    # unit gap -> W1 = 1.5... compute: grid 0,1,2,3; Fx = .5,.5,1,1;
+    # Fy = 0,.5,.5,1; |diff| on gaps (0-1):.5, (1-2):0, (2-3):.5 -> 1.0
+    d = ecdf_distance_kernel(np.array([0.0, 2.0]), np.array([1.0, 3.0]))
+    np.testing.assert_allclose(d["w1"], 1.0, atol=1e-12)
+
+
+def test_w1_shift_invariance_equals_shift():
+    rng = _rng(13)
+    x = rng.normal(0, 1, 5000)
+    d = ecdf_distance_kernel(x, x + 2.0)
+    np.testing.assert_allclose(d["w1"], 2.0, rtol=0.05)
+
+
+def test_w1_matches_sorted_sample_formula_equal_sizes():
+    # for equal n, W1 = mean |x_(i) - y_(i)| over order statistics
+    rng = _rng(15)
+    x, y = rng.normal(0, 1, 800), rng.normal(0.5, 2, 800)
+    d = ecdf_distance_kernel(x, y)
+    expect = np.mean(np.abs(np.sort(x) - np.sort(y)))
+    np.testing.assert_allclose(d["w1"], expect, rtol=1e-10)
+
+
+def test_cvm_zero_on_identical_samples_positive_on_shift():
+    rng = _rng(17)
+    x = rng.normal(0, 1, 1000)
+    same = ecdf_distance_kernel(x, x.copy())
+    assert same["cvm"] < 1e-12 and same["ks"] < 1e-12
+    shifted = ecdf_distance_kernel(x, x + 1.0)
+    assert shifted["cvm"] > 10.0                  # ~n/4 * integral scale
+
+
+def test_cvm_hand_case():
+    # x = {0}, y = {1}: grid 0,1; Fx = 1,1; Fy = 0,1; diffs 1,0;
+    # weights 1,1 -> sum w*diff^2 = 1; T = (1*1/4)*1 = 0.25
+    d = ecdf_distance_kernel(np.array([0.0]), np.array([1.0]))
+    np.testing.assert_allclose(d["cvm"], 0.25, atol=1e-12)
+
+
+def test_cvm_detects_variance_change_ks_less_sensitive():
+    # equal means, different spread: CvM picks up both tails
+    rng = _rng(19)
+    x = rng.normal(0, 1, 4000)
+    y = rng.normal(0, 3, 4000)
+    d = ecdf_distance_kernel(x, y)
+    assert d["cvm"] > 50.0
+    assert d["ks"] < 0.5        # sup-norm comparatively modest
