@@ -29,10 +29,12 @@ shared with the stationarity / correlation batteries in
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import numpy as np
 import pandas as pd
+import ray.data as rd
 
 from ..util import stable_round6
 from .statqueries import _HOURLY_CTE, _hourly
@@ -309,7 +311,296 @@ ORDER BY event_x, event_y
 """
 
 
+# --------------------------------------------------------- TPC-H Q5 shape
+
+
+def q_tpch_q5_shape(sf_dir: str):
+    """TPC-H Q5-shape star join: revenue by supplier nation for one
+    region + one order-date year, with the classic
+    customer-nation == supplier-nation local-supply predicate. Plan
+    (the textbook mixed broadcast/exchange star plan):
+
+    * region/nation are constant-size dims -> resolved driver-side;
+    * orders (date-pruned at the read) x customer -> ONE distributed
+      hash join on custkey (customer scales with SF, so it is NOT
+      broadcast);
+    * supplier is the smallest dimension -> ``broadcast_join`` into
+      lineitem (``ray.put`` once, map-side, the fact never moves for
+      this dim);
+    * lineitem x (orders-customer) -> the one genuinely large-large
+      hash join, on orderkey — each fact side moves exactly once;
+    * local-supply filter + per-nation revenue partials -> bounded
+      driver combine (25 nations).
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.exchange import driver_combine
+    from ..stages.joins import broadcast_join, hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nat[nat["n_regionkey"] == asia]
+    nk2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    asian = set(nk2name)
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda df: df[df["c_nationkey"].isin(asian)].rename(
+            columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        .drop(columns=["o_orderdate"]),
+        batch_format="pandas",
+    )
+    oc = hash_join(orders, cust, on="o_custkey", how="inner").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(asian)].rename(
+        columns={"s_suppkey": "l_suppkey"})
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_join(li, supp, on="l_suppkey", how="inner").map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"})
+        .drop(columns=["l_suppkey"]),
+        batch_format="pandas",
+    )
+    j = hash_join(li, oc, on="o_orderkey", how="inner").map_batches(
+        lambda df: df[df["c_nationkey"] == df["s_nationkey"]],
+        batch_format="pandas",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby("s_nationkey", as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size"))
+
+    g = driver_combine(
+        j, partial,
+        lambda df: df.groupby("s_nationkey", as_index=False).agg(
+            rev=("rev", "sum"), n=("n", "sum")),
+        batch_format="pandas",
+    )
+    g["n_name"] = g["s_nationkey"].map(nk2name)
+    g["revenue"] = stable_round6(g["rev"].astype(float))
+    out = g.sort_values(["revenue", "n_name"], ascending=[False, True])[
+        ["n_name", "n", "revenue"]].rename(columns={"n": "n_items"})
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_SQL_TPCH_Q5 = """
+SELECT n.n_name,
+       COUNT(*)::BIGINT AS n_items,
+       ROUND(ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 9), 6) AS revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+JOIN region r    ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+# -------------------------------------------------------- TPC-H Q18 shape
+
+
+def q_tpch_q18_shape(sf_dir: str):
+    """TPC-H Q18-shape (large-volume orders): per-order quantity sums
+    via per-batch partials + ONE keyed exchange on orderkey (the only
+    shuffle — the aggregate payload is (orderkey, partial) rows, never
+    line items); orders with sum(l_quantity) > 300 are a bounded set by
+    construction, so the qualifying keys come back to the driver and
+    filter orders map-side (broadcast semi-join), with the
+    constant-size customer dim broadcast for names. Top 100 by
+    (o_totalprice DESC, o_orderkey ASC) — quantity sums of small ints
+    in float64 are exact integers, so both sides rank identically."""
+    from ..stages.exchange import block_map
+    from ..stages.joins import broadcast_join
+
+    thresh = 300.0
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(
+        lambda df: df.groupby("l_orderkey", as_index=False).agg(
+            q=("l_quantity", "sum")),
+        batch_format="pandas",
+    )
+    big = block_map(
+        li, ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).agg(q=("q", "sum")),
+        batch_format="pandas",
+    ).map_batches(lambda df: df[df["q"] > thresh], batch_format="pandas")
+    bigdf = big.to_pandas()            # bounded: the > 300 tail only
+    bigdf = bigdf.rename(columns={"l_orderkey": "o_orderkey", "q": "sum_qty"})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j = broadcast_join(orders, bigdf, on="o_orderkey", how="inner")
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    j = broadcast_join(j, cust, on="o_custkey", how="inner")
+    df = j.to_pandas()                 # bounded by the qualifying set
+    df = df.sort_values(["o_totalprice", "o_orderkey"],
+                        ascending=[False, True]).head(100)
+    out = pd.DataFrame({
+        "c_name": df["c_name"],
+        "o_custkey": df["o_custkey"].astype("int64"),
+        "o_orderkey": df["o_orderkey"].astype("int64"),
+        "o_orderdate": pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]"),
+        "o_totalprice": stable_round6(df["o_totalprice"].astype(float)),
+        "sum_qty": stable_round6(df["sum_qty"].astype(float)),
+    })
+    return out.reset_index(drop=True)
+
+
+_SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_name,
+       o.o_custkey::BIGINT AS o_custkey,
+       o.o_orderkey::BIGINT AS o_orderkey,
+       o.o_orderdate,
+       ROUND(ROUND(o.o_totalprice, 9), 6) AS o_totalprice,
+       ROUND(ROUND(big.sum_qty, 9), 6) AS sum_qty
+FROM big
+JOIN orders o   ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ------------------------------------------------------------- ROC AUC
+
+
+def auc_from_counts(cnt: pd.DataFrame) -> pd.DataFrame:
+    """Exact tie-aware ROC AUC from per-(group, score-value) label
+    counts: the Mann-Whitney identity with midranks,
+    U = sum_v n_pos(v) * (N_neg(< v) + n_neg(v)/2), AUC = U/(P*N).
+    Input columns: group, score, n_pos, n_neg."""
+    rows = []
+    for g, d in cnt.groupby("group", sort=True):
+        d = d.sort_values("score")
+        npos = float(d["n_pos"].sum())
+        nneg = float(d["n_neg"].sum())
+        if npos == 0 or nneg == 0:
+            continue
+        cumn = np.concatenate([[0.0], np.cumsum(d["n_neg"].to_numpy(float))[:-1]])
+        u = float(np.sum(d["n_pos"].to_numpy(float)
+                         * (cumn + d["n_neg"].to_numpy(float) / 2.0)))
+        auc = u / (npos * nneg)
+        rows.append({"group": g, "n_pos": int(npos), "n_neg": int(nneg),
+                     "auc": auc, "gini": 2.0 * auc - 1.0})
+    return pd.DataFrame(rows)
+
+
+def q_classifier_auc(sf_dir: str):
+    """Exact ROC AUC / Gini per language of document length (n_chars)
+    as a classifier score for the high-half source label
+    (source >= 'src5') — the rank-sum (Mann-Whitney) identity with
+    midrank tie handling, computed from per-(lang, score-value) label
+    counts: per-batch vectorized partial counts -> bounded combine
+    (cardinality = langs x distinct lengths, never rows), so the AUC
+    of a score column over any corpus size is ONE bounded exchange —
+    the scale path for ranking-metric evaluation of quality
+    classifiers (companion to doc_quality_classifier)."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = (df["source"] >= "src5").astype(np.int64)
+        g = pd.DataFrame({"group": df["lang"], "score": df["n_chars"],
+                          "lab": lab}).groupby(
+            ["group", "score"], as_index=False).agg(
+            n_pos=("lab", "sum"), n=("lab", "size"))
+        g["n_neg"] = g["n"] - g["n_pos"]
+        return g.drop(columns=["n"])
+
+    cnt = driver_combine(
+        docs, partial,
+        lambda df: df.groupby(["group", "score"], as_index=False).agg(
+            n_pos=("n_pos", "sum"), n_neg=("n_neg", "sum")),
+        batch_format="pandas",
+    )
+    out = auc_from_counts(cnt).rename(columns={"group": "lang"})
+    out["n_pos"] = out["n_pos"].astype("int64")
+    out["n_neg"] = out["n_neg"].astype("int64")
+    for c in ("auc", "gini"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+_SQL_AUC = """
+WITH d AS (
+  SELECT lang, n_chars AS score,
+         CASE WHEN source >= 'src5' THEN 1 ELSE 0 END AS lab
+  FROM documents
+),
+cnt AS (
+  SELECT lang, score, SUM(lab) AS n_pos, COUNT(*) - SUM(lab) AS n_neg
+  FROM d GROUP BY 1, 2
+),
+c AS (
+  SELECT lang, score, n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (PARTITION BY lang ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+  FROM cnt
+),
+u AS (
+  SELECT lang,
+         SUM(n_pos::DOUBLE * (cumn + n_neg / 2.0)) AS u,
+         SUM(n_pos) AS npos, SUM(n_neg) AS nneg
+  FROM c GROUP BY 1
+)
+SELECT lang, CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       ROUND(ROUND(u / (npos * nneg), 9), 6) AS auc,
+       ROUND(ROUND(2.0 * u / (npos * nneg) - 1.0, 9), 6) AS gini
+FROM u
+WHERE npos > 0 AND nneg > 0
+ORDER BY lang
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("tpch_q5_shape", q_tpch_q5_shape, _SQL_TPCH_Q5)
+_register("tpch_q18_shape", q_tpch_q18_shape, _SQL_TPCH_Q18)
+_register("classifier_auc", q_classifier_auc, _SQL_AUC)
 _register("hodges_lehmann", q_hodges_lehmann, _SQL_HODGES_LEHMANN)
 _register("wasserstein_pairs", q_wasserstein_pairs, _SQL_WASSERSTEIN)
 _register("cvm_twosample", q_cvm_twosample, _SQL_CVM)

@@ -135,3 +135,44 @@ def test_cvm_detects_variance_change_ks_less_sensitive():
     d = ecdf_distance_kernel(x, y)
     assert d["cvm"] > 50.0
     assert d["ks"] < 0.5        # sup-norm comparatively modest
+
+
+# ------------------------------------------------------------------ ROC AUC
+
+
+def _auc(counts):
+    import pandas as pd
+    from diive_ray.pipelines.extraqueries import auc_from_counts
+    df = pd.DataFrame(counts, columns=["group", "score", "n_pos", "n_neg"])
+    return auc_from_counts(df)
+
+
+def test_auc_perfect_separation_is_one():
+    r = _auc([("g", 1, 0, 10), ("g", 2, 0, 5), ("g", 3, 7, 0)])
+    assert r["auc"].iloc[0] == 1.0 and r["gini"].iloc[0] == 1.0
+
+
+def test_auc_all_tied_is_half():
+    r = _auc([("g", 5, 10, 20)])
+    assert r["auc"].iloc[0] == 0.5
+
+
+def test_auc_matches_pairwise_probability_definition():
+    rng = _rng(23)
+    pos = rng.integers(0, 40, 300)
+    neg = rng.integers(0, 40, 500)
+    import collections
+    cnt = collections.Counter()
+    for v in pos:
+        cnt[(int(v), "p")] += 1
+    for v in neg:
+        cnt[(int(v), "n")] += 1
+    rows = []
+    for v in sorted({int(x) for x in np.concatenate([pos, neg])}):
+        rows.append(("g", v, cnt[(v, "p")], cnt[(v, "n")]))
+    got = _auc(rows)["auc"].iloc[0]
+    # brute-force P(pos > neg) + 0.5 P(tie)
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
