@@ -597,10 +597,314 @@ ORDER BY lang
 """
 
 
+# ------------------------------------------------- incremental rollup merge
+
+
+def q_rollup_late_merge(sf_dir: str):
+    """Incremental continuous-aggregate maintenance (the north rule's
+    late-data path): events are deterministically split 95/5 into a
+    base corpus and a 'late-arriving' delta (bijective-hash bucket of
+    event_id), each side rolled up through the fused cascade SEPARATELY,
+    then the two 1h tiers are folded together with
+    ``rollup.merge_tier_datasets`` — decomposable count/sum/min/max
+    partials combine in ONE keyed exchange, the base corpus is never
+    re-read. The oracle aggregates ALL events directly, so a green row
+    proves merge == full recompute point-for-point."""
+    from .queries import _tier_result
+    from .rollup import cascade_fused, merge_tier_datasets
+
+    def split(late: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            h = (df["event_id"].to_numpy(np.int64) * 48271) % (2 ** 31) % 20
+            m = (h == 0) if late else (h != 0)
+            return df.loc[m, ["event_type", "ts", "value"]]
+        return fn
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+
+    def tier_1h(late: bool):
+        part = ds.map_batches(split(late), batch_format="pandas")
+        fused = cascade_fused(
+            part, value_col="value", keys=("event_type",), ts_col="ts",
+            end_stamped=False, raw_width_us=None,
+        )
+        return fused.filter(expr="tier == '1h'").drop_columns(
+            ["tier", "n_child"])
+
+    merged = merge_tier_datasets(tier_1h(False), tier_1h(True),
+                                 keys=["event_type"])
+    return _tier_result(merged)
+
+
+# ---------------------------------------------------------------- KDE grid
+
+
+def kde_gaussian_kernel(m: np.ndarray, n_grid: int = 21) -> pd.DataFrame:
+    """Gaussian KDE on an n_grid-point linear grid over [min, max] with
+    Silverman's rule-of-thumb bandwidth computed from 6dp-rounded
+    sd/IQR components (so the SQL replica uses bitwise-identical h)."""
+    n = float(len(m))
+    mean = m.sum() / n
+    sd = np.sqrt(((m - mean) ** 2).sum() / (n - 1.0))
+    q1, q3 = np.quantile(m, 0.25), np.quantile(m, 0.75)
+    sd6 = float(stable_round6(np.array([sd]))[0])
+    iqr6 = float(stable_round6(np.array([q3 - q1]))[0])
+    h = float(stable_round6(np.array(
+        [0.9 * min(sd6, iqr6 / 1.34) * n ** (-0.2)]))[0])
+    mn, mx = float(m.min()), float(m.max())
+    k = np.arange(n_grid, dtype=np.float64)
+    grid = mn + k * (mx - mn) / (n_grid - 1.0)
+    z = (grid[:, None] - m[None, :]) / h
+    dens = np.exp(-0.5 * z * z).sum(axis=1) / (n * h * np.sqrt(2.0 * np.pi))
+    return pd.DataFrame({"k": k.astype(np.int64), "x": grid,
+                         "density": dens, "bandwidth": h})
+
+
+def q_kde_grid(sf_dir: str):
+    """Gaussian kernel density estimate per event_type over the 6dp
+    hourly means at a 21-point fixed grid (Silverman 1986 rule-of-thumb
+    bandwidth from 6dp sd/IQR so both sides share the exact h). The
+    smooth-distribution companion to the ``histogram`` /
+    ``percentiles101`` battery — exact-oracle because exp() on
+    identical doubles is identical libm on both sides."""
+    t1h = _hourly(sf_dir)
+    outs = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(m) < 10:
+            continue
+        d = kde_gaussian_kernel(m)
+        d.insert(0, "event_type", key)
+        outs.append(d)
+    out = pd.concat(outs, ignore_index=True)
+    out["x"] = stable_round6(out["x"].astype(float))
+    out["density"] = stable_round6(out["density"].astype(float))
+    out["bandwidth"] = stable_round6(out["bandwidth"].astype(float))
+    return out.sort_values(["event_type", "k"]).reset_index(drop=True)
+
+
+_SQL_KDE = _HOURLY_CTE + """,
+st AS (
+  SELECT event_type, COUNT(*) AS n, AVG(m) AS mu,
+         MIN(m) AS mn, MAX(m) AS mx,
+         quantile_cont(m, 0.25) AS q1, quantile_cont(m, 0.75) AS q3
+  FROM hourly GROUP BY 1 HAVING COUNT(*) >= 10
+),
+bw AS (
+  SELECT event_type, n, mn, mx,
+         ROUND(ROUND(0.9 * LEAST(
+             ROUND(ROUND(SQRT((SELECT SUM((h.m - st.mu) * (h.m - st.mu))
+                               FROM hourly h
+                               WHERE h.event_type = st.event_type)
+                          / (st.n - 1.0)), 9), 6),
+             ROUND(ROUND(st.q3 - st.q1, 9), 6) / 1.34)
+             * POWER(st.n::DOUBLE, -0.2), 9), 6) AS h
+  FROM st
+),
+grid AS (
+  SELECT bw.event_type, bw.n, bw.h, gs.k::DOUBLE AS k,
+         bw.mn + gs.k * (bw.mx - bw.mn) / 20.0 AS x
+  FROM bw, (SELECT UNNEST(generate_series(0, 20)) AS k) gs
+)
+SELECT g.event_type, CAST(g.k AS BIGINT) AS k,
+       ROUND(ROUND(g.x, 9), 6) AS x,
+       ROUND(ROUND(SUM(EXP(-0.5 * ((g.x - h.m) / g.h)
+                           * ((g.x - h.m) / g.h)))
+             / (g.n * g.h * SQRT(2.0 * PI())), 9), 6) AS density,
+       ROUND(ROUND(g.h, 9), 6) AS bandwidth
+FROM grid g JOIN hourly h USING (event_type)
+GROUP BY g.event_type, g.k, g.x, g.n, g.h
+ORDER BY g.event_type, k
+"""
+
+
+# ----------------------------------------------------- multinomial NB
+
+
+def q_doc_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes source classifier (add-1 Laplace
+    smoothing, the textbook McCallum & Nigam 1998 event model) trained
+    and evaluated on the corpus, reported as the source x predicted
+    confusion matrix. Distributed shape:
+
+    * training = per-batch (source, word) count partials -> ONE
+      vocab-bounded exchange (text never moves) + a tiny per-class doc
+      count for the priors;
+    * the model (V x C log-likelihood matrix + log-priors) is
+      ``ray.put`` ONCE and read per task;
+    * scoring = one vectorized pass: per-batch RE2 split, vocab-id
+      lookup, per-(doc, word) distinct counts, then a (k x C) gather +
+      segment add — mirroring the oracle's cnt * ln(p) sum exactly;
+      scores are stable_round6-ed on BOTH sides before the argmax
+      (ties -> lexicographically smallest class).
+
+    Docs with zero words are excluded on both sides (no likelihood
+    term). Companion to doc_quality_classifier (discriminative IRLS)
+    on the generative side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.exchange import block_map, driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    # ---- per-class word counts: partials -> ONE exchange on word
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words)
+        lens = pc.list_value_length(words).to_numpy()
+        src = np.repeat(t["source"].to_pandas().to_numpy(object), lens)
+        w = flat.to_pandas().to_numpy(object)
+        keep = w != ""
+        df = pd.DataFrame({"c": src[keep], "word": w[keep]})
+        return df.groupby(["c", "word"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cw = block_map(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["c", "word"], as_index=False)["n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+
+    # ---- priors from per-class doc counts (bounded combine)
+    pri = driver_combine(
+        docs, lambda df: df.groupby("source", as_index=False).size(),
+        lambda df: df.groupby("source", as_index=False)["size"].sum(),
+        batch_format="pandas",
+    )
+    nd = float(pri["size"].sum())
+
+    vocab = np.array(sorted(cw["word"].unique()), dtype=object)
+    classes = sorted(cw["c"].unique())
+    V, C = len(vocab), len(classes)
+    widx = pd.Index(vocab)
+    cidx = {c: i for i, c in enumerate(classes)}
+    tot = cw.groupby("c")["n"].sum()
+    L = np.zeros((V, C), dtype=np.float64)
+    for c in classes:
+        L[:, cidx[c]] = np.log(1.0 / (float(tot[c]) + V))
+    wi = widx.get_indexer(cw["word"].to_numpy(object))
+    ci = np.array([cidx[c] for c in cw["c"]], dtype=np.int64)
+    L[wi, ci] = np.log(
+        (cw["n"].to_numpy(np.float64) + 1.0)
+        / (tot.loc[cw["c"]].to_numpy(np.float64) + V))
+    lp = np.full(C, -np.inf)
+    for _, r in pri.iterrows():
+        if r["source"] in cidx:
+            lp[cidx[r["source"]]] = np.log(float(r["size"]) / nd)
+
+    model = ray.put((vocab, L, lp, np.array(classes, dtype=object)))
+
+    # ---- scoring pass: vectorized, model read from the object store
+    def score(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        voc, LL, lpri, cls = _ray.get(model)
+        vdx = pd.Index(voc)
+        nb = len(t)
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        doc_i = np.repeat(np.arange(nb, dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_i = flat[keep], doc_i[keep]
+        idx = vdx.get_indexer(flat)
+        ok = idx >= 0                      # closed vocab: always true here
+        flat, doc_i, idx = flat[ok], doc_i[ok], idx[ok]
+        key = doc_i * len(voc) + idx
+        uk, cnt = np.unique(key, return_counts=True)
+        d = (uk // len(voc)).astype(np.int64)
+        w = (uk % len(voc)).astype(np.int64)
+        scores = np.zeros((nb, LL.shape[1]), dtype=np.float64)
+        np.add.at(scores, d, cnt[:, None].astype(np.float64) * LL[w])
+        scores = scores + lpri[None, :]
+        s6 = stable_round6(scores)
+        has = np.zeros(nb, dtype=bool)
+        has[doc_i] = True
+        pred = cls[np.argmax(s6, axis=1)]
+        out = pd.DataFrame({"source": t["source"].to_pandas()[has],
+                            "predicted": pred[has]})
+        return out.groupby(["source", "predicted"], as_index=False).size(
+        ).rename(columns={"size": "n_docs"})
+
+    conf = driver_combine(
+        docs, score,
+        lambda df: df.groupby(["source", "predicted"], as_index=False)[
+            "n_docs"].sum(),
+        batch_format="pyarrow",
+    )
+    conf["n_docs"] = conf["n_docs"].astype("int64")
+    return conf.sort_values(["source", "predicted"]).reset_index(drop=True)
+
+
+_SQL_NAIVE_BAYES = r"""
+WITH words AS (
+  SELECT doc_id, source, w AS word FROM (
+    SELECT doc_id, source,
+           UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cw AS (SELECT source AS c, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+ct AS (SELECT c, SUM(n) AS tot FROM cw GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT word) AS v FROM words),
+cls AS (SELECT source AS c, COUNT(*) AS ndoc FROM documents GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dw AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+sc AS (
+  SELECT dw.doc_id, ct.c,
+         SUM(dw.cnt * LN((COALESCE(cw.n, 0) + 1.0) / (ct.tot + vv.v))) AS s
+  FROM dw
+  CROSS JOIN ct CROSS JOIN vv
+  LEFT JOIN cw ON cw.c = ct.c AND cw.word = dw.word
+  GROUP BY 1, 2
+),
+tot_sc AS (
+  SELECT sc.doc_id, sc.c,
+         ROUND(ROUND(sc.s + LN(cls.ndoc::DOUBLE / nd.n), 9), 6) AS score
+  FROM sc JOIN cls ON cls.c = sc.c CROSS JOIN nd
+),
+pred AS (
+  SELECT doc_id, c AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c ASC) AS r
+  FROM tot_sc
+)
+SELECT d.source, p.predicted, COUNT(*)::BIGINT AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.r = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
 _register("tpch_q5_shape", q_tpch_q5_shape, _SQL_TPCH_Q5)
 _register("tpch_q18_shape", q_tpch_q18_shape, _SQL_TPCH_Q18)
 _register("classifier_auc", q_classifier_auc, _SQL_AUC)
+_register("rollup_late_merge", q_rollup_late_merge,
+          """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS bucket_ts,
+       COUNT(value) AS n,
+       ROUND(ROUND(SUM(value), 9), 6) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(value) > 0
+""")
+_register("kde_grid", q_kde_grid, _SQL_KDE)
+_register("doc_naive_bayes", q_doc_naive_bayes, _SQL_NAIVE_BAYES)
 _register("hodges_lehmann", q_hodges_lehmann, _SQL_HODGES_LEHMANN)
 _register("wasserstein_pairs", q_wasserstein_pairs, _SQL_WASSERSTEIN)
 _register("cvm_twosample", q_cvm_twosample, _SQL_CVM)

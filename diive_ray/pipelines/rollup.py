@@ -592,3 +592,49 @@ def events_cascade(sf_dir: str, **kw) -> dict[str, ray.data.Dataset]:
         ds, value_col="value", keys=("event_type",), ts_col="ts",
         end_stamped=False, raw_width_us=None, **kw,
     )
+
+
+def merge_tier_datasets(
+    a: ray.data.Dataset,
+    b: ray.data.Dataset,
+    *,
+    keys: "Iterable[str]" = ("source",),
+) -> ray.data.Dataset:
+    """Incremental continuous-aggregate maintenance: merge two tier
+    datasets of the SAME tier (e.g. a base rollup and a late-arrival
+    delta rollup) by combining their decomposable partials — count/sum
+    add, min/max fold, mean re-derived from the merged sum/count. ONE
+    keyed exchange on (keys, bucket); only buckets present in the delta
+    move new data, untouched buckets pass through the combine verbatim.
+
+    This is the timescale-style late-data path of the north rule: a
+    late batch is rolled up on its own (tiny) and folded into the
+    standing tiers without re-reading the base corpus. Equality with a
+    full recompute over base+delta is pinned by the
+    ``rollup_late_merge`` oracle query and tests/test_rollup_merge.py.
+    """
+    import pandas as pd
+
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    keys = list(keys)
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=ts_to_us(df["bucket_ts"]))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys + ["_b"], as_index=False).agg(
+            bucket_ts=("bucket_ts", "first"),
+            count=("count", "sum"),
+            sum=("sum", "sum"),
+            min=("min", "min"),
+            max=("max", "max"),
+        )
+        g["mean"] = g["sum"] / g["count"]
+        return g.drop(columns=["_b"])
+
+    u = a.map_batches(add_key, batch_format="pandas").union(
+        b.map_batches(add_key, batch_format="pandas"))
+    return block_map(u, keys + ["_b"], combine, batch_format="pandas",
+                     zero_copy_batch=False)

@@ -176,3 +176,26 @@ def test_auc_matches_pairwise_probability_definition():
     ties = (pos[:, None] == neg[None, :]).sum()
     expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
     np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+# ----------------------------------------------------------------- KDE grid
+
+
+def test_kde_density_integrates_to_one_over_wide_grid():
+    from diive_ray.pipelines.extraqueries import kde_gaussian_kernel
+    rng = _rng(29)
+    m = rng.normal(10, 2, 5000)
+    d = kde_gaussian_kernel(m, n_grid=201)
+    # trapezoid over the sample range covers ~all mass for a normal
+    area = np.trapz(d["density"], d["x"])
+    assert 0.95 < area < 1.01
+
+
+def test_kde_peak_at_mode_and_silverman_bandwidth_positive():
+    from diive_ray.pipelines.extraqueries import kde_gaussian_kernel
+    rng = _rng(31)
+    m = rng.normal(0, 1, 4000)
+    d = kde_gaussian_kernel(m, n_grid=101)
+    peak_x = d.loc[d["density"].idxmax(), "x"]
+    assert abs(peak_x) < 0.3
+    assert 0 < d["bandwidth"].iloc[0] < 1.0
