@@ -886,7 +886,216 @@ ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------------ ARIMA(1,1,1)
+
+
+def arima111_css_kernel(y: np.ndarray, step: float = 0.05) -> dict[str, float]:
+    """Conditional-sum-of-squares ARMA(1,1) fit on the FIRST DIFFERENCE
+    of the series (= ARIMA(1,1,1) on the level, Box & Jenkins 1970) over
+    a (phi, theta) grid with a closed-form intercept per combo:
+    e_t = z_t - c - phi z_{t-1} - theta e_{t-1}, e_0 = 0, with
+    c = (1 - phi) zbar (the stationary-mean plug-in). The recursion is
+    sequential in t but vectorized across the whole grid (the garch11
+    pattern). Deterministic lowest-(phi, theta) tie-break."""
+    z = np.diff(y)
+    n = len(z)
+    zbar = z.sum() / n
+    g = np.arange(-0.95, 0.951, step)
+    pp, tt = np.meshgrid(g, g, indexing="ij")
+    pp, tt = pp.ravel(), tt.ravel()
+    c = (1.0 - pp) * zbar
+    e_prev = np.zeros(pp.shape)
+    css = np.zeros(pp.shape)
+    for t in range(1, n):
+        e = z[t] - c - pp * z[t - 1] - tt * e_prev
+        css += e * e
+        e_prev = e
+    i = int(np.argmin(np.round(css, 9)))
+    sigma2 = css[i] / (n - 1)
+    return {"phi": float(pp[i]), "theta": float(tt[i]),
+            "css": float(css[i]), "sigma2": float(sigma2),
+            "zbar": float(zbar)}
+
+
+def q_arima111(sf_dir: str):
+    """ARIMA(1,1,1) CSS grid fit per event_type on the 6dp hourly
+    means: difference once, fit ARMA(1,1) by conditional sum of squares
+    over a 39x39 (phi, theta) grid. Rows-only by design (sequential
+    innovation recursion + argmin grid); planted-parameter recovery is
+    pytest-pinned. Completes the forecasting family (AR(2) Yule-Walker,
+    Holt-Winters, theta, Croston) with the classic mixed model."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(m) < 50:
+            continue
+        rows.append({"event_type": key, "n": len(m),
+                     **arima111_css_kernel(m)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("phi", "theta", "css", "sigma2", "zbar"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ----------------------------------------------------- Tukey median polish
+
+
+def median_polish_kernel(mat: np.ndarray, n_iter: int = 10):
+    """Tukey (1977) additive two-way decomposition by alternating
+    row/column median sweeps: mat[i,j] ~ overall + row[i] + col[j] +
+    residual. NaN cells are skipped by the medians (np.nanmedian).
+    Deterministic: fixed iteration count, no convergence test."""
+    r = mat.astype(np.float64).copy()
+    row = np.zeros(mat.shape[0])
+    col = np.zeros(mat.shape[1])
+    overall = 0.0
+    for _ in range(n_iter):
+        rm = np.nanmedian(r, axis=1)
+        r -= rm[:, None]
+        row += rm
+        cm = np.nanmedian(row)
+        overall += cm
+        row -= cm
+        cm = np.nanmedian(r, axis=0)
+        r -= cm[None, :]
+        col += cm
+        rm2 = np.nanmedian(col)
+        overall += rm2
+        col -= rm2
+    return overall, row, col, r
+
+
+def q_median_polish(sf_dir: str):
+    """Tukey median polish of the hour-of-day x day-of-week mean-value
+    matrix per event_type: the robust (median-based) alternative to the
+    two-way ANOVA decomposition in the diel/weekly-profile family
+    (diel_cycle / monthly_matrix). Cell means come from bounded
+    distributed partials (types x 24 x 7 cells); the polish runs on the
+    bounded matrix. Rows-only (iterative sweeps); additive-recovery and
+    outlier-robustness are pytest-pinned."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hh": pd.DatetimeIndex(df["ts"]).hour,
+            "dow": pd.DatetimeIndex(df["ts"]).dayofweek,
+            "v": df["value"],
+        }).groupby(["event_type", "hh", "dow"], as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+        return g
+
+    cells = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "hh", "dow"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas",
+    )
+    cells["m"] = cells["s"] / cells["n"]
+    rows = []
+    for key, g in cells.groupby("event_type", sort=True):
+        mat = np.full((24, 7), np.nan)
+        mat[g["hh"].to_numpy(int), g["dow"].to_numpy(int)] = g["m"]
+        overall, row, col, resid = median_polish_kernel(mat)
+        rows.append({"event_type": key, "kind": "overall", "idx": 0,
+                     "effect": overall})
+        rows += [{"event_type": key, "kind": "hour", "idx": i,
+                  "effect": row[i]} for i in range(24)]
+        rows += [{"event_type": key, "kind": "dow", "idx": j,
+                  "effect": col[j]} for j in range(7)]
+        rows.append({"event_type": key, "kind": "max_abs_resid", "idx": 0,
+                     "effect": float(np.nanmax(np.abs(resid)))})
+    out = pd.DataFrame(rows)
+    out["idx"] = out["idx"].astype("int64")
+    out["effect"] = stable_round6(out["effect"].astype(float))
+    return out.sort_values(["event_type", "kind", "idx"]).reset_index(
+        drop=True)
+
+
+# -------------------------------------------------------------- Sinkhorn OT
+
+
+def sinkhorn_kernel(p: np.ndarray, q: np.ndarray, cost: np.ndarray,
+                    eps: float = 0.05, n_iter: int = 500) -> float:
+    """Entropic-regularized optimal transport (Cuturi 2013 Sinkhorn
+    iterations): returns <P, C> for the Sinkhorn plan at regularization
+    eps. Deterministic fixed iteration count; log-domain-free (the cost
+    matrices here are small and eps moderate)."""
+    K = np.exp(-cost / eps)
+    u = np.ones_like(p)
+    for _ in range(n_iter):
+        v = q / (K.T @ u)
+        u = p / (K @ v)
+    P = u[:, None] * K * v[None, :]
+    return float(np.sum(P * cost))
+
+
+def q_sinkhorn_ot(sf_dir: str):
+    """Entropic optimal-transport distance (Sinkhorn) between the
+    per-source document-length distributions: n_chars histogrammed to
+    20 equal-width bins over the global range (bounded distributed
+    partial counts — ONE slim combine, text never moves), then the
+    20x20 Sinkhorn plan per source pair on the driver (bounded:
+    sources^2 x 400 cells). Cost = |bin-center distance| normalized by
+    the range, so values are comparable across corpora. Rows-only
+    (iterative scaling); convergence to the exact 1-D Wasserstein-1 at
+    small eps is pytest-pinned."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+    lohi = driver_combine(
+        docs,
+        lambda df: pd.DataFrame({"lo": [df["n_chars"].min()],
+                                 "hi": [df["n_chars"].max()]}),
+        lambda df: pd.DataFrame({"lo": [df["lo"].min()],
+                                 "hi": [df["hi"].max()]}),
+        batch_format="pandas",
+    )
+    lo, hi = float(lohi["lo"][0]), float(lohi["hi"][0])
+    nb = 20
+    width = (hi - lo) / nb or 1.0
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(((df["n_chars"] - lo) / width).astype(int), nb - 1)
+        return pd.DataFrame({"source": df["source"], "b": b}).groupby(
+            ["source", "b"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cnt = driver_combine(
+        docs, partial,
+        lambda df: df.groupby(["source", "b"], as_index=False)["n"].sum(),
+        batch_format="pandas",
+    )
+    hists = {}
+    for s, g in cnt.groupby("source"):
+        h = np.zeros(nb)
+        h[g["b"].to_numpy(int)] = g["n"].to_numpy(float)
+        hists[s] = h / h.sum()
+    centers = (np.arange(nb) + 0.5) / nb
+    cost = np.abs(centers[:, None] - centers[None, :])
+    keys = sorted(hists)
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            d = sinkhorn_kernel(hists[keys[i]], hists[keys[j]], cost)
+            rows.append({"source_x": keys[i], "source_y": keys[j],
+                         "ot_cost": d})
+    out = pd.DataFrame(rows)
+    out["ot_cost"] = stable_round6(out["ot_cost"].astype(float))
+    return out.sort_values(["source_x", "source_y"]).reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("arima111", q_arima111)
+_register("median_polish", q_median_polish)
+_register("sinkhorn_ot", q_sinkhorn_ot)
 _register("tpch_q5_shape", q_tpch_q5_shape, _SQL_TPCH_Q5)
 _register("tpch_q18_shape", q_tpch_q18_shape, _SQL_TPCH_Q18)
 _register("classifier_auc", q_classifier_auc, _SQL_AUC)

@@ -199,3 +199,113 @@ def test_kde_peak_at_mode_and_silverman_bandwidth_positive():
     peak_x = d.loc[d["density"].idxmax(), "x"]
     assert abs(peak_x) < 0.3
     assert 0 < d["bandwidth"].iloc[0] < 1.0
+
+
+# ------------------------------------------------------------- ARIMA(1,1,1)
+
+
+def test_arima111_recovers_planted_parameters():
+    from diive_ray.pipelines.extraqueries import arima111_css_kernel
+    rng = _rng(37)
+    n = 4000
+    phi, theta = 0.6, -0.3
+    z = np.zeros(n)
+    e_prev = 0.0
+    for t in range(1, n):
+        e = rng.normal(0, 1)
+        z[t] = phi * z[t - 1] + e + theta * e_prev
+        e_prev = e
+    y = np.cumsum(z) + 100.0              # integrate -> ARIMA(1,1,1) level
+    r = arima111_css_kernel(y)
+    assert abs(r["phi"] - phi) <= 0.1
+    assert abs(r["theta"] - theta) <= 0.1
+    assert 0.8 < r["sigma2"] < 1.2
+
+
+def test_arima111_white_noise_prefers_near_zero_coeffs():
+    from diive_ray.pipelines.extraqueries import arima111_css_kernel
+    rng = _rng(41)
+    y = np.cumsum(rng.normal(0, 1, 3000))
+    r = arima111_css_kernel(y)
+    # phi and theta near-cancel for white-noise differences
+    assert abs(r["phi"] + r["theta"]) < 0.25
+
+
+# ------------------------------------------------------------ median polish
+
+
+def test_median_polish_recovers_planted_additive_structure():
+    from diive_ray.pipelines.extraqueries import median_polish_kernel
+    row_true = np.array([0.0, 1.0, -2.0, 3.0])
+    col_true = np.array([0.0, 5.0, -5.0])
+    mat = 10.0 + row_true[:, None] + col_true[None, :]
+    overall, row, col, resid = median_polish_kernel(mat)
+    np.testing.assert_allclose(np.abs(resid).max(), 0.0, atol=1e-12)
+    # reconstruction identity regardless of effect-centering convention
+    recon = overall + row[:, None] + col[None, :]
+    np.testing.assert_allclose(recon, mat, atol=1e-12)
+
+
+def test_median_polish_robust_to_single_cell_outlier():
+    from diive_ray.pipelines.extraqueries import median_polish_kernel
+    rng = _rng(43)
+    row_true = rng.normal(0, 1, 10)
+    col_true = rng.normal(0, 1, 8)
+    mat = 5.0 + row_true[:, None] + col_true[None, :]
+    mat[3, 4] += 100.0                     # one gross outlier
+    overall, row, col, resid = median_polish_kernel(mat)
+    # outlier lands in the residual, effects barely move
+    assert resid[3, 4] > 90.0
+    clean = np.delete(np.delete(resid, 3, axis=0), 4, axis=1)
+    assert np.abs(clean).max() < 1.0
+
+
+def test_median_polish_handles_nan_cells():
+    from diive_ray.pipelines.extraqueries import median_polish_kernel
+    mat = np.arange(12, dtype=float).reshape(3, 4)
+    mat[1, 2] = np.nan
+    overall, row, col, resid = median_polish_kernel(mat)
+    assert np.isnan(resid[1, 2])
+    assert np.isfinite(overall)
+    assert np.isfinite(row).all() and np.isfinite(col).all()
+
+
+# --------------------------------------------------------------- Sinkhorn
+
+
+def test_sinkhorn_approaches_exact_w1_at_small_eps():
+    from diive_ray.pipelines.extraqueries import sinkhorn_kernel
+    # two point masses one bin apart: exact W1 = cost of moving all mass
+    nb = 10
+    centers = (np.arange(nb) + 0.5) / nb
+    cost = np.abs(centers[:, None] - centers[None, :])
+    p = np.zeros(nb); p[2] = 1.0
+    q = np.zeros(nb); q[7] = 1.0
+    got = sinkhorn_kernel(p, q, cost, eps=0.01, n_iter=2000)
+    np.testing.assert_allclose(got, 0.5, atol=0.01)   # |c2 - c7| = 0.5
+
+
+def test_sinkhorn_self_distance_near_zero_and_symmetry():
+    from diive_ray.pipelines.extraqueries import sinkhorn_kernel
+    rng = _rng(47)
+    nb = 20
+    centers = (np.arange(nb) + 0.5) / nb
+    cost = np.abs(centers[:, None] - centers[None, :])
+    p = rng.random(nb); p /= p.sum()
+    q = rng.random(nb); q /= q.sum()
+    self_d = sinkhorn_kernel(p, p.copy(), cost)
+    assert self_d < 0.05                   # entropic blur only
+    ab = sinkhorn_kernel(p, q, cost)
+    ba = sinkhorn_kernel(q, p, cost)
+    np.testing.assert_allclose(ab, ba, rtol=1e-8)
+
+
+def test_sinkhorn_monotone_in_shift():
+    from diive_ray.pipelines.extraqueries import sinkhorn_kernel
+    nb = 20
+    centers = (np.arange(nb) + 0.5) / nb
+    cost = np.abs(centers[:, None] - centers[None, :])
+    base = np.exp(-0.5 * ((centers - 0.3) / 0.08) ** 2); base /= base.sum()
+    near = np.exp(-0.5 * ((centers - 0.4) / 0.08) ** 2); near /= near.sum()
+    far = np.exp(-0.5 * ((centers - 0.7) / 0.08) ** 2); far /= far.sum()
+    assert sinkhorn_kernel(base, near, cost) < sinkhorn_kernel(base, far, cost)
