@@ -1092,7 +1092,350 @@ def q_sinkhorn_ot(sf_dir: str):
     return out.sort_values(["source_x", "source_y"]).reset_index(drop=True)
 
 
+# ------------------------------------------------- distance correlation
+
+
+def distance_correlation_kernel(x: np.ndarray, y: np.ndarray) -> dict[str, float]:
+    """Székely-Rizzo-Bakirov (2007) distance correlation on paired
+    samples: double-center the pairwise |Δ| matrices, dCov^2 = mean of
+    the elementwise product, dCor = sqrt(dCov^2 / sqrt(dVarX dVarY)).
+    Detects ANY dependence (including non-monotone), unlike Pearson /
+    Spearman. Negative rounding noise is clamped at 0 on both sides."""
+    def centered(v: np.ndarray) -> np.ndarray:
+        d = np.abs(v[:, None] - v[None, :])
+        rm = d.mean(axis=1)
+        return d - rm[:, None] - rm[None, :] + d.mean()
+
+    a, b = centered(x), centered(y)
+    dcov2 = max(float((a * b).mean()), 0.0)
+    dvx = max(float((a * a).mean()), 0.0)
+    dvy = max(float((b * b).mean()), 0.0)
+    dcor = np.sqrt(dcov2 / np.sqrt(dvx * dvy)) if dvx > 0 and dvy > 0 else 0.0
+    return {"dcov2": dcov2, "dvar_x": dvx, "dvar_y": dvy,
+            "dcor": float(dcor)}
+
+
+def q_distance_correlation(sf_dir: str):
+    """Distance correlation per event-type pair on the bucket-joined
+    6dp hourly means — the dependence measure that is zero IFF the two
+    series are independent (Székely 2007), completing the correlation
+    battery (Pearson in linear_regression, Spearman/Kendall rank)
+    with the universal-dependence member. Bounded O(n^2) kernel on the
+    (types x hours)-bounded tier."""
+    t1h = _hourly(sf_dir)
+    by = {k: g.set_index("bucket_ts")["m"]
+          for k, g in t1h.groupby("event_type", sort=True)}
+    keys = sorted(by)
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = by[keys[i]], by[keys[j]]
+            common = a.index.intersection(b.index).sort_values()
+            if len(common) < 10:
+                continue
+            k = distance_correlation_kernel(
+                a.loc[common].to_numpy(np.float64),
+                b.loc[common].to_numpy(np.float64))
+            rows.append({"event_x": keys[i], "event_y": keys[j],
+                         "n": len(common), **k})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("dcov2", "dvar_x", "dvar_y", "dcor"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_DCOR = _HOURLY_CTE + """,
+tl AS (SELECT event_type FROM hourly GROUP BY 1),
+pp AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y
+  FROM tl a JOIN tl b ON a.event_type < b.event_type
+),
+r AS (
+  SELECT pp.event_x, pp.event_y, hx.bts, hx.m AS x, hy.m AS y
+  FROM pp
+  JOIN hourly hx ON hx.event_type = pp.event_x
+  JOIN hourly hy ON hy.event_type = pp.event_y AND hy.bts = hx.bts
+),
+nn AS (
+  SELECT event_x, event_y, COUNT(*) AS n FROM r GROUP BY 1, 2
+  HAVING COUNT(*) >= 10
+),
+d AS (
+  SELECT a.event_x, a.event_y, a.bts AS i, b.bts AS j,
+         ABS(a.x - b.x) AS dx, ABS(a.y - b.y) AS dy
+  FROM r a
+  JOIN r b ON a.event_x = b.event_x AND a.event_y = b.event_y
+),
+cen AS (
+  SELECT event_x, event_y, dx, dy,
+         AVG(dx) OVER (PARTITION BY event_x, event_y, i) AS rmx_i,
+         AVG(dx) OVER (PARTITION BY event_x, event_y, j) AS rmx_j,
+         AVG(dx) OVER (PARTITION BY event_x, event_y) AS gmx,
+         AVG(dy) OVER (PARTITION BY event_x, event_y, i) AS rmy_i,
+         AVG(dy) OVER (PARTITION BY event_x, event_y, j) AS rmy_j,
+         AVG(dy) OVER (PARTITION BY event_x, event_y) AS gmy
+  FROM d
+),
+mom AS (
+  SELECT event_x, event_y,
+         GREATEST(AVG((dx - rmx_i - rmx_j + gmx)
+                      * (dy - rmy_i - rmy_j + gmy)), 0.0) AS dcov2,
+         GREATEST(AVG((dx - rmx_i - rmx_j + gmx)
+                      * (dx - rmx_i - rmx_j + gmx)), 0.0) AS dvx,
+         GREATEST(AVG((dy - rmy_i - rmy_j + gmy)
+                      * (dy - rmy_i - rmy_j + gmy)), 0.0) AS dvy
+  FROM cen GROUP BY 1, 2
+)
+SELECT nn.event_x, nn.event_y, CAST(nn.n AS BIGINT) AS n,
+       ROUND(ROUND(mom.dcov2, 9), 6) AS dcov2,
+       ROUND(ROUND(mom.dvx, 9), 6) AS dvar_x,
+       ROUND(ROUND(mom.dvy, 9), 6) AS dvar_y,
+       ROUND(ROUND(CASE WHEN mom.dvx > 0 AND mom.dvy > 0
+           THEN SQRT(mom.dcov2 / SQRT(mom.dvx * mom.dvy)) ELSE 0.0 END,
+           9), 6) AS dcor
+FROM nn JOIN mom USING (event_x, event_y)
+ORDER BY nn.event_x, nn.event_y
+"""
+
+
+# --------------------------------------------------------------- LOESS grid
+
+
+def loess_grid_kernel(m: np.ndarray, n_grid: int = 21,
+                      span: float = 0.2) -> pd.DataFrame:
+    """Cleveland (1979) locally-weighted LINEAR regression evaluated at
+    a fixed positional grid: tricube weights w = (1 - |u|^3)^3 over
+    |u| < 1 with u = (i - g) / h, h = span * (n - 1); closed-form
+    weighted least squares at each grid point (no iteration at fixed
+    evaluation points — exactly SQL-replayable)."""
+    n = len(m)
+    i = np.arange(n, dtype=np.float64)
+    h = span * (n - 1.0)
+    gk = np.arange(n_grid, dtype=np.float64)
+    g = gk * (n - 1.0) / (n_grid - 1.0)
+    u = np.abs(i[None, :] - g[:, None]) / h
+    w = np.where(u < 1.0, (1.0 - u ** 3) ** 3, 0.0)
+    sw = w.sum(axis=1)
+    swx = (w * i).sum(axis=1)
+    swy = (w * m).sum(axis=1)
+    swxx = (w * i * i).sum(axis=1)
+    swxy = (w * i * m).sum(axis=1)
+    det = swxx * sw - swx * swx
+    beta = (swxy * sw - swx * swy) / det
+    alpha = (swy - beta * swx) / sw
+    fit = alpha + beta * g
+    return pd.DataFrame({"k": gk.astype(np.int64), "x_pos": g,
+                         "fit": fit, "slope": beta})
+
+
+def q_loess_grid(sf_dir: str):
+    """LOESS (tricube locally-weighted linear regression, 20% span)
+    per event_type on the 6dp hourly means, evaluated at 21 fixed
+    positional grid points — the classic nonparametric trend smoother
+    (Cleveland 1979) as an exact-oracle fixed-grid variant (the
+    iterative full-series version lives inside stl_decompose)."""
+    t1h = _hourly(sf_dir)
+    outs = []
+    for key, gdf in t1h.groupby("event_type", sort=True):
+        m = gdf.sort_values("bucket_ts")["m"].to_numpy(dtype=np.float64)
+        if len(m) < 30:
+            continue
+        d = loess_grid_kernel(m)
+        d.insert(0, "event_type", key)
+        outs.append(d)
+    out = pd.concat(outs, ignore_index=True)
+    for c in ("x_pos", "fit", "slope"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "k"]).reset_index(drop=True)
+
+
+_SQL_LOESS = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) - 1)::DOUBLE AS i,
+         COUNT(*) OVER (PARTITION BY event_type)::DOUBLE AS n
+  FROM hourly
+),
+grid AS (
+  SELECT p.event_type, p.n, gs.k::DOUBLE AS k,
+         gs.k * (p.n - 1.0) / 20.0 AS g,
+         0.2 * (p.n - 1.0) AS h
+  FROM (SELECT event_type, ANY_VALUE(n) AS n FROM pos GROUP BY 1
+        HAVING ANY_VALUE(n) >= 30) p,
+       (SELECT UNNEST(generate_series(0, 20)) AS k) gs
+),
+wsum AS (
+  SELECT g.event_type, g.k, g.g,
+         SUM(CASE WHEN ABS(p.i - g.g) / g.h < 1.0
+             THEN POWER(1.0 - POWER(ABS(p.i - g.g) / g.h, 3.0), 3.0)
+             ELSE 0.0 END) AS sw,
+         SUM(CASE WHEN ABS(p.i - g.g) / g.h < 1.0
+             THEN POWER(1.0 - POWER(ABS(p.i - g.g) / g.h, 3.0), 3.0) * p.i
+             ELSE 0.0 END) AS swx,
+         SUM(CASE WHEN ABS(p.i - g.g) / g.h < 1.0
+             THEN POWER(1.0 - POWER(ABS(p.i - g.g) / g.h, 3.0), 3.0) * p.m
+             ELSE 0.0 END) AS swy,
+         SUM(CASE WHEN ABS(p.i - g.g) / g.h < 1.0
+             THEN POWER(1.0 - POWER(ABS(p.i - g.g) / g.h, 3.0), 3.0) * p.i * p.i
+             ELSE 0.0 END) AS swxx,
+         SUM(CASE WHEN ABS(p.i - g.g) / g.h < 1.0
+             THEN POWER(1.0 - POWER(ABS(p.i - g.g) / g.h, 3.0), 3.0) * p.i * p.m
+             ELSE 0.0 END) AS swxy
+  FROM grid g JOIN pos p USING (event_type)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(k AS BIGINT) AS k,
+       ROUND(ROUND(g, 9), 6) AS x_pos,
+       ROUND(ROUND((swy - (swxy * sw - swx * swy) / (swxx * sw - swx * swx)
+                    * swx) / sw
+                   + (swxy * sw - swx * swy) / (swxx * sw - swx * swx) * g,
+             9), 6) AS fit,
+       ROUND(ROUND((swxy * sw - swx * swy) / (swxx * sw - swx * swx),
+             9), 6) AS slope
+FROM wsum
+ORDER BY event_type, k
+"""
+
+
+# ------------------------------------------------------------- VAR(1) + IRF
+
+
+def var1_kernel(x: np.ndarray, y: np.ndarray) -> dict[str, float]:
+    """Bivariate VAR(1) by per-equation OLS in covariance form
+    (Sims 1980): A = C_vu C_uu^{-1} with u = z_{t-1}, v = z_t over the
+    n-1 transition pairs; impulse responses IRF_h = A^h; stability =
+    spectral radius of A (closed-form 2x2 eigenvalues)."""
+    u = np.stack([x[:-1], y[:-1]])          # regressors (2, n-1)
+    v = np.stack([x[1:], y[1:]])            # responses
+    k = u.shape[1]
+    ub = u.mean(axis=1, keepdims=True)
+    vb = v.mean(axis=1, keepdims=True)
+    cuu = (u - ub) @ (u - ub).T / k
+    cvu = (v - vb) @ (u - ub).T / k
+    det = cuu[0, 0] * cuu[1, 1] - cuu[0, 1] * cuu[1, 0]
+    inv = np.array([[cuu[1, 1], -cuu[0, 1]],
+                    [-cuu[1, 0], cuu[0, 0]]]) / det
+    A = cvu @ inv
+    A2 = A @ A
+    tr, dd = A[0, 0] + A[1, 1], A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    disc = tr * tr - 4.0 * dd
+    if disc >= 0:
+        rho = max(abs((tr + np.sqrt(disc)) / 2.0),
+                  abs((tr - np.sqrt(disc)) / 2.0))
+    else:
+        rho = np.sqrt(dd)                   # complex pair: |lambda|^2 = det
+    return {"a_xx": A[0, 0], "a_xy": A[0, 1],
+            "a_yx": A[1, 0], "a_yy": A[1, 1],
+            "irf2_xy": A2[0, 1], "irf2_yx": A2[1, 0],
+            "spectral_radius": float(rho)}
+
+
+def q_var1_irf(sf_dir: str):
+    """VAR(1) fit + impulse responses per event-type pair on the
+    bucket-joined 6dp hourly means: per-equation OLS in covariance
+    form, horizon-2 impulse responses (A^2 cross terms) and the
+    closed-form 2x2 spectral radius as the stability diagnostic — the
+    multivariate companion to granger_lag1_f (which tests one
+    direction; the VAR coefficient matrix reports both with
+    feedback)."""
+    t1h = _hourly(sf_dir)
+    by = {k: g.set_index("bucket_ts")["m"]
+          for k, g in t1h.groupby("event_type", sort=True)}
+    keys = sorted(by)
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = by[keys[i]], by[keys[j]]
+            common = a.index.intersection(b.index).sort_values()
+            if len(common) < 30:
+                continue
+            k = var1_kernel(a.loc[common].to_numpy(np.float64),
+                            b.loc[common].to_numpy(np.float64))
+            rows.append({"event_x": keys[i], "event_y": keys[j],
+                         "n": len(common), **k})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("a_xx", "a_xy", "a_yx", "a_yy", "irf2_xy", "irf2_yx",
+              "spectral_radius"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_VAR1 = _HOURLY_CTE + """,
+tl AS (SELECT event_type FROM hourly GROUP BY 1),
+pp AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y
+  FROM tl a JOIN tl b ON a.event_type < b.event_type
+),
+r AS (
+  SELECT pp.event_x, pp.event_y, hx.m AS x, hy.m AS y,
+         ROW_NUMBER() OVER (PARTITION BY pp.event_x, pp.event_y
+                            ORDER BY hx.bts) AS t
+  FROM pp
+  JOIN hourly hx ON hx.event_type = pp.event_x
+  JOIN hourly hy ON hy.event_type = pp.event_y AND hy.bts = hx.bts
+),
+tr AS (
+  SELECT a.event_x, a.event_y,
+         a.x AS ux, a.y AS uy, b.x AS vx, b.y AS vy
+  FROM r a JOIN r b
+    ON a.event_x = b.event_x AND a.event_y = b.event_y AND b.t = a.t + 1
+),
+mom AS (
+  SELECT event_x, event_y, COUNT(*) AS k,
+         AVG(ux) AS mux, AVG(uy) AS muy, AVG(vx) AS mvx, AVG(vy) AS mvy,
+         AVG(ux * ux) AS uxx, AVG(ux * uy) AS uxy, AVG(uy * uy) AS uyy,
+         AVG(vx * ux) AS vxux, AVG(vx * uy) AS vxuy,
+         AVG(vy * ux) AS vyux, AVG(vy * uy) AS vyuy
+  FROM tr GROUP BY 1, 2 HAVING COUNT(*) >= 29
+),
+cov AS (
+  SELECT event_x, event_y, k,
+         uxx - mux * mux AS cuu11, uxy - mux * muy AS cuu12,
+         uyy - muy * muy AS cuu22,
+         vxux - mvx * mux AS cvu11, vxuy - mvx * muy AS cvu12,
+         vyux - mvy * mux AS cvu21, vyuy - mvy * muy AS cvu22
+  FROM mom
+),
+aa AS (
+  SELECT event_x, event_y, k,
+         (cvu11 * cuu22 - cvu12 * cuu12)
+             / (cuu11 * cuu22 - cuu12 * cuu12) AS axx,
+         (cvu12 * cuu11 - cvu11 * cuu12)
+             / (cuu11 * cuu22 - cuu12 * cuu12) AS axy,
+         (cvu21 * cuu22 - cvu22 * cuu12)
+             / (cuu11 * cuu22 - cuu12 * cuu12) AS ayx,
+         (cvu22 * cuu11 - cvu21 * cuu12)
+             / (cuu11 * cuu22 - cuu12 * cuu12) AS ayy
+  FROM cov
+)
+SELECT event_x, event_y, CAST(k + 1 AS BIGINT) AS n,
+       ROUND(ROUND(axx, 9), 6) AS a_xx,
+       ROUND(ROUND(axy, 9), 6) AS a_xy,
+       ROUND(ROUND(ayx, 9), 6) AS a_yx,
+       ROUND(ROUND(ayy, 9), 6) AS a_yy,
+       ROUND(ROUND(axx * axy + axy * ayy, 9), 6) AS irf2_xy,
+       ROUND(ROUND(ayx * axx + ayy * ayx, 9), 6) AS irf2_yx,
+       ROUND(ROUND(CASE
+           WHEN (axx + ayy) * (axx + ayy)
+                - 4.0 * (axx * ayy - axy * ayx) >= 0
+           THEN GREATEST(
+               ABS(((axx + ayy) + SQRT((axx + ayy) * (axx + ayy)
+                    - 4.0 * (axx * ayy - axy * ayx))) / 2.0),
+               ABS(((axx + ayy) - SQRT((axx + ayy) * (axx + ayy)
+                    - 4.0 * (axx * ayy - axy * ayx))) / 2.0))
+           ELSE SQRT(axx * ayy - axy * ayx)
+           END, 9), 6) AS spectral_radius
+FROM aa
+ORDER BY event_x, event_y
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("distance_correlation", q_distance_correlation, _SQL_DCOR)
+_register("loess_grid", q_loess_grid, _SQL_LOESS)
+_register("var1_irf", q_var1_irf, _SQL_VAR1)
 _register("arima111", q_arima111)
 _register("median_polish", q_median_polish)
 _register("sinkhorn_ot", q_sinkhorn_ot)

@@ -309,3 +309,89 @@ def test_sinkhorn_monotone_in_shift():
     near = np.exp(-0.5 * ((centers - 0.4) / 0.08) ** 2); near /= near.sum()
     far = np.exp(-0.5 * ((centers - 0.7) / 0.08) ** 2); far /= far.sum()
     assert sinkhorn_kernel(base, near, cost) < sinkhorn_kernel(base, far, cost)
+
+
+# ------------------------------------------------- distance correlation
+
+
+def test_dcor_detects_nonmonotone_dependence_pearson_misses():
+    from diive_ray.pipelines.extraqueries import distance_correlation_kernel
+    rng = _rng(53)
+    x = rng.uniform(-3, 3, 1500)
+    y = x ** 2 + rng.normal(0, 0.1, 1500)      # symmetric parabola
+    r = distance_correlation_kernel(x, y)
+    pearson = abs(np.corrcoef(x, y)[0, 1])
+    assert r["dcor"] > 0.45
+    assert pearson < 0.1
+
+
+def test_dcor_near_zero_for_independent_samples():
+    from diive_ray.pipelines.extraqueries import distance_correlation_kernel
+    rng = _rng(59)
+    r = distance_correlation_kernel(rng.normal(0, 1, 2000),
+                                    rng.normal(0, 1, 2000))
+    assert r["dcor"] < 0.1
+
+
+def test_dcor_one_for_perfect_linear():
+    from diive_ray.pipelines.extraqueries import distance_correlation_kernel
+    x = np.linspace(0, 1, 300)
+    r = distance_correlation_kernel(x, 2.0 * x + 1.0)
+    np.testing.assert_allclose(r["dcor"], 1.0, atol=1e-9)
+
+
+# ------------------------------------------------------------- LOESS grid
+
+
+def test_loess_grid_recovers_linear_trend_exactly():
+    from diive_ray.pipelines.extraqueries import loess_grid_kernel
+    m = 0.7 * np.arange(200, dtype=float) + 3.0
+    d = loess_grid_kernel(m)
+    np.testing.assert_allclose(d["slope"], 0.7, atol=1e-9)
+    np.testing.assert_allclose(d["fit"], 0.7 * d["x_pos"] + 3.0, atol=1e-9)
+
+
+def test_loess_grid_tracks_smooth_curvature():
+    from diive_ray.pipelines.extraqueries import loess_grid_kernel
+    i = np.arange(400, dtype=float)
+    m = np.sin(i / 80.0)
+    d = loess_grid_kernel(m)
+    # local-linear smoothing flattens extrema a little at 20% span:
+    # bounded bias at the peak, near-perfect shape agreement overall
+    np.testing.assert_allclose(d["fit"], np.sin(d["x_pos"] / 80.0),
+                               atol=0.08)
+    assert np.corrcoef(d["fit"], np.sin(d["x_pos"] / 80.0))[0, 1] > 0.999
+
+
+# --------------------------------------------------------------- VAR(1)
+
+
+def test_var1_recovers_planted_coefficient_matrix():
+    from diive_ray.pipelines.extraqueries import var1_kernel
+    rng = _rng(61)
+    A = np.array([[0.5, 0.2], [-0.1, 0.3]])
+    n = 20000
+    z = np.zeros((2, n))
+    for t in range(1, n):
+        z[:, t] = A @ z[:, t - 1] + rng.normal(0, 1, 2)
+    r = var1_kernel(z[0], z[1])
+    np.testing.assert_allclose(
+        [[r["a_xx"], r["a_xy"]], [r["a_yx"], r["a_yy"]]], A, atol=0.03)
+    A2 = A @ A
+    np.testing.assert_allclose(r["irf2_xy"], A2[0, 1], atol=0.03)
+    eig = np.max(np.abs(np.linalg.eigvals(A)))
+    np.testing.assert_allclose(r["spectral_radius"], eig, atol=0.05)
+
+
+def test_var1_spectral_radius_complex_pair_branch():
+    from diive_ray.pipelines.extraqueries import var1_kernel
+    rng = _rng(67)
+    # rotation-like dynamics -> complex eigenvalues
+    th = 0.5
+    A = 0.8 * np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    n = 30000
+    z = np.zeros((2, n))
+    for t in range(1, n):
+        z[:, t] = A @ z[:, t - 1] + rng.normal(0, 1, 2)
+    r = var1_kernel(z[0], z[1])
+    np.testing.assert_allclose(r["spectral_radius"], 0.8, atol=0.03)
