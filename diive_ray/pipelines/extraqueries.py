@@ -1432,7 +1432,289 @@ ORDER BY event_x, event_y
 """
 
 
+# ---------------------------------------------------- user-set Jaccard
+
+
+def q_event_user_jaccard(sf_dir: str):
+    """Jaccard similarity of the DISTINCT user sets behind every
+    event-type pair — the audience-overlap matrix. Scale shape: ONE
+    keyed exchange on user_id dedups (user, type) pairs (digests only,
+    no payload), then each user emits its C(t,2) type pairs (bounded by
+    the type-set size, never by rows) and a bounded combine counts
+    intersections; set sizes come from the same pass. No type-level
+    set ever materializes anywhere."""
+    from ..stages.exchange import block_map, driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # runs INSIDE the user-keyed block (complete user groups), so a
+        # user's type set never splits: dedup, then a vectorized
+        # self-merge emits the <=C(t,2)+t ordered pairs per user
+        d = df.drop_duplicates(["user_id", "event_type"])
+        m = d.merge(d, on="user_id", suffixes=("_x", "_y"))
+        m = m[m["event_type_x"] <= m["event_type_y"]]
+        return m.groupby(["event_type_x", "event_type_y"],
+                         as_index=False).size().rename(
+            columns={"event_type_x": "event_x", "event_type_y": "event_y",
+                     "size": "n"})
+
+    per_user_pairs = block_map(
+        ev.map_batches(dedup_partial, batch_format="pandas"),
+        ["user_id"], pairs,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    )
+    cnt = per_user_pairs.to_pandas().groupby(
+        ["event_x", "event_y"], as_index=False)["n"].sum()
+    sizes = dict(zip(
+        cnt.loc[cnt["event_x"] == cnt["event_y"], "event_x"],
+        cnt.loc[cnt["event_x"] == cnt["event_y"], "n"]))
+    out = cnt[cnt["event_x"] < cnt["event_y"]].copy()
+    out["n_x"] = out["event_x"].map(sizes).astype("int64")
+    out["n_y"] = out["event_y"].map(sizes).astype("int64")
+    out = out.rename(columns={"n": "n_both"})
+    out["n_both"] = out["n_both"].astype("int64")
+    union = out["n_x"] + out["n_y"] - out["n_both"]
+    out["jaccard"] = stable_round6(
+        out["n_both"].astype(float) / union.astype(float))
+    return out[["event_x", "event_y", "n_x", "n_y", "n_both", "jaccard"]
+               ].sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_USER_JACCARD = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y,
+         COUNT(*) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.event_x, i.event_y,
+       CAST(sx.n AS BIGINT) AS n_x, CAST(sy.n AS BIGINT) AS n_y,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       ROUND(ROUND(i.n_both::DOUBLE / (sx.n + sy.n - i.n_both), 9), 6)
+           AS jaccard
+FROM inter i
+JOIN sz sx ON sx.event_type = i.event_x
+JOIN sz sy ON sy.event_type = i.event_y
+ORDER BY i.event_x, i.event_y
+"""
+
+
+# ------------------------------------------------- source language entropy
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Shannon entropy (nats) of the language distribution per source,
+    with the effective language count exp(H) — the language-diversity
+    probe of a mixture corpus (bounded (source, lang) count partials ->
+    ONE slim combine)."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "lang"])
+    cnt = driver_combine(
+        docs,
+        lambda df: df.groupby(["source", "lang"], as_index=False).size(),
+        lambda df: df.groupby(["source", "lang"], as_index=False)[
+            "size"].sum(),
+        batch_format="pandas",
+    )
+    rows = []
+    for s, g in cnt.groupby("source", sort=True):
+        n = float(g["size"].sum())
+        p = np.sort(g["size"].to_numpy(np.float64))[::-1] / n
+        h = float(-(p * np.log(p)).sum())
+        rows.append({"source": s, "n_docs": int(n), "n_langs": len(g),
+                     "entropy": h, "eff_langs": float(np.exp(h))})
+    out = pd.DataFrame(rows)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_langs"] = out["n_langs"].astype("int64")
+    for c in ("entropy", "eff_langs"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_LANG_ENTROPY = """
+WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT source, SUM(n) AS tot, COUNT(*) AS n_langs FROM c GROUP BY 1),
+h AS (
+  SELECT c.source,
+         -SUM((c.n::DOUBLE / t.tot) * LN(c.n::DOUBLE / t.tot)
+              ORDER BY c.n DESC, c.lang) AS ent
+  FROM c JOIN t USING (source) GROUP BY 1
+)
+SELECT t.source, CAST(t.tot AS BIGINT) AS n_docs,
+       CAST(t.n_langs AS BIGINT) AS n_langs,
+       ROUND(ROUND(h.ent, 9), 6) AS entropy,
+       ROUND(ROUND(EXP(h.ent), 9), 6) AS eff_langs
+FROM t JOIN h USING (source)
+ORDER BY t.source
+"""
+
+
+# -------------------------------------------------- equi-depth histogram
+
+
+def q_equidepth_hist(sf_dir: str):
+    """Equi-depth (NTILE) decile histogram of the 6dp hourly means per
+    event_type: positional ten-way split in (value, bucket_ts) order —
+    the deterministic tie rule that makes NTILE exactly replayable —
+    reporting per-decile count, bounds and mean. The quantile-sketch
+    relative (quantiles_tdigest) answers the same question
+    approximately with mergeable state; this is the exact bounded-tier
+    variant."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values(["m", "bucket_ts"]).reset_index(drop=True)
+        n = len(g)
+        if n < 10:
+            continue
+        base, extra = divmod(n, 10)
+        sizes = [base + (1 if d < extra else 0) for d in range(10)]
+        start = 0
+        for d, sz in enumerate(sizes):
+            chunk = g["m"].iloc[start:start + sz]
+            rows.append({"event_type": key, "decile": d + 1,
+                         "n": sz, "lo": float(chunk.min()),
+                         "hi": float(chunk.max()),
+                         "mean_m": float(chunk.sum() / sz)})
+            start += sz
+    out = pd.DataFrame(rows)
+    out["decile"] = out["decile"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    for c in ("lo", "hi", "mean_m"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "decile"]).reset_index(drop=True)
+
+
+_SQL_EQUIDEPTH = _HOURLY_CTE + """,
+t AS (
+  SELECT event_type, m,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY m, bts) AS decile,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_tot
+  FROM hourly
+)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       COUNT(*)::BIGINT AS n,
+       ROUND(ROUND(MIN(m), 9), 6) AS lo,
+       ROUND(ROUND(MAX(m), 9), 6) AS hi,
+       ROUND(ROUND(SUM(m) / COUNT(*), 9), 6) AS mean_m
+FROM t
+WHERE n_tot >= 10
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- kNN classify
+
+
+def q_embedding_knn_classify(sf_dir: str):
+    """Leave-one-out kNN (k=5, cosine) label classification over the
+    embeddings table, reported as the label x predicted confusion
+    matrix. Engine shape: the vector matrix is ``ray.put`` ONCE and
+    every batch scores its rows against it with one float64 matmul
+    (the brute-force baseline — the documented scale path swaps in the
+    IVF-bucketed variant, embedding_knn_ivf). Similarities are
+    stable_round6-ed on BOTH sides before ranking with the
+    (sim DESC, neighbor id ASC) tie rule, so top-5 membership is
+    deterministic; majority vote breaks ties toward the smallest
+    label."""
+    import pyarrow as pa
+    import ray
+
+    from ..stages.exchange import driver_combine
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    full = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    ids = full["vec_id"].to_numpy(np.int64)
+    labels = full["label"].to_numpy(np.int64)
+    ref = ray.put((M, norms, ids, labels))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        Mm, nn, vid, lab = _ray.get(ref)
+        q = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qid = t["vec_id"].to_pandas().to_numpy(np.int64)
+        qlab = t["label"].to_pandas().to_numpy(np.int64)
+        qn = np.sqrt((q * q).sum(axis=1))
+        sim = (q @ Mm.T) / (qn[:, None] * nn[None, :])
+        sim = stable_round6(sim)
+        preds = np.empty(len(q), dtype=np.int64)
+        for r in range(len(q)):
+            s = sim[r]
+            order = np.lexsort((vid, -s))
+            order = order[vid[order] != qid[r]][:5]
+            votes = lab[order]
+            vals, cts = np.unique(votes, return_counts=True)
+            preds[r] = int(vals[np.argmax(cts)])   # ties -> smallest label
+        return pd.DataFrame({"label": qlab, "predicted": preds}).groupby(
+            ["label", "predicted"], as_index=False).size().rename(
+            columns={"size": "n_vecs"})
+
+    conf = driver_combine(
+        emb, score,
+        lambda df: df.groupby(["label", "predicted"], as_index=False)[
+            "n_vecs"].sum(),
+        batch_format="pyarrow",
+    )
+    conf["label"] = conf["label"].astype("int64")
+    conf["predicted"] = conf["predicted"].astype("int64")
+    conf["n_vecs"] = conf["n_vecs"].astype("int64")
+    return conf.sort_values(["label", "predicted"]).reset_index(drop=True)
+
+
+_SQL_KNN_CLASSIFY = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+sim AS (
+  SELECT a.vec_id AS q, a.label AS qlab, b.vec_id AS nbr, b.label AS nlab,
+         ROUND(ROUND(list_dot_product(a.v, b.v)
+             / (SQRT(list_dot_product(a.v, a.v))
+                * SQRT(list_dot_product(b.v, b.v))), 9), 6) AS s
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT q, qlab, nlab,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, nbr ASC) AS r
+  FROM sim
+),
+votes AS (
+  SELECT q, qlab, nlab, COUNT(*) AS c
+  FROM rk WHERE r <= 5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT q, qlab, nlab AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, nlab ASC) AS pr
+  FROM votes
+)
+SELECT CAST(qlab AS BIGINT) AS label,
+       CAST(predicted AS BIGINT) AS predicted,
+       COUNT(*)::BIGINT AS n_vecs
+FROM pred WHERE pr = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("event_user_jaccard", q_event_user_jaccard, _SQL_USER_JACCARD)
+_register("source_lang_entropy", q_source_lang_entropy, _SQL_LANG_ENTROPY)
+_register("equidepth_hist", q_equidepth_hist, _SQL_EQUIDEPTH)
+_register("embedding_knn_classify", q_embedding_knn_classify,
+          _SQL_KNN_CLASSIFY)
 _register("distance_correlation", q_distance_correlation, _SQL_DCOR)
 _register("loess_grid", q_loess_grid, _SQL_LOESS)
 _register("var1_irf", q_var1_irf, _SQL_VAR1)
