@@ -1709,7 +1709,272 @@ ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------------- irregular EWMA
+
+
+def q_ewma_irregular(sf_dir: str):
+    """Time-decay exponential moving average over IRREGULAR arrivals
+    (the TSDB / river-style half-life EWMA): weight of an older point
+    decays as exp(-dt / tau) with tau = 6 h of WALL time, so gaps in
+    the bucket grid decay correctly (a count-based EWMA would not).
+    Both sides evaluate the same closed form
+    y_i = sum_{j<=i} m_j e^{-(t_i-t_j)/tau} / sum e^{-(t_i-t_j)/tau}
+    (the engine vectorizes the lower-triangular weight matrix on the
+    bounded tier; the recursive O(n) form is algebraically equal but
+    accumulates exp products in a different order, so the closed form
+    is the oracle-parity choice)."""
+    tau_us = 6.0 * 3600.0 * 1e6
+    from ..util import ts_to_us
+
+    t1h = _hourly(sf_dir)
+    outs = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        m = g["m"].to_numpy(np.float64)
+        t = ts_to_us(g["bucket_ts"]).astype(np.float64)
+        dt = (t[:, None] - t[None, :]) / tau_us
+        w = np.where(dt >= 0.0, np.exp(-dt), 0.0)
+        y = (w * m[None, :]).sum(axis=1) / w.sum(axis=1)
+        outs.append(pd.DataFrame({"event_type": key,
+                                  "bucket_ts": g["bucket_ts"].to_numpy(),
+                                  "ewma": y}))
+    out = pd.concat(outs, ignore_index=True)
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype(
+        "datetime64[us]")
+    out["ewma"] = stable_round6(out["ewma"].astype(float))
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(
+        drop=True)
+
+
+_SQL_EWMA = _HOURLY_CTE + """
+SELECT a.event_type, a.bts AS bucket_ts,
+       ROUND(ROUND(
+           SUM(b.m * EXP(-(epoch_us(a.bts - b.bts)::DOUBLE / 21600000000.0)))
+           / SUM(EXP(-(epoch_us(a.bts - b.bts)::DOUBLE / 21600000000.0))),
+           9), 6) AS ewma
+FROM hourly a
+JOIN hourly b ON b.event_type = a.event_type AND b.bts <= a.bts
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------- token burstiness
+
+
+def q_token_burstiness(sf_dir: str):
+    """Church & Gale (1995) word burstiness over the corpus: per word,
+    collection frequency cf, document frequency df1, repeat-document
+    frequency df2 (docs with >= 2 occurrences), adaptation = df2/df1
+    (the probability a word recurs once seen — the signature of bursty
+    content words vs uniform function words) and burstiness = cf/df1.
+    Distributed shape: per-batch per-(doc, word) counts collapse to
+    per-word (cf, df1, df2) partials, ONE vocab-bounded exchange, exact
+    top-100 by (cf DESC, word ASC) via per-block partial top-k."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import block_map
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        doc_i = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_i = flat[keep], doc_i[keep]
+        dw = pd.DataFrame({"d": doc_i, "word": flat}).groupby(
+            ["d", "word"], as_index=False).size()
+        g = dw.groupby("word", as_index=False).agg(
+            cf=("size", "sum"), df1=("size", "size"))
+        g2 = dw[dw["size"] >= 2].groupby("word", as_index=False).size(
+        ).rename(columns={"size": "df2"})
+        return g.merge(g2, on="word", how="left").fillna({"df2": 0})
+
+    per_word = block_map(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby("word", as_index=False).agg(
+            cf=("cf", "sum"), df1=("df1", "sum"), df2=("df2", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+    # exact distributed top-100: each word lives in exactly one block
+    # after the exchange, so per-block partial top-k + driver merge is
+    # exact (the dsir/bm25 top-k pattern)
+    topk = per_word.map_batches(
+        lambda df: df.sort_values(["cf", "word"],
+                                  ascending=[False, True]).head(100),
+        batch_format="pandas",
+    ).to_pandas()
+    out = topk.sort_values(["cf", "word"],
+                           ascending=[False, True]).head(100).copy()
+    out["cf"] = out["cf"].astype("int64")
+    out["df1"] = out["df1"].astype("int64")
+    out["df2"] = out["df2"].astype("int64")
+    out["adaptation"] = stable_round6(out["df2"] / out["df1"])
+    out["burstiness"] = stable_round6(out["cf"] / out["df1"])
+    return out.reset_index(drop=True)
+
+
+_SQL_BURSTINESS = r"""
+WITH words AS (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+dw AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+agg AS (
+  SELECT word, SUM(c) AS cf, COUNT(*) AS df1,
+         SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df2
+  FROM dw GROUP BY 1
+)
+SELECT word, CAST(cf AS BIGINT) AS cf, CAST(df1 AS BIGINT) AS df1,
+       CAST(df2 AS BIGINT) AS df2,
+       ROUND(ROUND(df2::DOUBLE / df1, 9), 6) AS adaptation,
+       ROUND(ROUND(cf::DOUBLE / df1, 9), 6) AS burstiness
+FROM agg
+ORDER BY cf DESC, word ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------- RFM segments
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic marketing-analytics cube — with a scale-safe exact NTILE:
+    user aggregates come from ONE user-keyed exchange; each metric's
+    quintile boundaries are exact (value, user_id) order statistics
+    from ``exact_rank_values`` (3 streaming passes, bounded driver
+    state — the user table itself never lands on the driver); quintile
+    assignment is a map-side tuple comparison against the 4 broadcast
+    boundaries. Output = the bounded (r_q, f_q, m_q) segment cube.
+    Monetary is stable_round6-ed BEFORE ranking on both sides so ULP
+    summation noise cannot reorder boundary users."""
+    import ray
+
+    from ..stages.exchange import block_map, driver_combine
+    from ..stages.stratified import exact_rank_values
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    gmax = driver_combine(
+        ev, lambda df: pd.DataFrame({"mx": [df["ts"].max()]}),
+        lambda df: pd.DataFrame({"mx": [df["mx"].max()]}),
+        batch_format="pandas",
+    )
+    t_ref = float(ts_to_us(pd.Series([gmax["mx"][0]]))[0])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(
+            last_ts=("ts", "max"), freq=("value", "size"),
+            mon=("value", "sum"))
+
+    users = block_map(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            last_ts=("last_ts", "max"), freq=("freq", "sum"),
+            mon=("mon", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"],
+            "recency_h": (t_ref - ts_to_us(df["last_ts"]).astype(
+                np.float64)) / 3.6e9,
+            "freq": df["freq"].astype(np.float64),
+            "mon": stable_round6(df["mon"].astype(float)),
+        }),
+        batch_format="pandas",
+    )
+    users = users.materialize()
+
+    def quintile_starts(n: int) -> np.ndarray:
+        base, extra = divmod(n, 5)
+        sizes = np.array([base + (1 if d < extra else 0)
+                          for d in range(5)], dtype=np.int64)
+        return np.cumsum(sizes)[:-1]        # 4 group-start ranks
+
+    bounds = {}
+    for col in ("recency_h", "freq", "mon"):
+        _, bs = exact_rank_values(users, col, "user_id", quintile_starts)
+        bounds[col] = bs
+    bref = ray.put(bounds)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bb = _ray.get(bref)
+
+        def q_of(v, uid, bs):
+            q = np.ones(len(v), dtype=np.int64)
+            for bv, bid in bs:
+                q += (v > bv) | ((v == bv) & (uid >= bid))
+            return q
+
+        uid = df["user_id"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "r_q": q_of(df["recency_h"].to_numpy(np.float64), uid,
+                        bb["recency_h"]),
+            "f_q": q_of(df["freq"].to_numpy(np.float64), uid, bb["freq"]),
+            "m_q": q_of(df["mon"].to_numpy(np.float64), uid, bb["mon"]),
+            "mon": df["mon"],
+        })
+        return out.groupby(["r_q", "f_q", "m_q"], as_index=False).agg(
+            n_users=("mon", "size"), sum_mon=("mon", "sum"))
+
+    seg = driver_combine(
+        users, assign,
+        lambda df: df.groupby(["r_q", "f_q", "m_q"], as_index=False).agg(
+            n_users=("n_users", "sum"), sum_mon=("sum_mon", "sum")),
+        batch_format="pandas",
+    )
+    seg["mean_mon"] = stable_round6(seg["sum_mon"] / seg["n_users"])
+    seg = seg.drop(columns=["sum_mon"])
+    for c in ("r_q", "f_q", "m_q", "n_users"):
+        seg[c] = seg[c].astype("int64")
+    return seg.sort_values(["r_q", "f_q", "m_q"]).reset_index(drop=True)
+
+
+_SQL_RFM = """
+WITH mx AS (SELECT MAX(ts) AS t_ref FROM events),
+u AS (
+  SELECT user_id,
+         epoch_us((SELECT t_ref FROM mx) - MAX(ts))::DOUBLE / 3.6e9
+             AS recency_h,
+         COUNT(*)::DOUBLE AS freq,
+         ROUND(ROUND(SUM(value), 9), 6) AS mon
+  FROM events GROUP BY 1
+),
+q AS (
+  SELECT user_id, mon,
+         NTILE(5) OVER (ORDER BY recency_h, user_id) AS r_q,
+         NTILE(5) OVER (ORDER BY freq, user_id) AS f_q,
+         NTILE(5) OVER (ORDER BY mon, user_id) AS m_q
+  FROM u
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       COUNT(*)::BIGINT AS n_users,
+       ROUND(ROUND(SUM(mon) / COUNT(*), 9), 6) AS mean_mon
+FROM q
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("ewma_irregular", q_ewma_irregular, _SQL_EWMA)
+_register("token_burstiness", q_token_burstiness, _SQL_BURSTINESS)
+_register("rfm_segments", q_rfm_segments, _SQL_RFM)
 _register("event_user_jaccard", q_event_user_jaccard, _SQL_USER_JACCARD)
 _register("source_lang_entropy", q_source_lang_entropy, _SQL_LANG_ENTROPY)
 _register("equidepth_hist", q_equidepth_hist, _SQL_EQUIDEPTH)

@@ -395,3 +395,28 @@ def test_var1_spectral_radius_complex_pair_branch():
         z[:, t] = A @ z[:, t - 1] + rng.normal(0, 1, 2)
     r = var1_kernel(z[0], z[1])
     np.testing.assert_allclose(r["spectral_radius"], 0.8, atol=0.03)
+
+
+# ------------------------------------------------------- quintile parity
+
+
+def test_quintile_tuple_assignment_matches_ntile_semantics():
+    # replicate the boundary-tuple assignment rule used by rfm_segments
+    rng = _rng(71)
+    n = 137
+    v = np.round(rng.normal(0, 1, n), 2)       # force ties
+    uid = np.arange(n, dtype=np.int64)
+    order = np.lexsort((uid, v))
+    base, extra = divmod(n, 5)
+    sizes = [base + (1 if d < extra else 0) for d in range(5)]
+    starts = np.cumsum(sizes)[:-1]
+    expect = np.empty(n, dtype=np.int64)
+    pos = 0
+    for d, sz in enumerate(sizes):
+        expect[order[pos:pos + sz]] = d + 1
+        pos += sz
+    bounds = [(v[order[s]], uid[order[s]]) for s in starts]
+    q = np.ones(n, dtype=np.int64)
+    for bv, bid in bounds:
+        q += (v > bv) | ((v == bv) & (uid >= bid))
+    np.testing.assert_array_equal(q, expect)
