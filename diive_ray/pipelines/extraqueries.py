@@ -1435,6 +1435,46 @@ ORDER BY event_x, event_y
 # ---------------------------------------------------- user-set Jaccard
 
 
+def _user_type_pair_counts(sf_dir: str) -> tuple[pd.DataFrame, int]:
+    """Distinct-user co-occurrence counts per event-type pair (diagonal
+    = per-type distinct-user counts) and the total distinct user count:
+    ONE user-keyed exchange; each user's bounded type set emits its
+    pairs inside the block (sets never materialize anywhere)."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "event_type"])
+
+    marker = "\x00__n_users__"
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "event_type"])
+        m = d.merge(d, on="user_id", suffixes=("_x", "_y"))
+        m = m[m["event_type_x"] <= m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"],
+                        as_index=False).size().rename(
+            columns={"event_type_x": "event_x", "event_type_y": "event_y",
+                     "size": "n"})
+        # the block sees COMPLETE user groups, so per-block distinct
+        # user counts sum exactly — shipped as one marker row per block
+        return pd.concat([out, pd.DataFrame(
+            {"event_x": [marker], "event_y": [marker],
+             "n": [d["user_id"].nunique()]})], ignore_index=True)
+
+    raw = block_map(
+        ev.map_batches(dedup_partial, batch_format="pandas"),
+        ["user_id"], pairs,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas()
+    cnt = raw.groupby(["event_x", "event_y"], as_index=False)["n"].sum()
+    n_users = int(cnt.loc[cnt["event_x"] == marker, "n"].sum())
+    cnt = cnt[cnt["event_x"] != marker].reset_index(drop=True)
+    return cnt, n_users
+
+
 def q_event_user_jaccard(sf_dir: str):
     """Jaccard similarity of the DISTINCT user sets behind every
     event-type pair — the audience-overlap matrix. Scale shape: ONE
@@ -1443,33 +1483,7 @@ def q_event_user_jaccard(sf_dir: str):
     the type-set size, never by rows) and a bounded combine counts
     intersections; set sizes come from the same pass. No type-level
     set ever materializes anywhere."""
-    from ..stages.exchange import block_map, driver_combine
-
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                         columns=["user_id", "event_type"])
-
-    def dedup_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["user_id", "event_type"])
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # runs INSIDE the user-keyed block (complete user groups), so a
-        # user's type set never splits: dedup, then a vectorized
-        # self-merge emits the <=C(t,2)+t ordered pairs per user
-        d = df.drop_duplicates(["user_id", "event_type"])
-        m = d.merge(d, on="user_id", suffixes=("_x", "_y"))
-        m = m[m["event_type_x"] <= m["event_type_y"]]
-        return m.groupby(["event_type_x", "event_type_y"],
-                         as_index=False).size().rename(
-            columns={"event_type_x": "event_x", "event_type_y": "event_y",
-                     "size": "n"})
-
-    per_user_pairs = block_map(
-        ev.map_batches(dedup_partial, batch_format="pandas"),
-        ["user_id"], pairs,
-        batch_format="pandas", zero_copy_batch=False, validate=False,
-    )
-    cnt = per_user_pairs.to_pandas().groupby(
-        ["event_x", "event_y"], as_index=False)["n"].sum()
+    cnt, _ = _user_type_pair_counts(sf_dir)
     sizes = dict(zip(
         cnt.loc[cnt["event_x"] == cnt["event_y"], "event_x"],
         cnt.loc[cnt["event_x"] == cnt["event_y"], "n"]))
@@ -1971,7 +1985,312 @@ ORDER BY 1, 2, 3
 """
 
 
+# --------------------------------------------------------- event-type PMI
+
+
+def q_event_type_pmi(sf_dir: str):
+    """Pointwise mutual information (Church & Hanks 1990) between
+    event-type pairs over per-user occurrence sets: PMI =
+    ln(P(x,y) / (P(x) P(y))) with P measured over distinct users, plus
+    the [-1, 1]-normalized NPMI = PMI / -ln P(x,y). Shares the
+    ONE-exchange distinct co-occurrence pass with event_user_jaccard
+    (association strength vs set overlap — the two standard views)."""
+    cnt, n_users = _user_type_pair_counts(sf_dir)
+    sizes = dict(zip(
+        cnt.loc[cnt["event_x"] == cnt["event_y"], "event_x"],
+        cnt.loc[cnt["event_x"] == cnt["event_y"], "n"]))
+    out = cnt[cnt["event_x"] < cnt["event_y"]].copy()
+    out = out.rename(columns={"n": "n_both"})
+    out = out[out["n_both"] > 0]
+    nx = out["event_x"].map(sizes).astype(float)
+    ny = out["event_y"].map(sizes).astype(float)
+    nb = out["n_both"].astype(float)
+    n = float(n_users)
+    pmi = np.log(nb * n / (nx * ny))
+    pxy = nb / n
+    npmi = np.where(pxy < 1.0, pmi / -np.log(pxy), 1.0)
+    out["n_users"] = np.int64(n_users)
+    out["n_both"] = out["n_both"].astype("int64")
+    out["pmi"] = stable_round6(pmi)
+    out["npmi"] = stable_round6(npmi)
+    return out[["event_x", "event_y", "n_users", "n_both", "pmi", "npmi"]
+               ].sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_PMI = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM du),
+sz AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y,
+         COUNT(*) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.event_x, i.event_y,
+       CAST(nu.n AS BIGINT) AS n_users,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       ROUND(ROUND(LN(i.n_both::DOUBLE * nu.n / (sx.n::DOUBLE * sy.n)),
+             9), 6) AS pmi,
+       ROUND(ROUND(CASE WHEN i.n_both < nu.n
+           THEN LN(i.n_both::DOUBLE * nu.n / (sx.n::DOUBLE * sy.n))
+                / -LN(i.n_both::DOUBLE / nu.n)
+           ELSE 1.0 END, 9), 6) AS npmi
+FROM inter i
+CROSS JOIN nu
+JOIN sz sx ON sx.event_type = i.event_x
+JOIN sz sy ON sy.event_type = i.event_y
+WHERE i.n_both > 0
+ORDER BY i.event_x, i.event_y
+"""
+
+
+# -------------------------------------------------- histogram_quantile
+
+
+_HQ_BUCKETS = [10.0, 25.0, 50.0, 100.0, 200.0, 400.0]   # + the +Inf bucket
+_HQ_QS = [0.5, 0.9, 0.99]
+
+
+def histogram_quantile_kernel(counts: np.ndarray, q: float) -> float:
+    """PromQL histogram_quantile over cumulative le-bucket counts
+    (linear interpolation inside the target bucket; a quantile landing
+    in the +Inf bucket returns the highest finite bound — the
+    documented Prometheus convention)."""
+    bounds = np.array(_HQ_BUCKETS, dtype=np.float64)
+    total = float(counts.sum())
+    rank = q * total
+    cum = np.cumsum(counts).astype(np.float64)
+    b = int(np.searchsorted(cum, rank, side="left"))
+    if b >= len(bounds):                       # +Inf bucket
+        return float(bounds[-1])
+    lo = 0.0 if b == 0 else float(bounds[b - 1])
+    hi = float(bounds[b])
+    before = 0.0 if b == 0 else float(cum[b - 1])
+    in_bucket = float(counts[b])
+    if in_bucket == 0.0:
+        return hi
+    return lo + (hi - lo) * (rank - before) / in_bucket
+
+
+def q_histogram_quantile(sf_dir: str):
+    """PromQL-style ``histogram_quantile`` per event_type: raw values
+    are bucketed into fixed cumulative le-buckets by vectorized
+    per-batch partial counts (the ONLY thing that ever moves — the
+    native TSDB pre-aggregation contract where the histogram, not the
+    samples, is the stored series), then p50/p90/p99 are interpolated
+    from the bucket counts. The estimation-error complement to the
+    exact percentiles101 (which needs the values); both sides share
+    the interpolation formula exactly."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    bounds = np.array(_HQ_BUCKETS, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # side="right": a value exactly on a bound belongs to the bucket
+        # ABOVE it (the oracle's strict `value < bound` ladder)
+        b = np.searchsorted(bounds, df["value"].to_numpy(np.float64),
+                            side="right")
+        return pd.DataFrame({"event_type": df["event_type"], "b": b}
+                            ).groupby(["event_type", "b"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cnt = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "b"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas",
+    )
+    rows = []
+    for key, g in cnt.groupby("event_type", sort=True):
+        counts = np.zeros(len(bounds) + 1, dtype=np.float64)
+        counts[g["b"].to_numpy(int)] = g["n"].to_numpy(float)
+        for q in _HQ_QS:
+            rows.append({"event_type": key, "q": q,
+                         "est": histogram_quantile_kernel(counts, q),
+                         "n": int(counts.sum())})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["q"] = stable_round6(out["q"].astype(float))
+    out["est"] = stable_round6(out["est"].astype(float))
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+_SQL_HISTOGRAM_QUANTILE = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+              WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+              WHEN value < 200 THEN 4 WHEN value < 400 THEN 5
+              ELSE 6 END AS bk,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds(bk, lo, hi) AS (VALUES
+  (0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 50.0), (3, 50.0, 100.0),
+  (4, 100.0, 200.0), (5, 200.0, 400.0), (6, 400.0, 400.0)),
+c AS (
+  SELECT event_type, bk, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+),
+qq(q) AS (VALUES (0.5), (0.9), (0.99)),
+hit AS (
+  SELECT c.event_type, qq.q, c.bk, c.n, c.cum, c.total,
+         ROW_NUMBER() OVER (PARTITION BY c.event_type, qq.q
+                            ORDER BY c.bk) AS r
+  FROM c CROSS JOIN qq
+  WHERE c.cum >= qq.q * c.total
+)
+SELECT h.event_type,
+       ROUND(ROUND(h.q, 9), 6) AS q,
+       ROUND(ROUND(CASE WHEN h.bk >= 6 THEN 400.0
+           ELSE bo.lo + (bo.hi - bo.lo)
+                * (h.q * h.total - (h.cum - h.n)) / h.n END, 9), 6) AS est,
+       CAST(h.total AS BIGINT) AS n
+FROM hit h JOIN bounds bo USING (bk)
+WHERE h.r = 1
+ORDER BY h.event_type, q
+"""
+
+
+# ------------------------------------------------------ Kaplan-Meier
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier (1958) survival curve for the time from a user's
+    FIRST event to their SECOND, right-censored at a 24 h horizon (the
+    product-limit estimator — THE time-to-event tool, here as
+    time-to-return analysis). Per-user (first, second) timestamps come
+    from ONE user-keyed exchange; the risk-table sweep runs on the
+    bounded distinct-duration table. Both sides compute
+    S(t) = exp(cumsum ln(1 - d/n)) in event-time order so the product
+    replays exactly."""
+    from ..stages.exchange import block_map
+
+    horizon_h = 24.0
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        # per-user two smallest timestamps: the two smallest of a union
+        # equal the two smallest of the per-part two-smallest, so this
+        # same reduction serves as batch partial AND block combine
+        s = df.sort_values(["user_id", "ts"])
+        return s.groupby("user_id", sort=False).head(2)[["user_id", "ts"]]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = two_smallest(df)
+        s = s.assign(r=s.groupby("user_id", sort=False).cumcount())
+        p = s.pivot(index="user_id", columns="r", values="ts")
+        return pd.DataFrame({
+            "user_id": p.index.to_numpy(),
+            "t1": p[0].to_numpy(),
+            "t2": (p[1] if 1 in p.columns else pd.Series(
+                pd.NaT, index=p.index)).to_numpy(),
+        })
+
+    users = block_map(
+        ev.map_batches(two_smallest, batch_format="pandas"),
+        ["user_id"], finish,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas()
+
+    t1 = ts_to_us(users["t1"]).astype(np.float64)
+    has2 = users["t2"].notna().to_numpy()
+    t2 = np.where(has2, ts_to_us(users["t2"].fillna(users["t1"])), np.nan)
+    dur = (t2 - t1) / 3.6e9
+    event = has2 & (dur <= horizon_h)
+    dur_c = np.where(event, dur, horizon_h)
+    dur_c = stable_round6(dur_c)
+
+    tbl = pd.DataFrame({"t": dur_c, "e": event.astype(np.int64)})
+    agg = tbl.groupby("t", as_index=False).agg(
+        d=("e", "sum"), c=("e", "size"))
+    agg = agg.sort_values("t").reset_index(drop=True)
+    total = int(agg["c"].sum())
+    removed_before = np.concatenate(
+        [[0], np.cumsum(agg["c"].to_numpy(np.int64))[:-1]])
+    at_risk = total - removed_before
+    agg = agg[agg["d"] > 0].copy()
+    at_risk = at_risk[agg.index.to_numpy()]
+    d_ev = agg["d"].to_numpy(np.float64)
+    hit_zero = d_ev >= at_risk                  # survival reaches exactly 0
+    lf = np.where(hit_zero, 0.0, np.log(1.0 - d_ev / at_risk))
+    s = np.where(np.maximum.accumulate(hit_zero), 0.0,
+                 np.exp(np.cumsum(lf)))
+    out = pd.DataFrame({
+        "t_hours": agg["t"].to_numpy(),
+        "n_risk": at_risk.astype("int64"),
+        "n_events": agg["d"].to_numpy(np.int64),
+        "survival": stable_round6(s),
+    })
+    return out.sort_values("t_hours").reset_index(drop=True)
+
+
+_SQL_KAPLAN_MEIER = """
+WITH ranked AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS r
+  FROM events
+),
+u AS (
+  SELECT a.user_id,
+         a.ts AS t1,
+         b.ts AS t2
+  FROM ranked a LEFT JOIN ranked b
+    ON b.user_id = a.user_id AND b.r = 2
+  WHERE a.r = 1
+),
+dur AS (
+  SELECT user_id,
+         CASE WHEN t2 IS NOT NULL
+                   AND epoch_us(t2 - t1)::DOUBLE / 3.6e9 <= 24.0
+              THEN 1 ELSE 0 END AS e,
+         ROUND(ROUND(CASE WHEN t2 IS NOT NULL
+                   AND epoch_us(t2 - t1)::DOUBLE / 3.6e9 <= 24.0
+              THEN epoch_us(t2 - t1)::DOUBLE / 3.6e9
+              ELSE 24.0 END, 9), 6) AS t
+  FROM u
+),
+agg AS (
+  SELECT t, SUM(e) AS d, COUNT(*) AS c FROM dur GROUP BY 1
+),
+risk AS (
+  SELECT t, d, c,
+         (SELECT SUM(c) FROM agg) -
+         COALESCE(SUM(c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_risk
+  FROM agg
+)
+SELECT t AS t_hours,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       ROUND(ROUND(CASE
+           WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                OVER (ORDER BY t) = 1 THEN 0.0
+           ELSE EXP(SUM(CASE WHEN d < n_risk
+                        THEN LN(1.0 - d::DOUBLE / n_risk) ELSE 0.0 END)
+                    OVER (ORDER BY t)) END, 9), 6) AS survival
+FROM risk
+WHERE d > 0
+ORDER BY t_hours
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("event_type_pmi", q_event_type_pmi, _SQL_PMI)
+_register("histogram_quantile", q_histogram_quantile,
+          _SQL_HISTOGRAM_QUANTILE)
+_register("kaplan_meier", q_kaplan_meier, _SQL_KAPLAN_MEIER)
 _register("ewma_irregular", q_ewma_irregular, _SQL_EWMA)
 _register("token_burstiness", q_token_burstiness, _SQL_BURSTINESS)
 _register("rfm_segments", q_rfm_segments, _SQL_RFM)

@@ -420,3 +420,37 @@ def test_quintile_tuple_assignment_matches_ntile_semantics():
     for bv, bid in bounds:
         q += (v > bv) | ((v == bv) & (uid >= bid))
     np.testing.assert_array_equal(q, expect)
+
+
+# ------------------------------------------------- histogram_quantile
+
+
+def test_histogram_quantile_interpolation_hand_case():
+    from diive_ray.pipelines.extraqueries import histogram_quantile_kernel
+    # buckets (0,10],(10,25],... counts: 40 in first, 60 in second
+    counts = np.array([40.0, 60.0, 0, 0, 0, 0, 0])
+    # p50: rank 50 -> 10 into second bucket of 60 -> 10 + 15*(10/60)
+    got = histogram_quantile_kernel(counts, 0.5)
+    np.testing.assert_allclose(got, 10.0 + 15.0 * 10.0 / 60.0, atol=1e-12)
+
+
+def test_histogram_quantile_inf_bucket_returns_top_bound():
+    from diive_ray.pipelines.extraqueries import histogram_quantile_kernel
+    counts = np.zeros(7); counts[6] = 100.0     # all in +Inf
+    assert histogram_quantile_kernel(counts, 0.9) == 400.0
+
+
+def test_histogram_quantile_brackets_true_quantile():
+    from diive_ray.pipelines.extraqueries import (_HQ_BUCKETS,
+                                                  histogram_quantile_kernel)
+    rng = _rng(73)
+    x = rng.exponential(60, 20000)
+    bounds = np.array(_HQ_BUCKETS)
+    counts = np.zeros(7)
+    for v in x:
+        counts[int(np.searchsorted(bounds, v, side="right"))] += 1
+    for q in (0.5, 0.9):
+        est = histogram_quantile_kernel(counts, q)
+        true = np.quantile(x, q)
+        # estimate must land inside the true value's bucket
+        assert abs(est - true) < 40.0
