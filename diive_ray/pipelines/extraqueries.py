@@ -2286,7 +2286,262 @@ ORDER BY t_hours
 """
 
 
+# ------------------------------------------------- VaR / expected shortfall
+
+
+def q_expected_shortfall(sf_dir: str):
+    """Value-at-Risk and expected shortfall (CVaR, the coherent risk
+    measure of Artzner 1999 / Rockafellar-Uryasev 2000) of the raw
+    value distribution per event_type at the 95% level: VaR = the exact
+    (value, event_id) order statistic at 0-based rank floor(0.95 n),
+    ES = mean of the tail at-or-above that tuple. Scale shape: the
+    boundary tuples come from ``exact_rank_values`` (3 streaming
+    passes, bounded driver state), the tail mean is ONE map-side
+    filtered partial-aggregate pass — no sort, no per-key value
+    collection anywhere."""
+    from ..stages.exchange import driver_combine
+    from ..stages.stratified import exact_rank_values
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "event_id", "value"])
+    types = sorted(driver_combine(
+        ev, lambda df: df[["event_type"]].drop_duplicates(),
+        lambda df: df.drop_duplicates(),
+        batch_format="pandas")["event_type"])
+
+    rows = []
+    for et in types:
+        sub = ev.filter(expr=f"event_type == '{et}'")
+        n_info = {}
+
+        def rank_fn(n, _info=n_info):
+            _info["n"] = n
+            return np.array([int(np.floor(0.95 * n))])
+
+        n, bs = exact_rank_values(sub, "value", "event_id", rank_fn)
+        bv, bid = bs[0]
+
+        def tail_partial(df: pd.DataFrame, bv=bv, bid=bid) -> pd.DataFrame:
+            v = df["value"].to_numpy(np.float64)
+            i = df["event_id"].to_numpy(np.int64)
+            m = (v > bv) | ((v == bv) & (i >= bid))
+            return pd.DataFrame({"s": [v[m].sum()], "c": [int(m.sum())]})
+
+        t = driver_combine(
+            sub, tail_partial,
+            lambda df: pd.DataFrame({"s": [df["s"].sum()],
+                                     "c": [df["c"].sum()]}),
+            batch_format="pandas",
+        )
+        rows.append({"event_type": et, "n": n,
+                     "var95": float(bv),
+                     "n_tail": int(t["c"][0]),
+                     "es95": float(t["s"][0]) / float(t["c"][0])})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["n_tail"] = out["n_tail"].astype("int64")
+    for c in ("var95", "es95"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_EXPECTED_SHORTFALL = """
+WITH r AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+tail AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         MIN(CASE WHEN rk = FLOOR(0.95 * n) THEN value END) AS var95,
+         SUM(CASE WHEN rk >= FLOOR(0.95 * n) THEN value END) AS s,
+         SUM(CASE WHEN rk >= FLOOR(0.95 * n) THEN 1 ELSE 0 END) AS c
+  FROM r GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND(var95, 9), 6) AS var95,
+       CAST(c AS BIGINT) AS n_tail,
+       ROUND(ROUND(s / c, 9), 6) AS es95
+FROM tail
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------ Lorenz curve
+
+
+def q_lorenz_curve(sf_dir: str):
+    """Lorenz curve of user spend concentration at decile resolution:
+    users ranked by (6dp total spend, user_id), per-decile user counts,
+    spend sums and the cumulative spend share — the curve whose area
+    defect is the Gini coefficient (the per-source document-length
+    Gini, doc_gini_length, is the closed-form point statistic; this is
+    the full distributional view). Scale shape: user totals from ONE
+    keyed exchange, decile boundaries from ``exact_rank_values``,
+    assignment map-side, bounded decile combine."""
+    import ray
+
+    from ..stages.exchange import block_map, driver_combine
+    from ..stages.stratified import exact_rank_values
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                mon=("value", "sum")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            mon=("mon", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"],
+            "mon": stable_round6(df["mon"].astype(float))}),
+        batch_format="pandas",
+    ).materialize()
+
+    def decile_starts(n: int) -> np.ndarray:
+        base, extra = divmod(n, 10)
+        sizes = np.array([base + (1 if d < extra else 0)
+                          for d in range(10)], dtype=np.int64)
+        return np.cumsum(sizes)[:-1]
+
+    _, bs = exact_rank_values(users, "mon", "user_id", decile_starts)
+    bref = ray.put(bs)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        bb = _ray.get(bref)
+        v = df["mon"].to_numpy(np.float64)
+        uid = df["user_id"].to_numpy(np.int64)
+        q = np.ones(len(v), dtype=np.int64)
+        for bv, bid in bb:
+            q += (v > bv) | ((v == bv) & (uid >= bid))
+        return pd.DataFrame({"decile": q, "mon": v}).groupby(
+            "decile", as_index=False).agg(n_users=("mon", "size"),
+                                          sum_mon=("mon", "sum"))
+
+    dec = driver_combine(
+        users, assign,
+        lambda df: df.groupby("decile", as_index=False).agg(
+            n_users=("n_users", "sum"), sum_mon=("sum_mon", "sum")),
+        batch_format="pandas",
+    ).sort_values("decile").reset_index(drop=True)
+    total = float(dec["sum_mon"].sum())
+    dec["cum_share"] = stable_round6(np.cumsum(dec["sum_mon"]) / total)
+    dec["sum_mon"] = stable_round6(dec["sum_mon"].astype(float))
+    dec["decile"] = dec["decile"].astype("int64")
+    dec["n_users"] = dec["n_users"].astype("int64")
+    return dec[["decile", "n_users", "sum_mon", "cum_share"]]
+
+
+_SQL_LORENZ = """
+WITH u AS (
+  SELECT user_id, ROUND(ROUND(SUM(value), 9), 6) AS mon
+  FROM events GROUP BY 1
+),
+q AS (
+  SELECT user_id, mon,
+         NTILE(10) OVER (ORDER BY mon, user_id) AS decile
+  FROM u
+),
+d AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(mon) AS sum_mon
+  FROM q GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(ROUND(sum_mon, 9), 6) AS sum_mon,
+       ROUND(ROUND(SUM(sum_mon) OVER (ORDER BY decile)
+             / (SELECT SUM(sum_mon) FROM d), 9), 6) AS cum_share
+FROM d
+ORDER BY decile
+"""
+
+
+# ------------------------------------------------------ user concentration
+
+
+def q_user_concentration(sf_dir: str):
+    """Traffic-concentration battery per event_type over user activity
+    shares: Herfindahl-Hirschman index sum(share^2), its inverse (the
+    effective number of active users — the 'participation perplexity'),
+    and the top-1 user share. ONE (type, user) keyed exchange of count
+    partials; per-type reduction inside the type-keyed block."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    cnt = block_map(
+        ev.map_batches(
+            lambda df: df.groupby(["event_type", "user_id"],
+                                  as_index=False).size().rename(
+                columns={"size": "n"}),
+            batch_format="pandas"),
+        ["event_type", "user_id"],
+        lambda df: df.groupby(["event_type", "user_id"],
+                              as_index=False)["n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            n = g["n"].to_numpy(np.float64)
+            tot = n.sum()
+            sh = n / tot
+            # descending-share sum order shared with the oracle
+            sh = np.sort(sh)[::-1]
+            hhi = float((sh * sh).sum())
+            rows.append({"event_type": et, "n_events": int(tot),
+                         "n_users": len(n), "hhi": hhi,
+                         "eff_users": 1.0 / hhi,
+                         "top1_share": float(sh[0])})
+        return pd.DataFrame(rows)
+
+    out = block_map(cnt, ["event_type"], per_type,
+                    batch_format="pandas",
+                    zero_copy_batch=False).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    for c in ("hhi", "eff_users", "top1_share"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_CONCENTRATION = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(n) AS tot, COUNT(*) AS n_users FROM c GROUP BY 1),
+h AS (
+  SELECT c.event_type,
+         SUM((c.n::DOUBLE / t.tot) * (c.n::DOUBLE / t.tot)
+             ORDER BY c.n::DOUBLE / t.tot DESC, c.user_id) AS hhi,
+         MAX(c.n::DOUBLE / t.tot) AS top1
+  FROM c JOIN t USING (event_type) GROUP BY 1
+)
+SELECT t.event_type, CAST(t.tot AS BIGINT) AS n_events,
+       CAST(t.n_users AS BIGINT) AS n_users,
+       ROUND(ROUND(h.hhi, 9), 6) AS hhi,
+       ROUND(ROUND(1.0 / h.hhi, 9), 6) AS eff_users,
+       ROUND(ROUND(h.top1, 9), 6) AS top1_share
+FROM t JOIN h USING (event_type)
+ORDER BY t.event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("expected_shortfall", q_expected_shortfall,
+          _SQL_EXPECTED_SHORTFALL)
+_register("lorenz_curve", q_lorenz_curve, _SQL_LORENZ)
+_register("user_concentration", q_user_concentration, _SQL_CONCENTRATION)
 _register("event_type_pmi", q_event_type_pmi, _SQL_PMI)
 _register("histogram_quantile", q_histogram_quantile,
           _SQL_HISTOGRAM_QUANTILE)
