@@ -2537,7 +2537,179 @@ ORDER BY t.event_type
 """
 
 
+# ------------------------------------------------------ Kleinberg bursts
+
+
+def kleinberg_kernel(times_s: np.ndarray, s: float = 3.0,
+                     gamma: float = 1.0) -> dict[str, float]:
+    """Kleinberg (2002) two-state burst automaton on an event stream:
+    gaps are exponential with base rate r0 = 1/mean_gap (state 0) or
+    burst rate r1 = s*r0 (state 1); entering the burst state costs
+    gamma*ln(n). Exact Viterbi decode (deterministic: on equal costs
+    the LOWER state wins), then bursts = maximal state-1 runs."""
+    t = np.sort(times_s.astype(np.float64))
+    g = np.diff(t)
+    n = len(g)
+    if n < 2:
+        return {"n_bursts": 0, "gaps_in_burst": 0,
+                "longest_burst_gaps": 0, "frac_time_burst": 0.0}
+    r0 = n / (t[-1] - t[0])
+    r1 = s * r0
+    trans = gamma * np.log(n)
+    c0 = -np.log(r0) + r0 * g                  # per-gap emission costs
+    c1 = -np.log(r1) + r1 * g
+    cost = np.array([c0[0], c1[0] + trans])
+    back = np.zeros((n, 2), dtype=np.int8)
+    for i in range(1, n):
+        stay0, from1 = cost[0], cost[1]        # moving 1->0 is free
+        if stay0 <= from1:
+            new0, back[i, 0] = stay0 + c0[i], 0
+        else:
+            new0, back[i, 0] = from1 + c0[i], 1
+        up = cost[0] + trans
+        if cost[1] <= up:
+            new1, back[i, 1] = cost[1] + c1[i], 1
+        else:
+            new1, back[i, 1] = up + c1[i], 0
+        cost = np.array([new0, new1])
+    st = np.zeros(n, dtype=np.int8)
+    st[-1] = 0 if cost[0] <= cost[1] else 1
+    for i in range(n - 1, 0, -1):
+        st[i - 1] = back[i, st[i]]
+    in_b = st == 1
+    edges = np.diff(np.concatenate([[0], in_b.view(np.int8), [0]]))
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)
+    lengths = ends - starts
+    return {"n_bursts": int(len(starts)),
+            "gaps_in_burst": int(in_b.sum()),
+            "longest_burst_gaps": int(lengths.max()) if len(lengths) else 0,
+            "frac_time_burst": float(g[in_b].sum() / g.sum())}
+
+
+def q_kleinberg_bursts(sf_dir: str):
+    """Kleinberg burst detection per event_type on the raw event
+    stream: per-type arrival timestamps (pruned two-column read, ONE
+    keyed exchange), exact two-state Viterbi on the inter-arrival gaps.
+    Rows-only (sequential DP); planted-burst recovery and
+    uniform-stream-quiet are pytest-pinned. The stream-burst
+    counterpart of the windowed CUSUM/Page-Hinkley drift family."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            t = ts_to_us(g["ts"]).astype(np.float64) / 1e6
+            k = kleinberg_kernel(t)
+            rows.append({"event_type": et, "n_events": len(g), **k})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas",
+                    zero_copy_batch=False).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    for c in ("n_bursts", "gaps_in_burst", "longest_burst_gaps"):
+        out[c] = out[c].astype("int64")
+    out["frac_time_burst"] = stable_round6(
+        out["frac_time_burst"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# -------------------------------------------------------- RAKE keywords
+
+
+def rake_scores(phrase_counts: pd.DataFrame) -> pd.DataFrame:
+    """RAKE scoring (Rose 2010) from (phrase, count) rows: word
+    degree = sum over phrase occurrences of the phrase length, word
+    frequency = occurrences; word score = degree/frequency; phrase
+    score = sum of member word scores. Returns top-20 phrases by
+    (score DESC, phrase ASC)."""
+    deg: dict[str, float] = {}
+    freq: dict[str, float] = {}
+    for phrase, cnt in zip(phrase_counts["phrase"], phrase_counts["n"]):
+        ws = phrase.split(" ")
+        for w in ws:
+            deg[w] = deg.get(w, 0.0) + len(ws) * cnt
+            freq[w] = freq.get(w, 0.0) + cnt
+    score = {w: deg[w] / freq[w] for w in deg}
+    out = phrase_counts.copy()
+    out["score"] = [sum(score[w] for w in p.split(" "))
+                    for p in out["phrase"]]
+    out = out.sort_values(["score", "phrase"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def q_doc_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction over the corpus (Rose 2010): the
+    stop-set is the corpus's own top-5 most frequent words (the
+    function-word proxy for a synthetic vocabulary — deterministic,
+    (freq DESC, word ASC)); candidate phrases are the maximal non-stop
+    word runs per document, counted by ONE phrase-keyed exchange (text
+    never moves twice); degree/frequency word scores and phrase scores
+    run on the bounded phrase table. Rows-only; the degree/frequency
+    scoring identity is pytest-pinned against a naive reference."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.bpe import word_freqs
+    from ..stages.exchange import block_map
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    wf = word_freqs(docs)
+    stop = set(wf.sort_values(["freq", "word"],
+                              ascending=[False, True]).head(5)["word"])
+    sref = ray.put(stop)
+
+    def phrases(t: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        st = _ray.get(sref)
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        doc_i = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_i = flat[keep], doc_i[keep]
+        if len(flat) == 0:
+            return pd.DataFrame({"phrase": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        is_stop = np.isin(flat, np.array(sorted(st), dtype=object))
+        # vectorized run segmentation: a run breaks at stopwords and
+        # document boundaries; phrases = joined non-stop runs
+        new_doc = np.concatenate([[True], doc_i[1:] != doc_i[:-1]])
+        boundary = is_stop | new_doc
+        run_id = np.cumsum(boundary)
+        m = ~is_stop
+        ph = pd.DataFrame({"r": run_id[m], "w": flat[m]}).groupby(
+            "r", sort=False)["w"].agg(" ".join)
+        vc = ph.value_counts()
+        return pd.DataFrame({"phrase": vc.index.to_numpy(object),
+                             "n": vc.to_numpy(np.int64)})
+
+    cnt = block_map(
+        docs.map_batches(phrases, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["phrase"],
+        lambda df: df.groupby("phrase", as_index=False)["n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    out = rake_scores(cnt)
+    out["n"] = out["n"].astype("int64")
+    out["score"] = stable_round6(out["score"].astype(float))
+    return out[["phrase", "n", "score"]]
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("kleinberg_bursts", q_kleinberg_bursts)
+_register("doc_rake_keywords", q_doc_rake_keywords)
 _register("expected_shortfall", q_expected_shortfall,
           _SQL_EXPECTED_SHORTFALL)
 _register("lorenz_curve", q_lorenz_curve, _SQL_LORENZ)

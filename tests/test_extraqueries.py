@@ -454,3 +454,47 @@ def test_histogram_quantile_brackets_true_quantile():
         true = np.quantile(x, q)
         # estimate must land inside the true value's bucket
         assert abs(est - true) < 40.0
+
+
+# ------------------------------------------------------ Kleinberg bursts
+
+
+def test_kleinberg_detects_planted_burst():
+    from diive_ray.pipelines.extraqueries import kleinberg_kernel
+    rng = _rng(79)
+    base = np.cumsum(rng.exponential(10.0, 400))        # quiet stream
+    burst = base[200] + np.cumsum(rng.exponential(0.5, 80))
+    t = np.sort(np.concatenate([base, burst]))
+    r = kleinberg_kernel(t)
+    assert r["n_bursts"] >= 1
+    assert r["longest_burst_gaps"] >= 50                # covers the injection
+
+
+def test_kleinberg_quiet_on_uniform_stream():
+    from diive_ray.pipelines.extraqueries import kleinberg_kernel
+    rng = _rng(83)
+    t = np.cumsum(rng.exponential(5.0, 600))
+    r = kleinberg_kernel(t)
+    # memoryless stream: at most incidental micro-bursts
+    assert r["gaps_in_burst"] < 60
+    assert r["frac_time_burst"] < 0.05
+
+
+# ---------------------------------------------------------- RAKE scores
+
+
+def test_rake_degree_over_frequency_identity():
+    import pandas as pd
+    from diive_ray.pipelines.extraqueries import rake_scores
+    cnt = pd.DataFrame({"phrase": ["deep learning", "deep", "learning rate"],
+                        "n": [2, 3, 1]})
+    out = rake_scores(cnt)
+    # deg(deep) = 2*2 + 1*3 = 7, freq = 5 -> 1.4
+    # deg(learning) = 2*2 + 2*1 = 6, freq = 3 -> 2.0
+    # deg(rate) = 2*1 = 2, freq = 1 -> 2.0
+    s = dict(zip(out["phrase"], out["score"]))
+    np.testing.assert_allclose(s["deep learning"], 1.4 + 2.0)
+    np.testing.assert_allclose(s["deep"], 1.4)
+    np.testing.assert_allclose(s["learning rate"], 4.0)
+    # ranking: ties broken by phrase asc, scores desc first
+    assert list(out["phrase"])[0] == "learning rate"
