@@ -2606,6 +2606,15 @@ def q_kleinberg_bursts(sf_dir: str):
             t = ts_to_us(g["ts"]).astype(np.float64) / 1e6
             k = kleinberg_kernel(t)
             rows.append({"event_type": et, "n_events": len(g), **k})
+        if not rows:        # empty exchange blocks lose their schema
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_bursts": pd.Series([], dtype=np.int64),
+                "gaps_in_burst": pd.Series([], dtype=np.int64),
+                "longest_burst_gaps": pd.Series([], dtype=np.int64),
+                "frac_time_burst": pd.Series([], dtype=np.float64),
+            })
         return pd.DataFrame(rows)
 
     out = block_map(ev, ["event_type"], per_type,
