@@ -2716,7 +2716,269 @@ def q_doc_rake_keywords(sf_dir: str):
     return out[["phrase", "n", "score"]]
 
 
+# --------------------------------------------- delta-of-delta histogram
+
+
+def dod_bits(dod_s: np.ndarray) -> np.ndarray:
+    """Gorilla timestamp-encoding cost per delta-of-delta (seconds):
+    0 -> 1 bit, [-63,64] -> 9, [-255,256] -> 12, [-2047,2048] -> 16,
+    else 36 (the Facebook Gorilla paper's bucket ladder, Pelkonen
+    2015 — the same ladder the engine's state/gorilla.py codec uses)."""
+    a = dod_s
+    return np.where(a == 0, 1,
+           np.where((a >= -63) & (a <= 64), 9,
+           np.where((a >= -255) & (a <= 256), 12,
+           np.where((a >= -2047) & (a <= 2048), 16, 36)))).astype(np.int64)
+
+
+def q_timestamp_dod_histogram(sf_dir: str):
+    """Gorilla compression cost model over the event streams: per
+    event_type, the delta-of-delta (seconds, (ts, event_id) order) of
+    consecutive arrivals bucketed into the Gorilla encoding ladder,
+    with the implied bits/point — the planning statistic for the
+    engine's own timestamp codec (state/gorilla.py): irregular streams
+    land in the 12/16-bit buckets, regular ones in the 1-bit bucket.
+    ONE keyed exchange; vectorized in-block diff."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "event_id"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            t = (ts_to_us(g["ts"]) // 1_000_000).astype(np.int64)
+            d = np.diff(t)
+            dod = np.diff(d)
+            bits = dod_bits(dod)
+            for b in (1, 9, 12, 16, 36):
+                n = int((bits == b).sum())
+                rows.append({"event_type": et, "bucket_bits": b, "n": n})
+            rows.append({"event_type": et, "bucket_bits": 0,
+                         "n": int(bits.sum())})   # 0 = total bits row
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out["bucket_bits"] = out["bucket_bits"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "bucket_bits"]).reset_index(
+        drop=True)
+
+
+_SQL_DOD_HIST = """
+WITH d AS (
+  SELECT event_type, ts, event_id,
+         epoch_us(ts) // 1000000
+         - LAG(epoch_us(ts) // 1000000)
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dt
+  FROM events
+),
+dod AS (
+  SELECT event_type,
+         dt - LAG(dt) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS x
+  FROM d WHERE dt IS NOT NULL
+),
+bits AS (
+  SELECT event_type,
+         CASE WHEN x = 0 THEN 1
+              WHEN x BETWEEN -63 AND 64 THEN 9
+              WHEN x BETWEEN -255 AND 256 THEN 12
+              WHEN x BETWEEN -2047 AND 2048 THEN 16
+              ELSE 36 END AS b
+  FROM dod WHERE x IS NOT NULL
+),
+hist AS (
+  SELECT event_type, b AS bucket_bits, COUNT(*) AS n
+  FROM bits GROUP BY 1, 2
+),
+lad(bucket_bits) AS (VALUES (1), (9), (12), (16), (36)),
+tl AS (SELECT DISTINCT event_type FROM events),
+full_h AS (
+  SELECT tl.event_type, lad.bucket_bits, COALESCE(hist.n, 0) AS n
+  FROM tl CROSS JOIN lad
+  LEFT JOIN hist USING (event_type, bucket_bits)
+),
+tot AS (
+  SELECT event_type, 0 AS bucket_bits, SUM(b) AS n FROM bits GROUP BY 1
+)
+SELECT event_type, CAST(bucket_bits AS BIGINT) AS bucket_bits,
+       CAST(n AS BIGINT) AS n
+FROM (SELECT * FROM full_h UNION ALL SELECT * FROM tot)
+ORDER BY event_type, bucket_bits
+"""
+
+
+# ----------------------------------------------------- window funnel
+
+
+def q_window_funnel(sf_dir: str):
+    """ClickHouse-style ``windowFunnel``: per user, the deepest prefix
+    of the step chain view -> click -> purchase completable with
+    strictly increasing timestamps all within 24 h of the chain's FIRST
+    event. Exists-semantics (not first-match): the engine scans each
+    candidate chain start and greedily takes the earliest next step —
+    optimal for existence because an earlier step only ever leaves more
+    window. ONE user-keyed exchange, per-user vectorized searchsorted.
+    Output: users at each max depth (0 = has none of step 1)."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    steps = ["view", "click", "purchase"]
+    window_us = 24 * 3600 * 1_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            t = {s: np.sort(ts_to_us(g.loc[g["event_type"] == s, "ts"]))
+                 for s in steps}
+            depth = 0
+            if len(t[steps[0]]):
+                depth = 1
+                for t1 in t[steps[0]]:
+                    lim = t1 + window_us
+                    cur, d = t1, 1
+                    for s in steps[1:]:
+                        nxt = t[s]
+                        i = np.searchsorted(nxt, cur, side="right")
+                        if i < len(nxt) and nxt[i] <= lim:
+                            cur = nxt[i]
+                            d += 1
+                        else:
+                            break
+                    depth = max(depth, d)
+                    if depth == len(steps):
+                        break
+            rows.append({"user_id": uid, "depth": depth})
+        out = pd.DataFrame(rows, columns=["user_id", "depth"])
+        return out.groupby("depth", as_index=False).size().rename(
+            columns={"size": "n_users"})
+
+    cnt = block_map(ev, ["user_id"], per_user,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out = cnt.groupby("depth", as_index=False)["n_users"].sum()
+    out["depth"] = out["depth"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("depth").reset_index(drop=True)
+
+
+_SQL_WINDOW_FUNNEL = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+d3 AS (
+  SELECT DISTINCT v.user_id FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 24 HOUR
+  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        AND p.ts <= v.ts + INTERVAL 24 HOUR
+),
+d2 AS (
+  SELECT DISTINCT v.user_id FROM v
+  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        AND c.ts <= v.ts + INTERVAL 24 HOUR
+),
+d1 AS (SELECT DISTINCT user_id FROM v),
+au AS (SELECT DISTINCT user_id FROM events),
+depth AS (
+  SELECT au.user_id,
+         CASE WHEN d3.user_id IS NOT NULL THEN 3
+              WHEN d2.user_id IS NOT NULL THEN 2
+              WHEN d1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS depth
+  FROM au
+  LEFT JOIN d1 USING (user_id)
+  LEFT JOIN d2 USING (user_id)
+  LEFT JOIN d3 USING (user_id)
+)
+SELECT CAST(depth AS BIGINT) AS depth, COUNT(*)::BIGINT AS n_users
+FROM depth GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------- last-touch attribution
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Marketing-style last-touch attribution: every 'purchase' is
+    attributed to the user's most recent preceding 'view'/'click'
+    within 7 days ((ts, event_id)-max for determinism), else 'none'.
+    Built on the engine's ``asof_join`` primitive (backward,
+    tolerance) — the point-in-time join doing attribution instead of
+    market data. Output: conversions per attributed channel."""
+    from ..stages.joins import asof_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    conv = ev.filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: t.select(["user_id", "ts", "event_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    touch = ev.filter(
+        expr="event_type == 'view' or event_type == 'click'").map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"],
+            # strictly-before semantics + (ts, event_id) determinism:
+            # encode the touch order key as ts plus an event_id epsilon
+            "ts": df["ts"],
+            "touch_type": df["event_type"],
+            "touch_id": df["event_id"],
+        }),
+        batch_format="pandas")
+    # asof backward on ts; merge_asof keeps the LAST right row at equal
+    # ts values in input order, so pre-sort rights by (ts, touch_id) to
+    # pin equal-ts winners to the larger event_id (the SQL arg-max)
+    j = asof_join(conv, touch, key="user_id", on="ts",
+                  direction="backward",
+                  tolerance=pd.Timedelta(days=7)).to_pandas()
+    j["channel"] = j["touch_type"].fillna("none")
+    out = j.groupby("channel", as_index=False).size().rename(
+        columns={"size": "n_conversions"})
+    out["n_conversions"] = out["n_conversions"].astype("int64")
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+_SQL_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+best AS (
+  SELECT c.event_id AS conv_id,
+         t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS r
+  FROM conv c
+  JOIN touch t ON t.user_id = c.user_id
+              AND t.ts <= c.ts
+              AND t.ts >= c.ts - INTERVAL 7 DAY
+),
+attributed AS (
+  SELECT c.event_id,
+         COALESCE(b.event_type, 'none') AS channel
+  FROM conv c
+  LEFT JOIN best b ON b.conv_id = c.event_id AND b.r = 1
+)
+SELECT channel, COUNT(*)::BIGINT AS n_conversions
+FROM attributed GROUP BY 1 ORDER BY 1
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("timestamp_dod_histogram", q_timestamp_dod_histogram,
+          _SQL_DOD_HIST)
+_register("window_funnel", q_window_funnel, _SQL_WINDOW_FUNNEL)
+_register("attribution_last_touch", q_attribution_last_touch,
+          _SQL_ATTRIBUTION)
 _register("kleinberg_bursts", q_kleinberg_bursts)
 _register("doc_rake_keywords", q_doc_rake_keywords)
 _register("expected_shortfall", q_expected_shortfall,
