@@ -2973,7 +2973,256 @@ FROM attributed GROUP BY 1 ORDER BY 1
 """
 
 
+# ----------------------------------------------------------- max drawdown
+
+
+def q_max_drawdown(sf_dir: str):
+    """Maximum drawdown of the hourly-mean series per event_type (the
+    finance risk staple): dd_t = running_max(m) - m_t, reporting the
+    maximum, the first bucket attaining it (6dp-dd argmax with
+    bucket-asc tie-break on both sides) and the peak level it fell
+    from. Series analytics on the distributed rollup tier."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts").reset_index(drop=True)
+        m = g["m"].to_numpy(np.float64)
+        peak = np.maximum.accumulate(m)
+        dd = stable_round6(peak - m)
+        i = int(np.argmax(dd))                 # first max under ties
+        rows.append({"event_type": key, "n": len(m),
+                     "max_drawdown": float(dd[i]),
+                     "trough_bucket": g["bucket_ts"].iloc[i],
+                     "peak_level": float(stable_round6(
+                         np.array([peak[i]]))[0])})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["trough_bucket"] = pd.to_datetime(out["trough_bucket"]).astype(
+        "datetime64[us]")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_MAX_DRAWDOWN = _HOURLY_CTE + """,
+r AS (
+  SELECT event_type, bts, m,
+         MAX(m) OVER (PARTITION BY event_type ORDER BY bts) AS peak
+  FROM hourly
+),
+dd AS (
+  SELECT event_type, bts, peak,
+         ROUND(ROUND(peak - m, 9), 6) AS d
+  FROM r
+),
+best AS (
+  SELECT event_type, bts, peak, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY d DESC, bts ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dd
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       d AS max_drawdown,
+       bts AS trough_bucket,
+       ROUND(ROUND(peak, 9), 6) AS peak_level
+FROM best WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------- A/B conversion z-test
+
+
+def q_ab_conversion_test(sf_dir: str):
+    """Two-proportion z-test (the A/B-testing workhorse) on a
+    deterministic user split (even vs odd user_id): per event_type,
+    the share of users in each arm with >= 1 event of that type,
+    pooled-variance z statistic and the absolute lift. User-level
+    engagement flags come from the same distinct (user, type) exchange
+    as the Jaccard/PMI family; arms are disjoint so all counts are ONE
+    bounded combine."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        # runs INSIDE the user-keyed block (complete user groups):
+        # global (user, type) dedup and per-arm distinct-user counts
+        # are both exact here; marker rows carry the arm totals
+        d = df.drop_duplicates(["user_id", "event_type"])
+        d = d.assign(arm=(d["user_id"] % 2).astype(np.int64))
+        per_type = d.groupby(["event_type", "arm"],
+                             as_index=False)["user_id"].nunique().rename(
+            columns={"user_id": "n_conv"})
+        arm_tot = d.groupby("arm", as_index=False)["user_id"].nunique(
+        ).rename(columns={"user_id": "n_conv"})
+        arm_tot["event_type"] = "\x00__arm__"
+        return pd.concat([per_type, arm_tot], ignore_index=True)
+
+    cnt = block_map(
+        ev.map_batches(
+            lambda df: df.drop_duplicates(["user_id", "event_type"]),
+            batch_format="pandas"),
+        ["user_id"], counts,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas().groupby(["event_type", "arm"], as_index=False)[
+        "n_conv"].sum()
+    arm_n = {int(r["arm"]): int(r["n_conv"])
+             for _, r in cnt[cnt["event_type"] == "\x00__arm__"].iterrows()}
+    cnt = cnt[cnt["event_type"] != "\x00__arm__"]
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        byarm = {int(r["arm"]): int(r["n_conv"]) for _, r in g.iterrows()}
+        xa, xb = byarm.get(0, 0), byarm.get(1, 0)
+        na, nb = arm_n[0], arm_n[1]
+        pa, pb = xa / na, xb / nb
+        pool = (xa + xb) / (na + nb)
+        se = np.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+        rows.append({"event_type": et,
+                     "n_a": na, "n_b": nb, "conv_a": xa, "conv_b": xb,
+                     "p_a": pa, "p_b": pb, "lift": pb - pa,
+                     "z": (pb - pa) / se if se > 0 else 0.0})
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b", "conv_a", "conv_b"):
+        out[c] = out[c].astype("int64")
+    for c in ("p_a", "p_b", "lift", "z"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_AB_TEST = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+arms AS (
+  SELECT user_id % 2 AS arm, COUNT(DISTINCT user_id) AS n_arm
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT event_type, user_id % 2 AS arm, COUNT(*) AS x
+  FROM du GROUP BY 1, 2
+),
+w AS (
+  SELECT c.event_type,
+         MAX(CASE WHEN c.arm = 0 THEN c.x ELSE 0 END) AS xa,
+         MAX(CASE WHEN c.arm = 1 THEN c.x ELSE 0 END) AS xb
+  FROM conv c GROUP BY 1
+),
+nn AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n_arm END) AS na,
+         MAX(CASE WHEN arm = 1 THEN n_arm END) AS nb
+  FROM arms
+)
+SELECT w.event_type,
+       CAST(nn.na AS BIGINT) AS n_a, CAST(nn.nb AS BIGINT) AS n_b,
+       CAST(w.xa AS BIGINT) AS conv_a, CAST(w.xb AS BIGINT) AS conv_b,
+       ROUND(ROUND(w.xa::DOUBLE / nn.na, 9), 6) AS p_a,
+       ROUND(ROUND(w.xb::DOUBLE / nn.nb, 9), 6) AS p_b,
+       ROUND(ROUND(w.xb::DOUBLE / nn.nb - w.xa::DOUBLE / nn.na, 9), 6)
+           AS lift,
+       ROUND(ROUND(CASE WHEN (w.xa + w.xb) > 0
+                         AND (w.xa + w.xb) < (nn.na + nn.nb)
+           THEN (w.xb::DOUBLE / nn.nb - w.xa::DOUBLE / nn.na)
+                / SQRT(((w.xa + w.xb)::DOUBLE / (nn.na + nn.nb))
+                       * (1.0 - (w.xa + w.xb)::DOUBLE / (nn.na + nn.nb))
+                       * (1.0 / nn.na + 1.0 / nn.nb))
+           ELSE 0.0 END, 9), 6) AS z
+FROM w CROSS JOIN nn
+ORDER BY w.event_type
+"""
+
+
+# -------------------------------------------------------- P^2 quantile
+
+
+def p2_quantile_kernel(x: np.ndarray, q: float) -> float:
+    """Jain & Chlamtac (1985) P^2 streaming quantile estimator: five
+    markers, parabolic (piecewise-quadratic) height adjustment, O(1)
+    memory. Deterministic for a fixed arrival order."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < 5:
+        return float(np.quantile(x, q))
+    h = np.sort(x[:5]).astype(np.float64)          # marker heights
+    n = np.array([0.0, 1.0, 2.0, 3.0, 4.0])        # marker positions
+    nd = np.array([0.0, 2.0 * q, 4.0 * q, 2.0 + 2.0 * q, 4.0])
+    dn = np.array([0.0, q / 2.0, q, (1.0 + q) / 2.0, 1.0])
+    for v in x[5:]:
+        if v < h[0]:
+            h[0] = v
+            k = 0
+        elif v < h[1]:
+            k = 0
+        elif v < h[2]:
+            k = 1
+        elif v < h[3]:
+            k = 2
+        elif v <= h[4]:
+            k = 3
+        else:
+            h[4] = v
+            k = 3
+        n[k + 1:] += 1.0
+        nd += dn
+        for i in (1, 2, 3):
+            d = nd[i] - n[i]
+            if (d >= 1.0 and n[i + 1] - n[i] > 1.0) or \
+               (d <= -1.0 and n[i - 1] - n[i] < -1.0):
+                s = 1.0 if d >= 1.0 else -1.0
+                # parabolic prediction
+                hp = h[i] + s / (n[i + 1] - n[i - 1]) * (
+                    (n[i] - n[i - 1] + s) * (h[i + 1] - h[i])
+                    / (n[i + 1] - n[i])
+                    + (n[i + 1] - n[i] - s) * (h[i] - h[i - 1])
+                    / (n[i] - n[i - 1]))
+                if h[i - 1] < hp < h[i + 1]:
+                    h[i] = hp
+                else:                               # linear fallback
+                    j = i + int(s)
+                    h[i] = h[i] + s * (h[j] - h[i]) / (n[j] - n[i])
+                n[i] += s
+    return float(h[2])
+
+
+def q_p2_quantile(sf_dir: str):
+    """P^2 streaming quantile (Jain & Chlamtac 1985) per event_type on
+    the raw value stream in (ts, event_id) order: O(1)-memory p50/p90
+    estimates next to the exact values — the constant-memory rival of
+    the mergeable t-digest (quantiles_tdigest). Rows-only (sequential
+    marker updates are arrival-order-defined); rank-accuracy pins in
+    pytest."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "event_id", "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g.sort_values(["ts", "event_id"])["value"].to_numpy(
+                np.float64)
+            for q in (0.5, 0.9):
+                rows.append({"event_type": et, "q": q, "n": len(v),
+                             "p2_est": p2_quantile_kernel(v, q),
+                             "exact": float(np.quantile(v, q))})
+        cols = {"event_type": object, "q": np.float64, "n": np.int64,
+                "p2_est": np.float64, "exact": np.float64}
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    for c in ("q", "p2_est", "exact"):
+        out[c] = stable_round6(out[c].astype(float))
+    out["abs_err"] = stable_round6(np.abs(out["p2_est"] - out["exact"]))
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("p2_quantile", q_p2_quantile)
+_register("max_drawdown", q_max_drawdown, _SQL_MAX_DRAWDOWN)
+_register("ab_conversion_test", q_ab_conversion_test, _SQL_AB_TEST)
 _register("timestamp_dod_histogram", q_timestamp_dod_histogram,
           _SQL_DOD_HIST)
 _register("window_funnel", q_window_funnel, _SQL_WINDOW_FUNNEL)

@@ -498,3 +498,43 @@ def test_rake_degree_over_frequency_identity():
     np.testing.assert_allclose(s["learning rate"], 4.0)
     # ranking: ties broken by phrase asc, scores desc first
     assert list(out["phrase"])[0] == "learning rate"
+
+
+# ---------------------------------------------------------- P2 quantile
+
+
+def test_p2_quantile_tracks_exact_on_normal_stream():
+    from diive_ray.pipelines.extraqueries import p2_quantile_kernel
+    rng = _rng(89)
+    x = rng.normal(100, 15, 50000)
+    for q in (0.5, 0.9, 0.99):
+        est = p2_quantile_kernel(x, q)
+        exact = np.quantile(x, q)
+        assert abs(est - exact) < 1.0          # « sd; O(1) memory
+
+
+def test_p2_quantile_heavy_tail_median():
+    from diive_ray.pipelines.extraqueries import p2_quantile_kernel
+    rng = _rng(97)
+    x = rng.lognormal(0, 2, 30000)
+    est = p2_quantile_kernel(x, 0.5)
+    exact = np.quantile(x, 0.5)
+    assert abs(est - exact) / exact < 0.1
+
+
+def test_p2_quantile_small_n_exact_fallback():
+    from diive_ray.pipelines.extraqueries import p2_quantile_kernel
+    x = np.array([3.0, 1.0, 2.0])
+    np.testing.assert_allclose(p2_quantile_kernel(x, 0.5), 2.0)
+
+
+# ----------------------------------------------------------- drawdown
+
+
+def test_max_drawdown_shape():
+    # monotone rise has zero drawdown; a dip shows peak-to-trough
+    from diive_ray.pipelines.statqueries import _HOURLY_CTE  # noqa: F401
+    m = np.array([1.0, 2.0, 3.0, 2.5, 1.5, 2.8])
+    peak = np.maximum.accumulate(m)
+    dd = peak - m
+    assert dd.max() == 1.5 and int(np.argmax(dd)) == 4
