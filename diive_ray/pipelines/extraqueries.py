@@ -3219,7 +3219,209 @@ def q_p2_quantile(sf_dir: str):
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+# ------------------------------------------ weighted sample (A-Res keys)
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Weighted random sampling without replacement by the
+    Efraimidis-Spirakis (2006) A-Res key method: key_i = u_i^(1/w_i)
+    with w = n_chars and u from a deterministic multiplicative hash of
+    doc_id (Knuth constant), take the top-20 keys — the length-biased
+    document sample. ONE pruned pass, per-batch partial top-k, no
+    shuffle; the hash makes the 'randomness' SQL-replayable, so the
+    sample is an EXACT oracle row set (the doc_sample_hash /
+    doc_reservoir_sample family completed with the weighted member)."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy(np.int64) * 2654435761) % (2 ** 32)
+        u = (h.astype(np.float64) + 0.5) / (2.0 ** 32)
+        key = u ** (1.0 / df["n_chars"].to_numpy(np.float64))
+        out = pd.DataFrame({"doc_id": df["doc_id"], "source": df["source"],
+                            "n_chars": df["n_chars"],
+                            "key": stable_round6(key) if False else key})
+        return out.sort_values(["key", "doc_id"],
+                               ascending=[False, True]).head(20)
+
+    top = driver_combine(
+        docs, partial,
+        lambda df: df.sort_values(["key", "doc_id"],
+                                  ascending=[False, True]).head(20),
+        batch_format="pandas",
+    )
+    top["doc_id"] = top["doc_id"].astype("int64")
+    top["n_chars"] = top["n_chars"].astype("int64")
+    top["key"] = stable_round6(top["key"].astype(float))
+    return top.reset_index(drop=True)
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, source, n_chars,
+         POWER((((doc_id * 2654435761) % 4294967296)::DOUBLE + 0.5)
+               / 4294967296.0,
+               1.0 / n_chars) AS key
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, source, n_chars::BIGINT AS n_chars,
+       ROUND(ROUND(key, 9), 6) AS key
+FROM k
+ORDER BY key DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------- DiD
+
+
+def q_diff_in_diff(sf_dir: str):
+    """2x2 difference-in-differences per event_type: arms from the
+    deterministic user_id parity split, periods pre/post the month
+    midpoint; DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre)
+    of mean values — the canonical causal-inference contrast (Card &
+    Krueger shape) as a bounded partial-aggregate pass."""
+    from ..stages.exchange import driver_combine
+
+    cut = pd.Timestamp("2024-01-16")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "arm": (df["user_id"] % 2).astype(np.int64),
+            "post": (df["ts"] >= cut).astype(np.int64),
+            "v": df["value"],
+        }).groupby(["event_type", "arm", "post"], as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+
+    g = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "arm", "post"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas",
+    )
+    g["m"] = g["s"] / g["n"]
+    rows = []
+    for et, gg in g.groupby("event_type", sort=True):
+        cell = {(int(r["arm"]), int(r["post"])): (float(r["m"]),
+                                                  int(r["n"]))
+                for _, r in gg.iterrows()}
+        m00, m01 = cell[(0, 0)][0], cell[(0, 1)][0]
+        m10, m11 = cell[(1, 0)][0], cell[(1, 1)][0]
+        rows.append({"event_type": et,
+                     "ctrl_pre": m00, "ctrl_post": m01,
+                     "treat_pre": m10, "treat_post": m11,
+                     "did": (m11 - m10) - (m01 - m00),
+                     "n_obs": sum(v[1] for v in cell.values())})
+    out = pd.DataFrame(rows)
+    out["n_obs"] = out["n_obs"].astype("int64")
+    for c in ("ctrl_pre", "ctrl_post", "treat_pre", "treat_post", "did"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_DID = """
+WITH c AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+         SUM(value) AS s, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 0 AND post = 0 THEN s / n END) AS m00,
+         MAX(CASE WHEN arm = 0 AND post = 1 THEN s / n END) AS m01,
+         MAX(CASE WHEN arm = 1 AND post = 0 THEN s / n END) AS m10,
+         MAX(CASE WHEN arm = 1 AND post = 1 THEN s / n END) AS m11,
+         SUM(n) AS n_obs
+  FROM c GROUP BY 1
+)
+SELECT event_type,
+       ROUND(ROUND(m00, 9), 6) AS ctrl_pre,
+       ROUND(ROUND(m01, 9), 6) AS ctrl_post,
+       ROUND(ROUND(m10, 9), 6) AS treat_pre,
+       ROUND(ROUND(m11, 9), 6) AS treat_post,
+       ROUND(ROUND((m11 - m10) - (m01 - m00), 9), 6) AS did,
+       CAST(n_obs AS BIGINT) AS n_obs
+FROM w
+ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------------------- ALS
+
+
+def als_iterate(R: np.ndarray, rank: int = 2, n_iter: int = 8,
+                lam: float = 0.1) -> tuple[np.ndarray, np.ndarray, float]:
+    """Alternating least squares on a dense ratings matrix (Koren/Zhou
+    collaborative-filtering shape): deterministic cosine-ramp init,
+    ridge-regularized closed-form alternations, returns (U, V, rmse)."""
+    n_u, n_i = R.shape
+    V = np.cos(np.arange(n_i * rank, dtype=np.float64)).reshape(
+        n_i, rank) + 1.5
+    I = np.eye(rank)
+    U = np.zeros((n_u, rank))
+    for _ in range(n_iter):
+        U = R @ V @ np.linalg.inv(V.T @ V + lam * I)
+        V = R.T @ U @ np.linalg.inv(U.T @ U + lam * I)
+    rmse = float(np.sqrt(((R - U @ V.T) ** 2).mean()))
+    return U, V, rmse
+
+
+def q_als_factorization(sf_dir: str):
+    """Rank-2 ALS factorization of the user x event-type activity
+    matrix (the collaborative-filtering workhorse, Zhou 2008): the
+    count matrix comes from ONE (user, type) keyed exchange; the
+    alternations run the distributed-ALS algebra — the U-step is
+    row-parallel given broadcast V, the V-step needs only the
+    (rank x rank) and (items x rank) Gram partials, both bounded —
+    executed here on the bounded collected matrix. Rows-only
+    (iterative); monotone-RMSE and planted-rank-2 recovery pinned."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    cnt = block_map(
+        ev.map_batches(
+            lambda df: df.groupby(["user_id", "event_type"],
+                                  as_index=False).size().rename(
+                columns={"size": "n"}),
+            batch_format="pandas"),
+        ["user_id", "event_type"],
+        lambda df: df.groupby(["user_id", "event_type"],
+                              as_index=False)["n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    users = np.array(sorted(cnt["user_id"].unique()))
+    items = sorted(cnt["event_type"].unique())
+    ui = {u: i for i, u in enumerate(users)}
+    ii = {t: i for i, t in enumerate(items)}
+    R = np.zeros((len(users), len(items)))
+    R[[ui[u] for u in cnt["user_id"]],
+      [ii[t] for t in cnt["event_type"]]] = cnt["n"].to_numpy(np.float64)
+    U, V, rmse = als_iterate(R)
+    rows = []
+    for t in items:
+        v = V[ii[t]]
+        rows.append({"event_type": t, "f1": v[0], "f2": v[1],
+                     "norm": float(np.sqrt((v * v).sum())),
+                     "rmse": rmse})
+    out = pd.DataFrame(rows)
+    for c in ("f1", "f2", "norm", "rmse"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("doc_weighted_sample", q_doc_weighted_sample,
+          _SQL_WEIGHTED_SAMPLE)
+_register("diff_in_diff", q_diff_in_diff, _SQL_DID)
+_register("als_factorization", q_als_factorization)
 _register("p2_quantile", q_p2_quantile)
 _register("max_drawdown", q_max_drawdown, _SQL_MAX_DRAWDOWN)
 _register("ab_conversion_test", q_ab_conversion_test, _SQL_AB_TEST)

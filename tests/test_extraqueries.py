@@ -538,3 +538,24 @@ def test_max_drawdown_shape():
     peak = np.maximum.accumulate(m)
     dd = peak - m
     assert dd.max() == 1.5 and int(np.argmax(dd)) == 4
+
+
+# ----------------------------------------------------------------- ALS
+
+
+def test_als_recovers_planted_rank2_structure():
+    from diive_ray.pipelines.extraqueries import als_iterate
+    rng = _rng(101)
+    U0 = np.abs(rng.normal(1, 0.5, (200, 2)))
+    V0 = np.abs(rng.normal(1, 0.5, (6, 2)))
+    R = U0 @ V0.T
+    _, _, rmse = als_iterate(R, n_iter=15)
+    assert rmse < 0.05 * R.mean()              # near-exact rank-2 fit
+
+
+def test_als_rmse_monotone_in_iterations():
+    from diive_ray.pipelines.extraqueries import als_iterate
+    rng = _rng(103)
+    R = np.abs(rng.normal(2, 1, (50, 5)))
+    rmses = [als_iterate(R, n_iter=k)[2] for k in (1, 3, 8)]
+    assert rmses[0] >= rmses[1] >= rmses[2] - 1e-12
