@@ -3241,8 +3241,7 @@ def q_doc_weighted_sample(sf_dir: str):
         u = (h.astype(np.float64) + 0.5) / (2.0 ** 32)
         key = u ** (1.0 / df["n_chars"].to_numpy(np.float64))
         out = pd.DataFrame({"doc_id": df["doc_id"], "source": df["source"],
-                            "n_chars": df["n_chars"],
-                            "key": stable_round6(key) if False else key})
+                            "n_chars": df["n_chars"], "key": key})
         return out.sort_values(["key", "doc_id"],
                                ascending=[False, True]).head(20)
 
