@@ -3416,7 +3416,281 @@ def q_als_factorization(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# ------------------------------------------------------- log-rank test
+
+
+def q_logrank_test(sf_dir: str):
+    """Mantel-Cox log-rank test comparing time-to-return survival
+    (the kaplan_meier duration definition: first -> second event,
+    24 h censor) between the deterministic user_id-parity arms: at
+    each distinct event time, observed arm-1 events vs the
+    hypergeometric expectation E1 = d * n1/n and variance
+    V = d (n1/n)(1 - n1/n)(n - d)/(n - 1); chi2 = (O1-E1)^2 / sum V.
+    THE standard two-group survival comparison, exactly replayable
+    because every term is a count ratio."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    horizon_h = 24.0
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts"])
+        return s.groupby("user_id", sort=False).head(2)[["user_id", "ts"]]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = two_smallest(df)
+        s = s.assign(r=s.groupby("user_id", sort=False).cumcount())
+        p = s.pivot(index="user_id", columns="r", values="ts")
+        return pd.DataFrame({
+            "user_id": p.index.to_numpy(),
+            "t1": p[0].to_numpy(),
+            "t2": (p[1] if 1 in p.columns else pd.Series(
+                pd.NaT, index=p.index)).to_numpy(),
+        })
+
+    users = block_map(
+        ev.map_batches(two_smallest, batch_format="pandas"),
+        ["user_id"], finish,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas()
+
+    t1 = ts_to_us(users["t1"]).astype(np.float64)
+    has2 = users["t2"].notna().to_numpy()
+    t2 = np.where(has2, ts_to_us(users["t2"].fillna(users["t1"])), np.nan)
+    dur = (t2 - t1) / 3.6e9
+    event = has2 & (dur <= horizon_h)
+    t = stable_round6(np.where(event, dur, horizon_h))
+    arm = (users["user_id"].to_numpy(np.int64) % 2)
+
+    tbl = pd.DataFrame({"t": t, "e": event.astype(np.int64), "arm": arm})
+    agg = tbl.groupby("t", as_index=False).agg(
+        d=("e", "sum"), c=("e", "size"),
+        d1=("e", lambda s: 0), c1=("e", lambda s: 0))
+    a1 = tbl[tbl["arm"] == 1].groupby("t", as_index=False).agg(
+        d1x=("e", "sum"), c1x=("e", "size"))
+    agg = agg.merge(a1, on="t", how="left").fillna({"d1x": 0, "c1x": 0})
+    agg = agg.sort_values("t").reset_index(drop=True)
+    total = int(agg["c"].sum())
+    total1 = int(agg["c1x"].sum())
+    rm = np.concatenate([[0], np.cumsum(agg["c"].to_numpy(np.int64))[:-1]])
+    rm1 = np.concatenate([[0], np.cumsum(agg["c1x"].to_numpy(np.int64))[:-1]])
+    n_at = (total - rm).astype(np.float64)
+    n1_at = (total1 - rm1).astype(np.float64)
+    d = agg["d"].to_numpy(np.float64)
+    d1 = agg["d1x"].to_numpy(np.float64)
+    keep = d > 0
+    n_at, n1_at, d, d1 = n_at[keep], n1_at[keep], d[keep], d1[keep]
+    e1 = d * n1_at / n_at
+    v = np.where(n_at > 1.0,
+                 d * (n1_at / n_at) * (1.0 - n1_at / n_at)
+                 * (n_at - d) / (n_at - 1.0), 0.0)
+    o1, ee1, vv = float(d1.sum()), float(e1.sum()), float(v.sum())
+    chi2 = (o1 - ee1) ** 2 / vv if vv > 0 else 0.0
+    out = pd.DataFrame([{
+        "n_users": total, "n_arm1": total1,
+        "n_times": int(keep.sum()),
+        "observed_1": o1, "expected_1": ee1,
+        "variance": vv, "chi2": chi2,
+    }])
+    for c in ("n_users", "n_arm1", "n_times"):
+        out[c] = out[c].astype("int64")
+    for c in ("observed_1", "expected_1", "variance", "chi2"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_LOGRANK = """
+WITH ranked AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS r
+  FROM events
+),
+u AS (
+  SELECT a.user_id, a.ts AS t1, b.ts AS t2
+  FROM ranked a LEFT JOIN ranked b
+    ON b.user_id = a.user_id AND b.r = 2
+  WHERE a.r = 1
+),
+dur AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CASE WHEN t2 IS NOT NULL
+                   AND epoch_us(t2 - t1)::DOUBLE / 3.6e9 <= 24.0
+              THEN 1 ELSE 0 END AS e,
+         ROUND(ROUND(CASE WHEN t2 IS NOT NULL
+                   AND epoch_us(t2 - t1)::DOUBLE / 3.6e9 <= 24.0
+              THEN epoch_us(t2 - t1)::DOUBLE / 3.6e9
+              ELSE 24.0 END, 9), 6) AS t
+  FROM u
+),
+agg AS (
+  SELECT t, SUM(e) AS d, COUNT(*) AS c,
+         SUM(CASE WHEN arm = 1 THEN e ELSE 0 END) AS d1,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+  FROM dur GROUP BY 1
+),
+risk AS (
+  SELECT t, d, d1,
+         (SELECT SUM(c) FROM agg)
+         - COALESCE(SUM(c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n_at,
+         (SELECT SUM(c1) FROM agg)
+         - COALESCE(SUM(c1) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS n1_at
+  FROM agg
+),
+terms AS (
+  SELECT d1, d * n1_at::DOUBLE / n_at AS e1,
+         CASE WHEN n_at > 1
+              THEN d * (n1_at::DOUBLE / n_at)
+                   * (1.0 - n1_at::DOUBLE / n_at)
+                   * (n_at - d)::DOUBLE / (n_at - 1)
+              ELSE 0.0 END AS v
+  FROM risk WHERE d > 0
+)
+SELECT (SELECT SUM(c) FROM agg)::BIGINT AS n_users,
+       (SELECT SUM(c1) FROM agg)::BIGINT AS n_arm1,
+       COUNT(*)::BIGINT AS n_times,
+       ROUND(ROUND(SUM(d1), 9), 6) AS observed_1,
+       ROUND(ROUND(SUM(e1), 9), 6) AS expected_1,
+       ROUND(ROUND(SUM(v), 9), 6) AS variance,
+       ROUND(ROUND(CASE WHEN SUM(v) > 0
+           THEN (SUM(d1) - SUM(e1)) * (SUM(d1) - SUM(e1)) / SUM(v)
+           ELSE 0.0 END, 9), 6) AS chi2
+FROM terms
+"""
+
+
+# --------------------------------------------------- itemset support
+
+
+def q_itemset_support(sf_dir: str):
+    """Apriori-style frequent itemset support over per-user event-type
+    baskets: every 1-, 2- and 3-item unordered type set with its
+    distinct-user support and support fraction (Agrawal & Srikant
+    1994's counting core — the type alphabet is bounded, so each user
+    emits at most C(t,3)+C(t,2)+t combos inside the user-keyed block
+    and counts are ONE bounded combine; with an unbounded alphabet
+    the same pass feeds candidate pruning)."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    marker = "\x00__n_users__"
+
+    def combos(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "event_type"])
+        m2 = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m2 = m2[m2["event_type_a"] < m2["event_type_b"]]
+        m3 = m2.merge(d, on="user_id")
+        m3 = m3[m3["event_type_b"] < m3["event_type"]]
+        s1 = d.assign(itemset=d["event_type"], size=1)[
+            ["user_id", "itemset", "size"]]
+        s2 = m2.assign(
+            itemset=m2["event_type_a"] + "|" + m2["event_type_b"],
+            size=2)[["user_id", "itemset", "size"]]
+        s3 = m3.assign(
+            itemset=m3["event_type_a"] + "|" + m3["event_type_b"]
+            + "|" + m3["event_type"], size=3)[["user_id", "itemset",
+                                               "size"]]
+        allsets = pd.concat([s1, s2, s3], ignore_index=True)
+        out = allsets.groupby(["itemset", "size"], as_index=False).agg(
+            support=("user_id", "nunique"))
+        return pd.concat([out, pd.DataFrame(
+            {"itemset": [marker], "size": [0],
+             "support": [d["user_id"].nunique()]})], ignore_index=True)
+
+    cnt = block_map(
+        ev.map_batches(
+            lambda df: df.drop_duplicates(["user_id", "event_type"]),
+            batch_format="pandas"),
+        ["user_id"], combos,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas().groupby(["itemset", "size"], as_index=False)[
+        "support"].sum()
+    n_users = int(cnt.loc[cnt["itemset"] == marker, "support"].sum())
+    cnt = cnt[cnt["itemset"] != marker].copy()
+    cnt["support_frac"] = stable_round6(cnt["support"] / n_users)
+    cnt["size"] = cnt["size"].astype("int64")
+    cnt["support"] = cnt["support"].astype("int64")
+    return cnt.sort_values(["size", "itemset"]).reset_index(drop=True)
+
+
+_SQL_ITEMSETS = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM du),
+s1 AS (SELECT event_type AS itemset, 1 AS sz, COUNT(*) AS support
+       FROM du GROUP BY 1),
+s2 AS (
+  SELECT a.event_type || '|' || b.event_type AS itemset, 2 AS sz,
+         COUNT(*) AS support
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1
+),
+s3 AS (
+  SELECT a.event_type || '|' || b.event_type || '|' || c.event_type
+             AS itemset, 3 AS sz, COUNT(*) AS support
+  FROM du a
+  JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  JOIN du c ON b.user_id = c.user_id AND b.event_type < c.event_type
+  GROUP BY 1
+),
+allsets AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+)
+SELECT itemset, CAST(sz AS BIGINT) AS size,
+       CAST(support AS BIGINT) AS support,
+       ROUND(ROUND(support::DOUBLE / nu.n, 9), 6) AS support_frac
+FROM allsets CROSS JOIN nu
+ORDER BY size, itemset
+"""
+
+
+# ----------------------------------------------------- Bayesian A/B
+
+
+def _beta_logpdf(p: np.ndarray, a: float, b: float) -> np.ndarray:
+    from math import lgamma
+    return ((a - 1.0) * np.log(p) + (b - 1.0) * np.log1p(-p)
+            + lgamma(a + b) - lgamma(a) - lgamma(b))
+
+
+def bayes_prob_b_beats_a(xa: int, na: int, xb: int, nb: int,
+                         n_grid: int = 4001) -> float:
+    p = np.linspace(1e-9, 1.0 - 1e-9, n_grid)
+    fa = np.exp(_beta_logpdf(p, 1.0 + xa, 1.0 + na - xa))
+    fb = np.exp(_beta_logpdf(p, 1.0 + xb, 1.0 + nb - xb))
+    dx = p[1] - p[0]
+    Fa = np.cumsum((fa[:-1] + fa[1:]) / 2.0) * dx      # CDF of A at p[1:]
+    Fa = np.concatenate([[0.0], Fa])
+    integrand = fb * Fa                                # P(A < p) f_B(p)
+    return float(np.sum((integrand[:-1] + integrand[1:]) / 2.0) * dx)
+
+
+def q_bayesian_ab(sf_dir: str):
+    """Bayesian A/B evaluation of the parity-split engagement rates
+    (same counts as ab_conversion_test): Beta(1,1)-prior posteriors
+    per arm and P(p_B > p_A) by deterministic grid integration — the
+    decision-friendly companion to the frequentist z row. Rows-only
+    (numeric integral); agreement with large-sample z and a planted
+    strong-difference pin in pytest."""
+    zrows = q_ab_conversion_test(sf_dir)
+    out = zrows[["event_type", "n_a", "n_b", "conv_a", "conv_b"]].copy()
+    out["prob_b_beats_a"] = stable_round6(np.array([
+        bayes_prob_b_beats_a(int(r["conv_a"]), int(r["n_a"]),
+                             int(r["conv_b"]), int(r["n_b"]))
+        for _, r in out.iterrows()]))
+    return out.reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("logrank_test", q_logrank_test, _SQL_LOGRANK)
+_register("itemset_support", q_itemset_support, _SQL_ITEMSETS)
+_register("bayesian_ab", q_bayesian_ab)
 _register("doc_weighted_sample", q_doc_weighted_sample,
           _SQL_WEIGHTED_SAMPLE)
 _register("diff_in_diff", q_diff_in_diff, _SQL_DID)

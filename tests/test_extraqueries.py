@@ -559,3 +559,25 @@ def test_als_rmse_monotone_in_iterations():
     R = np.abs(rng.normal(2, 1, (50, 5)))
     rmses = [als_iterate(R, n_iter=k)[2] for k in (1, 3, 8)]
     assert rmses[0] >= rmses[1] >= rmses[2] - 1e-12
+
+
+# -------------------------------------------------------- Bayesian A/B
+
+
+def test_bayes_prob_half_under_identical_arms():
+    from diive_ray.pipelines.extraqueries import bayes_prob_b_beats_a
+    p = bayes_prob_b_beats_a(50, 100, 50, 100)
+    assert abs(p - 0.5) < 0.01
+
+
+def test_bayes_prob_near_one_for_strong_difference():
+    from diive_ray.pipelines.extraqueries import bayes_prob_b_beats_a
+    assert bayes_prob_b_beats_a(10, 100, 60, 100) > 0.999
+    assert bayes_prob_b_beats_a(60, 100, 10, 100) < 0.001
+
+
+def test_bayes_prob_matches_z_direction_moderate():
+    from diive_ray.pipelines.extraqueries import bayes_prob_b_beats_a
+    # z ~ 1.4 one-sided p ~ 0.92
+    p = bayes_prob_b_beats_a(40, 200, 55, 200)
+    assert 0.8 < p < 0.99
