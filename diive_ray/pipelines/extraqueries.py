@@ -3687,7 +3687,376 @@ def q_bayesian_ab(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# ---------------------------------------------------------------- CUPED
+
+
+def q_cuped_adjustment(sf_dir: str):
+    """CUPED variance reduction (Deng et al. 2013, the industry A/B
+    standard): per event_type, user-level pre-period covariate X and
+    post-period metric Y (month-midpoint split),
+    theta = cov(X,Y)/var(X), and the achieved variance ratio
+    var(Y - theta X)/var(Y) = 1 - rho^2. All type-level moments are
+    DECOMPOSABLE sums over user rows (sum x, y, xy, x^2, y^2, n), so
+    after the (type, user) aggregate exchange the reduction is a
+    bounded combine — no whole-type block anywhere (the winsorize
+    lesson applied)."""
+    from ..stages.exchange import block_map, driver_combine
+
+    cut = pd.Timestamp("2024-01-16")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"], "user_id": df["user_id"],
+            "post": (df["ts"] >= cut).astype(np.int64),
+            "v": df["value"],
+        }).groupby(["event_type", "user_id", "post"],
+                   as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+
+    peru = block_map(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "user_id"],
+        lambda df: df.groupby(["event_type", "user_id", "post"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(index=["event_type", "user_id"],
+                           columns="post", values=["s", "n"],
+                           aggfunc="sum")
+        out = []
+        for (et, uid), r in w.iterrows():
+            n_pre = r.get(("n", 0), np.nan)
+            n_post = r.get(("n", 1), np.nan)
+            if not (n_pre > 0 and n_post > 0):
+                continue
+            x = r[("s", 0)] / n_pre
+            y = r[("s", 1)] / n_post
+            out.append((et, x, y))
+        g = pd.DataFrame(out, columns=["event_type", "x", "y"])
+        if g.empty:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.float64)
+                   for c in ("sx", "sy", "sxy", "sxx", "syy", "n")}})
+        return g.groupby("event_type", as_index=False).apply(
+            lambda gg: pd.Series({
+                "sx": gg["x"].sum(), "sy": gg["y"].sum(),
+                "sxy": (gg["x"] * gg["y"]).sum(),
+                "sxx": (gg["x"] * gg["x"]).sum(),
+                "syy": (gg["y"] * gg["y"]).sum(),
+                "n": float(len(gg))}), include_groups=False)
+
+    mom = driver_combine(
+        peru, moments,
+        lambda df: df.groupby("event_type", as_index=False).sum(),
+        batch_format="pandas",
+    )
+    n = mom["n"]
+    cxy = mom["sxy"] / n - (mom["sx"] / n) * (mom["sy"] / n)
+    vx = mom["sxx"] / n - (mom["sx"] / n) ** 2
+    vy = mom["syy"] / n - (mom["sy"] / n) ** 2
+    theta = cxy / vx
+    ratio = 1.0 - (cxy * cxy) / (vx * vy)
+    out = pd.DataFrame({
+        "event_type": mom["event_type"],
+        "n_users": n.astype("int64"),
+        "theta": stable_round6(theta),
+        "var_y": stable_round6(vy),
+        "var_ratio": stable_round6(ratio),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_CUPED = """
+WITH peru AS (
+  SELECT event_type, user_id,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+         SUM(value) AS s, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT event_type, user_id,
+         MAX(CASE WHEN post = 0 THEN s / n END) AS x,
+         MAX(CASE WHEN post = 1 THEN s / n END) AS y
+  FROM peru GROUP BY 1, 2
+),
+b AS (SELECT * FROM w WHERE x IS NOT NULL AND y IS NOT NULL),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM b GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+       ROUND(ROUND((sxy / n - (sx / n) * (sy / n))
+             / (sxx / n - (sx / n) * (sx / n)), 9), 6) AS theta,
+       ROUND(ROUND(syy / n - (sy / n) * (sy / n), 9), 6) AS var_y,
+       ROUND(ROUND(1.0 - (sxy / n - (sx / n) * (sy / n))
+                        * (sxy / n - (sx / n) * (sy / n))
+             / ((sxx / n - (sx / n) * (sx / n))
+                * (syy / n - (sy / n) * (sy / n))), 9), 6) AS var_ratio
+FROM mom
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------- inter-arrival burstiness
+
+
+def q_interarrival_burstiness(sf_dir: str):
+    """Goh & Barabási (2008) burstiness B = (sigma - mu)/(sigma + mu)
+    and the memory coefficient M = corr(g_i, g_{i+1}) of the
+    inter-arrival gaps per event_type ((ts, event_id) order,
+    population moments) — the two-number signature separating bursty,
+    Poissonian and regular streams; the summary-statistic companion
+    to the kleinberg_bursts decoder. The sequence runs in-block per
+    type (the halo-chunked exchange of flux_randunc is the documented
+    path when one type's stream outgrows a block)."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "event_id"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            t = ts_to_us(g["ts"]).astype(np.float64) / 1e6
+            gaps = np.diff(t)
+            n = float(len(gaps))
+            mu = gaps.sum() / n
+            sd = np.sqrt(((gaps - mu) ** 2).sum() / n)
+            a, b = gaps[:-1], gaps[1:]
+            k = float(len(a))
+            ma, mb = a.sum() / k, b.sum() / k
+            num = ((a - ma) * (b - mb)).sum()
+            den = np.sqrt(((a - ma) ** 2).sum() * ((b - mb) ** 2).sum())
+            rows.append({"event_type": et, "n_gaps": int(n),
+                         "mean_gap_s": mu, "sd_gap_s": sd,
+                         "burstiness": (sd - mu) / (sd + mu),
+                         "memory": num / den if den > 0 else 0.0})
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype=np.int64),
+                **{c: pd.Series([], dtype=np.float64)
+                   for c in ("mean_gap_s", "sd_gap_s", "burstiness",
+                             "memory")}})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    for c in ("mean_gap_s", "sd_gap_s", "burstiness", "memory"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_BURSTINESS_IA = """
+WITH g AS (
+  SELECT event_type, ts, event_id,
+         (epoch_us(ts)
+          - LAG(epoch_us(ts)) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id))::DOUBLE
+             / 1e6 AS gap
+  FROM events
+),
+gg AS (SELECT event_type, ts, event_id, gap FROM g WHERE gap IS NOT NULL),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         AVG(gap) AS mu,
+         SQRT(SUM((gap - (SELECT AVG(gap) FROM gg g2
+                          WHERE g2.event_type = gg.event_type))
+                  * (gap - (SELECT AVG(gap) FROM gg g3
+                            WHERE g3.event_type = gg.event_type)))
+              / COUNT(*)) AS sd
+  FROM gg GROUP BY 1
+),
+lagd AS (
+  SELECT event_type, gap AS b,
+         LAG(gap) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS a
+  FROM gg
+),
+pairs_m AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS k,
+         AVG(a) AS ma, AVG(b) AS mb,
+         SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM lagd WHERE a IS NOT NULL GROUP BY 1
+)
+SELECT m.event_type, CAST(m.n AS BIGINT) AS n_gaps,
+       ROUND(ROUND(m.mu, 9), 6) AS mean_gap_s,
+       ROUND(ROUND(m.sd, 9), 6) AS sd_gap_s,
+       ROUND(ROUND((m.sd - m.mu) / (m.sd + m.mu), 9), 6) AS burstiness,
+       ROUND(ROUND((p.sab - p.k * p.ma * p.mb)
+             / SQRT((p.saa - p.k * p.ma * p.ma)
+                    * (p.sbb - p.k * p.mb * p.mb)), 9), 6) AS memory
+FROM mom m JOIN pairs_m p USING (event_type)
+ORDER BY m.event_type
+"""
+
+
+# --------------------------------------------------- negative binomial
+
+
+def q_negbin_fit(sf_dir: str):
+    """Method-of-moments negative-binomial fit to the hourly event
+    COUNTS per type (r = m^2/(v - m), p = m/v — the overdispersed
+    Poisson alternative; v <= m degenerates to Poisson, flagged).
+    The parametric counterpart of the Fisher dispersion_test, on the
+    same densified calendar grid (absent hours count 0)."""
+    from .queries import _fused_tier
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        lo, hi = g["bucket_ts"].min(), g["bucket_ts"].max()
+        grid_n = int((hi - lo) / pd.Timedelta(hours=1)) + 1
+        c = np.zeros(grid_n)
+        idx = ((pd.to_datetime(g["bucket_ts"]) - lo)
+               / pd.Timedelta(hours=1)).astype(int)
+        c[idx] = g["count"].to_numpy(np.float64)
+        n = float(len(c))
+        m = c.sum() / n
+        v = ((c - m) ** 2).sum() / n
+        over = v > m
+        rows.append({
+            "event_type": key, "n_hours": int(n),
+            "mean_count": m, "var_count": v,
+            "overdispersed": bool(over),
+            "nb_r": m * m / (v - m) if over else 0.0,
+            "nb_p": m / v if over else 0.0,
+        })
+    out = pd.DataFrame(rows)
+    out["n_hours"] = out["n_hours"].astype("int64")
+    for c in ("mean_count", "var_count", "nb_r", "nb_p"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_NEGBIN = """
+WITH h AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.event_type, gs.g AS b
+  FROM (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+        FROM h GROUP BY 1) h,
+       LATERAL (SELECT UNNEST(generate_series(h.lo, h.hi,
+                                             INTERVAL '1 hour')) AS g) gs
+),
+full_h AS (
+  SELECT grid.event_type, COALESCE(h.c, 0)::DOUBLE AS c
+  FROM grid LEFT JOIN h
+    ON h.event_type = grid.event_type AND h.b = grid.b
+),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, AVG(c) AS m,
+         SUM((c - (SELECT AVG(c) FROM full_h f2
+                   WHERE f2.event_type = full_h.event_type))
+             * (c - (SELECT AVG(c) FROM full_h f3
+                     WHERE f3.event_type = full_h.event_type)))
+             / COUNT(*) AS v
+  FROM full_h GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       ROUND(ROUND(m, 9), 6) AS mean_count,
+       ROUND(ROUND(v, 9), 6) AS var_count,
+       v > m AS overdispersed,
+       ROUND(ROUND(CASE WHEN v > m THEN m * m / (v - m) ELSE 0.0 END,
+             9), 6) AS nb_r,
+       ROUND(ROUND(CASE WHEN v > m THEN m / v ELSE 0.0 END, 9), 6)
+           AS nb_p
+FROM mom
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------- Hawkes EM
+
+
+def hawkes_em_kernel(t: np.ndarray, n_iter: int = 50) -> dict[str, float]:
+    """Exponential-kernel Hawkes process EM (Veen & Schoenberg 2008
+    branching-structure E-step, closed-form M-step): intensity
+    lambda(s) = mu + alpha*beta * sum_{t_i < s} exp(-beta (s - t_i)),
+    beta fixed at 1/mean_gap (the timescale plug-in), (mu, alpha)
+    estimated. alpha is the branching ratio — 0 for Poisson, -> 1
+    near criticality."""
+    t = np.sort(t.astype(np.float64))
+    T = t[-1] - t[0]
+    t = t - t[0]
+    n = len(t)
+    beta = 1.0 / (T / (n - 1))
+    dt = t[:, None] - t[None, :]               # dt[i, j] = t_i - t_j
+    valid = dt > 0
+    K = np.where(valid, beta * np.exp(-beta * np.where(valid, dt, 0.0)),
+                 0.0)
+    mu, alpha = n / T * 0.5, 0.3
+    for _ in range(n_iter):
+        excite = alpha * K                      # (i caused by j)
+        denom = mu + excite.sum(axis=1)
+        p_bg = mu / denom
+        p_ex = excite / denom[:, None]
+        mu = p_bg.sum() / T
+        # each event's expected offspring integral ~ alpha * (1 - e^-..)
+        alpha = p_ex.sum() / n
+    return {"mu": float(mu), "alpha": float(alpha), "beta": float(beta)}
+
+
+def q_hawkes_fit(sf_dir: str):
+    """Hawkes self-excitation fit per event_type on the arrival stream
+    (EM with exponential kernel): the branching ratio alpha quantifies
+    how much activity is endogenous cascade vs exogenous arrivals —
+    the generative companion to the descriptive burstiness /
+    kleinberg pair. Rows-only (iterative EM, O(n^2) kernel on the
+    bounded per-type stream); Poisson-quiet and planted-excitation
+    recovery pinned."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            t = ts_to_us(g["ts"]).astype(np.float64) / 1e6
+            if len(t) < 50:
+                continue
+            k = hawkes_em_kernel(t)
+            rows.append({"event_type": et, "n_events": len(t), **k})
+        if not rows:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                **{c: pd.Series([], dtype=np.float64)
+                   for c in ("mu", "alpha", "beta")}})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    for c in ("mu", "alpha", "beta"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("cuped_adjustment", q_cuped_adjustment, _SQL_CUPED)
+_register("interarrival_burstiness", q_interarrival_burstiness,
+          _SQL_BURSTINESS_IA)
+_register("negbin_fit", q_negbin_fit, _SQL_NEGBIN)
+_register("hawkes_fit", q_hawkes_fit)
 _register("logrank_test", q_logrank_test, _SQL_LOGRANK)
 _register("itemset_support", q_itemset_support, _SQL_ITEMSETS)
 _register("bayesian_ab", q_bayesian_ab)

@@ -581,3 +581,37 @@ def test_bayes_prob_matches_z_direction_moderate():
     # z ~ 1.4 one-sided p ~ 0.92
     p = bayes_prob_b_beats_a(40, 200, 55, 200)
     assert 0.8 < p < 0.99
+
+
+# -------------------------------------------------------------- Hawkes
+
+
+def test_hawkes_alpha_near_zero_on_poisson_stream():
+    from diive_ray.pipelines.extraqueries import hawkes_em_kernel
+    rng = _rng(107)
+    t = np.cumsum(rng.exponential(2.0, 600))
+    r = hawkes_em_kernel(t)
+    assert r["alpha"] < 0.25
+
+
+def test_hawkes_recovers_planted_excitation():
+    from diive_ray.pipelines.extraqueries import hawkes_em_kernel
+    rng = _rng(109)
+    # simulate Hawkes by clusters: background Poisson + offspring
+    mu_true, alpha_true, beta_true = 0.2, 0.5, 1.0
+    bg = np.cumsum(rng.exponential(1.0 / mu_true, 300))
+    events = list(bg)
+    queue = list(bg)
+    while queue:
+        parent = queue.pop()
+        n_kids = rng.poisson(alpha_true)
+        for _ in range(n_kids):
+            child = parent + rng.exponential(1.0 / beta_true)
+            events.append(child)
+            queue.append(child)
+    t = np.sort(np.array(events))
+    r = hawkes_em_kernel(t)
+    assert 0.3 < r["alpha"] < 0.7              # branching ratio recovered
+    poisson_alpha = hawkes_em_kernel(
+        np.cumsum(rng.exponential(1.0, len(t))))["alpha"]
+    assert r["alpha"] > poisson_alpha + 0.1
