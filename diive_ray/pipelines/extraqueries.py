@@ -4051,7 +4051,322 @@ def q_hawkes_fit(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# -------------------------------------------------------- Pareto 80/20
+
+
+def q_pareto_8020(sf_dir: str):
+    """Pareto concentration of order revenue: the revenue share of the
+    top-20% orders (by (o_totalprice, o_orderkey) rank) and the exact
+    order fraction needed to reach 80% of revenue — the 80/20 audit on
+    the TPC-H fact side, per order-priority class. Rank thresholds
+    replay exactly via window counts; shares are ratio-of-sums."""
+    from ..stages.exchange import driver_combine
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderpriority",
+                                      "o_totalprice"])
+    df = orders.to_pandas()    # bounded relative to lineitem; the
+    # boundary tuples + filtered-sum path of expected_shortfall is the
+    # documented scale route when orders outgrow the driver
+    rows = []
+    for pri, g in df.groupby("o_orderpriority", sort=True):
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+        n = len(g)
+        tot = float(g["o_totalprice"].sum())
+        k20 = int(np.floor(0.2 * n))
+        top_share = float(g["o_totalprice"].iloc[:k20].sum()) / tot
+        cum = np.cumsum(g["o_totalprice"].to_numpy(np.float64)) / tot
+        k80 = int(np.searchsorted(cum, 0.8, side="left")) + 1
+        rows.append({"o_orderpriority": pri, "n_orders": n,
+                     "top20_share": top_share,
+                     "frac_for_80pct": k80 / n})
+    out = pd.DataFrame(rows)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    for c in ("top20_share", "frac_for_80pct"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_SQL_PARETO = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+             AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+         SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM orders
+),
+c AS (
+  SELECT o_orderpriority, rk, n, tot,
+         SUM(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY rk) AS cum
+  FROM r
+),
+t20 AS (
+  SELECT o_orderpriority, ANY_VALUE(n) AS n,
+         MAX(CASE WHEN rk <= FLOOR(0.2 * n) THEN cum END) AS top_cum,
+         ANY_VALUE(tot) AS tot
+  FROM c GROUP BY 1
+),
+k80 AS (
+  SELECT o_orderpriority, MIN(rk) AS k
+  FROM c WHERE cum / tot >= 0.8 GROUP BY 1
+)
+SELECT t20.o_orderpriority, CAST(t20.n AS BIGINT) AS n_orders,
+       ROUND(ROUND(t20.top_cum / t20.tot, 9), 6) AS top20_share,
+       ROUND(ROUND(k80.k::DOUBLE / t20.n, 9), 6) AS frac_for_80pct
+FROM t20 JOIN k80 USING (o_orderpriority)
+ORDER BY t20.o_orderpriority
+"""
+
+
+# ------------------------------------------------------------ orders YoY
+
+
+def q_orders_yoy(sf_dir: str):
+    """Monthly revenue with year-over-year growth per order priority —
+    the OLAP staple view (bounded month x priority partial-aggregate
+    pass, LAG(12) growth on the bounded result)."""
+    from ..stages.exchange import driver_combine
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderpriority", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(df["o_orderdate"])
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "y": d.year, "m": d.month, "rev": df["o_totalprice"],
+        }).groupby(["o_orderpriority", "y", "m"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size"))
+
+    g = driver_combine(
+        orders, partial,
+        lambda df: df.groupby(["o_orderpriority", "y", "m"],
+                              as_index=False).agg(rev=("rev", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas",
+    ).sort_values(["o_orderpriority", "y", "m"]).reset_index(drop=True)
+    g["rev6"] = stable_round6(g["rev"].astype(float))
+    g["prev"] = g.groupby(["o_orderpriority", "m"])["rev6"].shift(1)
+    g["yoy_growth"] = stable_round6(
+        np.where(g["prev"].notna(), (g["rev6"] - g["prev"]) / g["prev"],
+                 np.nan))
+    out = pd.DataFrame({
+        "o_orderpriority": g["o_orderpriority"],
+        "year": g["y"].astype("int64"),
+        "month": g["m"].astype("int64"),
+        "n_orders": g["n"].astype("int64"),
+        "revenue": g["rev6"],
+        "yoy_growth": g["yoy_growth"],
+    })
+    return out.sort_values(["o_orderpriority", "year", "month"]
+                           ).reset_index(drop=True)
+
+
+_SQL_ORDERS_YOY = """
+WITH m AS (
+  SELECT o_orderpriority,
+         EXTRACT(YEAR FROM o_orderdate)::BIGINT AS year,
+         EXTRACT(MONTH FROM o_orderdate)::BIGINT AS month,
+         COUNT(*)::BIGINT AS n_orders,
+         ROUND(ROUND(SUM(o_totalprice), 9), 6) AS revenue
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, year, month, n_orders, revenue,
+       ROUND(ROUND((revenue - LAG(revenue) OVER w)
+             / LAG(revenue) OVER w, 9), 6) AS yoy_growth
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority, month ORDER BY year)
+ORDER BY o_orderpriority, year, month
+"""
+
+
+# ------------------------------------------------------ BCa bootstrap
+
+
+def bca_interval(x: np.ndarray, n_boot: int = 2000,
+                 alpha: float = 0.05, seed: int = 7) -> dict[str, float]:
+    """Efron (1987) bias-corrected accelerated bootstrap CI for the
+    mean: bias correction z0 from the bootstrap distribution's
+    position vs the point estimate, acceleration from the jackknife
+    skewness, adjusted percentile endpoints. Seeded Philox resampling
+    -> deterministic."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 77]))
+    n = len(x)
+    mhat = x.mean()
+    idx = rng.integers(0, n, size=(n_boot, n))
+    boots = x[idx].mean(axis=1)
+    z0 = _norm_ppf((boots < mhat).mean() + 0.5 * (boots == mhat).mean())
+    jack = (x.sum() - x) / (n - 1)             # jackknife means
+    d = jack.mean() - jack
+    a = (d ** 3).sum() / (6.0 * ((d ** 2).sum()) ** 1.5)
+    z_lo, z_hi = _norm_ppf(alpha / 2), _norm_ppf(1 - alpha / 2)
+
+    def adj(z):
+        return _norm_cdf(z0 + (z0 + z) / (1.0 - a * (z0 + z)))
+
+    lo = float(np.quantile(boots, adj(z_lo)))
+    hi = float(np.quantile(boots, adj(z_hi)))
+    return {"mean": float(mhat), "lo": lo, "hi": hi,
+            "z0": float(z0), "accel": float(a)}
+
+
+def _norm_cdf(z):
+    from math import erf
+    return 0.5 * (1.0 + erf(z / np.sqrt(2.0)))
+
+
+def _norm_ppf(p: float) -> float:
+    """Acklam's rational approximation of the normal quantile (public
+    algorithm, |rel err| < 1.15e-9) — scipy-free."""
+    p = min(max(p, 1e-12), 1 - 1e-12)
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = np.sqrt(-2 * np.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q
+                                + d[3]) * q + 1)
+    if p > phigh:
+        q = np.sqrt(-2 * np.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q
+                                 + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / (((((b[0] * r + b[1]) * r + b[2]) * r
+                                 + b[3]) * r + b[4]) * r + 1)
+
+
+def q_bootstrap_bca(sf_dir: str):
+    """BCa (bias-corrected accelerated) bootstrap CI of the mean per
+    event_type on the 6dp hourly means — the second-order-accurate
+    upgrade of the existing percentile bootstrap_ci (Efron 1987);
+    seeded Philox so the interval is deterministic. Rows-only;
+    skew-shift and symmetric-agreement properties pinned."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        if len(m) < 30:
+            continue
+        rows.append({"event_type": key, "n": len(m),
+                     **bca_interval(m)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("mean", "lo", "hi", "z0", "accel"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------- Procrustes / GMM-2
+
+
+def procrustes_kernel(A: np.ndarray, B: np.ndarray) -> dict[str, float]:
+    """Orthogonal Procrustes (Schönemann 1966): the rotation R = UV^T
+    from SVD(B^T A) minimizing ||A R - B||_F over orthogonal R.
+    Returns the aligned residual and the unaligned baseline."""
+    U, s, Vt = np.linalg.svd(B.T @ A)
+    R = (U @ Vt).T
+    res = float(np.linalg.norm(A @ R - B) / np.linalg.norm(B))
+    base = float(np.linalg.norm(A - B) / np.linalg.norm(B))
+    return {"residual": res, "baseline": base,
+            "trace_corr": float(s.sum()
+                                / (np.linalg.norm(A) * np.linalg.norm(B)))}
+
+
+def q_embedding_procrustes(sf_dir: str):
+    """Orthogonal Procrustes alignment between the label-centroid
+    spaces of the two vec_id-parity halves of the embeddings table —
+    'do two samples of the same embedding model agree up to rotation?'
+    (the classic embedding-space comparison, Schönemann 1966 /
+    word-embedding alignment literature). Centroids come from bounded
+    (label, dim) partials; the SVD is on the bounded label x dim
+    matrix. Rows-only; planted-rotation recovery pinned."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")
+                          ).to_pandas()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    lab = emb["label"].to_numpy(np.int64)
+    par = emb["vec_id"].to_numpy(np.int64) % 2
+    labels = np.unique(lab)
+    A = np.stack([M[(lab == l) & (par == 0)].mean(axis=0)
+                  for l in labels])
+    B = np.stack([M[(lab == l) & (par == 1)].mean(axis=0)
+                  for l in labels])
+    k = procrustes_kernel(A, B)
+    out = pd.DataFrame([{"n_labels": len(labels), "dim": M.shape[1], **k}])
+    out["n_labels"] = out["n_labels"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    for c in ("residual", "baseline", "trace_corr"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+def gmm2_kernel(x: np.ndarray, n_iter: int = 60) -> dict[str, float]:
+    """Two-component 1-D Gaussian mixture EM with deterministic
+    quantile init (mu at p25/p75, shared initial sd): the classic
+    bimodality decomposition."""
+    mu = np.array([np.quantile(x, 0.25), np.quantile(x, 0.75)])
+    sd = np.array([x.std(), x.std()])
+    w = np.array([0.5, 0.5])
+    for _ in range(n_iter):
+        d0 = w[0] * np.exp(-0.5 * ((x - mu[0]) / sd[0]) ** 2) / sd[0]
+        d1 = w[1] * np.exp(-0.5 * ((x - mu[1]) / sd[1]) ** 2) / sd[1]
+        r = d1 / (d0 + d1)
+        w = np.array([1.0 - r.mean(), r.mean()])
+        mu = np.array([((1 - r) * x).sum() / (1 - r).sum(),
+                       (r * x).sum() / r.sum()])
+        sd = np.array([
+            np.sqrt(((1 - r) * (x - mu[0]) ** 2).sum() / (1 - r).sum()),
+            np.sqrt((r * (x - mu[1]) ** 2).sum() / r.sum())])
+        sd = np.maximum(sd, 1e-9)
+    order = np.argsort(mu)
+    return {"w1": float(w[order[0]]), "mu1": float(mu[order[0]]),
+            "sd1": float(sd[order[0]]), "w2": float(w[order[1]]),
+            "mu2": float(mu[order[1]]), "sd2": float(sd[order[1]])}
+
+
+def q_gmm2_fit(sf_dir: str):
+    """Two-component Gaussian mixture EM per event_type on the 6dp
+    hourly means (deterministic quantile init, components reported
+    mean-ascending) — the parametric bimodality decomposition
+    complementing the KDE/histogram views. Rows-only (iterative EM);
+    planted-mixture recovery pinned."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        if len(m) < 50:
+            continue
+        rows.append({"event_type": key, "n": len(m), **gmm2_kernel(m)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("w1", "mu1", "sd1", "w2", "mu2", "sd2"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("pareto_8020", q_pareto_8020, _SQL_PARETO)
+_register("orders_yoy", q_orders_yoy, _SQL_ORDERS_YOY)
+_register("bootstrap_bca", q_bootstrap_bca)
+_register("embedding_procrustes", q_embedding_procrustes)
+_register("gmm2_fit", q_gmm2_fit)
 _register("cuped_adjustment", q_cuped_adjustment, _SQL_CUPED)
 _register("interarrival_burstiness", q_interarrival_burstiness,
           _SQL_BURSTINESS_IA)

@@ -615,3 +615,68 @@ def test_hawkes_recovers_planted_excitation():
     poisson_alpha = hawkes_em_kernel(
         np.cumsum(rng.exponential(1.0, len(t))))["alpha"]
     assert r["alpha"] > poisson_alpha + 0.1
+
+
+# ------------------------------------------------------ BCa bootstrap
+
+
+def test_bca_brackets_true_mean_and_orders_endpoints():
+    from diive_ray.pipelines.extraqueries import bca_interval
+    rng = _rng(113)
+    x = rng.normal(10, 2, 2000)
+    r = bca_interval(x)
+    assert r["lo"] < 10.0 < r["hi"]
+    assert r["lo"] < r["mean"] < r["hi"]
+    assert r["hi"] - r["lo"] < 0.5             # ~4 se
+
+
+def test_bca_shifts_interval_for_skewed_data():
+    from diive_ray.pipelines.extraqueries import bca_interval
+    rng = _rng(127)
+    x = rng.lognormal(0, 1.2, 800)
+    r = bca_interval(x)
+    # acceleration positive for right-skew; interval asymmetric upward
+    assert r["accel"] > 0
+    assert (r["hi"] - r["mean"]) > (r["mean"] - r["lo"])
+
+
+def test_norm_ppf_matches_cdf_roundtrip():
+    from diive_ray.pipelines.extraqueries import _norm_cdf, _norm_ppf
+    for p in (0.01, 0.2, 0.5, 0.8, 0.975):
+        np.testing.assert_allclose(_norm_cdf(_norm_ppf(p)), p, atol=1e-8)
+
+
+# ------------------------------------------------------- Procrustes
+
+
+def test_procrustes_recovers_planted_rotation():
+    from diive_ray.pipelines.extraqueries import procrustes_kernel
+    rng = _rng(131)
+    A = rng.normal(0, 1, (12, 8))
+    Q, _ = np.linalg.qr(rng.normal(0, 1, (8, 8)))   # random rotation
+    B = A @ Q
+    r = procrustes_kernel(A, B)
+    assert r["residual"] < 1e-10               # perfect alignment
+    assert r["baseline"] > 0.5                 # unaligned far apart
+
+
+def test_procrustes_noise_floor():
+    from diive_ray.pipelines.extraqueries import procrustes_kernel
+    rng = _rng(137)
+    A = rng.normal(0, 1, (12, 8))
+    B = A + rng.normal(0, 0.05, (12, 8))
+    r = procrustes_kernel(A, B)
+    assert r["residual"] < 0.1
+
+
+# ------------------------------------------------------------ GMM-2
+
+
+def test_gmm2_recovers_planted_mixture():
+    from diive_ray.pipelines.extraqueries import gmm2_kernel
+    rng = _rng(139)
+    x = np.concatenate([rng.normal(0, 1, 3000), rng.normal(8, 1.5, 1000)])
+    r = gmm2_kernel(x)
+    assert abs(r["mu1"]) < 0.3 and abs(r["mu2"] - 8.0) < 0.5
+    assert abs(r["w2"] - 0.25) < 0.05
+    assert abs(r["sd1"] - 1.0) < 0.2 and abs(r["sd2"] - 1.5) < 0.4
