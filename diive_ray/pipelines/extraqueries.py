@@ -4361,7 +4361,239 @@ def q_gmm2_fit(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# ------------------------------------------- invalidation range tracking
+
+
+def q_rollup_invalidation_ranges(sf_dir: str):
+    """Continuous-aggregate invalidation log (the TimescaleDB
+    invalidation-range idea, companion to rollup_late_merge): for the
+    deterministic 5% late-arrival split, the distinct (event_type,
+    1h-bucket) set a refresh must recompute, compressed into contiguous
+    islands via the bucket-minus-rank gap trick — metadata-only, the
+    refresher never touches clean ranges. Vectorized island detection
+    inside the type-keyed block."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "ts"])
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["event_id"].to_numpy(np.int64) * 48271) % (2 ** 31) % 20
+        d = df.loc[h == 0, ["event_type", "ts"]].copy()
+        hrs = ts_to_us(d["ts"]) // 3_600_000_000
+        return pd.DataFrame({"event_type": d["event_type"],
+                             "hour": hrs}).drop_duplicates()
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            h = np.sort(g["hour"].unique())
+            grp = h - np.arange(len(h))
+            edges = np.concatenate([[True], grp[1:] != grp[:-1]])
+            gid = np.cumsum(edges) - 1
+            for i in range(gid[-1] + 1 if len(gid) else 0):
+                hh = h[gid == i]
+                rows.append({"event_type": et,
+                             "start_hour": int(hh[0]),
+                             "end_hour": int(hh[-1]),
+                             "n_buckets": len(hh)})
+        cols = {"event_type": object, "start_hour": np.int64,
+                "end_hour": np.int64, "n_buckets": np.int64}
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return pd.DataFrame(rows)
+
+    out = block_map(
+        ev.map_batches(late, batch_format="pandas"),
+        ["event_type"], islands,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas()
+    for c in ("start_hour", "end_hour", "n_buckets"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "start_hour"]).reset_index(
+        drop=True)
+
+
+_SQL_INVALIDATION = """
+WITH late AS (
+  SELECT DISTINCT event_type,
+         epoch_us(ts) // 3600000000 AS hour
+  FROM events
+  WHERE (event_id * 48271) % 2147483648 % 20 = 0
+),
+g AS (
+  SELECT event_type, hour,
+         hour - ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY hour) AS grp
+  FROM late
+)
+SELECT event_type,
+       CAST(MIN(hour) AS BIGINT) AS start_hour,
+       CAST(MAX(hour) AS BIGINT) AS end_hour,
+       COUNT(*)::BIGINT AS n_buckets
+FROM g
+GROUP BY event_type, grp
+ORDER BY event_type, start_hour
+"""
+
+
+# ----------------------------------------------------- watermark lag
+
+
+def q_watermark_lag(sf_dir: str):
+    """Out-of-order-arrival audit per event_type (event_id = arrival
+    order): the fraction of events arriving with an event time behind
+    the running high-watermark, the max watermark lag in seconds, and
+    the p99-style max over adjacent regressions — the statistic that
+    sizes a streaming pipeline's allowed-lateness window. Exact window
+    replay; vectorized cummax in the type-keyed block."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "event_id", "ts"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("event_id")
+            t = ts_to_us(g["ts"]).astype(np.float64) / 1e6
+            wm = np.maximum.accumulate(t)
+            wm_prev = np.concatenate([[t[0]], wm[:-1]])
+            lag = np.maximum(wm_prev - t, 0.0)
+            rows.append({"event_type": et, "n": len(t),
+                         "frac_late": float((lag > 0).mean()),
+                         "max_lag_s": float(lag.max()),
+                         "mean_lag_s": float(lag.sum() / len(t))})
+        cols = {"event_type": object, "n": np.int64,
+                "frac_late": np.float64, "max_lag_s": np.float64,
+                "mean_lag_s": np.float64}
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=tt)
+                                 for c, tt in cols.items()})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    for c in ("frac_late", "max_lag_s", "mean_lag_s"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_WATERMARK = """
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts)::DOUBLE / 1e6 AS t,
+         MAX(epoch_us(ts)::DOUBLE / 1e6) OVER (
+             PARTITION BY event_type ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_prev
+  FROM events
+),
+l AS (
+  SELECT event_type,
+         GREATEST(COALESCE(wm_prev, t) - t, 0.0) AS lag
+  FROM w
+)
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       ROUND(ROUND(AVG(CASE WHEN lag > 0 THEN 1.0 ELSE 0.0 END), 9), 6)
+           AS frac_late,
+       ROUND(ROUND(MAX(lag), 9), 6) AS max_lag_s,
+       ROUND(ROUND(SUM(lag) / COUNT(*), 9), 6) AS mean_lag_s
+FROM l
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ----------------------------------------------------- SLO burn rate
+
+
+def q_slo_burn_rate(sf_dir: str):
+    """Multi-window SLO burn-rate analysis (the Google SRE-book alert
+    shape): per hour, the 'error'-event share of all events; the
+    error budget is the corpus-wide error share; burn = ratio/budget
+    over the fast (1 h) and slow (trailing 6 observed hours) windows,
+    alerting where fast > 2 AND slow > 1. Bounded hourly partial
+    counts -> ONE slim combine; window logic on the bounded grid."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import ts_to_us
+
+        return pd.DataFrame({
+            "hour": ts_to_us(df["ts"]) // 3_600_000_000,
+            "err": (df["event_type"] == "error").astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n_err=("err", "sum"), n=("err", "size"))
+
+    g = driver_combine(
+        ev, partial,
+        lambda df: df.groupby("hour", as_index=False).agg(
+            n_err=("n_err", "sum"), n=("n", "sum")),
+        batch_format="pandas",
+    ).sort_values("hour").reset_index(drop=True)
+    budget = float(g["n_err"].sum()) / float(g["n"].sum())
+    ratio = g["n_err"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)
+    ne = g["n_err"].to_numpy(np.float64)
+    nn = g["n"].to_numpy(np.float64)
+    cs_e = np.cumsum(ne)
+    cs_n = np.cumsum(nn)
+    slow_e = cs_e - np.concatenate([np.zeros(6), cs_e[:-6]])
+    slow_n = cs_n - np.concatenate([np.zeros(6), cs_n[:-6]])
+    slow_ratio = slow_e / slow_n
+    burn_fast = ratio / budget
+    burn_slow = slow_ratio / budget
+    out = pd.DataFrame({
+        "hour": g["hour"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "n_err": g["n_err"].astype("int64"),
+        "burn_fast": stable_round6(burn_fast),
+        "burn_slow": stable_round6(burn_slow),
+        "alert": (stable_round6(burn_fast) > 2.0)
+        & (stable_round6(burn_slow) > 1.0),
+    })
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+_SQL_SLO_BURN = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+b AS (SELECT SUM(n_err)::DOUBLE / SUM(n) AS budget FROM h),
+w AS (
+  SELECT hour, n, n_err,
+         SUM(n_err) OVER (ORDER BY hour
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)::DOUBLE
+         / SUM(n) OVER (ORDER BY hour
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS slow_ratio
+  FROM h
+)
+SELECT CAST(w.hour AS BIGINT) AS hour,
+       CAST(w.n AS BIGINT) AS n, CAST(w.n_err AS BIGINT) AS n_err,
+       ROUND(ROUND(w.n_err::DOUBLE / w.n / b.budget, 9), 6) AS burn_fast,
+       ROUND(ROUND(w.slow_ratio / b.budget, 9), 6) AS burn_slow,
+       (ROUND(ROUND(w.n_err::DOUBLE / w.n / b.budget, 9), 6) > 2.0
+        AND ROUND(ROUND(w.slow_ratio / b.budget, 9), 6) > 1.0) AS alert
+FROM w CROSS JOIN b
+ORDER BY hour
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("rollup_invalidation_ranges", q_rollup_invalidation_ranges,
+          _SQL_INVALIDATION)
+_register("watermark_lag", q_watermark_lag, _SQL_WATERMARK)
+_register("slo_burn_rate", q_slo_burn_rate, _SQL_SLO_BURN)
 _register("pareto_8020", q_pareto_8020, _SQL_PARETO)
 _register("orders_yoy", q_orders_yoy, _SQL_ORDERS_YOY)
 _register("bootstrap_bca", q_bootstrap_bca)
