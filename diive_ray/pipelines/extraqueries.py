@@ -4589,7 +4589,220 @@ ORDER BY hour
 """
 
 
+# --------------------------------------------------------- AMS F2 sketch
+
+
+def ams_f2_kernel(freqs: np.ndarray, n_est: int = 64, n_groups: int = 8,
+                  seed: int = 11) -> float:
+    """Alon-Matias-Szegedy second-frequency-moment sketch: each
+    estimator is (sum_i s_i f_i)^2 with iid +-1 signs; median of means
+    over groups. Seeded Philox signs -> deterministic."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1996]))
+    signs = rng.integers(0, 2, size=(n_est, len(freqs))) * 2 - 1
+    z = (signs * freqs[None, :]).sum(axis=1).astype(np.float64)
+    est = z * z
+    means = est.reshape(n_groups, -1).mean(axis=1)
+    return float(np.median(means))
+
+
+def q_doc_ams_f2(sf_dir: str):
+    """AMS (Alon-Matias-Szegedy 1996, Gödel-prize) F2 sketch of the
+    corpus word-frequency vector vs the exact second moment — the
+    self-join-size / repeat-rate estimator that needs only O(sketch)
+    memory however large the vocabulary. The sign-sketch z-vector is a
+    SUM over words, so at scale it distributes as per-batch partial
+    sign-sums (one slim combine); here it runs on the bounded
+    word_freqs table. Rows-only; unbiasedness + error-bound pins."""
+    from ..stages.bpe import word_freqs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    wf = word_freqs(docs).sort_values("word").reset_index(drop=True)
+    f = wf["freq"].to_numpy(np.float64)
+    exact = float((f * f).sum())
+    est = ams_f2_kernel(f)
+    out = pd.DataFrame([{
+        "n_words": len(f), "f1": int(f.sum()), "f2_exact": exact,
+        "f2_ams": est, "rel_err": abs(est - exact) / exact,
+    }])
+    out["n_words"] = out["n_words"].astype("int64")
+    out["f1"] = out["f1"].astype("int64")
+    for c in ("f2_exact", "f2_ams", "rel_err"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+# -------------------------------------------------------------- DGIM
+
+
+def dgim_count(bits: np.ndarray, window: int, max_per_size: int = 2):
+    """Datar-Gionis-Indyk-Motwani (2002) exponential-histogram count
+    of 1s in the trailing ``window`` positions using O(log^2 W)
+    buckets: returns (estimate, n_buckets_kept). Deterministic."""
+    buckets: list[tuple[int, int]] = []      # (timestamp, size), newest first
+    for t, b in enumerate(bits):
+        if b:
+            buckets.insert(0, (t, 1))
+            size = 1
+            while True:
+                same = [i for i, (_, s) in enumerate(buckets) if s == size]
+                if len(same) <= max_per_size:
+                    break
+                i2, i1 = same[-1], same[-2]    # two oldest of this size
+                ts = buckets[i1][0]            # newer timestamp survives
+                del buckets[i2]
+                buckets[i1] = (ts, size * 2)
+                size *= 2
+        cutoff = t - window
+        buckets = [(ts, s) for ts, s in buckets if ts > cutoff]
+    if not buckets:
+        return 0.0, 0
+    est = sum(s for _, s in buckets[:-1]) + buckets[-1][1] / 2.0
+    return float(est), len(buckets)
+
+
+def q_dgim_window_count(sf_dir: str):
+    """DGIM sliding-window counting of 'error' events over the global
+    arrival stream (event_id order): estimate of errors in the
+    trailing 1000 events using O(log^2 W) buckets vs the exact count —
+    the streaming-window counter for unbounded streams (Datar et al.
+    2002). Rows-only; the ≤50% error bound and exactness-on-dense
+    pins in pytest."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+    df = ev.to_pandas().sort_values("event_id")
+    bits = (df["event_type"] == "error").to_numpy(np.int64)
+    window = 1000
+    est, nb = dgim_count(bits, window)
+    exact = int(bits[-window:].sum())
+    out = pd.DataFrame([{
+        "n_stream": len(bits), "window": window,
+        "exact_count": exact, "dgim_estimate": est,
+        "n_buckets": nb,
+        "rel_err": abs(est - exact) / exact if exact else 0.0,
+    }])
+    for c in ("n_stream", "window", "exact_count", "n_buckets"):
+        out[c] = out[c].astype("int64")
+    for c in ("dgim_estimate", "rel_err"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+# ------------------------------------------------------ HITS / absorption
+
+
+def hits_kernel(adj: np.ndarray, n_iter: int = 100):
+    """Kleinberg (1999) HITS: alternating hub/authority power
+    iteration with L2 normalization."""
+    n = adj.shape[0]
+    h = np.ones(n) / np.sqrt(n)
+    for _ in range(n_iter):
+        a = adj.T @ h
+        a = a / np.linalg.norm(a)
+        h = adj @ a
+        h = h / np.linalg.norm(h)
+    return h, a
+
+
+def q_event_hits(sf_dir: str):
+    """HITS hub/authority scores (Kleinberg 1999) on the user-session
+    event-type transition graph (the same weighted adjacency as
+    pagerank — the bounded type alphabet makes the eigen-iteration
+    driver-side after ONE transition-count pass). Rows-only; bipartite
+    hand-case and pagerank-consistency pins."""
+    from ..stages.exchange import driver_combine
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        same = d["user_id"].to_numpy()[1:] == d["user_id"].to_numpy()[:-1]
+        src = d["event_type"].to_numpy(object)[:-1][same]
+        dst = d["event_type"].to_numpy(object)[1:][same]
+        return pd.DataFrame({"src": src, "dst": dst}).groupby(
+            ["src", "dst"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    # NOTE: per-batch adjacent pairs undercount across batch splits of
+    # a user's sequence; exchange on user first for exactness
+    from ..stages.exchange import block_map
+
+    cnt = block_map(
+        ev, ["user_id"], partial,
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas().groupby(["src", "dst"], as_index=False)["n"].sum()
+    types = sorted(set(cnt["src"]) | set(cnt["dst"]))
+    ti = {t: i for i, t in enumerate(types)}
+    adj = np.zeros((len(types), len(types)))
+    adj[[ti[s] for s in cnt["src"]],
+        [ti[d] for d in cnt["dst"]]] = cnt["n"].to_numpy(np.float64)
+    h, a = hits_kernel(adj)
+    out = pd.DataFrame({"event_type": types,
+                        "hub": stable_round6(h),
+                        "authority": stable_round6(a)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def absorption_kernel(P: np.ndarray, absorbing: int) -> np.ndarray:
+    """Expected steps to absorption from each transient state of a
+    Markov chain (fundamental-matrix solve t = (I - Q)^{-1} 1)."""
+    n = P.shape[0]
+    keep = [i for i in range(n) if i != absorbing]
+    Q = P[np.ix_(keep, keep)]
+    t = np.linalg.solve(np.eye(len(keep)) - Q, np.ones(len(keep)))
+    out = np.zeros(n)
+    out[keep] = t
+    return out
+
+
+def q_markov_absorption(sf_dir: str):
+    """Expected session steps to reach 'purchase' from each event type
+    (absorbing-chain fundamental matrix on the row-normalized
+    transition graph, with 'purchase' made absorbing) — the
+    Markov-funnel depth metric complementing window_funnel's
+    empirical depths. Rows-only (linear solve); two-state closed-form
+    and monotonicity pins."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"])
+        same = d["user_id"].to_numpy()[1:] == d["user_id"].to_numpy()[:-1]
+        src = d["event_type"].to_numpy(object)[:-1][same]
+        dst = d["event_type"].to_numpy(object)[1:][same]
+        return pd.DataFrame({"src": src, "dst": dst}).groupby(
+            ["src", "dst"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cnt = block_map(
+        ev, ["user_id"], partial,
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas().groupby(["src", "dst"], as_index=False)["n"].sum()
+    types = sorted(set(cnt["src"]) | set(cnt["dst"]))
+    ti = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    P[[ti[s] for s in cnt["src"]],
+      [ti[d] for d in cnt["dst"]]] = cnt["n"].to_numpy(np.float64)
+    P = P / P.sum(axis=1, keepdims=True)
+    tgt = ti.get("purchase")
+    steps = absorption_kernel(P, tgt)
+    out = pd.DataFrame({"event_type": types,
+                        "expected_steps": stable_round6(steps)})
+    out = out[out["event_type"] != "purchase"]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("doc_ams_f2", q_doc_ams_f2)
+_register("dgim_window_count", q_dgim_window_count)
+_register("event_hits", q_event_hits)
+_register("markov_absorption", q_markov_absorption)
 _register("rollup_invalidation_ranges", q_rollup_invalidation_ranges,
           _SQL_INVALIDATION)
 _register("watermark_lag", q_watermark_lag, _SQL_WATERMARK)

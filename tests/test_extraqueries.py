@@ -680,3 +680,75 @@ def test_gmm2_recovers_planted_mixture():
     assert abs(r["mu1"]) < 0.3 and abs(r["mu2"] - 8.0) < 0.5
     assert abs(r["w2"] - 0.25) < 0.05
     assert abs(r["sd1"] - 1.0) < 0.2 and abs(r["sd2"] - 1.5) < 0.4
+
+
+# --------------------------------------------------------------- AMS F2
+
+
+def test_ams_f2_within_error_bound():
+    from diive_ray.pipelines.extraqueries import ams_f2_kernel
+    rng = _rng(149)
+    f = rng.integers(1, 100, 500).astype(np.float64)
+    exact = float((f * f).sum())
+    est = ams_f2_kernel(f)
+    assert abs(est - exact) / exact < 0.35     # median-of-means bound
+
+
+def test_ams_f2_exact_on_single_item():
+    from diive_ray.pipelines.extraqueries import ams_f2_kernel
+    f = np.array([7.0])
+    np.testing.assert_allclose(ams_f2_kernel(f), 49.0)
+
+
+# ----------------------------------------------------------------- DGIM
+
+
+def test_dgim_error_bound_and_bucket_count():
+    from diive_ray.pipelines.extraqueries import dgim_count
+    rng = _rng(151)
+    bits = (rng.random(20000) < 0.3).astype(np.int64)
+    W = 1000
+    est, nb = dgim_count(bits, W)
+    exact = bits[-W:].sum()
+    assert abs(est - exact) / exact <= 0.5     # DGIM guarantee
+    assert nb <= 2 * (int(np.log2(W)) + 2)     # O(log W) buckets
+
+
+def test_dgim_all_ones_half_bucket_rule():
+    from diive_ray.pipelines.extraqueries import dgim_count
+    bits = np.ones(64, dtype=np.int64)
+    est, _ = dgim_count(bits, 64)
+    assert abs(est - 64) <= 32                 # within the 50% rule
+
+
+# ----------------------------------------------------------------- HITS
+
+
+def test_hits_bipartite_hand_case():
+    from diive_ray.pipelines.extraqueries import hits_kernel
+    # 0 and 1 both point at 2: 2 is the authority, 0/1 equal hubs
+    adj = np.array([[0, 0, 1.0], [0, 0, 1.0], [0, 0, 0]])
+    h, a = hits_kernel(adj)
+    assert a[2] > 0.99
+    np.testing.assert_allclose(h[0], h[1], rtol=1e-9)
+    assert h[2] < 1e-6
+
+
+# ----------------------------------------------------- Markov absorption
+
+
+def test_absorption_two_state_closed_form():
+    from diive_ray.pipelines.extraqueries import absorption_kernel
+    # state 0: stays with prob 1-p, absorbs with p -> E steps = 1/p
+    for p in (0.2, 0.5, 0.9):
+        P = np.array([[1.0 - p, p], [0.0, 1.0]])
+        t = absorption_kernel(P, 1)
+        np.testing.assert_allclose(t[0], 1.0 / p, rtol=1e-10)
+
+
+def test_absorption_chain_monotone_in_distance():
+    from diive_ray.pipelines.extraqueries import absorption_kernel
+    # 0 -> 1 -> 2 (absorbing), deterministic: 2 steps from 0, 1 from 1
+    P = np.array([[0, 1.0, 0], [0, 0, 1.0], [0, 0, 1.0]])
+    t = absorption_kernel(P, 2)
+    np.testing.assert_allclose(t[:2], [2.0, 1.0])
