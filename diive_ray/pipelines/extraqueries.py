@@ -4798,7 +4798,257 @@ def q_markov_absorption(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# ------------------------------------------------------------ cohort LTV
+
+
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value curve: users grouped by the ISO week of
+    their first event; per (cohort_week, age_week) the per-user mean
+    cumulative spend — the LTV companion to the count-based
+    retention_cohorts. Per-user firsts and per-(user, age) sums come
+    from ONE user-keyed exchange; cohort cells are a bounded combine;
+    cumulative over age runs on the bounded (cohort x age) grid."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import ts_to_us
+
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            t = ts_to_us(g["ts"])
+            t0 = t.min()
+            week0 = int(t0 // (7 * 86_400_000_000))
+            age = (t - t0) // (7 * 86_400_000_000)
+            s = pd.DataFrame({"age_week": age,
+                              "v": g["value"].to_numpy()}).groupby(
+                "age_week", as_index=False).agg(spend=("v", "sum"))
+            s["cohort_week"] = week0
+            s["user_id"] = uid
+            out.append(s)
+        if not out:
+            return pd.DataFrame({
+                "age_week": pd.Series([], dtype=np.int64),
+                "spend": pd.Series([], dtype=np.float64),
+                "cohort_week": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    peru = block_map(
+        ev, ["user_id"], per_user,
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    cohort_sizes = peru.groupby("cohort_week")["user_id"].nunique()
+    cell = peru.groupby(["cohort_week", "age_week"], as_index=False).agg(
+        spend=("spend", "sum"), n_active=("user_id", "nunique"))
+    cell = cell.sort_values(["cohort_week", "age_week"]).reset_index(
+        drop=True)
+    cell["cum_spend"] = cell.groupby("cohort_week")["spend"].cumsum()
+    cell["n_cohort"] = cell["cohort_week"].map(cohort_sizes)
+    out = pd.DataFrame({
+        "cohort_week": cell["cohort_week"].astype("int64"),
+        "age_week": cell["age_week"].astype("int64"),
+        "n_cohort": cell["n_cohort"].astype("int64"),
+        "n_active": cell["n_active"].astype("int64"),
+        "ltv_per_user": stable_round6(cell["cum_spend"]
+                                      / cell["n_cohort"]),
+    })
+    return out.sort_values(["cohort_week", "age_week"]).reset_index(
+        drop=True)
+
+
+_SQL_COHORT_LTV = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+),
+peru AS (
+  SELECT e.user_id,
+         f.t0 // 604800000000 AS cohort_week,
+         (epoch_us(e.ts) - f.t0) // 604800000000 AS age_week,
+         SUM(e.value) AS spend
+  FROM events e JOIN f USING (user_id)
+  GROUP BY 1, 2, 3
+),
+sz AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS n_cohort
+       FROM peru GROUP BY 1),
+cell AS (
+  SELECT cohort_week, age_week, SUM(spend) AS spend,
+         COUNT(DISTINCT user_id) AS n_active
+  FROM peru GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(c.age_week AS BIGINT) AS age_week,
+       CAST(sz.n_cohort AS BIGINT) AS n_cohort,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       ROUND(ROUND(SUM(c.spend) OVER (PARTITION BY c.cohort_week
+                                      ORDER BY c.age_week)
+             / sz.n_cohort, 9), 6) AS ltv_per_user
+FROM cell c JOIN sz USING (cohort_week)
+ORDER BY cohort_week, age_week
+"""
+
+
+# -------------------------------------------------------- funnel latency
+
+
+def q_funnel_latency(sf_dir: str):
+    """Step-to-step funnel latency: per user, the greedy-earliest
+    view -> click -> purchase chain within 24 h of the first view
+    (v1 = MIN view; c1 = first click after v1 within window; p1 =
+    first purchase after c1 within the same window), then the median
+    and mean hours per step over converting users — the timing
+    companion to window_funnel's depth counts. Medians run on the
+    bounded per-user chain table."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    window_us = 24 * 3600 * 1_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            t = {s: np.sort(ts_to_us(g.loc[g["event_type"] == s, "ts"]))
+                 for s in ("view", "click", "purchase")}
+            if not len(t["view"]):
+                continue
+            v1 = t["view"][0]
+            lim = v1 + window_us
+            c = t["click"][np.searchsorted(t["click"], v1, side="right"):]
+            c1 = c[0] if len(c) and c[0] <= lim else None
+            p1 = None
+            if c1 is not None:
+                p = t["purchase"][np.searchsorted(t["purchase"], c1,
+                                                  side="right"):]
+                p1 = p[0] if len(p) and p[0] <= lim else None
+            rows.append({"user_id": uid,
+                         "vc_h": (c1 - v1) / 3.6e9 if c1 else np.nan,
+                         "cp_h": (p1 - c1) / 3.6e9 if p1 else np.nan})
+        cols = {"user_id": np.int64, "vc_h": np.float64,
+                "cp_h": np.float64}
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return pd.DataFrame(rows)
+
+    peru = block_map(ev, ["user_id"], per_user,
+                     batch_format="pandas", zero_copy_batch=False
+                     ).to_pandas()
+    rows = []
+    for step, col in (("view->click", "vc_h"), ("click->purchase",
+                                                "cp_h")):
+        v = peru[col].dropna().to_numpy(np.float64)
+        rows.append({"step": step, "n_converted": len(v),
+                     "median_hours": float(np.median(v)),
+                     "mean_hours": float(v.sum() / len(v))})
+    out = pd.DataFrame(rows)
+    out["n_converted"] = out["n_converted"].astype("int64")
+    for c in ("median_hours", "mean_hours"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("step").reset_index(drop=True)
+
+
+_SQL_FUNNEL_LATENCY = """
+WITH v1 AS (
+  SELECT user_id, MIN(ts) AS v1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c1 AS (
+  SELECT v1.user_id, v1.v1, MIN(e.ts) AS c1
+  FROM v1 JOIN events e
+    ON e.user_id = v1.user_id AND e.event_type = 'click'
+   AND e.ts > v1.v1 AND e.ts <= v1.v1 + INTERVAL 24 HOUR
+  GROUP BY 1, 2
+),
+p1 AS (
+  SELECT c1.user_id, c1.v1, c1.c1, MIN(e.ts) AS p1
+  FROM c1 JOIN events e
+    ON e.user_id = c1.user_id AND e.event_type = 'purchase'
+   AND e.ts > c1.c1 AND e.ts <= c1.v1 + INTERVAL 24 HOUR
+  GROUP BY 1, 2, 3
+),
+lat AS (
+  SELECT 'view->click' AS step,
+         epoch_us(c1 - v1)::DOUBLE / 3.6e9 AS h
+  FROM c1
+  UNION ALL
+  SELECT 'click->purchase' AS step,
+         epoch_us(p1 - c1)::DOUBLE / 3.6e9 AS h
+  FROM p1
+)
+SELECT step, COUNT(*)::BIGINT AS n_converted,
+       ROUND(ROUND(MEDIAN(h), 9), 6) AS median_hours,
+       ROUND(ROUND(SUM(h) / COUNT(*), 9), 6) AS mean_hours
+FROM lat GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------- new vs returning
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Daily new-vs-returning user split (the top-of-dashboard
+    acquisition metric): per calendar day, distinct active users
+    partitioned by whether that day is the user's first — per-user
+    first days from ONE keyed exchange, daily cells bounded."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import ts_to_us
+
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            days = np.unique(ts_to_us(g["ts"]) // 86_400_000_000)
+            out.append(pd.DataFrame({
+                "day": days,
+                "is_new": (days == days[0]),
+            }))
+        if not out:
+            return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                                 "is_new": pd.Series([], dtype=bool)})
+        return pd.concat(out, ignore_index=True)
+
+    cells = block_map(ev, ["user_id"], per_user,
+                      batch_format="pandas", zero_copy_batch=False
+                      ).to_pandas()
+    g = cells.groupby("day", as_index=False).agg(
+        n_new=("is_new", "sum"), n_active=("is_new", "size"))
+    out = pd.DataFrame({
+        "day": g["day"].astype("int64"),
+        "n_new": g["n_new"].astype("int64"),
+        "n_returning": (g["n_active"] - g["n_new"]).astype("int64"),
+        "n_active": g["n_active"].astype("int64"),
+    })
+    return out.sort_values("day").reset_index(drop=True)
+
+
+_SQL_NEW_RETURNING = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY 1)
+SELECT CAST(d.day AS BIGINT) AS day,
+       SUM(CASE WHEN d.day = f.d0 THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       SUM(CASE WHEN d.day > f.d0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_returning,
+       COUNT(*)::BIGINT AS n_active
+FROM d JOIN f USING (user_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("cohort_ltv", q_cohort_ltv, _SQL_COHORT_LTV)
+_register("funnel_latency", q_funnel_latency, _SQL_FUNNEL_LATENCY)
+_register("new_vs_returning", q_new_vs_returning, _SQL_NEW_RETURNING)
 _register("doc_ams_f2", q_doc_ams_f2)
 _register("dgim_window_count", q_dgim_window_count)
 _register("event_hits", q_event_hits)
