@@ -5045,7 +5045,263 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------------------ one-way ANOVA
+
+
+def q_anova_oneway(sf_dir: str):
+    """Classical one-way ANOVA F across event types on the raw values
+    (between/within sum-of-squares decomposition from decomposable
+    per-type moment sums — ONE bounded combine, no residual pass):
+    the parametric counterpart of the existing Kruskal-Wallis rank
+    test. Also reports eta^2 = SSB/SST effect size."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(v2=df["value"] * df["value"]).groupby(
+            "event_type", as_index=False).agg(
+            s=("value", "sum"), n=("value", "size"), ss=("v2", "sum"))
+
+    mom = driver_combine(
+        ev, partial,
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"), ss=("ss", "sum")),
+        batch_format="pandas",
+    )
+    N = float(mom["n"].sum())
+    G = float(mom["s"].sum())
+    k = len(mom)
+    ssb = float((mom["s"] ** 2 / mom["n"]).sum()) - G * G / N
+    sst = float(mom["ss"].sum()) - G * G / N
+    ssw = sst - ssb
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    out = pd.DataFrame([{
+        "k_groups": k, "n_total": int(N),
+        "ss_between": ssb, "ss_within": ssw,
+        "f_stat": f, "eta_sq": ssb / sst,
+    }])
+    out["k_groups"] = out["k_groups"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    for c in ("ss_between", "ss_within", "f_stat", "eta_sq"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_ANOVA = """
+WITH g AS (
+  SELECT event_type, SUM(value) AS s, COUNT(*) AS n,
+         SUM(value * value) AS ss
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT SUM(s) AS gsum, SUM(n)::DOUBLE AS nn, COUNT(*) AS k,
+         SUM(ss) AS sstot, SUM(s * s / n) AS sb
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_total,
+       ROUND(ROUND(sb - gsum * gsum / nn, 9), 6) AS ss_between,
+       ROUND(ROUND(sstot - sb, 9), 6) AS ss_within,
+       ROUND(ROUND(((sb - gsum * gsum / nn) / (k - 1))
+             / ((sstot - sb) / (nn - k)), 9), 6) AS f_stat,
+       ROUND(ROUND((sb - gsum * gsum / nn)
+             / (sstot - gsum * gsum / nn), 9), 6) AS eta_sq
+FROM t
+"""
+
+
+# ---------------------------------------------------------- McNemar
+
+
+def q_mcnemar_test(sf_dir: str):
+    """McNemar's paired-proportions test: per user, engagement
+    (>= 1 'purchase') in the first vs second half of the month; the
+    test uses only the discordant counts b (first-only) and c
+    (second-only): chi2 = (b - c)^2 / (b + c) — THE paired binary
+    before/after test. Per-user flags inside the user-keyed block."""
+    from ..stages.exchange import block_map
+
+    cut = pd.Timestamp("2024-01-16")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        users = df["user_id"].unique()
+        first = pd.Series(False, index=users)
+        second = pd.Series(False, index=users)
+        for uid, gg in p.groupby("user_id"):
+            first[uid] = bool((gg["ts"] < cut).any())
+            second[uid] = bool((gg["ts"] >= cut).any())
+        return pd.DataFrame({
+            "a": [int((first & second).sum())],
+            "b": [int((first & ~second).sum())],
+            "c": [int((~first & second).sum())],
+            "d": [int((~first & ~second).sum())],
+        })
+
+    cnt = block_map(ev, ["user_id"], per_user,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas().sum()
+    a, b, c, d = int(cnt["a"]), int(cnt["b"]), int(cnt["c"]), int(cnt["d"])
+    chi2 = (b - c) ** 2 / (b + c) if (b + c) > 0 else 0.0
+    out = pd.DataFrame([{
+        "both": a, "first_only": b, "second_only": c, "neither": d,
+        "chi2": chi2,
+    }])
+    for col in ("both", "first_only", "second_only", "neither"):
+        out[col] = out[col].astype("int64")
+    out["chi2"] = stable_round6(out["chi2"].astype(float))
+    return out
+
+
+_SQL_MCNEMAR = """
+WITH flags AS (
+  SELECT u.user_id,
+         COALESCE(MAX(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts < TIMESTAMP '2024-01-16'
+                   THEN 1 ELSE 0 END), 0) AS f,
+         COALESCE(MAX(CASE WHEN e.event_type = 'purchase'
+                   AND e.ts >= TIMESTAMP '2024-01-16'
+                   THEN 1 ELSE 0 END), 0) AS s
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN events e ON e.user_id = u.user_id
+  GROUP BY 1
+),
+c AS (
+  SELECT SUM(f * s) AS a,
+         SUM(f * (1 - s)) AS b,
+         SUM((1 - f) * s) AS c,
+         SUM((1 - f) * (1 - s)) AS d
+  FROM flags
+)
+SELECT CAST(a AS BIGINT) AS both, CAST(b AS BIGINT) AS first_only,
+       CAST(c AS BIGINT) AS second_only, CAST(d AS BIGINT) AS neither,
+       ROUND(ROUND(CASE WHEN b + c > 0
+           THEN (b - c) * (b - c) / (b + c)::DOUBLE ELSE 0.0 END, 9), 6)
+           AS chi2
+FROM c
+"""
+
+
+# ------------------------------------------------------- Cohen's kappa
+
+
+def q_cohen_kappa(sf_dir: str):
+    """Cohen's kappa inter-rater agreement between two deterministic
+    document-quality raters: rater A flags docs with n_chars above the
+    corpus median length, rater B flags docs with whitespace word
+    count above the corpus median count (exact (value, doc_id) rank
+    medians so the cut replays exactly). kappa = (po - pe)/(1 - pe) —
+    the chance-corrected agreement staple."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+
+    def feats(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words)
+        nonempty = pc.not_equal(flat, "")
+        # empty fragments: count only non-empty words per doc
+        doc_i = np.repeat(np.arange(len(t)), lens)
+        ne = nonempty.to_numpy(zero_copy_only=False)
+        wc = np.bincount(doc_i[ne], minlength=len(t))
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_pandas(),
+            "n_chars": t["n_chars"].to_pandas(),
+            "n_words": wc.astype(np.int64),
+        })
+
+    feat = driver_combine(
+        docs, feats, lambda df: df, batch_format="pyarrow",
+    ).sort_values("doc_id").reset_index(drop=True)
+    n = len(feat)
+
+    def med_flag(v: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        order = np.lexsort((ids, v))
+        thresh_idx = order[n // 2]             # upper-median position
+        tv, tid = v[thresh_idx], ids[thresh_idx]
+        return (v > tv) | ((v == tv) & (ids >= tid))
+
+    ids = feat["doc_id"].to_numpy(np.int64)
+    ra = med_flag(feat["n_chars"].to_numpy(np.int64), ids)
+    rb = med_flag(feat["n_words"].to_numpy(np.int64), ids)
+    a = int((ra & rb).sum())
+    b = int((ra & ~rb).sum())
+    c = int((~ra & rb).sum())
+    d = int((~ra & ~rb).sum())
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    out = pd.DataFrame([{
+        "n_docs": n, "both_hi": a, "a_only": b, "b_only": c,
+        "both_lo": d,
+        "observed_agreement": po, "kappa": kappa,
+    }])
+    for col in ("n_docs", "both_hi", "a_only", "b_only", "both_lo"):
+        out[col] = out[col].astype("int64")
+    for col in ("observed_agreement", "kappa"):
+        out[col] = stable_round6(out[col].astype(float))
+    return out
+
+
+_SQL_KAPPA = r"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_words
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM feat),
+ta AS (
+  SELECT n_chars AS v, doc_id AS id FROM feat
+  ORDER BY n_chars, doc_id
+  LIMIT 1 OFFSET (SELECT n // 2 FROM nn)
+),
+tb AS (
+  SELECT n_words AS v, doc_id AS id FROM feat
+  ORDER BY n_words, doc_id
+  LIMIT 1 OFFSET (SELECT n // 2 FROM nn)
+),
+fl AS (
+  SELECT f.doc_id,
+         CASE WHEN f.n_chars > ta.v
+              OR (f.n_chars = ta.v AND f.doc_id >= ta.id)
+              THEN 1 ELSE 0 END AS ra,
+         CASE WHEN f.n_words > tb.v
+              OR (f.n_words = tb.v AND f.doc_id >= tb.id)
+              THEN 1 ELSE 0 END AS rb
+  FROM feat f CROSS JOIN ta CROSS JOIN tb
+),
+c AS (
+  SELECT SUM(ra * rb) AS a, SUM(ra * (1 - rb)) AS b,
+         SUM((1 - ra) * rb) AS c, SUM((1 - ra) * (1 - rb)) AS d,
+         COUNT(*)::DOUBLE AS n
+  FROM fl
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(a AS BIGINT) AS both_hi, CAST(b AS BIGINT) AS a_only,
+       CAST(c AS BIGINT) AS b_only, CAST(d AS BIGINT) AS both_lo,
+       ROUND(ROUND((a + d) / n, 9), 6) AS observed_agreement,
+       ROUND(ROUND(((a + d) / n
+             - ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n))
+             / (1.0 - ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)),
+             9), 6) AS kappa
+FROM c
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("anova_oneway", q_anova_oneway, _SQL_ANOVA)
+_register("mcnemar_test", q_mcnemar_test, _SQL_MCNEMAR)
+_register("cohen_kappa", q_cohen_kappa, _SQL_KAPPA)
 _register("cohort_ltv", q_cohort_ltv, _SQL_COHORT_LTV)
 _register("funnel_latency", q_funnel_latency, _SQL_FUNNEL_LATENCY)
 _register("new_vs_returning", q_new_vs_returning, _SQL_NEW_RETURNING)
