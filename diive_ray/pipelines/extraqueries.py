@@ -5298,7 +5298,244 @@ FROM c
 """
 
 
+# ------------------------------------------------- calibration / Brier
+
+
+def q_classifier_calibration(sf_dir: str):
+    """Reliability curve + Brier score for a closed-form probabilistic
+    classifier (logistic of the standardized document length predicting
+    the high-half source label — the same task as classifier_auc, now
+    scored as a PROBABILITY): 10 equal-width probability bins with
+    mean predicted vs observed rate, plus the overall Brier score and
+    its calibration/refinement decomposition inputs. Everything is a
+    bounded partial-count pass; the z-scoring moments are corpus-wide
+    sums shared exactly with the oracle."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+    mom = driver_combine(
+        docs,
+        lambda df: pd.DataFrame({
+            "s": [float(df["n_chars"].sum())],
+            "ss": [float((df["n_chars"].astype(np.float64) ** 2).sum())],
+            "n": [len(df)]}),
+        lambda df: pd.DataFrame({"s": [df["s"].sum()],
+                                 "ss": [df["ss"].sum()],
+                                 "n": [df["n"].sum()]}),
+        batch_format="pandas",
+    )
+    n = float(mom["n"][0])
+    mu = float(mom["s"][0]) / n
+    sd = np.sqrt(float(mom["ss"][0]) / n - mu * mu)
+    mu6 = float(stable_round6(np.array([mu]))[0])
+    sd6 = float(stable_round6(np.array([sd]))[0])
+
+    def partial2(df: pd.DataFrame) -> pd.DataFrame:
+        z = (df["n_chars"].to_numpy(np.float64) - mu6) / sd6
+        p = 1.0 / (1.0 + np.exp(-z))
+        y = (df["source"] >= "src5").to_numpy().astype(np.float64)
+        b = np.minimum((p * 10).astype(np.int64), 9)
+        return pd.DataFrame({
+            "bin": b, "p": p, "y": y, "sq": (p - y) ** 2,
+        }).groupby("bin", as_index=False).agg(
+            n=("p", "size"), sum_p=("p", "sum"), sum_y=("y", "sum"),
+            sum_sq=("sq", "sum"))
+
+    cnt = driver_combine(
+        docs, partial2,
+        lambda df: df.groupby("bin", as_index=False).agg(
+            n=("n", "sum"), sum_p=("sum_p", "sum"),
+            sum_y=("sum_y", "sum"), sum_sq=("sum_sq", "sum")),
+        batch_format="pandas",
+    ).sort_values("bin").reset_index(drop=True)
+    out = pd.DataFrame({
+        "bin": cnt["bin"].astype("int64"),
+        "n": cnt["n"].astype("int64"),
+        "mean_pred": stable_round6(cnt["sum_p"] / cnt["n"]),
+        "obs_rate": stable_round6(cnt["sum_y"] / cnt["n"]),
+        "brier_contrib": stable_round6(cnt["sum_sq"]
+                                       / float(cnt["n"].sum())),
+    })
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+_SQL_CALIBRATION = """
+WITH mom AS (
+  SELECT AVG(n_chars::DOUBLE) AS mu,
+         SQRT(AVG(n_chars::DOUBLE * n_chars) -
+              AVG(n_chars::DOUBLE) * AVG(n_chars::DOUBLE)) AS sd,
+         COUNT(*)::DOUBLE AS n
+  FROM documents
+),
+m6 AS (
+  SELECT ROUND(ROUND(mu, 9), 6) AS mu6, ROUND(ROUND(sd, 9), 6) AS sd6,
+         n
+  FROM mom
+),
+p AS (
+  SELECT LEAST(CAST(FLOOR(10.0 / (1.0 + EXP(-(n_chars - m6.mu6)
+                                            / m6.sd6))) AS BIGINT),
+               9) AS bin,
+         1.0 / (1.0 + EXP(-(n_chars - m6.mu6) / m6.sd6)) AS pr,
+         CASE WHEN source >= 'src5' THEN 1.0 ELSE 0.0 END AS y,
+         m6.n AS n_tot
+  FROM documents CROSS JOIN m6
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       COUNT(*)::BIGINT AS n,
+       ROUND(ROUND(SUM(pr) / COUNT(*), 9), 6) AS mean_pred,
+       ROUND(ROUND(SUM(y) / COUNT(*), 9), 6) AS obs_rate,
+       ROUND(ROUND(SUM((pr - y) * (pr - y)) / ANY_VALUE(n_tot), 9), 6)
+           AS brier_contrib
+FROM p
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------- PSI drift
+
+
+def q_psi_drift(sf_dir: str):
+    """Population stability index (the model-monitoring staple) of the
+    value distribution per event_type between the first and second
+    half of the month over the fixed histogram_quantile bucket ladder:
+    PSI = sum (p - q) ln(p / q) with 0.5-count Laplace smoothing on
+    both sides so empty buckets replay exactly. PSI > 0.2 is the
+    conventional 'significant shift' flag."""
+    from ..stages.exchange import driver_combine
+
+    cut = pd.Timestamp("2024-01-16")
+    bounds = np.array(_HQ_BUCKETS, dtype=np.float64)
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(bounds, df["value"].to_numpy(np.float64),
+                            side="right")
+        return pd.DataFrame({
+            "event_type": df["event_type"], "b": b,
+            "post": (df["ts"] >= cut).astype(np.int64),
+        }).groupby(["event_type", "b", "post"], as_index=False).size(
+        ).rename(columns={"size": "n"})
+
+    cnt = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "b", "post"],
+                              as_index=False)["n"].sum(),
+        batch_format="pandas",
+    )
+    rows = []
+    nb = len(bounds) + 1
+    for et, g in cnt.groupby("event_type", sort=True):
+        pre = np.full(nb, 0.5)
+        post = np.full(nb, 0.5)
+        for _, r in g.iterrows():
+            (pre if r["post"] == 0 else post)[int(r["b"])] += r["n"]
+        p = pre / pre.sum()
+        q = post / post.sum()
+        psi = float(((q - p) * np.log(q / p)).sum())
+        rows.append({"event_type": et,
+                     "n_pre": int(g.loc[g["post"] == 0, "n"].sum()),
+                     "n_post": int(g.loc[g["post"] == 1, "n"].sum()),
+                     "psi": psi, "significant": psi > 0.2})
+    out = pd.DataFrame(rows)
+    out["n_pre"] = out["n_pre"].astype("int64")
+    out["n_post"] = out["n_post"].astype("int64")
+    out["psi"] = stable_round6(out["psi"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_PSI = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < 10 THEN 0 WHEN value < 25 THEN 1
+              WHEN value < 50 THEN 2 WHEN value < 100 THEN 3
+              WHEN value < 200 THEN 4 WHEN value < 400 THEN 5
+              ELSE 6 END AS bk,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT t.event_type, lad.bk
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT UNNEST(generate_series(0, 6)) AS bk) lad
+),
+w AS (
+  SELECT g.event_type, g.bk,
+         COALESCE(MAX(CASE WHEN b.post = 0 THEN b.n END), 0) + 0.5
+             AS pre,
+         COALESCE(MAX(CASE WHEN b.post = 1 THEN b.n END), 0) + 0.5
+             AS post
+  FROM grid g LEFT JOIN b
+    ON b.event_type = g.event_type AND b.bk = g.bk
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, SUM(pre) AS tp, SUM(post) AS tq,
+         SUM(pre) - 0.5 * 7 AS n_pre, SUM(post) - 0.5 * 7 AS n_post
+  FROM w GROUP BY 1
+),
+psi AS (
+  SELECT w.event_type,
+         SUM((w.post / t.tq - w.pre / t.tp)
+             * LN((w.post / t.tq) / (w.pre / t.tp))) AS psi
+  FROM w JOIN t USING (event_type) GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(t.n_pre AS BIGINT) AS n_pre,
+       CAST(t.n_post AS BIGINT) AS n_post,
+       ROUND(ROUND(psi.psi, 9), 6) AS psi,
+       ROUND(ROUND(psi.psi, 9), 6) > 0.2 AS significant
+FROM t JOIN psi USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+# ------------------------------------------------- ANN recall@k eval
+
+
+def q_embedding_recall_at_k(sf_dir: str):
+    """Recall@10 of the IVF-bucketed approximate kNN against the exact
+    brute-force neighbors (the ann-benchmarks metric) at increasing
+    probe counts — the accuracy/cost curve that justifies the IVF
+    scale path over the exact baseline (n_probe = n_centroids recovers
+    recall 1 exactly, pinned). Rows-only (k-means-derived
+    assignment); monotone-recall-in-probes pin in pytest."""
+    from ..stages.similarity import knn_brute_force, knn_ivf
+
+    k = 10
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qdf = ds.filter(expr="vec_id < 30").to_pandas().sort_values("vec_id")
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+    exact = knn_brute_force(ds, Q, k, query_ids=qids)
+    em = exact.groupby("query_id")["vec_id"].apply(set).to_dict()
+    rows = []
+    for nprobe in (1, 2, 4, 16):
+        approx = knn_ivf(ds, Q, k, query_ids=qids, n_centroids=16,
+                         n_probe=nprobe)
+        am = approx.groupby("query_id")["vec_id"].apply(set).to_dict()
+        hits = sum(len(am.get(q, set()) & em[q]) for q in em)
+        tot = sum(len(v) for v in em.values())
+        rows.append({"n_probe": nprobe, "k": k,
+                     "recall": hits / tot if tot else 0.0,
+                     "n_queries": len(em)})
+    out = pd.DataFrame(rows)
+    for c in ("n_probe", "k", "n_queries"):
+        out[c] = out[c].astype("int64")
+    out["recall"] = stable_round6(out["recall"].astype(float))
+    return out.sort_values("n_probe").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("classifier_calibration", q_classifier_calibration,
+          _SQL_CALIBRATION)
+_register("psi_drift", q_psi_drift, _SQL_PSI)
+_register("embedding_recall_at_k", q_embedding_recall_at_k)
 _register("anova_oneway", q_anova_oneway, _SQL_ANOVA)
 _register("mcnemar_test", q_mcnemar_test, _SQL_MCNEMAR)
 _register("cohen_kappa", q_cohen_kappa, _SQL_KAPPA)

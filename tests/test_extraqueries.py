@@ -752,3 +752,14 @@ def test_absorption_chain_monotone_in_distance():
     P = np.array([[0, 1.0, 0], [0, 0, 1.0], [0, 0, 1.0]])
     t = absorption_kernel(P, 2)
     np.testing.assert_allclose(t[:2], [2.0, 1.0])
+
+
+# ------------------------------------------------------ ANN recall@k
+
+
+def test_recall_at_k_monotone_and_exact_at_full_probe(ray_session):
+    from diive_ray.pipelines.extraqueries import q_embedding_recall_at_k
+    r = q_embedding_recall_at_k("/root/testdata/sf0.001")
+    rec = r.sort_values("n_probe")["recall"].to_numpy()
+    assert (np.diff(rec) >= -1e-9).all()       # monotone in probes
+    assert rec[-1] == 1.0                      # n_probe = n_centroids
