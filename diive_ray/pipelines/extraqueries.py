@@ -5531,7 +5531,206 @@ def q_embedding_recall_at_k(sf_dir: str):
     return out.sort_values("n_probe").reset_index(drop=True)
 
 
+# ------------------------------------------------------- Fisher exact
+
+
+def fisher_exact_kernel(a: int, b: int, c: int, d: int) -> dict[str, float]:
+    """Two-sided Fisher exact test on a 2x2 table by hypergeometric
+    enumeration (sum of tables with probability <= observed, the
+    standard 1+1e-7 tolerance), plus the odds ratio with the Woolf
+    (Haldane-corrected) log-SE confidence interval. lgamma on both
+    sides is the same libm, so the enumeration replays exactly."""
+    from math import lgamma
+
+    n = a + b + c + d
+    r1, c1 = a + b, a + c
+
+    def logp(k: int) -> float:
+        return (lgamma(r1 + 1) - lgamma(k + 1) - lgamma(r1 - k + 1)
+                + lgamma(n - r1 + 1) - lgamma(c1 - k + 1)
+                - lgamma(n - r1 - c1 + k + 1)
+                - (lgamma(n + 1) - lgamma(c1 + 1) - lgamma(n - c1 + 1)))
+
+    p_obs = np.exp(logp(a))
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    p = 0.0
+    for k in range(lo, hi + 1):
+        pk = np.exp(logp(k))
+        if pk <= p_obs * (1.0 + 1e-7):
+            p += pk
+    ah, bh, ch, dh = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+    or_ = (ah * dh) / (bh * ch)
+    se = np.sqrt(1 / ah + 1 / bh + 1 / ch + 1 / dh)
+    return {"p_two_sided": float(min(p, 1.0)),
+            "odds_ratio": float(or_),
+            "or_lo": float(np.exp(np.log(or_) - 1.959964 * se)),
+            "or_hi": float(np.exp(np.log(or_) + 1.959964 * se))}
+
+
+def q_fisher_exact(sf_dir: str):
+    """Fisher exact test of arm (user_id parity) x engagement
+    (>= 1 'purchase') — the small-sample exact complement to the
+    ab_conversion_test z row, with the Haldane-corrected odds ratio
+    and Woolf CI. Counts inside the user-keyed block; enumeration on
+    the bounded 2x2."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["event_type"].agg(
+            lambda s: (s == "purchase").any())
+        arm = (g.index.to_numpy(np.int64) % 2)
+        eng = g.to_numpy(bool)
+        return pd.DataFrame({
+            "a": [int((eng & (arm == 0)).sum())],
+            "b": [int((~eng & (arm == 0)).sum())],
+            "c": [int((eng & (arm == 1)).sum())],
+            "d": [int((~eng & (arm == 1)).sum())],
+        })
+
+    cnt = block_map(ev, ["user_id"], per_user,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas().sum()
+    a, b, c, d = (int(cnt[k]) for k in ("a", "b", "c", "d"))
+    k = fisher_exact_kernel(a, b, c, d)
+    out = pd.DataFrame([{"eng_a": a, "not_a": b, "eng_b": c, "not_b": d,
+                         **k}])
+    for col in ("eng_a", "not_a", "eng_b", "not_b"):
+        out[col] = out[col].astype("int64")
+    for col in ("p_two_sided", "odds_ratio", "or_lo", "or_hi"):
+        out[col] = stable_round6(out[col].astype(float))
+    return out
+
+
+_SQL_FISHER = """
+WITH eng AS (
+  SELECT user_id, user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT SUM(CASE WHEN arm = 0 AND e = 1 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN arm = 0 AND e = 0 THEN 1 ELSE 0 END) AS b,
+         SUM(CASE WHEN arm = 1 AND e = 1 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN arm = 1 AND e = 0 THEN 1 ELSE 0 END) AS d
+  FROM eng
+),
+m AS (
+  SELECT a, b, c, d, a + b + c + d AS n, a + b AS r1, a + c AS c1
+  FROM t
+),
+pk AS (
+  SELECT m.a, m.b, m.c, m.d, m.n, m.r1, m.c1, gs.k,
+         EXP(lgamma(m.r1 + 1) - lgamma(gs.k + 1)
+             - lgamma(m.r1 - gs.k + 1)
+             + lgamma(m.n - m.r1 + 1) - lgamma(m.c1 - gs.k + 1)
+             - lgamma(m.n - m.r1 - m.c1 + gs.k + 1)
+             - (lgamma(m.n + 1) - lgamma(m.c1 + 1)
+                - lgamma(m.n - m.c1 + 1))) AS p
+  FROM m, LATERAL (SELECT UNNEST(generate_series(
+      CAST(GREATEST(0, m.r1 + m.c1 - m.n) AS BIGINT),
+      CAST(LEAST(m.r1, m.c1) AS BIGINT))) AS k) gs
+),
+obs AS (SELECT p AS p_obs FROM pk WHERE k = (SELECT a FROM m))
+SELECT (SELECT a FROM m)::BIGINT AS eng_a,
+       (SELECT b FROM m)::BIGINT AS not_a,
+       (SELECT c FROM m)::BIGINT AS eng_b,
+       (SELECT d FROM m)::BIGINT AS not_b,
+       ROUND(ROUND(LEAST(SUM(CASE WHEN pk.p <= obs.p_obs * (1 + 1e-7)
+                              THEN pk.p ELSE 0 END), 1.0), 9), 6)
+           AS p_two_sided,
+       ROUND(ROUND(((SELECT a FROM m) + 0.5) * ((SELECT d FROM m) + 0.5)
+             / (((SELECT b FROM m) + 0.5)
+                * ((SELECT c FROM m) + 0.5)), 9), 6) AS odds_ratio,
+       ROUND(ROUND(EXP(LN(((SELECT a FROM m) + 0.5)
+                          * ((SELECT d FROM m) + 0.5)
+                          / (((SELECT b FROM m) + 0.5)
+                             * ((SELECT c FROM m) + 0.5)))
+             - 1.959964 * SQRT(1.0 / ((SELECT a FROM m) + 0.5)
+                               + 1.0 / ((SELECT b FROM m) + 0.5)
+                               + 1.0 / ((SELECT c FROM m) + 0.5)
+                               + 1.0 / ((SELECT d FROM m) + 0.5))),
+             9), 6) AS or_lo,
+       ROUND(ROUND(EXP(LN(((SELECT a FROM m) + 0.5)
+                          * ((SELECT d FROM m) + 0.5)
+                          / (((SELECT b FROM m) + 0.5)
+                             * ((SELECT c FROM m) + 0.5)))
+             + 1.959964 * SQRT(1.0 / ((SELECT a FROM m) + 0.5)
+                               + 1.0 / ((SELECT b FROM m) + 0.5)
+                               + 1.0 / ((SELECT c FROM m) + 0.5)
+                               + 1.0 / ((SELECT d FROM m) + 0.5))),
+             9), 6) AS or_hi
+FROM pk CROSS JOIN obs
+GROUP BY obs.p_obs
+"""
+
+
+# -------------------------------------------------------------- G-test
+
+
+def q_g_test(sf_dir: str):
+    """Likelihood-ratio G-test of independence for the source x lang
+    contingency table (G = 2 sum O ln(O/E), the log-likelihood
+    sibling of Pearson chi-square — additive across partitions, the
+    information-theoretic view: G = 2N * MI in nats). Bounded count
+    partials; zero cells contribute zero by the 0 ln 0 = 0
+    convention on both sides."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "lang"])
+    cnt = driver_combine(
+        docs,
+        lambda df: df.groupby(["source", "lang"], as_index=False).size(),
+        lambda df: df.groupby(["source", "lang"], as_index=False)[
+            "size"].sum(),
+        batch_format="pandas",
+    )
+    piv = cnt.pivot_table(index="source", columns="lang", values="size",
+                          aggfunc="sum", fill_value=0)
+    O = piv.to_numpy(np.float64)
+    n = O.sum()
+    E = O.sum(axis=1, keepdims=True) * O.sum(axis=0, keepdims=True) / n
+    mask = O > 0
+    g = 2.0 * float((O[mask] * np.log(O[mask] / E[mask])).sum())
+    df_ = (O.shape[0] - 1) * (O.shape[1] - 1)
+    out = pd.DataFrame([{
+        "n_docs": int(n), "n_rows": O.shape[0], "n_cols": O.shape[1],
+        "g_stat": g, "df": df_, "mi_nats": g / (2.0 * n),
+    }])
+    for c in ("n_docs", "n_rows", "n_cols", "df"):
+        out[c] = out[c].astype("int64")
+    for c in ("g_stat", "mi_nats"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_G_TEST = """
+WITH c AS (SELECT source, lang, COUNT(*)::DOUBLE AS o
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT source, SUM(o) AS rs FROM c GROUP BY 1),
+cl AS (SELECT lang, SUM(o) AS cs FROM c GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM c),
+g AS (
+  SELECT SUM(c.o * LN(c.o / (r.rs * cl.cs / n.n))) AS half_g
+  FROM c JOIN r USING (source) JOIN cl USING (lang) CROSS JOIN n
+)
+SELECT CAST(n.n AS BIGINT) AS n_docs,
+       (SELECT COUNT(*) FROM r)::BIGINT AS n_rows,
+       (SELECT COUNT(*) FROM cl)::BIGINT AS n_cols,
+       ROUND(ROUND(2.0 * g.half_g, 9), 6) AS g_stat,
+       ((SELECT COUNT(*) FROM r) - 1)
+       * ((SELECT COUNT(*) FROM cl) - 1)::BIGINT AS df,
+       ROUND(ROUND(g.half_g / n.n, 9), 6) AS mi_nats
+FROM g CROSS JOIN n
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("fisher_exact", q_fisher_exact, _SQL_FISHER)
+_register("g_test", q_g_test, _SQL_G_TEST)
 _register("classifier_calibration", q_classifier_calibration,
           _SQL_CALIBRATION)
 _register("psi_drift", q_psi_drift, _SQL_PSI)

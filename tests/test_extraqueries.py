@@ -763,3 +763,27 @@ def test_recall_at_k_monotone_and_exact_at_full_probe(ray_session):
     rec = r.sort_values("n_probe")["recall"].to_numpy()
     assert (np.diff(rec) >= -1e-9).all()       # monotone in probes
     assert rec[-1] == 1.0                      # n_probe = n_centroids
+
+
+# --------------------------------------------------------- Fisher exact
+
+
+def test_fisher_exact_matches_hand_case():
+    from diive_ray.pipelines.extraqueries import fisher_exact_kernel
+    # classic tea-tasting 3/1/1/3: two-sided p = 0.4857142857
+    r = fisher_exact_kernel(3, 1, 1, 3)
+    np.testing.assert_allclose(r["p_two_sided"], 0.4857142857, atol=1e-9)
+
+
+def test_fisher_exact_no_association_p_one():
+    from diive_ray.pipelines.extraqueries import fisher_exact_kernel
+    r = fisher_exact_kernel(10, 10, 10, 10)
+    np.testing.assert_allclose(r["p_two_sided"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(r["odds_ratio"], 1.0, atol=1e-9)
+
+
+def test_fisher_exact_strong_association_small_p():
+    from diive_ray.pipelines.extraqueries import fisher_exact_kernel
+    r = fisher_exact_kernel(20, 2, 3, 25)
+    assert r["p_two_sided"] < 1e-6
+    assert r["or_lo"] > 1.0                    # CI excludes 1
