@@ -5728,7 +5728,255 @@ FROM g CROSS JOIN n
 """
 
 
+# ------------------------------------------------- cross-spectrum (diel)
+
+
+def q_cross_spectrum_daily(sf_dir: str):
+    """Cross-spectral analysis at the diel frequency (period 24 h) per
+    event-type pair on the bucket-joined 6dp hourly means: co-spectrum,
+    quadrature spectrum, cross-amplitude and the PHASE LAG in hours —
+    'does type B's daily cycle lead or trail type A's, and by how
+    much?' All quantities are closed-form trig sums over the joined
+    series (demeaned on both sides), so the oracle replays them
+    exactly; the full multi-frequency machinery lives in lomb_scargle /
+    seasonality_detect."""
+    t1h = _hourly(sf_dir)
+    by = {k: g.set_index("bucket_ts")["m"]
+          for k, g in t1h.groupby("event_type", sort=True)}
+    keys = sorted(by)
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = by[keys[i]], by[keys[j]]
+            common = a.index.intersection(b.index).sort_values()
+            if len(common) < 48:
+                continue
+            x = a.loc[common].to_numpy(np.float64)
+            y = b.loc[common].to_numpy(np.float64)
+            n = float(len(x))
+            x = x - x.sum() / n
+            y = y - y.sum() / n
+            t = np.arange(len(x), dtype=np.float64)
+            w = 2.0 * np.pi * t / 24.0
+            cx, sx = (x * np.cos(w)).sum(), (x * np.sin(w)).sum()
+            cy, sy = (y * np.cos(w)).sum(), (y * np.sin(w)).sum()
+            co = (cx * cy + sx * sy) / n
+            quad = (sx * cy - cx * sy) / n
+            amp = np.sqrt(co * co + quad * quad)
+            phase = np.arctan2(quad, co)
+            rows.append({"event_x": keys[i], "event_y": keys[j],
+                         "n": int(n), "cospectrum": co,
+                         "quadrature": quad, "cross_amp": amp,
+                         "phase_lag_h": phase * 24.0 / (2.0 * np.pi)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("cospectrum", "quadrature", "cross_amp", "phase_lag_h"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(drop=True)
+
+
+_SQL_CROSS_SPECTRUM = _HOURLY_CTE + """,
+tl AS (SELECT event_type FROM hourly GROUP BY 1),
+pp AS (
+  SELECT a.event_type AS event_x, b.event_type AS event_y
+  FROM tl a JOIN tl b ON a.event_type < b.event_type
+),
+r AS (
+  SELECT pp.event_x, pp.event_y, hx.m AS x, hy.m AS y,
+         ROW_NUMBER() OVER (PARTITION BY pp.event_x, pp.event_y
+                            ORDER BY hx.bts) - 1 AS t
+  FROM pp
+  JOIN hourly hx ON hx.event_type = pp.event_x
+  JOIN hourly hy ON hy.event_type = pp.event_y AND hy.bts = hx.bts
+),
+mu AS (
+  SELECT event_x, event_y, COUNT(*)::DOUBLE AS n,
+         AVG(x) AS mx, AVG(y) AS my
+  FROM r GROUP BY 1, 2 HAVING COUNT(*) >= 48
+),
+s AS (
+  SELECT r.event_x, r.event_y, mu.n,
+         SUM((r.x - mu.mx) * COS(2 * PI() * r.t / 24.0)) AS cx,
+         SUM((r.x - mu.mx) * SIN(2 * PI() * r.t / 24.0)) AS sx,
+         SUM((r.y - mu.my) * COS(2 * PI() * r.t / 24.0)) AS cy,
+         SUM((r.y - mu.my) * SIN(2 * PI() * r.t / 24.0)) AS sy
+  FROM r JOIN mu USING (event_x, event_y)
+  GROUP BY 1, 2, 3
+)
+SELECT event_x, event_y, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND((cx * cy + sx * sy) / n, 9), 6) AS cospectrum,
+       ROUND(ROUND((sx * cy - cx * sy) / n, 9), 6) AS quadrature,
+       ROUND(ROUND(SQRT(((cx * cy + sx * sy) / n)
+                        * ((cx * cy + sx * sy) / n)
+                        + ((sx * cy - cx * sy) / n)
+                          * ((sx * cy - cx * sy) / n)), 9), 6)
+           AS cross_amp,
+       ROUND(ROUND(ATAN2((sx * cy - cx * sy) / n,
+                         (cx * cy + sx * sy) / n)
+             * 24.0 / (2 * PI()), 9), 6) AS phase_lag_h
+FROM s
+ORDER BY event_x, event_y
+"""
+
+
+# ----------------------------------------------------------- rolling beta
+
+
+def q_rolling_beta(sf_dir: str):
+    """Rolling regression beta (the CAPM-style exposure measure) of
+    every event type's hourly means on the 'view' benchmark series
+    over trailing 72-bucket windows: slope = rolling cov / rolling
+    var from positional prefix sums — both sides share the ROWS-frame
+    window algebra exactly. Emitted every 24th bucket to keep the
+    output bounded."""
+    t1h = _hourly(sf_dir)
+    by = {k: g.set_index("bucket_ts")["m"]
+          for k, g in t1h.groupby("event_type", sort=True)}
+    bench = by.get("view")
+    w = 72
+    rows = []
+    for key in sorted(by):
+        if key == "view":
+            continue
+        a = by[key]
+        common = a.index.intersection(bench.index).sort_values()
+        if len(common) < w:
+            continue
+        x = bench.loc[common].to_numpy(np.float64)
+        y = a.loc[common].to_numpy(np.float64)
+
+        def rsum(v):
+            c = np.cumsum(np.concatenate([[0.0], v]))
+            return c[w:] - c[:-w]
+
+        sx, sy = rsum(x), rsum(y)
+        sxx, sxy = rsum(x * x), rsum(x * y)
+        beta = (sxy - sx * sy / w) / (sxx - sx * sx / w)
+        idx = np.arange(w - 1, len(x))
+        pick = (idx + 1) % 24 == 0
+        for ii, bb in zip(idx[pick], beta[pick]):
+            rows.append({"event_type": key,
+                         "bucket_ts": common[ii], "beta": bb})
+    if not rows:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "bucket_ts": pd.Series([], dtype="datetime64[us]"),
+            "beta": pd.Series([], dtype=np.float64)})
+    out = pd.DataFrame(rows)
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype(
+        "datetime64[us]")
+    out["beta"] = stable_round6(out["beta"].astype(float))
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(
+        drop=True)
+
+
+_SQL_ROLLING_BETA = _HOURLY_CTE + """,
+b AS (SELECT bts, m AS x FROM hourly WHERE event_type = 'view'),
+j AS (
+  SELECT h.event_type, h.bts, h.m AS y, b.x,
+         ROW_NUMBER() OVER (PARTITION BY h.event_type
+                            ORDER BY h.bts) AS rn
+  FROM hourly h JOIN b USING (bts)
+  WHERE h.event_type <> 'view'
+),
+w AS (
+  SELECT event_type, bts, rn,
+         SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+         SUM(x * x) OVER fr AS sxx, SUM(x * y) OVER fr AS sxy,
+         COUNT(*) OVER fr AS cnt
+  FROM j
+  WINDOW fr AS (PARTITION BY event_type ORDER BY rn
+                ROWS BETWEEN 71 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bts AS bucket_ts,
+       ROUND(ROUND((sxy - sx * sy / 72.0)
+             / (sxx - sx * sx / 72.0), 9), 6) AS beta
+FROM w
+WHERE cnt = 72 AND rn % 24 = 0
+ORDER BY event_type, bucket_ts
+"""
+
+
+# ------------------------------------------------------------- HMM-2
+
+
+def hmm2_gaussian_kernel(x: np.ndarray, n_iter: int = 40) -> dict:
+    """Two-state Gaussian HMM via Baum-Welch (scaled forward-backward),
+    deterministic quantile init (state means at p25/p75, symmetric
+    0.9/0.1 transitions). Returns state means/sds, the stay
+    probabilities and the Viterbi state occupancy."""
+    n = len(x)
+    mu = np.array([np.quantile(x, 0.25), np.quantile(x, 0.75)])
+    sd = np.array([x.std(), x.std()]) + 1e-9
+    A = np.array([[0.9, 0.1], [0.1, 0.9]])
+    pi = np.array([0.5, 0.5])
+    for _ in range(n_iter):
+        B = np.stack([np.exp(-0.5 * ((x - mu[s]) / sd[s]) ** 2)
+                      / sd[s] for s in (0, 1)], axis=1) + 1e-300
+        al = np.zeros((n, 2))
+        sc = np.zeros(n)
+        al[0] = pi * B[0]
+        sc[0] = al[0].sum()
+        al[0] /= sc[0]
+        for t in range(1, n):
+            al[t] = (al[t - 1] @ A) * B[t]
+            sc[t] = al[t].sum()
+            al[t] /= sc[t]
+        be = np.zeros((n, 2))
+        be[-1] = 1.0
+        for t in range(n - 2, -1, -1):
+            be[t] = (A @ (B[t + 1] * be[t + 1])) / sc[t + 1]
+        g = al * be
+        g /= g.sum(axis=1, keepdims=True)
+        xi_num = np.zeros((2, 2))
+        for t in range(n - 1):
+            xi = (al[t][:, None] * A * (B[t + 1] * be[t + 1])[None, :]
+                  / sc[t + 1])
+            xi_num += xi
+        A = xi_num / xi_num.sum(axis=1, keepdims=True)
+        pi = g[0]
+        for s in (0, 1):
+            wts = g[:, s]
+            mu[s] = (wts * x).sum() / wts.sum()
+            sd[s] = np.sqrt((wts * (x - mu[s]) ** 2).sum() / wts.sum())
+            sd[s] = max(sd[s], 1e-9)
+    order = np.argsort(mu)
+    occ = g[:, order[1]].mean()
+    return {"mu_lo": float(mu[order[0]]), "mu_hi": float(mu[order[1]]),
+            "sd_lo": float(sd[order[0]]), "sd_hi": float(sd[order[1]]),
+            "stay_lo": float(A[order[0], order[0]]),
+            "stay_hi": float(A[order[1], order[1]]),
+            "occ_hi": float(occ)}
+
+
+def q_hmm2_fit(sf_dir: str):
+    """Two-state Gaussian hidden Markov model per event_type on the
+    6dp hourly means (Baum-Welch with deterministic quantile init) —
+    the regime-switching view: state means, persistence (stay)
+    probabilities and high-state occupancy. Rows-only (iterative EM
+    over a latent chain); planted regime-switching recovery and
+    iid-degeneracy pins."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        if len(m) < 100:
+            continue
+        rows.append({"event_type": key, "n": len(m),
+                     **hmm2_gaussian_kernel(m)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("mu_lo", "mu_hi", "sd_lo", "sd_hi", "stay_lo", "stay_hi",
+              "occ_hi"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("cross_spectrum_daily", q_cross_spectrum_daily,
+          _SQL_CROSS_SPECTRUM)
+_register("rolling_beta", q_rolling_beta, _SQL_ROLLING_BETA)
+_register("hmm2_fit", q_hmm2_fit)
 _register("fisher_exact", q_fisher_exact, _SQL_FISHER)
 _register("g_test", q_g_test, _SQL_G_TEST)
 _register("classifier_calibration", q_classifier_calibration,

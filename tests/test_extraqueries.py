@@ -787,3 +787,30 @@ def test_fisher_exact_strong_association_small_p():
     r = fisher_exact_kernel(20, 2, 3, 25)
     assert r["p_two_sided"] < 1e-6
     assert r["or_lo"] > 1.0                    # CI excludes 1
+
+
+# --------------------------------------------------------------- HMM-2
+
+
+def test_hmm2_recovers_planted_regimes():
+    from diive_ray.pipelines.extraqueries import hmm2_gaussian_kernel
+    rng = _rng(157)
+    # persistent two-regime chain: means 0 and 6, stay prob 0.95
+    n = 3000
+    s = np.zeros(n, dtype=int)
+    for t in range(1, n):
+        s[t] = s[t - 1] if rng.random() < 0.95 else 1 - s[t - 1]
+    x = np.where(s == 0, rng.normal(0, 1, n), rng.normal(6, 1, n))
+    r = hmm2_gaussian_kernel(x)
+    assert abs(r["mu_lo"] - 0.0) < 0.5
+    assert abs(r["mu_hi"] - 6.0) < 0.5
+    assert r["stay_lo"] > 0.9 and r["stay_hi"] > 0.9
+
+
+def test_hmm2_iid_gives_weak_persistence_structure():
+    from diive_ray.pipelines.extraqueries import hmm2_gaussian_kernel
+    rng = _rng(163)
+    x = rng.normal(5, 1, 2000)                  # no regimes
+    r = hmm2_gaussian_kernel(x)
+    # single population: state means collapse toward each other
+    assert abs(r["mu_hi"] - r["mu_lo"]) < 3.0
