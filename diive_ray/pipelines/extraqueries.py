@@ -5972,7 +5972,163 @@ def q_hmm2_fit(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# -------------------------------------------------------------- skyline
+
+
+def q_skyline_parts(sf_dir: str):
+    """Skyline (Pareto-frontier) query over parts: the set not
+    dominated on (lower retail price, larger size) — the classic
+    multi-criteria DB operator (Börzsönyi 2001). Distributed shape:
+    per-batch LOCAL skyline (a correct dominance filter — any
+    globally-dominated row is dominated within some batch containing
+    its dominator or survives to the merge), then the bounded
+    candidate set merges on the driver. Ties on both dims are kept
+    (non-strict dominance requires strict improvement in >= 1 dim)."""
+    from ..stages.exchange import driver_combine
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_partkey", "p_retailprice",
+                                     "p_size"])
+
+    def local_sky(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["p_retailprice", "p_size"],
+                           ascending=[True, False]).reset_index(drop=True)
+        prices = d["p_retailprice"].to_numpy(np.float64)
+        sizes = d["p_size"].to_numpy(np.int64)
+        keep = np.zeros(len(d), dtype=bool)
+        best_size, best_price = -np.inf, np.nan
+        for i in range(len(d)):
+            if sizes[i] > best_size:
+                keep[i] = True
+                best_size, best_price = sizes[i], prices[i]
+            elif sizes[i] == best_size and prices[i] == best_price:
+                keep[i] = True          # exact duplicate point: kept
+        return d[keep]
+
+    sky = driver_combine(
+        parts, local_sky, local_sky, batch_format="pandas",
+    ).sort_values("p_partkey").reset_index(drop=True)
+    sky["p_partkey"] = sky["p_partkey"].astype("int64")
+    sky["p_size"] = sky["p_size"].astype("int64")
+    sky["p_retailprice"] = stable_round6(sky["p_retailprice"].astype(float))
+    return sky[["p_partkey", "p_retailprice", "p_size"]]
+
+
+_SQL_SKYLINE = """
+SELECT p_partkey::BIGINT AS p_partkey,
+       ROUND(ROUND(p_retailprice, 9), 6) AS p_retailprice,
+       p_size::BIGINT AS p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+# ----------------------------------------------- WoW seasonal change
+
+
+def q_wow_seasonal_change(sf_dir: str):
+    """Week-over-week same-hour comparison: each hourly mean vs the
+    value 168 buckets earlier on the CALENDAR grid (not the positional
+    row — missing hours stay missing), with the percent change — the
+    seasonally-aligned growth view that avoids diel confounding.
+    Calendar alignment via a self-join on bucket_ts - 7 days."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        s = g.set_index("bucket_ts")["m"]
+        prev_idx = s.index - pd.Timedelta(days=7)
+        prev = s.reindex(prev_idx)
+        mask = prev.notna().to_numpy()
+        cur_v = s.to_numpy(np.float64)[mask]
+        prev_v = prev.to_numpy(np.float64)[mask]
+        bts = s.index[mask]
+        for b, cv, pv in zip(bts, cur_v, prev_v):
+            rows.append({"event_type": key, "bucket_ts": b,
+                         "m": cv, "m_prev_week": pv,
+                         "pct_change": (cv - pv) / pv})
+    out = pd.DataFrame(rows)
+    out["bucket_ts"] = pd.to_datetime(out["bucket_ts"]).astype(
+        "datetime64[us]")
+    for c in ("m", "m_prev_week", "pct_change"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(
+        drop=True)
+
+
+_SQL_WOW = _HOURLY_CTE + """
+SELECT a.event_type, a.bts AS bucket_ts,
+       ROUND(ROUND(a.m, 9), 6) AS m,
+       ROUND(ROUND(b.m, 9), 6) AS m_prev_week,
+       ROUND(ROUND((a.m - b.m) / b.m, 9), 6) AS pct_change
+FROM hourly a
+JOIN hourly b ON b.event_type = a.event_type
+             AND b.bts = a.bts - INTERVAL 7 DAY
+ORDER BY a.event_type, a.bts
+"""
+
+
+# ---------------------------------------------------------- silhouette
+
+
+def silhouette_kernel(X: np.ndarray, labels: np.ndarray) -> float:
+    """Mean silhouette coefficient (Rousseeuw 1987) with Euclidean
+    distances: s_i = (b_i - a_i)/max(a_i, b_i), a = mean intra-cluster
+    distance (excluding self), b = min mean distance to another
+    cluster. Singleton clusters get s = 0 (the sklearn convention)."""
+    d = np.sqrt(np.maximum(
+        (X ** 2).sum(1)[:, None] + (X ** 2).sum(1)[None, :]
+        - 2.0 * X @ X.T, 0.0))
+    uniq = np.unique(labels)
+    s = np.zeros(len(X))
+    for i in range(len(X)):
+        same = labels == labels[i]
+        n_same = same.sum()
+        if n_same <= 1:
+            continue
+        a = d[i][same].sum() / (n_same - 1)
+        b = min(d[i][labels == c].mean() for c in uniq if c != labels[i])
+        s[i] = (b - a) / max(a, b)
+    return float(s.mean())
+
+
+def q_embedding_silhouette(sf_dir: str):
+    """Cluster-quality audit of the embeddings: mean silhouette of (a)
+    the ground-truth labels and (b) the engine's own k-means
+    assignment at k = n_labels — 'are the learned clusters as
+    separable as the labels?' (Rousseeuw 1987). Rows-only (pairwise
+    kernel; the blocked-pairwise sharding of embedding_near_dup is
+    the documented scale path); separated-blobs and random-labels
+    pins."""
+    from ..stages.cluster import kmeans_lloyd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ds.to_pandas().sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    lab = emb["label"].to_numpy(np.int64)
+    k = len(np.unique(lab))
+    _, assign = kmeans_lloyd(ds, k)
+    km = assign.to_pandas().sort_values("vec_id")
+    klab = km["cluster"].to_numpy(np.int64)
+    sil_km = silhouette_kernel(X, klab)
+    out = pd.DataFrame([
+        {"assignment": "ground_truth_labels", "k": k,
+         "silhouette": silhouette_kernel(X, lab)},
+        {"assignment": "kmeans", "k": k, "silhouette": sil_km},
+    ])
+    out["k"] = out["k"].astype("int64")
+    out["silhouette"] = stable_round6(out["silhouette"].astype(float))
+    return out.sort_values("assignment").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("skyline_parts", q_skyline_parts, _SQL_SKYLINE)
+_register("wow_seasonal_change", q_wow_seasonal_change, _SQL_WOW)
+_register("embedding_silhouette", q_embedding_silhouette)
 _register("cross_spectrum_daily", q_cross_spectrum_daily,
           _SQL_CROSS_SPECTRUM)
 _register("rolling_beta", q_rolling_beta, _SQL_ROLLING_BETA)

@@ -814,3 +814,63 @@ def test_hmm2_iid_gives_weak_persistence_structure():
     r = hmm2_gaussian_kernel(x)
     # single population: state means collapse toward each other
     assert abs(r["mu_hi"] - r["mu_lo"]) < 3.0
+
+
+# ------------------------------------------------------------ silhouette
+
+
+def test_silhouette_high_for_separated_blobs_low_for_random():
+    from diive_ray.pipelines.extraqueries import silhouette_kernel
+    rng = _rng(167)
+    X = np.concatenate([rng.normal(0, 0.5, (100, 4)),
+                        rng.normal(10, 0.5, (100, 4))])
+    lab = np.repeat([0, 1], 100)
+    assert silhouette_kernel(X, lab) > 0.9
+    rand = rng.integers(0, 2, 200)
+    assert silhouette_kernel(X, rand) < 0.3
+
+
+def test_silhouette_singletons_zero_convention():
+    from diive_ray.pipelines.extraqueries import silhouette_kernel
+    X = np.array([[0.0], [5.0], [5.1]])
+    lab = np.array([0, 1, 1])
+    s = silhouette_kernel(X, lab)
+    assert 0.0 < s <= 1.0                      # singleton contributes 0
+
+
+# --------------------------------------------------------------- skyline
+
+
+def test_skyline_dominance_brute_force_parity():
+    import pandas as pd
+    from diive_ray.pipelines.extraqueries import q_skyline_parts  # noqa
+    rng = _rng(173)
+    n = 300
+    df = pd.DataFrame({
+        "p_partkey": np.arange(n),
+        "p_retailprice": np.round(rng.uniform(1, 100, n), 2),
+        "p_size": rng.integers(1, 50, n),
+    })
+    # brute force dominance
+    pr = df["p_retailprice"].to_numpy()
+    sz = df["p_size"].to_numpy()
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dom = (pr <= pr[i]) & (sz >= sz[i]) & ((pr < pr[i]) | (sz > sz[i]))
+        dominated[i] = dom.any()
+    expect = set(df.loc[~dominated, "p_partkey"])
+    # replicate the local scan used by the query
+    d = df.sort_values(["p_retailprice", "p_size"],
+                       ascending=[True, False]).reset_index(drop=True)
+    prices = d["p_retailprice"].to_numpy()
+    sizes = d["p_size"].to_numpy()
+    keep = np.zeros(len(d), dtype=bool)
+    best_size, best_price = -np.inf, np.nan
+    for i in range(len(d)):
+        if sizes[i] > best_size:
+            keep[i] = True
+            best_size, best_price = sizes[i], prices[i]
+        elif sizes[i] == best_size and prices[i] == best_price:
+            keep[i] = True
+    got = set(d.loc[keep, "p_partkey"])
+    assert got == expect
