@@ -6125,7 +6125,219 @@ def q_embedding_silhouette(sf_dir: str):
     return out.sort_values("assignment").reset_index(drop=True)
 
 
+# ------------------------------------------------------ Wilson interval
+
+
+def q_wilson_interval(sf_dir: str):
+    """Wilson score interval (1927) for each event type's distinct-user
+    engagement share — the ranking-safe proportion CI that never
+    leaves [0,1] (the 'how to not sort by average rating' staple).
+    Closed form at z = 1.959964; counts from the same distinct
+    (user, type) pass as the Jaccard family."""
+    cnt, n_users = _user_type_pair_counts(sf_dir)
+    diag = cnt[cnt["event_x"] == cnt["event_y"]]
+    z = 1.959964
+    rows = []
+    for _, r in diag.iterrows():
+        x, n = float(r["n"]), float(n_users)
+        p = x / n
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2.0 * n)) / denom
+        half = z * np.sqrt(p * (1.0 - p) / n
+                           + z * z / (4.0 * n * n)) / denom
+        rows.append({"event_type": r["event_x"], "n_users": int(n),
+                     "n_engaged": int(x), "share": p,
+                     "wilson_lo": center - half,
+                     "wilson_hi": center + half})
+    out = pd.DataFrame(rows)
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_engaged"] = out["n_engaged"].astype("int64")
+    for c in ("share", "wilson_lo", "wilson_hi"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_WILSON = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id)::DOUBLE AS n FROM du),
+c AS (SELECT event_type, COUNT(*)::DOUBLE AS x FROM du GROUP BY 1)
+SELECT c.event_type,
+       CAST(nu.n AS BIGINT) AS n_users,
+       CAST(c.x AS BIGINT) AS n_engaged,
+       ROUND(ROUND(c.x / nu.n, 9), 6) AS share,
+       ROUND(ROUND(((c.x / nu.n + 1.959964 * 1.959964 / (2 * nu.n))
+             - 1.959964 * SQRT((c.x / nu.n) * (1 - c.x / nu.n) / nu.n
+                               + 1.959964 * 1.959964
+                                 / (4 * nu.n * nu.n)))
+             / (1 + 1.959964 * 1.959964 / nu.n), 9), 6) AS wilson_lo,
+       ROUND(ROUND(((c.x / nu.n + 1.959964 * 1.959964 / (2 * nu.n))
+             + 1.959964 * SQRT((c.x / nu.n) * (1 - c.x / nu.n) / nu.n
+                               + 1.959964 * 1.959964
+                                 / (4 * nu.n * nu.n)))
+             / (1 + 1.959964 * 1.959964 / nu.n), 9), 6) AS wilson_hi
+FROM c CROSS JOIN nu
+ORDER BY c.event_type
+"""
+
+
+# ------------------------------------------- empirical-Bayes shrinkage
+
+
+def q_eb_shrinkage(sf_dir: str):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (the baseball-batting-average construction): fit (alpha,
+    beta) by method of moments on the per-user raw rates, then shrink
+    each user's rate to (x + alpha)/(n + alpha + beta). Reported as
+    the 10 most-shrunk users — small samples move most, the whole
+    point of the prior. Per-user counts from ONE keyed exchange;
+    moment sums decomposable; all closed form, so the oracle replays
+    it exactly."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    peru = block_map(
+        ev.map_batches(
+            lambda df: df.assign(p=(df["event_type"] == "purchase")
+                                 .astype(np.int64)).groupby(
+                "user_id", as_index=False).agg(x=("p", "sum"),
+                                               n=("p", "size")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            x=("x", "sum"), n=("n", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    r = peru["x"].to_numpy(np.float64) / peru["n"].to_numpy(np.float64)
+    k = float(len(r))
+    mbar = r.sum() / k
+    v = ((r - mbar) ** 2).sum() / k
+    common = mbar * (1.0 - mbar) / v - 1.0
+    alpha = mbar * common
+    beta = (1.0 - mbar) * common
+    a6 = float(stable_round6(np.array([alpha]))[0])
+    b6 = float(stable_round6(np.array([beta]))[0])
+    shrunk = (peru["x"] + a6) / (peru["n"] + a6 + b6)
+    out = peru.assign(
+        raw_rate=stable_round6(r),
+        shrunk_rate=stable_round6(shrunk.astype(float)),
+        shift=stable_round6(np.abs(shrunk - r)),
+    ).sort_values(["shift", "user_id"],
+                  ascending=[False, True]).head(10)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["x"] = out["x"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "x", "n", "raw_rate", "shrunk_rate", "shift"]
+               ].reset_index(drop=True)
+
+
+_SQL_EB = """
+WITH peru AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT COUNT(*)::DOUBLE AS k,
+         AVG(x::DOUBLE / n) AS m,
+         SUM((x::DOUBLE / n - (SELECT AVG(x::DOUBLE / n) FROM peru))
+             * (x::DOUBLE / n - (SELECT AVG(x::DOUBLE / n) FROM peru)))
+             / COUNT(*) AS v
+  FROM peru
+),
+ab AS (
+  SELECT ROUND(ROUND(m * (m * (1 - m) / v - 1), 9), 6) AS a,
+         ROUND(ROUND((1 - m) * (m * (1 - m) / v - 1), 9), 6) AS b
+  FROM mom
+)
+SELECT p.user_id::BIGINT AS user_id,
+       CAST(p.x AS BIGINT) AS x, CAST(p.n AS BIGINT) AS n,
+       ROUND(ROUND(p.x::DOUBLE / p.n, 9), 6) AS raw_rate,
+       ROUND(ROUND((p.x + ab.a) / (p.n + ab.a + ab.b), 9), 6)
+           AS shrunk_rate,
+       ROUND(ROUND(ABS((p.x + ab.a) / (p.n + ab.a + ab.b)
+             - p.x::DOUBLE / p.n), 9), 6) AS shift
+FROM peru p CROSS JOIN ab
+ORDER BY shift DESC, user_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- LSA
+
+
+def q_doc_lsa_topics(sf_dir: str):
+    """Latent semantic analysis (Deerwester 1990): truncated SVD of
+    the TF-IDF doc x term matrix, reporting per-component singular
+    values, explained-variance shares and the top-3 loading terms —
+    the linear topic decomposition (the count matrix is bounded by
+    corpus vocab here; the randomized-SVD / distributed Gram path is
+    the documented scale route). Rows-only; block-structure
+    rank-recovery pinned."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import block_map
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        did = np.repeat(t["doc_id"].to_pandas().to_numpy(np.int64), lens)
+        keep = flat != ""
+        return pd.DataFrame({"doc_id": did[keep], "word": flat[keep]}
+                            ).groupby(["doc_id", "word"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    dw = block_map(
+        docs.map_batches(counts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["doc_id", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    docs_u = np.array(sorted(dw["doc_id"].unique()))
+    words_u = np.array(sorted(dw["word"].unique()), dtype=object)
+    di = {d: i for i, d in enumerate(docs_u)}
+    wi = {w: i for i, w in enumerate(words_u)}
+    M = np.zeros((len(docs_u), len(words_u)))
+    M[[di[d] for d in dw["doc_id"]],
+      [wi[w] for w in dw["word"]]] = dw["n"].to_numpy(np.float64)
+    dfreq = (M > 0).sum(axis=0)
+    idf = np.log(len(docs_u) / dfreq)
+    X = M * idf[None, :]
+    X = X - X.mean(axis=0, keepdims=True)
+    U, s, Vt = np.linalg.svd(X, full_matrices=False)
+    var = s ** 2 / (s ** 2).sum()
+    rows = []
+    for comp in range(min(5, len(s))):
+        v = Vt[comp]
+        # deterministic sign: largest |loading| positive
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        top = np.argsort(-np.abs(v))[:3]
+        rows.append({"component": comp,
+                     "singular_value": float(s[comp]),
+                     "explained_var": float(var[comp]),
+                     "top_terms": "|".join(words_u[top])})
+    out = pd.DataFrame(rows)
+    out["component"] = out["component"].astype("int64")
+    for c in ("singular_value", "explained_var"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("wilson_interval", q_wilson_interval, _SQL_WILSON)
+_register("eb_shrinkage", q_eb_shrinkage, _SQL_EB)
+_register("doc_lsa_topics", q_doc_lsa_topics)
 _register("skyline_parts", q_skyline_parts, _SQL_SKYLINE)
 _register("wow_seasonal_change", q_wow_seasonal_change, _SQL_WOW)
 _register("embedding_silhouette", q_embedding_silhouette)

@@ -874,3 +874,23 @@ def test_skyline_dominance_brute_force_parity():
             keep[i] = True
     got = set(d.loc[keep, "p_partkey"])
     assert got == expect
+
+
+# ----------------------------------------------------------------- LSA
+
+
+def test_lsa_rank_recovery_on_block_structure():
+    # two disjoint topic blocks -> first two components separate them
+    rng = _rng(179)
+    M = np.zeros((60, 10))
+    M[:30, :5] = rng.integers(1, 5, (30, 5))       # topic A terms 0-4
+    M[30:, 5:] = rng.integers(1, 5, (30, 5))       # topic B terms 5-9
+    X = M - M.mean(axis=0, keepdims=True)
+    U, s, Vt = np.linalg.svd(X, full_matrices=False)
+    var = s ** 2 / (s ** 2).sum()
+    assert var[0] > 0.5                            # block structure found
+    # after centering, component 0 is the block CONTRAST: the two term
+    # blocks load with opposite signs
+    v0 = Vt[0]
+    assert np.sign(v0[:5].mean()) == -np.sign(v0[5:].mean())
+    assert np.abs(v0[:5]).min() > 0.0 and np.abs(v0[5:]).min() > 0.0
