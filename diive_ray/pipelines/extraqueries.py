@@ -6334,7 +6334,253 @@ def q_doc_lsa_topics(sf_dir: str):
     return out
 
 
+# ------------------------------------------------------- Taylor's law
+
+
+def q_taylor_law(sf_dir: str):
+    """Taylor's power law (fluctuation scaling, Taylor 1961): per
+    (event_type, day) cell the mean and variance of hourly counts,
+    then the cross-cell OLS of ln(var) on ln(mean) — slope 1 is
+    Poisson, slope -> 2 is synchronized/clustered activity. The
+    universal aggregation diagnostic; all moments decomposable, OLS
+    closed form on the bounded cell table."""
+    from ..stages.exchange import driver_combine
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(df["ts"])
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": us // 86_400_000_000,
+            "hour": us // 3_600_000_000,
+        }).groupby(["event_type", "day", "hour"], as_index=False).size(
+        ).rename(columns={"size": "n"})
+
+    cells = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "day", "hour"],
+                              as_index=False)["n"].sum(),
+        batch_format="pandas",
+    )
+    # densify each (type, day) to its 24 hours (absent hours = 0)
+    mv = []
+    for (et, day), g in cells.groupby(["event_type", "day"]):
+        c = np.zeros(24)
+        c[(g["hour"] % 24).to_numpy(int)] = g["n"].to_numpy(float)
+        m = c.mean()
+        v = c.var()
+        if m > 0 and v > 0:
+            mv.append((et, float(np.log(m)), float(np.log(v))))
+    d = pd.DataFrame(mv, columns=["event_type", "lx", "ly"])
+    rows = []
+    for et, g in d.groupby("event_type", sort=True):
+        x, y = g["lx"].to_numpy(), g["ly"].to_numpy()
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        rows.append({"event_type": et, "n_cells": int(n),
+                     "slope": slope,
+                     "intercept": (sy - slope * sx) / n})
+    out = pd.DataFrame(rows)
+    out["n_cells"] = out["n_cells"].astype("int64")
+    for c in ("slope", "intercept"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TAYLOR = """
+WITH h AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) // 3600000000 AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT t.event_type, t.day, gs.k
+  FROM (SELECT DISTINCT event_type, day FROM h) t,
+       (SELECT UNNEST(generate_series(0, 23)) AS k) gs
+),
+vals AS (
+  SELECT g.event_type, g.day, g.k,
+         COALESCE(h.n, 0)::DOUBLE AS c
+  FROM grid g LEFT JOIN h
+    ON h.event_type = g.event_type AND h.day = g.day
+   AND (h.hour % 24) = g.k
+),
+mu AS (
+  SELECT event_type, day, AVG(c) AS m FROM vals GROUP BY 1, 2
+),
+cell AS (
+  SELECT v.event_type, v.day, ANY_VALUE(mu.m) AS m,
+         SUM((v.c - mu.m) * (v.c - mu.m)) / 24.0 AS v
+  FROM vals v JOIN mu USING (event_type, day)
+  GROUP BY 1, 2
+),
+lp AS (
+  SELECT event_type, LN(m) AS lx, LN(v) AS ly
+  FROM cell WHERE m > 0 AND v > 0
+),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(lx) AS sx,
+         SUM(ly) AS sy, SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM lp GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_cells,
+       ROUND(ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 9), 6)
+           AS slope,
+       ROUND(ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                    * sx) / n, 9), 6) AS intercept
+FROM mom
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------ Allan variance
+
+
+def q_allan_variance(sf_dir: str):
+    """Allan variance ladder (Allan 1966, the clock/sensor stability
+    statistic) of the hourly means per event_type at dyadic averaging
+    windows tau = 1, 2, 4, 8, 16 buckets: non-overlapping tau-averages
+    y_k, AVAR = 0.5 * mean((y_{k+1} - y_k)^2). White noise falls as
+    1/tau; drift makes it rise — the noise-regime identification
+    plot. Exact positional-window replay."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        for tau in (1, 2, 4, 8, 16):
+            nblk = len(m) // tau
+            if nblk < 3:
+                continue
+            yb = m[:nblk * tau].reshape(nblk, tau).sum(axis=1) / tau
+            d = np.diff(yb)
+            rows.append({"event_type": key, "tau": tau,
+                         "n_blocks": nblk,
+                         "avar": 0.5 * float((d * d).sum() / len(d))})
+    out = pd.DataFrame(rows)
+    out["tau"] = out["tau"].astype("int64")
+    out["n_blocks"] = out["n_blocks"].astype("int64")
+    out["avar"] = stable_round6(out["avar"].astype(float))
+    return out.sort_values(["event_type", "tau"]).reset_index(drop=True)
+
+
+_SQL_ALLAN = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts) - 1
+             AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+taus(tau) AS (VALUES (1), (2), (4), (8), (16)),
+blk AS (
+  SELECT p.event_type, t.tau, p.i // t.tau AS k,
+         SUM(p.m) / t.tau AS yb,
+         ANY_VALUE(p.n // t.tau) AS nblk
+  FROM pos p CROSS JOIN taus t
+  WHERE p.i < (p.n // t.tau) * t.tau
+  GROUP BY 1, 2, 3, t.tau
+),
+d AS (
+  SELECT event_type, tau, nblk,
+         yb - LAG(yb) OVER (PARTITION BY event_type, tau
+                            ORDER BY k) AS dy
+  FROM blk
+)
+SELECT event_type, CAST(tau AS BIGINT) AS tau,
+       CAST(ANY_VALUE(nblk) AS BIGINT) AS n_blocks,
+       ROUND(ROUND(0.5 * SUM(dy * dy) / COUNT(dy), 9), 6) AS avar
+FROM d
+WHERE dy IS NOT NULL
+GROUP BY 1, 2
+HAVING ANY_VALUE(nblk) >= 3
+ORDER BY event_type, tau
+"""
+
+
+# ----------------------------------------------------------------- SPRT
+
+
+def sprt_kernel(labels: np.ndarray, successes: np.ndarray,
+                p0: float, p1: float,
+                alpha: float = 0.05, beta: float = 0.05):
+    """Wald (1945) sequential probability ratio test for a Bernoulli
+    rate: accumulate log-likelihood ratio per observation, stop at
+    ln(B) = ln(beta/(1-alpha)) (accept H0) or ln(A) =
+    ln((1-beta)/alpha) (accept H1). Returns (decision, n_at_decision,
+    final_llr)."""
+    la = np.log((1 - beta) / alpha)
+    lb = np.log(beta / (1 - alpha))
+    step_s = np.log(p1 / p0)
+    step_f = np.log((1 - p1) / (1 - p0))
+    llr = 0.0
+    for i, s in enumerate(successes):
+        llr += step_s if s else step_f
+        if llr >= la:
+            return "h1", i + 1, float(llr)
+        if llr <= lb:
+            return "h0", i + 1, float(llr)
+    return "undecided", len(successes), float(llr)
+
+
+def q_sprt_ab(sf_dir: str):
+    """Wald SPRT monitoring of each event type's engagement stream:
+    users in event_id-arrival order, success = user engaged with the
+    type; H0: p = pooled rate, H1: p = 1.5x pooled — the
+    early-stopping sequential test that modern A/B platforms descend
+    from. Rows-only (sequential scan); operating-characteristic pins
+    (fast stop under strong effects, H0 acceptance under null)."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "event_id"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id").agg(
+            first_eid=("event_id", "min"))
+        types = df.drop_duplicates(["user_id", "event_type"])
+        out = []
+        for et in sorted(df["event_type"].unique()):
+            has = set(types.loc[types["event_type"] == et, "user_id"])
+            out.append(pd.DataFrame({
+                "event_type": et,
+                "user_id": g.index.to_numpy(),
+                "first_eid": g["first_eid"].to_numpy(),
+                "s": [int(u in has) for u in g.index],
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    peru = block_map(ev, ["user_id"], per_user,
+                     batch_format="pandas", zero_copy_batch=False
+                     ).to_pandas()
+    rows = []
+    for et, g in peru.groupby("event_type", sort=True):
+        g = g.sort_values("first_eid")
+        s = g["s"].to_numpy(np.int64)
+        p0 = float(s.mean())
+        p1 = min(0.999, 1.5 * p0)
+        dec, n_at, llr = sprt_kernel(None, s, p0, p1)
+        rows.append({"event_type": et, "n_users": len(s),
+                     "p_pooled": p0, "decision": dec,
+                     "n_at_decision": n_at, "final_llr": llr})
+    out = pd.DataFrame(rows)
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_at_decision"] = out["n_at_decision"].astype("int64")
+    for c in ("p_pooled", "final_llr"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("taylor_law", q_taylor_law, _SQL_TAYLOR)
+_register("allan_variance", q_allan_variance, _SQL_ALLAN)
+_register("sprt_ab", q_sprt_ab)
 _register("wilson_interval", q_wilson_interval, _SQL_WILSON)
 _register("eb_shrinkage", q_eb_shrinkage, _SQL_EB)
 _register("doc_lsa_topics", q_doc_lsa_topics)
