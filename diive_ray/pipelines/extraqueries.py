@@ -6563,8 +6563,10 @@ def q_sprt_ab(sf_dir: str):
     for et, g in peru.groupby("event_type", sort=True):
         g = g.sort_values("first_eid")
         s = g["s"].to_numpy(np.int64)
-        p0 = float(s.mean())
-        p1 = min(0.999, 1.5 * p0)
+        # clamp away from {0, 1}: a universally-engaged type has no
+        # discriminating failures and the LLR steps degenerate
+        p0 = float(np.clip(s.mean(), 0.001, 0.98))
+        p1 = min(0.99, 1.5 * p0)
         dec, n_at, llr = sprt_kernel(None, s, p0, p1)
         rows.append({"event_type": et, "n_users": len(s),
                      "p_pooled": p0, "decision": dec,

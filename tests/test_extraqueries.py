@@ -894,3 +894,48 @@ def test_lsa_rank_recovery_on_block_structure():
     v0 = Vt[0]
     assert np.sign(v0[:5].mean()) == -np.sign(v0[5:].mean())
     assert np.abs(v0[:5]).min() > 0.0 and np.abs(v0[5:]).min() > 0.0
+
+
+# ----------------------------------------------------------------- SPRT
+
+
+def test_sprt_stops_fast_under_strong_effect():
+    from diive_ray.pipelines.extraqueries import sprt_kernel
+    rng = _rng(181)
+    s = (rng.random(5000) < 0.45).astype(int)   # true rate 0.45
+    dec, n_at, _ = sprt_kernel(None, s, p0=0.3, p1=0.45)
+    assert dec == "h1"
+    assert n_at < 1000                          # sequential early stop
+
+
+def test_sprt_accepts_null_under_null():
+    from diive_ray.pipelines.extraqueries import sprt_kernel
+    rng = _rng(191)
+    s = (rng.random(5000) < 0.3).astype(int)    # true rate = p0
+    dec, n_at, _ = sprt_kernel(None, s, p0=0.3, p1=0.45)
+    assert dec == "h0"
+
+
+def test_sprt_llr_steps_hand_case():
+    from diive_ray.pipelines.extraqueries import sprt_kernel
+    # all successes with p1 >> p0 crosses upper bound almost at once
+    s = np.ones(100, dtype=int)
+    dec, n_at, llr = sprt_kernel(None, s, p0=0.1, p1=0.5)
+    assert dec == "h1" and n_at <= 3
+
+
+# ------------------------------------------------------- Allan variance
+
+
+def test_allan_variance_white_noise_scales_inverse_tau():
+    rng = _rng(193)
+    m = rng.normal(0, 1, 8192)
+    avars = {}
+    for tau in (1, 4, 16):
+        nblk = len(m) // tau
+        yb = m[:nblk * tau].reshape(nblk, tau).sum(axis=1) / tau
+        d = np.diff(yb)
+        avars[tau] = 0.5 * (d * d).sum() / len(d)
+    # white noise: AVAR(tau) ~ sigma^2 / tau
+    np.testing.assert_allclose(avars[1] / avars[4], 4.0, rtol=0.3)
+    np.testing.assert_allclose(avars[4] / avars[16], 4.0, rtol=0.4)
