@@ -6579,7 +6579,119 @@ def q_sprt_ab(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# --------------------------------------------- string similarity battery
+
+
+def jaro_winkler_kernel(s1: str, s2: str, p: float = 0.1,
+                        thresh: float = 0.7) -> float:
+    """Jaro-Winkler similarity (Winkler 1990), bit-identical to
+    DuckDB's jaro_winkler_similarity (match-window Jaro + length-4
+    prefix boost above the 0.7 threshold) — pinned against the
+    canonical MARTHA/MARHTA=0.9611 battery."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i in range(l1):
+        for j in range(max(0, i - window), min(l2, i + window + 1)):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t /= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    if j > thresh:
+        pref = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pref += 1
+        j = j + pref * p * (1.0 - j)
+    return j
+
+
+def levenshtein_kernel(s1: str, s2: str) -> int:
+    """Unit-cost edit distance (Levenshtein 1966), the record-linkage
+    baseline."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                           prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def q_vocab_similarity(sf_dir: str):
+    """Fuzzy-matching audit of the corpus vocabulary: every word pair
+    with Levenshtein distance <= 3 or Jaro-Winkler >= 0.85 — the
+    record-linkage screen (typo/variant candidates) over the bounded
+    vocab from the distributed word-frequency pass. Both kernels are
+    bit-identical to DuckDB's built-ins, so the whole battery is an
+    exact oracle."""
+    from ..stages.bpe import word_freqs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    vocab = sorted(word_freqs(docs)["word"])
+    rows = []
+    for i in range(len(vocab)):
+        for j in range(i + 1, len(vocab)):
+            a, b = vocab[i], vocab[j]
+            lev = levenshtein_kernel(a, b)
+            jw = jaro_winkler_kernel(a, b)
+            if lev <= 3 or jw >= 0.85:
+                rows.append({"word_a": a, "word_b": b,
+                             "levenshtein": lev, "jaro_winkler": jw})
+    out = pd.DataFrame(rows)
+    out["levenshtein"] = out["levenshtein"].astype("int64")
+    out["jaro_winkler"] = stable_round6(out["jaro_winkler"].astype(float))
+    return out.sort_values(["word_a", "word_b"]).reset_index(drop=True)
+
+
+_SQL_VOCAB_SIM = r"""
+WITH vocab AS (
+  SELECT DISTINCT w AS word FROM (
+    SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+pairs AS (
+  SELECT a.word AS word_a, b.word AS word_b,
+         levenshtein(a.word, b.word) AS lev,
+         jaro_winkler_similarity(a.word, b.word) AS jw
+  FROM vocab a JOIN vocab b ON a.word < b.word
+)
+SELECT word_a, word_b,
+       CAST(lev AS BIGINT) AS levenshtein,
+       ROUND(ROUND(jw, 9), 6) AS jaro_winkler
+FROM pairs
+WHERE lev <= 3 OR jw >= 0.85
+ORDER BY word_a, word_b
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("vocab_similarity", q_vocab_similarity, _SQL_VOCAB_SIM)
 _register("taylor_law", q_taylor_law, _SQL_TAYLOR)
 _register("allan_variance", q_allan_variance, _SQL_ALLAN)
 _register("sprt_ab", q_sprt_ab)

@@ -939,3 +939,24 @@ def test_allan_variance_white_noise_scales_inverse_tau():
     # white noise: AVAR(tau) ~ sigma^2 / tau
     np.testing.assert_allclose(avars[1] / avars[4], 4.0, rtol=0.3)
     np.testing.assert_allclose(avars[4] / avars[16], 4.0, rtol=0.4)
+
+
+# --------------------------------------------------- string similarity
+
+
+def test_jaro_winkler_canonical_battery():
+    from diive_ray.pipelines.extraqueries import jaro_winkler_kernel
+    np.testing.assert_allclose(
+        jaro_winkler_kernel("MARTHA", "MARHTA"), 0.9611111111, atol=1e-9)
+    np.testing.assert_allclose(
+        jaro_winkler_kernel("DWAYNE", "DUANE"), 0.84, atol=0.01)
+    assert jaro_winkler_kernel("abc", "abc") == 1.0
+    assert jaro_winkler_kernel("abc", "xyz") == 0.0
+
+
+def test_levenshtein_classic_cases():
+    from diive_ray.pipelines.extraqueries import levenshtein_kernel
+    assert levenshtein_kernel("kitten", "sitting") == 3
+    assert levenshtein_kernel("", "abc") == 3
+    assert levenshtein_kernel("same", "same") == 0
+    assert levenshtein_kernel("ab", "ba") == 2
