@@ -6690,7 +6690,315 @@ ORDER BY word_a, word_b
 """
 
 
+# ------------------------------------------------------ Burrows' Delta
+
+
+def q_source_burrows_delta(sf_dir: str):
+    """Burrows' Delta (2002), the stylometric authorship distance:
+    per-source relative frequencies of the corpus's top-15 words,
+    z-scored ACROSS sources per word (population sd), Delta(a, b) =
+    mean |z_a - z_b|. Top pairs by smallest Delta = most similar
+    'style'. Distributed (source, word) counts -> ONE vocab-bounded
+    exchange; the z-table is sources x 15."""
+    from ..stages.exchange import block_map
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        src = np.repeat(t["source"].to_pandas().to_numpy(object), lens)
+        keep = flat != ""
+        return pd.DataFrame({"source": src[keep], "word": flat[keep]}
+                            ).groupby(["source", "word"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cw = block_map(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["source", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    totals = cw.groupby("source")["n"].sum()
+    corpus = cw.groupby("word")["n"].sum().sort_values(ascending=False)
+    # deterministic top-15: (freq DESC, word ASC)
+    ranked = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    top = sorted(w for w, _ in ranked)
+    piv = cw[cw["word"].isin(top)].pivot_table(
+        index="source", columns="word", values="n", aggfunc="sum",
+        fill_value=0)
+    piv = piv.reindex(columns=top, fill_value=0)
+    F = piv.to_numpy(np.float64) / totals.loc[piv.index].to_numpy(
+        np.float64)[:, None]
+    mu = F.mean(axis=0)
+    sd = np.sqrt(((F - mu) ** 2).mean(axis=0))
+    Z = (F - mu) / sd
+    srcs = list(piv.index)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            rows.append({"source_a": srcs[i], "source_b": srcs[j],
+                         "delta": float(np.abs(Z[i] - Z[j]).mean())})
+    out = pd.DataFrame(rows)
+    out["delta"] = stable_round6(out["delta"].astype(float))
+    return out.sort_values(["source_a", "source_b"]).reset_index(
+        drop=True)
+
+
+_SQL_BURROWS = r"""
+WITH words AS (
+  SELECT source, w AS word FROM (
+    SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cw AS (SELECT source, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS t FROM cw GROUP BY 1),
+corpus AS (
+  SELECT word, SUM(n) AS cf FROM cw GROUP BY 1
+  ORDER BY cf DESC, word ASC LIMIT 15
+),
+f AS (
+  SELECT t.source, c.word,
+         COALESCE(cw.n, 0)::DOUBLE / t.t AS freq
+  FROM tot t CROSS JOIN corpus c
+  LEFT JOIN cw ON cw.source = t.source AND cw.word = c.word
+),
+z AS (
+  SELECT source, word,
+         (freq - AVG(freq) OVER (PARTITION BY word))
+         / SQRT(AVG(freq * freq) OVER (PARTITION BY word)
+                - AVG(freq) OVER (PARTITION BY word)
+                  * AVG(freq) OVER (PARTITION BY word)) AS zz
+  FROM f
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       ROUND(ROUND(AVG(ABS(a.zz - b.zz)), 9), 6) AS delta
+FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ c-TF-IDF
+
+
+def q_source_ctfidf(sf_dir: str):
+    """Class-based TF-IDF (the BERTopic c-TF-IDF construction): treat
+    each source as one superdocument, tf = word share within the
+    class, idf = ln(1 + avg class size / corpus word count); top-3
+    signature terms per source by (score DESC, word ASC). Same
+    vocab-bounded exchange as the Delta pass."""
+    from ..stages.exchange import block_map
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        src = np.repeat(t["source"].to_pandas().to_numpy(object), lens)
+        keep = flat != ""
+        return pd.DataFrame({"source": src[keep], "word": flat[keep]}
+                            ).groupby(["source", "word"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cw = block_map(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["source", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    class_tot = cw.groupby("source")["n"].sum()
+    word_tot = cw.groupby("word")["n"].sum()
+    avg_class = float(class_tot.mean())
+    d = cw.copy()
+    d["tf"] = d["n"] / d["source"].map(class_tot)
+    d["idf"] = np.log(1.0 + avg_class / d["word"].map(word_tot))
+    d["score"] = stable_round6(d["tf"] * d["idf"])
+    d = d.sort_values(["source", "score", "word"],
+                      ascending=[True, False, True])
+    top = d.groupby("source", as_index=False).head(3)
+    top["rank"] = top.groupby("source").cumcount() + 1
+    out = top[["source", "rank", "word", "score"]].copy()
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["source", "rank"]).reset_index(drop=True)
+
+
+_SQL_CTFIDF = r"""
+WITH words AS (
+  SELECT source, w AS word FROM (
+    SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cw AS (SELECT source, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+ct AS (SELECT source, SUM(n) AS t FROM cw GROUP BY 1),
+wt AS (SELECT word, SUM(n) AS wt FROM cw GROUP BY 1),
+ac AS (SELECT AVG(t) AS a FROM ct),
+sc AS (
+  SELECT cw.source, cw.word,
+         ROUND(ROUND((cw.n::DOUBLE / ct.t)
+               * LN(1.0 + ac.a / wt.wt), 9), 6) AS score
+  FROM cw JOIN ct USING (source) JOIN wt USING (word) CROSS JOIN ac
+),
+rk AS (
+  SELECT source, word, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, word ASC) AS rank
+  FROM sc
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, word, score
+FROM rk WHERE rank <= 3
+ORDER BY source, rank
+"""
+
+
+# ------------------------------------------------------------------ RBO
+
+
+def rbo_kernel(a: list, b: list, p: float = 0.9) -> float:
+    """Truncated rank-biased overlap (Webber 2010): RBO@d =
+    (1 - p) * sum_{k=1..d} p^(k-1) * |A_k ∩ B_k| / k over the
+    available prefix depths (the extrapolation-free base variant)."""
+    d = min(len(a), len(b))
+    sa: set = set()
+    sb: set = set()
+    s = 0.0
+    inter = 0
+    for k in range(1, d + 1):
+        x, y = a[k - 1], b[k - 1]
+        if x == y:
+            inter += 1
+        else:
+            inter += (1 if x in sb else 0) + (1 if y in sa else 0)
+        sa.add(x)
+        sb.add(y)
+        s += p ** (k - 1) * inter / k
+    return (1.0 - p) * s
+
+
+def q_rank_rbo(sf_dir: str):
+    """Rank-biased overlap (Webber et al. 2010) between the top-20
+    word-frequency rankings of the first-half and second-half
+    doc_id split — 'did the vocabulary ranking drift?' as a
+    top-weighted similarity in [0, 1]. Per-half counts from the same
+    vocab-bounded pass; the prefix-overlap sum replays exactly via a
+    window join."""
+    from ..stages.exchange import driver_combine
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    mid_info = driver_combine(
+        docs, lambda t: pd.DataFrame({"mx": [int(pc.max(t["doc_id"]
+                                                        ).as_py())]}),
+        lambda df: pd.DataFrame({"mx": [df["mx"].max()]}),
+        batch_format="pyarrow",
+    )
+    mid = int(mid_info["mx"][0]) // 2
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        did = np.repeat(t["doc_id"].to_pandas().to_numpy(np.int64), lens)
+        keep = flat != ""
+        return pd.DataFrame({
+            "half": (did[keep] > mid).astype(np.int64),
+            "word": flat[keep]}).groupby(["half", "word"],
+                                         as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cnt = driver_combine(
+        docs, partial,
+        lambda df: df.groupby(["half", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pyarrow",
+    )
+
+    def topk(h):
+        g = cnt[cnt["half"] == h].sort_values(
+            ["n", "word"], ascending=[False, True]).head(20)
+        return g["word"].tolist()
+
+    a, b = topk(0), topk(1)
+    val = rbo_kernel(a, b)
+    out = pd.DataFrame([{
+        "depth": min(len(a), len(b)), "p": 0.9,
+        "rbo": val,
+        "top1_same": a[0] == b[0],
+    }])
+    out["depth"] = out["depth"].astype("int64")
+    out["p"] = stable_round6(out["p"].astype(float))
+    out["rbo"] = stable_round6(out["rbo"].astype(float))
+    return out
+
+
+_SQL_RBO = r"""
+WITH mx AS (SELECT MAX(doc_id) // 2 AS mid FROM documents),
+words AS (
+  SELECT CASE WHEN doc_id > (SELECT mid FROM mx) THEN 1 ELSE 0 END
+             AS half,
+         w AS word
+  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+cnt AS (SELECT half, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+rk AS (
+  SELECT half, word,
+         ROW_NUMBER() OVER (PARTITION BY half
+                            ORDER BY n DESC, word ASC) AS r
+  FROM cnt
+),
+ta AS (SELECT word, r FROM rk WHERE half = 0 AND r <= 20),
+tb AS (SELECT word, r FROM rk WHERE half = 1 AND r <= 20),
+depth AS (
+  SELECT LEAST((SELECT COUNT(*) FROM ta),
+               (SELECT COUNT(*) FROM tb)) AS d
+),
+ks AS (SELECT UNNEST(generate_series(1, (SELECT d FROM depth))) AS k),
+ov AS (
+  SELECT ks.k,
+         (SELECT COUNT(*) FROM ta JOIN tb USING (word)
+          WHERE ta.r <= ks.k AND tb.r <= ks.k) AS inter
+  FROM ks
+)
+SELECT (SELECT d FROM depth)::BIGINT AS depth,
+       ROUND(ROUND(0.9, 9), 6) AS p,
+       ROUND(ROUND(0.1 * SUM(POWER(0.9, k - 1) * inter::DOUBLE / k),
+             9), 6) AS rbo,
+       (SELECT ta.word = tb.word FROM ta, tb
+        WHERE ta.r = 1 AND tb.r = 1) AS top1_same
+FROM ov
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("source_burrows_delta", q_source_burrows_delta, _SQL_BURROWS)
+_register("source_ctfidf", q_source_ctfidf, _SQL_CTFIDF)
+_register("rank_rbo", q_rank_rbo, _SQL_RBO)
 _register("vocab_similarity", q_vocab_similarity, _SQL_VOCAB_SIM)
 _register("taylor_law", q_taylor_law, _SQL_TAYLOR)
 _register("allan_variance", q_allan_variance, _SQL_ALLAN)

@@ -960,3 +960,28 @@ def test_levenshtein_classic_cases():
     assert levenshtein_kernel("", "abc") == 3
     assert levenshtein_kernel("same", "same") == 0
     assert levenshtein_kernel("ab", "ba") == 2
+
+
+# ------------------------------------------------------------------ RBO
+
+
+def test_rbo_identical_rankings_is_near_one():
+    from diive_ray.pipelines.extraqueries import rbo_kernel
+    a = list("abcdefghij")
+    # truncated base RBO at depth 10, p=0.9: 1 - p^d residual missing
+    val = rbo_kernel(a, a)
+    assert 0.6 < val <= 1.0
+    assert val == rbo_kernel(a, a)             # deterministic
+
+
+def test_rbo_disjoint_rankings_zero():
+    from diive_ray.pipelines.extraqueries import rbo_kernel
+    assert rbo_kernel(list("abcde"), list("vwxyz")) == 0.0
+
+
+def test_rbo_top_weighted():
+    from diive_ray.pipelines.extraqueries import rbo_kernel
+    base = list("abcdefghij")
+    swap_top = ["b", "a"] + base[2:]           # disturb head
+    swap_tail = base[:8] + ["j", "i"]          # disturb tail
+    assert rbo_kernel(base, swap_tail) > rbo_kernel(base, swap_top)
