@@ -6995,7 +6995,228 @@ FROM ov
 """
 
 
+# ------------------------------------------------ hour-uniformity chi2
+
+
+def q_hour_uniformity_chi2(sf_dir: str):
+    """Pearson chi-square test of hour-of-day uniformity per event
+    type (O vs n/24) — 'is there a diel cycle at all?', the gatekeeper
+    in front of the diel/harmonic analyses. Bounded (type, hour)
+    partial counts; chi2(23) 95% critical 35.17 flagged."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hh": pd.DatetimeIndex(df["ts"]).hour,
+        }).groupby(["event_type", "hh"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cnt = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "hh"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas",
+    )
+    rows = []
+    for et, g in cnt.groupby("event_type", sort=True):
+        o = np.zeros(24)
+        o[g["hh"].to_numpy(int)] = g["n"].to_numpy(float)
+        n = o.sum()
+        e = n / 24.0
+        chi2 = float(((o - e) ** 2 / e).sum())
+        rows.append({"event_type": et, "n_events": int(n),
+                     "chi2": chi2, "nonuniform": chi2 > 35.17})
+    out = pd.DataFrame(rows)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["chi2"] = stable_round6(out["chi2"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_HOUR_CHI2 = """
+WITH c AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, gs.k
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT UNNEST(generate_series(0, 23)) AS k) gs
+),
+o AS (
+  SELECT g.event_type, g.k, COALESCE(c.n, 0)::DOUBLE AS o
+  FROM grid g LEFT JOIN c
+    ON c.event_type = g.event_type AND c.hh = g.k
+),
+t AS (SELECT event_type, SUM(o) AS n FROM o GROUP BY 1)
+SELECT t.event_type, CAST(t.n AS BIGINT) AS n_events,
+       ROUND(ROUND(SUM((o.o - t.n / 24.0) * (o.o - t.n / 24.0)
+             / (t.n / 24.0)), 9), 6) AS chi2,
+       ROUND(ROUND(SUM((o.o - t.n / 24.0) * (o.o - t.n / 24.0)
+             / (t.n / 24.0)), 9), 6) > 35.17 AS nonuniform
+FROM o JOIN t USING (event_type)
+GROUP BY t.event_type, t.n
+ORDER BY t.event_type
+"""
+
+
+# ------------------------------------------------------- record highs
+
+
+def q_record_highs(sf_dir: str):
+    """Running-record statistics per event_type: observed record highs
+    of the value stream in (ts, event_id) order vs the iid/
+    exchangeable expectation H_n = sum 1/k (records theory, Rényi
+    1962) — an excess of records signals trend, a deficit signals
+    early-peaked decay. Exact window replay; harmonic number shared
+    closed-form."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "event_id",
+                                  "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g.sort_values(["ts", "event_id"])["value"].to_numpy(
+                np.float64)
+            rec = v > np.concatenate([[-np.inf],
+                                      np.maximum.accumulate(v)[:-1]])
+            n = len(v)
+            h = float((1.0 / np.arange(1, n + 1)).sum())
+            rows.append({"event_type": et, "n": n,
+                         "n_records": int(rec.sum()),
+                         "expected_iid": h,
+                         "ratio": rec.sum() / h})
+        cols = {"event_type": object, "n": np.int64,
+                "n_records": np.int64, "expected_iid": np.float64,
+                "ratio": np.float64}
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["n_records"] = out["n_records"].astype("int64")
+    for c in ("expected_iid", "ratio"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_RECORDS = """
+WITH r AS (
+  SELECT event_type, value,
+         MAX(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+  FROM events
+),
+cnt AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN prev_max IS NULL OR value > prev_max
+             THEN 1 ELSE 0 END) AS n_rec
+  FROM r GROUP BY 1
+),
+harm AS (
+  SELECT c.event_type,
+         SUM(1.0 / gs.k) AS h
+  FROM cnt c, LATERAL (SELECT UNNEST(generate_series(
+      1, CAST(c.n AS BIGINT))) AS k) gs
+  GROUP BY 1
+)
+SELECT c.event_type, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n_rec AS BIGINT) AS n_records,
+       ROUND(ROUND(h.h, 9), 6) AS expected_iid,
+       ROUND(ROUND(c.n_rec / h.h, 9), 6) AS ratio
+FROM cnt c JOIN harm h USING (event_type)
+ORDER BY c.event_type
+"""
+
+
+# ----------------------------------------------------------------- MTLD
+
+
+def mtld_kernel(words: list, ttr_threshold: float = 0.72) -> float:
+    """Measure of textual lexical diversity (McCarthy & Jarvis 2010):
+    count 'factors' — maximal prefixes whose running type-token ratio
+    stays above the threshold — forward and backward; MTLD = mean of
+    n_words / factor-count over the two directions (partial factors
+    counted fractionally, the paper's rule)."""
+    def one_dir(ws):
+        factors = 0.0
+        types: set = set()
+        tokens = 0
+        for w in ws:
+            tokens += 1
+            types.add(w)
+            if len(types) / tokens <= ttr_threshold:
+                factors += 1.0
+                types = set()
+                tokens = 0
+        if tokens > 0:
+            ttr = len(types) / tokens
+            if ttr_threshold < 1.0:
+                factors += (1.0 - ttr) / (1.0 - ttr_threshold)
+        return len(ws) / factors if factors > 0 else float(len(ws))
+
+    return (one_dir(words) + one_dir(list(reversed(words)))) / 2.0
+
+
+def q_doc_mtld(sf_dir: str):
+    """MTLD lexical diversity per source (McCarthy & Jarvis 2010, the
+    length-robust successor to raw TTR — raw TTR falls mechanically
+    with length, MTLD does not): per-doc MTLD averaged per source.
+    Rows-only (sequential factor scan per doc); the length-robustness
+    property itself is the pytest pin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        src = t["source"].to_pandas().to_numpy(object)
+        out = []
+        pos = 0
+        for i, l in enumerate(lens):
+            ws = [w for w in flat[pos:pos + l] if w != ""]
+            pos += l
+            if len(ws) >= 10:
+                out.append((src[i], mtld_kernel(ws)))
+        d = pd.DataFrame(out, columns=["source", "mtld"])
+        return d.groupby("source", as_index=False).agg(
+            s=("mtld", "sum"), n=("mtld", "size"))
+
+    g = driver_combine(
+        docs, partial,
+        lambda df: df.groupby("source", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")),
+        batch_format="pyarrow",
+    )
+    g["mean_mtld"] = stable_round6(g["s"] / g["n"])
+    g["n"] = g["n"].astype("int64")
+    return g[["source", "n", "mean_mtld"]].sort_values(
+        "source").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("hour_uniformity_chi2", q_hour_uniformity_chi2, _SQL_HOUR_CHI2)
+_register("record_highs", q_record_highs, _SQL_RECORDS)
+_register("doc_mtld", q_doc_mtld)
 _register("source_burrows_delta", q_source_burrows_delta, _SQL_BURROWS)
 _register("source_ctfidf", q_source_ctfidf, _SQL_CTFIDF)
 _register("rank_rbo", q_rank_rbo, _SQL_RBO)

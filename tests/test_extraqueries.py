@@ -985,3 +985,28 @@ def test_rbo_top_weighted():
     swap_top = ["b", "a"] + base[2:]           # disturb head
     swap_tail = base[:8] + ["j", "i"]          # disturb tail
     assert rbo_kernel(base, swap_tail) > rbo_kernel(base, swap_top)
+
+
+# ----------------------------------------------------------------- MTLD
+
+
+def test_mtld_length_robust_ttr_not():
+    from diive_ray.pipelines.extraqueries import mtld_kernel
+    rng = _rng(197)
+    vocab = [f"w{i}" for i in range(50)]
+    short = [vocab[i] for i in rng.integers(0, 50, 100)]
+    long = [vocab[i] for i in rng.integers(0, 50, 2000)]
+    ttr_short = len(set(short)) / len(short)
+    ttr_long = len(set(long)) / len(long)
+    assert ttr_long < 0.3 * ttr_short          # raw TTR collapses
+    m_short = mtld_kernel(short)
+    m_long = mtld_kernel(long)
+    assert 0.5 < m_long / m_short < 2.0        # MTLD stays level
+
+
+def test_mtld_higher_for_more_diverse_text():
+    from diive_ray.pipelines.extraqueries import mtld_kernel
+    rng = _rng(199)
+    rich = [f"w{i}" for i in rng.integers(0, 500, 1000)]
+    poor = [f"w{i}" for i in rng.integers(0, 5, 1000)]
+    assert mtld_kernel(rich) > 3 * mtld_kernel(poor)
