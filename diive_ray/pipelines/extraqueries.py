@@ -7213,7 +7213,205 @@ def q_doc_mtld(sf_dir: str):
         "source").reset_index(drop=True)
 
 
+# ------------------------------------------------------- ABC analysis
+
+
+def q_abc_analysis(sf_dir: str):
+    """ABC inventory classification of parts by lineitem revenue
+    (the operations staple): parts ranked by revenue
+    (sum extendedprice·(1-discount)); class A = cumulative share
+    <= 80%, B <= 95%, C = rest — reporting per-class part counts,
+    revenue and shares. Per-part revenue = per-batch partials + ONE
+    keyed exchange; the classification runs on the bounded ranked
+    table (the exact_rank boundary route is the documented path when
+    the part dimension outgrows the driver)."""
+    from ..stages.exchange import block_map
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    per_part = block_map(
+        li.map_batches(
+            lambda df: df.assign(
+                rev=df["l_extendedprice"] * (1.0 - df["l_discount"])
+            ).groupby("l_partkey", as_index=False).agg(
+                rev=("rev", "sum")),
+            batch_format="pandas"),
+        ["l_partkey"],
+        lambda df: df.groupby("l_partkey", as_index=False)["rev"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    per_part["rev6"] = stable_round6(per_part["rev"].astype(float))
+    d = per_part.sort_values(["rev6", "l_partkey"],
+                             ascending=[False, True]).reset_index(
+        drop=True)
+    tot = float(d["rev6"].sum())
+    cum = np.cumsum(d["rev6"].to_numpy(np.float64)) / tot
+    cls = np.where(cum <= 0.80, "A", np.where(cum <= 0.95, "B", "C"))
+    d["abc"] = cls
+    g = d.groupby("abc", as_index=False).agg(
+        n_parts=("l_partkey", "size"), revenue=("rev6", "sum"))
+    g["revenue_share"] = stable_round6(g["revenue"] / tot)
+    # revenue reported in millions: raw sums at this magnitude carry
+    # summation-order FP error above the 1e-6 compare resolution
+    g["revenue_musd"] = stable_round6(g["revenue"] / 1e6)
+    g = g.drop(columns=["revenue"])
+    g["n_parts"] = g["n_parts"].astype("int64")
+    return g[["abc", "n_parts", "revenue_musd", "revenue_share"]
+             ].sort_values("abc").reset_index(drop=True)
+
+
+_SQL_ABC = """
+WITH pp AS (
+  SELECT l_partkey,
+         ROUND(ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 9), 6)
+             AS rev
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC) AS cum,
+         SUM(rev) OVER () AS tot
+  FROM pp
+),
+c AS (
+  SELECT CASE WHEN cum / tot <= 0.80 THEN 'A'
+              WHEN cum / tot <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc,
+         rev, tot
+  FROM r
+)
+SELECT abc, COUNT(*)::BIGINT AS n_parts,
+       ROUND(ROUND(SUM(rev) / 1e6, 9), 6) AS revenue_musd,
+       ROUND(ROUND(SUM(rev) / ANY_VALUE(tot), 9), 6) AS revenue_share
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ----------------------------------------------------- Bass diffusion
+
+
+def q_bass_diffusion(sf_dir: str):
+    """Bass (1969) diffusion fit to daily user adoption (first-event
+    days): the discrete Bass regression N_t = a + b C_{t-1} +
+    c C_{t-1}^2 solved in closed form (3x3 Cramer normal equations —
+    the ENGINE evaluates the same determinant expressions as the SQL,
+    so the fit is an exact oracle), then the structural parameters
+    m (market size, larger root), p (innovation) and q (imitation)."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        from ..util import ts_to_us
+
+        g = df.groupby("user_id", as_index=False)["ts"].min()
+        return pd.DataFrame({
+            "day": ts_to_us(g["ts"]) // 86_400_000_000,
+        }).groupby("day", as_index=False).size().rename(
+            columns={"size": "n_new"})
+
+    daily = block_map(
+        ev, ["user_id"], per_user,
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas().groupby("day", as_index=False)["n_new"].sum(
+    ).sort_values("day").reset_index(drop=True)
+    N = daily["n_new"].to_numpy(np.float64)
+    C_prev = np.concatenate([[0.0], np.cumsum(N)[:-1]])
+    x1, x2, y = C_prev, C_prev * C_prev, N
+    n = float(len(y))
+    s1, s2 = x1.sum(), x2.sum()
+    s11, s12, s22 = (x1 * x1).sum(), (x1 * x2).sum(), (x2 * x2).sum()
+    sy, sy1, sy2 = y.sum(), (x1 * y).sum(), (x2 * y).sum()
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    a = ((sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+          + s2 * (sy1 * s12 - s11 * sy2)) / det)
+    b = ((n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * sy2 - sy1 * s2)) / det)
+    c = ((n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2)
+          + sy * (s1 * s12 - s11 * s2)) / det)
+    disc = b * b - 4.0 * c * a
+    m = (-b - np.sqrt(disc)) / (2.0 * c) if c < 0 and disc > 0 else np.nan
+    p = a / m if m == m and m != 0 else np.nan
+    q = -c * m if m == m else np.nan
+    out = pd.DataFrame([{
+        "n_days": int(n), "total_adopters": int(N.sum()),
+        "coef_a": a, "coef_b": b, "coef_c": c,
+        "market_m": m, "innovation_p": p, "imitation_q": q,
+    }])
+    out["n_days"] = out["n_days"].astype("int64")
+    out["total_adopters"] = out["total_adopters"].astype("int64")
+    for col in ("coef_a", "coef_b", "coef_c", "market_m",
+                "innovation_p", "imitation_q"):
+        out[col] = stable_round6(out[col].astype(float))
+    return out
+
+
+_SQL_BASS = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts)) // 86400000000 AS day
+  FROM events GROUP BY 1
+),
+daily AS (SELECT day, COUNT(*)::DOUBLE AS n_new FROM f GROUP BY 1),
+seq AS (
+  SELECT day, n_new,
+         COALESCE(SUM(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS c_prev
+  FROM daily
+),
+mom AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(c_prev) AS s1, SUM(c_prev * c_prev) AS s2,
+         SUM(c_prev * c_prev) AS s11,
+         SUM(c_prev * c_prev * c_prev) AS s12,
+         SUM(c_prev * c_prev * c_prev * c_prev) AS s22,
+         SUM(n_new) AS sy, SUM(c_prev * n_new) AS sy1,
+         SUM(c_prev * c_prev * n_new) AS sy2,
+         SUM(n_new) AS tot
+  FROM seq
+),
+fit AS (
+  SELECT n, tot,
+         (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS det,
+         (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+          + s2 * (sy1 * s12 - s11 * sy2)) AS na,
+         (n * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * sy2 - sy1 * s2)) AS nb,
+         (n * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - sy1 * s2)
+          + sy * (s1 * s12 - s11 * s2)) AS nc
+  FROM mom
+),
+abc AS (
+  SELECT n, tot, na / det AS a, nb / det AS b, nc / det AS c FROM fit
+),
+root AS (
+  SELECT n, tot, a, b, c,
+         CASE WHEN c < 0 AND b * b - 4 * c * a > 0
+              THEN (-b - SQRT(b * b - 4 * c * a)) / (2 * c)
+              ELSE NULL END AS m
+  FROM abc
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(tot AS BIGINT) AS total_adopters,
+       ROUND(ROUND(a, 9), 6) AS coef_a,
+       ROUND(ROUND(b, 9), 6) AS coef_b,
+       ROUND(ROUND(c, 9), 6) AS coef_c,
+       ROUND(ROUND(m, 9), 6) AS market_m,
+       ROUND(ROUND(a / m, 9), 6) AS innovation_p,
+       ROUND(ROUND(-c * m, 9), 6) AS imitation_q
+FROM root
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("abc_analysis", q_abc_analysis, _SQL_ABC)
+_register("bass_diffusion", q_bass_diffusion, _SQL_BASS)
 _register("hour_uniformity_chi2", q_hour_uniformity_chi2, _SQL_HOUR_CHI2)
 _register("record_highs", q_record_highs, _SQL_RECORDS)
 _register("doc_mtld", q_doc_mtld)
