@@ -7409,7 +7409,139 @@ FROM root
 """
 
 
+# ------------------------------------------------- session concurrency
+
+
+def q_session_concurrency(sf_dir: str):
+    """Concurrency profile of user sessions (30-min inactivity
+    timeout, the engine's sessionize op): peak concurrent sessions
+    via the classic +1/-1 interval sweep (ends sort before starts at
+    equal instants, so touching sessions don't double-count), the
+    first time the peak is reached, and the mean concurrency sampled
+    at hourly ticks — the L of Little's law next to the arrival rate
+    and mean duration it should equal (lambda * W). Session intervals
+    come from the user-keyed sessionize exchange; the sweep runs on
+    the bounded interval table."""
+    from ..stages.exchange import block_map
+    from ..stages.joins import sessionize_frame
+    from ..util import ts_to_us
+
+    timeout_us = 30 * 60 * 1_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        s = sessionize_frame(df, key="user_id", ts="ts",
+                             timeout_us=timeout_us)
+        return s.groupby(["user_id", "session_id"], as_index=False)[
+            "ts"].agg(["min", "max"]).rename(
+            columns={"min": "t0", "max": "t1"})
+
+    iv = block_map(ev, ["user_id"], intervals,
+                   batch_format="pandas", zero_copy_batch=False
+                   ).to_pandas()
+    t0 = ts_to_us(iv["t0"])
+    t1 = ts_to_us(iv["t1"])
+    ev_t = np.concatenate([t0, t1])
+    delta = np.concatenate([np.ones(len(t0), dtype=np.int64),
+                            -np.ones(len(t1), dtype=np.int64)])
+    order = np.lexsort((delta, ev_t))         # -1 before +1 at equal t
+    cum = np.cumsum(delta[order])
+    peak = int(cum.max())
+    first_peak_t = int(ev_t[order][np.argmax(cum == peak)])
+    lo, hi = int(t0.min()), int(t1.max())
+    ticks = np.arange(lo, hi + 1, 3_600_000_000)
+    active = ((t0[None, :] <= ticks[:, None])
+              & (ticks[:, None] <= t1[None, :])).sum(axis=1)
+    span_h = (hi - lo) / 3.6e9
+    lam = len(iv) / span_h                    # sessions per hour
+    w_h = float((t1 - t0).sum()) / len(iv) / 3.6e9
+    out = pd.DataFrame([{
+        "n_sessions": len(iv),
+        "peak_concurrent": peak,
+        "peak_at_us": first_peak_t,
+        "mean_concurrent_ticks": float(active.sum() / len(ticks)),
+        "lambda_per_h": lam,
+        "mean_duration_h": w_h,
+        "little_l": lam * w_h,
+    }])
+    for c in ("n_sessions", "peak_concurrent", "peak_at_us"):
+        out[c] = out[c].astype("int64")
+    for c in ("mean_concurrent_ticks", "lambda_per_h",
+              "mean_duration_h", "little_l"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_SESSION_CONCURRENCY = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                   > 1800000000 OR LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM g
+),
+iv AS (
+  SELECT user_id, sid, MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+  FROM s GROUP BY 1, 2
+),
+sweep AS (
+  SELECT t0 AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT t1 AS t, -1 AS d FROM iv
+),
+run AS (
+  SELECT t, d, SUM(d) OVER (ORDER BY t, d) AS cum
+  FROM sweep
+),
+pk AS (
+  SELECT MAX(cum) AS peak FROM run
+),
+pk_t AS (
+  SELECT MIN(t) AS first_t FROM run, pk WHERE run.cum = pk.peak
+),
+bounds AS (SELECT MIN(t0) AS lo, MAX(t1) AS hi FROM iv),
+ticks AS (
+  SELECT UNNEST(generate_series(b.lo, b.hi, 3600000000)) AS tick
+  FROM bounds b
+),
+act AS (
+  SELECT t.tick, COUNT(iv.t0) AS c
+  FROM ticks t LEFT JOIN iv ON iv.t0 <= t.tick AND t.tick <= iv.t1
+  GROUP BY 1
+),
+mstats AS (
+  SELECT (SELECT COUNT(*) FROM iv)::DOUBLE AS n_sessions,
+         (SELECT SUM(t1 - t0) FROM iv)::DOUBLE AS tot_dur_us,
+         (SELECT hi - lo FROM bounds)::DOUBLE AS span_us
+)
+SELECT CAST(m.n_sessions AS BIGINT) AS n_sessions,
+       (SELECT peak FROM pk)::BIGINT AS peak_concurrent,
+       (SELECT first_t FROM pk_t)::BIGINT AS peak_at_us,
+       ROUND(ROUND((SELECT SUM(c)::DOUBLE / COUNT(*) FROM act), 9), 6)
+           AS mean_concurrent_ticks,
+       ROUND(ROUND(m.n_sessions / (m.span_us / 3.6e9), 9), 6)
+           AS lambda_per_h,
+       ROUND(ROUND(m.tot_dur_us / m.n_sessions / 3.6e9, 9), 6)
+           AS mean_duration_h,
+       ROUND(ROUND((m.n_sessions / (m.span_us / 3.6e9))
+             * (m.tot_dur_us / m.n_sessions / 3.6e9), 9), 6)
+           AS little_l
+FROM mstats m
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("session_concurrency", q_session_concurrency,
+          _SQL_SESSION_CONCURRENCY)
 _register("abc_analysis", q_abc_analysis, _SQL_ABC)
 _register("bass_diffusion", q_bass_diffusion, _SQL_BASS)
 _register("hour_uniformity_chi2", q_hour_uniformity_chi2, _SQL_HOUR_CHI2)
