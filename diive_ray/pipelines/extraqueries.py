@@ -7539,7 +7539,211 @@ FROM mstats m
 """
 
 
+# ------------------------------------------------- growth accounting
+
+
+def q_growth_accounting(sf_dir: str):
+    """Growth-accounting decomposition of daily active users (the
+    startup-metrics identity): DAU_t = new_t + retained_t (also active
+    t-1) + resurrected_t (active before but not t-1); churned_t =
+    actives of t-1 who are absent at t. Per-user day classification
+    runs INSIDE the user-keyed block (each user's full day set is
+    local), daily cells are a bounded combine; the identity itself is
+    asserted by the oracle equality."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            days = np.sort(np.unique(ts_to_us(g["ts"])
+                                     // 86_400_000_000))
+            prev = set(days[:-1]) if len(days) else set()
+            dset = set(days)
+            for i, d in enumerate(days):
+                if i == 0:
+                    cat = "new"
+                elif (d - 1) in dset:
+                    cat = "retained"
+                else:
+                    cat = "resurrected"
+                rows.append((int(d), cat, 1))
+            # churn events: day after an active day with no activity
+            for d in days:
+                if (d + 1) not in dset:
+                    rows.append((int(d) + 1, "churned", 1))
+        out = pd.DataFrame(rows, columns=["day", "cat", "n"])
+        if out.empty:
+            return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                                 "cat": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return out.groupby(["day", "cat"], as_index=False)["n"].sum()
+
+    cells = block_map(ev, ["user_id"], per_user,
+                      batch_format="pandas", zero_copy_batch=False
+                      ).to_pandas().groupby(["day", "cat"],
+                                            as_index=False)["n"].sum()
+    piv = cells.pivot_table(index="day", columns="cat", values="n",
+                            aggfunc="sum", fill_value=0)
+    for c in ("new", "retained", "resurrected", "churned"):
+        if c not in piv.columns:
+            piv[c] = 0
+    # churned rows can create a day past the observation end; keep only
+    # days with any activity (dau > 0) to match the oracle's day set
+    piv["dau"] = piv["new"] + piv["retained"] + piv["resurrected"]
+    piv = piv[piv["dau"] > 0]
+    out = pd.DataFrame({
+        "day": piv.index.to_numpy(np.int64),
+        "dau": piv["dau"].to_numpy(np.int64),
+        "n_new": piv["new"].to_numpy(np.int64),
+        "n_retained": piv["retained"].to_numpy(np.int64),
+        "n_resurrected": piv["resurrected"].to_numpy(np.int64),
+        "n_churned_in": piv["churned"].to_numpy(np.int64),
+    })
+    return out.sort_values("day").reset_index(drop=True)
+
+
+_SQL_GROWTH = """
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+f AS (SELECT user_id, MIN(day) AS d0 FROM du GROUP BY 1),
+cat AS (
+  SELECT du.day, du.user_id,
+         CASE WHEN du.day = f.d0 THEN 'new'
+              WHEN y.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS cat
+  FROM du
+  JOIN f USING (user_id)
+  LEFT JOIN du y ON y.user_id = du.user_id AND y.day = du.day - 1
+),
+ch AS (
+  SELECT a.day + 1 AS day, COUNT(*) AS n_churned
+  FROM du a LEFT JOIN du b
+    ON b.user_id = a.user_id AND b.day = a.day + 1
+  WHERE b.user_id IS NULL
+  GROUP BY 1
+),
+daily AS (
+  SELECT day,
+         COUNT(*) AS dau,
+         SUM(CASE WHEN cat = 'new' THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN cat = 'retained' THEN 1 ELSE 0 END)
+             AS n_retained,
+         SUM(CASE WHEN cat = 'resurrected' THEN 1 ELSE 0 END)
+             AS n_resurrected
+  FROM cat GROUP BY 1
+)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(d.n_new AS BIGINT) AS n_new,
+       CAST(d.n_retained AS BIGINT) AS n_retained,
+       CAST(d.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned_in
+FROM daily d LEFT JOIN ch USING (day)
+ORDER BY day
+"""
+
+
+# ------------------------------------------------- interrupted series
+
+
+def q_interrupted_ts(sf_dir: str):
+    """Interrupted time-series effect estimate (the CausalImpact-lite
+    construction, explicitly simplified): the counterfactual for each
+    post-intervention hour (month midpoint) is the PRE-period mean for
+    that hour-of-day plus the pre-period linear trend extrapolated;
+    effect = actual - counterfactual, reported as mean/cumulative
+    effect per event_type. Everything is closed-form pre-period
+    moments, so the oracle replays it exactly."""
+    t1h = _hourly(sf_dir)
+    cut = pd.Timestamp("2024-01-16")
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts").reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.float64)
+        g["hod"] = pd.DatetimeIndex(g["bucket_ts"]).hour
+        pre = g[g["bucket_ts"] < cut]
+        post = g[g["bucket_ts"] >= cut]
+        if len(pre) < 48 or len(post) < 24:
+            continue
+        x = pre["pos"].to_numpy()
+        y = pre["m"].to_numpy()
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        hod_mean = pre.groupby("hod")["m"].mean()
+        # counterfactual: hod mean + slope * (pos - pre mean pos);
+        # post hours whose hour-of-day never occurs pre have no
+        # baseline and are dropped (the oracle's inner join)
+        base = post["hod"].map(hod_mean).to_numpy(np.float64)
+        ok = ~np.isnan(base)
+        post = post[ok]
+        base = base[ok]
+        if len(post) < 24:
+            continue
+        cf = base + slope * (post["pos"].to_numpy() - sx / n)
+        eff = post["m"].to_numpy() - cf
+        rows.append({"event_type": key, "n_post": len(post),
+                     "pre_slope": slope,
+                     "mean_effect": float(eff.sum() / len(eff)),
+                     "cum_effect": float(eff.sum())})
+    out = pd.DataFrame(rows)
+    out["n_post"] = out["n_post"].astype("int64")
+    for c in ("pre_slope", "mean_effect", "cum_effect"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_INTERRUPTED = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, bts, m,
+         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts)
+          - 1)::DOUBLE AS p,
+         EXTRACT(HOUR FROM bts) AS hod
+  FROM hourly
+),
+pre AS (SELECT * FROM pos WHERE bts < TIMESTAMP '2024-01-16'),
+post AS (SELECT * FROM pos WHERE bts >= TIMESTAMP '2024-01-16'),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(p) AS sx, SUM(m) AS sy,
+         SUM(p * p) AS sxx, SUM(p * m) AS sxy
+  FROM pre GROUP BY 1 HAVING COUNT(*) >= 48
+),
+hm AS (
+  SELECT event_type, hod, AVG(m) AS hbar FROM pre GROUP BY 1, 2
+),
+eff AS (
+  SELECT post.event_type,
+         post.m - (hm.hbar
+                   + ((mom.sxy - mom.sx * mom.sy / mom.n)
+                      / (mom.sxx - mom.sx * mom.sx / mom.n))
+                     * (post.p - mom.sx / mom.n)) AS e
+  FROM post
+  JOIN mom USING (event_type)
+  JOIN hm ON hm.event_type = post.event_type AND hm.hod = post.hod
+)
+SELECT e.event_type, COUNT(*)::BIGINT AS n_post,
+       ROUND(ROUND(ANY_VALUE((mom.sxy - mom.sx * mom.sy / mom.n)
+             / (mom.sxx - mom.sx * mom.sx / mom.n)), 9), 6)
+           AS pre_slope,
+       ROUND(ROUND(SUM(e.e) / COUNT(*), 9), 6) AS mean_effect,
+       ROUND(ROUND(SUM(e.e), 9), 6) AS cum_effect
+FROM eff e JOIN mom USING (event_type)
+GROUP BY 1
+HAVING COUNT(*) >= 24
+ORDER BY 1
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("growth_accounting", q_growth_accounting, _SQL_GROWTH)
+_register("interrupted_ts", q_interrupted_ts, _SQL_INTERRUPTED)
 _register("session_concurrency", q_session_concurrency,
           _SQL_SESSION_CONCURRENCY)
 _register("abc_analysis", q_abc_analysis, _SQL_ABC)
