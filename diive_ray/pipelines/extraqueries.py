@@ -7741,7 +7741,54 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------- user co-activity components
+
+
+def q_user_hour_components(sf_dir: str):
+    """Connected components of the user co-activity graph ('users
+    active in the same hour are linked') WITHOUT materializing user
+    pairs: the bipartite user-hour graph has identical user
+    connectivity, and its edge count is the activity row count — the
+    standard trick that sidesteps the hot-bucket pairwise blowup
+    (C(users-in-hour, 2)). Components via the engine's distributed
+    min-label propagation (stages/dedup.py:connected_components, the
+    near-dup machinery reused as a graph primitive). Rows-only;
+    two-clique pins in pytest."""
+    from ..stages.dedup import connected_components
+    from ..util import ts_to_us
+
+    OFFSET = 1 << 40
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        h = ts_to_us(df["ts"]) // 3_600_000_000
+        d = pd.DataFrame({"id_a": df["user_id"].to_numpy(np.int64),
+                          "id_b": (h + OFFSET).astype(np.int64)})
+        return d.drop_duplicates()     # CC tolerates repeated edges
+
+    cc = connected_components(ev.map_batches(edges,
+                                             batch_format="pandas"))
+    lab = cc.to_pandas()
+    users = lab[lab["node"] < OFFSET]
+    sizes = users.groupby("label")["node"].nunique().sort_values(
+        ascending=False)
+    out = pd.DataFrame([{
+        "n_users": int(users["node"].nunique()),
+        "n_components": int(len(sizes)),
+        "giant_size": int(sizes.iloc[0]) if len(sizes) else 0,
+        "second_size": int(sizes.iloc[1]) if len(sizes) > 1 else 0,
+        "giant_frac": float(sizes.iloc[0] / users["node"].nunique())
+        if len(sizes) else 0.0,
+    }])
+    for c in ("n_users", "n_components", "giant_size", "second_size"):
+        out[c] = out[c].astype("int64")
+    out["giant_frac"] = stable_round6(out["giant_frac"].astype(float))
+    return out
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("user_hour_components", q_user_hour_components)
 _register("growth_accounting", q_growth_accounting, _SQL_GROWTH)
 _register("interrupted_ts", q_interrupted_ts, _SQL_INTERRUPTED)
 _register("session_concurrency", q_session_concurrency,

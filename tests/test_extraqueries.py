@@ -1010,3 +1010,23 @@ def test_mtld_higher_for_more_diverse_text():
     rich = [f"w{i}" for i in rng.integers(0, 500, 1000)]
     poor = [f"w{i}" for i in rng.integers(0, 5, 1000)]
     assert mtld_kernel(rich) > 3 * mtld_kernel(poor)
+
+
+# ------------------------------------------------- bipartite components
+
+
+def test_bipartite_components_two_cliques(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from diive_ray.stages.dedup import connected_components
+    OFFSET = 1 << 40
+    # users 1-3 share hour A; users 10-12 share hour B: 2 components
+    edges = pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 11, 12],
+        "id_b": [OFFSET + 1] * 3 + [OFFSET + 2] * 3,
+    })
+    lab = connected_components(rd.from_pandas(edges)).to_pandas()
+    users = lab[lab["node"] < OFFSET]
+    comps = users.groupby("label")["node"].apply(set).tolist()
+    assert sorted(map(len, comps)) == [3, 3]
+    assert {1, 2, 3} in comps and {10, 11, 12} in comps
