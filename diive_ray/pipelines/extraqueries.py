@@ -7787,7 +7787,156 @@ def q_user_hour_components(sf_dir: str):
     return out
 
 
+# --------------------------------------------------------- VaR backtest
+
+
+def q_var_backtest(sf_dir: str):
+    """VaR backtesting battery per event_type: violations of the
+    expected_shortfall query's VaR95 level in (ts, event_id) stream
+    order, scored with the two standard likelihood-ratio tests —
+    Kupiec (1995) proportion-of-failures LR_pof against the nominal
+    5%, and Christoffersen (1998) independence LR_ind from the
+    violation transition counts (clustered violations fail it even at
+    the right rate). All terms are counts and logs of count ratios,
+    so the battery replays exactly; the VaR level itself is the same
+    rank statistic as expected_shortfall."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "event_id",
+                                  "value"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            v = g["value"].to_numpy(np.float64)
+            ids = g["event_id"].to_numpy(np.int64)
+            n = len(v)
+            r = int(np.floor(0.95 * n))
+            order = np.lexsort((ids, v))
+            bv, bid = v[order[r]], ids[order[r]]
+            viol = ((v > bv) | ((v == bv) & (ids >= bid))).astype(
+                np.int64)
+            x = int(viol.sum())
+            p = 0.05
+            phat = x / n
+            lr_pof = -2.0 * (x * np.log(p) + (n - x) * np.log(1 - p)
+                             - x * np.log(phat)
+                             - (n - x) * np.log(1 - phat)) \
+                if 0 < x < n else 0.0
+            a, b = viol[:-1], viol[1:]
+            n00 = int(((a == 0) & (b == 0)).sum())
+            n01 = int(((a == 0) & (b == 1)).sum())
+            n10 = int(((a == 1) & (b == 0)).sum())
+            n11 = int(((a == 1) & (b == 1)).sum())
+            pi = (n01 + n11) / (n - 1)
+            pi0 = n01 / (n00 + n01) if n00 + n01 else 0.0
+            pi1 = n11 / (n10 + n11) if n10 + n11 else 0.0
+
+            def _l(k, q):
+                return k * np.log(q) if k > 0 and q > 0 else 0.0
+
+            lr_ind = -2.0 * (_l(n00 + n10, 1 - pi) + _l(n01 + n11, pi)
+                             - _l(n00, 1 - pi0) - _l(n01, pi0)
+                             - _l(n10, 1 - pi1) - _l(n11, pi1))
+            rows.append({"event_type": et, "n": n, "n_violations": x,
+                         "viol_rate": phat, "lr_pof": lr_pof,
+                         "lr_ind": lr_ind,
+                         "n01": n01, "n11": n11})
+        cols = {"event_type": object, "n": np.int64,
+                "n_violations": np.int64, "viol_rate": np.float64,
+                "lr_pof": np.float64, "lr_ind": np.float64,
+                "n01": np.int64, "n11": np.int64}
+        if not rows:
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return pd.DataFrame(rows)
+
+    out = block_map(ev, ["event_type"], per_type,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas()
+    for c in ("n", "n_violations", "n01", "n11"):
+        out[c] = out[c].astype("int64")
+    for c in ("viol_rate", "lr_pof", "lr_ind"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_VAR_BACKTEST = """
+WITH r AS (
+  SELECT event_type, value, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+thresh AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         MIN(CASE WHEN rk = FLOOR(0.95 * n) THEN value END) AS bv,
+         MIN(CASE WHEN rk = FLOOR(0.95 * n) THEN event_id END) AS bid
+  FROM r GROUP BY 1
+),
+viol AS (
+  SELECT r.event_type, r.ts, r.event_id, t.n,
+         CASE WHEN r.value > t.bv
+              OR (r.value = t.bv AND r.event_id >= t.bid)
+              THEN 1 ELSE 0 END AS v
+  FROM r JOIN thresh t USING (event_type)
+),
+seq AS (
+  SELECT event_type, n, v,
+         LAG(v) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) AS pv
+  FROM viol
+),
+cnt AS (
+  SELECT event_type, ANY_VALUE(n) AS n, SUM(v) AS x,
+         SUM(CASE WHEN pv = 0 AND v = 0 THEN 1 ELSE 0 END) AS n00,
+         SUM(CASE WHEN pv = 0 AND v = 1 THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN pv = 1 AND v = 0 THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN pv = 1 AND v = 1 THEN 1 ELSE 0 END) AS n11
+  FROM seq GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n, x, n00, n01, n10, n11,
+         x::DOUBLE / n AS phat,
+         (n01 + n11)::DOUBLE / (n - 1) AS pi,
+         CASE WHEN n00 + n01 > 0
+              THEN n01::DOUBLE / (n00 + n01) ELSE 0 END AS pi0,
+         CASE WHEN n10 + n11 > 0
+              THEN n11::DOUBLE / (n10 + n11) ELSE 0 END AS pi1
+  FROM cnt
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(x AS BIGINT) AS n_violations,
+       ROUND(ROUND(phat, 9), 6) AS viol_rate,
+       ROUND(ROUND(CASE WHEN x > 0 AND x < n THEN
+           -2.0 * (x * LN(0.05) + (n - x) * LN(0.95)
+                   - x * LN(phat) - (n - x) * LN(1 - phat))
+           ELSE 0.0 END, 9), 6) AS lr_pof,
+       ROUND(ROUND(
+           -2.0 * ((CASE WHEN n00 + n10 > 0 AND 1 - pi > 0
+                    THEN (n00 + n10) * LN(1 - pi) ELSE 0 END)
+                   + (CASE WHEN n01 + n11 > 0 AND pi > 0
+                      THEN (n01 + n11) * LN(pi) ELSE 0 END)
+                   - (CASE WHEN n00 > 0 AND 1 - pi0 > 0
+                      THEN n00 * LN(1 - pi0) ELSE 0 END)
+                   - (CASE WHEN n01 > 0 AND pi0 > 0
+                      THEN n01 * LN(pi0) ELSE 0 END)
+                   - (CASE WHEN n10 > 0 AND 1 - pi1 > 0
+                      THEN n10 * LN(1 - pi1) ELSE 0 END)
+                   - (CASE WHEN n11 > 0 AND pi1 > 0
+                      THEN n11 * LN(pi1) ELSE 0 END)), 9), 6)
+           AS lr_ind,
+       CAST(n01 AS BIGINT) AS n01, CAST(n11 AS BIGINT) AS n11
+FROM calc
+ORDER BY event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("var_backtest", q_var_backtest, _SQL_VAR_BACKTEST)
 _register("user_hour_components", q_user_hour_components)
 _register("growth_accounting", q_growth_accounting, _SQL_GROWTH)
 _register("interrupted_ts", q_interrupted_ts, _SQL_INTERRUPTED)
