@@ -7935,7 +7935,184 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------- Weibull fit
+
+
+def q_weibull_fit(sf_dir: str):
+    """Weibull probability-plot fit (the reliability-engineering
+    staple) of uncensored time-to-return durations (the kaplan_meier
+    event set): median-rank plotting positions (Bernard's
+    F_i = (i - 0.3)/(n + 0.4)), OLS of ln(-ln(1 - F)) on ln(t) gives
+    shape k (slope) and scale lambda = exp(-intercept / k); k < 1
+    means bursty returns (decreasing hazard), k = 1 memoryless. Rank
+    positions and the regression replay exactly."""
+    from ..stages.exchange import block_map
+    from ..util import ts_to_us
+
+    horizon_h = 24.0
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts"])
+        return s.groupby("user_id", sort=False).head(2)[["user_id", "ts"]]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = two_smallest(df)
+        s = s.assign(r=s.groupby("user_id", sort=False).cumcount())
+        p = s.pivot(index="user_id", columns="r", values="ts")
+        return pd.DataFrame({
+            "user_id": p.index.to_numpy(),
+            "t1": p[0].to_numpy(),
+            "t2": (p[1] if 1 in p.columns else pd.Series(
+                pd.NaT, index=p.index)).to_numpy(),
+        })
+
+    users = block_map(
+        ev.map_batches(two_smallest, batch_format="pandas"),
+        ["user_id"], finish,
+        batch_format="pandas", zero_copy_batch=False, validate=False,
+    ).to_pandas()
+    t1 = ts_to_us(users["t1"]).astype(np.float64)
+    has2 = users["t2"].notna().to_numpy()
+    t2 = np.where(has2, ts_to_us(users["t2"].fillna(users["t1"])), np.nan)
+    dur = (t2 - t1) / 3.6e9
+    uid = users["user_id"].to_numpy(np.int64)
+    keep = has2 & (dur <= horizon_h) & (dur > 0)
+    d, uid = dur[keep], uid[keep]
+    order = np.lexsort((uid, d))
+    d = d[order]
+    n = len(d)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    F = (i - 0.3) / (n + 0.4)
+    x = np.log(d)
+    y = np.log(-np.log(1.0 - F))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    k = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    b0 = (sy - k * sx) / n
+    lam = float(np.exp(-b0 / k))
+    out = pd.DataFrame([{
+        "n": n, "shape_k": float(k), "scale_h": lam,
+        "decreasing_hazard": bool(k < 1.0),
+    }])
+    out["n"] = out["n"].astype("int64")
+    for c in ("shape_k", "scale_h"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_WEIBULL = """
+WITH ranked AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS r
+  FROM events
+),
+u AS (
+  SELECT a.user_id, a.ts AS t1, b.ts AS t2
+  FROM ranked a LEFT JOIN ranked b
+    ON b.user_id = a.user_id AND b.r = 2
+  WHERE a.r = 1
+),
+dur AS (
+  SELECT user_id, epoch_us(t2 - t1)::DOUBLE / 3.6e9 AS d
+  FROM u
+  WHERE t2 IS NOT NULL
+    AND epoch_us(t2 - t1)::DOUBLE / 3.6e9 <= 24.0
+    AND epoch_us(t2 - t1) > 0
+),
+rk AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, user_id)::DOUBLE AS i,
+         COUNT(*) OVER ()::DOUBLE AS n
+  FROM dur
+),
+xy AS (
+  SELECT n, LN(d) AS x,
+         LN(-LN(1.0 - (i - 0.3) / (n + 0.4))) AS y
+  FROM rk
+),
+mom AS (
+  SELECT ANY_VALUE(n) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 9), 6)
+           AS shape_k,
+       ROUND(ROUND(EXP(-((sy - (sxy - sx * sy / n)
+                          / (sxx - sx * sx / n) * sx) / n)
+             / ((sxy - sx * sy / n) / (sxx - sx * sx / n))), 9), 6)
+           AS scale_h,
+       (sxy - sx * sy / n) / (sxx - sx * sx / n) < 1.0
+           AS decreasing_hazard
+FROM mom
+"""
+
+
+# ------------------------------------------------------ turning points
+
+
+def q_turning_points(sf_dir: str):
+    """Turning-points randomness test per event_type on the 6dp hourly
+    means: observed local extrema vs the iid expectation
+    2(n - 2)/3 with variance (16n - 29)/90 (Kendall); |z| > 1.96
+    flags serial structure — the cheapest distinct sibling of the
+    runs test. Exact window replay (strict inequalities; plateau
+    points are not turning points on either side)."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        n = len(m)
+        if n < 10:
+            continue
+        a, b, c = m[:-2], m[1:-1], m[2:]
+        tp = int((((b > a) & (b > c)) | ((b < a) & (b < c))).sum())
+        mu = 2.0 * (n - 2) / 3.0
+        var = (16.0 * n - 29.0) / 90.0
+        z = (tp - mu) / np.sqrt(var)
+        rows.append({"event_type": key, "n": n, "n_turning": tp,
+                     "expected": mu, "z": float(z),
+                     "nonrandom": bool(abs(z) > 1.959964)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["n_turning"] = out["n_turning"].astype("int64")
+    for c in ("expected", "z"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TURNING = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         LAG(m) OVER w AS prev, LEAD(m) OVER w AS nxt,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bts)
+),
+tp AS (
+  SELECT event_type, ANY_VALUE(n) AS n,
+         SUM(CASE WHEN (m > prev AND m > nxt)
+                  OR (m < prev AND m < nxt) THEN 1 ELSE 0 END) AS t
+  FROM pos WHERE prev IS NOT NULL AND nxt IS NOT NULL
+  GROUP BY 1 HAVING ANY_VALUE(n) >= 10
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(t AS BIGINT) AS n_turning,
+       ROUND(ROUND(2.0 * (n - 2) / 3.0, 9), 6) AS expected,
+       ROUND(ROUND((t - 2.0 * (n - 2) / 3.0)
+             / SQRT((16.0 * n - 29.0) / 90.0), 9), 6) AS z,
+       ABS(ROUND(ROUND((t - 2.0 * (n - 2) / 3.0)
+             / SQRT((16.0 * n - 29.0) / 90.0), 9), 6)) > 1.959964
+           AS nonrandom
+FROM tp
+ORDER BY event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("weibull_fit", q_weibull_fit, _SQL_WEIBULL)
+_register("turning_points", q_turning_points, _SQL_TURNING)
 _register("var_backtest", q_var_backtest, _SQL_VAR_BACKTEST)
 _register("user_hour_components", q_user_hour_components)
 _register("growth_accounting", q_growth_accounting, _SQL_GROWTH)
