@@ -8110,7 +8110,179 @@ ORDER BY event_type
 """
 
 
+# ----------------------------------------------------- Huber regression
+
+
+def huber_irls_kernel(x: np.ndarray, y: np.ndarray, k: float = 1.345,
+                      n_iter: int = 30) -> dict[str, float]:
+    """Huber M-estimation of a line by IRLS (weights min(1, k/|r/s|),
+    scale s = MAD/0.6745 re-estimated per iteration) — the classic
+    robust regression between OLS and Theil-Sen in breakdown/efficiency
+    (95% Gaussian efficiency at k = 1.345)."""
+    b0, b1 = 0.0, 0.0
+    n = float(len(x))
+    mx = x.sum() / n
+    my = y.sum() / n
+    sxx = ((x - mx) ** 2).sum()
+    b1 = ((x - mx) * (y - my)).sum() / sxx
+    b0 = my - b1 * mx
+    for _ in range(n_iter):
+        r = y - b0 - b1 * x
+        s = np.median(np.abs(r - np.median(r))) / 0.6745
+        if s <= 0:
+            break
+        w = np.minimum(1.0, k / np.abs(r / s + 1e-300))
+        sw = w.sum()
+        mxw = (w * x).sum() / sw
+        myw = (w * y).sum() / sw
+        b1 = ((w * (x - mxw) * (y - myw)).sum()
+              / (w * (x - mxw) ** 2).sum())
+        b0 = myw - b1 * mxw
+    return {"slope": float(b1), "intercept": float(b0)}
+
+
+def q_huber_regression(sf_dir: str):
+    """Huber IRLS robust trend per event_type on the 6dp hourly means
+    (positional regressor) — the M-estimation member of the trend
+    family (OLS linear_regression / median-based theil_sen / this).
+    Rows-only (iterative reweighting); contamination-resistance and
+    clean-data OLS-agreement pins."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        if len(m) < 30:
+            continue
+        x = np.arange(len(m), dtype=np.float64)
+        rows.append({"event_type": key, "n": len(m),
+                     **huber_irls_kernel(x, m)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("slope", "intercept"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# -------------------------------------------------------- rank distances
+
+
+def q_rank_distances(sf_dir: str):
+    """Classical rank-distance battery between the first/second-half
+    vocabulary rankings (the rank_rbo split): Spearman footrule
+    (sum |rank difference|) and the Kendall tau (bubble-sort) distance
+    over the words common to both top-20 lists, each with its maximum
+    for normalization — the non-top-weighted complements of RBO."""
+    from ..stages.exchange import driver_combine
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    mid_info = driver_combine(
+        docs, lambda t: pd.DataFrame({"mx": [int(pc.max(t["doc_id"]
+                                                        ).as_py())]}),
+        lambda df: pd.DataFrame({"mx": [df["mx"].max()]}),
+        batch_format="pyarrow",
+    )
+    mid = int(mid_info["mx"][0]) // 2
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        did = np.repeat(t["doc_id"].to_pandas().to_numpy(np.int64), lens)
+        keep = flat != ""
+        return pd.DataFrame({
+            "half": (did[keep] > mid).astype(np.int64),
+            "word": flat[keep]}).groupby(["half", "word"],
+                                         as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cnt = driver_combine(
+        docs, partial,
+        lambda df: df.groupby(["half", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pyarrow",
+    )
+
+    def ranks(h):
+        g = cnt[cnt["half"] == h].sort_values(
+            ["n", "word"], ascending=[False, True]).head(20)
+        return {w: i + 1 for i, w in enumerate(g["word"])}
+
+    ra, rb = ranks(0), ranks(1)
+    common = sorted(set(ra) & set(rb))
+    m = len(common)
+    fa = np.array([ra[w] for w in common], dtype=np.int64)
+    fb = np.array([rb[w] for w in common], dtype=np.int64)
+    footrule = int(np.abs(fa - fb).sum())
+    disc = 0
+    for i in range(m):
+        for j in range(i + 1, m):
+            if (fa[i] - fa[j]) * (fb[i] - fb[j]) < 0:
+                disc += 1
+    max_foot = (m * m) // 2
+    max_kendall = m * (m - 1) // 2
+    out = pd.DataFrame([{
+        "n_common": m,
+        "footrule": footrule,
+        "footrule_norm": footrule / max_foot if max_foot else 0.0,
+        "kendall_disc": disc,
+        "kendall_norm": disc / max_kendall if max_kendall else 0.0,
+    }])
+    for c in ("n_common", "footrule", "kendall_disc"):
+        out[c] = out[c].astype("int64")
+    for c in ("footrule_norm", "kendall_norm"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_RANK_DISTANCES = r"""
+WITH mx AS (SELECT MAX(doc_id) // 2 AS mid FROM documents),
+words AS (
+  SELECT CASE WHEN doc_id > (SELECT mid FROM mx) THEN 1 ELSE 0 END
+             AS half,
+         w AS word
+  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+cnt AS (SELECT half, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+rk AS (
+  SELECT half, word,
+         ROW_NUMBER() OVER (PARTITION BY half
+                            ORDER BY n DESC, word ASC) AS r
+  FROM cnt
+),
+ta AS (SELECT word, r FROM rk WHERE half = 0 AND r <= 20),
+tb AS (SELECT word, r FROM rk WHERE half = 1 AND r <= 20),
+common AS (
+  SELECT ta.word, ta.r AS ra, tb.r AS rb
+  FROM ta JOIN tb USING (word)
+),
+m AS (SELECT COUNT(*)::BIGINT AS m FROM common),
+foot AS (SELECT SUM(ABS(ra - rb)) AS f FROM common),
+kend AS (
+  SELECT COUNT(*) AS d
+  FROM common a JOIN common b ON a.word < b.word
+  WHERE (a.ra - b.ra) * (a.rb - b.rb) < 0
+)
+SELECT m.m AS n_common,
+       CAST(foot.f AS BIGINT) AS footrule,
+       ROUND(ROUND(foot.f::DOUBLE / ((m.m * m.m) // 2), 9), 6)
+           AS footrule_norm,
+       CAST(kend.d AS BIGINT) AS kendall_disc,
+       ROUND(ROUND(kend.d::DOUBLE / (m.m * (m.m - 1) / 2), 9), 6)
+           AS kendall_norm
+FROM m CROSS JOIN foot CROSS JOIN kend
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("huber_regression", q_huber_regression)
+_register("rank_distances", q_rank_distances, _SQL_RANK_DISTANCES)
 _register("weibull_fit", q_weibull_fit, _SQL_WEIBULL)
 _register("turning_points", q_turning_points, _SQL_TURNING)
 _register("var_backtest", q_var_backtest, _SQL_VAR_BACKTEST)

@@ -1030,3 +1030,29 @@ def test_bipartite_components_two_cliques(ray_session):
     comps = users.groupby("label")["node"].apply(set).tolist()
     assert sorted(map(len, comps)) == [3, 3]
     assert {1, 2, 3} in comps and {10, 11, 12} in comps
+
+
+# -------------------------------------------------------------- Huber
+
+
+def test_huber_matches_ols_on_clean_data():
+    from diive_ray.pipelines.extraqueries import huber_irls_kernel
+    rng = _rng(211)
+    x = np.arange(500, dtype=float)
+    y = 0.8 * x + 4.0 + rng.normal(0, 0.5, 500)
+    r = huber_irls_kernel(x, y)
+    assert abs(r["slope"] - 0.8) < 0.01
+    assert abs(r["intercept"] - 4.0) < 0.5
+
+
+def test_huber_resists_contamination_ols_fails():
+    from diive_ray.pipelines.extraqueries import huber_irls_kernel
+    rng = _rng(223)
+    n = 500
+    x = np.arange(n, dtype=float)
+    y = 0.8 * x + 4.0 + rng.normal(0, 0.5, n)
+    y[-n // 10:] += 500.0                      # one-sided tail shift
+    r = huber_irls_kernel(x, y)
+    ols = np.polyfit(x, y, 1)[0]
+    assert abs(r["slope"] - 0.8) < 0.05
+    assert abs(ols - 0.8) > 0.3
