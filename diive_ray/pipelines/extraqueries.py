@@ -8280,7 +8280,119 @@ FROM m CROSS JOIN foot CROSS JOIN kend
 """
 
 
+# ---------------------------------------------------------------- IPW
+
+
+def q_ipw_ate(sf_dir: str):
+    """Inverse-propensity-weighted (Horvitz-Thompson / Hájek) average
+    treatment effect of the parity arm on user spend, with a
+    CLOSED-FORM propensity (logistic of the 6dp-shared z-scored user
+    event count — deliberately simple so the whole estimator is an
+    exact oracle): ATE_hat = Hájek-weighted treated mean - control
+    mean, next to the naive difference — the causal-inference
+    completion of the DiD / CUPED / Fisher family. User aggregates
+    from ONE keyed exchange; propensity moments are decomposable."""
+    from ..stages.exchange import block_map, driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                y=("value", "sum"), n=("value", "size")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            y=("y", "sum"), n=("n", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    ).materialize()
+    mom = driver_combine(
+        users,
+        lambda df: pd.DataFrame({
+            "s": [float(df["n"].sum())],
+            "ss": [float((df["n"].astype(np.float64) ** 2).sum())],
+            "k": [len(df)]}),
+        lambda df: pd.DataFrame({"s": [df["s"].sum()],
+                                 "ss": [df["ss"].sum()],
+                                 "k": [df["k"].sum()]}),
+        batch_format="pandas",
+    )
+    k = float(mom["k"][0])
+    mu = float(mom["s"][0]) / k
+    sd = np.sqrt(float(mom["ss"][0]) / k - mu * mu)
+    mu6 = float(stable_round6(np.array([mu]))[0])
+    sd6 = float(stable_round6(np.array([sd]))[0])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["user_id"].to_numpy(np.int64) % 2).astype(np.float64)
+        z = (df["n"].to_numpy(np.float64) - mu6) / sd6
+        e = 1.0 / (1.0 + np.exp(-z))
+        y = df["y"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "wt_y": [(t * y / e).sum()], "wt": [(t / e).sum()],
+            "wc_y": [((1 - t) * y / (1 - e)).sum()],
+            "wc": [((1 - t) / (1 - e)).sum()],
+            "ty": [(t * y).sum()], "tn": [t.sum()],
+            "cy": [((1 - t) * y).sum()], "cn": [(1 - t).sum()],
+        })
+
+    s = driver_combine(
+        users, partial,
+        lambda df: pd.DataFrame({c: [df[c].sum()] for c in df.columns}),
+        batch_format="pandas",
+    )
+    ate_ipw = (float(s["wt_y"][0]) / float(s["wt"][0])
+               - float(s["wc_y"][0]) / float(s["wc"][0]))
+    ate_naive = (float(s["ty"][0]) / float(s["tn"][0])
+                 - float(s["cy"][0]) / float(s["cn"][0]))
+    out = pd.DataFrame([{
+        "n_treated": int(s["tn"][0]), "n_control": int(s["cn"][0]),
+        "ate_ipw": ate_ipw, "ate_naive": ate_naive,
+    }])
+    out["n_treated"] = out["n_treated"].astype("int64")
+    out["n_control"] = out["n_control"].astype("int64")
+    for c in ("ate_ipw", "ate_naive"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_IPW = """
+WITH u AS (
+  SELECT user_id, SUM(value) AS y, COUNT(*)::DOUBLE AS n
+  FROM events GROUP BY 1
+),
+mom AS (
+  SELECT AVG(n) AS mu,
+         SQRT(AVG(n * n) - AVG(n) * AVG(n)) AS sd
+  FROM u
+),
+m6 AS (
+  SELECT ROUND(ROUND(mu, 9), 6) AS mu6, ROUND(ROUND(sd, 9), 6) AS sd6
+  FROM mom
+),
+w AS (
+  SELECT (u.user_id % 2)::DOUBLE AS t, u.y,
+         1.0 / (1.0 + EXP(-((u.n - m6.mu6) / m6.sd6))) AS e
+  FROM u CROSS JOIN m6
+),
+agg AS (
+  SELECT SUM(t * y / e) AS wt_y, SUM(t / e) AS wt,
+         SUM((1 - t) * y / (1 - e)) AS wc_y,
+         SUM((1 - t) / (1 - e)) AS wc,
+         SUM(t * y) AS ty, SUM(t) AS tn,
+         SUM((1 - t) * y) AS cy, SUM(1 - t) AS cn
+  FROM w
+)
+SELECT CAST(tn AS BIGINT) AS n_treated,
+       CAST(cn AS BIGINT) AS n_control,
+       ROUND(ROUND(wt_y / wt - wc_y / wc, 9), 6) AS ate_ipw,
+       ROUND(ROUND(ty / tn - cy / cn, 9), 6) AS ate_naive
+FROM agg
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("ipw_ate", q_ipw_ate, _SQL_IPW)
 _register("huber_regression", q_huber_regression)
 _register("rank_distances", q_rank_distances, _SQL_RANK_DISTANCES)
 _register("weibull_fit", q_weibull_fit, _SQL_WEIBULL)
