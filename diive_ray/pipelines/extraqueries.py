@@ -8391,7 +8391,201 @@ FROM agg
 """
 
 
+# -------------------------------------------------- word collocations
+
+
+def q_word_collocations(sf_dir: str):
+    """Collocation extraction by word-pair PMI (Church & Hanks 1990's
+    original use): P over documents (distinct-word doc sets), pairs
+    with >= 5 co-occurring docs ranked by PMI (DESC, pair ASC), top
+    20. Per-doc distinct pairs are bounded by the doc's vocab; counts
+    move through ONE pair-keyed exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import block_map, driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        did = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = flat != ""
+        d = pd.DataFrame({"d": did[keep], "w": flat[keep]}
+                         ).drop_duplicates()
+        m = d.merge(d, on="d")
+        m = m[m["w_x"] < m["w_y"]]
+        out = m.groupby(["w_x", "w_y"], as_index=False).size().rename(
+            columns={"size": "n"})
+        singles = d.groupby("w", as_index=False).size().rename(
+            columns={"size": "n", "w": "w_x"})
+        singles["w_y"] = "\x00"
+        nd = pd.DataFrame({"w_x": ["\x00docs"], "w_y": ["\x00"],
+                           "n": [d["d"].nunique()]})
+        return pd.concat([out, singles, nd], ignore_index=True)
+
+    cnt = block_map(
+        docs.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w_x", "w_y"],
+        lambda df: df.groupby(["w_x", "w_y"], as_index=False)["n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    n_docs = int(cnt.loc[cnt["w_x"] == "\x00docs", "n"].sum())
+    singles = cnt[(cnt["w_y"] == "\x00") & (cnt["w_x"] != "\x00docs")]
+    df_w = dict(zip(singles["w_x"], singles["n"]))
+    p = cnt[(cnt["w_y"] != "\x00")].copy()
+    p = p[p["n"] >= 5]
+    pa_ = p["w_x"].map(df_w).astype(float) / n_docs
+    pb_ = p["w_y"].map(df_w).astype(float) / n_docs
+    pab = p["n"].astype(float) / n_docs
+    p["pmi"] = stable_round6(np.log(pab / (pa_ * pb_)))
+    p = p.sort_values(["pmi", "w_x", "w_y"],
+                      ascending=[False, True, True]).head(20)
+    out = p.rename(columns={"w_x": "word_a", "w_y": "word_b",
+                            "n": "n_docs_both"})
+    out["n_docs_both"] = out["n_docs_both"].astype("int64")
+    return out[["word_a", "word_b", "n_docs_both", "pmi"]].reset_index(
+        drop=True)
+
+
+_SQL_COLLOCATIONS = r"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, w AS word FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM dw),
+s AS (SELECT word, COUNT(*) AS df FROM dw GROUP BY 1),
+p AS (
+  SELECT a.word AS word_a, b.word AS word_b, COUNT(*) AS n_both
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.word_a, p.word_b, CAST(p.n_both AS BIGINT) AS n_docs_both,
+       ROUND(ROUND(LN((p.n_both / nd.n)
+             / ((sa.df / nd.n) * (sb.df / nd.n))), 9), 6) AS pmi
+FROM p
+CROSS JOIN nd
+JOIN s sa ON sa.word = p.word_a
+JOIN s sb ON sb.word = p.word_b
+ORDER BY pmi DESC, word_a ASC, word_b ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------- novelty curve
+
+
+def q_doc_novelty_curve(sf_dir: str):
+    """Bigram novelty curve over corpus order: each doc's share of
+    distinct bigrams whose FIRST corpus occurrence (min doc_id) is
+    that doc — the saturation signature of synthetic/templated
+    corpora and the memorization-risk screen for training order.
+    First occurrences are decomposable MIN over ONE bigram-keyed
+    exchange; reported per doc_id decile."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import block_map
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def bigrams(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        did = np.repeat(t["doc_id"].to_pandas().to_numpy(np.int64), lens)
+        keep = flat != ""
+        flat, did = flat[keep], did[keep]
+        same = did[1:] == did[:-1]
+        bg = np.array([a + " " + b for a, b
+                       in zip(flat[:-1][same], flat[1:][same])],
+                      dtype=object)
+        d = pd.DataFrame({"doc_id": did[:-1][same], "bg": bg}
+                         ).drop_duplicates()
+        return d
+
+    per_bg = block_map(
+        docs.map_batches(bigrams, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bg"],
+        lambda df: df.groupby("bg", as_index=False).agg(
+            first_doc=("doc_id", "min"), n_docs=("doc_id", "nunique")),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    # per-doc distinct bigram counts + novel counts need the per-doc
+    # sets again: second bounded pass joining first_doc
+    all_dw = block_map(
+        docs.map_batches(bigrams, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bg"],
+        lambda df: df.drop_duplicates(["doc_id", "bg"]),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    merged = all_dw.merge(per_bg[["bg", "first_doc"]], on="bg")
+    merged["novel"] = (merged["doc_id"] == merged["first_doc"]).astype(
+        np.int64)
+    per_doc = merged.groupby("doc_id", as_index=False).agg(
+        n_bg=("bg", "size"), n_novel=("novel", "sum"))
+    mx = int(per_doc["doc_id"].max())
+    dec = np.minimum(per_doc["doc_id"] * 10 // (mx + 1), 9).astype(
+        np.int64)
+    per_doc["decile"] = dec
+    g = per_doc.groupby("decile", as_index=False).agg(
+        n_docs=("doc_id", "size"), n_bg=("n_bg", "sum"),
+        n_novel=("n_novel", "sum"))
+    g["novelty"] = stable_round6(g["n_novel"] / g["n_bg"])
+    for c in ("decile", "n_docs", "n_bg", "n_novel"):
+        g[c] = g[c].astype("int64")
+    return g.sort_values("decile").reset_index(drop=True)
+
+
+_SQL_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] AS bg
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(
+      1, len(ws) - 1)) AS i) g
+  WHERE len(ws) >= 2
+),
+fd AS (SELECT bg, MIN(doc_id) AS first_doc FROM bg GROUP BY 1),
+per_doc AS (
+  SELECT b.doc_id, COUNT(*) AS n_bg,
+         SUM(CASE WHEN b.doc_id = fd.first_doc THEN 1 ELSE 0 END)
+             AS n_novel
+  FROM bg b JOIN fd USING (bg)
+  GROUP BY 1
+),
+mx AS (SELECT MAX(doc_id) AS m FROM per_doc)
+SELECT CAST(LEAST(p.doc_id * 10 // (mx.m + 1), 9) AS BIGINT) AS decile,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(p.n_bg)::BIGINT AS n_bg,
+       SUM(p.n_novel)::BIGINT AS n_novel,
+       ROUND(ROUND(SUM(p.n_novel)::DOUBLE / SUM(p.n_bg), 9), 6)
+           AS novelty
+FROM per_doc p CROSS JOIN mx
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("word_collocations", q_word_collocations, _SQL_COLLOCATIONS)
+_register("doc_novelty_curve", q_doc_novelty_curve, _SQL_NOVELTY)
 _register("ipw_ate", q_ipw_ate, _SQL_IPW)
 _register("huber_regression", q_huber_regression)
 _register("rank_distances", q_rank_distances, _SQL_RANK_DISTANCES)
