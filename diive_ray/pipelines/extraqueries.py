@@ -8583,7 +8583,198 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------- segmented regression
+
+
+def q_segmented_regression(sf_dir: str):
+    """Segmented (broken-stick) regression per event_type on the 6dp
+    hourly means: candidate breakpoints every 24 positions, two
+    independent OLS lines per candidate, SSE-argmin break (first
+    minimum on 6dp SSE) — the ESTIMATION companion to the Chow TEST
+    (which fixes the midpoint). Per-candidate SSE comes from closed
+    moment sums; the small candidate grid keeps the oracle's cross
+    join bounded."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        n = len(m)
+        if n < 96:
+            continue
+        x = np.arange(n, dtype=np.float64)
+
+        def sse(xs, ys):
+            k = float(len(xs))
+            sx, sy = xs.sum(), ys.sum()
+            sxx, sxy = (xs * xs).sum(), (xs * ys).sum()
+            syy = (ys * ys).sum()
+            b1 = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+            return (syy - sy * sy / k
+                    - b1 * (sxy - sx * sy / k)), b1
+
+        best = None
+        for c in range(48, n - 47, 24):
+            s1, b1 = sse(x[:c], m[:c])
+            s2, b2 = sse(x[c:], m[c:])
+            tot = float(stable_round6(np.array([s1 + s2]))[0])
+            if best is None or tot < best[0]:
+                best = (tot, c, b1, b2)
+        tot, c, b1, b2 = best
+        rows.append({"event_type": key, "n": n, "break_pos": c,
+                     "sse": tot, "slope_pre": float(b1),
+                     "slope_post": float(b2),
+                     "slope_change": float(b2 - b1)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["break_pos"] = out["break_pos"].astype("int64")
+    for c in ("sse", "slope_pre", "slope_post", "slope_change"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_SEGMENTED = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts)
+          - 1)::DOUBLE AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+cands AS (
+  SELECT p.event_type, ANY_VALUE(p.n) AS n, gs.c
+  FROM (SELECT event_type, ANY_VALUE(n) AS n FROM pos GROUP BY 1
+        HAVING ANY_VALUE(n) >= 96) p,
+       LATERAL (SELECT UNNEST(generate_series(
+           48, CAST(p.n AS BIGINT) - 48, 24)) AS c) gs
+  GROUP BY p.event_type, gs.c
+),
+seg AS (
+  SELECT c.event_type, c.n, c.c,
+         CASE WHEN p.i < c.c THEN 0 ELSE 1 END AS side,
+         p.i, p.m
+  FROM cands c JOIN pos p USING (event_type)
+),
+mom AS (
+  SELECT event_type, n, c, side, COUNT(*)::DOUBLE AS k,
+         SUM(i) AS sx, SUM(m) AS sy, SUM(i * i) AS sxx,
+         SUM(i * m) AS sxy, SUM(m * m) AS syy
+  FROM seg GROUP BY 1, 2, 3, 4
+),
+sse AS (
+  SELECT event_type, n, c, side,
+         (syy - sy * sy / k
+          - ((sxy - sx * sy / k) / (sxx - sx * sx / k))
+            * (sxy - sx * sy / k)) AS s,
+         (sxy - sx * sy / k) / (sxx - sx * sx / k) AS b
+  FROM mom
+),
+tot AS (
+  SELECT event_type, ANY_VALUE(n) AS n, c,
+         ROUND(ROUND(SUM(s), 9), 6) AS sse,
+         MAX(CASE WHEN side = 0 THEN b END) AS b_pre,
+         MAX(CASE WHEN side = 1 THEN b END) AS b_post
+  FROM sse GROUP BY event_type, c
+),
+best AS (
+  SELECT event_type, n, c, sse, b_pre, b_post,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY sse ASC, c ASC) AS r
+  FROM tot
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(c AS BIGINT) AS break_pos,
+       sse,
+       ROUND(ROUND(b_pre, 9), 6) AS slope_pre,
+       ROUND(ROUND(b_post, 9), 6) AS slope_post,
+       ROUND(ROUND(b_post - b_pre, 9), 6) AS slope_change
+FROM best WHERE r = 1
+ORDER BY event_type
+"""
+
+
+# -------------------------------------------------------- price indices
+
+
+def q_price_indices(sf_dir: str):
+    """Index-number battery (Laspeyres 1871 / Paasche 1874 / Fisher
+    ideal) for the month-midpoint split, with event types as the
+    'goods': price = mean value per type per period, quantity = event
+    count; L = sum p1 q0 / sum p0 q0, P = sum p1 q1 / sum p0 q1,
+    F = sqrt(L P) — the canonical level-shift aggregation with base-
+    vs current-period weights. All terms are ratio-of-bounded-sums."""
+    from ..stages.exchange import driver_combine
+
+    cut = pd.Timestamp("2024-01-16")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "post": (df["ts"] >= cut).astype(np.int64),
+            "v": df["value"],
+        }).groupby(["event_type", "post"], as_index=False).agg(
+            s=("v", "sum"), q=("v", "size"))
+
+    g = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "post"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  q=("q", "sum")),
+        batch_format="pandas",
+    )
+    piv = g.pivot_table(index="event_type", columns="post",
+                        values=["s", "q"], aggfunc="sum")
+    p0 = (piv[("s", 0)] / piv[("q", 0)]).to_numpy(np.float64)
+    p1 = (piv[("s", 1)] / piv[("q", 1)]).to_numpy(np.float64)
+    q0 = piv[("q", 0)].to_numpy(np.float64)
+    q1 = piv[("q", 1)].to_numpy(np.float64)
+    L = float((p1 * q0).sum() / (p0 * q0).sum())
+    P = float((p1 * q1).sum() / (p0 * q1).sum())
+    out = pd.DataFrame([{
+        "n_goods": len(p0),
+        "laspeyres": L, "paasche": P,
+        "fisher": float(np.sqrt(L * P)),
+    }])
+    out["n_goods"] = out["n_goods"].astype("int64")
+    for c in ("laspeyres", "paasche", "fisher"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_PRICE_INDICES = """
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+             AS post,
+         SUM(value) AS s, COUNT(*)::DOUBLE AS q
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type,
+         MAX(CASE WHEN post = 0 THEN s / q END) AS p0,
+         MAX(CASE WHEN post = 1 THEN s / q END) AS p1,
+         MAX(CASE WHEN post = 0 THEN q END) AS q0,
+         MAX(CASE WHEN post = 1 THEN q END) AS q1
+  FROM g GROUP BY 1
+),
+agg AS (
+  SELECT COUNT(*) AS n_goods,
+         SUM(p1 * q0) / SUM(p0 * q0) AS l,
+         SUM(p1 * q1) / SUM(p0 * q1) AS p
+  FROM w
+)
+SELECT CAST(n_goods AS BIGINT) AS n_goods,
+       ROUND(ROUND(l, 9), 6) AS laspeyres,
+       ROUND(ROUND(p, 9), 6) AS paasche,
+       ROUND(ROUND(SQRT(l * p), 9), 6) AS fisher
+FROM agg
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("segmented_regression", q_segmented_regression, _SQL_SEGMENTED)
+_register("price_indices", q_price_indices, _SQL_PRICE_INDICES)
 _register("word_collocations", q_word_collocations, _SQL_COLLOCATIONS)
 _register("doc_novelty_curve", q_doc_novelty_curve, _SQL_NOVELTY)
 _register("ipw_ate", q_ipw_ate, _SQL_IPW)
