@@ -8772,7 +8772,189 @@ FROM agg
 """
 
 
+# ---------------------------------------------- Oaxaca-Blinder
+
+
+def q_oaxaca_blinder(sf_dir: str):
+    """Oaxaca (1973) - Blinder (1973) decomposition of the arm gap in
+    mean user spend: with per-arm simple regressions of spend on
+    activity (event count), gap = explained (activity-mean difference
+    at arm-0 coefficients) + unexplained (coefficient difference at
+    arm-1 means) — the canonical wage-gap accounting applied to the
+    parity split. All terms are closed-form OLS moments, exact on
+    both sides."""
+    from ..stages.exchange import block_map, driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                y=("value", "sum"), n=("value", "size")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            y=("y", "sum"), n=("n", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["user_id"].to_numpy(np.int64) % 2)
+        x = df["n"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        out = []
+        for arm in (0, 1):
+            m_ = a == arm
+            out.append({"arm": arm, "k": int(m_.sum()),
+                        "sx": float(x[m_].sum()),
+                        "sy": float(y[m_].sum()),
+                        "sxx": float((x[m_] * x[m_]).sum()),
+                        "sxy": float((x[m_] * y[m_]).sum())})
+        return pd.DataFrame(out)
+
+    m = driver_combine(
+        users, mom,
+        lambda df: df.groupby("arm", as_index=False).sum(),
+        batch_format="pandas",
+    ).set_index("arm")
+
+    def fit(arm):
+        r = m.loc[arm]
+        k = float(r["k"])
+        b1 = ((r["sxy"] - r["sx"] * r["sy"] / k)
+              / (r["sxx"] - r["sx"] * r["sx"] / k))
+        b0 = (r["sy"] - b1 * r["sx"]) / k
+        return b0, b1, r["sx"] / k, r["sy"] / k
+
+    b0_0, b1_0, xbar0, ybar0 = fit(0)
+    b0_1, b1_1, xbar1, ybar1 = fit(1)
+    gap = ybar1 - ybar0
+    explained = b1_0 * (xbar1 - xbar0)
+    unexplained = (b0_1 - b0_0) + (b1_1 - b1_0) * xbar1
+    out = pd.DataFrame([{
+        "mean_y_a": ybar0, "mean_y_b": ybar1, "gap": gap,
+        "explained": explained, "unexplained": unexplained,
+        "explained_share": explained / gap if gap != 0 else 0.0,
+    }])
+    for c in out.columns:
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_OAXACA = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(value) AS y, COUNT(*)::DOUBLE AS x
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT arm, COUNT(*)::DOUBLE AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM u GROUP BY 1
+),
+fit AS (
+  SELECT arm, sx / k AS xbar, sy / k AS ybar,
+         (sxy - sx * sy / k) / (sxx - sx * sx / k) AS b1,
+         (sy - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx) / k
+             AS b0
+  FROM m
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN xbar END) AS xbar0,
+         MAX(CASE WHEN arm = 1 THEN xbar END) AS xbar1,
+         MAX(CASE WHEN arm = 0 THEN ybar END) AS ybar0,
+         MAX(CASE WHEN arm = 1 THEN ybar END) AS ybar1,
+         MAX(CASE WHEN arm = 0 THEN b0 END) AS b00,
+         MAX(CASE WHEN arm = 1 THEN b0 END) AS b01,
+         MAX(CASE WHEN arm = 0 THEN b1 END) AS b10,
+         MAX(CASE WHEN arm = 1 THEN b1 END) AS b11
+  FROM fit
+)
+SELECT ROUND(ROUND(ybar0, 9), 6) AS mean_y_a,
+       ROUND(ROUND(ybar1, 9), 6) AS mean_y_b,
+       ROUND(ROUND(ybar1 - ybar0, 9), 6) AS gap,
+       ROUND(ROUND(b10 * (xbar1 - xbar0), 9), 6) AS explained,
+       ROUND(ROUND((b01 - b00) + (b11 - b10) * xbar1, 9), 6)
+           AS unexplained,
+       ROUND(ROUND(CASE WHEN ybar1 - ybar0 <> 0
+           THEN b10 * (xbar1 - xbar0) / (ybar1 - ybar0)
+           ELSE 0.0 END, 9), 6) AS explained_share
+FROM w
+"""
+
+
+# ------------------------------------------------ Mincer-Zarnowitz
+
+
+def q_mincer_zarnowitz(sf_dir: str):
+    """Mincer-Zarnowitz (1969) forecast-rationality regression per
+    event_type: actual hourly mean regressed on the seasonal-naive
+    forecast (calendar value 24 h earlier); an unbiased efficient
+    forecast has intercept 0 and slope 1 — reported with the OLS
+    estimates and R². Calendar alignment by bucket self-join (missing
+    hours drop, same on both sides)."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        s = g.set_index("bucket_ts")["m"]
+        f = s.reindex(s.index - pd.Timedelta(hours=24))
+        mask = f.notna().to_numpy()
+        y = s.to_numpy(np.float64)[mask]
+        x = f.to_numpy(np.float64)[mask]
+        n = float(len(y))
+        if n < 48:
+            continue
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        syy = (y * y).sum()
+        b1 = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        b0 = (sy - b1 * sx) / n
+        ssr = b1 * b1 * (sxx - sx * sx / n)
+        sst = syy - sy * sy / n
+        rows.append({"event_type": key, "n": int(n),
+                     "intercept": b0, "slope": b1,
+                     "r2": ssr / sst})
+    if not rows:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            **{c: pd.Series([], dtype=np.float64)
+               for c in ("intercept", "slope", "r2")}})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("intercept", "slope", "r2"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_MZ = _HOURLY_CTE + """,
+j AS (
+  SELECT a.event_type, a.m AS y, b.m AS x
+  FROM hourly a
+  JOIN hourly b ON b.event_type = a.event_type
+               AND b.bts = a.bts - INTERVAL 24 HOUR
+),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM j GROUP BY 1 HAVING COUNT(*) >= 48
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                    * sx) / n, 9), 6) AS intercept,
+       ROUND(ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 9), 6)
+           AS slope,
+       ROUND(ROUND(((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * (sxx - sx * sx / n) / (syy - sy * sy / n), 9), 6) AS r2
+FROM mom
+ORDER BY event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("oaxaca_blinder", q_oaxaca_blinder, _SQL_OAXACA)
+_register("mincer_zarnowitz", q_mincer_zarnowitz, _SQL_MZ)
 _register("segmented_regression", q_segmented_regression, _SQL_SEGMENTED)
 _register("price_indices", q_price_indices, _SQL_PRICE_INDICES)
 _register("word_collocations", q_word_collocations, _SQL_COLLOCATIONS)
