@@ -8952,7 +8952,108 @@ ORDER BY event_type
 """
 
 
+# ------------------------------------- distribution distance battery
+
+
+def q_source_distribution_distances(sf_dir: str):
+    """Distribution-distance battery between per-source word
+    distributions for every source pair sharing the corpus vocab:
+    total variation (half L1), Hellinger, the Bhattacharyya
+    coefficient, and the weighted (Ruzicka) Jaccard sum min/sum max —
+    the four classic f-divergence/overlap views completing the
+    KS/JS/chi2/G drift family. ONE vocab-bounded (source, word)
+    exchange; pair math on the bounded table; absent words are exact
+    zeros on both sides."""
+    from ..stages.exchange import block_map
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        src = np.repeat(t["source"].to_pandas().to_numpy(object), lens)
+        keep = flat != ""
+        return pd.DataFrame({"source": src[keep], "word": flat[keep]}
+                            ).groupby(["source", "word"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cw = block_map(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["source", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    piv = cw.pivot_table(index="source", columns="word", values="n",
+                         aggfunc="sum", fill_value=0)
+    piv = piv.reindex(columns=sorted(piv.columns))
+    P = piv.to_numpy(np.float64)
+    P = P / P.sum(axis=1, keepdims=True)
+    srcs = list(piv.index)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            p, q = P[i], P[j]
+            tv = 0.5 * float(np.abs(p - q).sum())
+            bc = float(np.sqrt(p * q).sum())
+            hel = float(np.sqrt(max(1.0 - bc, 0.0)))
+            wj = float(np.minimum(p, q).sum()
+                       / np.maximum(p, q).sum())
+            rows.append({"source_a": srcs[i], "source_b": srcs[j],
+                         "tv": tv, "hellinger": hel,
+                         "bhattacharyya": bc, "weighted_jaccard": wj})
+    out = pd.DataFrame(rows)
+    for c in ("tv", "hellinger", "bhattacharyya", "weighted_jaccard"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["source_a", "source_b"]).reset_index(
+        drop=True)
+
+
+_SQL_DIST_DISTANCES = r"""
+WITH words AS (
+  SELECT source, w AS word FROM (
+    SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cw AS (SELECT source, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS t FROM cw GROUP BY 1),
+vocab AS (SELECT DISTINCT word FROM words),
+f AS (
+  SELECT tot.source, v.word,
+         COALESCE(cw.n, 0)::DOUBLE / tot.t AS p
+  FROM tot CROSS JOIN vocab v
+  LEFT JOIN cw ON cw.source = tot.source AND cw.word = v.word
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.p AS pa, b.p AS pb
+  FROM f a JOIN f b ON a.word = b.word AND a.source < b.source
+)
+SELECT source_a, source_b,
+       ROUND(ROUND(0.5 * SUM(ABS(pa - pb)), 9), 6) AS tv,
+       ROUND(ROUND(SQRT(GREATEST(1.0 - SUM(SQRT(pa * pb)), 0.0)),
+             9), 6) AS hellinger,
+       ROUND(ROUND(SUM(SQRT(pa * pb)), 9), 6) AS bhattacharyya,
+       ROUND(ROUND(SUM(LEAST(pa, pb)) / SUM(GREATEST(pa, pb)), 9), 6)
+           AS weighted_jaccard
+FROM pairs
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("source_distribution_distances", q_source_distribution_distances,
+          _SQL_DIST_DISTANCES)
 _register("oaxaca_blinder", q_oaxaca_blinder, _SQL_OAXACA)
 _register("mincer_zarnowitz", q_mincer_zarnowitz, _SQL_MZ)
 _register("segmented_regression", q_segmented_regression, _SQL_SEGMENTED)
