@@ -9051,7 +9051,182 @@ ORDER BY 1, 2
 """
 
 
+# ------------------------------------------------ Theil inequality
+
+
+def q_theil_inequality(sf_dir: str):
+    """Theil's T inequality index of document lengths with its exact
+    between/within-source decomposition (Theil 1967 — the additive
+    decomposability that Gini lacks): T = mean((x/mu) ln(x/mu)),
+    T = T_between + sum_g share_g T_within_g. Bounded per-source
+    moment partials (sum x, sum x ln x, n); the decomposition identity
+    is itself the cross-check."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.float64)
+        return pd.DataFrame({"source": df["source"], "x": x,
+                             "xlx": x * np.log(x)}).groupby(
+            "source", as_index=False).agg(
+            sx=("x", "sum"), sxlx=("xlx", "sum"), n=("x", "size"))
+
+    g = driver_combine(
+        docs, partial,
+        lambda df: df.groupby("source", as_index=False).agg(
+            sx=("sx", "sum"), sxlx=("sxlx", "sum"), n=("n", "sum")),
+        batch_format="pandas",
+    )
+    N = float(g["n"].sum())
+    X = float(g["sx"].sum())
+    mu = X / N
+    # total T = (1/N) sum (x/mu) ln(x/mu) = (1/(N mu)) sum x ln x - ln mu * X/(N mu)
+    t_total = float(g["sxlx"].sum()) / (N * mu) - np.log(mu)
+    mu_g = g["sx"] / g["n"]
+    share = g["sx"] / X
+    t_between = float((share * np.log(mu_g / mu)).sum())
+    t_within_g = (g["sxlx"] / g["sx"] - np.log(mu_g))
+    t_within = float((share * t_within_g).sum())
+    out = pd.DataFrame([{
+        "n_docs": int(N), "n_sources": len(g),
+        "theil_total": t_total,
+        "theil_between": t_between,
+        "theil_within": t_within,
+        "between_share": t_between / t_total if t_total > 0 else 0.0,
+    }])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_sources"] = out["n_sources"].astype("int64")
+    for c in ("theil_total", "theil_between", "theil_within",
+              "between_share"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_THEIL_INEQ = """
+WITH g AS (
+  SELECT source, SUM(n_chars::DOUBLE) AS sx,
+         SUM(n_chars::DOUBLE * LN(n_chars)) AS sxlx,
+         COUNT(*)::DOUBLE AS n
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT SUM(n) AS nn, SUM(sx) AS xx, SUM(sxlx) AS ss,
+         COUNT(*) AS n_sources
+  FROM g
+),
+calc AS (
+  SELECT t.nn, t.xx, t.n_sources,
+         t.ss / (t.nn * (t.xx / t.nn)) - LN(t.xx / t.nn) AS t_total,
+         SUM((g.sx / t.xx) * LN((g.sx / g.n) / (t.xx / t.nn)))
+             AS t_between,
+         SUM((g.sx / t.xx)
+             * (g.sxlx / g.sx - LN(g.sx / g.n))) AS t_within
+  FROM g CROSS JOIN t
+  GROUP BY t.nn, t.xx, t.ss, t.n_sources
+)
+SELECT CAST(nn AS BIGINT) AS n_docs,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       ROUND(ROUND(t_total, 9), 6) AS theil_total,
+       ROUND(ROUND(t_between, 9), 6) AS theil_between,
+       ROUND(ROUND(t_within, 9), 6) AS theil_within,
+       ROUND(ROUND(CASE WHEN t_total > 0 THEN t_between / t_total
+                   ELSE 0.0 END, 9), 6) AS between_share
+FROM calc
+"""
+
+
+# ------------------------------------------- unigram cross-entropy
+
+
+def q_source_unigram_crossent(sf_dir: str):
+    """Per-source cross-entropy under the CORPUS unigram distribution,
+    H(p_src, p_corpus) = -sum p_src(w) ln p_corpus(w), with the
+    source's own entropy and the KL gap H_cross - H_self — which
+    sources are 'surprising' to a model of the average corpus (the
+    unigram floor of the CCNet-style perplexity filters). ONE
+    vocab-bounded exchange; every source word exists in the corpus
+    distribution by construction."""
+    from ..stages.exchange import block_map
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        src = np.repeat(t["source"].to_pandas().to_numpy(object), lens)
+        keep = flat != ""
+        return pd.DataFrame({"source": src[keep], "word": flat[keep]}
+                            ).groupby(["source", "word"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cw = block_map(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["source", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    corpus = cw.groupby("word")["n"].sum()
+    corp_tot = float(corpus.sum())
+    lp_corpus = np.log(corpus / corp_tot)
+    rows = []
+    for s, g in cw.groupby("source", sort=True):
+        tot = float(g["n"].sum())
+        p = g["n"].to_numpy(np.float64) / tot
+        lq = g["word"].map(lp_corpus).to_numpy(np.float64)
+        h_cross = float(-(p * lq).sum())
+        h_self = float(-(p * np.log(p)).sum())
+        rows.append({"source": s, "n_tokens": int(tot),
+                     "h_cross": h_cross, "h_self": h_self,
+                     "kl": h_cross - h_self})
+    out = pd.DataFrame(rows)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    for c in ("h_cross", "h_self", "kl"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_CROSSENT = r"""
+WITH words AS (
+  SELECT source, w AS word FROM (
+    SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cw AS (SELECT source, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+corpus AS (SELECT word, SUM(n) AS cn FROM cw GROUP BY 1),
+ct AS (SELECT SUM(cn)::DOUBLE AS t FROM corpus),
+st AS (SELECT source, SUM(n)::DOUBLE AS t FROM cw GROUP BY 1)
+SELECT cw.source, CAST(st.t AS BIGINT) AS n_tokens,
+       ROUND(ROUND(-SUM((cw.n / st.t) * LN(corpus.cn / ct.t)), 9), 6)
+           AS h_cross,
+       ROUND(ROUND(-SUM((cw.n / st.t) * LN(cw.n / st.t)), 9), 6)
+           AS h_self,
+       ROUND(ROUND(-SUM((cw.n / st.t) * LN(corpus.cn / ct.t))
+             + SUM((cw.n / st.t) * LN(cw.n / st.t)), 9), 6) AS kl
+FROM cw
+JOIN st USING (source)
+JOIN corpus USING (word)
+CROSS JOIN ct
+GROUP BY cw.source, st.t
+ORDER BY cw.source
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("theil_inequality", q_theil_inequality, _SQL_THEIL_INEQ)
+_register("source_unigram_crossent", q_source_unigram_crossent,
+          _SQL_CROSSENT)
 _register("source_distribution_distances", q_source_distribution_distances,
           _SQL_DIST_DISTANCES)
 _register("oaxaca_blinder", q_oaxaca_blinder, _SQL_OAXACA)
