@@ -9223,7 +9223,195 @@ ORDER BY cw.source
 """
 
 
+# ---------------------------------------------------- Xbar-R chart
+
+
+def q_xbar_r_chart(sf_dir: str):
+    """Shewhart X-bar / R control chart per event_type on the 6dp
+    hourly means in subgroups of 5 consecutive buckets (the classic
+    SPC constants for n=5: A2 = 0.577, D3 = 0, D4 = 2.114): grand
+    mean and R-bar set the limits, out-of-control subgroup counts for
+    both charts — the subgroup-based complement of the EWMA/CUSUM
+    individuals charts. Positional subgrouping replays exactly."""
+    t1h = _hourly(sf_dir)
+    A2, D3, D4 = 0.577, 0.0, 2.114
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        k = len(m) // 5
+        if k < 10:
+            continue
+        sub = m[:k * 5].reshape(k, 5)
+        xbar = sub.sum(axis=1) / 5.0
+        rng = sub.max(axis=1) - sub.min(axis=1)
+        gx = xbar.sum() / k
+        gr = rng.sum() / k
+        ucl_x, lcl_x = gx + A2 * gr, gx - A2 * gr
+        ucl_r, lcl_r = D4 * gr, D3 * gr
+        x6 = stable_round6(xbar)
+        r6 = stable_round6(rng)
+        u6 = float(stable_round6(np.array([ucl_x]))[0])
+        l6 = float(stable_round6(np.array([lcl_x]))[0])
+        ur6 = float(stable_round6(np.array([ucl_r]))[0])
+        rows.append({"event_type": key, "n_subgroups": k,
+                     "grand_mean": gx, "r_bar": gr,
+                     "ucl_x": ucl_x, "lcl_x": lcl_x, "ucl_r": ucl_r,
+                     "ooc_x": int(((x6 > u6) | (x6 < l6)).sum()),
+                     "ooc_r": int((r6 > ur6).sum())})
+    out = pd.DataFrame(rows)
+    out["n_subgroups"] = out["n_subgroups"].astype("int64")
+    out["ooc_x"] = out["ooc_x"].astype("int64")
+    out["ooc_r"] = out["ooc_r"].astype("int64")
+    for c in ("grand_mean", "r_bar", "ucl_x", "lcl_x", "ucl_r"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_XBAR_R = _HOURLY_CTE + """,
+pos AS (
+  SELECT event_type, m,
+         (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bts)
+          - 1) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+sub AS (
+  SELECT event_type, i // 5 AS sg,
+         SUM(m) / 5.0 AS xbar, MAX(m) - MIN(m) AS r
+  FROM pos
+  WHERE i < (n // 5) * 5 AND n // 5 >= 10
+  GROUP BY 1, 2
+),
+lim AS (
+  SELECT event_type, COUNT(*) AS k, AVG(xbar) AS gx, AVG(r) AS gr
+  FROM sub GROUP BY 1
+),
+flags AS (
+  SELECT s.event_type,
+         CASE WHEN ROUND(ROUND(s.xbar, 9), 6)
+                   > ROUND(ROUND(l.gx + 0.577 * l.gr, 9), 6)
+               OR ROUND(ROUND(s.xbar, 9), 6)
+                   < ROUND(ROUND(l.gx - 0.577 * l.gr, 9), 6)
+              THEN 1 ELSE 0 END AS fx,
+         CASE WHEN ROUND(ROUND(s.r, 9), 6)
+                   > ROUND(ROUND(2.114 * l.gr, 9), 6)
+              THEN 1 ELSE 0 END AS fr
+  FROM sub s JOIN lim l USING (event_type)
+)
+SELECT l.event_type, CAST(l.k AS BIGINT) AS n_subgroups,
+       ROUND(ROUND(l.gx, 9), 6) AS grand_mean,
+       ROUND(ROUND(l.gr, 9), 6) AS r_bar,
+       ROUND(ROUND(l.gx + 0.577 * l.gr, 9), 6) AS ucl_x,
+       ROUND(ROUND(l.gx - 0.577 * l.gr, 9), 6) AS lcl_x,
+       ROUND(ROUND(2.114 * l.gr, 9), 6) AS ucl_r,
+       (SELECT SUM(fx) FROM flags f WHERE f.event_type = l.event_type
+        )::BIGINT AS ooc_x,
+       (SELECT SUM(fr) FROM flags f WHERE f.event_type = l.event_type
+        )::BIGINT AS ooc_r
+FROM lim l
+ORDER BY l.event_type
+"""
+
+
+# ----------------------------------------------- process capability
+
+
+def q_process_capability(sf_dir: str):
+    """Process capability indices Cp / Cpk per event_type: spec limits
+    derived from the FIRST WEEK of hourly means (mean ± 3 sd, 6dp-
+    shared), capability measured over the rest — 'does the process
+    stay within its commissioning envelope?' (the Six Sigma staple).
+    All moments decomposable; both sides share the rounded limits."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts").reset_index(drop=True)
+        cut = g["bucket_ts"].min() + pd.Timedelta(days=7)
+        ref = g[g["bucket_ts"] < cut]["m"].to_numpy(np.float64)
+        rest = g[g["bucket_ts"] >= cut]["m"].to_numpy(np.float64)
+        if len(ref) < 48 or len(rest) < 48:
+            continue
+        n = float(len(ref))
+        mu = ref.sum() / n
+        sd = np.sqrt(((ref - mu) ** 2).sum() / (n - 1.0))
+        mu6 = float(stable_round6(np.array([mu]))[0])
+        sd6 = float(stable_round6(np.array([sd]))[0])
+        usl, lsl = mu6 + 3.0 * sd6, mu6 - 3.0 * sd6
+        k = float(len(rest))
+        m2 = rest.sum() / k
+        s2 = np.sqrt(((rest - m2) ** 2).sum() / (k - 1.0))
+        cp = (usl - lsl) / (6.0 * s2)
+        cpk = min(usl - m2, m2 - lsl) / (3.0 * s2)
+        rows.append({"event_type": key, "n_ref": int(n),
+                     "n_eval": int(k), "usl": usl, "lsl": lsl,
+                     "cp": cp, "cpk": cpk,
+                     "capable": bool(
+                         float(stable_round6(np.array([cpk]))[0])
+                         >= 1.0)})
+    out = pd.DataFrame(rows)
+    out["n_ref"] = out["n_ref"].astype("int64")
+    out["n_eval"] = out["n_eval"].astype("int64")
+    for c in ("usl", "lsl", "cp", "cpk"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_CAPABILITY = _HOURLY_CTE + """,
+b AS (
+  SELECT event_type, MIN(bts) + INTERVAL 7 DAY AS cut FROM hourly
+  GROUP BY 1
+),
+ref AS (
+  SELECT h.event_type, COUNT(*)::DOUBLE AS n, AVG(h.m) AS mu,
+         SQRT(SUM((h.m - (SELECT AVG(m) FROM hourly h2
+                          WHERE h2.event_type = h.event_type
+                            AND h2.bts < b.cut))
+                  * (h.m - (SELECT AVG(m) FROM hourly h3
+                            WHERE h3.event_type = h.event_type
+                              AND h3.bts < b.cut)))
+              / (COUNT(*) - 1)) AS sd
+  FROM hourly h JOIN b USING (event_type)
+  WHERE h.bts < b.cut
+  GROUP BY h.event_type, b.cut
+  HAVING COUNT(*) >= 48
+),
+lim AS (
+  SELECT event_type, n,
+         ROUND(ROUND(mu, 9), 6) + 3.0 * ROUND(ROUND(sd, 9), 6) AS usl,
+         ROUND(ROUND(mu, 9), 6) - 3.0 * ROUND(ROUND(sd, 9), 6) AS lsl
+  FROM ref
+),
+ev AS (
+  SELECT h.event_type, COUNT(*)::DOUBLE AS k, AVG(h.m) AS m2,
+         SQRT(SUM((h.m - (SELECT AVG(m) FROM hourly h2
+                          WHERE h2.event_type = h.event_type
+                            AND h2.bts >= b.cut))
+                  * (h.m - (SELECT AVG(m) FROM hourly h3
+                            WHERE h3.event_type = h.event_type
+                              AND h3.bts >= b.cut)))
+              / (COUNT(*) - 1)) AS s2
+  FROM hourly h JOIN b USING (event_type)
+  WHERE h.bts >= b.cut
+  GROUP BY h.event_type, b.cut
+  HAVING COUNT(*) >= 48
+)
+SELECT l.event_type, CAST(l.n AS BIGINT) AS n_ref,
+       CAST(e.k AS BIGINT) AS n_eval,
+       ROUND(ROUND(l.usl, 9), 6) AS usl,
+       ROUND(ROUND(l.lsl, 9), 6) AS lsl,
+       ROUND(ROUND((l.usl - l.lsl) / (6.0 * e.s2), 9), 6) AS cp,
+       ROUND(ROUND(LEAST(l.usl - e.m2, e.m2 - l.lsl)
+             / (3.0 * e.s2), 9), 6) AS cpk,
+       ROUND(ROUND(LEAST(l.usl - e.m2, e.m2 - l.lsl)
+             / (3.0 * e.s2), 9), 6) >= 1.0 AS capable
+FROM lim l JOIN ev e USING (event_type)
+ORDER BY l.event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("xbar_r_chart", q_xbar_r_chart, _SQL_XBAR_R)
+_register("process_capability", q_process_capability, _SQL_CAPABILITY)
 _register("theil_inequality", q_theil_inequality, _SQL_THEIL_INEQ)
 _register("source_unigram_crossent", q_source_unigram_crossent,
           _SQL_CROSSENT)
