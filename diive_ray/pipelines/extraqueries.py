@@ -9409,7 +9409,214 @@ ORDER BY l.event_type
 """
 
 
+# ---------------------------------------------------------- Moran's I
+
+
+def q_morans_i(sf_dir: str):
+    """Moran's I spatial autocorrelation (Moran 1950) on the
+    day x hour-of-day lattice of mean values per event_type with rook
+    adjacency (the calendar heat-map as a spatial field): I =
+    (N / W) * sum w_ij z_i z_j / sum z_i^2, expectation -1/(N-1)
+    under randomness — clustering of hot cells beyond what the
+    marginal diel profile alone explains. Bounded lattice; neighbor
+    sums replay exactly via self-joins."""
+    from ..stages.exchange import driver_combine
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(df["ts"])
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": us // 86_400_000_000,
+            "hh": (us // 3_600_000_000) % 24,
+            "v": df["value"],
+        }).groupby(["event_type", "day", "hh"], as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+
+    cells = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "day", "hh"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas",
+    )
+    cells["m"] = cells["s"] / cells["n"]
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        idx = {(int(r["day"]), int(r["hh"])): float(r["m"])
+               for _, r in g.iterrows()}
+        N = len(idx)
+        mu = sum(idx.values()) / N
+        z = {k: v - mu for k, v in idx.items()}
+        num = 0.0
+        W = 0
+        for (d, h), zi in sorted(z.items()):
+            for nb in ((d + 1, h), (d, h + 1)):
+                if nb in z:
+                    num += 2.0 * zi * z[nb]   # symmetric pair counted once
+                    W += 2
+        den = sum(v * v for v in z.values())
+        I = (N / W) * (num / den)
+        rows.append({"event_type": et, "n_cells": N, "w_links": W,
+                     "morans_i": float(I),
+                     "expected": -1.0 / (N - 1)})
+    out = pd.DataFrame(rows)
+    out["n_cells"] = out["n_cells"].astype("int64")
+    out["w_links"] = out["w_links"].astype("int64")
+    for c in ("morans_i", "expected"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_MORANS = """
+WITH cells AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         (epoch_us(ts) // 3600000000) % 24 AS hh,
+         SUM(value) / COUNT(*) AS m
+  FROM events GROUP BY 1, 2, 3
+),
+mu AS (
+  SELECT event_type, AVG(m) AS mu, COUNT(*)::DOUBLE AS n,
+         SUM((m - (SELECT AVG(m) FROM cells c2
+                   WHERE c2.event_type = cells.event_type))
+             * (m - (SELECT AVG(m) FROM cells c3
+                     WHERE c3.event_type = cells.event_type))) AS den
+  FROM cells GROUP BY 1
+),
+nb AS (
+  SELECT a.event_type,
+         SUM(2.0 * (a.m - mu.mu) * (b.m - mu.mu)) AS num,
+         2 * COUNT(*) AS w
+  FROM cells a
+  JOIN mu USING (event_type)
+  JOIN cells b ON b.event_type = a.event_type
+              AND ((b.day = a.day + 1 AND b.hh = a.hh)
+                   OR (b.day = a.day AND b.hh = a.hh + 1))
+  GROUP BY 1
+)
+SELECT mu.event_type, CAST(mu.n AS BIGINT) AS n_cells,
+       CAST(nb.w AS BIGINT) AS w_links,
+       ROUND(ROUND((mu.n / nb.w) * (nb.num / mu.den), 9), 6)
+           AS morans_i,
+       ROUND(ROUND(-1.0 / (mu.n - 1), 9), 6) AS expected
+FROM mu JOIN nb USING (event_type)
+ORDER BY mu.event_type
+"""
+
+
+# ------------------------------------------------ Western Electric
+
+
+def q_western_electric(sf_dir: str):
+    """Western Electric run rules on the individuals chart of hourly
+    means per event_type (mean/sd from the full series, zones at
+    1/2/3 sigma): rule 1 = point beyond 3s, rule 2 = 2 of 3
+    consecutive beyond 2s same side, rule 3 = 4 of 5 beyond 1s same
+    side, rule 4 = 8 consecutive same side — the classic pattern
+    tests that catch what single-point limits miss. Counts of
+    triggering positions per rule; exact window replay (6dp z on
+    both sides)."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        n = float(len(m))
+        mu = m.sum() / n
+        sd = np.sqrt(((m - mu) ** 2).sum() / (n - 1.0))
+        z = stable_round6((m - mu) / sd)
+        r1 = int((np.abs(z) > 3.0).sum())
+        above2 = (z > 2.0).astype(np.int64)
+        below2 = (z < -2.0).astype(np.int64)
+        r2 = 0
+        for s in (above2, below2):
+            w = np.convolve(s, np.ones(3, dtype=np.int64), "valid")
+            r2 += int((w >= 2).sum())
+        above1 = (z > 1.0).astype(np.int64)
+        below1 = (z < -1.0).astype(np.int64)
+        r3 = 0
+        for s in (above1, below1):
+            w = np.convolve(s, np.ones(5, dtype=np.int64), "valid")
+            r3 += int((w >= 4).sum())
+        above0 = (z > 0.0).astype(np.int64)
+        below0 = (z < 0.0).astype(np.int64)
+        r4 = 0
+        for s in (above0, below0):
+            w = np.convolve(s, np.ones(8, dtype=np.int64), "valid")
+            r4 += int((w == 8).sum())
+        rows.append({"event_type": key, "n": int(n),
+                     "rule1_3sigma": r1, "rule2_2of3": r2,
+                     "rule3_4of5": r3, "rule4_8run": r4})
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_WESTERN = _HOURLY_CTE + """,
+st AS (
+  SELECT event_type, AVG(m) AS mu, COUNT(*)::DOUBLE AS n,
+         SQRT(SUM((m - (SELECT AVG(m) FROM hourly h2
+                        WHERE h2.event_type = hourly.event_type))
+                  * (m - (SELECT AVG(m) FROM hourly h3
+                          WHERE h3.event_type = hourly.event_type)))
+              / (COUNT(*) - 1)) AS sd
+  FROM hourly GROUP BY 1
+),
+z AS (
+  SELECT h.event_type, h.bts,
+         ROUND(ROUND((h.m - st.mu) / st.sd, 9), 6) AS z
+  FROM hourly h JOIN st USING (event_type)
+),
+w AS (
+  SELECT event_type, bts, z,
+         SUM(CASE WHEN z > 2 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY bts
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS a2,
+         SUM(CASE WHEN z < -2 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY bts
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS b2,
+         SUM(CASE WHEN z > 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY bts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS a1,
+         SUM(CASE WHEN z < -1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY bts
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS b1,
+         SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY bts
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS a0,
+         SUM(CASE WHEN z < 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY bts
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS b0,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY bts) AS rn
+  FROM z
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END)::BIGINT
+           AS rule1_3sigma,
+       (SUM(CASE WHEN rn >= 3 AND a2 >= 2 THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN rn >= 3 AND b2 >= 2 THEN 1 ELSE 0 END)
+        )::BIGINT AS rule2_2of3,
+       (SUM(CASE WHEN rn >= 5 AND a1 >= 4 THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN rn >= 5 AND b1 >= 4 THEN 1 ELSE 0 END)
+        )::BIGINT AS rule3_4of5,
+       (SUM(CASE WHEN rn >= 8 AND a0 = 8 THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN rn >= 8 AND b0 = 8 THEN 1 ELSE 0 END)
+        )::BIGINT AS rule4_8run
+FROM w
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("morans_i", q_morans_i, _SQL_MORANS)
+_register("western_electric", q_western_electric, _SQL_WESTERN)
 _register("xbar_r_chart", q_xbar_r_chart, _SQL_XBAR_R)
 _register("process_capability", q_process_capability, _SQL_CAPABILITY)
 _register("theil_inequality", q_theil_inequality, _SQL_THEIL_INEQ)
