@@ -9614,7 +9614,168 @@ ORDER BY 1
 """
 
 
+# ------------------------------------------------ threshold analysis
+
+
+def q_score_threshold_analysis(sf_dir: str):
+    """Optimal-cutpoint analysis of the length score for the
+    high-half source label (the classifier_auc task): the KS
+    statistic of credit scoring = max |TPR - FPR| over thresholds,
+    which is ALSO Youden's J maximizer — reported with the optimal
+    threshold (first attaining the max, ascending) and sens/spec
+    there. Bounded per-(score-value, label) counts, cumulative sweep
+    on the bounded table."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = (df["source"] >= "src5").astype(np.int64)
+        g = pd.DataFrame({"score": df["n_chars"], "lab": lab}).groupby(
+            "score", as_index=False).agg(n_pos=("lab", "sum"),
+                                         n=("lab", "size"))
+        g["n_neg"] = g["n"] - g["n_pos"]
+        return g.drop(columns=["n"])
+
+    cnt = driver_combine(
+        docs, partial,
+        lambda df: df.groupby("score", as_index=False).agg(
+            n_pos=("n_pos", "sum"), n_neg=("n_neg", "sum")),
+        batch_format="pandas",
+    ).sort_values("score").reset_index(drop=True)
+    P = float(cnt["n_pos"].sum())
+    N = float(cnt["n_neg"].sum())
+    # threshold t = classify positive when score > t (t = each value)
+    cum_pos = np.cumsum(cnt["n_pos"].to_numpy(np.float64))
+    cum_neg = np.cumsum(cnt["n_neg"].to_numpy(np.float64))
+    tpr = 1.0 - cum_pos / P           # positives above threshold
+    fpr = 1.0 - cum_neg / N
+    j = stable_round6(tpr - fpr)
+    i = int(np.argmax(j))             # first max, ascending score
+    out = pd.DataFrame([{
+        "ks_stat": float(j[i]),
+        "opt_threshold": int(cnt["score"].iloc[i]),
+        "sensitivity": float(stable_round6(np.array([tpr[i]]))[0]),
+        "specificity": float(stable_round6(np.array([1.0 - fpr[i]]))[0]),
+        "n_pos": int(P), "n_neg": int(N),
+    }])
+    out["opt_threshold"] = out["opt_threshold"].astype("int64")
+    out["n_pos"] = out["n_pos"].astype("int64")
+    out["n_neg"] = out["n_neg"].astype("int64")
+    return out
+
+
+_SQL_THRESHOLD = """
+WITH d AS (
+  SELECT n_chars AS score,
+         CASE WHEN source >= 'src5' THEN 1 ELSE 0 END AS lab
+  FROM documents
+),
+cnt AS (
+  SELECT score, SUM(lab) AS n_pos, COUNT(*) - SUM(lab) AS n_neg
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n_pos)::DOUBLE AS p, SUM(n_neg)::DOUBLE AS n
+        FROM cnt),
+sweep AS (
+  SELECT score,
+         1.0 - SUM(n_pos) OVER (ORDER BY score) / tot.p AS tpr,
+         1.0 - SUM(n_neg) OVER (ORDER BY score) / tot.n AS fpr,
+         tot.p, tot.n
+  FROM cnt CROSS JOIN tot
+),
+j AS (
+  SELECT score, tpr, fpr, p, n,
+         ROUND(ROUND(tpr - fpr, 9), 6) AS jj
+  FROM sweep
+),
+best AS (
+  SELECT score, tpr, fpr, p, n, jj,
+         ROW_NUMBER() OVER (ORDER BY jj DESC, score ASC) AS r
+  FROM j
+)
+SELECT jj AS ks_stat,
+       CAST(score AS BIGINT) AS opt_threshold,
+       ROUND(ROUND(tpr, 9), 6) AS sensitivity,
+       ROUND(ROUND(1.0 - fpr, 9), 6) AS specificity,
+       CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+FROM best WHERE r = 1
+"""
+
+
+# --------------------------------------------------- lift deciles
+
+
+def q_score_lift_deciles(sf_dir: str):
+    """Cumulative gains / lift table (the scoring-model acceptance
+    report): docs ranked by (score DESC, doc_id ASC) into NTILE(10)
+    deciles, per-decile response rate, lift vs base rate, and
+    cumulative gains — the operational view behind the AUC number.
+    Same deterministic NTILE machinery as rfm_segments."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "n_chars"])
+    d = driver_combine(
+        docs,
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"], "score": df["n_chars"],
+            "y": (df["source"] >= "src5").astype(np.int64)}),
+        lambda df: df, batch_format="pandas",
+    ).sort_values(["score", "doc_id"],
+                  ascending=[False, True]).reset_index(drop=True)
+    n = len(d)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if k < extra else 0) for k in range(10)]
+    dec = np.repeat(np.arange(1, 11), sizes)
+    d["decile"] = dec
+    base_rate = float(d["y"].sum()) / n
+    g = d.groupby("decile", as_index=False).agg(
+        n=("y", "size"), n_resp=("y", "sum"))
+    g["resp_rate"] = g["n_resp"] / g["n"]
+    g["lift"] = stable_round6(g["resp_rate"] / base_rate)
+    g["cum_gain"] = stable_round6(
+        np.cumsum(g["n_resp"]) / float(d["y"].sum()))
+    g["resp_rate"] = stable_round6(g["resp_rate"].astype(float))
+    for c in ("decile", "n", "n_resp"):
+        g[c] = g[c].astype("int64")
+    return g[["decile", "n", "n_resp", "resp_rate", "lift", "cum_gain"]
+             ].sort_values("decile").reset_index(drop=True)
+
+
+_SQL_LIFT = """
+WITH d AS (
+  SELECT doc_id, n_chars AS score,
+         CASE WHEN source >= 'src5' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+q AS (
+  SELECT y, NTILE(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+  FROM d
+),
+tot AS (SELECT SUM(y)::DOUBLE AS p, COUNT(*)::DOUBLE AS n FROM q),
+g AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS n_resp
+  FROM q GROUP BY 1
+)
+SELECT CAST(g.decile AS BIGINT) AS decile,
+       CAST(g.n AS BIGINT) AS n,
+       CAST(g.n_resp AS BIGINT) AS n_resp,
+       ROUND(ROUND(g.n_resp::DOUBLE / g.n, 9), 6) AS resp_rate,
+       ROUND(ROUND((g.n_resp::DOUBLE / g.n) / (tot.p / tot.n), 9), 6)
+           AS lift,
+       ROUND(ROUND(SUM(g.n_resp) OVER (ORDER BY g.decile) / tot.p,
+             9), 6) AS cum_gain
+FROM g CROSS JOIN tot
+ORDER BY decile
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("score_threshold_analysis", q_score_threshold_analysis,
+          _SQL_THRESHOLD)
+_register("score_lift_deciles", q_score_lift_deciles, _SQL_LIFT)
 _register("morans_i", q_morans_i, _SQL_MORANS)
 _register("western_electric", q_western_electric, _SQL_WESTERN)
 _register("xbar_r_chart", q_xbar_r_chart, _SQL_XBAR_R)
