@@ -9772,7 +9772,211 @@ ORDER BY decile
 """
 
 
+# ------------------------------------------------------- mediation
+
+
+def q_mediation_sobel(sf_dir: str):
+    """Baron-Kenny mediation analysis with the Sobel (1982) test on
+    user-level data: treatment = parity arm, mediator = activity
+    (event count), outcome = spend. Path a (arm -> mediator), path b
+    (mediator -> outcome | arm, two-regressor OLS via 2x2 Cramer),
+    total effect c, direct c', indirect ab with the Sobel z =
+    ab / sqrt(b^2 sa^2 + a^2 sb^2). All closed-form moment algebra
+    shared with the oracle."""
+    from ..stages.exchange import block_map, driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                y=("value", "sum"), x=("value", "size")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            y=("y", "sum"), x=("x", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["user_id"].to_numpy(np.int64) % 2).astype(np.float64)
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "k": [float(len(t))], "st": [t.sum()], "sx": [x.sum()],
+            "sy": [y.sum()], "stt": [(t * t).sum()],
+            "stx": [(t * x).sum()], "sty": [(t * y).sum()],
+            "sxx": [(x * x).sum()], "sxy": [(x * y).sum()],
+            "syy": [(y * y).sum()],
+        })
+
+    m = driver_combine(
+        users, mom,
+        lambda df: pd.DataFrame({c: [df[c].sum()] for c in df.columns}),
+        batch_format="pandas",
+    ).iloc[0]
+    k = m["k"]
+    ctt = m["stt"] - m["st"] ** 2 / k
+    ctx = m["stx"] - m["st"] * m["sx"] / k
+    cty = m["sty"] - m["st"] * m["sy"] / k
+    cxx = m["sxx"] - m["sx"] ** 2 / k
+    cxy = m["sxy"] - m["sx"] * m["sy"] / k
+    a = ctx / ctt                              # arm -> mediator
+    c_tot = cty / ctt                          # total effect
+    det = ctt * cxx - ctx * ctx
+    c_dir = (cty * cxx - cxy * ctx) / det      # arm | mediator
+    b = (cxy * ctt - cty * ctx) / det          # mediator | arm
+    # OLS standard errors for a and b
+    # residual variances:
+    css_a = (m["sxx"] - m["sx"] ** 2 / k) - a * ctx
+    s2_a = css_a / (k - 2.0)
+    se_a = np.sqrt(s2_a / ctt)
+    cyy = m["syy"] - m["sy"] ** 2 / k
+    ss_res_b = cyy - c_dir * cty - b * cxy
+    s2_b = ss_res_b / (k - 3.0)
+    se_b = np.sqrt(s2_b * ctt / det)
+    sobel = (a * b) / np.sqrt(b * b * se_a * se_a
+                              + a * a * se_b * se_b)
+    out = pd.DataFrame([{
+        "path_a": a, "path_b": b, "total_c": c_tot,
+        "direct_c": c_dir, "indirect_ab": a * b,
+        "sobel_z": float(sobel),
+    }])
+    for c in out.columns:
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_MEDIATION = """
+WITH u AS (
+  SELECT user_id, (user_id % 2)::DOUBLE AS t,
+         COUNT(*)::DOUBLE AS x, SUM(value) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT COUNT(*)::DOUBLE AS k, SUM(t) AS st, SUM(x) AS sx,
+         SUM(y) AS sy, SUM(t * t) AS stt, SUM(t * x) AS stx,
+         SUM(t * y) AS sty, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+         SUM(y * y) AS syy
+  FROM u
+),
+c AS (
+  SELECT k, stt - st * st / k AS ctt, stx - st * sx / k AS ctx,
+         sty - st * sy / k AS cty, sxx - sx * sx / k AS cxx,
+         sxy - sx * sy / k AS cxy, syy - sy * sy / k AS cyy
+  FROM m
+),
+fit AS (
+  SELECT k, ctt, ctx, cty, cxx, cxy, cyy,
+         ctx / ctt AS a,
+         cty / ctt AS c_tot,
+         (cty * cxx - cxy * ctx) / (ctt * cxx - ctx * ctx) AS c_dir,
+         (cxy * ctt - cty * ctx) / (ctt * cxx - ctx * ctx) AS b
+  FROM c
+),
+se AS (
+  SELECT a, b, c_tot, c_dir,
+         SQRT(((cxx - a * ctx) / (k - 2.0)) / ctt) AS se_a,
+         SQRT(((cyy - c_dir * cty - b * cxy) / (k - 3.0))
+              * ctt / (ctt * cxx - ctx * ctx)) AS se_b
+  FROM fit
+)
+SELECT ROUND(ROUND(a, 9), 6) AS path_a,
+       ROUND(ROUND(b, 9), 6) AS path_b,
+       ROUND(ROUND(c_tot, 9), 6) AS total_c,
+       ROUND(ROUND(c_dir, 9), 6) AS direct_c,
+       ROUND(ROUND(a * b, 9), 6) AS indirect_ab,
+       ROUND(ROUND(a * b / SQRT(b * b * se_a * se_a
+                                + a * a * se_b * se_b), 9), 6)
+           AS sobel_z
+FROM se
+"""
+
+
+# ------------------------------------------------------ Wald IV
+
+
+def q_iv_wald(sf_dir: str):
+    """Wald (1940) instrumental-variable estimator on user-level data:
+    instrument = parity arm, endogenous regressor = activity, outcome
+    = spend; beta_IV = cov(z, y) / cov(z, x), reported next to the
+    (biased under endogeneity) OLS slope and the first-stage strength
+    cov(z, x)/var(z). Pure moment ratios — exact both sides."""
+    from ..stages.exchange import block_map, driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                y=("value", "sum"), x=("value", "size")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False).agg(
+            y=("y", "sum"), x=("x", "sum")),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        z = (df["user_id"].to_numpy(np.int64) % 2).astype(np.float64)
+        x = df["x"].to_numpy(np.float64)
+        y = df["y"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "k": [float(len(z))], "sz": [z.sum()], "sx": [x.sum()],
+            "sy": [y.sum()], "szz": [(z * z).sum()],
+            "szx": [(z * x).sum()], "szy": [(z * y).sum()],
+            "sxx": [(x * x).sum()], "sxy": [(x * y).sum()],
+        })
+
+    m = driver_combine(
+        users, mom,
+        lambda df: pd.DataFrame({c: [df[c].sum()] for c in df.columns}),
+        batch_format="pandas",
+    ).iloc[0]
+    k = m["k"]
+    czy = m["szy"] - m["sz"] * m["sy"] / k
+    czx = m["szx"] - m["sz"] * m["sx"] / k
+    czz = m["szz"] - m["sz"] ** 2 / k
+    cxy = m["sxy"] - m["sx"] * m["sy"] / k
+    cxx = m["sxx"] - m["sx"] ** 2 / k
+    out = pd.DataFrame([{
+        "beta_iv": czy / czx,
+        "beta_ols": cxy / cxx,
+        "first_stage": czx / czz,
+        "n_users": int(k),
+    }])
+    out["n_users"] = out["n_users"].astype("int64")
+    for c in ("beta_iv", "beta_ols", "first_stage"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_IV = """
+WITH u AS (
+  SELECT user_id, (user_id % 2)::DOUBLE AS z,
+         COUNT(*)::DOUBLE AS x, SUM(value) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT COUNT(*)::DOUBLE AS k, SUM(z) AS sz, SUM(x) AS sx,
+         SUM(y) AS sy, SUM(z * z) AS szz, SUM(z * x) AS szx,
+         SUM(z * y) AS szy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM u
+)
+SELECT ROUND(ROUND((szy - sz * sy / k) / (szx - sz * sx / k), 9), 6)
+           AS beta_iv,
+       ROUND(ROUND((sxy - sx * sy / k) / (sxx - sx * sx / k), 9), 6)
+           AS beta_ols,
+       ROUND(ROUND((szx - sz * sx / k) / (szz - sz * sz / k), 9), 6)
+           AS first_stage,
+       CAST(k AS BIGINT) AS n_users
+FROM m
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("mediation_sobel", q_mediation_sobel, _SQL_MEDIATION)
+_register("iv_wald", q_iv_wald, _SQL_IV)
 _register("score_threshold_analysis", q_score_threshold_analysis,
           _SQL_THRESHOLD)
 _register("score_lift_deciles", q_score_lift_deciles, _SQL_LIFT)
