@@ -9974,7 +9974,169 @@ FROM m
 """
 
 
+# --------------------------------------------- Cochran-Armitage
+
+
+def q_cochran_armitage(sf_dir: str):
+    """Cochran-Armitage test for linear trend in proportions across
+    ordered groups: purchase-engagement rate across user-activity
+    quartiles (exact (count, user_id) NTILE(4) order). The z
+    statistic uses integer scores 1..4: z = sum w_i (x_i - n_i pbar)
+    / sqrt(pbar qbar (sum n w^2 - (sum n w)^2 / N)) — the dose-
+    response trend staple."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id").agg(
+            n=("event_type", "size"),
+            eng=("event_type", lambda s: int((s == "purchase").any())))
+        return g.reset_index()
+
+    users = block_map(ev, ["user_id"], per_user,
+                      batch_format="pandas", zero_copy_batch=False
+                      ).to_pandas()
+    d = users.sort_values(["n", "user_id"]).reset_index(drop=True)
+    N = len(d)
+    base, extra = divmod(N, 4)
+    sizes = [base + (1 if k < extra else 0) for k in range(4)]
+    d["qt"] = np.repeat(np.arange(1, 5), sizes)
+    g = d.groupby("qt", as_index=False).agg(
+        n=("eng", "size"), x=("eng", "sum"))
+    w = g["qt"].to_numpy(np.float64)
+    n_i = g["n"].to_numpy(np.float64)
+    x_i = g["x"].to_numpy(np.float64)
+    pbar = x_i.sum() / n_i.sum()
+    num = float((w * (x_i - n_i * pbar)).sum())
+    den = np.sqrt(pbar * (1 - pbar)
+                  * ((n_i * w * w).sum()
+                     - (n_i * w).sum() ** 2 / n_i.sum()))
+    out = g.copy()
+    out["rate"] = stable_round6(x_i / n_i)
+    out["z_trend"] = stable_round6(
+        np.full(len(g), num / den))
+    out["qt"] = out["qt"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["x"] = out["x"].astype("int64")
+    return out[["qt", "n", "x", "rate", "z_trend"]].sort_values(
+        "qt").reset_index(drop=True)
+
+
+_SQL_COCHRAN_ARMITAGE = """
+WITH u AS (
+  SELECT user_id, COUNT(*) AS n,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS eng
+  FROM events GROUP BY 1
+),
+q AS (
+  SELECT eng, NTILE(4) OVER (ORDER BY n, user_id) AS qt FROM u
+),
+g AS (
+  SELECT qt, COUNT(*)::DOUBLE AS n, SUM(eng)::DOUBLE AS x
+  FROM q GROUP BY 1
+),
+t AS (
+  SELECT SUM(x) / SUM(n) AS pbar, SUM(n) AS nn,
+         SUM(n * qt * qt) AS nww, SUM(n * qt) AS nw
+  FROM g
+),
+z AS (
+  SELECT SUM(g.qt * (g.x - g.n * t.pbar))
+         / SQRT(t.pbar * (1 - t.pbar)
+                * (t.nww - t.nw * t.nw / t.nn)) AS z
+  FROM g CROSS JOIN t GROUP BY t.pbar, t.nww, t.nw, t.nn
+)
+SELECT CAST(g.qt AS BIGINT) AS qt, CAST(g.n AS BIGINT) AS n,
+       CAST(g.x AS BIGINT) AS x,
+       ROUND(ROUND(g.x / g.n, 9), 6) AS rate,
+       ROUND(ROUND(z.z, 9), 6) AS z_trend
+FROM g CROSS JOIN z
+ORDER BY g.qt
+"""
+
+
+# ------------------------------------------ Jonckheere-Terpstra
+
+
+def q_jonckheere_terpstra(sf_dir: str):
+    """Jonckheere-Terpstra test for an ordered alternative across the
+    four calendar weeks of the month on the 6dp hourly means per
+    event_type: JT = sum over ordered week pairs of
+    #(x_early < y_late) + 0.5 #(ties), with the normal approximation
+    z under the no-trend null — the ordered-groups upgrade of
+    Kruskal-Wallis. Pairwise counts via bounded count-join algebra."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts")
+        week = np.minimum(
+            (pd.DatetimeIndex(g["bucket_ts"]).day - 1) // 7, 3)
+        vals = g["m"].to_numpy(np.float64)
+        groups = [vals[week == w] for w in range(4)]
+        jt = 0.0
+        for i in range(4):
+            for j in range(i + 1, 4):
+                a, b = groups[i], groups[j]
+                if len(a) == 0 or len(b) == 0:
+                    continue
+                less = (a[:, None] < b[None, :]).sum()
+                ties = (a[:, None] == b[None, :]).sum()
+                jt += float(less) + 0.5 * float(ties)
+        n_i = np.array([len(x) for x in groups], dtype=np.float64)
+        N = n_i.sum()
+        mu = (N * N - (n_i * n_i).sum()) / 4.0
+        var = (N * N * (2 * N + 3)
+               - (n_i * n_i * (2 * n_i + 3)).sum()) / 72.0
+        z = (jt - mu) / np.sqrt(var)
+        rows.append({"event_type": key, "n": int(N),
+                     "jt_stat": jt, "expected": mu,
+                     "z": float(z)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("jt_stat", "expected", "z"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_JT = _HOURLY_CTE + """,
+wk AS (
+  SELECT event_type, m,
+         LEAST((EXTRACT(DAY FROM bts) - 1) // 7, 3) AS w
+  FROM hourly
+),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN a.m < b.m THEN 1.0
+                  WHEN a.m = b.m THEN 0.5 ELSE 0.0 END) AS jt
+  FROM wk a JOIN wk b
+    ON a.event_type = b.event_type AND a.w < b.w
+  GROUP BY 1
+),
+sizes AS (
+  SELECT event_type, w, COUNT(*)::DOUBLE AS n FROM wk GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, SUM(n) AS nn, SUM(n * n) AS sn2,
+         SUM(n * n * (2 * n + 3)) AS sn3
+  FROM sizes GROUP BY 1
+)
+SELECT p.event_type, CAST(m.nn AS BIGINT) AS n,
+       ROUND(ROUND(p.jt, 9), 6) AS jt_stat,
+       ROUND(ROUND((m.nn * m.nn - m.sn2) / 4.0, 9), 6) AS expected,
+       ROUND(ROUND((p.jt - (m.nn * m.nn - m.sn2) / 4.0)
+             / SQRT((m.nn * m.nn * (2 * m.nn + 3) - m.sn3) / 72.0),
+             9), 6) AS z
+FROM pairs p JOIN mom m USING (event_type)
+ORDER BY p.event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("cochran_armitage", q_cochran_armitage, _SQL_COCHRAN_ARMITAGE)
+_register("jonckheere_terpstra", q_jonckheere_terpstra, _SQL_JT)
 _register("mediation_sobel", q_mediation_sobel, _SQL_MEDIATION)
 _register("iv_wald", q_iv_wald, _SQL_IV)
 _register("score_threshold_analysis", q_score_threshold_analysis,
