@@ -10134,7 +10134,111 @@ ORDER BY p.event_type
 """
 
 
+# ------------------------------------------------- Bradley-Terry / Elo
+
+
+def bradley_terry_kernel(wins: np.ndarray, n_iter: int = 200
+                         ) -> np.ndarray:
+    """Bradley-Terry strength fit by the classic MM algorithm
+    (Hunter 2004): wins[i, j] = times i beat j;
+    p_i <- W_i / sum_j (n_ij / (p_i + p_j)); normalized to sum 1.
+    The pairwise-preference model underlying RLHF reward modeling."""
+    k = wins.shape[0]
+    p = np.ones(k) / k
+    n_ij = wins + wins.T
+    W = wins.sum(axis=1)
+    for _ in range(n_iter):
+        denom = np.zeros(k)
+        for i in range(k):
+            mask = n_ij[i] > 0
+            denom[i] = (n_ij[i][mask] / (p[i] + p[mask])).sum()
+        p = np.where(denom > 0, W / denom, p)
+        p = p / p.sum()
+    return p
+
+
+def elo_kernel(seq: np.ndarray, k_factor: float = 16.0,
+               n_players: int = 5) -> np.ndarray:
+    """Sequential Elo updates over a (winner, loser) match stream:
+    r_w += K (1 - E_w), r_l -= K (1 - E_w), E from the logistic-400
+    curve. Arrival-order-defined (the online counterpart of the batch
+    Bradley-Terry fit)."""
+    r = np.full(n_players, 1500.0)
+    for w, l in seq:
+        e_w = 1.0 / (1.0 + 10.0 ** ((r[l] - r[w]) / 400.0))
+        d = k_factor * (1.0 - e_w)
+        r[w] += d
+        r[l] -= d
+    return r
+
+
+def q_bradley_terry(sf_dir: str):
+    """Bradley-Terry strengths of the event types from hourly
+    head-to-head comparisons (for every hour where two types both
+    have a mean, the higher one 'wins') — the pairwise-preference
+    model that underlies RLHF reward modeling and sports ranking,
+    fit by Hunter's MM iteration on the bounded win matrix. Win
+    counts come from ONE bounded pairwise pass over the tier.
+    Rows-only (iterative fixed point); planted-strength recovery and
+    win-rate monotonicity pinned."""
+    t1h = _hourly(sf_dir)
+    piv = t1h.pivot_table(index="bucket_ts", columns="event_type",
+                          values="m", aggfunc="first")
+    types = sorted(piv.columns)
+    k = len(types)
+    M = piv[types].to_numpy(np.float64)
+    wins = np.zeros((k, k))
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                both = ~np.isnan(M[:, i]) & ~np.isnan(M[:, j])
+                wins[i, j] = float((M[both, i] > M[both, j]).sum())
+    p = bradley_terry_kernel(wins)
+    order = np.argsort(-p)
+    rows = []
+    for rank, idx in enumerate(order, 1):
+        rows.append({"event_type": types[idx], "rank": rank,
+                     "strength": float(p[idx]),
+                     "wins": int(wins[idx].sum()),
+                     "losses": int(wins[:, idx].sum())})
+    out = pd.DataFrame(rows)
+    out["rank"] = out["rank"].astype("int64")
+    out["wins"] = out["wins"].astype("int64")
+    out["losses"] = out["losses"].astype("int64")
+    out["strength"] = stable_round6(out["strength"].astype(float))
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+def q_elo_ratings(sf_dir: str):
+    """Online Elo ratings of the event types over the chronological
+    hourly head-to-head stream (every pair comparison per bucket in
+    (bucket, pair) order, K = 16) — the sequential sibling of the
+    batch Bradley-Terry fit; large Elo/BT rank agreement is the
+    sanity pin. Rows-only (order-defined updates)."""
+    t1h = _hourly(sf_dir)
+    piv = t1h.pivot_table(index="bucket_ts", columns="event_type",
+                          values="m", aggfunc="first").sort_index()
+    types = sorted(piv.columns)
+    ti = {t: i for i, t in enumerate(types)}
+    M = piv[types].to_numpy(np.float64)
+    seq = []
+    for r_ in range(M.shape[0]):
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                a, b = M[r_, i], M[r_, j]
+                if np.isnan(a) or np.isnan(b) or a == b:
+                    continue
+                seq.append((i, j) if a > b else (j, i))
+    r = elo_kernel(np.array(seq, dtype=np.int64), n_players=len(types))
+    out = pd.DataFrame({"event_type": types,
+                        "elo": stable_round6(r)})
+    out["rank"] = out["elo"].rank(ascending=False).astype("int64")
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("bradley_terry", q_bradley_terry)
+_register("elo_ratings", q_elo_ratings)
 _register("cochran_armitage", q_cochran_armitage, _SQL_COCHRAN_ARMITAGE)
 _register("jonckheere_terpstra", q_jonckheere_terpstra, _SQL_JT)
 _register("mediation_sobel", q_mediation_sobel, _SQL_MEDIATION)

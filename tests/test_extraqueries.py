@@ -1056,3 +1056,38 @@ def test_huber_resists_contamination_ols_fails():
     ols = np.polyfit(x, y, 1)[0]
     assert abs(r["slope"] - 0.8) < 0.05
     assert abs(ols - 0.8) > 0.3
+
+
+# ------------------------------------------------- Bradley-Terry / Elo
+
+
+def test_bradley_terry_recovers_planted_strengths():
+    from diive_ray.pipelines.extraqueries import bradley_terry_kernel
+    rng = _rng(227)
+    true_p = np.array([0.4, 0.3, 0.2, 0.1])
+    k = 4
+    wins = np.zeros((k, k))
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                n = 500
+                pw = true_p[i] / (true_p[i] + true_p[j])
+                wins[i, j] = rng.binomial(n, pw)
+    p = bradley_terry_kernel(wins)
+    assert (np.argsort(-p) == np.argsort(-true_p)).all()
+    np.testing.assert_allclose(p, true_p, atol=0.05)
+
+
+def test_elo_stronger_player_ends_higher():
+    from diive_ray.pipelines.extraqueries import elo_kernel
+    rng = _rng(229)
+    # player 0 beats everyone 80% of the time
+    seq = []
+    for _ in range(2000):
+        opp = int(rng.integers(1, 5))
+        if rng.random() < 0.8:
+            seq.append((0, opp))
+        else:
+            seq.append((opp, 0))
+    r = elo_kernel(np.array(seq, dtype=np.int64))
+    assert r[0] > r[1:].max() + 50
