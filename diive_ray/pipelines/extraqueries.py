@@ -10236,7 +10236,98 @@ def q_elo_ratings(sf_dir: str):
     return out.sort_values("rank").reset_index(drop=True)
 
 
+# ----------------------------------------------- voting aggregation
+
+
+def q_voting_aggregation(sf_dir: str):
+    """Social-choice aggregation of the hourly type rankings (every
+    bucket is a 'voter' ranking the types by mean value, ties broken
+    by type name): Borda count (k - rank summed over buckets),
+    pairwise-majority wins and the Condorcet winner flag (beats every
+    other type head-to-head) — Borda vs Condorcet disagreement is THE
+    classic social-choice phenomenon. Per-bucket ranks and pairwise
+    counts replay exactly."""
+    t1h = _hourly(sf_dir)
+    piv = t1h.pivot_table(index="bucket_ts", columns="event_type",
+                          values="m", aggfunc="first")
+    types = sorted(piv.columns)
+    k = len(types)
+    borda = {t: 0.0 for t in types}
+    n_votes = {t: 0 for t in types}
+    wins = np.zeros((k, k))
+    for _, row in piv.iterrows():
+        present = [(t, row[t]) for t in types if not np.isnan(row[t])]
+        kk = len(present)
+        if kk < 2:
+            continue
+        ranked = sorted(present, key=lambda tv: (-tv[1], tv[0]))
+        for pos, (t, _) in enumerate(ranked, 1):
+            borda[t] += kk - pos
+            n_votes[t] += 1
+        for i, (ti_, vi) in enumerate(present):
+            for j, (tj_, vj) in enumerate(present):
+                if vi > vj or (vi == vj and ti_ < tj_):
+                    wins[types.index(ti_), types.index(tj_)] += 1
+    rows = []
+    for idx, t in enumerate(types):
+        majority = all(
+            wins[idx, j] > wins[j, idx]
+            for j in range(k) if j != idx)
+        rows.append({"event_type": t,
+                     "borda": int(borda[t]),
+                     "n_votes": n_votes[t],
+                     "pairwise_wins": int(sum(
+                         wins[idx, j] > wins[j, idx]
+                         for j in range(k) if j != idx)),
+                     "condorcet_winner": bool(majority)})
+    out = pd.DataFrame(rows)
+    for c in ("borda", "n_votes", "pairwise_wins"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_VOTING = _HOURLY_CTE + """,
+rk AS (
+  SELECT bts, event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY bts
+                            ORDER BY m DESC, event_type ASC) AS r,
+         COUNT(*) OVER (PARTITION BY bts) AS kk
+  FROM hourly
+),
+borda AS (
+  SELECT event_type, SUM(kk - r) AS borda, COUNT(*) AS n_votes
+  FROM rk WHERE kk >= 2 GROUP BY 1
+),
+pw AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         SUM(CASE WHEN a.m > b.m
+                  OR (a.m = b.m AND a.event_type < b.event_type)
+             THEN 1 ELSE 0 END) AS w
+  FROM rk a JOIN rk b
+    ON a.bts = b.bts AND a.event_type <> b.event_type
+  WHERE a.kk >= 2
+  GROUP BY 1, 2
+),
+maj AS (
+  SELECT p.ta AS event_type,
+         SUM(CASE WHEN p.w > q.w THEN 1 ELSE 0 END) AS pairwise_wins,
+         (SUM(CASE WHEN p.w > q.w THEN 1 ELSE 0 END)
+          = COUNT(*)) AS condorcet_winner
+  FROM pw p JOIN pw q ON q.ta = p.tb AND q.tb = p.ta
+  GROUP BY 1
+)
+SELECT b.event_type,
+       CAST(b.borda AS BIGINT) AS borda,
+       CAST(b.n_votes AS BIGINT) AS n_votes,
+       CAST(m.pairwise_wins AS BIGINT) AS pairwise_wins,
+       m.condorcet_winner
+FROM borda b JOIN maj m USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("voting_aggregation", q_voting_aggregation, _SQL_VOTING)
 _register("bradley_terry", q_bradley_terry)
 _register("elo_ratings", q_elo_ratings)
 _register("cochran_armitage", q_cochran_armitage, _SQL_COCHRAN_ARMITAGE)
