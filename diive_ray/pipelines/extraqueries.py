@@ -10326,7 +10326,141 @@ ORDER BY b.event_type
 """
 
 
+# ------------------------------------------------ Shapley attribution
+
+
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def shapley_from_subset_values(v: np.ndarray) -> np.ndarray:
+    """Exact Shapley values for a 4-player game from the 16 subset
+    values (bitmask order): phi_i = sum over S not containing i of
+    |S|!(3-|S|)!/4! * (v(S+i) - v(S))."""
+    from math import factorial
+
+    n = 4
+    phi = np.zeros(n)
+    for i in range(n):
+        for S in range(16):
+            if S & (1 << i):
+                continue
+            s = bin(S).count("1")
+            w = factorial(s) * factorial(n - 1 - s) / factorial(n)
+            phi[i] += w * (v[S | (1 << i)] - v[S])
+    return phi
+
+
+def q_shapley_attribution(sf_dir: str):
+    """Exact Shapley-value multi-touch attribution (the game-theoretic
+    gold standard): players = the four non-purchase channels, each
+    converting user contributes their PRE-FIRST-PURCHASE touch set,
+    the coalition value v(S) = number of converters whose touch set is
+    contained in S, and conversions are split by the exact 4-player
+    Shapley formula (phi sums to v(full) - v(empty) — efficiency is
+    the built-in cross-check). Per-user touch masks inside the
+    user-keyed block; 16 subset values by bounded containment sums."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "ts"])
+    ch = {c: i for i, c in enumerate(_SHAPLEY_CHANNELS)}
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            p = g.loc[g["event_type"] == "purchase", "ts"]
+            conv = len(p) > 0
+            cutoff = p.min() if conv else g["ts"].max() + pd.Timedelta(1)
+            touched = g[(g["ts"] < cutoff)
+                        & (g["event_type"] != "purchase")]["event_type"]
+            mask = 0
+            for t in set(touched):
+                if t in ch:
+                    mask |= 1 << ch[t]
+            rows.append((mask, int(conv)))
+        out = pd.DataFrame(rows, columns=["mask", "conv"])
+        return out.groupby(["mask", "conv"], as_index=False).size(
+        ).rename(columns={"size": "n"})
+
+    cnt = block_map(ev, ["user_id"], per_user,
+                    batch_format="pandas", zero_copy_batch=False
+                    ).to_pandas().groupby(["mask", "conv"],
+                                          as_index=False)["n"].sum()
+    conv_by_mask = np.zeros(16)
+    for _, r in cnt[cnt["conv"] == 1].iterrows():
+        conv_by_mask[int(r["mask"])] += r["n"]
+    v = np.zeros(16)
+    for S in range(16):
+        v[S] = sum(conv_by_mask[m] for m in range(16)
+                   if (m & S) == m)
+    phi = shapley_from_subset_values(v)
+    out = pd.DataFrame({
+        "channel": _SHAPLEY_CHANNELS,
+        "shapley_conversions": stable_round6(phi),
+    })
+    out["total_conversions"] = np.int64(int(v[15]))
+    out["baseline_conversions"] = np.int64(int(v[0]))
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+def _shapley_sql() -> str:
+    from math import factorial
+
+    terms = []
+    for i, name in enumerate(_SHAPLEY_CHANNELS):
+        parts = []
+        for S in range(16):
+            if S & (1 << i):
+                continue
+            s = bin(S).count("1")
+            w = factorial(s) * factorial(3 - s) / factorial(4)
+            parts.append(
+                f"{w!r} * (MAX(CASE WHEN S = {S | (1 << i)} THEN vv END)"
+                f" - MAX(CASE WHEN S = {S} THEN vv END))")
+        terms.append(
+            f"SELECT '{name}' AS channel, "
+            f"ROUND(ROUND({' + '.join(parts)}, 9), 6) "
+            "AS shapley_conversions, "
+            "CAST(MAX(CASE WHEN S = 15 THEN vv END) AS BIGINT) "
+            "AS total_conversions, "
+            "CAST(MAX(CASE WHEN S = 0 THEN vv END) AS BIGINT) "
+            "AS baseline_conversions FROM v")
+    union = "\nUNION ALL\n".join(terms)
+    return f"""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS first_p
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+um AS (
+  SELECT e.user_id,
+         CASE WHEN fp.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv,
+         COALESCE(SUM(DISTINCT CASE e.event_type
+             WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)
+             FILTER (WHERE e.event_type <> 'purchase'
+                     AND (fp.first_p IS NULL OR e.ts < fp.first_p)),
+             0) AS mask
+  FROM events e LEFT JOIN fp USING (user_id)
+  GROUP BY e.user_id, fp.user_id
+),
+cm AS (
+  SELECT mask, COUNT(*) AS n FROM um WHERE conv = 1 GROUP BY 1
+),
+subsets AS (SELECT UNNEST(generate_series(0, 15)) AS S),
+v AS (
+  SELECT s.S, COALESCE(SUM(cm.n), 0)::DOUBLE AS vv
+  FROM subsets s LEFT JOIN cm ON (cm.mask & s.S) = cm.mask
+  GROUP BY 1
+)
+SELECT * FROM (
+{union}
+)
+ORDER BY channel
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("shapley_attribution", q_shapley_attribution, _shapley_sql())
 _register("voting_aggregation", q_voting_aggregation, _SQL_VOTING)
 _register("bradley_terry", q_bradley_terry)
 _register("elo_ratings", q_elo_ratings)

@@ -1091,3 +1091,37 @@ def test_elo_stronger_player_ends_higher():
             seq.append((opp, 0))
     r = elo_kernel(np.array(seq, dtype=np.int64))
     assert r[0] > r[1:].max() + 50
+
+
+# ----------------------------------------------- Shapley attribution
+
+
+def test_shapley_efficiency_and_symmetry():
+    from diive_ray.pipelines.extraqueries import (
+        shapley_from_subset_values)
+    rng = _rng(233)
+    # random monotone game
+    v = np.zeros(16)
+    for S in range(1, 16):
+        v[S] = max(v[S & (S - 1)], 0) + rng.random()
+    # enforce monotone by cumulative max over subsets
+    for S in range(16):
+        for i in range(4):
+            if S & (1 << i):
+                v[S] = max(v[S], v[S ^ (1 << i)])
+    phi = shapley_from_subset_values(v)
+    np.testing.assert_allclose(phi.sum(), v[15] - v[0], rtol=1e-12)
+    # symmetric players get equal shares: additive game test
+    v2 = np.array([float(bin(S).count("1")) for S in range(16)])
+    phi2 = shapley_from_subset_values(v2)
+    np.testing.assert_allclose(phi2, 1.0, rtol=1e-12)
+
+
+def test_shapley_dummy_player_gets_zero():
+    from diive_ray.pipelines.extraqueries import (
+        shapley_from_subset_values)
+    # value depends only on player 0 membership
+    v = np.array([10.0 if S & 1 else 0.0 for S in range(16)])
+    phi = shapley_from_subset_values(v)
+    np.testing.assert_allclose(phi[0], 10.0, rtol=1e-12)
+    np.testing.assert_allclose(phi[1:], 0.0, atol=1e-12)
