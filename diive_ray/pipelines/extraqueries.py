@@ -10459,7 +10459,166 @@ ORDER BY channel
 """
 
 
+# --------------------------------------------- capture-recapture
+
+
+def q_capture_recapture(sf_dir: str):
+    """Chapman-corrected Lincoln-Petersen capture-recapture estimate
+    of the total user population from two capture occasions (first- vs
+    second-half-of-month active sets): N_hat = (n1+1)(n2+1)/(m+1) - 1
+    with the Seber variance — the mark-recapture classic; the known
+    true population makes the estimator's bias directly visible.
+    Per-user occasion flags inside the user-keyed block."""
+    from ..stages.exchange import block_map
+
+    cut = pd.Timestamp("2024-01-16")
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["ts"].agg(["min", "max"])
+        first = df[df["ts"] < cut]["user_id"].unique()
+        second = df[df["ts"] >= cut]["user_id"].unique()
+        fs, ss = set(first), set(second)
+        users = df["user_id"].unique()
+        return pd.DataFrame({
+            "n1": [len(fs)], "n2": [len(ss)],
+            "m": [len(fs & ss)], "total": [len(users)],
+        })
+
+    c = block_map(ev, ["user_id"], per_user,
+                  batch_format="pandas", zero_copy_batch=False
+                  ).to_pandas().sum()
+    n1, n2, m_, tot = (float(c[k]) for k in ("n1", "n2", "m", "total"))
+    n_hat = (n1 + 1) * (n2 + 1) / (m_ + 1) - 1
+    var = ((n1 + 1) * (n2 + 1) * (n1 - m_) * (n2 - m_)
+           / ((m_ + 1) ** 2 * (m_ + 2)))
+    out = pd.DataFrame([{
+        "n_occasion1": int(n1), "n_occasion2": int(n2),
+        "n_both": int(m_), "true_total": int(tot),
+        "chapman_estimate": float(n_hat),
+        "se": float(np.sqrt(var)),
+    }])
+    for col in ("n_occasion1", "n_occasion2", "n_both", "true_total"):
+        out[col] = out[col].astype("int64")
+    for col in ("chapman_estimate", "se"):
+        out[col] = stable_round6(out[col].astype(float))
+    return out
+
+
+_SQL_CAPTURE = """
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+             AS o1,
+         MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+             AS o2
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT SUM(o1)::DOUBLE AS n1, SUM(o2)::DOUBLE AS n2,
+         SUM(o1 * o2)::DOUBLE AS m, COUNT(*)::DOUBLE AS tot
+  FROM f
+)
+SELECT CAST(n1 AS BIGINT) AS n_occasion1,
+       CAST(n2 AS BIGINT) AS n_occasion2,
+       CAST(m AS BIGINT) AS n_both,
+       CAST(tot AS BIGINT) AS true_total,
+       ROUND(ROUND((n1 + 1) * (n2 + 1) / (m + 1) - 1, 9), 6)
+           AS chapman_estimate,
+       ROUND(ROUND(SQRT((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+             / ((m + 1) * (m + 1) * (m + 2))), 9), 6) AS se
+FROM c
+"""
+
+
+# ----------------------------------------------------- Chao1 richness
+
+
+def q_chao1_richness(sf_dir: str):
+    """Chao1 estimate of total vocabulary richness per source
+    (Chao 1984): S_obs + f1^2 / (2 f2) from singleton/doubleton word
+    counts — how many word types the source would reveal with
+    unbounded sampling (the unseen-species complement to Good-Turing
+    mass and Heaps' growth). Bounded (source, word) count exchange;
+    f2 = 0 uses the bias-corrected f1(f1-1)/2 form."""
+    from ..stages.exchange import block_map
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        lens = pc.list_value_length(words).to_numpy()
+        src = np.repeat(t["source"].to_pandas().to_numpy(object), lens)
+        keep = flat != ""
+        return pd.DataFrame({"source": src[keep], "word": flat[keep]}
+                            ).groupby(["source", "word"],
+                                      as_index=False).size().rename(
+            columns={"size": "n"})
+
+    cw = block_map(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["word"],
+        lambda df: df.groupby(["source", "word"], as_index=False)[
+            "n"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    rows = []
+    for s, g in cw.groupby("source", sort=True):
+        s_obs = len(g)
+        f1 = int((g["n"] == 1).sum())
+        f2 = int((g["n"] == 2).sum())
+        if f2 > 0:
+            chao = s_obs + f1 * f1 / (2.0 * f2)
+        else:
+            chao = s_obs + f1 * (f1 - 1) / 2.0
+        rows.append({"source": s, "s_obs": s_obs, "f1": f1, "f2": f2,
+                     "chao1": float(chao),
+                     "coverage": float(1.0 - f1 / g["n"].sum())})
+    out = pd.DataFrame(rows)
+    for c in ("s_obs", "f1", "f2"):
+        out[c] = out[c].astype("int64")
+    for c in ("chao1", "coverage"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SQL_CHAO1 = r"""
+WITH words AS (
+  SELECT source, w AS word FROM (
+    SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS w
+    FROM documents)
+  WHERE w <> ''
+),
+cw AS (SELECT source, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+g AS (
+  SELECT source, COUNT(*) AS s_obs,
+         SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+         SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2,
+         SUM(n)::DOUBLE AS tok
+  FROM cw GROUP BY 1
+)
+SELECT source, CAST(s_obs AS BIGINT) AS s_obs,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       ROUND(ROUND(CASE WHEN f2 > 0
+           THEN s_obs + f1 * f1 / (2.0 * f2)
+           ELSE s_obs + f1 * (f1 - 1) / 2.0 END, 9), 6) AS chao1,
+       ROUND(ROUND(1.0 - f1 / tok, 9), 6) AS coverage
+FROM g
+ORDER BY source
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("capture_recapture", q_capture_recapture, _SQL_CAPTURE)
+_register("chao1_richness", q_chao1_richness, _SQL_CHAO1)
 _register("shapley_attribution", q_shapley_attribution, _shapley_sql())
 _register("voting_aggregation", q_voting_aggregation, _SQL_VOTING)
 _register("bradley_terry", q_bradley_terry)
