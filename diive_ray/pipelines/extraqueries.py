@@ -10616,7 +10616,256 @@ ORDER BY source
 """
 
 
+# ------------------------------------------------------ Yuen's test
+
+
+def q_yuen_test(sf_dir: str):
+    """Yuen (1974) trimmed-means two-sample test of user spend between
+    the parity arms: 20% trimming (g = floor(0.2 n) per side in
+    (value, user_id) order), winsorized variances, the robust t that
+    survives the heavy tails a plain t-test chokes on. Positional
+    trimming replays exactly via rank windows."""
+    from ..stages.exchange import block_map
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                y=("value", "sum")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False)["y"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas()
+    users["y6"] = stable_round6(users["y"].astype(float))
+    rows = {}
+    for arm in (0, 1):
+        d = users[users["user_id"] % 2 == arm].sort_values(
+            ["y6", "user_id"]).reset_index(drop=True)
+        n = len(d)
+        g = int(np.floor(0.2 * n))
+        y = d["y6"].to_numpy(np.float64)
+        trimmed = y[g:n - g]
+        wins = y.copy()
+        wins[:g] = y[g]
+        wins[n - g:] = y[n - g - 1]
+        tm = trimmed.sum() / len(trimmed)
+        wmean = wins.sum() / n
+        wvar = ((wins - wmean) ** 2).sum() / (n - 1.0)
+        h = n - 2 * g
+        rows[arm] = {"n": n, "g": g, "tmean": tm, "wvar": wvar, "h": h}
+    a, b = rows[0], rows[1]
+    d1 = (a["n"] - 1.0) * a["wvar"] / (a["h"] * (a["h"] - 1.0))
+    d2 = (b["n"] - 1.0) * b["wvar"] / (b["h"] * (b["h"] - 1.0))
+    t = (b["tmean"] - a["tmean"]) / np.sqrt(d1 + d2)
+    out = pd.DataFrame([{
+        "n_a": a["n"], "n_b": b["n"], "trim_g_a": a["g"],
+        "trim_g_b": b["g"],
+        "tmean_a": a["tmean"], "tmean_b": b["tmean"],
+        "yuen_t": float(t),
+    }])
+    for c in ("n_a", "n_b", "trim_g_a", "trim_g_b"):
+        out[c] = out[c].astype("int64")
+    for c in ("tmean_a", "tmean_b", "yuen_t"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_YUEN = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         ROUND(ROUND(SUM(value), 9), 6) AS y
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT arm, y, user_id,
+         ROW_NUMBER() OVER (PARTITION BY arm
+                            ORDER BY y, user_id) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY arm) AS n
+  FROM u
+),
+lim AS (
+  SELECT arm, ANY_VALUE(n) AS n,
+         CAST(FLOOR(0.2 * ANY_VALUE(n)) AS BIGINT) AS g
+  FROM r GROUP BY 1
+),
+bnd AS (
+  SELECT l.arm, l.n, l.g,
+         MIN(CASE WHEN r.rk = l.g THEN r.y END) AS lo,
+         MIN(CASE WHEN r.rk = l.n - l.g - 1 THEN r.y END) AS hi
+  FROM lim l JOIN r USING (arm)
+  GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT r.arm, b.n, b.g,
+         CASE WHEN r.rk < b.g THEN b.lo
+              WHEN r.rk >= b.n - b.g THEN b.hi
+              ELSE r.y END AS wy,
+         CASE WHEN r.rk >= b.g AND r.rk < b.n - b.g
+              THEN r.y END AS ty
+  FROM r JOIN bnd b USING (arm)
+),
+st AS (
+  SELECT arm, ANY_VALUE(n) AS n, ANY_VALUE(g) AS g,
+         SUM(ty) / COUNT(ty) AS tmean,
+         (SUM(wy * wy) - SUM(wy) * SUM(wy) / ANY_VALUE(n))
+             / (ANY_VALUE(n) - 1.0) AS wvar,
+         ANY_VALUE(n) - 2 * ANY_VALUE(g) AS h
+  FROM w GROUP BY 1
+),
+f AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS na,
+         MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+         MAX(CASE WHEN arm = 0 THEN g END) AS ga,
+         MAX(CASE WHEN arm = 1 THEN g END) AS gb,
+         MAX(CASE WHEN arm = 0 THEN tmean END) AS ta,
+         MAX(CASE WHEN arm = 1 THEN tmean END) AS tb,
+         MAX(CASE WHEN arm = 0 THEN
+             (n - 1.0) * wvar / (h * (h - 1.0)) END) AS d1,
+         MAX(CASE WHEN arm = 1 THEN
+             (n - 1.0) * wvar / (h * (h - 1.0)) END) AS d2
+  FROM st
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ga AS BIGINT) AS trim_g_a, CAST(gb AS BIGINT) AS trim_g_b,
+       ROUND(ROUND(ta, 9), 6) AS tmean_a,
+       ROUND(ROUND(tb, 9), 6) AS tmean_b,
+       ROUND(ROUND((tb - ta) / SQRT(d1 + d2), 9), 6) AS yuen_t
+FROM f
+"""
+
+
+# ------------------------------------------- Tukey non-additivity
+
+
+def q_tukey_nonadditivity(sf_dir: str):
+    """Tukey's one-degree-of-freedom test for non-additivity (Tukey
+    1949) on the hour-of-day x day-of-week mean-value layout per
+    event_type: SS_nonadd = (sum r_i c_j y_ij)^2 / (sum r^2 sum c^2)
+    against the remaining residual — does the calendar heat-map need
+    an interaction term, or is it row+column additive (the question
+    median_polish answers robustly, tested parametrically here)."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hh": pd.DatetimeIndex(df["ts"]).hour,
+            "dow": pd.DatetimeIndex(df["ts"]).dayofweek,
+            "v": df["value"],
+        }).groupby(["event_type", "hh", "dow"], as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+
+    cells = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "hh", "dow"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas",
+    )
+    cells["m"] = cells["s"] / cells["n"]
+    rows = []
+    for et, g in cells.groupby("event_type", sort=True):
+        if len(g) < 24 * 7:
+            continue
+        mat = np.full((24, 7), np.nan)
+        mat[g["hh"].to_numpy(int), g["dow"].to_numpy(int)] = g["m"]
+        mu = mat.mean()
+        r = mat.mean(axis=1) - mu
+        c = mat.mean(axis=0) - mu
+        resid = mat - mu - r[:, None] - c[None, :]
+        num = float((r[:, None] * c[None, :] * mat).sum())
+        ss_na = num * num / float((r * r).sum() * (c * c).sum())
+        ss_res = float((resid * resid).sum())
+        dfree = (24 - 1) * (7 - 1) - 1
+        f = ss_na / ((ss_res - ss_na) / dfree)
+        rows.append({"event_type": et,
+                     "ss_nonadd": ss_na,
+                     "ss_resid": ss_res,
+                     "f_stat": float(f)})
+    if not rows:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.float64)
+               for c in ("ss_nonadd", "ss_resid", "f_stat")}})
+    out = pd.DataFrame(rows)
+    for c2 in ("ss_nonadd", "ss_resid", "f_stat"):
+        out[c2] = stable_round6(out[c2].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TUKEY_NA = """
+WITH cells AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hh,
+         EXTRACT(DOW FROM ts) AS pdow,
+         SUM(value) / COUNT(*) AS m
+  FROM events GROUP BY 1, 2, 3
+),
+-- pandas dayofweek: Monday=0; DuckDB DOW: Sunday=0 -> shift
+c2 AS (
+  SELECT event_type, hh, (pdow + 6) % 7 AS dow, m FROM cells
+),
+full_t AS (
+  SELECT event_type FROM c2 GROUP BY 1 HAVING COUNT(*) = 168
+),
+mu AS (SELECT event_type, AVG(m) AS mu FROM c2 GROUP BY 1),
+rr AS (
+  SELECT c2.event_type, c2.hh, AVG(c2.m) - ANY_VALUE(mu.mu) AS r
+  FROM c2 JOIN mu USING (event_type) GROUP BY 1, 2
+),
+cc AS (
+  SELECT c2.event_type, c2.dow, AVG(c2.m) - ANY_VALUE(mu.mu) AS c
+  FROM c2 JOIN mu USING (event_type) GROUP BY 1, 2
+),
+num AS (
+  SELECT c2.event_type,
+         SUM(rr.r * cc.c * c2.m) AS num,
+         SUM(c2.m * c2.m) AS smm
+  FROM c2
+  JOIN rr ON rr.event_type = c2.event_type AND rr.hh = c2.hh
+  JOIN cc ON cc.event_type = c2.event_type AND cc.dow = c2.dow
+  GROUP BY 1
+),
+den AS (
+  SELECT r.event_type,
+         (SELECT SUM(r2.r * r2.r) FROM rr r2
+          WHERE r2.event_type = r.event_type) AS sr2,
+         (SELECT SUM(cx.c * cx.c) FROM cc cx
+          WHERE cx.event_type = r.event_type) AS sc2
+  FROM rr r GROUP BY 1
+),
+resid AS (
+  SELECT c2.event_type,
+         SUM((c2.m - mu.mu - rr.r - cc.c)
+             * (c2.m - mu.mu - rr.r - cc.c)) AS ss_res
+  FROM c2
+  JOIN mu USING (event_type)
+  JOIN rr ON rr.event_type = c2.event_type AND rr.hh = c2.hh
+  JOIN cc ON cc.event_type = c2.event_type AND cc.dow = c2.dow
+  GROUP BY 1
+)
+SELECT n.event_type,
+       ROUND(ROUND(n.num * n.num / (d.sr2 * d.sc2), 9), 6)
+           AS ss_nonadd,
+       ROUND(ROUND(r.ss_res, 9), 6) AS ss_resid,
+       ROUND(ROUND((n.num * n.num / (d.sr2 * d.sc2))
+             / ((r.ss_res - n.num * n.num / (d.sr2 * d.sc2))
+                / 137.0), 9), 6) AS f_stat
+FROM num n
+JOIN den d USING (event_type)
+JOIN resid r USING (event_type)
+JOIN full_t USING (event_type)
+ORDER BY n.event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("yuen_test", q_yuen_test, _SQL_YUEN)
+_register("tukey_nonadditivity", q_tukey_nonadditivity, _SQL_TUKEY_NA)
 _register("capture_recapture", q_capture_recapture, _SQL_CAPTURE)
 _register("chao1_richness", q_chao1_richness, _SQL_CHAO1)
 _register("shapley_attribution", q_shapley_attribution, _shapley_sql())
