@@ -10863,7 +10863,190 @@ ORDER BY n.event_type
 """
 
 
+# ------------------------------------------------------ Fleiss kappa
+
+
+def q_fleiss_kappa(sf_dir: str):
+    """Fleiss' kappa (1971) for THREE deterministic document-quality
+    raters (chars above median, words above median, distinct words
+    above median — all exact (value, doc_id) rank-median cuts):
+    multi-rater chance-corrected agreement, the generalization the
+    two-rater Cohen kappa cannot give. P_i per doc from rating counts,
+    kappa = (P_bar - P_e)/(1 - P_e)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+
+    def feats(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        lens = pc.list_value_length(words).to_numpy()
+        flat = pc.list_flatten(words).to_pandas().to_numpy(object)
+        doc_i = np.repeat(np.arange(len(t)), lens)
+        ne = flat != ""
+        wc = np.bincount(doc_i[ne], minlength=len(t))
+        dw = pd.DataFrame({"d": doc_i[ne], "w": flat[ne]}
+                          ).drop_duplicates()
+        dwc = np.bincount(dw["d"].to_numpy(int), minlength=len(t))
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_pandas(),
+            "n_chars": t["n_chars"].to_pandas(),
+            "n_words": wc.astype(np.int64),
+            "n_distinct": dwc.astype(np.int64),
+        })
+
+    feat = driver_combine(docs, feats, lambda df: df,
+                          batch_format="pyarrow").sort_values(
+        "doc_id").reset_index(drop=True)
+    n = len(feat)
+    ids = feat["doc_id"].to_numpy(np.int64)
+
+    def med_flag(v: np.ndarray) -> np.ndarray:
+        order = np.lexsort((ids, v))
+        ti = order[n // 2]
+        tv, tid = v[ti], ids[ti]
+        return ((v > tv) | ((v == tv) & (ids >= tid))).astype(np.int64)
+
+    r1 = med_flag(feat["n_chars"].to_numpy(np.int64))
+    r2 = med_flag(feat["n_words"].to_numpy(np.int64))
+    r3 = med_flag(feat["n_distinct"].to_numpy(np.int64))
+    pos = r1 + r2 + r3                        # ratings of category 1
+    m = 3.0
+    p1 = float(pos.sum()) / (n * m)
+    p0 = 1.0 - p1
+    P_i = (pos * (pos - 1) + (m - pos) * (m - pos - 1)) / (m * (m - 1))
+    P_bar = float(P_i.sum()) / n
+    P_e = p1 * p1 + p0 * p0
+    kappa = (P_bar - P_e) / (1.0 - P_e)
+    out = pd.DataFrame([{
+        "n_docs": n, "prop_hi": p1, "p_bar": P_bar, "p_e": P_e,
+        "fleiss_kappa": float(kappa),
+    }])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    for c in ("prop_hi", "p_bar", "p_e", "fleiss_kappa"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_FLEISS = r"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_words,
+         len(list_distinct(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')))
+             AS n_distinct
+  FROM documents
+),
+nn AS (SELECT COUNT(*) AS n FROM feat),
+t1 AS (SELECT n_chars AS v, doc_id AS id FROM feat
+       ORDER BY n_chars, doc_id LIMIT 1
+       OFFSET (SELECT n // 2 FROM nn)),
+t2 AS (SELECT n_words AS v, doc_id AS id FROM feat
+       ORDER BY n_words, doc_id LIMIT 1
+       OFFSET (SELECT n // 2 FROM nn)),
+t3 AS (SELECT n_distinct AS v, doc_id AS id FROM feat
+       ORDER BY n_distinct, doc_id LIMIT 1
+       OFFSET (SELECT n // 2 FROM nn)),
+fl AS (
+  SELECT f.doc_id,
+         (CASE WHEN f.n_chars > t1.v
+               OR (f.n_chars = t1.v AND f.doc_id >= t1.id)
+               THEN 1 ELSE 0 END
+          + CASE WHEN f.n_words > t2.v
+                 OR (f.n_words = t2.v AND f.doc_id >= t2.id)
+                 THEN 1 ELSE 0 END
+          + CASE WHEN f.n_distinct > t3.v
+                 OR (f.n_distinct = t3.v AND f.doc_id >= t3.id)
+                 THEN 1 ELSE 0 END) AS pos
+  FROM feat f CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3
+),
+agg AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(pos)::DOUBLE / (COUNT(*) * 3.0) AS p1,
+         SUM(pos * (pos - 1) + (3 - pos) * (3 - pos - 1))::DOUBLE
+             / (COUNT(*) * 6.0) AS p_bar
+  FROM fl
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND(ROUND(p1, 9), 6) AS prop_hi,
+       ROUND(ROUND(p_bar, 9), 6) AS p_bar,
+       ROUND(ROUND(p1 * p1 + (1 - p1) * (1 - p1), 9), 6) AS p_e,
+       ROUND(ROUND((p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))
+             / (1.0 - (p1 * p1 + (1 - p1) * (1 - p1))), 9), 6)
+           AS fleiss_kappa
+FROM agg
+"""
+
+
+# ------------------------------------------------ average precision
+
+
+def q_average_precision(sf_dir: str):
+    """Average precision (the PR-curve area with step interpolation —
+    THE retrieval/imbalanced-data metric next to AUC) of the length
+    score for the high-half source label: docs ranked by
+    (score DESC, doc_id ASC), AP = sum over positive ranks of
+    precision-at-that-rank / n_pos. Exact window replay; reported
+    next to the base rate (random-ranking AP)."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "n_chars"])
+    d = driver_combine(
+        docs,
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"], "score": df["n_chars"],
+            "y": (df["source"] >= "src5").astype(np.int64)}),
+        lambda df: df, batch_format="pandas",
+    ).sort_values(["score", "doc_id"],
+                  ascending=[False, True]).reset_index(drop=True)
+    y = d["y"].to_numpy(np.int64)
+    cum_pos = np.cumsum(y)
+    ranks = np.arange(1, len(y) + 1, dtype=np.float64)
+    prec_at = cum_pos / ranks
+    ap = float(prec_at[y == 1].sum() / y.sum())
+    out = pd.DataFrame([{
+        "n_docs": len(y), "n_pos": int(y.sum()),
+        "average_precision": ap,
+        "base_rate": float(y.sum()) / len(y),
+    }])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_pos"] = out["n_pos"].astype("int64")
+    for c in ("average_precision", "base_rate"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_AP = """
+WITH d AS (
+  SELECT doc_id, n_chars AS score,
+         CASE WHEN source >= 'src5' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+r AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk,
+         SUM(y) OVER (ORDER BY score DESC, doc_id ASC) AS cum_pos
+  FROM d
+)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       SUM(y)::BIGINT AS n_pos,
+       ROUND(ROUND(SUM(CASE WHEN y = 1
+             THEN cum_pos::DOUBLE / rk ELSE 0 END) / SUM(y), 9), 6)
+           AS average_precision,
+       ROUND(ROUND(SUM(y)::DOUBLE / COUNT(*), 9), 6) AS base_rate
+FROM r
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("fleiss_kappa", q_fleiss_kappa, _SQL_FLEISS)
+_register("average_precision", q_average_precision, _SQL_AP)
 _register("yuen_test", q_yuen_test, _SQL_YUEN)
 _register("tukey_nonadditivity", q_tukey_nonadditivity, _SQL_TUKEY_NA)
 _register("capture_recapture", q_capture_recapture, _SQL_CAPTURE)
