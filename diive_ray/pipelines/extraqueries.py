@@ -11044,7 +11044,155 @@ FROM r
 """
 
 
+# -------------------------------------------------------------- nDCG
+
+
+def q_ndcg_at_k(sf_dir: str):
+    """nDCG@20 (Järvelin & Kekäläinen 2002) of the length-score
+    ranking against graded relevance (source suffix mod 4 as grades
+    0-3 — deterministic and SQL-replayable): DCG with the
+    (2^rel - 1)/log2(rank + 1) gain over the (score DESC, doc_id)
+    ranking, normalized by the ideal ordering — the graded
+    ranking-quality member completing AUC/AP/KS/lift."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source", "n_chars"])
+    d = driver_combine(
+        docs,
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"], "score": df["n_chars"],
+            "rel": (df["source"].str[3:].astype(np.int64) % 4)}),
+        lambda df: df, batch_format="pandas",
+    )
+    k = 20
+    top = d.sort_values(["score", "doc_id"],
+                        ascending=[False, True]).head(k)
+    gains = (2.0 ** top["rel"].to_numpy(np.float64) - 1.0)
+    disc = np.log2(np.arange(2, k + 2, dtype=np.float64))
+    dcg = float((gains / disc).sum())
+    ideal = d.sort_values(["rel", "doc_id"],
+                          ascending=[False, True]).head(k)
+    igains = (2.0 ** ideal["rel"].to_numpy(np.float64) - 1.0)
+    idcg = float((igains / disc).sum())
+    out = pd.DataFrame([{
+        "k": k, "dcg": dcg, "idcg": idcg,
+        "ndcg": dcg / idcg,
+    }])
+    out["k"] = out["k"].astype("int64")
+    for c in ("dcg", "idcg", "ndcg"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_NDCG = """
+WITH d AS (
+  SELECT doc_id, n_chars AS score,
+         CAST(SUBSTR(source, 4) AS BIGINT) % 4 AS rel
+  FROM documents
+),
+top AS (
+  SELECT rel,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM d QUALIFY rk <= 20
+),
+ideal AS (
+  SELECT rel,
+         ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS rk
+  FROM d QUALIFY rk <= 20
+),
+dcg AS (
+  SELECT SUM((POWER(2.0, rel) - 1.0) / LOG2(rk + 1.0)) AS v FROM top
+),
+idcg AS (
+  SELECT SUM((POWER(2.0, rel) - 1.0) / LOG2(rk + 1.0)) AS v FROM ideal
+)
+SELECT 20::BIGINT AS k,
+       ROUND(ROUND(dcg.v, 9), 6) AS dcg,
+       ROUND(ROUND(idcg.v, 9), 6) AS idcg,
+       ROUND(ROUND(dcg.v / idcg.v, 9), 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
+# --------------------------------------------------------- Kendall W
+
+
+def q_kendall_w(sf_dir: str):
+    """Kendall's coefficient of concordance W across the hourly
+    'voters': buckets where ALL types report a mean rank the types
+    1..k (ties broken by name); W = 12 S / (m^2 (k^3 - k)) from the
+    rank-sum deviations — do the hours agree on the type ordering at
+    all (W = 1 perfect agreement, 0 none)? The multi-judge
+    concordance classic behind the Friedman test."""
+    t1h = _hourly(sf_dir)
+    piv = t1h.pivot_table(index="bucket_ts", columns="event_type",
+                          values="m", aggfunc="first").dropna()
+    types = sorted(piv.columns)
+    k = len(types)
+    m = len(piv)
+    if m == 0 or k < 2:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "rank_sum": pd.Series([], dtype=np.float64),
+            "kendall_w": pd.Series([], dtype=np.float64),
+            "n_voters": pd.Series([], dtype=np.int64)})
+    M = piv[types].to_numpy(np.float64)
+    # rank within each row: 1 = highest; ties by type name (stable
+    # through lexsort on (value desc, col index))
+    ranks = np.zeros_like(M)
+    for r in range(m):
+        order = np.lexsort((np.arange(k), -M[r]))
+        ranks[r, order] = np.arange(1, k + 1)
+    R = ranks.sum(axis=0)
+    S = float(((R - m * (k + 1) / 2.0) ** 2).sum())
+    W = 12.0 * S / (m * m * (k ** 3 - k))
+    rows = [{"event_type": t, "rank_sum": float(R[i]),
+             "kendall_w": W, "n_voters": m}
+            for i, t in enumerate(types)]
+    out = pd.DataFrame(rows)
+    out["n_voters"] = out["n_voters"].astype("int64")
+    out["rank_sum"] = stable_round6(out["rank_sum"].astype(float))
+    out["kendall_w"] = stable_round6(out["kendall_w"].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_KENDALL_W = _HOURLY_CTE + """,
+full_b AS (
+  SELECT bts FROM hourly GROUP BY 1
+  HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM hourly)
+),
+rk AS (
+  SELECT h.bts, h.event_type,
+         ROW_NUMBER() OVER (PARTITION BY h.bts
+                            ORDER BY h.m DESC, h.event_type ASC) AS r
+  FROM hourly h JOIN full_b USING (bts)
+),
+rs AS (
+  SELECT event_type, SUM(r)::DOUBLE AS rank_sum,
+         COUNT(*)::DOUBLE AS m
+  FROM rk GROUP BY 1
+),
+kk AS (SELECT COUNT(*)::DOUBLE AS k FROM rs),
+s AS (
+  SELECT SUM((rs.rank_sum - rs.m * (kk.k + 1) / 2.0)
+             * (rs.rank_sum - rs.m * (kk.k + 1) / 2.0)) AS ss,
+         ANY_VALUE(rs.m) AS m, ANY_VALUE(kk.k) AS k
+  FROM rs CROSS JOIN kk
+)
+SELECT rs.event_type,
+       ROUND(ROUND(rs.rank_sum, 9), 6) AS rank_sum,
+       ROUND(ROUND(12.0 * s.ss / (s.m * s.m * (s.k * s.k * s.k - s.k)),
+             9), 6) AS kendall_w,
+       CAST(rs.m AS BIGINT) AS n_voters
+FROM rs CROSS JOIN s
+ORDER BY rs.event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("ndcg_at_k", q_ndcg_at_k, _SQL_NDCG)
+_register("kendall_w", q_kendall_w, _SQL_KENDALL_W)
 _register("fleiss_kappa", q_fleiss_kappa, _SQL_FLEISS)
 _register("average_precision", q_average_precision, _SQL_AP)
 _register("yuen_test", q_yuen_test, _SQL_YUEN)
