@@ -11190,7 +11190,105 @@ ORDER BY rs.event_type
 """
 
 
+# -------------------------------------------------------------- TOPSIS
+
+
+def q_topsis_ranking(sf_dir: str):
+    """TOPSIS multi-criteria ranking (Hwang & Yoon 1981) of the event
+    types on three equal-weight benefit criteria — mean value, event
+    count, distinct-user reach: vector-normalize each criterion,
+    distance to the ideal and anti-ideal alternatives, closeness
+    C = d-/(d+ + d-) — the standard MCDM closed form, exact on the
+    bounded type x criteria matrix (all criteria are one bounded
+    aggregate pass)."""
+    from ..stages.exchange import driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id", "value"])
+
+    # distinct users need cross-batch dedup: reuse the exact distinct
+    # (user, type) pass of the jaccard family
+    cnt, _ = _user_type_pair_counts(sf_dir)
+    reach = dict(zip(
+        cnt.loc[cnt["event_x"] == cnt["event_y"], "event_x"],
+        cnt.loc[cnt["event_x"] == cnt["event_y"], "n"]))
+    agg = driver_combine(
+        ev,
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            s=("value", "sum"), n=("value", "size")),
+        lambda df: df.groupby("event_type", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")),
+        batch_format="pandas",
+    ).sort_values("event_type").reset_index(drop=True)
+    agg["mean_v"] = agg["s"] / agg["n"]
+    agg["reach"] = agg["event_type"].map(reach).astype(float)
+    C = agg[["mean_v", "n", "reach"]].to_numpy(np.float64)
+    norm = C / np.sqrt((C * C).sum(axis=0, keepdims=True))
+    w = norm / 3.0
+    ideal = w.max(axis=0)
+    anti = w.min(axis=0)
+    dp = np.sqrt(((w - ideal) ** 2).sum(axis=1))
+    dm = np.sqrt(((w - anti) ** 2).sum(axis=1))
+    closeness = dm / (dp + dm)
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "mean_value": stable_round6(agg["mean_v"].astype(float)),
+        "n_events": agg["n"].astype("int64"),
+        "n_users": agg["reach"].astype("int64"),
+        "closeness": stable_round6(closeness),
+    })
+    out["rank"] = out["closeness"].rank(ascending=False, method="min").astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_TOPSIS = """
+WITH a AS (
+  SELECT event_type, SUM(value) / COUNT(*) AS mean_v,
+         COUNT(*)::DOUBLE AS n,
+         COUNT(DISTINCT user_id)::DOUBLE AS reach
+  FROM events GROUP BY 1
+),
+nz AS (
+  SELECT SQRT(SUM(mean_v * mean_v)) AS z1, SQRT(SUM(n * n)) AS z2,
+         SQRT(SUM(reach * reach)) AS z3
+  FROM a
+),
+w AS (
+  SELECT a.event_type, a.mean_v, a.n, a.reach,
+         a.mean_v / nz.z1 / 3.0 AS w1,
+         a.n / nz.z2 / 3.0 AS w2,
+         a.reach / nz.z3 / 3.0 AS w3
+  FROM a CROSS JOIN nz
+),
+lim AS (
+  SELECT MAX(w1) AS i1, MAX(w2) AS i2, MAX(w3) AS i3,
+         MIN(w1) AS a1, MIN(w2) AS a2, MIN(w3) AS a3
+  FROM w
+),
+d AS (
+  SELECT w.event_type, w.mean_v, w.n, w.reach,
+         SQRT((w.w1 - lim.i1) * (w.w1 - lim.i1)
+              + (w.w2 - lim.i2) * (w.w2 - lim.i2)
+              + (w.w3 - lim.i3) * (w.w3 - lim.i3)) AS dp,
+         SQRT((w.w1 - lim.a1) * (w.w1 - lim.a1)
+              + (w.w2 - lim.a2) * (w.w2 - lim.a2)
+              + (w.w3 - lim.a3) * (w.w3 - lim.a3)) AS dm
+  FROM w CROSS JOIN lim
+)
+SELECT event_type,
+       ROUND(ROUND(mean_v, 9), 6) AS mean_value,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(reach AS BIGINT) AS n_users,
+       ROUND(ROUND(dm / (dp + dm), 9), 6) AS closeness,
+       RANK() OVER (ORDER BY ROUND(ROUND(dm / (dp + dm), 9), 6) DESC)
+           ::BIGINT AS rank
+FROM d
+ORDER BY event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("topsis_ranking", q_topsis_ranking, _SQL_TOPSIS)
 _register("ndcg_at_k", q_ndcg_at_k, _SQL_NDCG)
 _register("kendall_w", q_kendall_w, _SQL_KENDALL_W)
 _register("fleiss_kappa", q_fleiss_kappa, _SQL_FLEISS)
