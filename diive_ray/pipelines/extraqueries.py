@@ -11287,7 +11287,189 @@ ORDER BY event_type
 """
 
 
+# ------------------------------------------- hierarchical forecast
+
+
+def q_hierarchical_forecast(sf_dir: str):
+    """Hierarchical forecast reconciliation (Hyndman) on the
+    total -> event-type hierarchy: seasonal-naive day-ahead forecasts
+    for the LAST full day from the same weekday one week earlier,
+    reconciled bottom-up (sum the type forecasts) vs top-down (split
+    the total forecast by trailing activity proportions); per-series
+    absolute errors show the classic BU/TD trade-off, and the
+    coherence identity (BU children sum to the BU total) is the
+    built-in check. Daily sums are bounded partial aggregates."""
+    from ..stages.exchange import driver_combine
+    from ..util import ts_to_us
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": ts_to_us(df["ts"]) // 86_400_000_000,
+            "v": df["value"],
+        }).groupby(["event_type", "day"], as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+
+    daily = driver_combine(
+        ev, partial,
+        lambda df: df.groupby(["event_type", "day"],
+                              as_index=False).agg(s=("s", "sum"),
+                                                  n=("n", "sum")),
+        batch_format="pandas",
+    )
+    daily["m"] = stable_round6(daily["s"].astype(float))
+    last = int(daily["day"].max())
+    base = last - 7
+    cur = daily[daily["day"] == last].set_index("event_type")["m"]
+    prev = daily[daily["day"] == base].set_index("event_type")["m"]
+    types = sorted(set(cur.index) & set(prev.index))
+    actual_tot = float(cur.loc[types].sum())
+    fc_bu = {t: float(prev[t]) for t in types}
+    tot_fc = float(prev.loc[types].sum())
+    hist = daily[(daily["day"] < last)].groupby("event_type")["m"].sum()
+    prop = {t: float(hist[t]) / float(hist.loc[types].sum())
+            for t in types}
+    rows = []
+    for t in types:
+        td = prop[t] * tot_fc
+        rows.append({"series": t, "actual": float(cur[t]),
+                     "fc_bottom_up": fc_bu[t],
+                     "fc_top_down": td,
+                     "abs_err_bu": abs(float(cur[t]) - fc_bu[t]),
+                     "abs_err_td": abs(float(cur[t]) - td)})
+    rows.append({"series": "\x00total", "actual": actual_tot,
+                 "fc_bottom_up": sum(fc_bu.values()),
+                 "fc_top_down": tot_fc,
+                 "abs_err_bu": abs(actual_tot - sum(fc_bu.values())),
+                 "abs_err_td": abs(actual_tot - tot_fc)})
+    out = pd.DataFrame(rows)
+    for c in ("actual", "fc_bottom_up", "fc_top_down", "abs_err_bu",
+              "abs_err_td"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("series").reset_index(drop=True)
+
+
+_SQL_HIER_FC = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         ROUND(ROUND(SUM(value), 9), 6) AS m
+  FROM events GROUP BY 1, 2
+),
+lastd AS (SELECT MAX(day) AS last FROM daily),
+cur AS (SELECT event_type, m FROM daily, lastd WHERE day = last),
+prev AS (SELECT event_type, m FROM daily, lastd WHERE day = last - 7),
+types AS (
+  SELECT c.event_type FROM cur c JOIN prev p USING (event_type)
+),
+hist AS (
+  SELECT d.event_type, SUM(d.m) AS h
+  FROM daily d, lastd WHERE d.day < lastd.last
+  GROUP BY 1
+),
+hist_tot AS (
+  SELECT SUM(h.h) AS ht FROM hist h JOIN types USING (event_type)
+),
+tot_fc AS (
+  SELECT SUM(p.m) AS tf FROM prev p JOIN types USING (event_type)
+),
+rows_t AS (
+  SELECT t.event_type AS series, c.m AS actual,
+         p.m AS fc_bottom_up,
+         (h.h / ht.ht) * tf.tf AS fc_top_down
+  FROM types t
+  JOIN cur c USING (event_type)
+  JOIN prev p USING (event_type)
+  JOIN hist h USING (event_type)
+  CROSS JOIN hist_tot ht CROSS JOIN tot_fc tf
+),
+total_row AS (
+  SELECT CHR(0) || 'total' AS series,
+         SUM(actual) AS actual,
+         SUM(fc_bottom_up) AS fc_bottom_up,
+         (SELECT tf FROM tot_fc) AS fc_top_down
+  FROM rows_t
+),
+unioned AS (
+  SELECT * FROM rows_t
+  UNION ALL
+  SELECT * FROM total_row
+)
+SELECT series,
+       ROUND(ROUND(actual, 9), 6) AS actual,
+       ROUND(ROUND(fc_bottom_up, 9), 6) AS fc_bottom_up,
+       ROUND(ROUND(fc_top_down, 9), 6) AS fc_top_down,
+       ROUND(ROUND(ABS(actual - fc_bottom_up), 9), 6) AS abs_err_bu,
+       ROUND(ROUND(ABS(actual - fc_top_down), 9), 6) AS abs_err_td
+FROM unioned
+ORDER BY series
+"""
+
+
+# --------------------------------------------------------------- UCB1
+
+
+def ucb1_replay_kernel(R: np.ndarray) -> dict[str, float]:
+    """UCB1 (Auer 2002) replayed over a rewards matrix R[t, arm]
+    (full-information replay: the chosen arm's reward is revealed from
+    the log): pull each arm once, then argmax of
+    mean + sqrt(2 ln t / n_i), ties to the lowest arm index. Returns
+    total reward, best-fixed-arm reward and the regret."""
+    T, K = R.shape
+    n = np.zeros(K)
+    s = np.zeros(K)
+    total = 0.0
+    for t in range(T):
+        if t < K:
+            a = t
+        else:
+            ucb = s / n + np.sqrt(2.0 * np.log(t) / n)
+            a = int(np.argmax(np.round(ucb, 12)))
+        r = R[t, a]
+        n[a] += 1
+        s[a] += r
+        total += r
+    best = float(R.sum(axis=0).max())
+    return {"reward": float(total), "best_fixed": best,
+            "regret": best - float(total)}
+
+
+def q_ucb1_replay(sf_dir: str):
+    """UCB1 bandit replay over the hourly reward log (arms = event
+    types, reward = that hour's 6dp mean on buckets where all types
+    report): cumulative reward vs the best fixed arm and the regret —
+    the online-learning canon (Auer 2002) replayed on real data, the
+    exploration/exploitation counterpart of the batch
+    Bradley-Terry/Elo rankings. Rows-only (order-defined);
+    sublinear-regret and best-arm-convergence pins."""
+    t1h = _hourly(sf_dir)
+    piv = t1h.pivot_table(index="bucket_ts", columns="event_type",
+                          values="m", aggfunc="first").dropna()
+    if len(piv) < 20:
+        return pd.DataFrame({
+            "n_rounds": pd.Series([], dtype=np.int64),
+            "reward": pd.Series([], dtype=np.float64),
+            "best_fixed": pd.Series([], dtype=np.float64),
+            "regret": pd.Series([], dtype=np.float64),
+            "regret_per_round": pd.Series([], dtype=np.float64)})
+    types = sorted(piv.columns)
+    R = piv.sort_index()[types].to_numpy(np.float64)
+    k = ucb1_replay_kernel(R)
+    out = pd.DataFrame([{
+        "n_rounds": len(R), **k,
+        "regret_per_round": k["regret"] / len(R),
+    }])
+    out["n_rounds"] = out["n_rounds"].astype("int64")
+    for c in ("reward", "best_fixed", "regret", "regret_per_round"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("hierarchical_forecast", q_hierarchical_forecast, _SQL_HIER_FC)
+_register("ucb1_replay", q_ucb1_replay)
 _register("topsis_ranking", q_topsis_ranking, _SQL_TOPSIS)
 _register("ndcg_at_k", q_ndcg_at_k, _SQL_NDCG)
 _register("kendall_w", q_kendall_w, _SQL_KENDALL_W)
