@@ -11467,7 +11467,107 @@ def q_ucb1_replay(sf_dir: str):
     return out
 
 
+# ------------------------------------------- correspondence analysis
+
+
+def correspondence_kernel(O: np.ndarray):
+    """Correspondence analysis (Benzécri): SVD of the standardized
+    Pearson residuals S = D_r^{-1/2} (P - r c^T) D_c^{-1/2}; returns
+    singular values (sqrt of principal inertias) and row/column
+    scores for the first axis (deterministic sign: largest |row
+    score| positive)."""
+    P = O / O.sum()
+    r = P.sum(axis=1)
+    c = P.sum(axis=0)
+    S = (P - np.outer(r, c)) / np.sqrt(np.outer(r, c))
+    U, s, Vt = np.linalg.svd(S, full_matrices=False)
+    u0 = U[:, 0] / np.sqrt(r)
+    v0 = Vt[0] / np.sqrt(c)
+    if u0[np.argmax(np.abs(u0))] < 0:
+        u0, v0 = -u0, -v0
+    return s, u0 * s[0], v0 * s[0]
+
+
+def q_correspondence_analysis(sf_dir: str):
+    """Correspondence analysis of the source x lang contingency table
+    (Benzécri 1973): principal inertias (total = chi2/N) and
+    first-axis row scores — 'which sources pull toward which
+    languages', the categorical biplot machinery. Rows-only (SVD);
+    inertia-equals-chi2/N and block-structure pins."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "lang"])
+    cnt = driver_combine(
+        docs,
+        lambda df: df.groupby(["source", "lang"], as_index=False).size(),
+        lambda df: df.groupby(["source", "lang"], as_index=False)[
+            "size"].sum(),
+        batch_format="pandas",
+    )
+    piv = cnt.pivot_table(index="source", columns="lang", values="size",
+                          aggfunc="sum", fill_value=0)
+    O = piv.to_numpy(np.float64)
+    s, row0, _ = correspondence_kernel(O)
+    inertia = s ** 2
+    rows = []
+    for i, src in enumerate(piv.index):
+        rows.append({"source": src,
+                     "axis1_score": float(row0[i]),
+                     "total_inertia": float(inertia.sum()),
+                     "axis1_share": float(inertia[0] / inertia.sum())})
+    out = pd.DataFrame(rows)
+    for c in ("axis1_score", "total_inertia", "axis1_share"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def cca_first_kernel(X: np.ndarray, Y: np.ndarray,
+                     reg: float = 1e-6) -> float:
+    """First canonical correlation between two column blocks
+    (Hotelling 1936), ridge-regularized for stability: largest
+    singular value of Cxx^{-1/2} Cxy Cyy^{-1/2}."""
+    Xc = X - X.mean(axis=0, keepdims=True)
+    Yc = Y - Y.mean(axis=0, keepdims=True)
+    n = len(X)
+    Cxx = Xc.T @ Xc / n + reg * np.eye(X.shape[1])
+    Cyy = Yc.T @ Yc / n + reg * np.eye(Y.shape[1])
+    Cxy = Xc.T @ Yc / n
+
+    def inv_sqrt(M):
+        w, V = np.linalg.eigh(M)
+        return V @ np.diag(1.0 / np.sqrt(np.maximum(w, 1e-12))) @ V.T
+
+    K = inv_sqrt(Cxx) @ Cxy @ inv_sqrt(Cyy)
+    return float(np.linalg.svd(K, compute_uv=False)[0])
+
+
+def q_embedding_cca(sf_dir: str):
+    """First canonical correlation (Hotelling 1936) between the two
+    halves of the embedding dimensions — 'how much shared signal do
+    the front and back halves of the vector carry?' (the redundancy /
+    intrinsic-dimension probe; near 1 means the label structure spans
+    both halves). Rows-only (eigendecompositions); planted-shared-
+    factor recovery and independent-blocks-near-zero pins."""
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")
+                          ).to_pandas().sort_values("vec_id")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    d = M.shape[1] // 2
+    rho = cca_first_kernel(M[:, :d], M[:, d:])
+    out = pd.DataFrame([{
+        "n_vecs": len(M), "dim_half": d,
+        "first_canonical_corr": float(rho),
+    }])
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["dim_half"] = out["dim_half"].astype("int64")
+    out["first_canonical_corr"] = stable_round6(
+        out["first_canonical_corr"].astype(float))
+    return out
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("correspondence_analysis", q_correspondence_analysis)
+_register("embedding_cca", q_embedding_cca)
 _register("hierarchical_forecast", q_hierarchical_forecast, _SQL_HIER_FC)
 _register("ucb1_replay", q_ucb1_replay)
 _register("topsis_ranking", q_topsis_ranking, _SQL_TOPSIS)

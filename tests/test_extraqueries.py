@@ -1151,3 +1151,40 @@ def test_ucb1_zero_regret_when_one_arm_dominates_every_round():
     # UCB1 keeps probing suboptimal arms ~2 ln T / gap^2 times each:
     # with gap 1 and T = 200 that is ~11 pulls per bad arm
     assert r["regret"] <= 2 * 2 * np.log(200) + 10
+
+
+# -------------------------------------------- correspondence / CCA
+
+
+def test_correspondence_inertia_equals_chi2_over_n():
+    from diive_ray.pipelines.extraqueries import correspondence_kernel
+    rng = _rng(241)
+    O = rng.integers(1, 50, (6, 4)).astype(np.float64)
+    s, _, _ = correspondence_kernel(O)
+    n = O.sum()
+    E = O.sum(1)[:, None] * O.sum(0)[None, :] / n
+    chi2 = ((O - E) ** 2 / E).sum()
+    np.testing.assert_allclose((s ** 2).sum(), chi2 / n, rtol=1e-10)
+
+
+def test_correspondence_block_structure_separates_rows():
+    from diive_ray.pipelines.extraqueries import correspondence_kernel
+    O = np.array([[50.0, 2, 1], [45, 3, 2], [2, 40, 1], [1, 38, 2]])
+    _, row0, _ = correspondence_kernel(O)
+    # rows 0-1 vs 2-3 land on opposite sides of axis 1
+    assert np.sign(row0[0]) == np.sign(row0[1])
+    assert np.sign(row0[2]) == np.sign(row0[3])
+    assert np.sign(row0[0]) != np.sign(row0[2])
+
+
+def test_cca_planted_shared_factor():
+    from diive_ray.pipelines.extraqueries import cca_first_kernel
+    rng = _rng(251)
+    n = 2000
+    z = rng.normal(0, 1, n)
+    X = np.column_stack([z + rng.normal(0, 0.3, n) for _ in range(4)])
+    Y = np.column_stack([z + rng.normal(0, 0.3, n) for _ in range(4)])
+    assert cca_first_kernel(X, Y) > 0.9
+    X2 = rng.normal(0, 1, (n, 4))
+    Y2 = rng.normal(0, 1, (n, 4))
+    assert cca_first_kernel(X2, Y2) < 0.2
