@@ -11565,7 +11565,142 @@ def q_embedding_cca(sf_dir: str):
     return out
 
 
+# ------------------------------------------- Mahalanobis / Grubbs
+
+
+def q_mahalanobis_outliers(sf_dir: str):
+    """Bivariate Mahalanobis outlier screen per event_type on the
+    (hourly mean, hourly count) pairs: closed-form 2x2 inverse
+    covariance, D^2 ~ chi2(2) under normality, counting hours beyond
+    the 99% point (9.210340) — the multivariate generalization the
+    univariate z-score family can't see (a jointly-unusual
+    mean/volume combination with unremarkable marginals)."""
+    from .queries import _fused_tier
+
+    t1h = _fused_tier(sf_dir, "1h").to_pandas()
+    t1h["m"] = stable_round6(t1h["mean"].astype(float))
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        x = g["m"].to_numpy(np.float64)
+        y = g["count"].to_numpy(np.float64)
+        n = float(len(x))
+        if n < 30:
+            continue
+        mx, my = x.sum() / n, y.sum() / n
+        sxx = ((x - mx) ** 2).sum() / n
+        syy = ((y - my) ** 2).sum() / n
+        sxy = ((x - mx) * (y - my)).sum() / n
+        det = sxx * syy - sxy * sxy
+        d2 = ((x - mx) ** 2 * syy - 2 * (x - mx) * (y - my) * sxy
+              + (y - my) ** 2 * sxx) / det
+        d26 = stable_round6(d2)
+        rows.append({"event_type": key, "n": int(n),
+                     "corr_mean_count": sxy / np.sqrt(sxx * syy),
+                     "max_d2": float(d26.max()),
+                     "n_beyond_99": int((d26 > 9.210340).sum())})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["n_beyond_99"] = out["n_beyond_99"].astype("int64")
+    for c in ("corr_mean_count", "max_d2"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_MAHALANOBIS = """
+WITH hourly AS (
+  SELECT event_type,
+         ROUND(ROUND(SUM(value) / COUNT(value), 9), 6) AS m,
+         COUNT(value)::DOUBLE AS c
+  FROM events
+  GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+  HAVING COUNT(value) > 0
+),
+mom AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n,
+         AVG(m) AS mx, AVG(c) AS my,
+         SUM(m * m) / COUNT(*) - AVG(m) * AVG(m) AS sxx,
+         SUM(c * c) / COUNT(*) - AVG(c) * AVG(c) AS syy,
+         SUM(m * c) / COUNT(*) - AVG(m) * AVG(c) AS sxy
+  FROM hourly GROUP BY 1 HAVING COUNT(*) >= 30
+),
+d AS (
+  SELECT h.event_type,
+         ROUND(ROUND(((h.m - mom.mx) * (h.m - mom.mx) * mom.syy
+           - 2 * (h.m - mom.mx) * (h.c - mom.my) * mom.sxy
+           + (h.c - mom.my) * (h.c - mom.my) * mom.sxx)
+           / (mom.sxx * mom.syy - mom.sxy * mom.sxy), 9), 6) AS d2
+  FROM hourly h JOIN mom USING (event_type)
+)
+SELECT mom.event_type, CAST(mom.n AS BIGINT) AS n,
+       ROUND(ROUND(mom.sxy / SQRT(mom.sxx * mom.syy), 9), 6)
+           AS corr_mean_count,
+       ROUND(ROUND((SELECT MAX(d2) FROM d
+                    WHERE d.event_type = mom.event_type), 9), 6)
+           AS max_d2,
+       (SELECT SUM(CASE WHEN d2 > 9.210340 THEN 1 ELSE 0 END)
+        FROM d WHERE d.event_type = mom.event_type)::BIGINT
+           AS n_beyond_99
+FROM mom
+ORDER BY mom.event_type
+"""
+
+
+def q_grubbs_stat(sf_dir: str):
+    """Grubbs' (1950) max studentized deviate per event_type on the
+    6dp hourly means: G = max |m - mbar| / s with the offending
+    bucket — the single-outlier screening statistic the iterated
+    Hampel/ESD machinery generalizes (SHESD holds the Rosner sweep;
+    this is the one-shot classical form)."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts").reset_index(drop=True)
+        m = g["m"].to_numpy(np.float64)
+        n = float(len(m))
+        mu = m.sum() / n
+        s = np.sqrt(((m - mu) ** 2).sum() / (n - 1.0))
+        dev = stable_round6(np.abs(m - mu) / s)
+        i = int(np.argmax(dev))
+        rows.append({"event_type": key, "n": int(n),
+                     "grubbs_g": float(dev[i]),
+                     "at_bucket": g["bucket_ts"].iloc[i]})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["grubbs_g"] = stable_round6(out["grubbs_g"].astype(float))
+    out["at_bucket"] = pd.to_datetime(out["at_bucket"]).astype(
+        "datetime64[us]")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_SQL_GRUBBS = _HOURLY_CTE + """,
+st AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n, AVG(m) AS mu,
+         SQRT((SUM(m * m) - COUNT(*) * AVG(m) * AVG(m))
+              / (COUNT(*) - 1.0)) AS s
+  FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT h.event_type, h.bts, st.n,
+         ROUND(ROUND(ABS(h.m - st.mu) / st.s, 9), 6) AS g
+  FROM hourly h JOIN st USING (event_type)
+),
+best AS (
+  SELECT event_type, n, g, bts,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY g DESC, bts ASC) AS r
+  FROM dev
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       g AS grubbs_g, bts AS at_bucket
+FROM best WHERE r = 1
+ORDER BY event_type
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("mahalanobis_outliers", q_mahalanobis_outliers,
+          _SQL_MAHALANOBIS)
+_register("grubbs_stat", q_grubbs_stat, _SQL_GRUBBS)
 _register("correspondence_analysis", q_correspondence_analysis)
 _register("embedding_cca", q_embedding_cca)
 _register("hierarchical_forecast", q_hierarchical_forecast, _SQL_HIER_FC)
