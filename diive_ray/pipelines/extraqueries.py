@@ -11697,7 +11697,77 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------- clustering evaluation
+
+
+def cluster_eval_kernel(a: np.ndarray, b: np.ndarray) -> dict:
+    """External clustering-evaluation battery from the contingency
+    table of assignments a vs reference b: adjusted Rand index
+    (Hubert & Arabie 1985), normalized mutual information (arithmetic
+    normalization), purity, and the V-measure
+    homogeneity/completeness pair (Rosenberg & Hirschberg 2007)."""
+    n = len(a)
+    au, ai = np.unique(a, return_inverse=True)
+    bu, bi = np.unique(b, return_inverse=True)
+    C = np.zeros((len(au), len(bu)))
+    np.add.at(C, (ai, bi), 1.0)
+    ni = C.sum(axis=1)
+    nj = C.sum(axis=0)
+
+    def comb2(x):
+        return x * (x - 1) / 2.0
+
+    sum_ij = comb2(C).sum()
+    sum_i = comb2(ni).sum()
+    sum_j = comb2(nj).sum()
+    exp = sum_i * sum_j / comb2(n)
+    mx = (sum_i + sum_j) / 2.0
+    ari = (sum_ij - exp) / (mx - exp)
+    P = C / n
+    pi = ni / n
+    pj = nj / n
+    nz = P > 0
+    mi = float((P[nz] * np.log(P[nz]
+                               / np.outer(pi, pj)[nz])).sum())
+    ha = float(-(pi[pi > 0] * np.log(pi[pi > 0])).sum())
+    hb = float(-(pj[pj > 0] * np.log(pj[pj > 0])).sum())
+    nmi = mi / ((ha + hb) / 2.0)
+    purity = float(C.max(axis=1).sum() / n)
+    hom = mi / hb if hb > 0 else 1.0
+    comp = mi / ha if ha > 0 else 1.0
+    v = 2 * hom * comp / (hom + comp)
+    return {"ari": float(ari), "nmi": float(nmi),
+            "purity": purity, "homogeneity": float(hom),
+            "completeness": float(comp), "v_measure": float(v)}
+
+
+def q_embedding_cluster_eval(sf_dir: str):
+    """External evaluation of the engine's k-means clustering against
+    the ground-truth labels: ARI / NMI / purity / V-measure — the full
+    clustering-scorecard next to the internal silhouette view.
+    Rows-only (k-means-derived); perfect-match = 1 and random ~ 0
+    axiom pins in pytest."""
+    from ..stages.cluster import kmeans_lloyd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = ds.to_pandas().sort_values("vec_id")
+    lab = emb["label"].to_numpy(np.int64)
+    k = len(np.unique(lab))
+    _, assign = kmeans_lloyd(ds, k)
+    km = assign.to_pandas().sort_values("vec_id")
+    klab = km["cluster"].to_numpy(np.int64)
+    r = cluster_eval_kernel(klab, lab)
+    out = pd.DataFrame([{"n_vecs": len(lab), "k": k, **r}])
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    out["k"] = out["k"].astype("int64")
+    for c in ("ari", "nmi", "purity", "homogeneity", "completeness",
+              "v_measure"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("embedding_cluster_eval", q_embedding_cluster_eval)
 _register("mahalanobis_outliers", q_mahalanobis_outliers,
           _SQL_MAHALANOBIS)
 _register("grubbs_stat", q_grubbs_stat, _SQL_GRUBBS)

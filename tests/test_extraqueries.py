@@ -1188,3 +1188,27 @@ def test_cca_planted_shared_factor():
     X2 = rng.normal(0, 1, (n, 4))
     Y2 = rng.normal(0, 1, (n, 4))
     assert cca_first_kernel(X2, Y2) < 0.2
+
+
+# ------------------------------------------------- cluster evaluation
+
+
+def test_cluster_eval_perfect_and_random():
+    from diive_ray.pipelines.extraqueries import cluster_eval_kernel
+    rng = _rng(257)
+    b = rng.integers(0, 5, 2000)
+    perfect = cluster_eval_kernel(b.copy(), b)
+    assert perfect["ari"] == 1.0 and abs(perfect["nmi"] - 1.0) < 1e-9
+    assert perfect["purity"] == 1.0 and abs(perfect["v_measure"] - 1.0) < 1e-9
+    rand = cluster_eval_kernel(rng.integers(0, 5, 2000), b)
+    assert abs(rand["ari"]) < 0.05
+    assert rand["nmi"] < 0.05
+
+
+def test_cluster_eval_label_permutation_invariant():
+    from diive_ray.pipelines.extraqueries import cluster_eval_kernel
+    rng = _rng(263)
+    b = rng.integers(0, 4, 500)
+    a = (b + 2) % 4                            # relabeled perfect match
+    r = cluster_eval_kernel(a, b)
+    assert r["ari"] == 1.0 and r["purity"] == 1.0
