@@ -11766,7 +11766,144 @@ def q_embedding_cluster_eval(sf_dir: str):
     return out
 
 
+# ----------------------------------------------- transfer entropy
+
+
+def q_transfer_entropy(sf_dir: str):
+    """Transfer entropy (Schreiber 2000) between event-type pairs on
+    tercile-discretized bucket-joined hourly means: TE(X->Y) =
+    sum p(y', y, x) ln [ p(y'|y, x) / p(y'|y) ] — the directional,
+    model-free coupling measure that Granger causality approximates
+    linearly; reported both directions with the asymmetry. Terciles
+    use the deterministic NTILE(3) (value, bucket) order; all terms
+    are count ratios, so the battery replays exactly."""
+    t1h = _hourly(sf_dir)
+    by = {}
+    for k, g in t1h.groupby("event_type", sort=True):
+        g = g.sort_values("bucket_ts").reset_index(drop=True)
+        n = len(g)
+        order = np.lexsort((np.arange(n),
+                            g["m"].to_numpy(np.float64)))
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if d < extra else 0) for d in range(3)]
+        terc = np.empty(n, dtype=np.int64)
+        pos = 0
+        for d, sz in enumerate(sizes):
+            terc[order[pos:pos + sz]] = d + 1
+            pos += sz
+        by[k] = pd.Series(terc, index=g["bucket_ts"])
+    keys = sorted(by)
+    rows = []
+
+    def te(xs: np.ndarray, ys: np.ndarray) -> float:
+        yn, yc, xc = ys[1:], ys[:-1], xs[:-1]
+        n = float(len(yn))
+        from collections import Counter
+
+        c3 = Counter(zip(yn, yc, xc))
+        c2yx = Counter(zip(yc, xc))
+        c2yy = Counter(zip(yn, yc))
+        c1y = Counter(yc)
+        s = 0.0
+        for (a, b, c), k3 in sorted(c3.items()):
+            p3 = k3 / n
+            s += p3 * np.log((k3 / c2yx[(b, c)])
+                             / (c2yy[(a, b)] / c1y[b]))
+        return float(s)
+
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = by[keys[i]], by[keys[j]]
+            common = a.index.intersection(b.index).sort_values()
+            if len(common) < 50:
+                continue
+            xs = a.loc[common].to_numpy(np.int64)
+            ys = b.loc[common].to_numpy(np.int64)
+            txy = te(xs, ys)
+            tyx = te(ys, xs)
+            rows.append({"event_x": keys[i], "event_y": keys[j],
+                         "n": len(common), "te_xy": txy,
+                         "te_yx": tyx, "asymmetry": txy - tyx})
+    if not rows:
+        return pd.DataFrame({
+            "event_x": pd.Series([], dtype=object),
+            "event_y": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            **{c: pd.Series([], dtype=np.float64)
+               for c in ("te_xy", "te_yx", "asymmetry")}})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    for c in ("te_xy", "te_yx", "asymmetry"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values(["event_x", "event_y"]).reset_index(
+        drop=True)
+
+
+_SQL_TRANSFER_ENTROPY = _HOURLY_CTE + """,
+terc AS (
+  SELECT event_type, bts,
+         NTILE(3) OVER (PARTITION BY event_type ORDER BY m, bts) AS t
+  FROM hourly
+),
+tl AS (SELECT event_type FROM terc GROUP BY 1),
+pp AS (
+  SELECT a.event_type AS ex, b.event_type AS ey
+  FROM tl a JOIN tl b ON a.event_type <> b.event_type
+),
+j AS (
+  SELECT pp.ex, pp.ey, tx.bts, tx.t AS x, ty.t AS y,
+         ROW_NUMBER() OVER (PARTITION BY pp.ex, pp.ey
+                            ORDER BY tx.bts) AS rn
+  FROM pp
+  JOIN terc tx ON tx.event_type = pp.ex
+  JOIN terc ty ON ty.event_type = pp.ey AND ty.bts = tx.bts
+),
+tr AS (
+  SELECT a.ex, a.ey, b.y AS yn, a.y AS yc, a.x AS xc
+  FROM j a JOIN j b
+    ON a.ex = b.ex AND a.ey = b.ey AND b.rn = a.rn + 1
+),
+nn AS (
+  SELECT ex, ey, COUNT(*)::DOUBLE AS n FROM tr GROUP BY 1, 2
+  HAVING COUNT(*) >= 49
+),
+c3 AS (SELECT ex, ey, yn, yc, xc, COUNT(*)::DOUBLE AS k
+       FROM tr GROUP BY 1, 2, 3, 4, 5),
+c2yx AS (SELECT ex, ey, yc, xc, COUNT(*)::DOUBLE AS k
+         FROM tr GROUP BY 1, 2, 3, 4),
+c2yy AS (SELECT ex, ey, yn, yc, COUNT(*)::DOUBLE AS k
+         FROM tr GROUP BY 1, 2, 3, 4),
+c1y AS (SELECT ex, ey, yc, COUNT(*)::DOUBLE AS k
+        FROM tr GROUP BY 1, 2, 3),
+te AS (
+  SELECT c3.ex, c3.ey,
+         SUM((c3.k / nn.n)
+             * LN((c3.k / c2yx.k) / (c2yy.k / c1y.k))) AS v
+  FROM c3
+  JOIN nn USING (ex, ey)
+  JOIN c2yx ON c2yx.ex = c3.ex AND c2yx.ey = c3.ey
+           AND c2yx.yc = c3.yc AND c2yx.xc = c3.xc
+  JOIN c2yy ON c2yy.ex = c3.ex AND c2yy.ey = c3.ey
+           AND c2yy.yn = c3.yn AND c2yy.yc = c3.yc
+  JOIN c1y ON c1y.ex = c3.ex AND c1y.ey = c3.ey AND c1y.yc = c3.yc
+  GROUP BY 1, 2
+)
+SELECT f.ex AS event_x, f.ey AS event_y,
+       CAST(nf.n + 1 AS BIGINT) AS n,
+       ROUND(ROUND(f.v, 9), 6) AS te_xy,
+       ROUND(ROUND(r.v, 9), 6) AS te_yx,
+       ROUND(ROUND(f.v - r.v, 9), 6) AS asymmetry
+FROM te f
+JOIN te r ON r.ex = f.ey AND r.ey = f.ex
+JOIN nn nf ON nf.ex = f.ex AND nf.ey = f.ey
+WHERE f.ex < f.ey
+ORDER BY f.ex, f.ey
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("transfer_entropy", q_transfer_entropy,
+          _SQL_TRANSFER_ENTROPY)
 _register("embedding_cluster_eval", q_embedding_cluster_eval)
 _register("mahalanobis_outliers", q_mahalanobis_outliers,
           _SQL_MAHALANOBIS)
