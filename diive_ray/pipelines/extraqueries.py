@@ -11901,7 +11901,163 @@ ORDER BY f.ex, f.ey
 """
 
 
+# ------------------------------------------- uncertainty coefficient
+
+
+def q_uncertainty_coefficient(sf_dir: str):
+    """Theil's uncertainty coefficient (the asymmetric categorical
+    association measure): U(lang|source) = MI / H(lang) and its
+    transpose — 'how much does knowing the source reduce language
+    uncertainty' in [0, 1], the directional refinement of the
+    symmetric G-test / Cramér's V view. Pure count ratios."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "lang"])
+    cnt = driver_combine(
+        docs,
+        lambda df: df.groupby(["source", "lang"], as_index=False).size(),
+        lambda df: df.groupby(["source", "lang"], as_index=False)[
+            "size"].sum(),
+        batch_format="pandas",
+    )
+    piv = cnt.pivot_table(index="source", columns="lang", values="size",
+                          aggfunc="sum", fill_value=0)
+    O = piv.to_numpy(np.float64)
+    n = O.sum()
+    P = O / n
+    pi = P.sum(axis=1)
+    pj = P.sum(axis=0)
+    nz = P > 0
+    mi = float((P[nz] * np.log(P[nz] / np.outer(pi, pj)[nz])).sum())
+    hs = float(-(pi[pi > 0] * np.log(pi[pi > 0])).sum())
+    hl = float(-(pj[pj > 0] * np.log(pj[pj > 0])).sum())
+    out = pd.DataFrame([{
+        "n_docs": int(n), "mi_nats": mi,
+        "u_lang_given_source": mi / hl,
+        "u_source_given_lang": mi / hs,
+        "h_source": hs, "h_lang": hl,
+    }])
+    out["n_docs"] = out["n_docs"].astype("int64")
+    for c in ("mi_nats", "u_lang_given_source", "u_source_given_lang",
+              "h_source", "h_lang"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_UNCERTAINTY = """
+WITH c AS (SELECT source, lang, COUNT(*)::DOUBLE AS o
+           FROM documents GROUP BY 1, 2),
+n AS (SELECT SUM(o) AS n FROM c),
+r AS (SELECT source, SUM(o) AS rs FROM c GROUP BY 1),
+cl AS (SELECT lang, SUM(o) AS cs FROM c GROUP BY 1),
+mi AS (
+  SELECT SUM((c.o / n.n)
+             * LN((c.o / n.n) / ((r.rs / n.n) * (cl.cs / n.n)))) AS mi
+  FROM c JOIN r USING (source) JOIN cl USING (lang) CROSS JOIN n
+),
+hs AS (SELECT -SUM((rs / n.n) * LN(rs / n.n)) AS h
+       FROM r CROSS JOIN n),
+hl AS (SELECT -SUM((cs / n.n) * LN(cs / n.n)) AS h
+       FROM cl CROSS JOIN n)
+SELECT CAST(n.n AS BIGINT) AS n_docs,
+       ROUND(ROUND(mi.mi, 9), 6) AS mi_nats,
+       ROUND(ROUND(mi.mi / hl.h, 9), 6) AS u_lang_given_source,
+       ROUND(ROUND(mi.mi / hs.h, 9), 6) AS u_source_given_lang,
+       ROUND(ROUND(hs.h, 9), 6) AS h_source,
+       ROUND(ROUND(hl.h, 9), 6) AS h_lang
+FROM n CROSS JOIN mi CROSS JOIN hs CROSS JOIN hl
+"""
+
+
+# ------------------------------------------- sample entropy / LZ76
+
+
+def sample_entropy_kernel(x: np.ndarray, m: int = 2,
+                          r_frac: float = 0.2) -> float:
+    """Sample entropy (Richman & Moorman 2000): -ln(A/B) with B =
+    matching m-templates, A = matching (m+1)-templates, tolerance
+    r = r_frac * sd, self-matches excluded (Chebyshev distance)."""
+    n = len(x)
+    r = r_frac * x.std()
+
+    def count(mm):
+        tpl = np.lib.stride_tricks.sliding_window_view(x, mm)
+        k = len(tpl)
+        c = 0
+        for i in range(k - 1):
+            d = np.abs(tpl[i + 1:] - tpl[i]).max(axis=1)
+            c += int((d <= r).sum())
+        return c
+
+    B = count(m)
+    A = count(m + 1)
+    if A == 0 or B == 0:
+        return float("nan")
+    return float(-np.log(A / B))
+
+
+def lz76_kernel(bits: np.ndarray) -> int:
+    """Lempel-Ziv 1976 complexity (number of distinct phrases in the
+    exhaustive-history parsing) of a binary sequence."""
+    s = "".join("1" if b else "0" for b in bits)
+    i, c, ln = 0, 1, 1
+    k, kmax = 1, 1
+    n = len(s)
+    while True:
+        if s[i + k - 1] != s[ln + k - 1]:
+            if k > kmax:
+                kmax = k
+            i += 1
+            if i == ln:
+                c += 1
+                ln += kmax
+                if ln + 1 > n:
+                    break
+                i, k, kmax = 0, 1, 1
+            else:
+                k = 1
+        else:
+            k += 1
+            if ln + k > n:
+                c += 1
+                break
+    return c
+
+
+def q_sample_entropy(sf_dir: str):
+    """Irregularity battery per event_type on the 6dp hourly means:
+    sample entropy (m=2, r=0.2 sd — Richman & Moorman 2000, the
+    self-match-free ApEn successor) and the Lempel-Ziv-76 phrase
+    complexity of the above/below-median binarization, normalized by
+    n/log2(n) — the two classic members the CID/C3 battery
+    (ts_complexity) doesn't include. Rows-only; white-vs-sine
+    separation pins."""
+    t1h = _hourly(sf_dir)
+    rows = []
+    for key, g in t1h.groupby("event_type", sort=True):
+        m = g.sort_values("bucket_ts")["m"].to_numpy(np.float64)
+        if len(m) < 100:
+            continue
+        se = sample_entropy_kernel(m)
+        bits = m > np.median(m)
+        lz = lz76_kernel(bits)
+        norm = lz / (len(bits) / np.log2(len(bits)))
+        rows.append({"event_type": key, "n": len(m),
+                     "sampen": se, "lz76": lz,
+                     "lz76_norm": float(norm)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    out["lz76"] = out["lz76"].astype("int64")
+    for c in ("sampen", "lz76_norm"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("uncertainty_coefficient", q_uncertainty_coefficient,
+          _SQL_UNCERTAINTY)
+_register("sample_entropy", q_sample_entropy)
 _register("transfer_entropy", q_transfer_entropy,
           _SQL_TRANSFER_ENTROPY)
 _register("embedding_cluster_eval", q_embedding_cluster_eval)

@@ -1212,3 +1212,24 @@ def test_cluster_eval_label_permutation_invariant():
     a = (b + 2) % 4                            # relabeled perfect match
     r = cluster_eval_kernel(a, b)
     assert r["ari"] == 1.0 and r["purity"] == 1.0
+
+
+# ------------------------------------------- sample entropy / LZ76
+
+
+def test_sampen_separates_sine_from_noise():
+    from diive_ray.pipelines.extraqueries import sample_entropy_kernel
+    rng = _rng(269)
+    noise = rng.normal(0, 1, 600)
+    sine = np.sin(np.arange(600) / 5.0)
+    assert sample_entropy_kernel(noise) > 3 * sample_entropy_kernel(sine)
+
+
+def test_lz76_constant_low_random_high():
+    from diive_ray.pipelines.extraqueries import lz76_kernel
+    rng = _rng(271)
+    const = np.zeros(512, dtype=bool)
+    rand = rng.random(512) < 0.5
+    assert lz76_kernel(const) <= 3
+    # random binary: complexity near n / log2 n
+    assert lz76_kernel(rand) > 0.5 * 512 / np.log2(512)
