@@ -12054,7 +12054,105 @@ def q_sample_entropy(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+# --------------------------------------------------- odds-of-odds / MCC
+
+
+def q_matthews_corrcoef(sf_dir: str):
+    """Matthews correlation coefficient of the optimal-threshold
+    classifier from score_threshold_analysis (the balanced
+    single-number confusion summary preferred for imbalanced data,
+    Matthews 1975 / phi coefficient): confusion cells at the KS-optimal
+    cut, MCC = (TP·TN - FP·FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+    Pure count closed form at the same exact threshold rule."""
+    from ..stages.exchange import driver_combine
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lab = (df["source"] >= "src5").astype(np.int64)
+        g = pd.DataFrame({"score": df["n_chars"], "lab": lab}).groupby(
+            "score", as_index=False).agg(n_pos=("lab", "sum"),
+                                         n=("lab", "size"))
+        g["n_neg"] = g["n"] - g["n_pos"]
+        return g.drop(columns=["n"])
+
+    cnt = driver_combine(
+        docs, partial,
+        lambda df: df.groupby("score", as_index=False).agg(
+            n_pos=("n_pos", "sum"), n_neg=("n_neg", "sum")),
+        batch_format="pandas",
+    ).sort_values("score").reset_index(drop=True)
+    P = float(cnt["n_pos"].sum())
+    N = float(cnt["n_neg"].sum())
+    cum_pos = np.cumsum(cnt["n_pos"].to_numpy(np.float64))
+    cum_neg = np.cumsum(cnt["n_neg"].to_numpy(np.float64))
+    tpr = 1.0 - cum_pos / P
+    fpr = 1.0 - cum_neg / N
+    j = stable_round6(tpr - fpr)
+    i = int(np.argmax(j))
+    tp = P - cum_pos[i]
+    fn = cum_pos[i]
+    fp = N - cum_neg[i]
+    tn = cum_neg[i]
+    mcc = ((tp * tn - fp * fn)
+           / np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)))
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    out = pd.DataFrame([{
+        "threshold": int(cnt["score"].iloc[i]),
+        "tp": int(tp), "fp": int(fp), "tn": int(tn), "fn": int(fn),
+        "mcc": float(mcc), "f1": float(f1),
+    }])
+    for c in ("threshold", "tp", "fp", "tn", "fn"):
+        out[c] = out[c].astype("int64")
+    for c in ("mcc", "f1"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_MCC = """
+WITH d AS (
+  SELECT n_chars AS score,
+         CASE WHEN source >= 'src5' THEN 1 ELSE 0 END AS lab
+  FROM documents
+),
+cnt AS (
+  SELECT score, SUM(lab) AS n_pos, COUNT(*) - SUM(lab) AS n_neg
+  FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n_pos)::DOUBLE AS p, SUM(n_neg)::DOUBLE AS n
+        FROM cnt),
+sweep AS (
+  SELECT score,
+         SUM(n_pos) OVER (ORDER BY score) AS cpos,
+         SUM(n_neg) OVER (ORDER BY score) AS cneg,
+         tot.p, tot.n
+  FROM cnt CROSS JOIN tot
+),
+j AS (
+  SELECT score, cpos, cneg, p, n,
+         ROUND(ROUND((1.0 - cpos / p) - (1.0 - cneg / n), 9), 6) AS jj
+  FROM sweep
+),
+best AS (
+  SELECT score, p - cpos AS tp, cpos AS fn, n - cneg AS fp,
+         cneg AS tn,
+         ROW_NUMBER() OVER (ORDER BY jj DESC, score ASC) AS r
+  FROM j
+)
+SELECT CAST(score AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       ROUND(ROUND((tp * tn - fp * fn)
+             / SQRT((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+             9), 6) AS mcc,
+       ROUND(ROUND(2.0 * tp / (2.0 * tp + fp + fn), 9), 6) AS f1
+FROM best WHERE r = 1
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("matthews_corrcoef", q_matthews_corrcoef, _SQL_MCC)
 _register("uncertainty_coefficient", q_uncertainty_coefficient,
           _SQL_UNCERTAINTY)
 _register("sample_entropy", q_sample_entropy)
