@@ -12151,7 +12151,109 @@ FROM best WHERE r = 1
 """
 
 
+# -------------------------------------------------- effect sizes
+
+
+def q_effect_sizes(sf_dir: str):
+    """Standardized effect-size battery for the arm difference in user
+    spend — the numbers a significance test doesn't give: Cohen's d
+    (pooled sd), Hedges' g small-sample correction
+    (1 - 3/(4 df - 1)) and Glass's delta (control sd). All moment
+    closed forms."""
+    from ..stages.exchange import block_map, driver_combine
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    users = block_map(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", as_index=False).agg(
+                y=("value", "sum")),
+            batch_format="pandas"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False)["y"].sum(),
+        batch_format="pandas", zero_copy_batch=False,
+    )
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["user_id"].to_numpy(np.int64) % 2)
+        y = df["y"].to_numpy(np.float64)
+        out = []
+        for arm in (0, 1):
+            v = y[a == arm]
+            out.append({"arm": arm, "k": len(v), "s": v.sum(),
+                        "ss": (v * v).sum()})
+        return pd.DataFrame(out)
+
+    m = driver_combine(
+        users, mom,
+        lambda df: df.groupby("arm", as_index=False).sum(),
+        batch_format="pandas",
+    ).set_index("arm")
+
+    def stats(arm):
+        r = m.loc[arm]
+        k = float(r["k"])
+        mu = r["s"] / k
+        var = (r["ss"] - r["s"] ** 2 / k) / (k - 1.0)
+        return k, mu, var
+
+    k0, mu0, v0 = stats(0)
+    k1, mu1, v1 = stats(1)
+    sp = np.sqrt(((k0 - 1) * v0 + (k1 - 1) * v1) / (k0 + k1 - 2))
+    d = (mu1 - mu0) / sp
+    dfree = k0 + k1 - 2
+    g = d * (1.0 - 3.0 / (4.0 * dfree - 1.0))
+    glass = (mu1 - mu0) / np.sqrt(v0)
+    out = pd.DataFrame([{
+        "n_control": int(k0), "n_treat": int(k1),
+        "cohen_d": float(d), "hedges_g": float(g),
+        "glass_delta": float(glass),
+    }])
+    out["n_control"] = out["n_control"].astype("int64")
+    out["n_treat"] = out["n_treat"].astype("int64")
+    for c in ("cohen_d", "hedges_g", "glass_delta"):
+        out[c] = stable_round6(out[c].astype(float))
+    return out
+
+
+_SQL_EFFECT_SIZES = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm, SUM(value) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT arm, COUNT(*)::DOUBLE AS k, SUM(y) AS s, SUM(y * y) AS ss
+  FROM u GROUP BY 1
+),
+st AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN k END) AS k0,
+         MAX(CASE WHEN arm = 1 THEN k END) AS k1,
+         MAX(CASE WHEN arm = 0 THEN s / k END) AS mu0,
+         MAX(CASE WHEN arm = 1 THEN s / k END) AS mu1,
+         MAX(CASE WHEN arm = 0
+             THEN (ss - s * s / k) / (k - 1.0) END) AS v0,
+         MAX(CASE WHEN arm = 1
+             THEN (ss - s * s / k) / (k - 1.0) END) AS v1
+  FROM m
+),
+eff AS (
+  SELECT k0, k1, mu0, mu1, v0,
+         (mu1 - mu0) / SQRT(((k0 - 1) * v0 + (k1 - 1) * v1)
+                            / (k0 + k1 - 2)) AS d
+  FROM st
+)
+SELECT CAST(k0 AS BIGINT) AS n_control,
+       CAST(k1 AS BIGINT) AS n_treat,
+       ROUND(ROUND(d, 9), 6) AS cohen_d,
+       ROUND(ROUND(d * (1.0 - 3.0 / (4.0 * (k0 + k1 - 2) - 1.0)),
+             9), 6) AS hedges_g,
+       ROUND(ROUND((mu1 - mu0) / SQRT(v0), 9), 6) AS glass_delta
+FROM eff
+"""
+
+
 _register("theil_sen", q_theil_sen, _SQL_THEIL_SEN)
+_register("effect_sizes", q_effect_sizes, _SQL_EFFECT_SIZES)
 _register("matthews_corrcoef", q_matthews_corrcoef, _SQL_MCC)
 _register("uncertainty_coefficient", q_uncertainty_coefficient,
           _SQL_UNCERTAINTY)
