@@ -612,6 +612,15 @@ def merge_tier_datasets(
     standing tiers without re-reading the base corpus. Equality with a
     full recompute over base+delta is pinned by the
     ``rollup_late_merge`` oracle query and tests/test_rollup_merge.py.
+
+    Column contract (ADVICE r4): the decomposable partials
+    count/sum/min/max merge, ``mean`` is re-derived, and ``n_child``
+    (present on the coarse 1h/1d tiers' mincount masks) is ADDITIVE
+    across base/delta and is summed when present. Any other column
+    raises instead of being silently dropped — a tier schema this
+    function doesn't understand must not lose data quietly. Null-keyed
+    rows merge like any other group (``dropna=False``), matching the
+    pyarrow ``group_by`` in the cascade that keeps null keys.
     """
     import pandas as pd
 
@@ -619,18 +628,40 @@ def merge_tier_datasets(
     from ..util import ts_to_us
 
     keys = list(keys)
+    known = {"bucket_ts", "count", "sum", "min", "max", "mean",
+             "n_child"}
+    # an EMPTY side has no schema (Dataset.schema() -> None): nothing
+    # to validate or drop there
+    sides = [s.names for s in (a.schema(), b.schema()) if s is not None]
+    for names in sides:
+        extra = [c for c in names if c not in known and c not in keys]
+        if extra:
+            raise ValueError(
+                f"merge_tier_datasets: unexpected tier column(s) "
+                f"{extra}; refusing to merge a schema whose partials "
+                f"this combine would silently drop")
+    child_flags = ["n_child" in names for names in sides]
+    has_child = any(child_flags)
+    if len(child_flags) == 2 and child_flags[0] != child_flags[1]:
+        raise ValueError(
+            "merge_tier_datasets: n_child present on only one side — "
+            "base and delta must come from the same tier")
 
     def add_key(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_b=ts_to_us(df["bucket_ts"]))
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys + ["_b"], as_index=False).agg(
+        aggs = dict(
             bucket_ts=("bucket_ts", "first"),
             count=("count", "sum"),
             sum=("sum", "sum"),
             min=("min", "min"),
             max=("max", "max"),
         )
+        if has_child:
+            aggs["n_child"] = ("n_child", "sum")
+        g = df.groupby(keys + ["_b"], as_index=False,
+                       dropna=False).agg(**aggs)
         g["mean"] = g["sum"] / g["count"]
         return g.drop(columns=["_b"])
 
