@@ -32,9 +32,20 @@ def entry() -> Any:
 # should spend them on oracle queries it has NOT yet recorded, so those
 # come first, then the previously-recorded oracle set, then rows-only.
 # wind_rotation was recorded in r03 but hash-failed there (fixed in r4:
-# order-canonical window means + -0.0 normalization on both sides), so
-# it is force-ranked FIRST for re-recording (VERDICT r3 #1).
-_RERECORD_FIRST = ("wind_rotation",)
+# order-canonical window means + -0.0 normalization on both sides) and
+# re-recorded green in r04.
+#
+# Round 5 (VERDICT r4 #4): the queries RE-PLUMBED this round — per-user
+# analytics de-drivered to bounded cell tables, funnels vectorized with
+# merge_asof, percentiles101 moved to the streaming quantile machinery,
+# the late-merge path hardened — are force-ranked FIRST so their fixes
+# get driver-recorded in CORRECTNESS_r05.
+_RERECORD_FIRST = (
+    "kaplan_meier", "logrank_test", "eb_shrinkage", "cohort_ltv",
+    "new_vs_returning", "growth_accounting", "window_funnel",
+    "funnel_latency", "shapley_attribution", "mcnemar_test",
+    "percentiles101", "rollup_late_merge",
+)
 
 _R3_RECORDED = frozenset({
     "asof_join_hourly", "binary_extract", "compound_extremes",
@@ -54,7 +65,25 @@ _R3_RECORDED = frozenset({
     "xcorr_lag_scan",
 })
 
-_DRIVER_RECORDED = _R3_RECORDED | frozenset({
+_R4_RECORDED = frozenset({
+    "ale2d_fixed_grid", "ale_fixed_grid", "bin_fitter", "breusch_pagan",
+    "chow_test", "cointegration_eg", "combine_variables", "csv_ingest",
+    "dispersion_test", "doc_chunk", "doc_decontaminate", "doc_dup_spans",
+    "doc_exact_dedup", "doc_fingerprint", "doc_heavy_hitters",
+    "doc_jaccard_blocked", "doc_minhash_dedup", "doc_minhash_dups",
+    "doc_pack_sequences", "doc_pii", "doc_repetition", "doc_source_mix",
+    "doc_tfidf_top", "effective_sample_size", "embedding_kmeans",
+    "embedding_near_dup", "embedding_topk", "file_inventory",
+    "flux_chain_scores", "friedman_test", "haar_energy", "jarque_bera",
+    "kendall_tau", "kruskal_wallis", "levene", "mann_whitney",
+    "manual_removal", "media_decode", "range_join",
+    "regression_diagnostics", "rh_offset", "sliding_window",
+    "source_ks_drift", "source_vocab_divergence", "spearman_corr",
+    "tail_dependence", "tpch_q3_topk", "variogram", "vpd",
+    "wind_rotation",
+})
+
+_DRIVER_RECORDED = _R3_RECORDED | _R4_RECORDED | frozenset({
     "abs_limits", "bootstrap_ci", "counter_rate", "daily_correlation",
     "day_mean_as_hires", "daynight_flag", "dedup_keep_last", "diel_cycle",
     "diel_cycle_monthly", "doc_langid", "doc_quality", "doc_token_count",

@@ -253,6 +253,34 @@ def headline(num_cpus: int, sf_dir: str, *, scaling_job_only: bool = False) -> d
         ray.shutdown()
 
 
+_PROBE_RATIO_MAX = 1.25     # within-leg: med/min of the probe kernel
+_PROBE_SPREAD_MAX = 1.25    # across legs: max/min of per-leg probe med
+
+
+def _probe_verdict(results: dict, levels: list) -> dict:
+    """Auto-flag contaminated scaling pairs (VERDICT r4 #5): a leg
+    whose steal probe ran unevenly (probe_ratio > 1.25) or a sweep
+    whose legs saw different host weather (probe med spread > 1.25)
+    cannot produce a trustworthy efficiency number — the flag makes
+    that visible IN the artifact instead of in a post-hoc judgement."""
+    meds = {n: results[n].get("probe_sec_med") for n in levels}
+    ratios = {n: results[n].get("probe_ratio") for n in levels}
+    have = [m for m in meds.values() if m]
+    spread = round(max(have) / min(have), 3) if have else None
+    bad_legs = sorted(
+        [int(n) for n, r in ratios.items()
+         if r is not None and r > _PROBE_RATIO_MAX])
+    contaminated = bool(bad_legs) or (
+        spread is not None and spread > _PROBE_SPREAD_MAX)
+    return {
+        "probe_spread": spread,
+        "contaminated": contaminated,
+        "contaminated_legs": bad_legs,
+        "probe_thresholds": {"probe_ratio": _PROBE_RATIO_MAX,
+                             "probe_spread": _PROBE_SPREAD_MAX},
+    }
+
+
 def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str, pair_only: bool = False) -> dict:
     """Fresh-process runs of the same job at several parallelism
     levels: the requested N/4N pair (default 8/32) plus a 2/8 pair
@@ -316,9 +344,15 @@ def scaling(cpus_lo: int, cpus_hi: int, sf_dir: str, pair_only: bool = False) ->
                 "raw_rows_per_sec": results[n].get("raw_rows_per_sec"),
                 "ingest_sec": results[n]["queries"]["tokens_ingest_verify"],
                 "tokens_per_sec": round(tok[n], 1),
+                # per-leg steal probe (VERDICT r4 #5): same fields the
+                # headline bench carries, so weather is visible per leg
+                "probe_sec_min": results[n].get("probe_sec_min"),
+                "probe_sec_med": results[n].get("probe_sec_med"),
+                "probe_ratio": results[n].get("probe_ratio"),
             }
             for n in levels
         },
+        **_probe_verdict(results, levels),
         "efficiency_pairs": {
             name: {
                 "points": eff(thr, lo, hi),

@@ -408,6 +408,190 @@ def q_tpch_q5_shape(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_tpch_q4_shape(sf_dir: str):
+    """TPC-H Q4-shape (order priority checking, adapted to this
+    schema's columns): orders of one quarter counted per
+    o_orderpriority when at least one of their line items shipped LATE
+    (l_shipdate > o_orderdate + 60 days — standing in for the
+    commitdate/receiptdate pair the synthetic lineitem lacks). Exact
+    integer counts -> no FP hazard in the oracle compare. Plan: orders
+    date-pruned at the read, ONE distributed hash join on orderkey
+    (the predicate needs o_orderdate next to l_shipdate, so this is a
+    join, not a broadcast semi-filter), per-batch distinct-orderkey
+    partials, bounded (priority x orderkey-partials) driver combine
+    counting distinct orders per priority."""
+    from ..stages.exchange import block_map
+    from ..stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda df: df[(df["o_orderdate"] >= lo)
+                      & (df["o_orderdate"] < hi)],
+        batch_format="pandas",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    j = hash_join(orders, li, on="o_orderkey", how="inner").map_batches(
+        lambda df: df[df["l_shipdate"]
+                      > df["o_orderdate"] + pd.Timedelta(days=60)][
+            ["o_orderkey", "o_orderpriority"]],
+        batch_format="pandas",
+    )
+    # distinct orders per priority: orderkey-keyed blocks make the
+    # per-block nunique partials additive
+    cnt = block_map(
+        j, ["o_orderkey"],
+        lambda df: df.drop_duplicates("o_orderkey").groupby(
+            "o_orderpriority", as_index=False).size().rename(
+            columns={"size": "n"}),
+        batch_format="pandas", zero_copy_batch=False,
+    ).to_pandas().groupby("o_orderpriority", as_index=False)["n"].sum()
+    out = cnt.rename(columns={"n": "order_count"})
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_SQL_TPCH_Q4 = """
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tpch_q6_shape(sf_dir: str):
+    """TPC-H Q6-shape (forecasting revenue change): one shipdate year,
+    discount in [0.05, 0.07], quantity < 24 — a pure filter-aggregate,
+    zero shuffles (per-batch moment partials + driver combine). To
+    stay inside the repo's FP-compare contract (BASELINE: avoid raw
+    large sums in compared outputs) the query reports the item COUNT
+    (exact) and the MEAN per-item discount revenue (ratio-of-sums, FP
+    error ~1e-12 relative) rather than the raw revenue sum."""
+    from ..stages.exchange import driver_combine
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+             & (df["l_discount"] >= 0.05) & (df["l_discount"] <= 0.07)
+             & (df["l_quantity"] < 24))
+        d = df[m]
+        return pd.DataFrame({
+            "n": [np.int64(len(d))],
+            "rev": [(d["l_extendedprice"] * d["l_discount"]).sum()],
+        })
+
+    g = driver_combine(
+        li, partial, lambda df: df.sum().to_frame().T,
+        batch_format="pandas")
+    n = int(g["n"].iloc[0])
+    out = pd.DataFrame([{
+        "n_items": n,
+        "avg_disc_revenue": float(g["rev"].iloc[0]) / n if n else 0.0,
+    }])
+    out["n_items"] = out["n_items"].astype("int64")
+    out["avg_disc_revenue"] = stable_round6(
+        out["avg_disc_revenue"].astype(float))
+    return out
+
+
+_SQL_TPCH_Q6 = """
+SELECT COUNT(*)::BIGINT AS n_items,
+       ROUND(ROUND(SUM(l_extendedprice * l_discount) / COUNT(*), 9), 6)
+           AS avg_disc_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q14_shape(sf_dir: str):
+    """TPC-H Q14-shape (promotion effect): the share of one month's
+    discounted revenue coming from PROMO-type parts. Ratio-of-sums —
+    the FP-safe aggregate shape (scale cancels). Plan: lineitem
+    month-pruned at the read; part is the broadcast side
+    (``broadcast_join`` via ray.put — the fact table never moves for
+    a dimension lookup); numerator/denominator partials per batch,
+    ONE bounded driver combine."""
+    from ..stages.exchange import driver_combine
+    from ..stages.joins import broadcast_join
+
+    import pyarrow.parquet as pq
+
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"],
+    ).to_pandas().rename(columns={"p_partkey": "l_partkey"})
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(
+        lambda df: df[(df["l_shipdate"] >= lo)
+                      & (df["l_shipdate"] < hi)].drop(
+            columns=["l_shipdate"]),
+        batch_format="pandas",
+    )
+    j = broadcast_join(li, part, on="l_partkey", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        promo = df["p_type"].to_numpy(object) == "PROMO"
+        return pd.DataFrame({
+            "n": [np.int64(len(df))],
+            "promo_rev": [rev.to_numpy()[promo].sum()],
+            "total_rev": [rev.sum()],
+        })
+
+    g = driver_combine(
+        j, partial, lambda df: df.sum().to_frame().T,
+        batch_format="pandas")
+    out = pd.DataFrame([{
+        "n_items": int(g["n"].iloc[0]),
+        "promo_share": (float(g["promo_rev"].iloc[0])
+                        / float(g["total_rev"].iloc[0])),
+    }])
+    out["n_items"] = out["n_items"].astype("int64")
+    out["promo_share"] = stable_round6(out["promo_share"].astype(float))
+    return out
+
+
+_SQL_TPCH_Q14 = """
+SELECT COUNT(*)::BIGINT AS n_items,
+       ROUND(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1.0 - l.l_discount)
+                    ELSE 0.0 END)
+             / SUM(l.l_extendedprice * (1.0 - l.l_discount)), 9), 6)
+           AS promo_share
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
 _SQL_TPCH_Q5 = """
 SELECT n.n_name,
        COUNT(*)::BIGINT AS n_items,
@@ -12659,6 +12843,9 @@ _register("arima111", q_arima111)
 _register("median_polish", q_median_polish)
 _register("sinkhorn_ot", q_sinkhorn_ot)
 _register("tpch_q5_shape", q_tpch_q5_shape, _SQL_TPCH_Q5)
+_register("tpch_q4_shape", q_tpch_q4_shape, _SQL_TPCH_Q4)
+_register("tpch_q6_shape", q_tpch_q6_shape, _SQL_TPCH_Q6)
+_register("tpch_q14_shape", q_tpch_q14_shape, _SQL_TPCH_Q14)
 _register("tpch_q18_shape", q_tpch_q18_shape, _SQL_TPCH_Q18)
 _register("classifier_auc", q_classifier_auc, _SQL_AUC)
 _register("rollup_late_merge", q_rollup_late_merge,
