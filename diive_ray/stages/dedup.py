@@ -305,26 +305,29 @@ def candidate_shingle_sets(
     )
     inv_ref = _ray.put(involved)
 
-    class ShingleCandidates:
-        def __init__(self):
-            self.involved = _ray.get(inv_ref)  # broadcast once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(self.involved):
-                pos = np.minimum(np.searchsorted(self.involved, ids), len(self.involved) - 1)
-                keep = self.involved[pos] == ids
-            else:
-                keep = np.zeros(len(ids), dtype=bool)
-            sub = t.filter(pa.array(keep))
-            sets = tx.batch_shingle_hashes(sub[text_col].to_pylist(), shingle_k, seed)
-            return pa.table({
-                "key": sub[id_col].combine_chunks().cast(pa.int64()),
-                "sh": pa.array([s.view(np.int64) for s in sets], pa.list_(pa.int64())),
-            })
+    def shingle_candidates(t: pa.Table) -> pa.Table:
+        # stateless TASK map (not an actor pool): the only per-worker
+        # "state" is one ray.get of a plasma ref — zero-copy shared
+        # memory on the node, so paying it per task is ~free while
+        # skipping the actor-pool spin-up that dominated this stage's
+        # wall time at small candidate volumes (round-5 profile:
+        # verify leg 5.1 s -> actor startup, not compute)
+        involved_ = _ray.get(inv_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(involved_):
+            pos = np.minimum(np.searchsorted(involved_, ids), len(involved_) - 1)
+            keep = involved_[pos] == ids
+        else:
+            keep = np.zeros(len(ids), dtype=bool)
+        sub = t.filter(pa.array(keep))
+        sets = tx.batch_shingle_hashes(sub[text_col].to_pylist(), shingle_k, seed)
+        return pa.table({
+            "key": sub[id_col].combine_chunks().cast(pa.int64()),
+            "sh": pa.array([s.view(np.int64) for s in sets], pa.list_(pa.int64())),
+        })
 
     return ds.map_batches(
-        ShingleCandidates, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        shingle_candidates, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -481,35 +484,35 @@ def verify_pairs_broadcast(
     vals = np.concatenate(sets) if len(sets) else np.array([], dtype=np.int64)
     ref = _ray.put((keys, offs, vals))
 
-    class ScorePairs:
-        def __init__(self):
-            self.keys, self.offs, self.vals = _ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pa_i = np.searchsorted(self.keys, ia)
-            pb_i = np.searchsorted(self.keys, ib)
-            # gather both sides' sets into flat arrays, then score the
-            # whole batch in one lexsort pass (VERDICT r2 #5: no
-            # per-pair Python)
-            vals64 = self.vals.view(np.uint64)
-            a_vals, a_offs = tx.gather_slices(
-                vals64, self.offs[pa_i], self.offs[pa_i + 1] - self.offs[pa_i]
-            )
-            b_vals, b_offs = tx.gather_slices(
-                vals64, self.offs[pb_i], self.offs[pb_i + 1] - self.offs[pb_i]
-            )
-            jac = tx.exact_jaccard_batch(a_vals, a_offs, b_vals, b_offs)
-            keep = jac >= threshold
-            return pa.table({
-                "id_a": pa.array(ia[keep], pa.int64()),
-                "id_b": pa.array(ib[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            })
+    def score_pairs(t: pa.Table) -> pa.Table:
+        # stateless TASK map — see shingle_candidates: the broadcast
+        # arrays come from one zero-copy plasma get per task, which is
+        # far cheaper than the actor-pool startup it replaces
+        keys_, offs_, vals_ = _ray.get(ref)
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pa_i = np.searchsorted(keys_, ia)
+        pb_i = np.searchsorted(keys_, ib)
+        # gather both sides' sets into flat arrays, then score the
+        # whole batch in one lexsort pass (VERDICT r2 #5: no
+        # per-pair Python)
+        vals64 = vals_.view(np.uint64)
+        a_vals, a_offs = tx.gather_slices(
+            vals64, offs_[pa_i], offs_[pa_i + 1] - offs_[pa_i]
+        )
+        b_vals, b_offs = tx.gather_slices(
+            vals64, offs_[pb_i], offs_[pb_i + 1] - offs_[pb_i]
+        )
+        jac = tx.exact_jaccard_batch(a_vals, a_offs, b_vals, b_offs)
+        keep = jac >= threshold
+        return pa.table({
+            "id_a": pa.array(ia[keep], pa.int64()),
+            "id_b": pa.array(ib[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
 
     out = pairs.map_batches(
-        ScorePairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        score_pairs, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
