@@ -41,6 +41,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions import text as tx
+from ..util import once_per_worker
 
 
 # ----------------------------------------------------------- exact dedup
@@ -137,7 +138,7 @@ def exact_dedup(
             is_loser = (self.losers[pos] == ids) if len(self.losers) else np.zeros(len(ids), bool)
             return t.filter(pa.array(~is_loser))
 
-    return ds.map_batches(DropLosers, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return ds.map_batches(once_per_worker(DropLosers), batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------------ MinHash/LSH
@@ -770,7 +771,7 @@ def minhash_dedup(
             pos = np.minimum(np.searchsorted(self.losers, ids), len(self.losers) - 1)
             return t.filter(pa.array(~(self.losers[pos] == ids)))
 
-    return ds.map_batches(DropLosers, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return ds.map_batches(once_per_worker(DropLosers), batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------- SimHash

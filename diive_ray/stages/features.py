@@ -21,7 +21,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..util import ts_to_us
+from ..util import once_per_worker, ts_to_us
 
 
 def engineer_features_frame(
@@ -117,7 +117,7 @@ def event_to_flag(
             df[flag_col] = inside.astype(np.int8)
             return df
 
-    return ds.map_batches(Stab, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(once_per_worker(Stab), batch_format="pandas")
 
 
 def sstats(

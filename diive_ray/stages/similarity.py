@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import once_per_worker
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -82,7 +84,7 @@ def knn_brute_force(
                 "sim": pa.array(out_sim, pa.float64()),
             })
 
-    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(once_per_worker(Score), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, q_ids, k, id_col, exclude_self)
 
 
@@ -151,7 +153,7 @@ def knn_lsh(
                 "sim": pa.array(out_sim, pa.float64()),
             })
 
-    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(once_per_worker(Score), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, q_ids, k, id_col, exclude_self)
 
 
@@ -243,7 +245,7 @@ def knn_ivf(
                 "sim": pa.array(out_sim, pa.float64()),
             })
 
-    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(once_per_worker(Score), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, q_ids, k, id_col, exclude_self)
 
 
@@ -414,7 +416,7 @@ def embedding_near_dup_pairs(
         })
 
     all_pairs = grouped_block_map(
-        ds.map_batches(Sig, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)),
+        ds.map_batches(once_per_worker(Sig), batch_format="pyarrow", zero_copy_batch=True),
         ["round", "bucket"],
         pairs_of_group,
     )
@@ -564,7 +566,7 @@ def knn_pq(
                 "sim": pa.array(out_sim, pa.float64()),
             })
 
-    parts = ds.map_batches(Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(once_per_worker(Score), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, q_ids, k, id_col, exclude_self)
 
 
