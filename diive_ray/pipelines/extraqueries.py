@@ -4289,8 +4289,9 @@ def q_hawkes_fit(sf_dir: str):
     per type; per-type raw cardinality is UNBOUNDED at scale, so the
     stream is capped to the first ``cap`` events by time — a
     deterministic head sample, documented trade-off per ADVICE r4).
-    Poisson-quiet, planted-excitation recovery and the T=0 guard are
-    pinned in tests/test_round5_scale.py."""
+    Poisson-quiet and planted-excitation recovery are pinned in
+    tests/test_extraqueries.py; banded-vs-dense parity and the T=0
+    guard in tests/test_round5_scale.py."""
     from ..stages.exchange import block_map
     from ..util import ts_to_us
 
@@ -6650,7 +6651,7 @@ def q_doc_lsa_topics(sf_dir: str):
     SVD of the centered doc x term matrix (sigma_i = sqrt(lambda_i)),
     which no node ever builds. Rows-only; single-machine SVD parity +
     block-structure rank-recovery pinned (tests/test_round5_scale.py,
-    test_extraqueries_round4.py)."""
+    tests/test_extraqueries.py)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
