@@ -584,6 +584,14 @@ def ustar_bootstrap_thresholds(
     samples = grouped_block_map(
         night_ds, ["central_year", "chunk"], boot_block
     ).to_pandas()
+    if samples.empty or "year" not in samples.columns:
+        # tiny corpora can leave EVERY bootstrap threshold non-finite:
+        # all blocks emit empty frames and the collected frame loses
+        # its schema — restore it so the percentile sweep degrades to
+        # the documented n_ok=0 / NaN rows instead of a KeyError
+        samples = pd.DataFrame({
+            "year": pd.Series([], dtype=np.int64),
+            "sample": pd.Series([], dtype=np.float64)})
 
     rows = []
     for y in years:

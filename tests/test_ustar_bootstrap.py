@@ -105,3 +105,19 @@ def test_annual_threshold_from_window_nan_when_undetectable():
         rng.uniform(-1, 1, 50), rng.integers(1, 13, 50),
     )
     assert np.isnan(th)
+
+
+def test_degenerate_tiny_corpus_yields_nan_rows_not_keyerror():
+    # round-5 regression: when EVERY bootstrap threshold is non-finite
+    # (tiny night sample), all blocks emit empty frames and the
+    # collected samples frame loses its schema — the sweep must
+    # degrade to n_ok=0 / NaN rows, not KeyError('year')
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.Philox(key=43))
+    df = _flux_frame(rng, 2001, n=30)
+    out = ustar_bootstrap_thresholds(rd.from_pandas(df), n_iter=4,
+                                     seed=3)
+    assert set(out["scope"]) == {"vut", "cut"}
+    assert int(out["n_ok"].sum()) == 0
+    assert out["p50"].isna().all()
