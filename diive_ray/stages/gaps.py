@@ -103,7 +103,10 @@ def rolling_median_fill(s: pd.Series, window: int, min_periods: int = 3) -> pd.S
     """Fill nulls with the centered rolling median of observed values
     (rolling(center=True, min_periods) per localsd.py:244-248). Observed
     values are never modified."""
-    rmed = s.rolling(window=window, center=True, min_periods=min_periods).median()
+    from ..functions.cmedian import rolling_median_centered_exact
+    rmed = pd.Series(
+        rolling_median_centered_exact(s.to_numpy(), window, min_periods),
+        index=s.index)
     return s.where(s.notna(), rmed)
 
 

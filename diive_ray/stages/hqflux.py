@@ -55,7 +55,10 @@ def _regime_summary(
     # reference: winsize = int(s_filtered.count() / 10) with a floor
     # (hqflux.py:68; the new API floors at 13, hqflux.py:262)
     winsize = median_window if median_window is not None else max(n_filtered // 10, 13)
-    rmedian = filtered.rolling(window=winsize, center=True, min_periods=1).median()
+    from ..functions.cmedian import rolling_median_centered_exact
+    rmedian = pd.Series(
+        rolling_median_centered_exact(filtered.to_numpy(), winsize, 1),
+        index=filtered.index)
     non_out = v[flag != 2]
     pos = non_out[non_out >= 0]
     neg = non_out[non_out < 0]

@@ -155,8 +155,11 @@ def rolling_median_centered(x: np.ndarray, window: int, chunk_rows: int = 4096) 
     pandas. Kept (with its bit-exactness test) as the documented
     negative result for the ROUND_NOTES "cache-friendly rolling median"
     candidate: the total-work inflation of per-window partitions
-    dwarfs any cache-locality win; a real improvement needs an
-    O(n log w) structure in compiled code, which this container lacks.
+    dwarfs any cache-locality win; a real improvement needs a
+    compiled incremental structure — which round 5 added as
+    ``functions.cmedian.rolling_median_centered_exact`` (counting-
+    histogram C kernel, ~20x pandas on half-integral bounded data,
+    pandas fallback otherwise).
 
     pandas centered-window contract (verified empirically on distinct
     values, even and odd windows): output i covers positions
@@ -205,9 +208,14 @@ def hampel_flag(
     repeat: bool = True,
 ) -> pd.Series:
     """Hampel filter, global mode (hampel.py:199-243). Rolling medians
-    stay on pandas' O(n log w) skiplist — measured 30x faster than the
-    partition kernel at the flagship window (see
-    rolling_median_centered's verdict)."""
+    route through ``functions.cmedian.rolling_median_centered_exact``:
+    the compiled counting-histogram kernel (bit-exact, ~20x pandas'
+    skiplist and near-zero memory traffic) when the tested values are
+    half-integral and range-bounded — true for the flagship's integer
+    n_tok and its double-differences — else pandas' O(n log w)
+    skiplist (itself measured 30x faster than the partition kernel at
+    the flagship window; see rolling_median_centered's verdict)."""
+    from ..functions.cmedian import rolling_median_centered_exact
 
     def test(filtered: pd.Series, _i: int) -> pd.Index:
         st = filtered.dropna()
@@ -218,9 +226,15 @@ def hampel_flag(
             s_to_test = s_to_test.fillna(0)
         else:
             s_to_test = st
-        rolling_median = s_to_test.rolling(window=window_length, center=True, min_periods=1).median()
+        rolling_median = pd.Series(
+            rolling_median_centered_exact(
+                s_to_test.to_numpy(), window_length, 1),
+            index=s_to_test.index)
         deviations = np.abs(s_to_test - rolling_median)
-        rolling_mad = deviations.rolling(window=window_length, center=True, min_periods=1).median() + 1e-6
+        rolling_mad = pd.Series(
+            rolling_median_centered_exact(
+                deviations.to_numpy(), window_length, 1),
+            index=deviations.index) + 1e-6
         limit = k * rolling_mad * n_sigma
         upper = rolling_median + limit
         lower = rolling_median - limit
@@ -248,7 +262,10 @@ def localsd_flag(
             return st.index
         if not state["win"]:
             state["win"] = int(len(st) / 20)
-        rmedian = st.rolling(window=state["win"], center=True, min_periods=3).median()
+        from ..functions.cmedian import rolling_median_centered_exact
+        rmedian = pd.Series(
+            rolling_median_centered_exact(st.to_numpy(), state["win"], 3),
+            index=st.index)
         if constant_sd:
             sd = st.std()  # pandas default ddof=1 (localsd.py:246)
         else:
