@@ -408,6 +408,109 @@ def q_tpch_q5_shape(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_events_ohlc_1h(sf_dir: str):
+    """OHLC candles per (event_type, hour): open/close = the value at
+    the (ts, event_id)-min/-max row of the bucket (deterministic under
+    timestamp ties), low/high = min/max, volume = count — the classic
+    TSDB/market candle downsample as a continuous aggregate (no
+    reference counterpart; completes the first/last aggregate family
+    next to the engine's mean-based tiers). Fully decomposable:
+    per-batch partials carry each touched cell's (argmin key, value),
+    (argmax key, value), min, max, count — first/last fold
+    associatively under (ts, event_id) order, so the combine is
+    partitioning-invariant; only the bounded (types x hours) cell
+    table reaches the driver. END-stamped bucket_ts (repo
+    convention)."""
+    from ..stages.exchange import driver_combine
+    from ..util import ts_to_us
+
+    hour_us = 3_600_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "event_id",
+                                  "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = ts_to_us(df["ts"])
+        d = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "b": us // hour_us,
+            "us": us,
+            "eid": df["event_id"].to_numpy(np.int64),
+            "v": df["value"].to_numpy(np.float64),
+        }).sort_values(["event_type", "b", "us", "eid"], kind="stable")
+        g = d.groupby(["event_type", "b"], as_index=False)
+        first = g.nth(0)
+        last = g.nth(-1)
+        stats = g.agg(low=("v", "min"), high=("v", "max"),
+                      n=("v", "size"))
+        out = stats.merge(
+            first.rename(columns={"us": "o_us", "eid": "o_eid",
+                                  "v": "o_v"}),
+            on=["event_type", "b"]).merge(
+            last.rename(columns={"us": "c_us", "eid": "c_eid",
+                                 "v": "c_v"}),
+            on=["event_type", "b"])
+        return out[["event_type", "b", "o_us", "o_eid", "o_v",
+                    "c_us", "c_eid", "c_v", "low", "high", "n"]]
+
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        opens = parts.sort_values(
+            ["event_type", "b", "o_us", "o_eid"],
+            kind="stable").drop_duplicates(["event_type", "b"])
+        closes = parts.sort_values(
+            ["event_type", "b", "c_us", "c_eid"], kind="stable",
+            ascending=[True, True, False, False]).drop_duplicates(
+            ["event_type", "b"])
+        stats = parts.groupby(["event_type", "b"], as_index=False).agg(
+            low=("low", "min"), high=("high", "max"), n=("n", "sum"))
+        return stats.merge(
+            opens[["event_type", "b", "o_v"]],
+            on=["event_type", "b"]).merge(
+            closes[["event_type", "b", "c_v"]], on=["event_type", "b"])
+
+    cells = driver_combine(ev, partial, combine, batch_format="pandas")
+    out = pd.DataFrame({
+        "event_type": cells["event_type"],
+        "bucket_ts": pd.to_datetime((cells["b"] + 1) * hour_us,
+                                    unit="us"),
+        "open": stable_round6(cells["o_v"].astype(float)),
+        "high": stable_round6(cells["high"].astype(float)),
+        "low": stable_round6(cells["low"].astype(float)),
+        "close": stable_round6(cells["c_v"].astype(float)),
+        "volume": cells["n"].astype("int64"),
+    })
+    return out.sort_values(["event_type", "bucket_ts"]).reset_index(
+        drop=True)
+
+
+_SQL_OHLC = """
+WITH r AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             AS bucket_ts,
+         value,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+             ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type, time_bucket(INTERVAL '1 hour', ts)
+             ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       ROUND(ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 9), 6)
+           AS open,
+       ROUND(ROUND(MAX(value), 9), 6) AS high,
+       ROUND(ROUND(MIN(value), 9), 6) AS low,
+       ROUND(ROUND(MAX(CASE WHEN rn_z = 1 THEN value END), 9), 6)
+           AS close,
+       COUNT(*)::BIGINT AS volume
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_tpch_q4_shape(sf_dir: str):
     """TPC-H Q4-shape (order priority checking, adapted to this
     schema's columns): orders of one quarter counted per
@@ -12845,6 +12948,7 @@ _register("median_polish", q_median_polish)
 _register("sinkhorn_ot", q_sinkhorn_ot)
 _register("tpch_q5_shape", q_tpch_q5_shape, _SQL_TPCH_Q5)
 _register("tpch_q4_shape", q_tpch_q4_shape, _SQL_TPCH_Q4)
+_register("events_ohlc_1h", q_events_ohlc_1h, _SQL_OHLC)
 _register("tpch_q6_shape", q_tpch_q6_shape, _SQL_TPCH_Q6)
 _register("tpch_q14_shape", q_tpch_q14_shape, _SQL_TPCH_Q14)
 _register("tpch_q18_shape", q_tpch_q18_shape, _SQL_TPCH_Q18)
