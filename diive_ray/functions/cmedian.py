@@ -101,40 +101,20 @@ _tried = False
 
 
 def _build() -> bool:
-    """Compile (once per host, atomically cached in /tmp) and dlopen."""
+    """Compile (once per host, atomically cached in /tmp) and dlopen —
+    via the shared functions/ckernel.py cache."""
     global _lib, _ffi, _tried
     if _tried:
         return _lib is not None
     _tried = True
-    try:
-        import hashlib
-        import subprocess
-        import tempfile
+    from .ckernel import build
 
-        from cffi import FFI
-
-        tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
-        cache = os.path.join(tempfile.gettempdir(), "diive_ray_ckernels")
-        os.makedirs(cache, exist_ok=True)
-        so = os.path.join(cache, f"cmedian_{tag}.so")
-        if not os.path.exists(so):
-            csrc = os.path.join(cache, f"cmedian_{tag}.c")
-            with open(csrc, "w") as f:
-                f.write(_C_SRC)
-            tmp_so = so + f".tmp{os.getpid()}"
-            subprocess.run(
-                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, csrc],
-                check=True, capture_output=True,
-            )
-            os.replace(tmp_so, so)      # atomic: racing workers agree
-        ffi = FFI()
-        ffi.cdef(_CDEF)
-        _lib = ffi.dlopen(so)
-        _ffi = ffi
-        return True
-    except Exception:
+    built = build(_C_SRC, _CDEF)
+    if built is None:
         _lib = None
         return False
+    _lib, _ffi = built
+    return True
 
 
 def rolling_median_centered_exact(

@@ -46,19 +46,86 @@ _U64_MASK = (1 << 64) - 1
 # ------------------------------------------------------------ bit packing
 
 
+_PACK_C_SRC = r"""
+#include <stdint.h>
+
+/* MSB-first pack of variable-width codes (width <= 64) into a
+   zero-initialized byte buffer: a 64-bit accumulator flushes whole
+   bytes — ~10x the numpy bit-expansion path, with zero temporary
+   memory (the expansion writes one uint8 PER BIT). */
+void pack_codes(const uint64_t *codes, const int64_t *widths,
+                int64_t n, uint8_t *out)
+{
+    uint64_t acc = 0;
+    int64_t nacc = 0, o = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t w = widths[i];
+        uint64_t c = (w >= 64) ? codes[i]
+                               : (codes[i] & ((1ULL << w) - 1));
+        while (w > 0) {
+            int64_t take = 64 - nacc;
+            if (take > w) take = w;
+            /* top `take` bits of the w-bit code land with their LSB at
+               bit (64 - nacc - take); every shift here is in [0, 63] */
+            acc |= (c >> (w - take)) << (64 - nacc - take);
+            nacc += take;
+            w -= take;
+            if (w > 0) c &= (1ULL << w) - 1;
+            if (nacc == 64) {
+                for (int b = 7; b >= 0; b--)
+                    out[o++] = (uint8_t)(acc >> (8 * b));
+                acc = 0; nacc = 0;
+            }
+        }
+    }
+    while (nacc > 0) {          /* flush the zero-padded tail */
+        out[o++] = (uint8_t)(acc >> 56);
+        acc <<= 8;
+        nacc -= 8;
+    }
+}
+"""
+
+_PACK_CDEF = ("void pack_codes(const uint64_t *codes,"
+              " const int64_t *widths, int64_t n, uint8_t *out);")
+
+
+def _pack_codes_c(codes: np.ndarray, widths: np.ndarray) -> "bytes | None":
+    from ..functions.ckernel import build
+
+    built = build(_PACK_C_SRC, _PACK_CDEF)
+    if built is None:
+        return None
+    lib, ffi = built
+    total = int(widths.sum())
+    out = np.zeros((total + 7) // 8, dtype=np.uint8)
+    lib.pack_codes(
+        ffi.cast("const uint64_t *", ffi.from_buffer(codes)),
+        ffi.cast("const int64_t *", ffi.from_buffer(widths)),
+        len(codes),
+        ffi.cast("uint8_t *", ffi.from_buffer(out)),
+    )
+    return out.tobytes()
+
+
 def _pack_codes(codes: np.ndarray, widths: np.ndarray) -> bytes:
     """MSB-first pack variable-width codes (each width <= 64) into bytes,
     zero-padded to a byte boundary.
 
-    Entry i occupies flat bits [start_i, start_i + w_i). Entries are
-    grouped by distinct width (a handful per stream); each group's bits
-    come from ``np.unpackbits`` over a big-endian byte view and are
-    written with one fancy-index store."""
+    Fast path: the compiled accumulator kernel (functions/ckernel.py;
+    byte-equality with the numpy path pinned in tests/test_blockstore).
+    Fallback: entry i occupies flat bits [start_i, start_i + w_i);
+    entries group by distinct width (a handful per stream); each
+    group's bits come from ``np.unpackbits`` over a big-endian byte
+    view and are written with one fancy-index store."""
     n = len(codes)
     if n == 0:
         return b""
-    codes = codes.astype(np.uint64, copy=False)
-    widths = widths.astype(np.int64, copy=False)
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    widths = np.ascontiguousarray(widths, dtype=np.int64)
+    fast = _pack_codes_c(codes, widths)
+    if fast is not None:
+        return fast
     starts = np.cumsum(widths) - widths
     total = int(starts[-1] + widths[-1])
     flat = np.zeros(total, dtype=np.uint8)

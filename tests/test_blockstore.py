@@ -172,3 +172,41 @@ def test_checkpointed_resume(ray_session, tiny_fixture_path, tmp_path):
     man = json.load(open(os.path.join(out, "_manifests", f"{victim}.json")))
     assert man["metrics"]["tier_rows"]["1m"] > 0
     assert man["lineage"]["input_files"]
+
+
+def test_pack_codes_c_matches_numpy_path():
+    # round-5 pin: the compiled accumulator packer must be
+    # byte-identical to the numpy bit-expansion fallback on arbitrary
+    # width mixes (1..64 bits, including full-width codes)
+    import numpy as np
+
+    from diive_ray.state.gorilla import _pack_codes_c
+
+    def numpy_pack(codes, widths):
+        starts = np.cumsum(widths) - widths
+        total = int(starts[-1] + widths[-1])
+        flat = np.zeros(total, dtype=np.uint8)
+        for w in np.unique(widths):
+            wi = int(w)
+            sel = widths == w
+            be = codes[sel].astype(">u8").view(np.uint8).reshape(-1, 8)
+            bits = np.unpackbits(be, axis=1)[:, 64 - wi:]
+            pos = starts[sel][:, None] + np.arange(wi)[None, :]
+            flat[pos.reshape(-1)] = bits.reshape(-1)
+        return np.packbits(flat).tobytes()
+
+    rng = np.random.Generator(np.random.Philox(key=[257, 2026]))
+    for _ in range(25):
+        n = int(rng.integers(1, 2500))
+        widths = rng.integers(1, 65, n).astype(np.int64)
+        codes = rng.integers(0, 1 << 63, n,
+                             dtype=np.int64).astype(np.uint64)
+        codes = np.where(
+            widths >= 64, codes,
+            codes & ((np.uint64(1) << widths.astype(np.uint64))
+                     - np.uint64(1)))
+        got = _pack_codes_c(np.ascontiguousarray(codes),
+                            np.ascontiguousarray(widths))
+        if got is None:            # no toolchain: fallback covers it
+            return
+        assert got == numpy_pack(codes, widths)
