@@ -524,6 +524,7 @@ def screen_rollup_compress_partitioned(
 
     def process(batch: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         out = []
@@ -531,8 +532,36 @@ def screen_rollup_compress_partitioned(
             tbl = pa.concat_tables([
                 pq.read_table(f, columns=["doc_id", "source", "ts", "n_tok"]) for f in files
             ])
-            df = tbl.to_pandas().sort_values(["source", "ts", "doc_id"], kind="stable")
-            df = df.drop_duplicates(subset=["source", "ts"], keep="last").reset_index(drop=True)
+            srcs = pc.unique(tbl["source"])
+            if len(srcs) == 1:
+                # the common layout: a (source, day) file group holds ONE
+                # source, so sorting/deduping on the string column is
+                # wasted work — numeric lexsort on (ts, doc_id) + a
+                # keep-last adjacency mask is equivalent (profiled: the
+                # pandas 3-key stable sort + drop_duplicates was the
+                # biggest per-group cost once the median/pack kernels
+                # landed) and the constant source broadcasts back as a
+                # scalar column
+                ts_np = tbl["ts"].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                doc_np = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                tok_np = tbl["n_tok"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((doc_np, ts_np.view(np.int64)))
+                ts_s = ts_np[order]
+                keep = np.ones(len(ts_s), dtype=bool)
+                keep[:-1] = ts_s[1:] != ts_s[:-1]     # keep LAST per ts
+                df = pd.DataFrame({
+                    "doc_id": doc_np[order][keep],
+                    "source": srcs[0].as_py(),
+                    "ts": ts_s[keep],
+                    "n_tok": tok_np[order][keep].astype(np.float64),
+                })
+            else:
+                df = tbl.to_pandas().sort_values(
+                    ["source", "ts", "doc_id"], kind="stable")
+                df = df.drop_duplicates(
+                    subset=["source", "ts"],
+                    keep="last").reset_index(drop=True)
             flag = hampel_flag(
                 df["n_tok"].astype(float), window_length=hampel_window,
                 n_sigma=hampel_n_sigma, use_differencing=True, repeat=True,
