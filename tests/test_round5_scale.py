@@ -687,3 +687,22 @@ def test_user_hour_components_two_cliques(tmp_path):
     assert int(row["n_components"]) == 2
     assert int(row["giant_size"]) == 3
     assert int(row["second_size"]) == 2
+
+
+def test_once_per_worker_constructs_lazily_and_caches():
+    from diive_ray.util import once_per_worker
+
+    built = []
+
+    class K:
+        def __init__(self):
+            built.append(1)
+
+        def __call__(self, batch):
+            return batch + 1
+
+    fn = once_per_worker(K)
+    assert built == []              # nothing constructed until first use
+    assert fn(1) == 2
+    assert fn(41) == 42
+    assert built == [1]             # one instance serves every call
